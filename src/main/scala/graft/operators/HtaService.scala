@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.core.Intervals
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The history query surface — the reference's 4 `HistoryRequest` variants
+  * (`/root/reference/src/async_hta_service.hpp:346-512`) re-expressed as
+  * DataFrame queries over the sanitized point set / level tables.
+  *
+  * Range semantics (F4, ref `:363-368,444-447` + `IntervalScope` use at
+  * `:469`): samples with `start ≤ t ≤ end` (closed); zero-order-hold
+  * segments contribute their overlap with `[start, end)` pro-rata — the
+  * "exact at edges" behavior of `metric.aggregate` (SURVEY §2.3 A4),
+  * including the segment entered before `start`.
+  */
+object HtaService {
+
+  /** A4 AGGREGATE (raw-exact v1): one exact Agg per metric over
+    * `[startNs, endNs]` (ref `:442-463`). Response carries
+    * `time_delta = start` (ref `:461`).
+    */
+  def aggregateRange(sanitized: DataFrame, startNs: Long, endNs: Long): DataFrame = {
+    val pts = Ingest.quantized(sanitized)
+    val inRange = pts
+      .filter(col("time") >= startNs && col("time") <= endNs)
+      .groupBy("metric").agg(
+        min("value").as("min_v"),
+        max("value").as("max_v"),
+        sum("value_c").as("sum_c"),
+        count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("metric").orderBy("time")
+    val segs = pts
+      .withColumn("t_next", lead(col("time"), 1).over(w))
+      .filter(col("t_next").isNotNull &&
+        col("time") < endNs && col("t_next") > startNs)
+      .withColumn("seg_start", greatest(col("time"), lit(startNs)))
+      .withColumn("seg_end", least(col("t_next"), lit(endNs)))
+      .withColumn("dur_us",
+        ((col("seg_end") - col("seg_start")) / 1000).cast("long"))
+      .groupBy("metric").agg(
+        sum(col("value_c") * col("dur_us")).as("integral_cus"),
+        sum(col("dur_us")).as("active_us"))
+    inRange.join(segs, Seq("metric"), "full_outer")
+      .select(
+        col("metric"),
+        lit(startNs).as("time_delta"),
+        col("min_v"), col("max_v"),
+        (coalesce(col("sum_c"), lit(0L)).cast("double") / 100.0).as("sum_v"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        (coalesce(col("integral_cus"), lit(0L)).cast("double") / 1e8).as("integral_vs"),
+        (coalesce(col("active_us"), lit(0L)) * 1000L).as("active_ns"))
+  }
+
+  /** A5 AGGREGATE_TIMELINE (ref `:361-391`): pick the coarsest level with
+    * `interval ≤ intervalMaxNs` from the ladder, slice buckets overlapping
+    * `[start, end)`, in time order. Raw fallback (no level fits) is the
+    * caller's concern — see [[flexTimeline]].
+    */
+  def timeline(sanitized: DataFrame, levels: Seq[Long],
+               startNs: Long, endNs: Long, intervalMaxNs: Long): DataFrame = {
+    val interval = Intervals.selectLevel(levels, intervalMaxNs)
+      .getOrElse(levels.min) // reference falls back to finest available level
+    // build only the needed level: level0 then merges up to `interval`
+    val chain = levels.takeWhile(_ <= interval)
+    val level = chain.tail.foldLeft(Ingest.rollup(sanitized, chain.head))(
+      (child, i) => Ingest.mergeToLevel(child, i))
+    Ingest.present(level)
+      .filter(col("bucket_start") + lit(interval) > startNs &&
+        col("bucket_start") <= endNs)
+      .orderBy("metric", "bucket_start")
+  }
+
+  /** A6 FLEX_TIMELINE (ref `:393-440`): raw `TimeValue`s when even the
+    * finest level is coarser than `intervalMaxNs`, else the timeline.
+    * The two branches have different schemas (reference returns a variant);
+    * [[flexRaw]] is the raw branch.
+    */
+  def flexIsRaw(levels: Seq[Long], intervalMaxNs: Long): Boolean =
+    Intervals.selectLevel(levels, intervalMaxNs).isEmpty
+
+  def flexRaw(sanitized: DataFrame, startNs: Long, endNs: Long): DataFrame =
+    sanitized
+      .filter(col("time") >= startNs && col("time") <= endNs)
+      .select("metric", "time", "value")
+      .orderBy("metric", "time")
+
+  def flexTimeline(sanitized: DataFrame, levels: Seq[Long],
+                   startNs: Long, endNs: Long, intervalMaxNs: Long): DataFrame =
+    if (flexIsRaw(levels, intervalMaxNs)) flexRaw(sanitized, startNs, endNs)
+    else timeline(sanitized, levels, startNs, endNs, intervalMaxNs)
+
+  /** A7 LAST_VALUE (ref `:465-487`): newest raw point per metric —
+    * `max_by` avoids any sort, aggregating in one shuffle.
+    */
+  def lastValue(sanitized: DataFrame): DataFrame =
+    sanitized.groupBy("metric").agg(
+      max("time").as("time"),
+      max_by(col("value"), col("time")).as("value"))
+
+  /** W4: response delta-encoding — `time_delta[i] = t[i] − t[i−1]`, first
+    * delta relative to epoch (ref `:374-380`). Presentation-layer, per
+    * metric (single-partition window per metric is safe: responses are
+    * per-metric and bounded).
+    */
+  def deltaEncode(timeline: DataFrame, timeCol: String): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy(timeCol)
+    timeline.withColumn("time_delta",
+      col(timeCol) - lag(col(timeCol), 1, 0L).over(w))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All engine time columns are int64 nanoseconds since epoch (`LongType`),
+  * never `TimestampType` — Spark timestamps are µs precision and would
+  * truncate the reference's ns semantics (SURVEY §1.4).
+  */
+object Tables {
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.parquet` has a parquet `timestamp[ns]` column; read it as raw
+    * Long ns via the legacy conf (set per-session, harmless if already set).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
+  }
+
+  /** The canonical time-series fixture `hta_points` (FIXTURES.md §2):
+    * `(metric, time ns, value, seq)` derived deterministically from events.
+    * `seq` is the arrival-order column used by the monotonic ingest gate
+    * (the fixture defines arrival order as `(time, event_id)`).
+    *
+    * `time` is the µs-floored ns timestamp: DuckDB (the oracle engine)
+    * reads parquet `timestamp[ns]` at µs precision, truncating toward
+    * −∞ — and µs-aligned times also make every hold-segment duration an
+    * exact integer µs, the precondition of the exact integer domain
+    * (`operators/Ingest.scala`).
+    */
+  def htaPoints(spark: SparkSession, dir: String): DataFrame = {
+    val ns = col("ts").cast("long")
+    events(spark, dir).select(
+      col("event_type").as("metric"),
+      (ns - ns % 1000L).as("time"),
+      col("value"),
+      col("event_id").as("seq"))
+  }
+}
