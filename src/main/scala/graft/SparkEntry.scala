@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Intervals
-import graft.operators.{HtaService, Ingest}
+import graft.operators.{AsOfJoin, HtaService, Ingest}
 import graft.oracle.OracleSql
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -86,6 +86,127 @@ object SparkEntry {
     // A8: ingest skip counters
     "q09_skip_counters" -> ((s, dir) =>
       Ingest.skipCounters(Tables.htaPoints(s, dir)).orderBy("metric")),
+    // F5/J1: input→logical rename via broadcast-joined mapping dimension
+    "q10_input_mapping" -> ((s, dir) => {
+      import s.implicits._
+      val mapping = Seq("click" -> "web.clicks", "purchase" -> "web.purchases")
+        .toDF("input", "logical")
+      sanitized(s, dir)
+        .join(broadcast(mapping), col("metric") === col("input"), "left")
+        .select(coalesce(col("logical"), col("metric")).as("metric"), col("time"))
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"), max("time").as("max_time"))
+        .orderBy("metric")
+    }),
+    // A4 v2: AGGREGATE composed from interior level buckets + raw edges;
+    // oracle is the raw-exact v1 SQL — a match proves the decomposition
+    "q11_agg_level_composed" -> ((s, dir) =>
+      HtaService.aggregateRangeFast(sanitized(s, dir), Q.Ladder, Q.Start, Q.End)
+        .orderBy("metric")),
+    // J3: multi-way equi-join, broadcast dims, shuffle fact joins
+    "q12_join_revenue" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+      val o = Tables.read(s, dir, "orders")
+      val c = Tables.read(s, dir, "customer")
+      val n = Tables.read(s, dir, "nation")
+      val r = Tables.read(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_c"),
+          count(lit(1)).as("n_items"))
+        .select(col("r_name"), col("n_name"),
+          (col("rev_c").cast("double") / 10000.0).as("revenue"),
+          col("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+    // J3: left-semi / left-anti joins
+    "q13_semi_anti" -> ((s, dir) => {
+      val c = Tables.read(s, dir, "customer")
+      val o = Tables.read(s, dir, "orders")
+      val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("with_orders"))
+      val withoutO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("without_orders"))
+      withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+          coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+          coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+        .orderBy("c_mktsegment")
+    }),
+    // W3: ranking + frame-spec running sum + lag
+    "q14_window_suite" -> ((s, dir) => {
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.read(s, dir, "customer")
+        .withColumn("bal_c", round(col("c_acctbal") * 100).cast("long"))
+        .withColumn("rn", row_number().over(ws).cast("long"))
+        .withColumn("run_c", sum("bal_c").over(ws.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .withColumn("prev_bal", lag(col("c_acctbal"), 1).over(ws))
+        .filter(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          col("rn"), (col("run_c").cast("double") / 100.0).as("running_bal"),
+          col("prev_bal"))
+        .orderBy("c_mktsegment", "rn")
+    }),
+    // O3: intersect / except / union
+    "q15_set_ops" -> ((s, dir) => {
+      val cn = Tables.read(s, dir, "customer").select(col("c_nationkey").as("k")).distinct()
+      val sn = Tables.read(s, dir, "supplier").select(col("s_nationkey").as("k")).distinct()
+      cn.intersect(sn).withColumn("tag", lit("both"))
+        .unionByName(cn.except(sn).withColumn("tag", lit("cust_only")))
+        .unionByName(sn.except(cn).withColumn("tag", lit("supp_only")))
+        .select("tag", "k")
+        .orderBy("tag", "k")
+    }),
+    // C7: semi-structured JSON props (get_json_object)
+    "q16_json_props" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      Tables.read(s, dir, "events")
+        .groupBy("event_type")
+        .agg(sum(k).as("sum_k"), min(k).as("min_k"), max(k).as("max_k"),
+          count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    }),
+    // A9: ROLLUP grouping sets + distinct aggregate
+    "q17_rollup_grouping" -> ((s, dir) =>
+      Tables.read(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+            .cast("long").as("gid"),
+          sum("l_quantity").as("sum_qty"),
+          countDistinct("l_partkey").as("n_parts"),
+          count(lit(1)).as("cnt"))
+        .select("gid", "l_returnflag", "l_linestatus", "sum_qty", "n_parts", "cnt")
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+    // J3: as-of join via union + running last (no row explosion)
+    "q18_asof_join" -> ((s, dir) => {
+      val ns = col("ts").cast("long")
+      val base = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        (ns - ns % 1000L).as("time"))
+      def stream(t: String) = base.filter(col("event_type") === t)
+        .groupBy("user_id", "time")
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      AsOfJoin.asOf(stream("purchase"), stream("click"), "user_id",
+        "time", "time", "value", "last_click_value")
+        .select("user_id", "time", "value", "last_click_value")
+        .orderBy("user_id", "time")
+    }),
+    // O2/O3: global top-k (TakeOrderedAndProject — no full sort)
+    "q19_topk_orders" -> ((s, dir) =>
+      Tables.read(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -101,5 +222,15 @@ object SparkEntry {
     "q07_last_value" -> OracleSql.lastValueSql,
     "q08_delta_encode" -> OracleSql.deltaEncodeSql(Q.Level1, Q.Start, Q.End),
     "q09_skip_counters" -> OracleSql.skipCountersSql,
+    "q10_input_mapping" -> OracleSql.inputMappingSql,
+    "q11_agg_level_composed" -> OracleSql.aggregateSql(Q.Start, Q.End),
+    "q12_join_revenue" -> OracleSql.joinRevenueSql,
+    "q13_semi_anti" -> OracleSql.semiAntiSql,
+    "q14_window_suite" -> OracleSql.windowSuiteSql,
+    "q15_set_ops" -> OracleSql.setOpsSql,
+    "q16_json_props" -> OracleSql.jsonPropsSql,
+    "q17_rollup_grouping" -> OracleSql.rollupGroupingSql,
+    "q18_asof_join" -> OracleSql.asOfSql,
+    "q19_topk_orders" -> OracleSql.topKSql,
   )
 }

@@ -53,6 +53,96 @@ object HtaService {
         (coalesce(col("active_us"), lit(0L)) * 1000L).as("active_ns"))
   }
 
+  /** A4 v2 — the 100 TB-scale path: compose the answer from pre-aggregated
+    * interior level buckets plus raw-exact edge partials, instead of
+    * scanning raw for the whole range (SURVEY §2.3 A4 v2). The reference
+    * gets this from HTA's level files; here the interior read touches
+    * `(range / interval)` bucket rows instead of every raw point.
+    *
+    * Decomposition for level interval `I`:
+    *   - interior: level buckets in `[ceil(start/I)·I, floor(end/I)·I)` —
+    *     these already carry boundary-split integral/active (A2);
+    *   - left edge: points in `[start, istart)` + segments clipped to it
+    *     (including the segment entered before `start`);
+    *   - right edge: points in `[iend, end]` (closed, like v1) + segments
+    *     clipped to `[iend, end)`.
+    * The three partials are disjoint in both points and covered time, so
+    * the Agg monoid merge of them equals the raw-exact v1 answer — the
+    * oracle for this query IS the v1 SQL.
+    */
+  def aggregateRangeFast(sanitized: DataFrame, levels: Seq[Long],
+                         startNs: Long, endNs: Long): DataFrame = {
+    val span = endNs - startNs
+    val fitting = levels.filter(_ <= span)
+    if (fitting.isEmpty) return aggregateRange(sanitized, startNs, endNs)
+    val interval = fitting.max
+    val istart = ((startNs + interval - 1) / interval) * interval
+    val iend = (endNs / interval) * interval
+    if (istart >= iend) return aggregateRange(sanitized, startNs, endNs)
+
+    val chain = levels.takeWhile(_ <= interval)
+    val level = chain.tail.foldLeft(Ingest.rollup(sanitized, chain.head))(
+      (child, i) => Ingest.mergeToLevel(child, i))
+    val interior = level
+      .filter(col("bucket_start") >= istart && col("bucket_start") < iend)
+      .select(col("metric"), col("min_v"), col("max_v"), col("sum_c"),
+        col("cnt"), col("integral_cus"), col("active_us"))
+    val left = rawPartial(sanitized, startNs, istart, includeEnd = false)
+    val right = rawPartial(sanitized, iend, endNs, includeEnd = true)
+
+    interior.unionByName(left).unionByName(right)
+      .groupBy("metric").agg(
+        min("min_v").as("min_v"),
+        max("max_v").as("max_v"),
+        sum("sum_c").as("sum_c"),
+        sum("cnt").as("cnt"),
+        sum("integral_cus").as("integral_cus"),
+        sum("active_us").as("active_us"))
+      .filter(col("cnt") > 0 || col("active_us") > 0)
+      .select(
+        col("metric"),
+        lit(startNs).as("time_delta"),
+        col("min_v"), col("max_v"),
+        (col("sum_c").cast("double") / 100.0).as("sum_v"),
+        col("cnt"),
+        (col("integral_cus").cast("double") / 1e8).as("integral_vs"),
+        (col("active_us") * 1000L).as("active_ns"))
+  }
+
+  /** Exact partial Agg (integer domain) over an edge window: points in
+    * `[start, end)` (or `[start, end]` when `includeEnd`), segments clipped
+    * to `[start, end)`.
+    */
+  private def rawPartial(sanitized: DataFrame, startNs: Long, endNs: Long,
+                         includeEnd: Boolean): DataFrame = {
+    val pts = Ingest.quantized(sanitized)
+    val pointPred =
+      if (includeEnd) col("time") >= startNs && col("time") <= endNs
+      else col("time") >= startNs && col("time") < endNs
+    val pAgg = pts.filter(pointPred).groupBy("metric").agg(
+      min("value").as("min_v"),
+      max("value").as("max_v"),
+      sum("value_c").as("sum_c"),
+      count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("metric").orderBy("time")
+    val sAgg = pts
+      .withColumn("t_next", lead(col("time"), 1).over(w))
+      .filter(col("t_next").isNotNull &&
+        col("time") < endNs && col("t_next") > startNs)
+      .withColumn("dur_us",
+        ((least(col("t_next"), lit(endNs)) -
+          greatest(col("time"), lit(startNs))) / 1000).cast("long"))
+      .groupBy("metric").agg(
+        sum(col("value_c") * col("dur_us")).as("integral_cus"),
+        sum(col("dur_us")).as("active_us"))
+    pAgg.join(sAgg, Seq("metric"), "full_outer")
+      .select(col("metric"), col("min_v"), col("max_v"),
+        coalesce(col("sum_c"), lit(0L)).as("sum_c"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        coalesce(col("integral_cus"), lit(0L)).as("integral_cus"),
+        coalesce(col("active_us"), lit(0L)).as("active_us"))
+  }
+
   /** A5 AGGREGATE_TIMELINE (ref `:361-391`): pick the coarsest level with
     * `interval ≤ intervalMaxNs` from the ladder, slice buckets overlapping
     * `[start, end)`, in time order. Raw fallback (no level fits) is the

@@ -160,6 +160,124 @@ object OracleSql {
       |       count(*) AS n_total
       |FROM marked GROUP BY metric ORDER BY metric""".stripMargin
 
+  /** F5/J1: input→logical metric rename via a tiny dimension (broadcast
+    * join on the Spark side; unmapped names pass through).
+    */
+  def inputMappingSql: String =
+    ptsCte +
+      """
+        |SELECT coalesce(m.logical, pts.metric) AS metric,
+        |       count(*) AS n, max(t) AS max_time
+        |FROM pts LEFT JOIN (
+        |  SELECT * FROM (VALUES ('click','web.clicks'),
+        |                        ('purchase','web.purchases')) t(input, logical)
+        |) m ON pts.metric = m.input
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def joinRevenueSql: String =
+    """SELECT r_name, n_name,
+      |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0
+      |         AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  def semiAntiSql: String =
+    """WITH w AS (
+      |  SELECT c_mktsegment, count(*) AS with_orders FROM customer
+      |  WHERE EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  GROUP BY 1
+      |), wo AS (
+      |  SELECT c_mktsegment, count(*) AS without_orders FROM customer
+      |  WHERE NOT EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  GROUP BY 1
+      |)
+      |SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+      |       CAST(coalesce(with_orders, 0) AS BIGINT) AS with_orders,
+      |       CAST(coalesce(without_orders, 0) AS BIGINT) AS without_orders
+      |FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+      |ORDER BY 1""".stripMargin
+
+  def windowSuiteSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_mktsegment, c_acctbal,
+      |         CAST(round(c_acctbal*100) AS BIGINT) AS bal_c
+      |  FROM customer
+      |), r AS (
+      |  SELECT *,
+      |         row_number() OVER (PARTITION BY c_mktsegment
+      |                            ORDER BY c_acctbal DESC, c_custkey) AS rn,
+      |         sum(bal_c) OVER (PARTITION BY c_mktsegment
+      |                          ORDER BY c_acctbal DESC, c_custkey
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_c,
+      |         lag(c_acctbal) OVER (PARTITION BY c_mktsegment
+      |                              ORDER BY c_acctbal DESC, c_custkey) AS prev_bal
+      |  FROM c
+      |)
+      |SELECT c_mktsegment, c_custkey, c_acctbal,
+      |       CAST(rn AS BIGINT) AS rn,
+      |       CAST(run_c AS DOUBLE)/100.0 AS running_bal, prev_bal
+      |FROM r WHERE rn <= 3
+      |ORDER BY c_mktsegment, rn""".stripMargin
+
+  def setOpsSql: String =
+    """WITH cn AS (SELECT DISTINCT c_nationkey AS k FROM customer),
+      |sn AS (SELECT DISTINCT s_nationkey AS k FROM supplier)
+      |SELECT * FROM (
+      |  SELECT 'both' AS tag, k FROM (SELECT k FROM cn INTERSECT SELECT k FROM sn)
+      |  UNION ALL
+      |  SELECT 'cust_only' AS tag, k FROM (SELECT k FROM cn EXCEPT SELECT k FROM sn)
+      |  UNION ALL
+      |  SELECT 'supp_only' AS tag, k FROM (SELECT k FROM sn EXCEPT SELECT k FROM cn)
+      |)
+      |ORDER BY tag, k""".stripMargin
+
+  def jsonPropsSql: String =
+    """SELECT event_type,
+      |       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |       CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+      |       CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+      |       count(*) AS cnt
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def rollupGroupingSql: String =
+    """SELECT CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid,
+      |       l_returnflag, l_linestatus,
+      |       sum(l_quantity) AS sum_qty,
+      |       count(DISTINCT l_partkey) AS n_parts,
+      |       count(*) AS cnt
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** As-of join oracle: DuckDB's native ASOF LEFT JOIN over deduped
+    * per-(user, time) click/purchase streams.
+    */
+  def asOfSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, value, epoch_ns(ts) AS t
+      |  FROM events
+      |), clicks AS (
+      |  SELECT user_id, t, max_by(value, event_id) AS value
+      |  FROM ev WHERE event_type = 'click' GROUP BY user_id, t
+      |), purchases AS (
+      |  SELECT user_id, t, max_by(value, event_id) AS value
+      |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, t
+      |)
+      |SELECT p.user_id, p.t AS time, p.value, c.value AS last_click_value
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND c.t <= p.t
+      |ORDER BY p.user_id, time""".stripMargin
+
+  def topKSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
   def lineitemAggSql: String =
     """SELECT l_returnflag, l_linestatus,
       |       sum(l_quantity) AS sum_qty,
