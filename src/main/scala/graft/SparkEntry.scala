@@ -1,8 +1,8 @@
 package graft
 
 import graft.core.Intervals
-import graft.operators.{AsOfJoin, HtaService, Ingest}
-import graft.oracle.OracleSql
+import graft.operators.{AsOfJoin, Dedup, HtaService, Ingest, Multimodal, Similarity, TextAnalysis}
+import graft.oracle.{OracleSql, OracleSqlExt}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -207,6 +207,50 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(10)
         .select("o_orderkey", "o_custkey", "o_totalprice")),
+    // X1: exact dedup with provenance (keep lowest doc_id per key group)
+    "x20_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(
+        Tables.read(s, dir, "documents").select("lang", "source", "doc_id", "n_chars"),
+        Seq("lang", "source"), "doc_id")
+        .select("lang", "source", "doc_id", "n_chars", "group_size")
+        .orderBy("lang", "source")),
+    // X2: exact n-gram Jaccard near-dups (length-band blocked verifier)
+    "x21_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.read(s, dir, "documents"), 0.5, 10)
+        .orderBy("doc_a", "doc_b")),
+    // X2: MinHash+LSH candidate gen → exact-Jaccard verification
+    "x22_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashNearDups(Tables.read(s, dir, "documents"), 0.5)
+        .orderBy("doc_a", "doc_b")),
+    // X2: SimHash near-dup pairs (hamming ≤ 16 over 60-bit fingerprints)
+    "x23_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.read(s, dir, "documents"), 6, 50)
+        .orderBy("doc_a", "doc_b")),
+    // X3: brute-force cosine top-k (exact integer-quantized dot products)
+    "x24_cosine_topk" -> ((s, dir) =>
+      Similarity.topKBrute(Tables.read(s, dir, "embeddings"), Seq(0L, 1L, 2L), 5)
+        .orderBy("q_id", "rank")),
+    // X3: IVF-cell-restricted top-k (label = centroid assignment)
+    "x25_cosine_ivf" -> ((s, dir) =>
+      Similarity.topKIvf(Tables.read(s, dir, "embeddings"), Seq(0L, 1L, 2L), 5)
+        .orderBy("q_id", "rank")),
+    // X4: per-doc quality features + composite score
+    "x26_text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(Tables.read(s, dir, "documents")).orderBy("doc_id")),
+    // X4: language-ID heuristic (profile overlap, deterministic argmax)
+    "x27_langid" -> ((s, dir) =>
+      TextAnalysis.langId(Tables.read(s, dir, "documents")).orderBy("doc_id")),
+    // X4: token counting (whitespace + BPE-ish regex segmentation)
+    "x28_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Tables.read(s, dir, "documents")).orderBy("doc_id")),
+    // X4: content + winnowing fingerprints
+    "x29_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(Tables.read(s, dir, "documents")).orderBy("doc_id")),
+    // X5 multimodal: binary media column → mapPartitions feature extraction
+    "x30_multimodal" -> ((s, dir) =>
+      Multimodal.extractFeatures(s,
+        Multimodal.asMediaTable(Tables.read(s, dir, "documents")))
+        .orderBy("doc_id")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -232,5 +276,16 @@ object SparkEntry {
     "q17_rollup_grouping" -> OracleSql.rollupGroupingSql,
     "q18_asof_join" -> OracleSql.asOfSql,
     "q19_topk_orders" -> OracleSql.topKSql,
+    "x20_dedup_exact" -> OracleSqlExt.dedupExactSql,
+    "x21_ngram_jaccard" -> OracleSqlExt.ngramJaccardSql(0.5, 10),
+    "x22_minhash_lsh" -> OracleSqlExt.minhashLshSql(0.5),
+    "x23_simhash" -> OracleSqlExt.simhashPairsSql(6, 50),
+    "x24_cosine_topk" -> OracleSqlExt.cosineTopKSql(Seq(0L, 1L, 2L), 5),
+    "x25_cosine_ivf" -> OracleSqlExt.cosineIvfSql(Seq(0L, 1L, 2L), 5),
+    "x26_text_quality" -> OracleSqlExt.textQualitySql,
+    "x27_langid" -> OracleSqlExt.langIdSql,
+    "x28_token_count" -> OracleSqlExt.tokenCountSql,
+    "x29_fingerprint" -> OracleSqlExt.fingerprintSql,
+    "x30_multimodal" -> OracleSqlExt.multimodalSql,
   )
 }

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word n-gram shingles of a whitespace-tokenized string, as a
+  * native Catalyst expression.
+  *
+  * Rationale (measured, sf0.1): the equivalent built-in pipeline
+  * `array_distinct(transform(sequence(…), i → concat_ws(element_at…)))`
+  * evaluates its lambda *interpreted* per array element (higher-order
+  * functions don't join whole-stage codegen) — ~1 ms/doc. This single
+  * Scala pass with a hash set is ~50× cheaper and keeps the surrounding
+  * operators inside codegen (the expression itself is a leaf call via
+  * CodegenFallback — one virtual call per row, loop body is plain JVM).
+  *
+  * Output order = first occurrence, matching `array_distinct` and
+  * DuckDB's `list_distinct` — callers only use it as a set (jaccard,
+  * minhash/array_min), so order never leaks into results.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"word_shingles needs a string input, got ${child.dataType}")
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(' ')
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
+      var i = 0
+      while (i <= toks.length - n) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  import org.apache.spark.sql.graftshim.ColumnShim
+  def apply(c: Column, n: Int): Column =
+    ColumnShim.column(WordShingles(ColumnShim.expression(c), n))
+}

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines (SURVEY §2.10):
+  * exact, n-gram Jaccard, MinHash+LSH candidate generation, SimHash.
+  *
+  * Determinism design (oracle parity): every hash is `md5` (identical in
+  * Spark and DuckDB), every score is a single integer→double division, and
+  * MinHash minima are lexicographic minima over hex strings — no
+  * engine-specific hash functions anywhere.
+  *
+  * Scale posture: the all-pairs Jaccard join is the *verifier*, blocked by
+  * a length band to bound the candidate set; at 100 TB candidate
+  * generation must come from [[lshCandidatePairs]] (shuffle on band
+  * signature — |candidates| ≈ near-dup pairs, not n²) and the Jaccard
+  * join runs only on those candidates.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-`tiebreak` row per key group, with the
+    * group size attached (X1 — `dropDuplicates` + provenance).
+    */
+  def exactDedup(df: DataFrame, keys: Seq[String], tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tiebreak))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("group_size",
+        count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Distinct word n-gram shingles of a whitespace-tokenized text column.
+    * Native expression — see [[graft.functions.WordShingles]] for why the
+    * built-in HOF formulation is ~50× slower.
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.WordShingles(text, n)
+
+  /** Documents with shingle sets + length-band blocking key columns. */
+  def shingled(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), col("n_chars"), shingles(col("text"), n).as("sh"))
+
+  /** Exact n-gram Jaccard pairs ≥ `threshold` (> 0) within a ±`band`-char
+    * length block.
+    *
+    * Implemented as a posting-list equi-join: explode shingles, shuffle
+    * hash-join on the shingle value, count shared shingles per pair. Any
+    * pair with jaccard > 0 shares a shingle, so this is exhaustive — and
+    * unlike the naive banded nested-loop + `array_intersect`, every join
+    * here is an equi-join Spark executes as a shuffle (or sort-merge)
+    * join, which survives a 100× scale-up.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double, band: Long = 50L): DataFrame = {
+    require(threshold > 0, "prefix filtering needs a positive threshold")
+    val sh = shingled(docs).filter(size(col("sh")) > 0)
+      .withColumn("sz", size(col("sh")).cast("long"))
+
+    // Prefix filtering (AllPairs/PPJoin): under a global canonical shingle
+    // order (rarest first), two sets with jaccard ≥ t must share a shingle
+    // within each other's first ⌊(1−t)·|sh|⌋+1 shingles. Joining only the
+    // prefixes keeps hot shingles (whose posting lists explode a naive
+    // posting join quadratically) out of the join entirely.
+    val posts = sh.select(col("doc_id"), col("n_chars"), col("sz"),
+      explode(col("sh")).as("g"))
+    val freq = posts.groupBy("g").agg(count(lit(1)).as("f"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("f"), col("g"))
+    val prefix = posts.join(freq, "g")
+      .withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") <= floor((lit(1.0) - threshold) * col("sz")) + 1)
+      .select("doc_id", "n_chars", "g")
+    val a = prefix.select(col("doc_id").as("doc_a"), col("n_chars").as("ca"), col("g"))
+    val b = prefix.select(col("doc_id").as("doc_b"), col("n_chars").as("cb"), col("g"))
+    val cand = a.join(b, Seq("g"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("cb") >= col("ca") - band && col("cb") <= col("ca") + band)
+      .select("doc_a", "doc_b").distinct()
+
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Exact Jaccard verification of candidate pairs against shingle sets. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame = {
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val uni = size(col("sa")) + size(col("sb")) - inter
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .withColumn("jaccard", inter.cast("double") / uni.cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash signature columns `h0…h{k−1}`: each is the lexicographic min
+    * over shingles of `md5(shingle ⊕ "#i")` (first 16 hex chars). A
+    * string-min over salted md5 is a valid min-hash family and — unlike
+    * murmur/xxhash — is bit-identical in every engine.
+    *
+    * Shape: explode shingles → k md5s per (doc, shingle) row → groupBy
+    * min. One pass over each shingle (Catalyst would otherwise inline the
+    * shingle-array construction into every one of the k projections), and
+    * the min is a partial-aggregating shuffle — the shape that scales.
+    */
+  def withMinhashSignature(shingledDocs: DataFrame, k: Int = 12): DataFrame = {
+    val hashed = shingledDocs
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id") +: (0 until k).map(i =>
+        substring(md5(concat(col("s"), lit(s"#$i"))), 1, 16).as(s"h$i")): _*)
+    hashed.groupBy("doc_id")
+      .agg(min(col("h0")).as("h0"),
+        (1 until k).map(i => min(col(s"h$i")).as(s"h$i")): _*)
+  }
+
+  /** LSH banding: k signatures in bands of `r` → band signature =
+    * md5(h_{jr} | … | h_{jr+r−1}). Docs sharing ANY band signature are
+    * candidates. One shuffle on (band, sig); bucket self-join.
+    */
+  def lshCandidatePairs(docs: DataFrame, k: Int = 12, r: Int = 3): DataFrame = {
+    // empty-shingle docs have no signature (NULL min) — drop them here so
+    // they can't cluster into one degenerate bucket
+    val sig = withMinhashSignature(shingled(docs).filter(size(col("sh")) > 0), k)
+    val nBands = k / r
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until nBands).map { j =>
+        struct(lit(j).as("band"),
+          md5(concat_ws("|", (0 until r).map(o => col(s"h${j * r + o}")): _*)).as("sig"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.sig"))
+      .filter(col("sig").isNotNull)
+    val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val rr = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    l.join(rr, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** LSH candidates verified by exact Jaccard — the scalable near-dup
+    * pipeline (candidate gen O(n·bands), verification O(|candidates|)).
+    */
+  def minhashNearDups(docs: DataFrame, threshold: Double,
+                      k: Int = 12, r: Int = 3): DataFrame =
+    verifyJaccard(lshCandidatePairs(docs, k, r), shingled(docs), threshold)
+
+  /** 60-bit SimHash over whitespace tokens. Token value = first 15 hex
+    * chars of md5 as a 60-bit int; fingerprint bit b is set iff
+    * Σ_tokens (±1 by token-bit b) > 0. 60 bits (not 64) keeps the value
+    * comfortably inside a signed int64 in both engines.
+    */
+  val SimhashBits = 60
+
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = explode(split(col("text"), " ")).as("tok")
+    val v = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    val toks = docs.select(col("doc_id"), col("n_chars"), tok)
+      .withColumn("v", v)
+    val bitSums = (0 until SimhashBits).map(b =>
+      sum(when(shiftright(col("v"), b).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"s$b"))
+    val fp = (0 until SimhashBits).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    toks.groupBy("doc_id", "n_chars")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", fp)
+      .select("doc_id", "n_chars", "simhash")
+  }
+
+  /** SimHash near-dup pairs: hamming distance ≤ `maxDist` within a
+    * length band.
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int, band: Long = 50L): DataFrame = {
+    val s = simhash(docs)
+    val a = s.select(col("doc_id").as("doc_a"), col("n_chars").as("ca"),
+      col("simhash").as("fa"))
+    val b = s.select(col("doc_id").as("doc_b"), col("n_chars").as("cb"),
+      col("simhash").as("fb"))
+    a.join(b, col("doc_a") < col("doc_b") &&
+        col("cb") >= col("ca") - band && col("cb") <= col("ca") + band)
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an embedding column (SURVEY §2.10 X3).
+  *
+  * Determinism design: embeddings are quantized to int64 (×10⁴) so dot
+  * products and squared norms are *exact integer* sums — order-independent
+  * in any engine — and the final cosine is a fixed shape of
+  * correctly-rounded IEEE ops (`long→double`, `sqrt`, `*`, `/`). No
+  * floating-point reduction appears anywhere, so Spark and DuckDB agree
+  * bitwise. Quantization error (~5e-5/element) is irrelevant for ANN.
+  *
+  * Scale posture: [[topKBrute]] broadcasts the (small) query set and scans
+  * the corpus once — the right baseline at any corpus size when |queries|
+  * is small. [[topKIvf]] additionally prunes the scan to the query's
+  * partition cell (here the `label` column standing in for a learned IVF
+  * centroid assignment), the standard 10–100× scan reduction.
+  */
+object Similarity {
+
+  /** Corpus with quantized vector + exact squared norm. */
+  def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x =>
+        round(x.cast("double") * 10000).cast("long")).as("vq"))
+      .withColumn("n2",
+        aggregate(col("vq"), lit(0L), (acc, x) => acc + x * x))
+
+  private def cosExpr = {
+    val dot = aggregate(zip_with(col("vq"), col("qv"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    dot.cast("double") / (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double")))
+  }
+
+  /** Brute-force top-k cosine neighbors for each query id. */
+  def topKBrute(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val corpus = quantized(emb)
+    val q = corpus.filter(col("vec_id").isin(queryIds: _*)).select(
+      col("vec_id").as("q_id"), col("vq").as("qv"), col("n2").as("qn2"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosExpr)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "rank", "cosine")
+  }
+
+  /** IVF-cell-restricted top-k: only candidates in the query's `label`
+    * cell are scanned (partition-pruned at 100 TB when the corpus is
+    * written partitioned by cell).
+    */
+  def topKIvf(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val corpus = quantized(emb)
+    val q = corpus.filter(col("vec_id").isin(queryIds: _*)).select(
+      col("vec_id").as("q_id"), col("label").as("q_label"),
+      col("vq").as("qv"), col("n2").as("qn2"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    corpus.join(broadcast(q), col("label") === col("q_label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosExpr)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "rank", "cosine")
+  }
+}

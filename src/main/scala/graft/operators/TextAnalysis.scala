@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (SURVEY §2.10 X4):
+  * quality scoring, language-ID heuristic, token counting, document
+  * fingerprinting. All per-document (no cross-row float reductions), so
+  * every output value is a deterministic expression of one row.
+  */
+object TextAnalysis {
+
+  val Stopwords: Seq[String] = Seq("the", "a")
+
+  /** Per-document quality features + a composite score:
+    * token count, mean token length, stopword ratio, distinct-token
+    * ratio, and `score = √tokens · (1−|stop_ratio−0.1|) · ttr`.
+    * (`sqrt`, not `ln`: sqrt is correctly rounded per IEEE-754 in every
+    * engine; `ln` is only faithfully rounded and may differ by 1 ulp
+    * between Java and C runtimes — enough to break oracle hash parity.)
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("long")
+    val stopCnt = size(filter(toks, t => t.isin(Stopwords.map(lit(_)): _*))).cast("long")
+    val distinctCnt = size(array_distinct(toks)).cast("long")
+    docs.select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .withColumn("n_tokens", nTok)
+      .withColumn("avg_token_len",
+        (col("n_chars") - (col("n_tokens") - 1)).cast("double") /
+          col("n_tokens").cast("double"))
+      .withColumn("stopword_ratio", stopCnt.cast("double") / nTok.cast("double"))
+      .withColumn("ttr", distinctCnt.cast("double") / nTok.cast("double"))
+      .withColumn("quality_score",
+        sqrt(col("n_tokens").cast("double")) *
+          (lit(1.0) - abs(col("stopword_ratio") - lit(0.1))) * col("ttr"))
+      .drop("text")
+  }
+
+  /** Fixed keyword profiles for the n-gram-free language-ID heuristic.
+    * (The synthetic corpus shares one vocabulary across `lang` labels, so
+    * no heuristic can recover the label — the operator demonstrates the
+    * mechanism: profile overlap scoring with a deterministic argmax.)
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("table", "key", "hash"),
+    "en" -> Seq("the", "a", "fast"),
+    "es" -> Seq("data", "row", "slow"),
+    "fr" -> Seq("stream", "filter", "merge"),
+    "zh" -> Seq("window", "spark", "batch"))
+
+  /** Language-ID: score = |distinct tokens ∩ profile| per language;
+    * predicted = first language (alphabetical) achieving the max score.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = array_distinct(split(col("text"), " "))
+    val scored = LangProfiles.foldLeft(
+      docs.select(col("doc_id"), col("lang"), toks.as("toks"))) {
+      case (df, (l, words)) =>
+        df.withColumn(s"score_$l",
+          size(array_intersect(col("toks"), array(words.map(lit(_)): _*))).cast("long"))
+    }
+    val best = greatest(LangProfiles.map { case (l, _) => col(s"score_$l") }: _*)
+    // CASE chain in profile (alphabetical) order → first max wins
+    val predicted = LangProfiles.foldRight(lit("und"): Column) {
+      case ((l, _), els) => when(col(s"score_$l") === best, lit(l)).otherwise(els)
+    }
+    scored
+      .withColumn("predicted_lang", predicted)
+      .withColumn("lang_score", best)
+      .select("doc_id", "lang", "predicted_lang", "lang_score")
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other chars).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
+        .as("bpeish_tokens"))
+
+  /** Document fingerprints: whole-content md5 + winnowing-style signature
+    * (min md5 over 5-gram word shingles).
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(col("text")).as("content_fp"),
+      array_min(transform(Dedup.shingles(col("text"), 5), s => md5(s)))
+        .as("winnow_fp"))
+}

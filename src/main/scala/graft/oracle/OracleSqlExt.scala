@@ -1,0 +1,234 @@
+package graft.oracle
+
+/** DuckDB oracles for the LLM-pipeline extension operators (SURVEY §2.10).
+  * MinHash/SimHash SQL is generated programmatically to mirror the Spark
+  * constructions hash-for-hash (md5 everywhere — see
+  * `operators/Dedup.scala` determinism note).
+  */
+object OracleSqlExt {
+
+  /** Shared doc shingling CTE (3-gram distinct word shingles). */
+  private def shCte(n: Int): String = {
+    val gram = (0 until n).map(k => s"toks[i+${k + 1}]").mkString(" || ' ' || ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents
+       |), sh AS (
+       |  SELECT doc_id, n_chars,
+       |         CASE WHEN len(toks) >= $n
+       |              THEN list_distinct(list_transform(range(len(toks)-${n - 1}),
+       |                                                i -> $gram))
+       |              ELSE CAST([] AS VARCHAR[]) END AS s
+       |  FROM docs
+       |)""".stripMargin
+  }
+
+  def dedupExactSql: String =
+    """WITH d AS (
+      |  SELECT lang, source, doc_id, n_chars,
+      |         row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn,
+      |         count(*) OVER (PARTITION BY lang, source) AS gs
+      |  FROM documents
+      |)
+      |SELECT lang, source, doc_id, n_chars, CAST(gs AS BIGINT) AS group_size
+      |FROM d WHERE rn = 1 ORDER BY lang, source""".stripMargin
+
+  def ngramJaccardSql(threshold: Double, band: Long): String =
+    shCte(3) +
+      s""", p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         len(list_intersect(a.s, b.s)) AS inter,
+         |         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |   AND b.n_chars >= a.n_chars - $band AND b.n_chars <= a.n_chars + $band
+         |)
+         |SELECT doc_a, doc_b,
+         |       CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) AS jaccard
+         |FROM p WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= $threshold
+         |ORDER BY doc_a, doc_b""".stripMargin
+
+  def minhashLshSql(threshold: Double, k: Int = 12, r: Int = 3): String = {
+    val sigCols = (0 until k).map(i =>
+      s"list_min(list_transform(s, x -> substr(md5(x || '#$i'), 1, 16))) AS h$i")
+      .mkString(",\n         ")
+    val bandRows = (0 until k / r).map { j =>
+      val cat = (0 until r).map(o => s"h${j * r + o}").mkString(" || '|' || ")
+      s"SELECT doc_id, $j AS band, md5($cat) AS bsig FROM sig"
+    }.mkString("\n  UNION ALL ")
+    shCte(3) +
+      s""", nz AS (SELECT * FROM sh WHERE len(s) > 0),
+         |sig AS (
+         |  SELECT doc_id,
+         |         $sigCols
+         |  FROM nz
+         |), bands AS (
+         |  $bandRows
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+         |), j AS (
+         |  SELECT doc_a, doc_b,
+         |         len(list_intersect(sa.s, sb.s)) AS inter,
+         |         len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS uni
+         |  FROM cand
+         |  JOIN nz sa ON sa.doc_id = doc_a
+         |  JOIN nz sb ON sb.doc_id = doc_b
+         |)
+         |SELECT doc_a, doc_b,
+         |       CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) AS jaccard
+         |FROM j WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= $threshold
+         |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  def simhashPairsSql(maxDist: Int, band: Long, bits: Int = 60): String = {
+    val sums = (0 until bits).map(b =>
+      s"sum(CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n         ")
+    val fp = (0 until bits).map(b =>
+      s"(CASE WHEN s$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |), v AS (
+       |  SELECT doc_id, n_chars,
+       |         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS v
+       |  FROM t
+       |), s AS (
+       |  SELECT doc_id, n_chars,
+       |         $sums
+       |  FROM v GROUP BY doc_id, n_chars
+       |), f AS (
+       |  SELECT doc_id, n_chars, $fp AS simhash FROM s
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM f a JOIN f b ON a.doc_id < b.doc_id
+       |  AND b.n_chars >= a.n_chars - $band AND b.n_chars <= a.n_chars + $band
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private def cosineCte: String =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding,
+      |           x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS vq
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, label, vq,
+      |         list_sum(list_transform(vq, x -> x*x)) AS n2
+      |  FROM e
+      |)""".stripMargin
+
+  private def cosineTail(k: Int): String =
+    """, c AS (
+      |  SELECT q_id, vec_id,
+      |         CAST(list_sum(list_transform(range(len(vq)), i -> vq[i+1]*qv[i+1])) AS DOUBLE)
+      |           / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS cosine
+      |  FROM cand
+      |), r AS (
+      |  SELECT q_id, vec_id, cosine,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+      |  FROM c
+      |)
+      |SELECT q_id, vec_id, CAST(rn AS BIGINT) AS rank, cosine
+      |FROM r WHERE rn <= """.stripMargin + k +
+      "\nORDER BY q_id, rank"
+
+  def cosineTopKSql(queryIds: Seq[Long], k: Int): String =
+    cosineCte +
+      s""", q AS (
+         |  SELECT vec_id AS q_id, vq AS qv, n2 AS qn2
+         |  FROM n WHERE vec_id IN (${queryIds.mkString(",")})
+         |), cand AS (
+         |  SELECT q_id, vec_id, vq, qv, n2, qn2
+         |  FROM n CROSS JOIN q WHERE vec_id <> q_id
+         |)""".stripMargin + cosineTail(k)
+
+  def cosineIvfSql(queryIds: Seq[Long], k: Int): String =
+    cosineCte +
+      s""", q AS (
+         |  SELECT vec_id AS q_id, label AS q_label, vq AS qv, n2 AS qn2
+         |  FROM n WHERE vec_id IN (${queryIds.mkString(",")})
+         |), cand AS (
+         |  SELECT q_id, vec_id, vq, qv, n2, qn2
+         |  FROM n JOIN q ON n.label = q.q_label WHERE vec_id <> q_id
+         |)""".stripMargin + cosineTail(k)
+
+  def textQualitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks
+      |  FROM documents
+      |), u AS (
+      |  SELECT doc_id, lang, n_chars,
+      |         CAST(len(toks) AS BIGINT) AS n_tokens,
+      |         CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT) AS stop_cnt,
+      |         CAST(len(list_distinct(toks)) AS BIGINT) AS distinct_cnt
+      |  FROM t
+      |)
+      |SELECT doc_id, lang, n_chars, n_tokens,
+      |       CAST(n_chars - (n_tokens - 1) AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS avg_token_len,
+      |       CAST(stop_cnt AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+      |       CAST(distinct_cnt AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS ttr,
+      |       sqrt(CAST(n_tokens AS DOUBLE))
+      |         * (1.0 - abs(CAST(stop_cnt AS DOUBLE)/CAST(n_tokens AS DOUBLE) - 0.1))
+      |         * (CAST(distinct_cnt AS DOUBLE)/CAST(n_tokens AS DOUBLE)) AS quality_score
+      |FROM u ORDER BY doc_id""".stripMargin
+
+  def langIdSql: String = {
+    val profiles = Seq(
+      "de" -> Seq("table", "key", "hash"),
+      "en" -> Seq("the", "a", "fast"),
+      "es" -> Seq("data", "row", "slow"),
+      "fr" -> Seq("stream", "filter", "merge"),
+      "zh" -> Seq("window", "spark", "batch"))
+    val scores = profiles.map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_intersect(toks, [$lst])) AS BIGINT) AS score_$l"
+    }.mkString(",\n         ")
+    val all = profiles.map { case (l, _) => s"score_$l" }.mkString(", ")
+    val cases = profiles.map { case (l, _) =>
+      s"WHEN score_$l = greatest($all) THEN '$l'"
+    }.mkString("\n            ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, lang,
+       |         $scores
+       |  FROM t
+       |)
+       |SELECT doc_id, lang,
+       |       CASE $cases
+       |            ELSE 'und' END AS predicted_lang,
+       |       greatest($all) AS lang_score
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  def tokenCountSql: String =
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpeish_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def fingerprintSql: String = {
+    val gram = (0 until 5).map(k => s"toks[i+${k + 1}]").mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+       |)
+       |SELECT doc_id, md5(text) AS content_fp,
+       |       CASE WHEN len(toks) >= 5
+       |            THEN list_min(list_transform(range(len(toks)-4), i -> md5($gram)))
+       |            ELSE NULL END AS winnow_fp
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  def multimodalSql: String =
+    """SELECT doc_id,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |       md5(text) AS sha,
+      |       CAST(CASE WHEN length(text) = 0 THEN -1
+      |                 ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS head_byte
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

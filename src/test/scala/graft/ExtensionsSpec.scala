@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+  import SparkTestBase.{sf, spark}
+
+  private lazy val docs = Tables.read(spark, sf, "documents").cache()
+  private lazy val emb = Tables.read(spark, sf, "embeddings").cache()
+
+  test("LSH candidate set contains every true near-dup pair (recall @ j>=0.9)") {
+    import spark.implicits._
+    val truth = Dedup.jaccardPairs(docs, 0.9, 50)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cand = Dedup.lshCandidatePairs(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture should contain planted near-dups")
+    assert(truth.subsetOf(cand),
+      s"missed: ${truth.diff(cand)}")
+  }
+
+  test("minhashNearDups == jaccardPairs at high threshold") {
+    import spark.implicits._
+    def s(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(s(Dedup.minhashNearDups(docs, 0.9)) == s(Dedup.jaccardPairs(docs, 0.9, 50)))
+  }
+
+  test("exactDedup keeps one row per group; group sizes sum to total") {
+    import spark.implicits._
+    val d = Dedup.exactDedup(docs.select("lang", "source", "doc_id", "n_chars"),
+      Seq("lang", "source"), "doc_id")
+    val keys = d.select("lang", "source").as[(String, String)].collect()
+    assert(keys.distinct.length == keys.length)
+    assert(d.agg(sum("group_size")).head.getLong(0) == docs.count())
+  }
+
+  test("brute-force cosine top-k matches a local reference computation") {
+    import spark.implicits._
+    val got = Similarity.topKBrute(emb, Seq(0L), 5)
+      .select("vec_id", "rank").as[(Long, Long)].collect().sortBy(_._2).map(_._1)
+    val vecs = emb.select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 10000).cast("long")).as("v"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val q = vecs(0L)
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val expect = vecs.removed(0L).toSeq
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    assert(got.toSeq == expect)
+  }
+
+  test("IVF top-k is the label-restricted subset of brute force ranking") {
+    import spark.implicits._
+    val qLabel = emb.filter(col("vec_id") === 0L).select("label").head.getInt(0)
+    val ivf = Similarity.topKIvf(emb, Seq(0L), 5)
+      .select("vec_id").as[Long].collect().toSet
+    val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    assert(ivf.forall(labels(_) == qLabel))
+  }
+
+  test("multimodal feature extraction: md5 + byte length round-trip") {
+    import spark.implicits._
+    val feats = Multimodal.extractFeatures(spark, Multimodal.asMediaTable(docs))
+      .as[Multimodal.MediaFeatures].collect().map(f => f.doc_id -> f).toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
+    texts.take(20).foreach { case (id, t) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val f = feats(id)
+      assert(f.sha == hex && f.n_bytes == t.getBytes("UTF-8").length.toLong)
+      assert(f.head_byte == (t.head.toInt & 0xff))
+    }
+  }
+}
