@@ -251,6 +251,29 @@ object SparkEntry {
       Multimodal.extractFeatures(s,
         Multimodal.asMediaTable(Tables.read(s, dir, "documents")))
         .orderBy("doc_id")),
+    // T1-T4 end-to-end: ingest the fixture through the REAL Structured
+    // Streaming path (3 micro-batches, keyed-state gate, append-only
+    // store) and read the level-0 merge-on-read view back — the oracle is
+    // the same batch rollup SQL as q03, so a hash match proves
+    // stream/batch parity under the driver's own gate
+    "q31_streamed_rollup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.{HtaStore, StreamingIngest}
+      val pts = Tables.htaPoints(s, dir)
+        .as[StreamingIngest.Point].collect().sortBy(_.seq)
+      val root = java.nio.file.Files.createTempDirectory("graft-stream").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+      val store = new HtaStore(root, Q.IntervalMin)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[StreamingIngest.Point](s)
+      val q = StreamingIngest.start(s, ms.toDS(), store, ckpt)
+      pts.grouped(math.max(1, pts.length / 3 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      Ingest.present(store.level0(s)).orderBy("metric", "bucket_start")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -287,5 +310,6 @@ object SparkEntry {
     "x28_token_count" -> OracleSqlExt.tokenCountSql,
     "x29_fingerprint" -> OracleSqlExt.fingerprintSql,
     "x30_multimodal" -> OracleSqlExt.multimodalSql,
+    "q31_streamed_rollup" -> OracleSql.rollupSql(Q.IntervalMin),
   )
 }

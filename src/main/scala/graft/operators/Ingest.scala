@@ -95,12 +95,25 @@ object Ingest {
     * Integer bucket math uses `time - time % I` — never `floor(time/I)`,
     * whose double intermediate loses precision above 2^53 ns.
     */
-  def rollup(sanitized: DataFrame, intervalNs: Long): DataFrame = {
+  def rollup(sanitized: DataFrame, intervalNs: Long): DataFrame =
+    rollupImpl(sanitized, intervalNs, hasAnchors = false)
+
+  /** Rollup variant for streaming micro-batches: rows flagged
+    * `anchor = true` are the carried-over previous point of each metric
+    * (already counted in an earlier batch) — they seed the first hold
+    * segment of this batch but are excluded from the point statistics.
+    */
+  def rollupWithAnchors(sanitizedWithAnchor: DataFrame, intervalNs: Long): DataFrame =
+    rollupImpl(sanitizedWithAnchor, intervalNs, hasAnchors = true)
+
+  private def rollupImpl(sanitized: DataFrame, intervalNs: Long,
+                         hasAnchors: Boolean): DataFrame = {
     val i = lit(intervalNs)
     val pts = quantized(sanitized)
     val bucket = (col("time") - col("time") % i).as("bucket_start")
 
-    val pointAgg = pts.groupBy(col("metric"), bucket).agg(
+    val realPts = if (hasAnchors) pts.filter(!col("anchor")) else pts
+    val pointAgg = realPts.groupBy(col("metric"), bucket).agg(
       min("value").as("min_v"),
       max("value").as("max_v"),
       sum("value_c").as("sum_c"),

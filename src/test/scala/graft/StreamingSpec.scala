@@ -1,0 +1,122 @@
+package graft
+
+import graft.operators.Ingest
+import graft.streaming.{HtaStore, StreamingIngest}
+import graft.streaming.StreamingIngest.Point
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** M3: streaming ingest semantics (SURVEY §2.8) — gate behavior, batch
+  * bridging, stream/batch parity, compaction invariance, restart seeding.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val H = 3600000000000L // 1 h ns
+  private val T0 = 1704067200000000000L // 2024-01-01
+
+  private def mkTmp(pfx: String) = Files.createTempDirectory(pfx).toString
+
+  // arrival stream: batch 1 in-order + NaN/Inf + an out-of-order dup;
+  // batch 2 replays batch 1's tail (ack-lost redelivery) + new points,
+  // one of which regresses in time (dropped)
+  private val batch1 = Seq(
+    Point("m1", T0 + 10L * 60000000000L, 1.25, 1),
+    Point("m1", T0 + 20L * 60000000000L, Double.NaN, 2), // F1 drop
+    Point("m1", T0 + 70L * 60000000000L, 3.5, 3), // crosses 1 h boundary
+    Point("m1", T0 + 15L * 60000000000L, 9.0, 4), // non-monotonic drop
+    Point("m2", T0 + 5L * 60000000000L, 2.0, 5),
+    Point("m2", T0 + 6L * 60000000000L, Double.PositiveInfinity, 6)) // F2 drop
+  private val batch2 = Seq(
+    Point("m1", T0 + 70L * 60000000000L, 3.5, 7), // exact replay → drop
+    Point("m1", T0 + 130L * 60000000000L, 4.75, 8), // new, 2 buckets later
+    Point("m2", T0 + 4L * 60000000000L, 8.0, 9), // regression → drop
+    Point("m2", T0 + 65L * 60000000000L, 0.5, 10))
+
+  private def batchReference = {
+    val all = (batch1 ++ batch2).toDS().toDF()
+      .select(col("metric"), col("time"), col("value"), col("seq"))
+    Ingest.sanitize(all)
+  }
+
+  test("stream/batch parity incl. NaN/Inf, replays, cross-batch segments") {
+    val root = mkTmp("hta-store")
+    val ckpt = mkTmp("hta-ckpt")
+    val store = new HtaStore(root, H)
+    val ms = MemoryStream[Point](spark)
+    val q = StreamingIngest.start(spark, ms.toDS(), store, ckpt)
+    ms.addData(batch1)
+    q.processAllAvailable()
+    ms.addData(batch2)
+    q.processAllAvailable()
+    q.stop()
+
+    val expectRaw = batchReference.select("metric", "time", "value")
+      .as[(String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val gotRaw = store.raw(spark).select("metric", "time", "value")
+      .as[(String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(gotRaw.toSeq == expectRaw.toSeq)
+
+    // level-0 merge-on-read == one-shot batch rollup (cross-batch hold
+    // segments must land in the right buckets via the anchor mechanism)
+    val expectL0 = Ingest.rollup(batchReference, H)
+    val gotL0 = store.level0(spark)
+    assert(gotL0.exceptAll(expectL0).isEmpty && expectL0.exceptAll(gotL0).isEmpty)
+
+    // physical compaction changes nothing logically
+    store.compact(spark)
+    val gotAfter = store.level0(spark)
+    assert(gotAfter.exceptAll(expectL0).isEmpty && expectL0.exceptAll(gotAfter).isEmpty)
+  }
+
+  test("ingest_stats listener collects observe counters per batch") {
+    val store = new HtaStore(mkTmp("hta-store3"), H)
+    val stats = new graft.streaming.IngestStats
+    val ms = MemoryStream[Point](spark)
+    val q = StreamingIngest.start(spark, ms.toDS(), store, mkTmp("ck3"), Some(stats))
+    ms.addData(batch1)
+    q.processAllAvailable()
+    ms.addData(batch2)
+    q.processAllAvailable()
+    q.stop()
+    spark.streams.removeListener(stats)
+    // listener events are async — wait for both batches to land
+    val deadline = System.currentTimeMillis() + 20000
+    def rows() = stats.toDF(spark)
+      .filter(col("nIn") > 0)
+      .select("nIn", "nNan", "nInf", "nKept", "n_nonmono")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    while (rows().length < 2 && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    val got = rows()
+    assert(got.toSeq == Seq((4L, 0L, 0L, 2L, 2L), (6L, 1L, 1L, 3L, 1L)))
+  }
+
+  test("restart: gate seeds from the durable store, drops stale replays") {
+    val root = mkTmp("hta-store2")
+    val store = new HtaStore(root, H)
+    val ms1 = MemoryStream[Point](spark)
+    val q1 = StreamingIngest.start(spark, ms1.toDS(), store, mkTmp("ck1"))
+    ms1.addData(batch1)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // new query, FRESH checkpoint (state lost) — seed must come from store
+    val ms2 = MemoryStream[Point](spark)
+    val q2 = StreamingIngest.start(spark, ms2.toDS(), store, mkTmp("ck2"))
+    ms2.addData(Seq(
+      Point("m1", T0 + 70L * 60000000000L, 3.5, 11), // replay of stored max → drop
+      Point("m1", T0 + 200L * 60000000000L, 6.0, 12))) // genuinely new
+    q2.processAllAvailable()
+    q2.stop()
+
+    val m1 = store.raw(spark).filter(col("metric") === "m1")
+      .select("time").as[Long].collect().sorted
+    assert(m1.toSeq == Seq(T0 + 10L * 60000000000L, T0 + 70L * 60000000000L,
+      T0 + 200L * 60000000000L))
+  }
+}
