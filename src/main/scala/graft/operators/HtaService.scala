@@ -71,7 +71,15 @@ object HtaService {
     * oracle for this query IS the v1 SQL.
     */
   def aggregateRangeFast(sanitized: DataFrame, levels: Seq[Long],
-                         startNs: Long, endNs: Long): DataFrame = {
+                         startNs: Long, endNs: Long): DataFrame =
+    aggregateRangeFast(sanitized, Ingest.rollup(sanitized, levels.head),
+      levels, startNs, endNs)
+
+  /** Variant reading the interior from a materialized level-0 table (the
+    * deployed path — ingest maintains the levels, queries only read).
+    */
+  def aggregateRangeFast(sanitized: DataFrame, level0: DataFrame,
+                         levels: Seq[Long], startNs: Long, endNs: Long): DataFrame = {
     val span = endNs - startNs
     val fitting = levels.filter(_ <= span)
     if (fitting.isEmpty) return aggregateRange(sanitized, startNs, endNs)
@@ -81,7 +89,7 @@ object HtaService {
     if (istart >= iend) return aggregateRange(sanitized, startNs, endNs)
 
     val chain = levels.takeWhile(_ <= interval)
-    val level = chain.tail.foldLeft(Ingest.rollup(sanitized, chain.head))(
+    val level = chain.tail.foldLeft(level0)(
       (child, i) => Ingest.mergeToLevel(child, i))
     val interior = level
       .filter(col("bucket_start") >= istart && col("bucket_start") < iend)
@@ -149,12 +157,18 @@ object HtaService {
     * caller's concern — see [[flexTimeline]].
     */
   def timeline(sanitized: DataFrame, levels: Seq[Long],
-               startNs: Long, endNs: Long, intervalMaxNs: Long): DataFrame = {
+               startNs: Long, endNs: Long, intervalMaxNs: Long): DataFrame =
+    timelineFromLevel0(Ingest.rollup(sanitized, levels.head), levels,
+      startNs, endNs, intervalMaxNs)
+
+  /** Variant over a materialized level-0 table (the deployed path). */
+  def timelineFromLevel0(level0: DataFrame, levels: Seq[Long],
+                         startNs: Long, endNs: Long, intervalMaxNs: Long): DataFrame = {
     val interval = Intervals.selectLevel(levels, intervalMaxNs)
       .getOrElse(levels.min) // reference falls back to finest available level
     // build only the needed level: level0 then merges up to `interval`
     val chain = levels.takeWhile(_ <= interval)
-    val level = chain.tail.foldLeft(Ingest.rollup(sanitized, chain.head))(
+    val level = chain.tail.foldLeft(level0)(
       (child, i) => Ingest.mergeToLevel(child, i))
     Ingest.present(level)
       .filter(col("bucket_start") + lit(interval) > startNs &&
@@ -188,6 +202,33 @@ object HtaService {
     sanitized.groupBy("metric").agg(
       max("time").as("time"),
       max_by(col("value"), col("time")).as("value"))
+
+  /** S3: the request dispatcher — one `HistoryRequest` in, one encoded
+    * response out (the reference's `read_` switch, ref `:346-512`).
+    * Single-metric addressing and W4 delta encoding applied, exactly the
+    * response shapes of FIXTURES.md §5.
+    */
+  def history(req: graft.core.HistoryRequest, sanitized: DataFrame,
+              levels: Seq[Long]): graft.core.HistoryResponse = {
+    import graft.core.{HistoryRequest => R, HistoryResponse => Resp}
+    req match {
+      case R.AggregateTimeline(m, s, e, im) =>
+        Resp.Aggregates(deltaEncode(
+          timeline(sanitized.filter(col("metric") === m), levels, s, e, im),
+          "bucket_start"))
+      case R.FlexTimeline(m, s, e, im) =>
+        val one = sanitized.filter(col("metric") === m)
+        if (flexIsRaw(levels, im))
+          Resp.Raw(deltaEncode(flexRaw(one, s, e), "time"))
+        else
+          Resp.Aggregates(deltaEncode(timeline(one, levels, s, e, im), "bucket_start"))
+      case R.Aggregate(m, s, e) =>
+        Resp.Aggregates(aggregateRange(sanitized.filter(col("metric") === m), s, e))
+      case R.LastValue(m) =>
+        Resp.Raw(lastValue(sanitized.filter(col("metric") === m))
+          .withColumn("time_delta", col("time")))
+    }
+  }
 
   /** W4: response delta-encoding — `time_delta[i] = t[i] − t[i−1]`, first
     * delta relative to epoch (ref `:374-380`). Presentation-layer, per
