@@ -298,7 +298,8 @@ object SparkEntry {
     // DuckDB's time_bucket, proving both align windows identically
     "q32_tumbling_window" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val tsUs = (col("ts").cast("long") / 1000).cast("long")
+      // integer div — double division of ~1.7e18 ns loses sub-µs precision
+      val tsUs = expr("CAST(ts AS LONG) div 1000")
       ev.withColumn("tstamp", timestamp_micros(tsUs))
         .withColumn("value_c", round(col("value") * 100).cast("long"))
         .groupBy(window(col("tstamp"), "6 hours"), col("event_type"))
@@ -308,6 +309,45 @@ object SparkEntry {
           (col("sum_c").cast("double") / 100.0).as("sum_v"))
         .orderBy("win_start_us", "event_type")
     }),
+    // T3 extension: sliding windows (12 h window, 6 h slide)
+    "q33_sliding_window" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      // integer div — double division of ~1.7e18 ns loses sub-µs precision
+      val tsUs = expr("CAST(ts AS LONG) div 1000")
+      ev.withColumn("tstamp", timestamp_micros(tsUs))
+        .withColumn("value_c", round(col("value") * 100).cast("long"))
+        .groupBy(window(col("tstamp"), "12 hours", "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum("value_c").as("sum_c"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("cnt"),
+          (col("sum_c").cast("double") / 100.0).as("sum_v"))
+        .orderBy("win_start_us", "event_type")
+    }),
+    // T3 extension: session windows (30 min inactivity gap) — oracle is
+    // the classic gaps-and-islands SQL
+    "q34_session_window" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      // integer div — double division of ~1.7e18 ns loses sub-µs precision
+      val tsUs = expr("CAST(ts AS LONG) div 1000")
+      ev.withColumn("tstamp", timestamp_micros(tsUs))
+        .groupBy(session_window(col("tstamp"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("cnt"))
+        .orderBy("user_id", "session_start_us")
+    }),
+    // SQL text surface: the same ANSI string runs in spark.sql and DuckDB
+    "q35_sql_tpch" -> ((s, dir) => {
+      Seq("orders", "lineitem").foreach(t =>
+        Tables.read(s, dir, t).createOrReplaceTempView(t))
+      s.sql(OracleSqlExt.verbatimTpchQ4Sql)
+    }),
+    // X2: embedding-cosine near-dups, IVF-cell blocked
+    "x36_embedding_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDups(Tables.read(s, dir, "embeddings"), 0.4)
+        .orderBy("vec_a", "vec_b")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -350,5 +390,9 @@ object SparkEntry {
         |       event_type, count(*) AS cnt,
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_v
         |FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin,
+    "q33_sliding_window" -> OracleSqlExt.slidingWindowSql,
+    "q34_session_window" -> OracleSqlExt.sessionWindowSql,
+    "q35_sql_tpch" -> OracleSqlExt.verbatimTpchQ4Sql,
+    "x36_embedding_neardup" -> OracleSqlExt.cosineNearDupSql(0.4),
   )
 }

@@ -49,6 +49,29 @@ object Similarity {
       .select("q_id", "vec_id", "rank", "cosine")
   }
 
+  /** Embedding-cosine near-dup pairs ≥ `threshold`, blocked by the IVF
+    * cell (`label`): near-duplicate embeddings share a cell by
+    * construction of the clustering, so the self-join shuffles on
+    * `label` (equi-join) instead of exploding all pairs. At 100 TB the
+    * cell is also the storage partition — the join never crosses
+    * partitions.
+    */
+  def cosineNearDups(emb: DataFrame, threshold: Double): DataFrame = {
+    val q = quantized(emb)
+    val a = q.select(col("vec_id").as("vec_a"), col("label"),
+      col("vq").as("va"), col("n2").as("na"))
+    val b = q.select(col("vec_id").as("vec_b"), col("label"),
+      col("vq").as("vb"), col("n2").as("nb"))
+    val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        dot.cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "cosine")
+  }
+
   /** IVF-cell-restricted top-k: only candidates in the query's `label`
     * cell are scanned (partition-pruned at 100 TB when the corpus is
     * written partitioned by cell).

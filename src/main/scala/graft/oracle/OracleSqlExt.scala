@@ -156,6 +156,60 @@ object OracleSqlExt {
          |  FROM n JOIN q ON n.label = q.q_label WHERE vec_id <> q_id
          |)""".stripMargin + cosineTail(k)
 
+  def cosineNearDupSql(threshold: Double): String =
+    cosineCte +
+      s"""
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       CAST(list_sum(list_transform(range(len(a.vq)), i -> a.vq[i+1]*b.vq[i+1])) AS DOUBLE)
+         |         / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE CAST(list_sum(list_transform(range(len(a.vq)), i -> a.vq[i+1]*b.vq[i+1])) AS DOUBLE)
+         |        / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= $threshold
+         |ORDER BY vec_a, vec_b""".stripMargin
+
+  def slidingWindowSql: String =
+    """WITH pts AS (
+      |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS value_c,
+      |         epoch_us(time_bucket(INTERVAL '6 hours', ts)) AS b6
+      |  FROM events
+      |), w AS (
+      |  SELECT event_type, value_c,
+      |         unnest([b6, b6 - 21600000000]) AS win_start_us
+      |  FROM pts
+      |)
+      |SELECT win_start_us, event_type, count(*) AS cnt,
+      |       CAST(sum(value_c) AS DOUBLE)/100.0 AS sum_v
+      |FROM w GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin
+
+  def sessionWindowSql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                   <= INTERVAL 30 MINUTES THEN 0 ELSE 1 END AS brk
+      |  FROM events
+      |), g AS (
+      |  SELECT user_id, ts,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                        ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM o
+      |)
+      |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+      |       epoch_us(max(ts)) + 1800000000 AS session_end_us,
+      |       count(*) AS cnt
+      |FROM g GROUP BY user_id, grp
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  /** Runs VERBATIM in both engines (dialect-neutral ANSI SQL) — the
+    * engine's `spark.sql(...)` text surface checked against DuckDB
+    * executing the *same string*.
+    */
+  val verbatimTpchQ4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   def textQualitySql: String =
     """WITH t AS (
       |  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks
