@@ -1,0 +1,122 @@
+package graft
+
+import graft.operators.{HtaService, Ingest}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Randomized invariants from SURVEY §5.2 over *generated* point sets
+  * (boundary-heavy: times cluster near bucket edges on purpose).
+  */
+class PropertySpec extends AnyFunSuite {
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val H = 3600000000000L
+  private val T0 = 1704067200000000000L
+
+  /** Random µs-aligned, 2-decimal-value point streams: per metric mostly
+    * ascending (so the gate keeps a dense set), with NaN/Inf rows,
+    * boundary-exact timestamps, out-of-order regressions, and replays.
+    */
+  private def genPoints(seed: Long, n: Int): DataFrame = {
+    val r = new Random(seed)
+    var seq = 0L
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double, Long)]
+    (0 until 4).foreach { m =>
+      var t = T0 + r.nextLong(2L * H / 1000L) * 1000L // µs-aligned
+      (1 to n / 4).foreach { _ =>
+        t += (r.nextLong(30L * 60000000L) + 1L) * 1000L // ≤ 30 min µs gaps
+        if (r.nextInt(6) == 0) t = (t / H + 1) * H // land exactly on a boundary
+        val value =
+          if (r.nextInt(20) == 0) Double.NaN
+          else if (r.nextInt(25) == 0) Double.PositiveInfinity
+          else math.round(r.between(-500.0, 500.0) * 100) / 100.0
+        seq += 1
+        rows += (("m" + m, t, value, seq))
+        if (r.nextInt(10) == 0) { // stale replay / regression
+          seq += 1
+          rows += (("m" + m, t - r.nextLong(H / 1000L) * 1000L, 1.0, seq))
+        }
+      }
+    }
+    rows.toSeq.toDF("metric", "time", "value", "seq")
+  }
+
+  private def sanitize(seed: Long, n: Int = 400): DataFrame =
+    Ingest.sanitize(genPoints(seed, n)).cache()
+
+  test("tiling invariants hold on random boundary-heavy point sets") {
+    (1L to 3L).foreach { seed =>
+      val clean = sanitize(seed)
+      val nPts = clean.count()
+      assert(nPts > 100, "generator sanity")
+      val lvl = Ingest.rollup(clean, H).cache()
+      assert(lvl.agg(sum("cnt")).head.getLong(0) == nPts)
+      val act = lvl.groupBy("metric").agg(sum("active_us").as("a"))
+        .as[(String, Long)].collect().toMap
+      val span = clean.groupBy("metric")
+        .agg((((max("time") - min("time")) / 1000).cast("long")).as("s"))
+        .as[(String, Long)].collect().toMap
+      assert(act == span, s"seed $seed")
+    }
+  }
+
+  test("integral is invariant under any bucket width (random sets)") {
+    (4L to 6L).foreach { seed =>
+      val clean = sanitize(seed)
+      def tot(i: Long) = Ingest.rollup(clean, i).groupBy("metric")
+        .agg(sum("integral_cus").as("x")).as[(String, Long)].collect().toMap
+      val w1 = tot(H)
+      assert(w1 == tot(7L * 61000000000L) && w1 == tot(10L * H), s"seed $seed")
+    }
+  }
+
+  test("hierarchy: merge-of-children == direct rollup at every level") {
+    val clean = sanitize(7L)
+    val ladder = SparkEntry.Q.Ladder
+    val direct = ladder.map(i => Ingest.rollup(clean, i))
+    val merged = ladder.tail.scanLeft(direct.head)((c, i) => Ingest.mergeToLevel(c, i))
+    direct.zip(merged).foreach { case (d, m) =>
+      assert(d.exceptAll(m).isEmpty && m.exceptAll(d).isEmpty)
+    }
+  }
+
+  test("F3 idempotence: re-ingest of any replayed suffix is a no-op") {
+    val pts = genPoints(8L, 300)
+    val clean = Ingest.sanitize(pts).cache()
+    // replay: original stream followed by a full replay with later seqs
+    val replay = pts.unionByName(
+      pts.withColumn("seq", col("seq") + 1000000L))
+    val clean2 = Ingest.sanitize(replay)
+    assert(clean2.count() == clean.count())
+    assert(clean2.select("metric", "time", "value")
+      .exceptAll(clean.select("metric", "time", "value")).isEmpty)
+  }
+
+  test("W4 round-trip: delta-encode then decode is the identity") {
+    val clean = sanitize(9L)
+    val tl = HtaService.timeline(clean, SparkEntry.Q.Ladder,
+      T0, T0 + 72L * H, Long.MaxValue)
+    val enc = HtaService.deltaEncode(tl, "bucket_start")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("metric").orderBy("bucket_start")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val dec = enc.withColumn("decoded", sum("time_delta").over(w))
+    assert(dec.filter(col("decoded") =!= col("bucket_start")).count() == 0)
+  }
+
+  test("aggregateRange v1 == v2 on random ranges over random data") {
+    val clean = sanitize(10L)
+    val r = new Random(11L)
+    (1 to 3).foreach { _ =>
+      val a = T0 + r.nextLong(60L * H)
+      val b = a + 1 + r.nextLong(12L * H)
+      val v1 = HtaService.aggregateRange(clean, a, b)
+      val v2 = HtaService.aggregateRangeFast(clean, SparkEntry.Q.Ladder, a, b)
+      assert(v1.exceptAll(v2).isEmpty && v2.exceptAll(v1).isEmpty, s"[$a,$b]")
+    }
+  }
+}
