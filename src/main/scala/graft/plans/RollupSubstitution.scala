@@ -1,0 +1,163 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Materialized-rollup substitution — the reference's core performance
+  * idea (answer coarse aggregations from pre-built levels, never scan
+  * raw; SURVEY §4 row 1) implemented *inside Catalyst*, so it applies to
+  * any user query over the raw point table, SQL or DataFrame.
+  *
+  * A logical `Aggregate` grouped by `(metric, time - time % I)` over the
+  * registered raw point plan, computing only rollup-derivable aggregates
+  * (`min(value)`, `max(value)`, `count(*)`/`count(value)`), is rewritten
+  * to aggregate the registered level-0 table instead — merging
+  * `I / interval₀` bucket rows per output row instead of scanning every
+  * point. Correct because level buckets tile the raw points exactly
+  * (tiling property, `PropertySpec`) and the Agg components form a
+  * monoid (A3).
+  *
+  * Output attributes keep their original `exprId`s, so the rewrite is
+  * invisible to the rest of the plan.
+  */
+object RollupSubstitution {
+
+  final case class Entry(rawPlan: LogicalPlan, levelPlan: LogicalPlan,
+                         intervalNs: Long)
+
+  private val registry =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, Entry]
+
+  /** Register the raw↔level pair for a session. `raw` must expose
+    * `(metric, time, value, …)`, `level0` the internal exact level schema
+    * (`Ingest.rollup` output) at `intervalNs`.
+    */
+  def install(spark: SparkSession, raw: DataFrame, level0: DataFrame,
+              intervalNs: Long): Unit = {
+    registry.put(spark,
+      Entry(raw.queryExecution.analyzed, level0.queryExecution.analyzed, intervalNs))
+    if (!installedSessions.contains(spark)) {
+      installedSessions.add(spark)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new RollupSubstitutionRule(spark)
+    }
+  }
+
+  def uninstall(spark: SparkSession): Unit = registry.remove(spark)
+
+  private val installedSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  private[plans] def entryFor(spark: SparkSession): Option[Entry] =
+    registry.get(spark)
+}
+
+class RollupSubstitutionRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    RollupSubstitution.entryFor(spark) match {
+      case None => plan
+      case Some(entry) =>
+        plan.transformUp {
+          case agg @ Aggregate(groups, results, child, _) =>
+            unwrap(child, entry).flatMap { case (g2, base) =>
+              val groupsI = groups.map(g2)
+              val resultsI = results.map(r =>
+                g2(r) match { case ne: NamedExpression => ne; case e => Alias(e, r.name)(exprId = r.exprId) })
+              rewrite(groupsI, resultsI, base, entry)
+            }.getOrElse(agg)
+        }
+    }
+
+  /** Accept the raw plan directly or under one Project (the optimizer's
+    * `PullOutGroupingExpressions` inserts one); returns a substitution
+    * inlining the projection's aliases, plus the base plan.
+    */
+  private def unwrap(child: LogicalPlan, entry: RollupSubstitution.Entry)
+      : Option[(Expression => Expression, LogicalPlan)] =
+    child match {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project
+          if p.child.sameResult(entry.rawPlan) =>
+        val m = p.projectList.collect {
+          case a @ Alias(e, _) => a.exprId -> e
+        }.toMap
+        Some((e => e.transformUp {
+          case a: Attribute if m.contains(a.exprId) => m(a.exprId)
+        }, p.child))
+      case c if c.sameResult(entry.rawPlan) => Some((identity, c))
+      case _ => None
+    }
+
+  private def rewrite(groups: Seq[Expression],
+                      results: Seq[NamedExpression], child: LogicalPlan,
+                      entry: RollupSubstitution.Entry): Option[LogicalPlan] = {
+    def childAttr(name: String): Option[Attribute] =
+      child.output.find(_.name == name)
+    def lvlAttr(name: String): Attribute =
+      entry.levelPlan.output.find(_.name == name).get
+
+    val (metricAttr, timeAttr, valueAttr) =
+      (childAttr("metric"), childAttr("time"), childAttr("value")) match {
+        case (Some(m), Some(t), Some(v)) => (m, t, v)
+        case _ => return None
+      }
+
+    // grouping must be exactly {metric, time - time % I} with level₀ | I
+    val bucketOf: PartialFunction[Expression, Long] = {
+      case Subtract(t: Attribute, Remainder(t2: Attribute, Literal(i: Long, _), _), _)
+          if t.exprId == timeAttr.exprId && t2.exprId == timeAttr.exprId &&
+            i > 0 && i % entry.intervalNs == 0 => i
+    }
+    val intervals = groups.collect(bucketOf)
+    val metricGroups = groups.collect {
+      case a: Attribute if a.exprId == metricAttr.exprId => a
+    }
+    if (intervals.size != 1 || metricGroups.size != 1 || groups.size != 2)
+      return None
+    val i = intervals.head
+
+    val lvlMetric = lvlAttr("metric")
+    val lvlBucket = lvlAttr("bucket_start")
+    val newBucketExpr =
+      Subtract(lvlBucket, Remainder(lvlBucket, Literal(i)))
+
+    def mapAgg(fn: AggregateFunction): Option[Expression] = fn match {
+      case Min(v: Attribute) if v.exprId == valueAttr.exprId =>
+        Some(AggregateExpression(Min(lvlAttr("min_v")), Complete, isDistinct = false))
+      case Max(v: Attribute) if v.exprId == valueAttr.exprId =>
+        Some(AggregateExpression(Max(lvlAttr("max_v")), Complete, isDistinct = false))
+      case Count(Seq(Literal(_, _))) =>
+        Some(Coalesce(Seq(
+          AggregateExpression(Sum(lvlAttr("cnt")), Complete, isDistinct = false),
+          Literal(0L))))
+      case Count(Seq(v: Attribute)) if v.exprId == valueAttr.exprId =>
+        Some(Coalesce(Seq(
+          AggregateExpression(Sum(lvlAttr("cnt")), Complete, isDistinct = false),
+          Literal(0L))))
+      case _ => None
+    }
+
+    val newResults = results.map {
+      case a: Attribute if a.exprId == metricAttr.exprId =>
+        Alias(lvlMetric, a.name)(exprId = a.exprId)
+      case al @ Alias(e, name) if bucketOf.isDefinedAt(e) =>
+        Alias(newBucketExpr, name)(exprId = al.exprId)
+      case al @ Alias(AggregateExpression(fn, _, false, _, _), name) =>
+        mapAgg(fn) match {
+          case Some(ne) => Alias(ne, name)(exprId = al.exprId)
+          case None => return None
+        }
+      case _ => return None
+    }
+
+    val newGroups = Seq[Expression](lvlMetric, newBucketExpr)
+    // segment-only buckets (cnt = 0) carry no points — a raw point
+    // aggregation would not produce their groups, so exclude them
+    val levelRows = org.apache.spark.sql.catalyst.plans.logical.Filter(
+      GreaterThan(lvlAttr("cnt"), Literal(0L)), entry.levelPlan)
+    Some(Aggregate(newGroups, newResults, levelRows))
+  }
+}

@@ -1,0 +1,20 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions: custom expressions reachable from the SQL text
+  * surface.
+  */
+class ExtensionRegistrationSpec extends AnyFunSuite {
+
+  test("word_shingles is callable from SQL after registration") {
+    val s = SparkTestBase.spark
+    GraftExtensions.register(s)
+    val rows = s.sql("SELECT word_shingles('a b c d', 2) AS sh")
+      .collect().head.getSeq[String](0)
+    assert(rows == Seq("a b", "b c", "c d"))
+    val n3 = s.sql("SELECT word_shingles('x y', 3) AS sh")
+      .collect().head.getSeq[String](0)
+    assert(n3.isEmpty)
+  }
+}

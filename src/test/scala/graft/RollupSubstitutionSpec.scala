@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Ingest
+import graft.plans.RollupSubstitution
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The Catalyst rollup-substitution rule: user aggregations over the
+  * stored raw point table are answered from the materialized level —
+  * transparently, with identical results (the deployed scenario: both
+  * tables are parquet written by ingest).
+  */
+class RollupSubstitutionSpec extends AnyFunSuite {
+  private val spark = SparkTestBase.spark
+  import SparkTestBase.sf
+  import spark.implicits._
+
+  private val H = 3600000000000L
+
+  private lazy val (raw, level0) = {
+    val root = Files.createTempDirectory("graft-subst").toString
+    val clean = Ingest.sanitize(Tables.htaPoints(spark, sf))
+    clean.write.parquet(s"$root/raw")
+    val r = spark.read.parquet(s"$root/raw")
+    Ingest.rollup(r, H).write.parquet(s"$root/level0")
+    (r, spark.read.parquet(s"$root/level0"))
+  }
+
+  test("GROUP BY (metric, bucket) over stored raw is rewritten onto level-0") {
+    RollupSubstitution.install(spark, raw, level0, H)
+    try {
+      val q = raw.groupBy(col("metric"),
+          (col("time") - col("time") % (10 * H)).as("bucket"))
+        .agg(min("value").as("mn"), max("value").as("mx"),
+          count(lit(1)).as("cnt"))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("min_v") && optimized.contains("bucket_start"),
+        s"rule did not fire:\n$optimized")
+
+      val got = q.as[(String, Long, Double, Double, Long)]
+        .collect().sortBy(r => (r._1, r._2))
+      RollupSubstitution.uninstall(spark)
+      val expect = raw.groupBy(col("metric"),
+          (col("time") - col("time") % (10 * H)).as("bucket"))
+        .agg(min("value").as("mn"), max("value").as("mx"),
+          count(lit(1)).as("cnt"))
+        .as[(String, Long, Double, Double, Long)]
+        .collect().sortBy(r => (r._1, r._2))
+      assert(got.toSeq == expect.toSeq)
+    } finally RollupSubstitution.uninstall(spark)
+  }
+
+  test("non-derivable or misaligned aggregates are left untouched") {
+    RollupSubstitution.install(spark, raw, level0, H)
+    try {
+      val q = raw.groupBy(col("metric"),
+          (col("time") - col("time") % (10 * H)).as("bucket"))
+        .agg(avg("value").as("a"))
+      assert(!q.queryExecution.optimizedPlan.toString.contains("min_v"))
+      assert(q.count() > 0)
+      val q2 = raw.groupBy(col("metric"),
+          (col("time") - col("time") % (H / 2)).as("bucket"))
+        .agg(min("value").as("mn"))
+      assert(!q2.queryExecution.optimizedPlan.toString.contains("min_v"))
+      assert(q2.count() > 0)
+    } finally RollupSubstitution.uninstall(spark)
+  }
+}
