@@ -348,6 +348,9 @@ object SparkEntry {
     "x36_embedding_neardup" -> ((s, dir) =>
       Similarity.cosineNearDups(Tables.read(s, dir, "embeddings"), 0.4)
         .orderBy("vec_a", "vec_b")),
+    // F4: extended-scope range — the slice plus the point entering it
+    "q37_range_extended" -> ((s, dir) =>
+      HtaService.rangeExtended(sanitized(s, dir), Q.Start, Q.End)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -394,5 +397,13 @@ object SparkEntry {
     "q34_session_window" -> OracleSqlExt.sessionWindowSql,
     "q35_sql_tpch" -> OracleSqlExt.verbatimTpchQ4Sql,
     "x36_embedding_neardup" -> OracleSqlExt.cosineNearDupSql(0.4),
+    "q37_range_extended" -> (OracleSql.ptsCte +
+      s"""
+         |SELECT metric, t AS time, value FROM pts
+         |WHERE t >= ${Q.Start} AND t <= ${Q.End}
+         |UNION ALL
+         |SELECT metric, max(t) AS time, max_by(value, t) AS value
+         |FROM pts WHERE t < ${Q.Start} GROUP BY metric
+         |ORDER BY metric, time""".stripMargin),
   )
 }

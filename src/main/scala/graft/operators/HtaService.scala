@@ -195,6 +195,24 @@ object HtaService {
     if (flexIsRaw(levels, intervalMaxNs)) flexRaw(sanitized, startNs, endNs)
     else timeline(sanitized, levels, startNs, endNs, intervalMaxNs)
 
+  /** F4 `IntervalScope::extended` lower bound (ref `:469`): the raw
+    * slice of `[startNs, endNs]` *plus* the newest point at-or-before
+    * `startNs` per metric — the scope the reference uses for point
+    * lookups so a zero-order-hold consumer knows the value entering the
+    * range. LAST_VALUE is this with `start = end = ∞` (A7).
+    */
+  def rangeExtended(sanitized: DataFrame, startNs: Long, endNs: Long): DataFrame = {
+    val inRange = sanitized
+      .filter(col("time") >= startNs && col("time") <= endNs)
+      .select("metric", "time", "value")
+    val entering = sanitized
+      .filter(col("time") < startNs)
+      .groupBy("metric").agg(
+        max("time").as("time"),
+        max_by(col("value"), col("time")).as("value"))
+    entering.unionByName(inRange).orderBy("metric", "time")
+  }
+
   /** A7 LAST_VALUE (ref `:465-487`): newest raw point per metric —
     * `max_by` avoids any sort, aggregating in one shuffle.
     */
