@@ -351,6 +351,13 @@ object SparkEntry {
     // F4: extended-scope range — the slice plus the point entering it
     "q37_range_extended" -> ((s, dir) =>
       HtaService.rangeExtended(sanitized(s, dir), Q.Start, Q.End)),
+    // S1 wire format: DataChunk delta-encode → decode round-trip; the
+    // oracle returns the plain points, so a match proves encode∘decode=id
+    "q38_chunk_roundtrip" -> ((s, dir) =>
+      graft.sources.ChunkDecode.decode(
+        graft.sources.ChunkDecode.encode(Tables.htaPoints(s, dir), 100))
+        .select("metric", "time", "value")
+        .orderBy("metric", "time", "value")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -405,5 +412,8 @@ object SparkEntry {
          |SELECT metric, max(t) AS time, max_by(value, t) AS value
          |FROM pts WHERE t < ${Q.Start} GROUP BY metric
          |ORDER BY metric, time""".stripMargin),
+    "q38_chunk_roundtrip" ->
+      """SELECT event_type AS metric, epoch_ns(ts) AS time, value
+        |FROM events ORDER BY metric, time, value""".stripMargin,
   )
 }

@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** S1 wire-format semantics: the reference's `DataChunk` carries
+  * parallel arrays `time_delta[]` / `value[]` with timestamps
+  * delta-encoded on the wire (first delta relative to epoch —
+  * `/root/reference/src/db.cpp:116-122` call sites + public MetricQ
+  * docs; same encoding the responses use, `async_hta_service.hpp:
+  * 374-380`). These transforms are the encode/decode pair.
+  *
+  * Decode = per-chunk prefix sum. The window is per chunk — one AMQP
+  * message, bounded size — so the sort is local and cheap at any scale.
+  */
+object ChunkDecode {
+
+  /** `(metric, chunk_id, time_delta: array<long>, value: array<double>)`
+    * → `(metric, time, value, seq)` points. `seq` reconstructs arrival
+    * order as (chunk, position).
+    */
+  def decode(chunks: DataFrame, posPerChunk: Long = 1000000L): DataFrame = {
+    val w = Window.partitionBy("metric", "chunk_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    chunks
+      .select(col("metric"), col("chunk_id"),
+        posexplode(arrays_zip(col("time_delta"), col("value"))).as(Seq("pos", "z")))
+      .select(col("metric"), col("chunk_id"), col("pos"),
+        col("z.time_delta").as("d"), col("z.value").as("value"))
+      .withColumn("time", sum("d").over(w))
+      .select(col("metric"), col("time"), col("value"),
+        (col("chunk_id") * posPerChunk + col("pos")).as("seq"))
+  }
+
+  /** Inverse of [[decode]]: group points into per-metric chunks of
+    * `chunkRows`, delta-encoding times within each chunk (first delta
+    * absolute). Points are chunked in `seq` (arrival) order.
+    */
+  def encode(points: DataFrame, chunkRows: Long): DataFrame = {
+    val wSeq = Window.partitionBy("metric").orderBy("seq")
+    val wChunk = Window.partitionBy("metric", "chunk_id").orderBy("seq")
+    points
+      .withColumn("rn", row_number().over(wSeq))
+      .withColumn("chunk_id", ((col("rn") - 1) / chunkRows).cast("long"))
+      .withColumn("d",
+        col("time") - coalesce(lag("time", 1).over(wChunk), lit(0L)))
+      .groupBy("metric", "chunk_id")
+      .agg(
+        collect_list(struct(col("rn"), col("d"))).as("ds"),
+        collect_list(struct(col("rn"), col("value"))).as("vs"))
+      .select(col("metric"), col("chunk_id"),
+        transform(array_sort(col("ds")), e => e.getField("d")).as("time_delta"),
+        transform(array_sort(col("vs")), e => e.getField("value")).as("value"))
+  }
+}
