@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Keep -Xmx BELOW 32g: above it the JVM loses compressed oops and the
+  // whole bench runs 3-6x slower (measured: 33s at 8g vs 232s at 48g,
+  // sf0.1). 16g = headroom for bigger SFs without crossing the cliff.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -358,6 +358,11 @@ object SparkEntry {
         graft.sources.ChunkDecode.encode(Tables.htaPoints(s, dir), 100))
         .select("metric", "time", "value")
         .orderBy("metric", "time", "value")),
+    // A6 aggregate branch through the FLEX dispatcher (interval_max fits
+    // a level → same rows as the AGGREGATE_TIMELINE path)
+    "q39_flex_agg" -> ((s, dir) =>
+      HtaService.flexTimeline(sanitized(s, dir), Q.Ladder, Q.Start, Q.End,
+        Q.TlIntervalMax)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -415,5 +420,6 @@ object SparkEntry {
     "q38_chunk_roundtrip" ->
       """SELECT event_type AS metric, epoch_ns(ts) AS time, value
         |FROM events ORDER BY metric, time, value""".stripMargin,
+    "q39_flex_agg" -> OracleSql.timelineSql(Q.Level1, Q.Start, Q.End),
   )
 }

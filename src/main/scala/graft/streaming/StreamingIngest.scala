@@ -136,10 +136,12 @@ class HtaStore(val root: String, val intervalMin: Long) {
   def writeBatch(spark: SparkSession, gated: DataFrame): Unit = {
     val batch = gated.cache()
     try {
+      // no repartition: micro-batches are already metric-hashed by the
+      // gate's groupByKey shuffle; partitionBy splits directories and the
+      // local sort keeps row groups time-ordered for min/max pruning
       batch.filter(!col("anchor"))
         .select("metric", "time", "value")
-        .repartition(col("metric"))
-        .sortWithinPartitions("time")
+        .sortWithinPartitions("metric", "time")
         .write.mode("append").partitionBy("metric").parquet(rawPath)
       val partial = Ingest.rollupWithAnchors(batch, intervalMin)
       partial.write.mode("append").partitionBy("interval_ns").parquet(partialsPath)
