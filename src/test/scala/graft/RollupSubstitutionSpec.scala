@@ -53,6 +53,21 @@ class RollupSubstitutionSpec extends AnyFunSuite {
     } finally RollupSubstitution.uninstall(spark)
   }
 
+  test("the rewrite also fires for SQL-text queries over the registered view") {
+    RollupSubstitution.install(spark, raw, level0, H)
+    try {
+      raw.createOrReplaceTempView("hta_raw_v")
+      val q = spark.sql(
+        s"""SELECT metric, time - time % ${10 * H} AS bucket,
+           |       min(value) AS mn, count(*) AS cnt
+           |FROM hta_raw_v GROUP BY 1, 2""".stripMargin)
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("min_v") && optimized.contains("bucket_start"),
+        s"rule did not fire for SQL:\n$optimized")
+      assert(q.count() > 0)
+    } finally RollupSubstitution.uninstall(spark)
+  }
+
   test("non-derivable or misaligned aggregates are left untouched") {
     RollupSubstitution.install(spark, raw, level0, H)
     try {
