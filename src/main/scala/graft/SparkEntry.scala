@@ -363,6 +363,21 @@ object SparkEntry {
     "q39_flex_agg" -> ((s, dir) =>
       HtaService.flexTimeline(sanitized(s, dir), Q.Ladder, Q.Start, Q.End,
         Q.TlIntervalMax)),
+    // J3 range join via bucketing: clicks within the hour preceding each
+    // purchase — equi-join on (user, bucket) instead of a nested loop
+    "q40_range_join" -> ((s, dir) => {
+      val ns = col("ts").cast("long")
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        (ns - ns % 1000L).as("time"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "time")
+      val c = ev.filter(col("event_type") === "click")
+        .select("user_id", "time")
+      AsOfJoin.countInWindow(p, c, "user_id", "time", "time",
+          3600000000000L, "n_clicks_1h")
+        .orderBy("event_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -421,5 +436,16 @@ object SparkEntry {
       """SELECT event_type AS metric, epoch_ns(ts) AS time, value
         |FROM events ORDER BY metric, time, value""".stripMargin,
     "q39_flex_agg" -> OracleSql.timelineSql(Q.Level1, Q.Start, Q.End),
+    "q40_range_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts) AS t FROM events
+        |), p AS (SELECT event_id, user_id, t FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, t FROM ev WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.t AS time,
+        |       CAST((SELECT count(*) FROM c
+        |             WHERE c.user_id = p.user_id
+        |               AND c.t >= p.t - 3600000000000
+        |               AND c.t < p.t) AS BIGINT) AS n_clicks_1h
+        |FROM p ORDER BY p.event_id""".stripMargin,
   )
 }

@@ -20,6 +20,34 @@ import org.apache.spark.sql.functions._
   * result to be well-defined — pre-dedupe if needed.
   */
 object AsOfJoin {
+
+  /** Range join via bucketing (SURVEY §2.5 J3 "range join"): count right
+    * rows with the same key in `[leftTime − windowNs, leftTime)`.
+    *
+    * The naive formulation is a non-equi join — Spark plans it as a
+    * broadcast nested loop, O(|L|·|R|) per key. Bucketing by
+    * `windowNs`-wide epoch buckets turns it into an equi-join: a right
+    * row can only qualify for left rows in its own or the next bucket,
+    * so each right row is emitted twice (its bucket + successor), joined
+    * on `(key, bucket)`, and the exact range predicate filters the rest.
+    * One hash shuffle, 2× right-side amplification, no nested loop.
+    */
+  def countInWindow(left: DataFrame, right: DataFrame, key: String,
+                    leftTime: String, rightTime: String, windowNs: Long,
+                    countName: String): DataFrame = {
+    val l = left.withColumn("__b", col(leftTime) - col(leftTime) % windowNs)
+    val r = right.select(col(key).as("__k"), col(rightTime).as("__rt"))
+      .withColumn("__b0", col("__rt") - col("__rt") % windowNs)
+      .select(col("__k"), col("__rt"),
+        explode(array(col("__b0"), col("__b0") + windowNs)).as("__b"))
+    val joined = l.join(r,
+      l(key) === col("__k") && l("__b") === r("__b") &&
+        col("__rt") >= col(leftTime) - windowNs && col("__rt") < col(leftTime),
+      "left")
+    // left rows must be unique on their own columns (include an id)
+    joined.groupBy(left.columns.map(l(_)): _*)
+      .agg(count(col("__rt")).as(countName))
+  }
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTime: String, rightTime: String,
            valueCol: String, asOfName: String): DataFrame = {
