@@ -208,10 +208,9 @@ object SparkEntry {
           col("l_linestatus").asc_nulls_first)),
     // J3: as-of join via union + running last (no row explosion)
     "q18_asof_join" -> ((s, dir) => {
-      val ns = col("ts").cast("long")
       val base = Tables.events(s, dir).select(
         col("event_id"), col("user_id"), col("event_type"), col("value"),
-        (ns - ns % 1000L).as("time"))
+        Tables.eventTimeNs.as("time"))
       def stream(t: String) = base.filter(col("event_type") === t)
         .groupBy("user_id", "time")
         .agg(max_by(col("value"), col("event_id")).as("value"))
@@ -366,10 +365,9 @@ object SparkEntry {
     // J3 range join via bucketing: clicks within the hour preceding each
     // purchase — equi-join on (user, bucket) instead of a nested loop
     "q40_range_join" -> ((s, dir) => {
-      val ns = col("ts").cast("long")
       val ev = Tables.events(s, dir).select(
         col("event_id"), col("user_id"), col("event_type"),
-        (ns - ns % 1000L).as("time"))
+        Tables.eventTimeNs.as("time"))
       val p = ev.filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "time")
       val c = ev.filter(col("event_type") === "click")
@@ -433,12 +431,12 @@ object SparkEntry {
          |FROM pts WHERE t < ${Q.Start} GROUP BY metric
          |ORDER BY metric, time""".stripMargin),
     "q38_chunk_roundtrip" ->
-      """SELECT event_type AS metric, epoch_ns(ts) AS time, value
+      s"""SELECT event_type AS metric, ${OracleSql.tsNs} AS time, value
         |FROM events ORDER BY metric, time, value""".stripMargin,
     "q39_flex_agg" -> OracleSql.timelineSql(Q.Level1, Q.Start, Q.End),
     "q40_range_join" ->
-      """WITH ev AS (
-        |  SELECT event_id, user_id, event_type, epoch_ns(ts) AS t FROM events
+      s"""WITH ev AS (
+        |  SELECT event_id, user_id, event_type, ${OracleSql.tsNs} AS t FROM events
         |), p AS (SELECT event_id, user_id, t FROM ev WHERE event_type = 'purchase'),
         |c AS (SELECT user_id, t FROM ev WHERE event_type = 'click')
         |SELECT p.event_id, p.user_id, p.t AS time,

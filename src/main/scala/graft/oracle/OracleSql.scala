@@ -11,12 +11,20 @@ package graft.oracle
   */
 object OracleSql {
 
+  /** The canonical event-time expression: µs-floored ns. `epoch_us*1000`
+    * (not `epoch_ns`) so the floor holds on every DuckDB version —
+    * newer DuckDBs read parquet `timestamp[ns]` at full ns, which would
+    * mismatch the Spark side's µs-floor (`Tables.htaPoints`).
+    */
+  val tsNs: String = "epoch_us(ts)*1000"
+
+
   /** Sanitized, quantized point set — F1/F2/F3 + centivalue.
     * Mirror of `Tables.htaPoints` → `Ingest.sanitize` → `Ingest.quantized`.
     */
   val ptsCte: String =
-    """WITH pts0 AS (
-      |  SELECT event_type AS metric, epoch_ns(ts) AS t, value, event_id AS seq
+    s"""WITH pts0 AS (
+      |  SELECT event_type AS metric, ${tsNs} AS t, value, event_id AS seq
       |  FROM events
       |  WHERE NOT isnan(value) AND NOT isinf(value)
       |), gate AS (
@@ -136,8 +144,8 @@ object OracleSql {
          |FROM tl ORDER BY metric, bucket_start""".stripMargin
 
   def skipCountersSql: String =
-    """WITH pts0 AS (
-      |  SELECT event_type AS metric, epoch_ns(ts) AS t, value, event_id AS seq
+    s"""WITH pts0 AS (
+      |  SELECT event_type AS metric, ${tsNs} AS t, value, event_id AS seq
       |  FROM events
       |), flagged AS (
       |  SELECT metric, t, value,
@@ -259,8 +267,8 @@ object OracleSql {
     * per-(user, time) click/purchase streams.
     */
   def asOfSql: String =
-    """WITH ev AS (
-      |  SELECT event_id, user_id, event_type, value, epoch_ns(ts) AS t
+    s"""WITH ev AS (
+      |  SELECT event_id, user_id, event_type, value, ${tsNs} AS t
       |  FROM events
       |), clicks AS (
       |  SELECT user_id, t, max_by(value, event_id) AS value

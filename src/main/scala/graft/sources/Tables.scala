@@ -32,12 +32,19 @@ object Tables {
     * exact integer µs, the precondition of the exact integer domain
     * (`operators/Ingest.scala`).
     */
-  def htaPoints(spark: SparkSession, dir: String): DataFrame = {
-    val ns = col("ts").cast("long")
+  def htaPoints(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir).select(
       col("event_type").as("metric"),
-      (ns - ns % 1000L).as("time"),
+      eventTimeNs.as("time"),
       col("value"),
       col("event_id").as("seq"))
+
+  /** The canonical event-time column: µs-floored ns (see class doc and
+    * `OracleSql.tsNs`, its SQL twin — change both together or the
+    * driver's hash gate breaks in the last 3 digits).
+    */
+  def eventTimeNs: org.apache.spark.sql.Column = {
+    val ns = col("ts").cast("long")
+    ns - ns % 1000L
   }
 }
