@@ -21,37 +21,16 @@ object HtaService {
     * `[startNs, endNs]` (ref `:442-463`). Response carries
     * `time_delta = start` (ref `:461`).
     */
-  def aggregateRange(sanitized: DataFrame, startNs: Long, endNs: Long): DataFrame = {
-    val pts = Ingest.quantized(sanitized)
-    val inRange = pts
-      .filter(col("time") >= startNs && col("time") <= endNs)
-      .groupBy("metric").agg(
-        min("value").as("min_v"),
-        max("value").as("max_v"),
-        sum("value_c").as("sum_c"),
-        count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("metric").orderBy("time")
-    val segs = pts
-      .withColumn("t_next", lead(col("time"), 1).over(w))
-      .filter(col("t_next").isNotNull &&
-        col("time") < endNs && col("t_next") > startNs)
-      .withColumn("seg_start", greatest(col("time"), lit(startNs)))
-      .withColumn("seg_end", least(col("t_next"), lit(endNs)))
-      .withColumn("dur_us",
-        ((col("seg_end") - col("seg_start")) / 1000).cast("long"))
-      .groupBy("metric").agg(
-        sum(col("value_c") * col("dur_us")).as("integral_cus"),
-        sum(col("dur_us")).as("active_us"))
-    inRange.join(segs, Seq("metric"), "full_outer")
+  def aggregateRange(sanitized: DataFrame, startNs: Long, endNs: Long): DataFrame =
+    rawPartial(sanitized, startNs, endNs, includeEnd = true)
       .select(
         col("metric"),
         lit(startNs).as("time_delta"),
         col("min_v"), col("max_v"),
-        (coalesce(col("sum_c"), lit(0L)).cast("double") / 100.0).as("sum_v"),
-        coalesce(col("cnt"), lit(0L)).as("cnt"),
-        (coalesce(col("integral_cus"), lit(0L)).cast("double") / 1e8).as("integral_vs"),
-        (coalesce(col("active_us"), lit(0L)) * 1000L).as("active_ns"))
-  }
+        (col("sum_c").cast("double") / 100.0).as("sum_v"),
+        col("cnt"),
+        (col("integral_cus").cast("double") / 1e8).as("integral_vs"),
+        (col("active_us") * 1000L).as("active_ns"))
 
   /** A4 v2 — the 100 TB-scale path: compose the answer from pre-aggregated
     * interior level buckets plus raw-exact edge partials, instead of
@@ -80,13 +59,17 @@ object HtaService {
     */
   def aggregateRangeFast(sanitized: DataFrame, level0: DataFrame,
                          levels: Seq[Long], startNs: Long, endNs: Long): DataFrame = {
-    val span = endNs - startNs
-    val fitting = levels.filter(_ <= span)
-    if (fitting.isEmpty) return aggregateRange(sanitized, startNs, endNs)
-    val interval = fitting.max
-    val istart = ((startNs + interval - 1) / interval) * interval
-    val iend = (endNs / interval) * interval
-    if (istart >= iend) return aggregateRange(sanitized, startNs, endNs)
+    // coarsest level whose interior is non-empty for this range; a span
+    // between L and 2L can straddle fewer than one full L-bucket, in
+    // which case a finer level still tiles most of the range (reviewer
+    // finding: falling straight back to a raw scan forfeits the fast
+    // path exactly where it matters)
+    val fitting = levels.filter(_ <= endNs - startNs).sorted(Ordering[Long].reverse)
+    val chosen = fitting.iterator.map { i =>
+      (i, ((startNs + i - 1) / i) * i, (endNs / i) * i)
+    }.find { case (_, is, ie) => is < ie }
+    if (chosen.isEmpty) return aggregateRange(sanitized, startNs, endNs)
+    val (interval, istart, iend) = chosen.get
 
     val chain = levels.takeWhile(_ <= interval)
     val level = chain.tail.foldLeft(level0)(
@@ -172,7 +155,7 @@ object HtaService {
       (child, i) => Ingest.mergeToLevel(child, i))
     Ingest.present(level)
       .filter(col("bucket_start") + lit(interval) > startNs &&
-        col("bucket_start") <= endNs)
+        col("bucket_start") < endNs)
       .orderBy("metric", "bucket_start")
   }
 
@@ -241,7 +224,20 @@ object HtaService {
         else
           Resp.Aggregates(deltaEncode(timeline(one, levels, s, e, im), "bucket_start"))
       case R.Aggregate(m, s, e) =>
-        Resp.Aggregates(aggregateRange(sanitized.filter(col("metric") === m), s, e))
+        // the reference unconditionally returns ONE aggregate (count = 0
+        // on a silent range — add_aggregate at ref :454-461), never zero
+        val df = aggregateRange(sanitized.filter(col("metric") === m), s, e)
+        if (df.isEmpty) {
+          val spark = sanitized.sparkSession
+          import spark.implicits._
+          Resp.Aggregates(Seq((m, s)).toDF("metric", "time_delta")
+            .withColumn("min_v", lit(null).cast("double"))
+            .withColumn("max_v", lit(null).cast("double"))
+            .withColumn("sum_v", lit(0.0))
+            .withColumn("cnt", lit(0L))
+            .withColumn("integral_vs", lit(0.0))
+            .withColumn("active_ns", lit(0L)))
+        } else Resp.Aggregates(df)
       case R.LastValue(m) =>
         Resp.Raw(lastValue(sanitized.filter(col("metric") === m))
           .withColumn("time_delta", col("time")))

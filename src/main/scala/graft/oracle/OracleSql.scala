@@ -87,7 +87,7 @@ object OracleSql {
 
   def timelineSql(i: Long, startNs: Long, endNs: Long): String =
     ptsCte + levelCte(i) + "\n" +
-      presentSelect(i, s"WHERE bucket_start + $i > $startNs AND bucket_start <= $endNs")
+      presentSelect(i, s"WHERE bucket_start + $i > $startNs AND bucket_start < $endNs")
 
   def sanitizedSql: String =
     ptsCte + "\nSELECT metric, t AS time, value FROM pts ORDER BY metric, time"
@@ -136,7 +136,7 @@ object OracleSql {
     ptsCte + levelCte(i) +
       s""", tl AS (
          |  SELECT metric, bucket_start FROM lvl
-         |  WHERE bucket_start + $i > $startNs AND bucket_start <= $endNs
+         |  WHERE bucket_start + $i > $startNs AND bucket_start < $endNs
          |)
          |SELECT metric, bucket_start,
          |       bucket_start - lag(bucket_start, 1, 0)

@@ -82,6 +82,11 @@ object StreamingIngest {
     implicit val s: SparkSession = spark
     import spark.implicits._
     stats.foreach(spark.streams.addListener)
+    val ckptTag = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(checkpoint.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(12)
+    }
     // A8 skip counters as observable metrics (collected per micro-batch by
     // IngestStats; stateless classification — a NaN that is also stale
     // counts as NaN here, unlike the ref's check order, but totals agree)
@@ -100,8 +105,12 @@ object StreamingIngest {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        store.writeBatch(spark, batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // idempotency key = (checkpoint identity, batchId): stable across
+        // restarts of the same checkpoint (replay overwrites the same
+        // directory) but distinct between queries (a fresh checkpoint
+        // restarts batch ids at 0 and must not clobber prior batches)
+        store.writeBatch(spark, batch, s"${ckptTag}_$batchId")
       }
       .start()
   }
@@ -110,21 +119,42 @@ object StreamingIngest {
 /** Parquet-backed append-only HTA store: `raw/` (kept points) +
   * `partials/` (level-0 partial buckets, merge-on-read).
   *
+  * ## Idempotent, batch-keyed writes
+  *
+  * Each micro-batch writes into its own `batch_id=<n>` directory with
+  * OVERWRITE mode. A failure replay (checkpoint not yet committed →
+  * state restored to the pre-batch version → the gate re-emits the
+  * identical rows) overwrites the same directories with the same
+  * content, so at-least-once execution converges to exactly-once
+  * storage — including the half-written case where raw/ was flushed but
+  * partials/ was not.
+  *
   * Layout for scale: raw is partitioned by metric and sorted by time
   * within files (range pruning via parquet min/max on sorted `time`);
   * partials are partitioned by `interval_ns` so a timeline query prunes
   * to one level directory. At 100 TB add a coarse time partition (day)
-  * under metric — the bucket math is unchanged.
+  * under metric — the bucket math is unchanged — and replace the
+  * directory-rename compaction with a transactional table format.
   */
 class HtaStore(val root: String, val intervalMin: Long) {
   val levels: List[Long] = Intervals.ladder(intervalMin)
   private def rawPath = s"$root/raw"
   private def partialsPath = s"$root/partials"
 
-  /** Seed the gate from what is already durable (restart path). */
+  private def fs(spark: SparkSession, p: String) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+  }
+
+  /** Seed the gate from what is already durable (restart path). Shipped
+    * to executors via a broadcast so the gate closure stays thin; for
+    * very large metric cardinalities use the `flatMapGroupsWithState`
+    * initial-state overload instead of a map.
+    */
   def seedState(spark: SparkSession): Map[String, StreamingIngest.GateState] = {
     import spark.implicits._
-    if (!new java.io.File(rawPath).exists()) Map.empty
+    val (hfs, hp) = fs(spark, rawPath)
+    if (!hfs.exists(hp)) Map.empty
     else spark.read.parquet(rawPath)
       .groupBy("metric")
       .agg(max("time").as("t"), max_by(col("value"), col("time")).as("v"))
@@ -132,8 +162,8 @@ class HtaStore(val root: String, val intervalMin: Long) {
       .map { case (m, t, v) => m -> StreamingIngest.GateState(t, v) }.toMap
   }
 
-  /** Append a gated micro-batch: raw points + level-0 partial buckets. */
-  def writeBatch(spark: SparkSession, gated: DataFrame): Unit = {
+  /** Write a gated micro-batch idempotently (see class doc). */
+  def writeBatch(spark: SparkSession, gated: DataFrame, batchKey: String): Unit = {
     val batch = gated.cache()
     try {
       // no repartition: micro-batches are already metric-hashed by the
@@ -142,47 +172,49 @@ class HtaStore(val root: String, val intervalMin: Long) {
       batch.filter(!col("anchor"))
         .select("metric", "time", "value")
         .sortWithinPartitions("metric", "time")
-        .write.mode("append").partitionBy("metric").parquet(rawPath)
-      val partial = Ingest.rollupWithAnchors(batch, intervalMin)
-      partial.write.mode("append").partitionBy("interval_ns").parquet(partialsPath)
+        .write.mode("overwrite").partitionBy("metric")
+        .parquet(s"$rawPath/batch_id=$batchKey")
+      Ingest.rollupWithAnchors(batch, intervalMin)
+        .write.mode("overwrite").partitionBy("interval_ns")
+        .parquet(s"$partialsPath/batch_id=$batchKey")
     } finally batch.unpersist()
   }
 
-  def raw(spark: SparkSession): DataFrame = spark.read.parquet(rawPath)
+  def raw(spark: SparkSession): DataFrame =
+    spark.read.parquet(rawPath).drop("batch_id")
 
-  /** Merge-on-read level-0 view (exact: Agg is a monoid). */
-  def level0(spark: SparkSession): DataFrame = {
-    val p = spark.read.parquet(partialsPath)
-      .filter(col("interval_ns") === intervalMin)
-    p.groupBy("metric", "bucket_start").agg(
-      min("min_v").as("min_v"),
-      max("max_v").as("max_v"),
-      sum("sum_c").as("sum_c"),
-      sum("cnt").as("cnt"),
-      sum("integral_cus").as("integral_cus"),
-      sum("active_us").as("active_us"))
-      .select(col("metric"), lit(intervalMin).as("interval_ns"),
-        col("bucket_start"), col("min_v"), col("max_v"), col("sum_c"),
-        col("cnt"), col("integral_cus"), col("active_us"))
-  }
+  /** Merge-on-read level-0 view (exact: Agg is a monoid — same merge as
+    * the batch hierarchy builder).
+    */
+  def level0(spark: SparkSession): DataFrame =
+    Ingest.mergeToLevel(
+      spark.read.parquet(partialsPath)
+        .filter(col("interval_ns") === intervalMin)
+        .drop("interval_ns", "batch_id"),
+      intervalMin)
 
-  /** Fold partials down physically (run whenever convenient — the
-    * merge-on-read view is correct before and after).
+  /** Fold partials down physically into a single batch directory.
+    *
+    * OFFLINE maintenance op: must not run concurrently with the
+    * streaming query (it lists-then-deletes batch directories; a
+    * concurrent append would be destroyed). Crash-safe via recovery on
+    * entry: a crash between the two renames leaves `partials_old`
+    * holding the data, restored on the next call.
     */
   def compact(spark: SparkSession): Unit = {
-    val merged = level0(spark).cache()
-    merged.count() // materialize before overwrite
-    merged.write.mode("overwrite").partitionBy("interval_ns")
-      .parquet(s"$root/partials_compacted")
-    merged.unpersist()
-    // swap directories
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val cur = Paths.get(partialsPath)
-    val bak = Paths.get(s"$root/partials_old")
-    Files.move(cur, bak)
-    Files.move(Paths.get(s"$root/partials_compacted"), cur)
-    Files.walk(bak).iterator().asScala.toSeq.reverse
-      .foreach(p => Files.delete(p))
+    val (hfs, cur) = fs(spark, partialsPath)
+    val bak = new org.apache.hadoop.fs.Path(s"$root/partials_old")
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/partials_compacted")
+    // recovery from a previous crash
+    if (hfs.exists(bak) && !hfs.exists(cur)) hfs.rename(bak, cur)
+    if (hfs.exists(bak)) hfs.delete(bak, true)
+    if (hfs.exists(tmp)) hfs.delete(tmp, true)
+
+    val merged = level0(spark)
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit("compacted"))
+    merged.write.partitionBy("batch_id", "interval_ns").parquet(tmp.toString)
+    hfs.rename(cur, bak)
+    hfs.rename(tmp, cur)
+    hfs.delete(bak, true)
   }
 }

@@ -35,7 +35,7 @@ class ApiSpec extends AnyFunSuite {
     }
     // all buckets are 10 h aligned and overlap the range
     rows.foreach { case (b, _) =>
-      assert(b % SparkEntry.Q.Level1 == 0 && b + SparkEntry.Q.Level1 > start && b <= end)
+      assert(b % SparkEntry.Q.Level1 == 0 && b + SparkEntry.Q.Level1 > start && b < end)
     }
   }
 
@@ -49,14 +49,17 @@ class ApiSpec extends AnyFunSuite {
     assert(r2.isInstanceOf[Resp.Aggregates])
   }
 
-  test("AGGREGATE: empty range → empty response; time_delta = start") {
+  test("AGGREGATE: always exactly one aggregate; count 0 on a silent range") {
     val Resp.Aggregates(df) = HtaService.history(
       R.Aggregate("purchase", start, end), sanitized, levels): @unchecked
     val row = df.collect()
     assert(row.length == 1 && row.head.getAs[Long]("time_delta") == start)
-    val Resp.Aggregates(empty) = HtaService.history(
+    // ref :454-461 unconditionally adds one aggregate + time_delta=start
+    val Resp.Aggregates(silent) = HtaService.history(
       R.Aggregate("purchase", 100L, 200L), sanitized, levels): @unchecked
-    assert(empty.count() == 0)
+    val z = silent.collect()
+    assert(z.length == 1 && z.head.getAs[Long]("cnt") == 0L &&
+      z.head.getAs[Long]("time_delta") == 100L)
   }
 
   test("LAST_VALUE: one row; empty metric → empty response (ref :473-486)") {

@@ -96,6 +96,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((4L, 0L, 0L, 2L, 2L), (6L, 1L, 1L, 3L, 1L)))
   }
 
+  test("writeBatch is idempotent: replaying a batch key leaves the store unchanged") {
+    val store = new HtaStore(mkTmp("hta-idem"), H)
+    val gated = batch1.map(p =>
+      StreamingIngest.GatedPoint(p.metric, p.time, p.value, anchor = false))
+      .filter(p => !p.value.isNaN && !p.value.isInfinite)
+      .toDF()
+    store.writeBatch(spark, gated, "ck_0")
+    val once = store.raw(spark).collect().length
+    val l0once = store.level0(spark).agg(sum("cnt")).head.getLong(0)
+    store.writeBatch(spark, gated, "ck_0") // crash-replay of the same batch
+    assert(store.raw(spark).collect().length == once)
+    assert(store.level0(spark).agg(sum("cnt")).head.getLong(0) == l0once)
+  }
+
+  test("compact recovers from a crash between the two directory renames") {
+    val root = mkTmp("hta-crash")
+    val store = new HtaStore(root, H)
+    val gated = batch1.map(p =>
+      StreamingIngest.GatedPoint(p.metric, p.time, p.value, anchor = false))
+      .filter(p => !p.value.isNaN && !p.value.isInfinite)
+      .toDF()
+    store.writeBatch(spark, gated, "ck_0")
+    val before = store.level0(spark).collect().toSet
+    // simulate the crash window: partials moved to partials_old, new dir absent
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$root/partials"),
+      java.nio.file.Paths.get(s"$root/partials_old"))
+    store.compact(spark) // must restore, then compact
+    assert(store.level0(spark).collect().toSet == before)
+  }
+
   test("restart: gate seeds from the durable store, drops stale replays") {
     val root = mkTmp("hta-store2")
     val store = new HtaStore(root, H)
