@@ -34,7 +34,10 @@ case class WordShingles(child: Expression, n: Int)
   override def prettyName: String = "word_shingles"
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.split(' ')
+    // limit -1: keep trailing empty tokens, matching Spark's split() and
+    // DuckDB's string_split — a trailing space must tokenize identically
+    // in the engine and the oracle
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
     if (toks.length < n) new GenericArrayData(Array.empty[Any])
     else {
       val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)

@@ -51,20 +51,27 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTime: String, rightTime: String,
            valueCol: String, asOfName: String): DataFrame = {
+    // the value rides inside a struct so that a right row whose value is
+    // genuinely NULL is still "the latest right row" (a bare
+    // last(ignoreNulls) would skip it and resurrect an older value,
+    // diverging from real as-of semantics and DuckDB's ASOF JOIN)
+    val vType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", right.schema(valueCol).dataType)))
     val l2 = left
       .withColumn("__t", col(leftTime))
       .withColumn("__tag", lit(1))
-      .withColumn("__v", lit(null).cast(right.schema(valueCol).dataType))
+      .withColumn("__vs", lit(null).cast(vType))
     val r2 = right.select(
       col(key),
       col(rightTime).as("__t"),
       lit(0).as("__tag"),
-      col(valueCol).as("__v"))
+      struct(col(valueCol).as("v")).as("__vs"))
     val u = l2.unionByName(r2, allowMissingColumns = true)
     val w = Window.partitionBy(key).orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    u.withColumn(asOfName, last(col("__v"), ignoreNulls = true).over(w))
+    u.withColumn(asOfName,
+        last(col("__vs"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("__tag") === 1)
-      .drop("__t", "__tag", "__v")
+      .drop("__t", "__tag", "__vs")
   }
 }

@@ -22,6 +22,9 @@ object Dedup {
 
   /** Exact dedup: keep the lowest-`tiebreak` row per key group, with the
     * group size attached (X1 — `dropDuplicates` + provenance).
+    * `tiebreak` must be unique within each key group — with ties the
+    * surviving row is partition-layout-dependent, which breaks the
+    * engine's deterministic-output contract.
     */
   def exactDedup(df: DataFrame, keys: Seq[String], tiebreak: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tiebreak))
@@ -67,9 +70,14 @@ object Dedup {
       explode(col("sh")).as("g"))
     val freq = posts.groupBy("g").agg(count(lit(1)).as("f"))
     val wDoc = Window.partitionBy("doc_id").orderBy(col("f"), col("g"))
+    // prefix length = |sh| − ⌈t·|sh|⌉ + 1, computed with an epsilon so
+    // IEEE noise in t·|sh| (e.g. 0.9·10 = 9.000000000000002) can never
+    // round the ceiling up and silently shrink the prefix below the
+    // AllPairs bound (which would drop threshold-boundary pairs)
+    val prefixLen = col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1
     val prefix = posts.join(freq, "g")
       .withColumn("rk", row_number().over(wDoc))
-      .filter(col("rk") <= floor((lit(1.0) - threshold) * col("sz")) + 1)
+      .filter(col("rk") <= prefixLen)
       .select("doc_id", "n_chars", "g")
     val a = prefix.select(col("doc_id").as("doc_a"), col("n_chars").as("ca"), col("g"))
     val b = prefix.select(col("doc_id").as("doc_b"), col("n_chars").as("cb"), col("g"))
@@ -119,6 +127,8 @@ object Dedup {
     * candidates. One shuffle on (band, sig); bucket self-join.
     */
   def lshCandidatePairs(docs: DataFrame, k: Int = 12, r: Int = 3): DataFrame = {
+    require(r > 0 && k % r == 0,
+      s"band width $r must divide signature size $k (else hashes are silently dropped)")
     // empty-shingle docs have no signature (NULL min) — drop them here so
     // they can't cluster into one degenerate bucket
     val sig = withMinhashSignature(shingled(docs).filter(size(col("sh")) > 0), k)
@@ -171,12 +181,23 @@ object Dedup {
     * length band.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int, band: Long = 50L): DataFrame = {
+    // bucket the length band so the self-join is an equi-join on
+    // (bucket): |ca − cb| ≤ band ⟹ bucket(cb) ∈ {bucket(ca)−1, …, +1},
+    // so the right side is emitted into its own and both neighbor
+    // buckets and the exact predicate filters the rest. Same shape as
+    // AsOfJoin.countInWindow — a pure non-equi self-join would plan as a
+    // nested loop, the O(n²) shape this module exists to avoid.
     val s = simhash(docs)
     val a = s.select(col("doc_id").as("doc_a"), col("n_chars").as("ca"),
       col("simhash").as("fa"))
+      .withColumn("__b", (col("ca") / band).cast("long"))
     val b = s.select(col("doc_id").as("doc_b"), col("n_chars").as("cb"),
       col("simhash").as("fb"))
-    a.join(b, col("doc_a") < col("doc_b") &&
+      .withColumn("__b0", (col("cb") / band).cast("long"))
+      .select(col("doc_b"), col("cb"), col("fb"),
+        explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1)).as("__b"))
+    a.join(b, Seq("__b"))
+      .filter(col("doc_a") < col("doc_b") &&
         col("cb") >= col("ca") - band && col("cb") <= col("ca") + band)
       .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
       .filter(col("hamming") <= maxDist)

@@ -32,7 +32,11 @@ object Similarity {
   private def cosExpr = {
     val dot = aggregate(zip_with(col("vq"), col("qv"), (x, y) => x * y),
       lit(0L), (acc, x) => acc + x)
-    dot.cast("double") / (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double")))
+    // zero-norm guard: an all-near-zero embedding quantizes to the zero
+    // vector; under ANSI mode the division would throw, and the oracle
+    // would produce inf/NaN — define cosine(0, ·) = 0 in both engines
+    when(col("n2") === 0 || col("qn2") === 0, lit(0.0)).otherwise(
+      dot.cast("double") / (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double"))))
   }
 
   /** Brute-force top-k cosine neighbors for each query id. */
@@ -67,7 +71,9 @@ object Similarity {
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cosine",
-        dot.cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        when(col("na") === 0 || col("nb") === 0, lit(0.0)).otherwise(
+          dot.cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))))
       .filter(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "cosine")
   }

@@ -61,10 +61,12 @@ object TextAnalysis {
           size(array_intersect(col("toks"), array(words.map(lit(_)): _*))).cast("long"))
     }
     val best = greatest(LangProfiles.map { case (l, _) => col(s"score_$l") }: _*)
-    // CASE chain in profile (alphabetical) order → first max wins
-    val predicted = LangProfiles.foldRight(lit("und"): Column) {
-      case ((l, _), els) => when(col(s"score_$l") === best, lit(l)).otherwise(els)
-    }
+    // CASE chain in profile (alphabetical) order → first max wins; a doc
+    // matching no profile at all is 'und', not the first language
+    val predicted = when(best === 0, lit("und")).otherwise(
+      LangProfiles.foldRight(lit("und"): Column) {
+        case ((l, _), els) => when(col(s"score_$l") === best, lit(l)).otherwise(els)
+      })
     scored
       .withColumn("predicted_lang", predicted)
       .withColumn("lang_score", best)

@@ -124,8 +124,9 @@ object OracleSqlExt {
   private def cosineTail(k: Int): String =
     """, c AS (
       |  SELECT q_id, vec_id,
-      |         CAST(list_sum(list_transform(range(len(vq)), i -> vq[i+1]*qv[i+1])) AS DOUBLE)
-      |           / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS cosine
+      |         CASE WHEN n2 = 0 OR qn2 = 0 THEN 0.0 ELSE
+      |           CAST(list_sum(list_transform(range(len(vq)), i -> vq[i+1]*qv[i+1])) AS DOUBLE)
+      |             / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) END AS cosine
       |  FROM cand
       |), r AS (
       |  SELECT q_id, vec_id, cosine,
@@ -158,13 +159,14 @@ object OracleSqlExt {
 
   def cosineNearDupSql(threshold: Double): String =
     cosineCte +
-      s"""
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |       CAST(list_sum(list_transform(range(len(a.vq)), i -> a.vq[i+1]*b.vq[i+1])) AS DOUBLE)
-         |         / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
-         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE CAST(list_sum(list_transform(range(len(a.vq)), i -> a.vq[i+1]*b.vq[i+1])) AS DOUBLE)
-         |        / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= $threshold
+      s""", pc AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN 0.0 ELSE
+         |           CAST(list_sum(list_transform(range(len(a.vq)), i -> a.vq[i+1]*b.vq[i+1])) AS DOUBLE)
+         |             / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) END AS cosine
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |)
+         |SELECT vec_a, vec_b, cosine FROM pc WHERE cosine >= $threshold
          |ORDER BY vec_a, vec_b""".stripMargin
 
   def slidingWindowSql: String =
@@ -254,7 +256,8 @@ object OracleSqlExt {
        |  FROM t
        |)
        |SELECT doc_id, lang,
-       |       CASE $cases
+       |       CASE WHEN greatest($all) = 0 THEN 'und'
+       |            $cases
        |            ELSE 'und' END AS predicted_lang,
        |       greatest($all) AS lang_score
        |FROM s ORDER BY doc_id""".stripMargin
