@@ -21,6 +21,11 @@ object BulkImport {
   /** Backfill from any batch DataFrame of `(metric, time, value, seq)`:
     * sanitize (F1–F3) then level-0 rollup — identical semantics to
     * replaying the data through the streaming gate in one batch.
+    * NOTE: the sanitize window partitions by metric, so a single-metric
+    * import of billions of rows serializes into one task — chunk such
+    * imports by time range and feed them through the streaming path
+    * (anchor rows carry the cross-chunk segments), exactly like the
+    * reference importer's 10 M-row chunks.
     */
   def fromDataFrame(points: DataFrame, intervalMin: Long): (DataFrame, DataFrame) = {
     val clean = Ingest.sanitize(points)
@@ -36,8 +41,11 @@ object BulkImport {
                numPartitions: Int, intervalMin: Long,
                props: java.util.Properties = new java.util.Properties)
       : (DataFrame, DataFrame) = {
+    // jdbc() bounds only set the partition stride — the outer partitions
+    // are unbounded predicates, so filter explicitly for a bounded import
     val raw = spark.read.jdbc(url, table, "timestamp", minTime, maxTime,
       numPartitions, props)
+      .where(col("timestamp") >= minTime && col("timestamp") < maxTime)
       .select(lit(metricName).as("metric"),
         col("timestamp").as("time"),
         col("value"),

@@ -20,7 +20,10 @@ object ChunkDecode {
     * → `(metric, time, value, seq)` points. `seq` reconstructs arrival
     * order as (chunk, position).
     */
-  def decode(chunks: DataFrame, posPerChunk: Long = 1000000L): DataFrame = {
+  def decode(chunks: DataFrame, posPerChunk: Long = 1000000000000L): DataFrame = {
+    // posPerChunk must exceed any real chunk size or reconstructed seq
+    // values collide across chunks and the monotonic gate drops valid
+    // points; the default dwarfs any AMQP message
     val w = Window.partitionBy("metric", "chunk_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, 0)
     chunks

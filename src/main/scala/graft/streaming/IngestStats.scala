@@ -16,12 +16,15 @@ import scala.jdk.CollectionConverters._
   */
 object IngestStats {
   case class BatchStats(
+      runId: String,
       batchId: Long,
       timestamp: String,
       numInputRows: Long,
       batchDurationMs: Long,
       nIn: Long, nNan: Long, nInf: Long, nKept: Long,
       rowsPerSec: Double)
+  /** Driver-side retention cap — the buffer is a ring, not a leak. */
+  val MaxRetained = 10000
 }
 
 class IngestStats extends StreamingQueryListener {
@@ -37,13 +40,19 @@ class IngestStats extends StreamingQueryListener {
     def obs(name: String, field: String): Long =
       Option(p.observedMetrics.get(name))
         .map(r => r.getAs[Long](field)).getOrElse(0L)
-    val dur = p.durationMs.asScala.values.map(_.toLong).sum
+    // durationMs holds the total ("triggerExecution") AND its component
+    // phases — summing the map double-counts the batch duration
+    val dur = Option(p.durationMs.get("triggerExecution"))
+      .map(_.toLong)
+      .getOrElse(p.durationMs.asScala.values.map(_.toLong).sum)
     buf.synchronized {
       buf += BatchStats(
-        p.batchId, p.timestamp, p.numInputRows, dur,
+        p.runId.toString, p.batchId, p.timestamp, p.numInputRows, dur,
         obs("ingest_in", "n_in"), obs("ingest_in", "n_nan"),
         obs("ingest_in", "n_inf"), obs("ingest_out", "n_kept"),
         if (dur > 0) p.numInputRows.toDouble * 1000.0 / dur else 0.0)
+      if (buf.length > IngestStats.MaxRetained)
+        buf.remove(0, buf.length - IngestStats.MaxRetained)
     }
   }
 

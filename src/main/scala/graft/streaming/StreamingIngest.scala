@@ -82,10 +82,32 @@ object StreamingIngest {
     implicit val s: SparkSession = spark
     import spark.implicits._
     stats.foreach(spark.streams.addListener)
+    // canonicalize before hashing: "/ckpt/q1" and "/ckpt/q1/" are the
+    // same checkpoint to Spark but would otherwise get different tags,
+    // and a replayed batch under a new tag would duplicate instead of
+    // overwrite
+    val ckptCanonical = {
+      val hp = new org.apache.hadoop.fs.Path(checkpoint)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(hp).toString
+    }
     val ckptTag = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(checkpoint.getBytes("UTF-8")).map("%02x".format(_))
+      md.digest(ckptCanonical.getBytes("UTF-8")).map("%02x".format(_))
         .mkString.take(12)
+    }
+    // highest COMMITTED batch of this checkpoint: a batch directory with
+    // a larger id was written but not committed (crash window) and will
+    // be replayed — it must not contribute to the gate seed, or a metric
+    // first seen in that batch would be seeded as already-stored and the
+    // replay's overwrite would erase its only copy
+    val committedMax: Long = {
+      val cp = new org.apache.hadoop.fs.Path(s"$checkpoint/commits")
+      val hfs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!hfs.exists(cp)) -1L
+      else hfs.listStatus(cp).map(_.getPath.getName)
+        .flatMap(n => scala.util.Try(n.toLong).toOption)
+        .foldLeft(-1L)(math.max)
     }
     // A8 skip counters as observable metrics (collected per micro-batch by
     // IngestStats; stateless classification — a NaN that is also stale
@@ -98,7 +120,7 @@ object StreamingIngest {
           abs(col("value")) === lit(Double.PositiveInfinity), 1L)
           .otherwise(0L)).as("n_inf"))
       .as[Point]
-    val gated = gate(observed, store.seedState(spark))
+    val gated = gate(observed, store.seedState(spark, ckptTag, committedMax))
     gated.toDF()
       .observe("ingest_out",
         sum(when(!col("anchor"), 1L).otherwise(0L)).as("n_kept"))
@@ -146,16 +168,23 @@ class HtaStore(val root: String, val intervalMin: Long) {
     (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
   }
 
-  /** Seed the gate from what is already durable (restart path). Shipped
-    * to executors via a broadcast so the gate closure stays thin; for
-    * very large metric cardinalities use the `flatMapGroupsWithState`
-    * initial-state overload instead of a map.
+  /** Seed the gate from what is already durable AND committed: batch
+    * directories of `ckptTag` with an id above `committedMaxBatch` were
+    * written by a crashed, uncommitted batch that is about to be
+    * replayed — seeding from them would gate out the replay and lose
+    * the data (directories from other checkpoints are trusted as
+    * committed). The map is captured in the gate closure — small at
+    * our metric cardinality; use the `flatMapGroupsWithState`
+    * initial-state overload when metrics number in the millions.
     */
-  def seedState(spark: SparkSession): Map[String, StreamingIngest.GateState] = {
+  def seedState(spark: SparkSession, ckptTag: String,
+                committedMaxBatch: Long): Map[String, StreamingIngest.GateState] = {
     import spark.implicits._
     val (hfs, hp) = fs(spark, rawPath)
     if (!hfs.exists(hp)) Map.empty
     else spark.read.parquet(rawPath)
+      .filter(!col("batch_id").startsWith(s"${ckptTag}_") ||
+        substring_index(col("batch_id"), "_", -1).cast("long") <= committedMaxBatch)
       .groupBy("metric")
       .agg(max("time").as("t"), max_by(col("value"), col("time")).as("v"))
       .as[(String, Long, Double)].collect()
@@ -213,8 +242,14 @@ class HtaStore(val root: String, val intervalMin: Long) {
     val merged = level0(spark)
       .withColumn("batch_id", org.apache.spark.sql.functions.lit("compacted"))
     merged.write.partitionBy("batch_id", "interval_ns").parquet(tmp.toString)
-    hfs.rename(cur, bak)
-    hfs.rename(tmp, cur)
+    // Hadoop rename signals failure by returning false — never delete
+    // the backup unless both renames actually happened
+    if (!hfs.rename(cur, bak))
+      throw new java.io.IOException(s"compact: rename $cur -> $bak failed")
+    if (!hfs.rename(tmp, cur)) {
+      hfs.rename(bak, cur) // restore; next compact can retry
+      throw new java.io.IOException(s"compact: rename $tmp -> $cur failed")
+    }
     hfs.delete(bak, true)
   }
 }

@@ -110,6 +110,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.level0(spark).agg(sum("cnt")).head.getLong(0) == l0once)
   }
 
+  test("seedState ignores uncommitted batch directories of its own checkpoint") {
+    val store = new HtaStore(mkTmp("hta-seed"), H)
+    def gatedOf(ps: Seq[Point]) = ps
+      .map(p => StreamingIngest.GatedPoint(p.metric, p.time, p.value, anchor = false))
+      .filter(p => !p.value.isNaN && !p.value.isInfinite).toDF()
+    store.writeBatch(spark, gatedOf(batch1), "tag_0")
+    store.writeBatch(spark, gatedOf(batch2.filter(_.metric == "m2")), "tag_1")
+    // batch 1 crashed before commit: its rows must not seed the gate
+    val seed = store.seedState(spark, "tag", committedMaxBatch = 0L)
+    assert(seed("m2").maxTs == T0 + 5L * 60000000000L) // batch-0 max only
+    // other checkpoints' directories are trusted as committed
+    val seedOther = store.seedState(spark, "other", committedMaxBatch = -1L)
+    assert(seedOther("m2").maxTs == T0 + 65L * 60000000000L)
+  }
+
   test("compact recovers from a crash between the two directory renames") {
     val root = mkTmp("hta-crash")
     val store = new HtaStore(root, H)
