@@ -20,6 +20,8 @@ object Intervals {
     */
   def ladder(intervalMin: Long, factor: Long = 10L, cap: Long = CapNs): List[Long] = {
     require(intervalMin > 0 && factor > 1, s"bad ladder ($intervalMin, $factor)")
+    // also bounds v*factor ≤ cap·factor, far from Long overflow
+    require(intervalMin <= cap, s"interval_min $intervalMin above the $cap cap")
     val b = List.newBuilder[Long]
     var v = intervalMin
     b += v

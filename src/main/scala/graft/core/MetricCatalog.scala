@@ -91,6 +91,11 @@ object MetricCatalog {
             (v \ k) match {
               case JInt(x) => x.toLong
               case JLong(x) => x
+              // scientific notation ("interval_min": 3.6e12) parses as a
+              // double — accept it when integral rather than claiming
+              // the key is missing
+              case JDouble(x) if x == math.rint(x) && math.abs(x) < 9.2e18 =>
+                x.toLong
               case _ => dflt.getOrElse(
                 throw new IllegalArgumentException(s"$name.$k missing"))
             }

@@ -27,7 +27,10 @@ case class WordShingles(child: Expression, n: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType)
+    if (n < 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_shingles n must be >= 1, got $n")
+    else if (child.dataType == StringType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"word_shingles needs a string input, got ${child.dataType}")

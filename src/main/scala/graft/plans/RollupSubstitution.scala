@@ -37,16 +37,27 @@ object RollupSubstitution {
     */
   def install(spark: SparkSession, raw: DataFrame, level0: DataFrame,
               intervalNs: Long): Unit = {
+    val needed = Seq("metric", "bucket_start", "min_v", "max_v", "cnt")
+    val missing = needed.filterNot(level0.columns.contains)
+    require(missing.isEmpty,
+      s"level0 is missing required columns: ${missing.mkString(", ")}")
+    require(Seq("metric", "time", "value").forall(raw.columns.contains),
+      "raw must expose (metric, time, value)")
     registry.put(spark,
       Entry(raw.queryExecution.analyzed, level0.queryExecution.analyzed, intervalNs))
-    if (!installedSessions.contains(spark)) {
-      installedSessions.add(spark)
+    if (installedSessions.add(spark)) { // add() is atomic check-and-set
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ new RollupSubstitutionRule(spark)
     }
   }
 
-  def uninstall(spark: SparkSession): Unit = registry.remove(spark)
+  def uninstall(spark: SparkSession): Unit = {
+    registry.remove(spark)
+    // the injected rule stays in extraOptimizations (no removal API) but
+    // becomes a no-op without a registry entry; drop our session ref so
+    // install/uninstall cycles don't retain stopped sessions forever
+    installedSessions.remove(spark)
+  }
 
   private val installedSessions =
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
@@ -145,7 +156,11 @@ class RollupSubstitutionRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Alias(lvlMetric, a.name)(exprId = a.exprId)
       case al @ Alias(e, name) if bucketOf.isDefinedAt(e) =>
         Alias(newBucketExpr, name)(exprId = al.exprId)
-      case al @ Alias(AggregateExpression(fn, _, false, _, _), name) =>
+      // FILTER (WHERE …) clauses are NOT derivable from the level table —
+      // rewriting them as unfiltered sums would silently return wrong
+      // counts, so only bare aggregates match
+      case al @ Alias(AggregateExpression(fn, _, false, filterOpt, _), name)
+          if filterOpt.isEmpty =>
         mapAgg(fn) match {
           case Some(ne) => Alias(ne, name)(exprId = al.exprId)
           case None => return None
