@@ -45,28 +45,37 @@ object RollupSubstitution {
       "raw must expose (metric, time, value)")
     registry.put(spark,
       Entry(raw.queryExecution.analyzed, level0.queryExecution.analyzed, intervalNs))
-    if (installedSessions.add(spark)) { // add() is atomic check-and-set
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ new RollupSubstitutionRule(spark)
+    // the injected rule has no removal API, so install/uninstall/install
+    // cycles must reuse the instance already present for this session
+    // instead of appending another (each extra instance re-scans every
+    // plan forever)
+    installLock.synchronized {
+      val present = spark.experimental.extraOptimizations.exists {
+        case r: RollupSubstitutionRule => r.session eq spark
+        case _ => false
+      }
+      if (!present)
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ new RollupSubstitutionRule(spark)
     }
   }
 
   def uninstall(spark: SparkSession): Unit = {
+    // the rule stays in extraOptimizations (no removal API) but becomes
+    // a no-op without a registry entry; no global session set is kept,
+    // so a stopped session is retained only by its own rule instance
     registry.remove(spark)
-    // the injected rule stays in extraOptimizations (no removal API) but
-    // becomes a no-op without a registry entry; drop our session ref so
-    // install/uninstall cycles don't retain stopped sessions forever
-    installedSessions.remove(spark)
   }
 
-  private val installedSessions =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+  private val installLock = new Object
 
   private[plans] def entryFor(spark: SparkSession): Option[Entry] =
     registry.get(spark)
 }
 
-class RollupSubstitutionRule(spark: SparkSession) extends Rule[LogicalPlan] {
+class RollupSubstitutionRule(private[plans] val session: SparkSession)
+    extends Rule[LogicalPlan] {
+  private def spark = session
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     RollupSubstitution.entryFor(spark) match {
@@ -144,7 +153,12 @@ class RollupSubstitutionRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Some(Coalesce(Seq(
           AggregateExpression(Sum(lvlAttr("cnt")), Complete, isDistinct = false),
           Literal(0L))))
-      case Count(Seq(v: Attribute)) if v.exprId == valueAttr.exprId =>
+      // count(value) ≠ count(*) when value can be NULL, and the level's
+      // cnt counts rows, not non-null values — only derivable when the
+      // raw value attribute is provably non-nullable; otherwise decline
+      // the rewrite (the query falls back to the raw scan, still correct)
+      case Count(Seq(v: Attribute))
+          if v.exprId == valueAttr.exprId && !v.nullable =>
         Some(Coalesce(Seq(
           AggregateExpression(Sum(lvlAttr("cnt")), Complete, isDistinct = false),
           Literal(0L))))

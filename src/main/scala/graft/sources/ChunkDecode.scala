@@ -19,11 +19,19 @@ object ChunkDecode {
   /** `(metric, chunk_id, time_delta: array<long>, value: array<double>)`
     * → `(metric, time, value, seq)` points. `seq` reconstructs arrival
     * order as (chunk, position).
+    *
+    * `posPerChunk` must exceed any real chunk size (or seq values
+    * collide across chunks and the monotonic gate drops valid points),
+    * and `chunk_id` must stay below `Long.MaxValue / posPerChunk` (or
+    * the multiplication wraps negative and scrambles arrival order).
+    * The default of 2^20 dwarfs any AMQP message while leaving room for
+    * ~8.8e12 chunks — 278k years at one chunk per second. Both bounds
+    * are enforced: a violating row raises instead of silently
+    * corrupting the gate's order.
     */
-  def decode(chunks: DataFrame, posPerChunk: Long = 1000000000000L): DataFrame = {
-    // posPerChunk must exceed any real chunk size or reconstructed seq
-    // values collide across chunks and the monotonic gate drops valid
-    // points; the default dwarfs any AMQP message
+  def decode(chunks: DataFrame, posPerChunk: Long = 1L << 20): DataFrame = {
+    require(posPerChunk > 0, "posPerChunk must be positive")
+    val maxChunk = Long.MaxValue / posPerChunk - 1
     val w = Window.partitionBy("metric", "chunk_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, 0)
     chunks
@@ -33,7 +41,12 @@ object ChunkDecode {
         col("z.time_delta").as("d"), col("z.value").as("value"))
       .withColumn("time", sum("d").over(w))
       .select(col("metric"), col("time"), col("value"),
-        (col("chunk_id") * posPerChunk + col("pos")).as("seq"))
+        when(col("chunk_id").between(0L, maxChunk) && col("pos") < posPerChunk,
+          col("chunk_id") * posPerChunk + col("pos"))
+          .otherwise(raise_error(concat(
+            lit(s"seq reconstruction out of range (posPerChunk=$posPerChunk): chunk_id="),
+            col("chunk_id"), lit(" pos="), col("pos"))).cast("long"))
+          .as("seq"))
   }
 
   /** Inverse of [[decode]]: group points into per-metric chunks of

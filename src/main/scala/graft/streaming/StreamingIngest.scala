@@ -71,6 +71,35 @@ object StreamingIngest {
       }
   }
 
+  /** Identity of a checkpoint as seen by the store: the stable batch-key
+    * prefix (`tag`) plus the highest COMMITTED batch id. A batch
+    * directory with a larger id was written by a crashed, uncommitted
+    * batch that Spark will replay on restart — it is durable but not
+    * trustworthy: the gate seed must ignore it (or the replay's
+    * overwrite would erase its only copy) and [[HtaStore.compact]] must
+    * carry it through unmerged (or the replay would double-count it).
+    *
+    * The path is canonicalized before hashing: "/ckpt/q1" and
+    * "/ckpt/q1/" are the same checkpoint to Spark but would otherwise
+    * get different tags, and a replayed batch under a new tag would
+    * duplicate instead of overwrite.
+    */
+  def checkpointIdentity(spark: SparkSession, checkpoint: String): (String, Long) = {
+    val hp = new org.apache.hadoop.fs.Path(checkpoint)
+    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val canonical = hfs.makeQualified(hp).toString
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(12)
+    val cp = new org.apache.hadoop.fs.Path(s"$checkpoint/commits")
+    val committedMax =
+      if (!hfs.exists(cp)) -1L
+      else hfs.listStatus(cp).map(_.getPath.getName)
+        .flatMap(n => scala.util.Try(n.toLong).toOption)
+        .foldLeft(-1L)(math.max)
+    (tag, committedMax)
+  }
+
   /** Start the ingest query: gate → foreachBatch dual write into `store`.
     * Ack semantics (T4): the checkpoint commit happens after both writes
     * return — a replayed batch re-runs through the gate, whose state
@@ -82,33 +111,7 @@ object StreamingIngest {
     implicit val s: SparkSession = spark
     import spark.implicits._
     stats.foreach(spark.streams.addListener)
-    // canonicalize before hashing: "/ckpt/q1" and "/ckpt/q1/" are the
-    // same checkpoint to Spark but would otherwise get different tags,
-    // and a replayed batch under a new tag would duplicate instead of
-    // overwrite
-    val ckptCanonical = {
-      val hp = new org.apache.hadoop.fs.Path(checkpoint)
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .makeQualified(hp).toString
-    }
-    val ckptTag = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(ckptCanonical.getBytes("UTF-8")).map("%02x".format(_))
-        .mkString.take(12)
-    }
-    // highest COMMITTED batch of this checkpoint: a batch directory with
-    // a larger id was written but not committed (crash window) and will
-    // be replayed — it must not contribute to the gate seed, or a metric
-    // first seen in that batch would be seeded as already-stored and the
-    // replay's overwrite would erase its only copy
-    val committedMax: Long = {
-      val cp = new org.apache.hadoop.fs.Path(s"$checkpoint/commits")
-      val hfs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!hfs.exists(cp)) -1L
-      else hfs.listStatus(cp).map(_.getPath.getName)
-        .flatMap(n => scala.util.Try(n.toLong).toOption)
-        .foldLeft(-1L)(math.max)
-    }
+    val (ckptTag, committedMax) = checkpointIdentity(spark, checkpoint)
     // A8 skip counters as observable metrics (collected per micro-batch by
     // IngestStats; stateless classification — a NaN that is also stale
     // counts as NaN here, unlike the ref's check order, but totals agree)
@@ -229,8 +232,17 @@ class HtaStore(val root: String, val intervalMin: Long) {
     * concurrent append would be destroyed). Crash-safe via recovery on
     * entry: a crash between the two renames leaves `partials_old`
     * holding the data, restored on the next call.
+    *
+    * If the owning streaming query might have crashed mid-batch (any
+    * stop that was not a clean `query.stop()` after
+    * `processAllAvailable`), pass its checkpoint as `activeCheckpoint`:
+    * the trailing batch directory that was written but never committed
+    * is then carried through UNMERGED under its original batch key, so
+    * the replay's overwrite still converges. Folding it into
+    * `compacted` would let the replayed batch re-append its partials
+    * and double-count that batch in the merge-on-read view.
     */
-  def compact(spark: SparkSession): Unit = {
+  def compact(spark: SparkSession, activeCheckpoint: Option[String] = None): Unit = {
     val (hfs, cur) = fs(spark, partialsPath)
     val bak = new org.apache.hadoop.fs.Path(s"$root/partials_old")
     val tmp = new org.apache.hadoop.fs.Path(s"$root/partials_compacted")
@@ -239,8 +251,25 @@ class HtaStore(val root: String, val intervalMin: Long) {
     if (hfs.exists(bak)) hfs.delete(bak, true)
     if (hfs.exists(tmp)) hfs.delete(tmp, true)
 
-    val merged = level0(spark)
-      .withColumn("batch_id", org.apache.spark.sql.functions.lit("compacted"))
+    import org.apache.spark.sql.functions.{col, lit, substring_index}
+    val uncommitted: org.apache.spark.sql.Column = activeCheckpoint match {
+      case Some(ckpt) =>
+        val (tag, committedMax) = StreamingIngest.checkpointIdentity(spark, ckpt)
+        col("batch_id").startsWith(s"${tag}_") &&
+          substring_index(col("batch_id"), "_", -1).cast("long") > committedMax
+      case None => lit(false)
+    }
+    val all = spark.read.parquet(partialsPath)
+    val committedMerged = Ingest.mergeToLevel(
+        all.filter(!uncommitted)
+          .filter(col("interval_ns") === intervalMin)
+          .drop("interval_ns", "batch_id"),
+        intervalMin)
+      .withColumn("batch_id", lit("compacted"))
+    // uncommitted trailing-batch partials pass through byte-identical
+    // under their original batch key
+    val merged = committedMerged.unionByName(
+      all.filter(uncommitted).select(committedMerged.columns.map(col): _*))
     merged.write.partitionBy("batch_id", "interval_ns").parquet(tmp.toString)
     // Hadoop rename signals failure by returning false — never delete
     // the backup unless both renames actually happened

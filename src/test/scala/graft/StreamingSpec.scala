@@ -142,6 +142,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.level0(spark).collect().toSet == before)
   }
 
+  test("compact carries uncommitted trailing-batch partials through unmerged") {
+    val root = mkTmp("hta-compact-uncommitted")
+    val store = new HtaStore(root, H)
+    // a fake checkpoint whose commits/ says only batch 0 committed
+    val ckpt = mkTmp("hta-compact-ckpt")
+    Files.createDirectories(java.nio.file.Paths.get(s"$ckpt/commits"))
+    Files.writeString(java.nio.file.Paths.get(s"$ckpt/commits/0"), "v1")
+    val (tag, committedMax) = StreamingIngest.checkpointIdentity(spark, ckpt)
+    assert(committedMax == 0L)
+
+    def gatedOf(ps: Seq[Point]) = ps
+      .map(p => StreamingIngest.GatedPoint(p.metric, p.time, p.value, anchor = false))
+      .filter(p => !p.value.isNaN && !p.value.isInfinite).toDF()
+    store.writeBatch(spark, gatedOf(batch1), s"${tag}_0")
+    // batch 1 written but NOT committed (crash window)
+    store.writeBatch(spark, gatedOf(batch2.filter(_.metric == "m2")), s"${tag}_1")
+    val before = store.level0(spark)
+      .agg(sum("cnt"), sum("sum_c")).as[(Long, Long)].head()
+
+    store.compact(spark, Some(ckpt))
+    // the uncommitted directory must survive under its original key …
+    assert(Files.exists(
+      java.nio.file.Paths.get(s"$root/partials/batch_id=${tag}_1")))
+    // … so the replayed batch overwrites it and the view is unchanged
+    store.writeBatch(spark, gatedOf(batch2.filter(_.metric == "m2")), s"${tag}_1")
+    val after = store.level0(spark)
+      .agg(sum("cnt"), sum("sum_c")).as[(Long, Long)].head()
+    assert(after == before)
+  }
+
   test("restart: gate seeds from the durable store, drops stale replays") {
     val root = mkTmp("hta-store2")
     val store = new HtaStore(root, H)
