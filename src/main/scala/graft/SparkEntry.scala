@@ -379,6 +379,49 @@ object SparkEntry {
     "q39_flex_agg" -> ((s, dir) =>
       HtaService.flexTimeline(sanitized(s, dir), Q.Ladder, Q.Start, Q.End,
         Q.TlIntervalMax)),
+    // S4: arrival-chunked bulk backfill through the streaming store —
+    // 4 chunks, gate seeded across chunks, anchor rows bridging chunk
+    // boundaries; oracle is the same one-shot rollup SQL as q03/q31, so
+    // a match proves chunked backfill ≡ batch ≡ streaming ingest
+    "q41_backfill_chunked" -> ((s, dir) => {
+      import graft.streaming.HtaStore
+      val root = java.nio.file.Files.createTempDirectory("graft-backfill").toString
+      val store = new HtaStore(root, Q.IntervalMin)
+      graft.sources.BulkImport.chunkedBackfill(s, Tables.htaPoints(s, dir), store, 4)
+      Ingest.present(store.level0(s)).orderBy("metric", "bucket_start")
+    }),
+    // X2 composition: near-dup pairs → connected components → dedup
+    // clusters (min-label propagation; oracle = recursive-CTE closure)
+    "x45_dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(
+        Dedup.jaccardPairs(Tables.read(s, dir, "documents"), 0.5, 10)
+          .select("doc_a", "doc_b"))
+        .orderBy("doc_id")),
+    // X4/X1: benchmark decontamination — n-gram overlap against the
+    // held-out subset (doc_id ≡ 0 mod 20)
+    "x46_decontaminate" -> ((s, dir) =>
+      Dedup.decontaminate(Tables.read(s, dir, "documents"),
+        col("doc_id") % 20 === 0)
+        .orderBy("doc_id")),
+    // X4: deterministic content-addressed train/valid/test split,
+    // stratified per-language counts
+    "x47_split_stratified" -> ((s, dir) =>
+      TextAnalysis.splitCounts(Tables.read(s, dir, "documents"))
+        .orderBy("lang", "split")),
+    // TSDB analytics: per-metric rate of change (Prometheus rate/deriv)
+    "q42_rate" -> ((s, dir) =>
+      graft.operators.TimeSeriesOps.rate(sanitized(s, dir))
+        .orderBy("metric", "time")),
+    // TSDB analytics: regular-grid LOCF resample (6 h grid over the
+    // query window; as-of fill via the union trick, oracle via DuckDB
+    // ASOF LEFT JOIN — a match proves both as-of formulations agree)
+    "q43_gapfill" -> ((s, dir) =>
+      graft.operators.TimeSeriesOps.gapFill(sanitized(s, dir), Q.Start, Q.End,
+        21600000000000L).orderBy("metric", "grid_time")),
+    // TSDB analytics: OHLC candlestick downsample at 6 h buckets
+    "q44_downsample_ohlc" -> ((s, dir) =>
+      graft.operators.TimeSeriesOps.downsampleOhlc(sanitized(s, dir),
+        21600000000000L).orderBy("metric", "bucket_start")),
     // J3 range join via bucketing: clicks within the hour preceding each
     // purchase — equi-join on (user, bucket) instead of a nested loop
     "q40_range_join" -> ((s, dir) => {
@@ -430,6 +473,13 @@ object SparkEntry {
     "x29_fingerprint" -> OracleSqlExt.fingerprintSql,
     "x30_multimodal" -> OracleSqlExt.multimodalSql,
     "q31_streamed_rollup" -> OracleSql.rollupSql(Q.IntervalMin),
+    "q41_backfill_chunked" -> OracleSql.rollupSql(Q.IntervalMin),
+    "x45_dedup_clusters" -> OracleSqlExt.dedupClustersSql(0.5, 10),
+    "x46_decontaminate" -> OracleSqlExt.decontaminateSql,
+    "x47_split_stratified" -> OracleSqlExt.splitCountsSql("graft"),
+    "q42_rate" -> OracleSql.rateSql,
+    "q43_gapfill" -> OracleSql.gapFillSql(Q.Start, Q.End, 21600000000000L),
+    "q44_downsample_ohlc" -> OracleSql.ohlcSql(21600000000000L),
     "q32_tumbling_window" ->
       """SELECT epoch_us(time_bucket(INTERVAL '6 hours', ts)) AS win_start_us,
         |       event_type, count(*) AS cnt,

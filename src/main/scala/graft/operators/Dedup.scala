@@ -154,6 +154,64 @@ object Dedup {
                       k: Int = 12, r: Int = 3): DataFrame =
     verifyJaccard(lshCandidatePairs(docs, k, r), shingled(docs), threshold)
 
+  /** Connected components over a near-dup pair list → cluster id per
+    * document (min doc_id reachable), the step that turns pairwise
+    * near-dup evidence into dedup groups ("keep one doc per cluster").
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * smallest label among itself and its neighbors; converges in
+    * O(cluster diameter) rounds, each one equi-join + groupBy. Near-dup
+    * clusters are short-diameter by construction (similarity is
+    * near-transitive), so the round count stays small at any corpus
+    * size; each round is a plain shuffle join that scales out. The
+    * iteration is driver-controlled but the data never leaves
+    * executors (the alternating-star optimization can replace this
+    * loop if profiling ever demands fewer rounds).
+    */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct().cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id")).cache()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy("src").agg(min("cluster").as("nmin"))
+        .withColumnRenamed("src", "doc_id")
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .cache()
+      converged = updated.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
+        .filter(col("cluster") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = updated
+      it += 1
+    }
+    edges.unpersist()
+    labels.withColumn("cluster_size",
+      count(lit(1)).over(Window.partitionBy("cluster")))
+  }
+
+  /** Benchmark decontamination: documents sharing at least one word
+    * n-gram with any benchmark document, with the count of distinct
+    * contaminated shingles. The benchmark shingle set is a distinct
+    * union (small — benchmarks are curated sets), so the join
+    * broadcast-prunes the corpus scan at scale.
+    */
+  def decontaminate(docs: DataFrame, isBenchmark: Column, n: Int = 3): DataFrame = {
+    val benchShingles = shingled(docs.filter(isBenchmark), n)
+      .select(explode(col("sh")).as("g")).distinct()
+    shingled(docs.filter(!isBenchmark), n)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(broadcast(benchShingles), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated")) // shingles are distinct per doc
+  }
+
   /** 60-bit SimHash over whitespace tokens. Token value = first 15 hex
     * chars of md5 as a 60-bit int; fingerprint bit b is set iff
     * Σ_tokens (±1 by token-bit b) > 0. 60 bits (not 64) keeps the value

@@ -90,4 +90,27 @@ object TextAnalysis {
       md5(col("text")).as("content_fp"),
       array_min(transform(Dedup.shingles(col("text"), 5), s => md5(s)))
         .as("winnow_fp"))
+
+  /** Deterministic content-addressed train/valid/test assignment:
+    * bucket = first 4 hex chars of `md5(seed ∥ doc_id)` mod 10 →
+    * 8/1/1 split. Pure per-row hashing — stable under reshuffling,
+    * re-runs, and corpus growth (a doc's split never changes), which is
+    * the property a 100 TB pipeline needs; a `rand()`-based split has
+    * none of it. md5 keeps it engine-portable (oracle rule).
+    */
+  def splitAssign(docs: DataFrame, seed: String = "graft"): DataFrame = {
+    val bucket = conv(
+      substring(md5(concat(lit(seed), col("doc_id").cast("string"))), 1, 4),
+      16, 10).cast("long") % 10
+    docs.select(col("doc_id"), col("lang"),
+      when(bucket < 8, "train").when(bucket === 8, "valid")
+        .otherwise("test").as("split"))
+  }
+
+  /** Stratified view of [[splitAssign]]: per-(lang, split) counts —
+    * the balance check a pipeline runs before training.
+    */
+  def splitCounts(docs: DataFrame, seed: String = "graft"): DataFrame =
+    splitAssign(docs, seed).groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"))
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Derived time-series analytics over the sanitized point set — the
+  * operations a monitoring/TSDB consumer layers on top of the
+  * reference's raw retrieval surface (rate-of-change, regular-grid
+  * resampling, OHLC downsampling). Not present in the reference
+  * (`/root/reference/src/async_hta_service.hpp:346-491` serves only the
+  * 4 retrieval variants); declared extension surface per SURVEY §2.
+  *
+  * All outputs follow the exactness discipline (SCALE.md §6): per-row
+  * arithmetic on exact integer domains with at most a fixed sequence of
+  * IEEE ops per output value — no order-dependent float reductions.
+  */
+object TimeSeriesOps {
+
+  /** Rate of change (value/second) between consecutive samples of each
+    * metric — the Prometheus `rate`/`deriv` shape. One `lag` window per
+    * metric (sorted storage makes this a local sort at scale).
+    *
+    * Exact: dv in centivalue (int64), dt in µs (int64); the rate is
+    * two IEEE ops (divide, scale) on those exact operands.
+    */
+  def rate(sanitized: DataFrame): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy("time")
+    Ingest.quantized(sanitized)
+      .withColumn("prev_t", lag(col("time"), 1).over(w))
+      .withColumn("prev_c", lag(col("value_c"), 1).over(w))
+      .filter(col("prev_t").isNotNull)
+      .select(col("metric"), col("time"),
+        ((col("value_c") - col("prev_c")).cast("double") /
+          expr("(time - prev_t) div 1000").cast("double") * 10000.0)
+          .as("rate_per_s"))
+  }
+
+  /** Regular-grid resample with last-observation-carried-forward: one
+    * row per (metric, grid instant) for grid times `startNs` to `endNs`
+    * step `stepNs`, valued at the latest sample at-or-before the
+    * instant (NULL before the first sample).
+    *
+    * The as-of lookup is the union trick (cf. [[AsOfJoin.asOf]]): grid
+    * rows interleave with samples in one per-metric time order and a
+    * running `last(value, ignoreNulls)` fills them — one shuffle on
+    * `metric`, zero row explosion, vs the naive grid⋈points range join.
+    */
+  def gapFill(sanitized: DataFrame, startNs: Long, endNs: Long,
+              stepNs: Long): DataFrame = {
+    require(stepNs > 0 && endNs >= startNs)
+    val grid = sanitized.select("metric").distinct()
+      .select(col("metric"),
+        explode(sequence(lit(startNs), lit(endNs), lit(stepNs))).as("t"))
+      .withColumn("value", lit(null).cast("double"))
+      .withColumn("is_grid", lit(1))
+    val pts = sanitized.select(col("metric"), col("time").as("t"),
+      col("value"), lit(0).as("is_grid"))
+    // sample at exactly a grid instant sorts before the grid row
+    // (is_grid breaks the tie), so it is visible to the fill
+    val w = Window.partitionBy("metric").orderBy(col("t"), col("is_grid"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pts.unionByName(grid)
+      .withColumn("filled", last(col("value"), ignoreNulls = true).over(w))
+      .filter(col("is_grid") === 1)
+      .select(col("metric"), col("t").as("grid_time"), col("filled").as("value"))
+  }
+
+  /** OHLC downsample: per (metric, epoch-aligned bucket) the first /
+    * max / min / last sample values and the count — the candlestick
+    * shape. Order-independent aggregates only (`min_by`/`max_by` ties
+    * are impossible: post-gate times are unique per metric), so the
+    * result is deterministic at any parallelism.
+    */
+  def downsampleOhlc(sanitized: DataFrame, intervalNs: Long): DataFrame =
+    sanitized.groupBy(col("metric"),
+      (col("time") - col("time") % lit(intervalNs)).as("bucket_start"))
+      .agg(
+        min_by(col("value"), col("time")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("time")).as("close"),
+        count(lit(1)).as("n"))
+}

@@ -282,6 +282,53 @@ object OracleSql {
       |  ON p.user_id = c.user_id AND c.t <= p.t
       |ORDER BY p.user_id, time""".stripMargin
 
+  /** Rate-of-change between consecutive samples — mirror of
+    * `TimeSeriesOps.rate`: same exact integer operands, same two IEEE
+    * ops (divide then scale) per output value.
+    */
+  def rateSql: String =
+    ptsCte +
+      """
+        |, d AS (
+        |  SELECT metric, t, value_c,
+        |         lag(t) OVER (PARTITION BY metric ORDER BY t) AS prev_t,
+        |         lag(value_c) OVER (PARTITION BY metric ORDER BY t) AS prev_c
+        |  FROM pts
+        |)
+        |SELECT metric, t AS time,
+        |       CAST(value_c - prev_c AS DOUBLE)
+        |         / CAST((t - prev_t) // 1000 AS DOUBLE) * 10000.0 AS rate_per_s
+        |FROM d WHERE prev_t IS NOT NULL
+        |ORDER BY metric, time""".stripMargin
+
+  /** Regular-grid LOCF resample — oracle via DuckDB's native ASOF LEFT
+    * JOIN (latest sample at-or-before each grid instant).
+    */
+  def gapFillSql(startNs: Long, endNs: Long, stepNs: Long): String =
+    ptsCte +
+      s"""
+         |, metrics AS (SELECT DISTINCT metric FROM pts),
+         |grid AS (
+         |  SELECT m.metric, g.t AS grid_time
+         |  FROM metrics m,
+         |       (SELECT unnest(generate_series($startNs, $endNs, $stepNs)) AS t) g
+         |)
+         |SELECT grid.metric, grid.grid_time, p.value
+         |FROM grid ASOF LEFT JOIN pts p
+         |  ON grid.metric = p.metric AND p.t <= grid.grid_time
+         |ORDER BY grid.metric, grid.grid_time""".stripMargin
+
+  /** OHLC downsample — order-independent aggregates only. */
+  def ohlcSql(i: Long): String =
+    ptsCte +
+      s"""
+         |SELECT metric, t - t % $i AS bucket_start,
+         |       min_by(value, t) AS open, max(value) AS high,
+         |       min(value) AS low, max_by(value, t) AS close,
+         |       count(*) AS n
+         |FROM pts GROUP BY 1, 2
+         |ORDER BY metric, bucket_start""".stripMargin
+
   def topKSql: String =
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin

@@ -7,10 +7,13 @@ package graft.oracle
   */
 object OracleSqlExt {
 
-  /** Shared doc shingling CTE (3-gram distinct word shingles). */
-  private def shCte(n: Int): String = {
+  /** Shared doc shingling CTE (3-gram distinct word shingles).
+    * `recursive = true` emits `WITH RECURSIVE` (a recursive CTE later in
+    * the same with-list requires the keyword up front).
+    */
+  private def shCte(n: Int, recursive: Boolean = false): String = {
     val gram = (0 until n).map(k => s"toks[i+${k + 1}]").mkString(" || ' ' || ")
-    s"""WITH docs AS (
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}docs AS (
        |  SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents
        |), sh AS (
        |  SELECT doc_id, n_chars,
@@ -45,6 +48,65 @@ object OracleSqlExt {
          |       CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) AS jaccard
          |FROM p WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= $threshold
          |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Connected components over the Jaccard near-dup pairs: the oracle
+    * computes the transitive closure with a recursive CTE and takes the
+    * min reachable doc_id — a match proves the Spark side's iterative
+    * min-label propagation reached the true fixpoint.
+    */
+  def dedupClustersSql(threshold: Double, band: Long): String =
+    shCte(3, recursive = true) +
+      s""", p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |   AND b.n_chars >= a.n_chars - $band AND b.n_chars <= a.n_chars + $band
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |        / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |        >= $threshold
+         |), e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION SELECT doc_b, doc_a FROM p
+         |), reach AS (
+         |  SELECT src AS doc_id, src AS r FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON reach.doc_id = e.dst
+         |), cl AS (
+         |  SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id
+         |)
+         |SELECT doc_id, cluster,
+         |       CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+         |FROM cl ORDER BY doc_id""".stripMargin
+
+  /** Benchmark decontamination: non-benchmark docs sharing ≥ 1 shingle
+    * with the benchmark subset (doc_id ≡ 0 mod 20), with the count of
+    * distinct contaminated shingles.
+    */
+  def decontaminateSql: String =
+    shCte(3) +
+      """
+        |, bench AS (
+        |  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0
+        |), cand AS (
+        |  SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 20 <> 0
+        |)
+        |SELECT cand.doc_id, count(*) AS n_contaminated
+        |FROM cand JOIN bench ON cand.g = bench.g
+        |GROUP BY cand.doc_id ORDER BY doc_id""".stripMargin
+
+  /** Deterministic md5 train/valid/test split, stratified counts. */
+  def splitCountsSql(seed: String): String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lang,
+       |         CAST(concat('0x', substr(md5('$seed' || CAST(doc_id AS VARCHAR)), 1, 4))
+       |              AS BIGINT) % 10 AS bucket
+       |  FROM documents
+       |)
+       |SELECT lang,
+       |       CASE WHEN bucket < 8 THEN 'train'
+       |            WHEN bucket = 8 THEN 'valid'
+       |            ELSE 'test' END AS split,
+       |       count(*) AS n
+       |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 
   def minhashLshSql(threshold: Double, k: Int = 12, r: Int = 3): String = {
     val sigCols = (0 until k).map(i =>

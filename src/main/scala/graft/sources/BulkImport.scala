@@ -32,6 +32,71 @@ object BulkImport {
     (clean, Ingest.rollup(clean, intervalMin))
   }
 
+  /** Arrival-chunked backfill — the importer's 10 M-row chunk loop
+    * (`importer.py:197-249`) re-expressed over the streaming store: the
+    * input is split into `nChunks` consecutive `seq` (arrival-order)
+    * ranges, and each chunk flows through the SAME gate + anchored
+    * rollup + batch-keyed write as a streaming micro-batch
+    * ([[graft.streaming.HtaStore.writeBatch]]).
+    *
+    * Why this exists (SURVEY §7 hard-part 3 / SCALE.md §2): the one-shot
+    * [[fromDataFrame]] path sanitizes with a per-metric window over the
+    * FULL history — a single-metric import of billions of rows
+    * serializes into one task. Here no operator ever sees more than one
+    * chunk: the per-metric running max of all previous chunks seeds each
+    * chunk's gate (one tiny broadcast), and the hold segment bridging a
+    * chunk boundary travels as an anchor row, exactly like the streaming
+    * batch boundary. The driver loop is over chunks (count =
+    * total/10 M at the importer's sizing), each a fully parallel job.
+    */
+  def chunkedBackfill(spark: SparkSession, points: DataFrame,
+                      store: graft.streaming.HtaStore, nChunks: Int,
+                      tag: String = "backfill"): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    require(nChunks > 0)
+    val bounds = points.agg(min(col("seq")).cast("long"), max(col("seq")).cast("long"))
+      .as[(Option[Long], Option[Long])].head()
+    val (lo, hi) = (bounds._1, bounds._2) match {
+      case (Some(a), Some(b)) => (a, b)
+      case _ => return // empty import
+    }
+    val step = math.max(1L, (hi - lo) / nChunks + 1)
+    // metric -> (max stored time, its value): the gate seed, carried
+    // across chunks exactly like streaming gate state across batches
+    var seed = Map.empty[String, (Long, Double)]
+    (0 until nChunks).foreach { i =>
+      val chunk = points.filter(
+        col("seq") >= lo + i * step && col("seq") < lo + (i + 1) * step)
+      val seedDf =
+        if (seed.isEmpty)
+          Seq.empty[(String, Long, Double)].toDF("metric", "seed_ts", "seed_v")
+        else seed.toSeq.map { case (m, (t, v)) => (m, t, v) }
+          .toDF("metric", "seed_ts", "seed_v")
+      // in-chunk monotonic gate, floored by the cross-chunk seed
+      // (greatest() ignores NULLs, so an unseeded metric degrades to the
+      // plain running max and a row with no predecessors passes)
+      val w = Window.partitionBy("metric").orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val kept = chunk
+        .filter(!isnan(col("value")))
+        .filter(abs(col("value")) =!= lit(Double.PositiveInfinity))
+        .join(broadcast(seedDf), Seq("metric"), "left")
+        .withColumn("max_prev", greatest(max(col("time")).over(w), col("seed_ts")))
+        .filter(col("max_prev").isNull || col("time") > col("max_prev"))
+        .select(col("metric"), col("time"), col("value"), lit(false).as("anchor"))
+      val anchors = seedDf.select(col("metric"), col("seed_ts").as("time"),
+        col("seed_v").as("value"), lit(true).as("anchor"))
+      store.writeBatch(spark, kept.unionByName(anchors), s"${tag}_$i")
+      val newMax = kept.groupBy("metric")
+        .agg(max("time").as("t"), max_by(col("value"), col("time")).as("v"))
+        .as[(String, Long, Double)].collect()
+      // kept rows all pass the gate, so a metric's new max is strictly
+      // above its old seed — overwrite unconditionally
+      seed = seed ++ newMax.map { case (m, t, v) => m -> (t, v) }
+    }
+  }
+
   /** Production wiring: partitioned JDBC scan → backfill. `chunkRows`
     * mirrors the importer's 10 M-row chunking via partition count on the
     * `time` column (predicate pushdown gives each task a range scan).

@@ -38,6 +38,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(d.agg(sum("group_size")).head.getLong(0) == docs.count())
   }
 
+  test("nearDupClusters matches a local union-find over the same edges") {
+    import spark.implicits._
+    val pairs = Dedup.jaccardPairs(docs, 0.5, 10).select("doc_a", "doc_b")
+    val edges = pairs.as[(Long, Long)].collect()
+    // local union-find reference
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = parent.keys.map(x => x -> find(x)).toMap
+    val got = Dedup.nearDupClusters(pairs)
+      .select("doc_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(got == expect)
+  }
+
+  test("splitAssign is deterministic and respects the 8/1/1 bucket rule") {
+    import spark.implicits._
+    val a1 = graft.operators.TextAnalysis.splitAssign(docs)
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val a2 = graft.operators.TextAnalysis.splitAssign(docs.repartition(7))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(a1.toSeq == a2.toSeq) // partition-layout invariant
+    val bySplit = a1.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "valid", "test"))
+    assert(bySplit("train") > bySplit("valid") && bySplit("train") > bySplit("test"))
+  }
+
   test("brute-force cosine top-k matches a local reference computation") {
     import spark.implicits._
     val got = Similarity.topKBrute(emb, Seq(0L), 5)

@@ -172,6 +172,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("chunked backfill equals one-shot batch rollup (gate + anchors across chunks)") {
+    val store = new HtaStore(mkTmp("hta-backfill"), H)
+    val all = (batch1 ++ batch2).toDS().toDF()
+      .select(col("metric"), col("time"), col("value"), col("seq"))
+    graft.sources.BulkImport.chunkedBackfill(spark, all, store, 3)
+    val expectRaw = batchReference.select("metric", "time", "value")
+      .as[(String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val gotRaw = store.raw(spark).select("metric", "time", "value")
+      .as[(String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(gotRaw.toSeq == expectRaw.toSeq)
+    val expectL0 = Ingest.rollup(batchReference, H)
+    val gotL0 = store.level0(spark)
+    assert(gotL0.exceptAll(expectL0).isEmpty && expectL0.exceptAll(gotL0).isEmpty)
+  }
+
   test("restart: gate seeds from the durable store, drops stale replays") {
     val root = mkTmp("hta-store2")
     val store = new HtaStore(root, H)
