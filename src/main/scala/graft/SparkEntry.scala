@@ -408,6 +408,11 @@ object SparkEntry {
     "x47_split_stratified" -> ((s, dir) =>
       TextAnalysis.splitCounts(Tables.read(s, dir, "documents"))
         .orderBy("lang", "split")),
+    // X1+X2+X4 composed: end-to-end corpus curation — quality gate,
+    // near-dup canonicalization, deterministic stratified split, one plan
+    "x48_corpus_curation" -> ((s, dir) =>
+      TextAnalysis.curate(Tables.read(s, dir, "documents"), 3.0)
+        .orderBy("lang", "split")),
     // TSDB analytics: per-metric rate of change (Prometheus rate/deriv)
     "q42_rate" -> ((s, dir) =>
       graft.operators.TimeSeriesOps.rate(sanitized(s, dir))
@@ -477,6 +482,7 @@ object SparkEntry {
     "x45_dedup_clusters" -> OracleSqlExt.dedupClustersSql(0.5, 10),
     "x46_decontaminate" -> OracleSqlExt.decontaminateSql,
     "x47_split_stratified" -> OracleSqlExt.splitCountsSql("graft"),
+    "x48_corpus_curation" -> OracleSqlExt.curateSql(3.0, 0.5, 10, "graft"),
     "q42_rate" -> OracleSql.rateSql,
     "q43_gapfill" -> OracleSql.gapFillSql(Q.Start, Q.End, 21600000000000L),
     "q44_downsample_ohlc" -> OracleSql.ohlcSql(21600000000000L),

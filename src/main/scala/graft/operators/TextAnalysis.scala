@@ -113,4 +113,31 @@ object TextAnalysis {
   def splitCounts(docs: DataFrame, seed: String = "graft"): DataFrame =
     splitAssign(docs, seed).groupBy("lang", "split")
       .agg(count(lit(1)).as("n"))
+
+  /** End-to-end corpus curation — the canonical training-data pipeline
+    * composed from this module's stages in one plan:
+    *  1. quality gate (`quality_score ≥ minScore`);
+    *  2. near-dup canonicalization: within each [[Dedup.nearDupClusters]]
+    *     cluster keep only the min-doc_id representative (an anti-join
+    *     against the non-canonical members — no row explosion);
+    *  3. deterministic stratified split ([[splitAssign]]).
+    * Returns per-(lang, split) counts plus total kept characters — the
+    * corpus report a curation run ends with.
+    */
+  def curate(docs: DataFrame, minScore: Double,
+             jaccardThreshold: Double = 0.5, band: Long = 10L,
+             seed: String = "graft"): DataFrame = {
+    val nonCanonical = Dedup.nearDupClusters(
+        Dedup.jaccardPairs(docs, jaccardThreshold, band).select("doc_a", "doc_b"))
+      .filter(col("doc_id") =!= col("cluster"))
+      .select("doc_id")
+    val kept = docs
+      .join(quality(docs).select(col("doc_id"), col("quality_score")), "doc_id")
+      .filter(col("quality_score") >= minScore)
+      .join(nonCanonical, Seq("doc_id"), "left_anti")
+    splitAssign(kept, seed)
+      .join(docs.select("doc_id", "n_chars"), "doc_id")
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_total"))
+  }
 }

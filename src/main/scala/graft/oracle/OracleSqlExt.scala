@@ -93,6 +93,54 @@ object OracleSqlExt {
         |FROM cand JOIN bench ON cand.g = bench.g
         |GROUP BY cand.doc_id ORDER BY doc_id""".stripMargin
 
+  /** End-to-end corpus curation (quality gate → near-dup
+    * canonicalization → stratified split) — mirrors
+    * `TextAnalysis.curate` stage for stage.
+    */
+  def curateSql(minScore: Double, threshold: Double, band: Long,
+                seed: String): String =
+    shCte(3, recursive = true) +
+      s""", p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |   AND b.n_chars >= a.n_chars - $band AND b.n_chars <= a.n_chars + $band
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |        / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |        >= $threshold
+         |), e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION SELECT doc_b, doc_a FROM p
+         |), reach AS (
+         |  SELECT src AS doc_id, src AS r FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON reach.doc_id = e.dst
+         |), cl AS (
+         |  SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id
+         |), u AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         CAST(len(toks2) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter(toks2, x -> x IN ('the', 'a'))) AS BIGINT) AS stop_cnt,
+         |         CAST(len(list_distinct(toks2)) AS BIGINT) AS distinct_cnt
+         |  FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks2
+         |        FROM documents)
+         |), kept AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         CAST(concat('0x', substr(md5('$seed' || CAST(doc_id AS VARCHAR)), 1, 4))
+         |              AS BIGINT) % 10 AS bucket
+         |  FROM u
+         |  WHERE sqrt(CAST(n_tokens AS DOUBLE))
+         |          * (1.0 - abs(CAST(stop_cnt AS DOUBLE)/CAST(n_tokens AS DOUBLE) - 0.1))
+         |          * (CAST(distinct_cnt AS DOUBLE)/CAST(n_tokens AS DOUBLE)) >= $minScore
+         |    AND doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster)
+         |)
+         |SELECT lang,
+         |       CASE WHEN bucket < 8 THEN 'train'
+         |            WHEN bucket = 8 THEN 'valid'
+         |            ELSE 'test' END AS split,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+         |FROM kept GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
   /** Deterministic md5 train/valid/test split, stratified counts. */
   def splitCountsSql(seed: String): String =
     s"""WITH b AS (

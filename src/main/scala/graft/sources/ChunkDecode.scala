@@ -49,6 +49,38 @@ object ChunkDecode {
           .as("seq"))
   }
 
+  /** Wire schema of a JSON-serialized DataChunk on a Kafka topic. */
+  val chunkWireSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "metric STRING, chunk_id BIGINT, time_delta ARRAY<BIGINT>, value ARRAY<DOUBLE>")
+
+  /** Kafka wire adapter (S1 production wiring): a Kafka source frame —
+    * `key`/`value` binary columns, as `spark.readStream.format("kafka")`
+    * produces — whose value payload is a JSON DataChunk, mapped to the
+    * chunk frame [[decode]] expects. Malformed payloads yield NULL
+    * metric rows and are dropped (counted upstream by the observe
+    * metrics, like NaN samples).
+    */
+  def fromKafkaPayload(kafka: DataFrame): DataFrame =
+    kafka
+      .select(from_json(col("value").cast("string"), chunkWireSchema).as("c"))
+      .select(col("c.metric").as("metric"), col("c.chunk_id").as("chunk_id"),
+        col("c.time_delta").as("time_delta"), col("c.value").as("value"))
+      .filter(col("metric").isNotNull)
+
+  /** Production source: subscribe to a Kafka topic of JSON DataChunks →
+    * streaming points ready for [[graft.streaming.StreamingIngest.start]].
+    * Untestable in this offline environment (no broker); the payload
+    * path is [[fromKafkaPayload]]∘[[decode]], both covered by tests.
+    */
+  def kafkaPoints(spark: org.apache.spark.sql.SparkSession,
+                  bootstrapServers: String, topic: String): DataFrame =
+    decode(fromKafkaPayload(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .load()))
+
   /** Inverse of [[decode]]: group points into per-metric chunks of
     * `chunkRows`, delta-encoding times within each chunk (first delta
     * absolute). Points are chunked in `seq` (arrival) order.

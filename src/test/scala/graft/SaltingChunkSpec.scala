@@ -25,6 +25,24 @@ class SaltingChunkSpec extends AnyFunSuite {
     assert(n1 > 5)
   }
 
+  test("kafka wire adapter: JSON payload round-trips through fromKafkaPayload") {
+    val chunks = ChunkDecode.encode(Tables.htaPoints(spark, sf), 100)
+    // fake the Kafka frame shape: binary key/value, value = JSON chunk
+    val kafkaShaped = chunks
+      .select(col("metric").cast("binary").as("key"),
+        to_json(struct(col("metric"), col("chunk_id"),
+          col("time_delta"), col("value"))).cast("binary").as("value"))
+      .withColumn("garbage", lit("{not json"))
+    val withNoise = kafkaShaped.select(col("key"), col("value"))
+      .unionByName(kafkaShaped.select(col("key"),
+        col("garbage").cast("binary").as("value")))
+    val decoded = ChunkDecode.decode(ChunkDecode.fromKafkaPayload(withNoise))
+      .select("metric", "time", "value")
+    val original = Tables.htaPoints(spark, sf).select("metric", "time", "value")
+    assert(decoded.exceptAll(original).isEmpty &&
+      original.exceptAll(decoded).isEmpty)
+  }
+
   test("chunk encode is a real delta encoding; decode inverts it") {
     val chunks = ChunkDecode.encode(Tables.htaPoints(spark, sf), 100).cache()
     // wire shape: bounded chunks, deltas small except the first-absolute
