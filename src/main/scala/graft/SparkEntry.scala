@@ -354,6 +354,39 @@ object SparkEntry {
           col("cnt"))
         .orderBy("user_id", "session_start_us")
     }),
+    // T3 streaming extension: the SAME session-window aggregation as q34
+    // through a real Structured Streaming query (3 micro-batches,
+    // complete mode, memory sink) — sessions merge across batches in the
+    // state store; the oracle is q34's gaps-and-islands SQL, so a match
+    // proves streaming session merge ≡ batch
+    "q49_streamed_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("CAST(ts AS LONG) div 1000").as("ts_us"))
+        .as[(Long, Long)].collect()
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)](ss)
+      val q = ms.toDS().toDF("user_id", "ts_us")
+        .withColumn("tstamp", timestamp_micros(col("ts_us")))
+        .groupBy(session_window(col("tstamp"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("cnt"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("graft_streamed_sessions")
+        .start()
+      ev.grouped(math.max(1, ev.length / 3 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      ss.table("graft_streamed_sessions")
+        .orderBy("user_id", "session_start_us")
+    }),
     // SQL text surface: the same ANSI string runs in spark.sql and DuckDB
     "q35_sql_tpch" -> ((s, dir) => {
       Seq("orders", "lineitem").foreach(t =>
@@ -494,6 +527,7 @@ object SparkEntry {
     "q33_sliding_window" -> OracleSqlExt.slidingWindowSql,
     "q34_session_window" -> OracleSqlExt.sessionWindowSql,
     "q35_sql_tpch" -> OracleSqlExt.verbatimTpchQ4Sql,
+    "q49_streamed_sessions" -> OracleSqlExt.sessionWindowSql,
     "x36_embedding_neardup" -> OracleSqlExt.cosineNearDupSql(0.4),
     "q37_range_extended" -> (OracleSql.ptsCte +
       s"""

@@ -83,36 +83,48 @@ class RollupSubstitutionRule(private[plans] val session: SparkSession)
       case Some(entry) =>
         plan.transformUp {
           case agg @ Aggregate(groups, results, child, _) =>
-            unwrap(child, entry).flatMap { case (g2, base) =>
+            unwrap(child, entry).flatMap { case (g2, base, filterOpt) =>
               val groupsI = groups.map(g2)
               val resultsI = results.map(r =>
                 g2(r) match { case ne: NamedExpression => ne; case e => Alias(e, r.name)(exprId = r.exprId) })
-              rewrite(groupsI, resultsI, base, entry)
+              rewrite(groupsI, resultsI, base, filterOpt.map(g2), entry)
             }.getOrElse(agg)
         }
     }
 
-  /** Accept the raw plan directly or under one Project (the optimizer's
-    * `PullOutGroupingExpressions` inserts one); returns a substitution
-    * inlining the projection's aliases, plus the base plan.
+  /** Accept the raw plan directly, under one Project (the optimizer's
+    * `PullOutGroupingExpressions` inserts one), and/or above one Filter
+    * (pushdown has already run when extraOptimizations fire, so a user
+    * WHERE sits directly on the scan). Returns a substitution inlining
+    * the projection's aliases, the base plan, and the filter condition
+    * (validated and mapped by [[rewrite]]).
     */
   private def unwrap(child: LogicalPlan, entry: RollupSubstitution.Entry)
-      : Option[(Expression => Expression, LogicalPlan)] =
-    child match {
-      case p: org.apache.spark.sql.catalyst.plans.logical.Project
-          if p.child.sameResult(entry.rawPlan) =>
-        val m = p.projectList.collect {
-          case a @ Alias(e, _) => a.exprId -> e
-        }.toMap
-        Some((e => e.transformUp {
-          case a: Attribute if m.contains(a.exprId) => m(a.exprId)
-        }, p.child))
-      case c if c.sameResult(entry.rawPlan) => Some((identity, c))
+      : Option[(Expression => Expression, LogicalPlan, Option[Expression])] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+    def base(c: LogicalPlan): Option[(LogicalPlan, Option[Expression])] = c match {
+      case Filter(cond, inner) if inner.sameResult(entry.rawPlan) =>
+        Some((inner, Some(cond)))
+      case c if c.sameResult(entry.rawPlan) => Some((c, None))
       case _ => None
     }
+    child match {
+      case p: Project =>
+        base(p.child).map { case (b, f) =>
+          val m = p.projectList.collect {
+            case a @ Alias(e, _) => a.exprId -> e
+          }.toMap
+          (e => e.transformUp {
+            case a: Attribute if m.contains(a.exprId) => m(a.exprId)
+          }, b, f)
+        }
+      case c => base(c).map { case (b, f) => (identity[Expression] _, b, f) }
+    }
+  }
 
   private def rewrite(groups: Seq[Expression],
                       results: Seq[NamedExpression], child: LogicalPlan,
+                      filterOpt: Option[Expression],
                       entry: RollupSubstitution.Entry): Option[LogicalPlan] = {
     def childAttr(name: String): Option[Attribute] =
       child.output.find(_.name == name)
@@ -182,11 +194,50 @@ class RollupSubstitutionRule(private[plans] val session: SparkSession)
       case _ => return None
     }
 
+    // A WHERE on the scan is derivable when every conjunct selects whole
+    // level buckets: time bounds aligned to the LEVEL interval (>= L /
+    // < U with L, U ≡ 0 mod interval₀ cut exactly between buckets — the
+    // filtered raw row set equals the row set under the mapped bucket
+    // filter, so even groups the coarser grouping only partially covers
+    // agree), and predicates over the metric attribute alone (they
+    // depend only on the group key, so filtering merged buckets equals
+    // filtering raw rows). Anything else declines the rewrite.
+    def mapPredicate(e: Expression): Option[Expression] = e match {
+      case And(l, r) =>
+        for { a <- mapPredicate(l); b <- mapPredicate(r) } yield And(a, b)
+      // inferred null guard: a NULL-time row could only contribute to
+      // the NULL bucket, so the two filters exclude identical content
+      case IsNotNull(t: Attribute) if t.exprId == timeAttr.exprId =>
+        Some(IsNotNull(lvlBucket))
+      case GreaterThanOrEqual(t: Attribute, l @ Literal(v: Long, _))
+          if t.exprId == timeAttr.exprId && v % entry.intervalNs == 0 =>
+        Some(GreaterThanOrEqual(lvlBucket, l))
+      case LessThan(t: Attribute, l @ Literal(v: Long, _))
+          if t.exprId == timeAttr.exprId && v % entry.intervalNs == 0 =>
+        Some(LessThan(lvlBucket, l))
+      case p if p.references.nonEmpty &&
+          p.references.forall(_.exprId == metricAttr.exprId) &&
+          p.deterministic =>
+        Some(p.transformUp {
+          case a: Attribute if a.exprId == metricAttr.exprId => lvlMetric
+        })
+      case _ => None
+    }
+    val mappedFilter = filterOpt match {
+      case None => Some(None)
+      case Some(cond) => mapPredicate(cond).map(Some(_))
+    }
+    val mapped = mappedFilter match {
+      case Some(f) => f
+      case None => return None
+    }
+
     val newGroups = Seq[Expression](lvlMetric, newBucketExpr)
     // segment-only buckets (cnt = 0) carry no points — a raw point
     // aggregation would not produce their groups, so exclude them
+    val baseCond = GreaterThan(lvlAttr("cnt"), Literal(0L))
     val levelRows = org.apache.spark.sql.catalyst.plans.logical.Filter(
-      GreaterThan(lvlAttr("cnt"), Literal(0L)), entry.levelPlan)
+      mapped.map(And(baseCond, _)).getOrElse(baseCond), entry.levelPlan)
     Some(Aggregate(newGroups, newResults, levelRows))
   }
 }

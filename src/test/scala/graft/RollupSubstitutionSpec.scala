@@ -68,6 +68,38 @@ class RollupSubstitutionSpec extends AnyFunSuite {
     } finally RollupSubstitution.uninstall(spark)
   }
 
+  test("bucket-aligned range + metric predicates rewrite; unaligned decline") {
+    RollupSubstitution.install(spark, raw, level0, H)
+    try {
+      val lo = 1704412800000000000L // multiples of H (1 h)
+      val hi = 1705708800000000000L
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("metric"),
+            (col("time") - col("time") % (10 * H)).as("bucket"))
+          .agg(min("value").as("mn"), count(lit(1)).as("cnt"))
+      // aligned range + metric filter: must fire AND match the raw result
+      val q = agg(raw.filter(col("time") >= lo && col("time") < hi &&
+        col("metric") =!= "login"))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("min_v") && optimized.contains("bucket_start"),
+        s"filtered rewrite did not fire:\n$optimized")
+      val got = q.as[(String, Long, Double, Long)].collect().sortBy(r => (r._1, r._2))
+      RollupSubstitution.uninstall(spark)
+      val expect = agg(raw.filter(col("time") >= lo && col("time") < hi &&
+        col("metric") =!= "login"))
+        .as[(String, Long, Double, Long)].collect().sortBy(r => (r._1, r._2))
+      assert(got.toSeq == expect.toSeq)
+      assert(got.nonEmpty)
+
+      // unaligned bound or value predicate: no rewrite, still correct
+      RollupSubstitution.install(spark, raw, level0, H)
+      val qUnaligned = agg(raw.filter(col("time") >= lo + 1))
+      assert(!qUnaligned.queryExecution.optimizedPlan.toString.contains("min_v"))
+      val qValue = agg(raw.filter(col("value") > 0))
+      assert(!qValue.queryExecution.optimizedPlan.toString.contains("min_v"))
+    } finally RollupSubstitution.uninstall(spark)
+  }
+
   test("non-derivable or misaligned aggregates are left untouched") {
     RollupSubstitution.install(spark, raw, level0, H)
     try {
