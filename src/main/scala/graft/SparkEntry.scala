@@ -387,6 +387,43 @@ object SparkEntry {
       ss.table("graft_streamed_sessions")
         .orderBy("user_id", "session_start_us")
     }),
+    // T2/T3 streaming extension: the q32 tumbling aggregation through a
+    // WATERMARKED append-mode streaming query — windows are emitted only
+    // once the 1 h watermark passes them (a far-future sentinel closes
+    // the tail); the oracle is q32's batch SQL, proving append-mode
+    // finalization emits every window exactly once with exact sums
+    "q50_streamed_tumbling_append" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), expr("CAST(ts AS LONG) div 1000").as("ts_us"),
+          round(col("value") * 100).cast("long").as("value_c"))
+        .as[(String, Long, Long)].collect().sortBy(_._2) // ascending event time
+      val sentinelUs = ev.map(_._2).max + 30L * 86400000000L // +30 d
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long, Long)](ss)
+      val q = ms.toDS().toDF("event_type", "ts_us", "value_c")
+        .withColumn("tstamp", timestamp_micros(col("ts_us")))
+        .withWatermark("tstamp", "1 hour")
+        .groupBy(window(col("tstamp"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum("value_c").as("sum_c"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("cnt"),
+          (col("sum_c").cast("double") / 100.0).as("sum_v"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("graft_streamed_tumbling")
+        .start()
+      (ev.grouped(math.max(1, ev.length / 3 + 1)).map(_.toSeq).toSeq :+
+        Seq(("__sentinel__", sentinelUs, 0L))).foreach { chunk =>
+        ms.addData(chunk)
+        q.processAllAvailable()
+      }
+      q.stop()
+      ss.table("graft_streamed_tumbling")
+        .filter(col("event_type") =!= "__sentinel__")
+        .orderBy("win_start_us", "event_type")
+    }),
     // SQL text surface: the same ANSI string runs in spark.sql and DuckDB
     "q35_sql_tpch" -> ((s, dir) => {
       Seq("orders", "lineitem").foreach(t =>
@@ -528,6 +565,11 @@ object SparkEntry {
     "q34_session_window" -> OracleSqlExt.sessionWindowSql,
     "q35_sql_tpch" -> OracleSqlExt.verbatimTpchQ4Sql,
     "q49_streamed_sessions" -> OracleSqlExt.sessionWindowSql,
+    "q50_streamed_tumbling_append" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '6 hours', ts)) AS win_start_us,
+        |       event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_v
+        |FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin,
     "x36_embedding_neardup" -> OracleSqlExt.cosineNearDupSql(0.4),
     "q37_range_extended" -> (OracleSql.ptsCte +
       s"""
