@@ -556,20 +556,12 @@ object SparkEntry {
     "q42_rate" -> OracleSql.rateSql,
     "q43_gapfill" -> OracleSql.gapFillSql(Q.Start, Q.End, 21600000000000L),
     "q44_downsample_ohlc" -> OracleSql.ohlcSql(21600000000000L),
-    "q32_tumbling_window" ->
-      """SELECT epoch_us(time_bucket(INTERVAL '6 hours', ts)) AS win_start_us,
-        |       event_type, count(*) AS cnt,
-        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_v
-        |FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin,
+    "q32_tumbling_window" -> OracleSqlExt.tumblingWindowSql,
     "q33_sliding_window" -> OracleSqlExt.slidingWindowSql,
     "q34_session_window" -> OracleSqlExt.sessionWindowSql,
     "q35_sql_tpch" -> OracleSqlExt.verbatimTpchQ4Sql,
     "q49_streamed_sessions" -> OracleSqlExt.sessionWindowSql,
-    "q50_streamed_tumbling_append" ->
-      """SELECT epoch_us(time_bucket(INTERVAL '6 hours', ts)) AS win_start_us,
-        |       event_type, count(*) AS cnt,
-        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_v
-        |FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin,
+    "q50_streamed_tumbling_append" -> OracleSqlExt.tumblingWindowSql,
     "x36_embedding_neardup" -> OracleSqlExt.cosineNearDupSql(0.4),
     "q37_range_extended" -> (OracleSql.ptsCte +
       s"""

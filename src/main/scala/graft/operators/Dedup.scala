@@ -172,8 +172,11 @@ object Dedup {
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = fwd.unionByName(
       fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct().cache()
+    // localCheckpoint per round: materializes the full label set (an
+    // isEmpty convergence probe alone would leave partitions lazy) and
+    // truncates the join lineage, so round N never replans rounds 1..N-1
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id")).cache()
+      .withColumn("cluster", col("doc_id")).localCheckpoint(true)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -184,14 +187,19 @@ object Dedup {
       val updated = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .cache()
+        .localCheckpoint(true)
       converged = updated.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
         .filter(col("cluster") =!= col("old")).isEmpty
-      labels.unpersist()
       labels = updated
       it += 1
     }
     edges.unpersist()
+    // a silent non-fixpoint would return wrong clusters that downstream
+    // dedup acts on — fail loudly instead (pathological chain graphs
+    // need a larger maxIter or the alternating-star variant)
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge within $maxIter rounds")
     labels.withColumn("cluster_size",
       count(lit(1)).over(Window.partitionBy("cluster")))
   }

@@ -102,9 +102,11 @@ object TextAnalysis {
     val bucket = conv(
       substring(md5(concat(lit(seed), col("doc_id").cast("string"))), 1, 4),
       16, 10).cast("long") % 10
-    docs.select(col("doc_id"), col("lang"),
+    // pass-through: downstream stages keep their columns without
+    // re-joining the corpus
+    docs.withColumn("split",
       when(bucket < 8, "train").when(bucket === 8, "valid")
-        .otherwise("test").as("split"))
+        .otherwise("test"))
   }
 
   /** Stratified view of [[splitAssign]]: per-(lang, split) counts —
@@ -136,7 +138,6 @@ object TextAnalysis {
       .filter(col("quality_score") >= minScore)
       .join(nonCanonical, Seq("doc_id"), "left_anti")
     splitAssign(kept, seed)
-      .join(docs.select("doc_id", "n_chars"), "doc_id")
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_total"))
   }

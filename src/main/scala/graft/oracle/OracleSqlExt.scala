@@ -49,33 +49,50 @@ object OracleSqlExt {
          |FROM p WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= $threshold
          |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Shared connected-components closure over banded Jaccard pairs:
+    * appends CTEs `p` (pairs), `e` (undirected edges), `reach`
+    * (recursive transitive closure), `cl` (doc_id → min reachable id).
+    * Requires [[shCte]] with `recursive = true` in front.
+    */
+  private def closureCte(threshold: Double, band: Long): String =
+    s""", p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |   AND b.n_chars >= a.n_chars - $band AND b.n_chars <= a.n_chars + $band
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |        / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |        >= $threshold
+       |), e AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION SELECT doc_b, doc_a FROM p
+       |), reach AS (
+       |  SELECT src AS doc_id, src AS r FROM e
+       |  UNION
+       |  SELECT e.src, reach.r FROM e JOIN reach ON reach.doc_id = e.dst
+       |), cl AS (
+       |  SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id
+       |)""".stripMargin
+
+  /** The quality-score expression over CTE columns n_tokens / stop_cnt /
+    * distinct_cnt — single source for x26 and x48 (and mirrors
+    * `TextAnalysis.quality` op for op).
+    */
+  private val qualityScoreExpr: String =
+    """sqrt(CAST(n_tokens AS DOUBLE))
+      |         * (1.0 - abs(CAST(stop_cnt AS DOUBLE)/CAST(n_tokens AS DOUBLE) - 0.1))
+      |         * (CAST(distinct_cnt AS DOUBLE)/CAST(n_tokens AS DOUBLE))""".stripMargin
+
   /** Connected components over the Jaccard near-dup pairs: the oracle
     * computes the transitive closure with a recursive CTE and takes the
     * min reachable doc_id — a match proves the Spark side's iterative
     * min-label propagation reached the true fixpoint.
     */
   def dedupClustersSql(threshold: Double, band: Long): String =
-    shCte(3, recursive = true) +
-      s""", p AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |   AND b.n_chars >= a.n_chars - $band AND b.n_chars <= a.n_chars + $band
-         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |        / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |        >= $threshold
-         |), e AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM p
-         |  UNION SELECT doc_b, doc_a FROM p
-         |), reach AS (
-         |  SELECT src AS doc_id, src AS r FROM e
-         |  UNION
-         |  SELECT e.src, reach.r FROM e JOIN reach ON reach.doc_id = e.dst
-         |), cl AS (
-         |  SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id
-         |)
-         |SELECT doc_id, cluster,
-         |       CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
-         |FROM cl ORDER BY doc_id""".stripMargin
+    shCte(3, recursive = true) + closureCte(threshold, band) +
+      """
+        |SELECT doc_id, cluster,
+        |       CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+        |FROM cl ORDER BY doc_id""".stripMargin
 
   /** Benchmark decontamination: non-benchmark docs sharing ≥ 1 shingle
     * with the benchmark subset (doc_id ≡ 0 mod 20), with the count of
@@ -99,24 +116,8 @@ object OracleSqlExt {
     */
   def curateSql(minScore: Double, threshold: Double, band: Long,
                 seed: String): String =
-    shCte(3, recursive = true) +
-      s""", p AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |   AND b.n_chars >= a.n_chars - $band AND b.n_chars <= a.n_chars + $band
-         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |        / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |        >= $threshold
-         |), e AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM p
-         |  UNION SELECT doc_b, doc_a FROM p
-         |), reach AS (
-         |  SELECT src AS doc_id, src AS r FROM e
-         |  UNION
-         |  SELECT e.src, reach.r FROM e JOIN reach ON reach.doc_id = e.dst
-         |), cl AS (
-         |  SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id
-         |), u AS (
+    shCte(3, recursive = true) + closureCte(threshold, band) +
+      s""", u AS (
          |  SELECT doc_id, lang, n_chars,
          |         CAST(len(toks2) AS BIGINT) AS n_tokens,
          |         CAST(len(list_filter(toks2, x -> x IN ('the', 'a'))) AS BIGINT) AS stop_cnt,
@@ -128,9 +129,7 @@ object OracleSqlExt {
          |         CAST(concat('0x', substr(md5('$seed' || CAST(doc_id AS VARCHAR)), 1, 4))
          |              AS BIGINT) % 10 AS bucket
          |  FROM u
-         |  WHERE sqrt(CAST(n_tokens AS DOUBLE))
-         |          * (1.0 - abs(CAST(stop_cnt AS DOUBLE)/CAST(n_tokens AS DOUBLE) - 0.1))
-         |          * (CAST(distinct_cnt AS DOUBLE)/CAST(n_tokens AS DOUBLE)) >= $minScore
+         |  WHERE $qualityScoreExpr >= $minScore
          |    AND doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster)
          |)
          |SELECT lang,
@@ -279,6 +278,16 @@ object OracleSqlExt {
          |SELECT vec_a, vec_b, cosine FROM pc WHERE cosine >= $threshold
          |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Shared by q32 (batch window fn) and q50 (watermarked append-mode
+    * streaming) — the character-identical oracle IS the equivalence
+    * claim between the two execution modes.
+    */
+  val tumblingWindowSql: String =
+    """SELECT epoch_us(time_bucket(INTERVAL '6 hours', ts)) AS win_start_us,
+      |       event_type, count(*) AS cnt,
+      |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_v
+      |FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin
+
   def slidingWindowSql: String =
     """WITH pts AS (
       |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS value_c,
@@ -323,7 +332,7 @@ object OracleSqlExt {
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   def textQualitySql: String =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks
       |  FROM documents
       |), u AS (
@@ -337,9 +346,7 @@ object OracleSqlExt {
       |       CAST(n_chars - (n_tokens - 1) AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS avg_token_len,
       |       CAST(stop_cnt AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stopword_ratio,
       |       CAST(distinct_cnt AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS ttr,
-      |       sqrt(CAST(n_tokens AS DOUBLE))
-      |         * (1.0 - abs(CAST(stop_cnt AS DOUBLE)/CAST(n_tokens AS DOUBLE) - 0.1))
-      |         * (CAST(distinct_cnt AS DOUBLE)/CAST(n_tokens AS DOUBLE)) AS quality_score
+      |       $qualityScoreExpr AS quality_score
       |FROM u ORDER BY doc_id""".stripMargin
 
   def langIdSql: String = {

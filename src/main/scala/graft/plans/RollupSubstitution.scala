@@ -209,11 +209,16 @@ class RollupSubstitutionRule(private[plans] val session: SparkSession)
       // the NULL bucket, so the two filters exclude identical content
       case IsNotNull(t: Attribute) if t.exprId == timeAttr.exprId =>
         Some(IsNotNull(lvlBucket))
+      // bounds must be strictly positive: `time - time % I` truncates
+      // toward zero, so bucket 0 spans (-I, +I) and a cut at or below 0
+      // is NOT a bucket boundary for pre-epoch timestamps — a t = -1 row
+      // shares bucket 0 with [0, I) rows and would leak through the
+      // mapped filter
       case GreaterThanOrEqual(t: Attribute, l @ Literal(v: Long, _))
-          if t.exprId == timeAttr.exprId && v % entry.intervalNs == 0 =>
+          if t.exprId == timeAttr.exprId && v > 0 && v % entry.intervalNs == 0 =>
         Some(GreaterThanOrEqual(lvlBucket, l))
       case LessThan(t: Attribute, l @ Literal(v: Long, _))
-          if t.exprId == timeAttr.exprId && v % entry.intervalNs == 0 =>
+          if t.exprId == timeAttr.exprId && v > 0 && v % entry.intervalNs == 0 =>
         Some(LessThan(lvlBucket, l))
       case p if p.references.nonEmpty &&
           p.references.forall(_.exprId == metricAttr.exprId) &&

@@ -68,11 +68,8 @@ object BulkImport {
     (0 until nChunks).foreach { i =>
       val chunk = points.filter(
         col("seq") >= lo + i * step && col("seq") < lo + (i + 1) * step)
-      val seedDf =
-        if (seed.isEmpty)
-          Seq.empty[(String, Long, Double)].toDF("metric", "seed_ts", "seed_v")
-        else seed.toSeq.map { case (m, (t, v)) => (m, t, v) }
-          .toDF("metric", "seed_ts", "seed_v")
+      val seedDf = seed.toSeq.map { case (m, (t, v)) => (m, t, v) }
+        .toDF("metric", "seed_ts", "seed_v")
       // in-chunk monotonic gate, floored by the cross-chunk seed
       // (greatest() ignores NULLs, so an unseeded metric degrades to the
       // plain running max and a row with no predecessors passes)
@@ -87,13 +84,18 @@ object BulkImport {
         .select(col("metric"), col("time"), col("value"), lit(false).as("anchor"))
       val anchors = seedDf.select(col("metric"), col("seed_ts").as("time"),
         col("seed_v").as("value"), lit(true).as("anchor"))
-      store.writeBatch(spark, kept.unionByName(anchors), s"${tag}_$i")
-      val newMax = kept.groupBy("metric")
-        .agg(max("time").as("t"), max_by(col("value"), col("time")).as("v"))
-        .as[(String, Long, Double)].collect()
-      // kept rows all pass the gate, so a metric's new max is strictly
-      // above its old seed — overwrite unconditionally
-      seed = seed ++ newMax.map { case (m, t, v) => m -> (t, v) }
+      // cache across the two actions (writeBatch + seed collect) — the
+      // gate window would otherwise run twice per chunk
+      val keptC = kept.cache()
+      try {
+        store.writeBatch(spark, keptC.unionByName(anchors), s"${tag}_$i")
+        val newMax = keptC.groupBy("metric")
+          .agg(max("time").as("t"), max_by(col("value"), col("time")).as("v"))
+          .as[(String, Long, Double)].collect()
+        // kept rows all pass the gate, so a metric's new max is strictly
+        // above its old seed — overwrite unconditionally
+        seed = seed ++ newMax.map { case (m, t, v) => m -> (t, v) }
+      } finally keptC.unpersist()
     }
   }
 

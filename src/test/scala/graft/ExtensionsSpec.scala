@@ -60,10 +60,12 @@ class ExtensionsSpec extends AnyFunSuite {
 
   test("splitAssign is deterministic and respects the 8/1/1 bucket rule") {
     import spark.implicits._
-    val a1 = graft.operators.TextAnalysis.splitAssign(docs)
-      .as[(Long, String, String)].collect().sortBy(_._1)
-    val a2 = graft.operators.TextAnalysis.splitAssign(docs.repartition(7))
-      .as[(Long, String, String)].collect().sortBy(_._1)
+    def assign(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.splitAssign(d)
+        .select("doc_id", "lang", "split")
+        .as[(Long, String, String)].collect().sortBy(_._1)
+    val a1 = assign(docs)
+    val a2 = assign(docs.repartition(7))
     assert(a1.toSeq == a2.toSeq) // partition-layout invariant
     val bySplit = a1.groupBy(_._3).view.mapValues(_.length).toMap
     assert(bySplit.keySet == Set("train", "valid", "test"))
