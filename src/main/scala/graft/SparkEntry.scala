@@ -497,6 +497,15 @@ object SparkEntry {
     "q44_downsample_ohlc" -> ((s, dir) =>
       graft.operators.TimeSeriesOps.downsampleOhlc(sanitized(s, dir),
         21600000000000L).orderBy("metric", "bucket_start")),
+    // J3: multi-metric timeline alignment — two metrics' level buckets
+    // equi-joined on bucket_start into comparable columns
+    "q51_metric_align" -> ((s, dir) =>
+      graft.operators.TimeSeriesOps.alignMetrics(level0(s, dir), "click", "view")
+        .orderBy("bucket_start")),
+    // cross-metric Pearson correlation from exact integer moments (no
+    // float corr() reduction — deterministic at any parallelism)
+    "q52_metric_corr" -> ((s, dir) =>
+      graft.operators.TimeSeriesOps.corrMetrics(level0(s, dir), "click", "view")),
     // J3 range join via bucketing: clicks within the hour preceding each
     // purchase — equi-join on (user, bucket) instead of a nested loop
     "q40_range_join" -> ((s, dir) => {
@@ -554,6 +563,8 @@ object SparkEntry {
     "x47_split_stratified" -> OracleSqlExt.splitCountsSql("graft"),
     "x48_corpus_curation" -> OracleSqlExt.curateSql(3.0, 0.5, 10, "graft"),
     "q42_rate" -> OracleSql.rateSql,
+    "q51_metric_align" -> OracleSql.alignMetricsSql(Q.IntervalMin, "click", "view"),
+    "q52_metric_corr" -> OracleSql.corrMetricsSql(Q.IntervalMin, "click", "view"),
     "q43_gapfill" -> OracleSql.gapFillSql(Q.Start, Q.End, 21600000000000L),
     "q44_downsample_ohlc" -> OracleSql.ohlcSql(21600000000000L),
     "q32_tumbling_window" -> OracleSqlExt.tumblingWindowSql,

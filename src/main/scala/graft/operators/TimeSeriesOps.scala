@@ -66,6 +66,50 @@ object TimeSeriesOps {
       .select(col("metric"), col("t").as("grid_time"), col("filled").as("value"))
   }
 
+  /** Multi-metric timeline alignment (SURVEY §2.5 J3): two metrics'
+    * level buckets equi-joined on `bucket_start` — the time-bucket
+    * alignment join that turns per-metric timelines into comparable
+    * columns. Input is the internal exact level schema
+    * ([[Ingest.rollup]]); only point-bearing buckets align (cnt > 0).
+    * At scale both sides prune to one metric partition and the join is
+    * a shuffle on bucket_start — never a cross product.
+    */
+  def alignMetrics(level: DataFrame, metricA: String, metricB: String): DataFrame = {
+    def side(m: String, tag: String) = level
+      .filter(col("metric") === m && col("cnt") > 0)
+      .select(col("bucket_start"),
+        (col("sum_c").cast("double") / 100.0).as(s"sum_$tag"),
+        col("cnt").as(s"cnt_$tag"))
+    side(metricA, "a").join(side(metricB, "b"), "bucket_start")
+  }
+
+  /** Pearson correlation of two metrics' aligned per-bucket sums,
+    * computed from exact integer moments: the five sums (Σx, Σy, Σxy,
+    * Σx², Σy²) ride int64 centivalue products (bounds: |sum_c| ≤ ~1e6
+    * per bucket ⇒ Σxy ≤ 1e12·buckets, far under 2^63), and the final
+    * r = (nΣxy − ΣxΣy) / (√(nΣx²−Σx²)·√(nΣy²−Σy²)) is a fixed sequence
+    * of IEEE ops — deterministic at any parallelism, unlike a float
+    * `corr()` reduction.
+    */
+  def corrMetrics(level: DataFrame, metricA: String, metricB: String): DataFrame = {
+    // stay in the exact centivalue domain end to end — a round-trip
+    // through the presentation doubles could truncate on the cast back
+    def side(m: String, tag: String) = level
+      .filter(col("metric") === m && col("cnt") > 0)
+      .select(col("bucket_start"), col("sum_c").as(tag))
+    val aligned = side(metricA, "x").join(side(metricB, "y"), "bucket_start")
+    aligned.agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("corr_r"))
+  }
+
   /** OHLC downsample: per (metric, epoch-aligned bucket) the first /
     * max / min / last sample values and the count — the candlestick
     * shape. Order-independent aggregates only (`min_by`/`max_by` ties

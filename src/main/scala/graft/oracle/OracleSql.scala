@@ -329,6 +329,48 @@ object OracleSql {
          |FROM pts GROUP BY 1, 2
          |ORDER BY metric, bucket_start""".stripMargin
 
+  /** Multi-metric bucket alignment — mirror of
+    * `TimeSeriesOps.alignMetrics` over the exact-domain rollup.
+    */
+  def alignMetricsSql(i: Long, metricA: String, metricB: String): String =
+    ptsCte + levelCte(i) +
+      s"""
+         |SELECT a.bucket_start,
+         |       CAST(a.sum_c AS DOUBLE)/100.0 AS sum_a,
+         |       CAST(a.cnt AS BIGINT) AS cnt_a,
+         |       CAST(b.sum_c AS DOUBLE)/100.0 AS sum_b,
+         |       CAST(b.cnt AS BIGINT) AS cnt_b
+         |FROM lvl a JOIN lvl b ON a.bucket_start = b.bucket_start
+         |WHERE a.metric = '$metricA' AND b.metric = '$metricB'
+         |  AND a.cnt > 0 AND b.cnt > 0
+         |ORDER BY a.bucket_start""".stripMargin
+
+  /** Pearson correlation from exact integer moments — mirror of
+    * `TimeSeriesOps.corrMetrics` (same five int64 sums, same final
+    * IEEE op sequence).
+    */
+  def corrMetricsSql(i: Long, metricA: String, metricB: String): String =
+    ptsCte + levelCte(i) +
+      s"""
+         |, al AS (
+         |  SELECT a.sum_c AS x, b.sum_c AS y
+         |  FROM lvl a JOIN lvl b ON a.bucket_start = b.bucket_start
+         |  WHERE a.metric = '$metricA' AND b.metric = '$metricB'
+         |    AND a.cnt > 0 AND b.cnt > 0
+         |), m AS (
+         |  SELECT count(*) AS n,
+         |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |         CAST(sum(x*y) AS BIGINT) AS sxy,
+         |         CAST(sum(x*x) AS BIGINT) AS sxx,
+         |         CAST(sum(y*y) AS BIGINT) AS syy
+         |  FROM al
+         |)
+         |SELECT n,
+         |       CAST(n*sxy - sx*sy AS DOUBLE)
+         |         / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+         |            * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_r
+         |FROM m""".stripMargin
+
   def topKSql: String =
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
