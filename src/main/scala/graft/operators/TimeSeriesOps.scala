@@ -103,11 +103,16 @@ object TimeSeriesOps {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
-      .select(col("n"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
-          .as("corr_r"))
+      .select(col("n"), {
+        val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        val den =
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+        // zero variance on either side → undefined correlation → NULL
+        // (explicit: ANSI mode would otherwise raise DIVIDE_BY_ZERO)
+        when(den === 0.0, lit(null).cast("double"))
+          .otherwise(num / den).as("corr_r")
+      })
   }
 
   /** OHLC downsample: per (metric, epoch-aligned bucket) the first /

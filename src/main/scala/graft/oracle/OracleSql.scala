@@ -366,9 +366,11 @@ object OracleSql {
          |  FROM al
          |)
          |SELECT n,
-         |       CAST(n*sxy - sx*sy AS DOUBLE)
-         |         / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
-         |            * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_r
+         |       CASE WHEN sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+         |                 * sqrt(CAST(n*syy - sy*sy AS DOUBLE)) = 0 THEN NULL
+         |            ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+         |                 / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+         |                    * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END AS corr_r
          |FROM m""".stripMargin
 
   def topKSql: String =

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.{Ingest, TimeSeriesOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TSDB analytics extensions: hand-computed fixtures for rate, LOCF
+  * gap-fill, OHLC downsampling, alignment, and exact-moment correlation.
+  */
+class TimeSeriesOpsSpec extends AnyFunSuite {
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val M = 60000000000L // 1 min in ns
+  private val T0 = 1704067200000000000L
+
+  // (metric, time, value, seq) — two metrics, µs-aligned times
+  private def pts = Seq(
+    ("a", T0, 10.0, 1L),
+    ("a", T0 + 10 * M, 16.0, 2L),
+    ("a", T0 + 30 * M, 4.0, 3L),
+    ("b", T0 + 5 * M, 2.0, 4L),
+    ("b", T0 + 15 * M, 3.0, 5L)
+  ).toDF("metric", "time", "value", "seq")
+
+  test("rate: dv/dt per consecutive pair, value per second") {
+    val got = TimeSeriesOps.rate(pts).orderBy("metric", "time")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", T0 + 10 * M, 6.0 / 600.0),   // +6 over 10 min
+      ("a", T0 + 30 * M, -12.0 / 1200.0),
+      ("b", T0 + 15 * M, 1.0 / 600.0)))
+  }
+
+  test("gapFill: LOCF on the grid, NULL before first sample, exact-hit visible") {
+    val got = TimeSeriesOps.gapFill(pts, T0, T0 + 30 * M, 15 * M)
+      .orderBy("metric", "grid_time")
+      .as[(String, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      ("a", T0, Some(10.0)),            // sample exactly at grid instant
+      ("a", T0 + 15 * M, Some(16.0)),   // carried from t+10
+      ("a", T0 + 30 * M, Some(4.0)),    // sample at instant wins over carry
+      ("b", T0, None),                  // before first sample
+      ("b", T0 + 15 * M, Some(3.0)),
+      ("b", T0 + 30 * M, Some(3.0))))
+  }
+
+  test("downsampleOhlc: open/high/low/close per bucket") {
+    val got = TimeSeriesOps.downsampleOhlc(pts, 20 * M)
+      .orderBy("metric", "bucket_start")
+      .as[(String, Long, Double, Double, Double, Double, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", T0, 10.0, 16.0, 10.0, 16.0, 2L),
+      ("a", T0 + 20 * M, 4.0, 4.0, 4.0, 4.0, 1L),
+      ("b", T0, 2.0, 3.0, 2.0, 3.0, 2L)))
+  }
+
+  test("alignMetrics + corrMetrics against hand-computed moments") {
+    val level = Ingest.rollup(Ingest.sanitize(pts), 20 * M)
+    val aligned = TimeSeriesOps.alignMetrics(level, "a", "b")
+      .orderBy("bucket_start")
+      .as[(Long, Double, Long, Double, Long)].collect().toSeq
+    // only bucket T0 has points for both metrics (a: 10+16, b: 2+3)
+    assert(aligned == Seq((T0, 26.0, 2L, 5.0, 2L)))
+    // single aligned bucket → zero variance → NULL correlation
+    val r = TimeSeriesOps.corrMetrics(level, "a", "b")
+      .as[(Long, Option[Double])].head()
+    assert(r == ((1L, None)))
+  }
+
+  test("corrMetrics is ±1 on perfectly correlated bucket sums") {
+    val perfect = Seq(
+      ("x", T0 + 1 * M, 1.0, 1L), ("y", T0 + 2 * M, 2.0, 2L),
+      ("x", T0 + 21 * M, 2.0, 3L), ("y", T0 + 22 * M, 4.0, 4L),
+      ("x", T0 + 41 * M, 3.0, 5L), ("y", T0 + 42 * M, 6.0, 6L)
+    ).toDF("metric", "time", "value", "seq")
+    val level = Ingest.rollup(Ingest.sanitize(perfect), 20 * M)
+    val r = TimeSeriesOps.corrMetrics(level, "x", "y").as[(Long, Double)].head()
+    assert(r._1 == 3L && math.abs(r._2 - 1.0) < 1e-12)
+  }
+}
