@@ -217,6 +217,18 @@ object SparkEntry {
         .select("gid", "l_returnflag", "l_linestatus", "sum_qty", "n_parts", "cnt")
         .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
+    // A9: CUBE grouping sets (all 4 combinations) with exact-domain sums
+    "q53_cube" -> ((s, dir) =>
+      Tables.read(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+            .cast("long").as("gid"),
+          sum("l_quantity").as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .select("gid", "l_returnflag", "l_linestatus", "sum_qty", "cnt")
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
     // J3: as-of join via union + running last (no row explosion)
     "q18_asof_join" -> ((s, dir) => {
       val base = Tables.events(s, dir).select(
@@ -544,6 +556,13 @@ object SparkEntry {
     "q16_json_props" -> OracleSql.jsonPropsSql,
     "q17_rollup_grouping" -> OracleSql.rollupGroupingSql,
     "q18_asof_join" -> OracleSql.asOfSql,
+    "q53_cube" ->
+      """SELECT CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |       l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q19_topk_orders" -> OracleSql.topKSql,
     "x20_dedup_exact" -> OracleSqlExt.dedupExactSql,
     "x21_ngram_jaccard" -> OracleSqlExt.ngramJaccardSql(0.5, 10),
