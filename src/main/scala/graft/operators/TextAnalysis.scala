@@ -128,9 +128,14 @@ object TextAnalysis {
     */
   def curate(docs: DataFrame, minScore: Double,
              jaccardThreshold: Double = 0.5, band: Long = 10L,
-             seed: String = "graft"): DataFrame = {
-    val nonCanonical = Dedup.nearDupClusters(
-        Dedup.jaccardPairs(docs, jaccardThreshold, band).select("doc_a", "doc_b"))
+             seed: String = "graft",
+             clusters: Option[DataFrame] = None): DataFrame = {
+    // clusters: pass a precomputed (doc_id, cluster) table to reuse an
+    // already-materialized dedup artifact (a curation pipeline runs
+    // clustering once, not once per consumer)
+    val nonCanonical = clusters.getOrElse(
+        Dedup.nearDupClusters(
+          Dedup.jaccardPairs(docs, jaccardThreshold, band).select("doc_a", "doc_b")))
       .filter(col("doc_id") =!= col("cluster"))
       .select("doc_id")
     val kept = docs
