@@ -51,15 +51,22 @@ object SparkEntry {
   private def level0(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "level0")(Ingest.rollup(sanitized(s, dir), Q.IntervalMin))
 
+  /** Clustering similarity parameters — ONE definition shared by the
+    * x45 construction, the x48 consumer, and both oracle calls, so the
+    * Spark/DuckDB parameter agreement cannot drift.
+    */
+  val ClusterJaccard: Double = 0.5
+  val ClusterBand: Long = 10L
+
   /** The near-dup cluster table over `documents` — a derived dedup
-    * artifact a pipeline materializes once and every consumer reuses
-    * (x45 reports it, x48 curates with it).
+    * artifact a pipeline materializes once and consumers reuse (x48
+    * curates with it; x45 times the CONSTRUCTION, not this memo).
     */
   private def clusters(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "clusters")(
       Dedup.nearDupClusters(
-        Dedup.jaccardPairs(Tables.read(s, dir, "documents"), 0.5, 10)
-          .select("doc_a", "doc_b")))
+        Dedup.jaccardPairs(Tables.read(s, dir, "documents"),
+          ClusterJaccard, ClusterBand).select("doc_a", "doc_b")))
 
   /** Materialize the store views for `dir` (what streaming ingest would
     * have written ahead of time). Bench calls this before its timed
@@ -69,6 +76,7 @@ object SparkEntry {
   def prepare(s: SparkSession, dir: String): Unit = {
     sanitized(s, dir)
     level0(s, dir)
+    clusters(s, dir)
     ()
   }
 
@@ -483,9 +491,14 @@ object SparkEntry {
       Ingest.present(store.level0(s)).orderBy("metric", "bucket_start")
     }),
     // X2 composition: near-dup pairs → connected components → dedup
-    // clusters (min-label propagation; oracle = recursive-CTE closure)
+    // clusters (min-label propagation; oracle = recursive-CTE closure).
+    // Deliberately NOT the memo: this query charges construction cost
+    // (the q31/q41 pattern); x48 is the consumer of the artifact
     "x45_dedup_clusters" -> ((s, dir) =>
-      clusters(s, dir).orderBy("doc_id")),
+      Dedup.nearDupClusters(
+        Dedup.jaccardPairs(Tables.read(s, dir, "documents"),
+          ClusterJaccard, ClusterBand).select("doc_a", "doc_b"))
+        .orderBy("doc_id")),
     // X4/X1: benchmark decontamination — n-gram overlap against the
     // held-out subset (doc_id ≡ 0 mod 20)
     "x46_decontaminate" -> ((s, dir) =>
@@ -500,8 +513,8 @@ object SparkEntry {
     // X1+X2+X4 composed: end-to-end corpus curation — quality gate,
     // near-dup canonicalization, deterministic stratified split, one plan
     "x48_corpus_curation" -> ((s, dir) =>
-      TextAnalysis.curate(Tables.read(s, dir, "documents"), 3.0,
-        clusters = Some(clusters(s, dir)))
+      TextAnalysis.curateWith(Tables.read(s, dir, "documents"), 3.0,
+        clusters(s, dir))
         .orderBy("lang", "split")),
     // TSDB analytics: per-metric rate of change (Prometheus rate/deriv)
     "q42_rate" -> ((s, dir) =>
@@ -585,10 +598,11 @@ object SparkEntry {
     "x30_multimodal" -> OracleSqlExt.multimodalSql,
     "q31_streamed_rollup" -> OracleSql.rollupSql(Q.IntervalMin),
     "q41_backfill_chunked" -> OracleSql.rollupSql(Q.IntervalMin),
-    "x45_dedup_clusters" -> OracleSqlExt.dedupClustersSql(0.5, 10),
+    "x45_dedup_clusters" -> OracleSqlExt.dedupClustersSql(ClusterJaccard, ClusterBand),
     "x46_decontaminate" -> OracleSqlExt.decontaminateSql,
     "x47_split_stratified" -> OracleSqlExt.splitCountsSql("graft"),
-    "x48_corpus_curation" -> OracleSqlExt.curateSql(3.0, 0.5, 10, "graft"),
+    "x48_corpus_curation" ->
+      OracleSqlExt.curateSql(3.0, ClusterJaccard, ClusterBand, "graft"),
     "q42_rate" -> OracleSql.rateSql,
     "q51_metric_align" -> OracleSql.alignMetricsSql(Q.IntervalMin, "click", "view"),
     "q52_metric_corr" -> OracleSql.corrMetricsSql(Q.IntervalMin, "click", "view"),

@@ -172,11 +172,17 @@ object Dedup {
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = fwd.unionByName(
       fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct().cache()
-    // localCheckpoint per round: materializes the full label set (an
-    // isEmpty convergence probe alone would leave partitions lazy) and
-    // truncates the join lineage, so round N never replans rounds 1..N-1
+    // per round: cache + count() materializes the FULL label set (an
+    // isEmpty convergence probe alone would leave partitions lazy and a
+    // later unpersist of the parent would trigger deep recompute), then
+    // the previous round's cache is released once the probe no longer
+    // needs it. localCheckpoint would also truncate lineage but its
+    // blocks cannot be freed explicitly — 25 materialized label copies
+    // would accumulate; at maxIter=25 the logical plan stays shallow
+    // enough that cached-parent reuse is the better trade.
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id")).localCheckpoint(true)
+      .withColumn("cluster", col("doc_id")).cache()
+    labels.count()
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -187,9 +193,11 @@ object Dedup {
       val updated = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .localCheckpoint(true)
+        .cache()
+      updated.count()
       converged = updated.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
         .filter(col("cluster") =!= col("old")).isEmpty
+      labels.unpersist()
       labels = updated
       it += 1
     }

@@ -128,14 +128,20 @@ object TextAnalysis {
     */
   def curate(docs: DataFrame, minScore: Double,
              jaccardThreshold: Double = 0.5, band: Long = 10L,
-             seed: String = "graft",
-             clusters: Option[DataFrame] = None): DataFrame = {
-    // clusters: pass a precomputed (doc_id, cluster) table to reuse an
-    // already-materialized dedup artifact (a curation pipeline runs
-    // clustering once, not once per consumer)
-    val nonCanonical = clusters.getOrElse(
-        Dedup.nearDupClusters(
-          Dedup.jaccardPairs(docs, jaccardThreshold, band).select("doc_a", "doc_b")))
+             seed: String = "graft"): DataFrame =
+    curateWith(docs, minScore,
+      Dedup.nearDupClusters(
+        Dedup.jaccardPairs(docs, jaccardThreshold, band).select("doc_a", "doc_b")),
+      seed)
+
+  /** [[curate]] against a PRECOMPUTED `(doc_id, cluster)` table — a
+    * curation pipeline materializes clustering once and every consumer
+    * reuses it. A separate entry point (not an optional parameter) so
+    * similarity parameters can never be silently ignored.
+    */
+  def curateWith(docs: DataFrame, minScore: Double, clusters: DataFrame,
+                 seed: String = "graft"): DataFrame = {
+    val nonCanonical = clusters
       .filter(col("doc_id") =!= col("cluster"))
       .select("doc_id")
     val kept = docs

@@ -85,11 +85,13 @@ object TimeSeriesOps {
 
   /** Pearson correlation of two metrics' aligned per-bucket sums,
     * computed from exact integer moments: the five sums (Σx, Σy, Σxy,
-    * Σx², Σy²) ride int64 centivalue products (bounds: |sum_c| ≤ ~1e6
-    * per bucket ⇒ Σxy ≤ 1e12·buckets, far under 2^63), and the final
-    * r = (nΣxy − ΣxΣy) / (√(nΣx²−Σx²)·√(nΣy²−Σy²)) is a fixed sequence
-    * of IEEE ops — deterministic at any parallelism, unlike a float
-    * `corr()` reduction.
+    * Σx², Σy²) ride int64 centivalue products (|sum_c| ≤ ~1e6 per
+    * bucket ⇒ Σx² ≤ 1e12·buckets, inside int64 for any real range),
+    * then r = (nΣxy − ΣxΣy) / (√(nΣx²−Σx²)·√(nΣy²−Σy²)) combines them
+    * IN DOUBLE — the cross products nΣx², (Σx)² would overflow int64
+    * beyond ~3000 dense buckets, while the double combination is a
+    * fixed IEEE op sequence on exact inputs: deterministic at any
+    * parallelism, unlike a float `corr()` reduction over rows.
     */
   def corrMetrics(level: DataFrame, metricA: String, metricB: String): DataFrame = {
     // stay in the exact centivalue domain end to end — a round-trip
@@ -104,10 +106,11 @@ object TimeSeriesOps {
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
       .select(col("n"), {
-        val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        def d(c: String) = col(c).cast("double")
+        val num = d("n") * d("sxy") - d("sx") * d("sy")
         val den =
-          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+          sqrt(d("n") * d("sxx") - d("sx") * d("sx")) *
+            sqrt(d("n") * d("syy") - d("sy") * d("sy"))
         // zero variance on either side → undefined correlation → NULL
         // (explicit: ANSI mode would otherwise raise DIVIDE_BY_ZERO)
         when(den === 0.0, lit(null).cast("double"))

@@ -366,11 +366,16 @@ object OracleSql {
          |  FROM al
          |)
          |SELECT n,
-         |       CASE WHEN sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
-         |                 * sqrt(CAST(n*syy - sy*sy AS DOUBLE)) = 0 THEN NULL
-         |            ELSE CAST(n*sxy - sx*sy AS DOUBLE)
-         |                 / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
-         |                    * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END AS corr_r
+         |       CASE WHEN sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+         |                      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+         |                 * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+         |                        - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) = 0 THEN NULL
+         |            ELSE (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+         |                  - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+         |                 / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+         |                         - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+         |                    * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+         |                           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) END AS corr_r
          |FROM m""".stripMargin
 
   def topKSql: String =
