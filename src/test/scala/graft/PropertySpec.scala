@@ -119,4 +119,38 @@ class PropertySpec extends AnyFunSuite {
       assert(v1.exceptAll(v2).isEmpty && v2.exceptAll(v1).isEmpty, s"[$a,$b]")
     }
   }
+
+  test("chunked backfill level0 is invariant under chunk count (random data)") {
+    val pts = genPoints(12L, 300)
+    val expect = Ingest.rollup(Ingest.sanitize(pts), H)
+    Seq(1, 3, 7).foreach { nChunks =>
+      val store = new graft.streaming.HtaStore(
+        java.nio.file.Files.createTempDirectory(s"hta-prop-$nChunks").toString, H)
+      graft.sources.BulkImport.chunkedBackfill(spark, pts, store, nChunks)
+      val got = store.level0(spark)
+      assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+        s"nChunks=$nChunks")
+    }
+  }
+
+  test("gapFill equals brute-force last-at-or-before on random data") {
+    val clean = sanitize(13L)
+    val step = 6L * H
+    val got = graft.operators.TimeSeriesOps
+      .gapFill(clean, T0, T0 + 48L * H, step)
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val samples = clean.select("metric", "time", "value")
+      .as[(String, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    for (((m, t), v) <- got) {
+      val expect = samples.get(m).flatMap(
+        _.takeWhile(_._2 <= t).lastOption.map(_._3))
+      assert(v == expect, s"($m, $t)")
+    }
+    // every (metric, grid instant) is present exactly once
+    val metrics = samples.keySet
+    val gridSize = ((48L * H) / step + 1).toInt
+    assert(got.size == metrics.size * gridSize)
+  }
 }
