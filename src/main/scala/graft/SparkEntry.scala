@@ -203,6 +203,22 @@ object SparkEntry {
           col("prev_bal"))
         .orderBy("c_mktsegment", "rn")
     }),
+    // W3: the remaining analytic suite — ntile, percent_rank, cume_dist
+    // over a total order (unique tiebreak ⇒ deterministic doubles: both
+    // are integer-ratio divisions)
+    "q54_analytic_suite" -> ((s, dir) => {
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.read(s, dir, "customer")
+        .withColumn("tile4", ntile(4).over(ws).cast("long"))
+        .withColumn("pct_rank", percent_rank().over(ws))
+        .withColumn("cume", cume_dist().over(ws))
+        .filter(col("c_custkey") % 50 === 0)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "tile4",
+          "pct_rank", "cume")
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
     // O3: intersect / except / union
     "q15_set_ops" -> ((s, dir) => {
       val cn = Tables.read(s, dir, "customer").select(col("c_nationkey").as("k")).distinct()
@@ -573,6 +589,16 @@ object SparkEntry {
     "q12_join_revenue" -> OracleSql.joinRevenueSql,
     "q13_semi_anti" -> OracleSql.semiAntiSql,
     "q14_window_suite" -> OracleSql.windowSuiteSql,
+    "q54_analytic_suite" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS tile4,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal DESC, c_custkey)
+        |QUALIFY c_custkey % 50 = 0
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "q15_set_ops" -> OracleSql.setOpsSql,
     "q16_json_props" -> OracleSql.jsonPropsSql,
     "q17_rollup_grouping" -> OracleSql.rollupGroupingSql,
