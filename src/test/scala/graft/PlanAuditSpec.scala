@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — SCALE.md's claims, enforced.
+  * A perf-critical plan property (broadcast dims, top-k without a
+  * global sort, pushdown reaching the scan, no cartesian products)
+  * that silently regresses would pass every correctness gate; this
+  * spec fails instead.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private val spark = SparkTestBase.spark
+  import SparkTestBase.sf
+
+  private def sparkPlan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan.toString
+
+  test("q19 top-k plans as TakeOrderedAndProject, not a global sort+limit") {
+    assert(sparkPlan("q19_topk_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("q12 dimension joins are broadcast hash joins") {
+    val p = sparkPlan("q12_join_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    // the fact-fact joins must NOT be nested-loop
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q10 mapping rename is a broadcast join") {
+    assert(sparkPlan("q10_input_mapping").contains("BroadcastHashJoin"))
+  }
+
+  test("q01 scan prunes columns and partially aggregates before the shuffle") {
+    val qe = SparkEntry.queries("q01_lineitem_agg")(spark, sf).queryExecution
+    val scan = qe.sparkPlan.collectLeaves().map(_.toString).mkString("\n")
+    // 5 needed columns of lineitem's 16 reach the reader, no more
+    assert(scan.contains("ReadSchema"))
+    assert(!scan.contains("l_shipdate") && !scan.contains("l_orderkey"))
+    // partial_* aggregate functions appear below the exchange
+    val p = qe.sparkPlan.toString
+    assert(p.contains("partial_sum") || p.contains("partial_count"))
+  }
+
+  test("q40/x23 banded self-joins stay equi-joins (no nested loop)") {
+    Seq("q40_range_join", "x23_simhash").foreach { q =>
+      val p = sparkPlan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested loop:\n$p")
+    }
+  }
+
+  test("q18 as-of join has no row-exploding join at all") {
+    val p = sparkPlan("q18_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("whole-stage codegen covers the rollup pipeline") {
+    // audit the real rollup computation, not the memoized store view —
+    // and execute THIS DataFrame so AQE finalizes its plan
+    val df = graft.operators.Ingest.rollup(
+      graft.operators.Ingest.sanitize(
+        graft.sources.Tables.htaPoints(spark, sf)), 3600000000000L)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"))
+    // codegen spans print as "*(n) Operator" in the final plan
+    assert(p.contains("*("))
+    // map-side combine: partial aggregation below the exchange
+    assert(df.queryExecution.sparkPlan.toString.contains("partial_"))
+  }
+}
