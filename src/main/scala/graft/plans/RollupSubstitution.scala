@@ -26,7 +26,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object RollupSubstitution {
 
   final case class Entry(rawPlan: LogicalPlan, levelPlan: LogicalPlan,
-                         intervalNs: Long)
+                         intervalNs: Long, valueNotNull: Boolean)
 
   private val registry =
     scala.collection.concurrent.TrieMap.empty[SparkSession, Entry]
@@ -34,9 +34,18 @@ object RollupSubstitution {
   /** Register the raw↔level pair for a session. `raw` must expose
     * `(metric, time, value, …)`, `level0` the internal exact level schema
     * (`Ingest.rollup` output) at `intervalNs`.
+    *
+    * `assumeValueNotNull`: the caller asserts the raw `value` column
+    * contains no NULLs even though its schema is nullable (true for any
+    * table written by `Ingest.sanitize` — the NaN filter also drops
+    * NULLs because `!isnan(NULL)` is NULL). This unlocks the
+    * `count(value)` and quantized-sum mappings, which are wrong in the
+    * presence of NULL values (the level's cnt/sum_c count rows / treat
+    * an all-NULL bucket as 0, where raw count skips NULLs / sums to
+    * NULL).
     */
   def install(spark: SparkSession, raw: DataFrame, level0: DataFrame,
-              intervalNs: Long): Unit = {
+              intervalNs: Long, assumeValueNotNull: Boolean = false): Unit = {
     val needed = Seq("metric", "bucket_start", "min_v", "max_v", "cnt")
     val missing = needed.filterNot(level0.columns.contains)
     require(missing.isEmpty,
@@ -44,7 +53,8 @@ object RollupSubstitution {
     require(Seq("metric", "time", "value").forall(raw.columns.contains),
       "raw must expose (metric, time, value)")
     registry.put(spark,
-      Entry(raw.queryExecution.analyzed, level0.queryExecution.analyzed, intervalNs))
+      Entry(raw.queryExecution.analyzed, level0.queryExecution.analyzed,
+        intervalNs, assumeValueNotNull))
     // the injected rule has no removal API, so install/uninstall/install
     // cycles must reuse the instance already present for this session
     // instead of appending another (each extra instance re-scans every
@@ -167,14 +177,29 @@ class RollupSubstitutionRule(private[plans] val session: SparkSession)
           Literal(0L))))
       // count(value) ≠ count(*) when value can be NULL, and the level's
       // cnt counts rows, not non-null values — only derivable when the
-      // raw value attribute is provably non-nullable; otherwise decline
-      // the rewrite (the query falls back to the raw scan, still correct)
+      // raw value attribute is provably non-nullable (or install()
+      // asserted data-level non-nullness); otherwise decline the
+      // rewrite (the query falls back to the raw scan, still correct)
       case Count(Seq(v: Attribute))
-          if v.exprId == valueAttr.exprId && !v.nullable =>
+          if v.exprId == valueAttr.exprId && (!v.nullable || entry.valueNotNull) =>
         Some(Coalesce(Seq(
           AggregateExpression(Sum(lvlAttr("cnt")), Complete, isDistinct = false),
           Literal(0L))))
+      // the exact-domain quantization idiom sum(CAST(round(value*100) AS
+      // BIGINT)) IS the level's sum_c — derivable under the same
+      // no-NULL-values assertion (an all-NULL bucket sums to NULL on raw
+      // but was folded to 0 in the level)
+      case Sum(e, _) if entry.valueNotNull && isQuantizedValue(e) =>
+        Some(AggregateExpression(Sum(lvlAttr("sum_c")), Complete, isDistinct = false))
       case _ => None
+    }
+
+    def isQuantizedValue(e: Expression): Boolean = e match {
+      case Cast(Round(Multiply(v: Attribute, Literal(c, _), _), Literal(0, _), _),
+          t, _, _) =>
+        v.exprId == valueAttr.exprId && c == 100.0 &&
+          t == org.apache.spark.sql.types.LongType
+      case _ => false
     }
 
     val newResults = results.map {

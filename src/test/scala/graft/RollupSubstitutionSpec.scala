@@ -100,6 +100,33 @@ class RollupSubstitutionSpec extends AnyFunSuite {
     } finally RollupSubstitution.uninstall(spark)
   }
 
+  test("quantized sum and count(value) rewrite under the not-null assertion") {
+    // a DataFrame memoizes its QueryExecution, so build a fresh one per
+    // install configuration
+    def qSum() = raw.groupBy(col("metric"),
+        (col("time") - col("time") % (10 * H)).as("bucket"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("s_c"),
+        count(col("value")).as("cv"))
+
+    // without the assertion: nullable parquet schema → no rewrite
+    RollupSubstitution.install(spark, raw, level0, H)
+    assert(!qSum().queryExecution.optimizedPlan.toString.contains("sum_c"))
+    RollupSubstitution.uninstall(spark)
+
+    // with it (sanitize guarantees no NULL values): both rewrite
+    RollupSubstitution.install(spark, raw, level0, H, assumeValueNotNull = true)
+    try {
+      val q = qSum()
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("sum_c") && optimized.contains("bucket_start"),
+        s"quantized-sum rewrite did not fire:\n$optimized")
+      val got = q.as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      RollupSubstitution.uninstall(spark)
+      val expect = qSum().as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      assert(got.toSeq == expect.toSeq && got.nonEmpty)
+    } finally RollupSubstitution.uninstall(spark)
+  }
+
   test("non-derivable or misaligned aggregates are left untouched") {
     RollupSubstitution.install(spark, raw, level0, H)
     try {
