@@ -46,7 +46,10 @@ object RollupSubstitution {
     */
   def install(spark: SparkSession, raw: DataFrame, level0: DataFrame,
               intervalNs: Long, assumeValueNotNull: Boolean = false): Unit = {
-    val needed = Seq("metric", "bucket_start", "min_v", "max_v", "cnt")
+    // sum_c included: the quantized-sum mapping dereferences it, and
+    // declining at install time beats a NoSuchElementException inside
+    // the optimizer
+    val needed = Seq("metric", "bucket_start", "min_v", "max_v", "cnt", "sum_c")
     val missing = needed.filterNot(level0.columns.contains)
     require(missing.isEmpty,
       s"level0 is missing required columns: ${missing.mkString(", ")}")
