@@ -172,33 +172,37 @@ object Dedup {
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = fwd.unionByName(
       fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct().cache()
-    // per round: cache + count() materializes the FULL label set (an
-    // isEmpty convergence probe alone would leave partitions lazy and a
-    // later unpersist of the parent would trigger deep recompute), then
-    // the previous round's cache is released once the probe no longer
-    // needs it. localCheckpoint would also truncate lineage but its
-    // blocks cannot be freed explicitly — 25 materialized label copies
-    // would accumulate; at maxIter=25 the logical plan stays shallow
-    // enough that cached-parent reuse is the better trade.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+    // per round, ONE job does everything: the relabeled set carries a
+    // `changed` flag, and counting the changed rows both materializes
+    // the full cache (an isEmpty probe alone would leave partitions
+    // lazy) and decides convergence — no separate probe join. The
+    // previous round's cache is released once counted. localCheckpoint
+    // would also truncate lineage but its blocks cannot be freed
+    // explicitly — 25 materialized label copies would accumulate; at
+    // maxIter=25 the logical plan stays shallow enough that
+    // cached-parent reuse is the better trade.
+    // `cachedRound` tracks the frame the cache is registered on —
+    // unpersist must target it, not a projection derived from it
+    var cachedRound = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id")).cache()
-    labels.count()
+    cachedRound.count()
+    var labels = cachedRound
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .join(labels.select(col("doc_id").as("dst"), col("cluster")), "dst")
         .groupBy("src").agg(min("cluster").as("nmin"))
         .withColumnRenamed("src", "doc_id")
       val updated = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
+          (coalesce(col("nmin"), col("cluster")) < col("cluster")).as("changed"))
         .cache()
-      updated.count()
-      converged = updated.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
-        .filter(col("cluster") =!= col("old")).isEmpty
-      labels.unpersist()
-      labels = updated
+      converged = updated.filter(col("changed")).count() == 0
+      cachedRound.unpersist()
+      cachedRound = updated
+      labels = updated.select("doc_id", "cluster")
       it += 1
     }
     edges.unpersist()
