@@ -187,6 +187,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotL0.exceptAll(expectL0).isEmpty && expectL0.exceptAll(gotL0).isEmpty)
   }
 
+  test("a metric first seen mid-stream is ingested without reconfiguration") {
+    // the reference requires a config add (async_hta_service.hpp:234-244);
+    // here keyed state materializes on first sight of the key
+    val store = new HtaStore(mkTmp("hta-newmetric"), H)
+    val ms = MemoryStream[Point](spark)
+    val q = StreamingIngest.start(spark, ms.toDS(), store, mkTmp("ck-nm"))
+    ms.addData(batch1)
+    q.processAllAvailable()
+    ms.addData(Seq( // m3 never seen before
+      Point("m3", T0 + 1000000000L, 7.5, 100),
+      Point("m3", T0 + 2000000000L, 8.5, 101)))
+    q.processAllAvailable()
+    q.stop()
+    val m3 = store.raw(spark).filter(col("metric") === "m3")
+      .select("time", "value").as[(Long, Double)].collect().sortBy(_._1)
+    assert(m3.toSeq == Seq((T0 + 1000000000L, 7.5), (T0 + 2000000000L, 8.5)))
+    assert(store.level0(spark).filter(col("metric") === "m3")
+      .agg(sum("cnt")).head.getLong(0) == 2L)
+  }
+
   test("restart: gate seeds from the durable store, drops stale replays") {
     val root = mkTmp("hta-store2")
     val store = new HtaStore(root, H)
