@@ -30,14 +30,16 @@ object Bench {
     // without this whichever query happens to run first is charged the
     // whole one-time construction cost
     try SparkEntry.prepare(spark, sfDir) catch { case _: Throwable => () }
-    // min of two timed runs per query, taken as two full INTERLEAVED
-    // passes (run every query once, then all again) rather than
-    // back-to-back: the host occasionally steals CPU from this VM for
-    // tens of seconds, and back-to-back samples both land inside the
-    // same contention window — separated samples let min() reject it
+    // min over timed runs per query, taken as full INTERLEAVED passes
+    // (run every query once, then all again) rather than back-to-back:
+    // the host occasionally steals CPU from this VM for tens of
+    // seconds, and back-to-back samples both land inside the same
+    // contention window — separated samples let min() reject it. Three
+    // passes by default: two can both straddle one long burst
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val names = SparkEntry.queries.keys.toSeq
     val failed = scala.collection.mutable.Set.empty[String]
-    val samples = (1 to 2).flatMap { _ =>
+    val samples = (1 to passes).flatMap { _ =>
       names.map { name =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() } catch {
