@@ -187,6 +187,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotL0.exceptAll(expectL0).isEmpty && expectL0.exceptAll(gotL0).isEmpty)
   }
 
+  test("restart from the SAME checkpoint resumes batch ids and stays exact") {
+    val store = new HtaStore(mkTmp("hta-samechk"), H)
+    val ckpt = mkTmp("ck-same")
+    val ms = MemoryStream[Point](spark)
+    val q1 = StreamingIngest.start(spark, ms.toDS(), store, ckpt)
+    ms.addData(batch1)
+    q1.processAllAvailable()
+    q1.stop()
+    // second query, SAME checkpoint and source: resumes committed
+    // offsets, continues batch numbering, gate state restored
+    val q2 = StreamingIngest.start(spark, ms.toDS(), store, ckpt)
+    ms.addData(batch2)
+    q2.processAllAvailable()
+    q2.stop()
+    val expect = batchReference.select("metric", "time", "value")
+      .as[(String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val got = store.raw(spark).select("metric", "time", "value")
+      .as[(String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == expect.toSeq)
+    val expectL0 = Ingest.rollup(batchReference, H)
+    val gotL0 = store.level0(spark)
+    assert(gotL0.exceptAll(expectL0).isEmpty && expectL0.exceptAll(gotL0).isEmpty)
+  }
+
   test("a metric first seen mid-stream is ingested without reconfiguration") {
     // the reference requires a config add (async_hta_service.hpp:234-244);
     // here keyed state materializes on first sight of the key
