@@ -35,6 +35,9 @@ object AsOfJoin {
   def countInWindow(left: DataFrame, right: DataFrame, key: String,
                     leftTime: String, rightTime: String, windowNs: Long,
                     countName: String): DataFrame = {
+    // windowNs = 0 would make `time % 0` NULL and silently count 0
+    // everywhere (or raise mid-job under ANSI) — fail fast instead
+    require(windowNs > 0, "windowNs must be positive")
     val l = left.withColumn("__b", col(leftTime) - col(leftTime) % windowNs)
     val r = right.select(col(key).as("__k"), col(rightTime).as("__rt"))
       .withColumn("__b0", col("__rt") - col("__rt") % windowNs)
@@ -61,7 +64,12 @@ object AsOfJoin {
       .withColumn("__t", col(leftTime))
       .withColumn("__tag", lit(1))
       .withColumn("__vs", lit(null).cast(vType))
-    val r2 = right.select(
+    // NULL-key right rows must never fill anything: the window's
+    // partitionBy groups NULL keys together (unlike a join, where NULL
+    // never equals NULL), so they are excluded here — a NULL-key left
+    // row then sits in a right-free partition and gets NULL, matching
+    // join (and DuckDB ASOF JOIN) semantics
+    val r2 = right.filter(col(key).isNotNull).select(
       col(key),
       col(rightTime).as("__t"),
       lit(0).as("__tag"),

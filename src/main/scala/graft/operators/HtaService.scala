@@ -22,15 +22,21 @@ object HtaService {
     * `time_delta = start` (ref `:461`).
     */
   def aggregateRange(sanitized: DataFrame, startNs: Long, endNs: Long): DataFrame =
-    rawPartial(sanitized, startNs, endNs, includeEnd = true)
-      .select(
-        col("metric"),
-        lit(startNs).as("time_delta"),
-        col("min_v"), col("max_v"),
-        (col("sum_c").cast("double") / 100.0).as("sum_v"),
-        col("cnt"),
-        (col("integral_cus").cast("double") / 1e8).as("integral_vs"),
-        (col("active_us") * 1000L).as("active_ns"))
+    presentAgg(rawPartial(sanitized, startNs, endNs, includeEnd = true), startNs)
+
+  /** Shared presentation of an exact partial Agg — ONE copy of the
+    * integer-domain → double formula (a scale change edited in only one
+    * of the A4 paths would silently desynchronize them).
+    */
+  private def presentAgg(agg: DataFrame, startNs: Long): DataFrame =
+    agg.select(
+      col("metric"),
+      lit(startNs).as("time_delta"),
+      col("min_v"), col("max_v"),
+      (col("sum_c").cast("double") / 100.0).as("sum_v"),
+      col("cnt"),
+      (col("integral_cus").cast("double") / 1e8).as("integral_vs"),
+      (col("active_us") * 1000L).as("active_ns"))
 
   /** A4 v2 — the 100 TB-scale path: compose the answer from pre-aggregated
     * interior level buckets plus raw-exact edge partials, instead of
@@ -59,6 +65,13 @@ object HtaService {
     */
   def aggregateRangeFast(sanitized: DataFrame, level0: DataFrame,
                          levels: Seq[Long], startNs: Long, endNs: Long): DataFrame = {
+    // sub-µs bounds: a segment spanning the whole range gets its two
+    // cuts truncated TOGETHER by v1 ((end-start)/1000, residues cancel)
+    // but SEPARATELY by the edge decomposition — 1 µs of silent skew.
+    // The engine's time domain is µs-floored ns, so misaligned bounds
+    // are off the fast path's contract: serve them raw-exact instead
+    if (startNs % 1000 != 0 || endNs % 1000 != 0)
+      return aggregateRange(sanitized, startNs, endNs)
     // coarsest level whose interior is non-empty for this range; a span
     // between L and 2L can straddle fewer than one full L-bucket, in
     // which case a finer level still tiles most of the range (reviewer
@@ -81,23 +94,17 @@ object HtaService {
     val left = rawPartial(sanitized, startNs, istart, includeEnd = false)
     val right = rawPartial(sanitized, iend, endNs, includeEnd = true)
 
-    interior.unionByName(left).unionByName(right)
-      .groupBy("metric").agg(
-        min("min_v").as("min_v"),
-        max("max_v").as("max_v"),
-        sum("sum_c").as("sum_c"),
-        sum("cnt").as("cnt"),
-        sum("integral_cus").as("integral_cus"),
-        sum("active_us").as("active_us"))
-      .filter(col("cnt") > 0 || col("active_us") > 0)
-      .select(
-        col("metric"),
-        lit(startNs).as("time_delta"),
-        col("min_v"), col("max_v"),
-        (col("sum_c").cast("double") / 100.0).as("sum_v"),
-        col("cnt"),
-        (col("integral_cus").cast("double") / 1e8).as("integral_vs"),
-        (col("active_us") * 1000L).as("active_ns"))
+    presentAgg(
+      interior.unionByName(left).unionByName(right)
+        .groupBy("metric").agg(
+          min("min_v").as("min_v"),
+          max("max_v").as("max_v"),
+          sum("sum_c").as("sum_c"),
+          sum("cnt").as("cnt"),
+          sum("integral_cus").as("integral_cus"),
+          sum("active_us").as("active_us"))
+        .filter(col("cnt") > 0 || col("active_us") > 0),
+      startNs)
   }
 
   /** Exact partial Agg (integer domain) over an edge window: points in
@@ -225,10 +232,14 @@ object HtaService {
           Resp.Aggregates(deltaEncode(timeline(one, levels, s, e, im), "bucket_start"))
       case R.Aggregate(m, s, e) =>
         // the reference unconditionally returns ONE aggregate (count = 0
-        // on a silent range — add_aggregate at ref :454-461), never zero
+        // on a silent range — add_aggregate at ref :454-461), never zero.
+        // Execute ONCE and localize: an isEmpty probe followed by the
+        // caller consuming the lazy frame would run the whole
+        // aggregation job twice per request
         val df = aggregateRange(sanitized.filter(col("metric") === m), s, e)
-        if (df.isEmpty) {
-          val spark = sanitized.sparkSession
+        val rows = df.collect()
+        val spark = sanitized.sparkSession
+        if (rows.isEmpty) {
           import spark.implicits._
           Resp.Aggregates(Seq((m, s)).toDF("metric", "time_delta")
             .withColumn("min_v", lit(null).cast("double"))
@@ -237,7 +248,8 @@ object HtaService {
             .withColumn("cnt", lit(0L))
             .withColumn("integral_vs", lit(0.0))
             .withColumn("active_ns", lit(0L)))
-        } else Resp.Aggregates(df)
+        } else Resp.Aggregates(spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), df.schema))
       case R.LastValue(m) =>
         Resp.Raw(lastValue(sanitized.filter(col("metric") === m))
           .withColumn("time_delta", col("time")))

@@ -31,9 +31,12 @@ object Multimodal {
   /** STUB decode: a real implementation would decode the payload
     * (image → pixels, audio → samples) here. The stub derives
     * deterministic features from raw bytes so the plumbing is testable.
+    * The "codec" (digest) is initialized by the caller once per
+    * partition and reset per row — the execution shape a real decoder
+    * needs.
     */
-  private def decodeStub(m: MediaRow): MediaFeatures = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+  private def decodeStub(md: java.security.MessageDigest, m: MediaRow): MediaFeatures = {
+    md.reset()
     val hex = md.digest(m.blob).map("%02x".format(_)).mkString
     MediaFeatures(m.doc_id, m.blob.length.toLong, hex,
       m.blob.headOption.map(b => (b & 0xff).toLong).getOrElse(-1L))
@@ -46,8 +49,9 @@ object Multimodal {
     import spark.implicits._
     val ds: Dataset[MediaRow] = media.as[MediaRow]
     ds.mapPartitions { it =>
-      // real impl: init codec once here, then stream the batch
-      it.map(decodeStub)
+      // codec init once per partition, streamed over the batch
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map(decodeStub(md, _))
     }.toDF()
   }
 }

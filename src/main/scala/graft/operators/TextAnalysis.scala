@@ -138,17 +138,26 @@ object TextAnalysis {
     * curation pipeline materializes clustering once and every consumer
     * reuses it. A separate entry point (not an optional parameter) so
     * similarity parameters can never be silently ignored.
+    *
+    * Canonicalization happens AMONG the quality-gate survivors: each
+    * cluster keeps its min-doc_id member that passed the gate, so a
+    * cluster whose overall-min member was low-quality still contributes
+    * its best surviving duplicate (dropping the whole cluster because
+    * its worst copy was canonical would silently lose content).
     */
   def curateWith(docs: DataFrame, minScore: Double, clusters: DataFrame,
                  seed: String = "graft"): DataFrame = {
-    val nonCanonical = clusters
-      .filter(col("doc_id") =!= col("cluster"))
+    // quality() already carries doc_id/lang/n_chars — one corpus scan
+    val survivors = quality(docs).filter(col("quality_score") >= minScore)
+    val clusteredSurvivors = survivors.select("doc_id")
+      .join(clusters.select("doc_id", "cluster"), "doc_id")
+    val dropped = clusteredSurvivors
+      .withColumn("keep",
+        min("doc_id").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster")))
+      .filter(col("doc_id") =!= col("keep"))
       .select("doc_id")
-    val kept = docs
-      .join(quality(docs).select(col("doc_id"), col("quality_score")), "doc_id")
-      .filter(col("quality_score") >= minScore)
-      .join(nonCanonical, Seq("doc_id"), "left_anti")
-    splitAssign(kept, seed)
+    splitAssign(survivors.join(dropped, Seq("doc_id"), "left_anti"), seed)
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_total"))
   }

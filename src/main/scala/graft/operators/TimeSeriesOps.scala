@@ -49,12 +49,15 @@ object TimeSeriesOps {
   def gapFill(sanitized: DataFrame, startNs: Long, endNs: Long,
               stepNs: Long): DataFrame = {
     require(stepNs > 0 && endNs >= startNs)
-    val grid = sanitized.select("metric").distinct()
+    // a NULL metric would fill its own NULL grid row via the window's
+    // partitionBy (which groups NULLs, unlike a join) — exclude it
+    val clean = sanitized.filter(col("metric").isNotNull)
+    val grid = clean.select("metric").distinct()
       .select(col("metric"),
         explode(sequence(lit(startNs), lit(endNs), lit(stepNs))).as("t"))
       .withColumn("value", lit(null).cast("double"))
       .withColumn("is_grid", lit(1))
-    val pts = sanitized.select(col("metric"), col("time").as("t"),
+    val pts = clean.select(col("metric"), col("time").as("t"),
       col("value"), lit(0).as("is_grid"))
     // sample at exactly a grid instant sorts before the grid row
     // (is_grid breaks the tie), so it is visible to the fill

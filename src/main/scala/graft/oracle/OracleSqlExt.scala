@@ -111,8 +111,9 @@ object OracleSqlExt {
         |GROUP BY cand.doc_id ORDER BY doc_id""".stripMargin
 
   /** End-to-end corpus curation (quality gate → near-dup
-    * canonicalization → stratified split) — mirrors
-    * `TextAnalysis.curate` stage for stage.
+    * canonicalization AMONG gate survivors → stratified split) —
+    * mirrors `TextAnalysis.curateWith` stage for stage: each cluster
+    * keeps its min-doc_id member that passed the gate.
     */
   def curateSql(minScore: Double, threshold: Double, band: Long,
                 seed: String): String =
@@ -124,13 +125,24 @@ object OracleSqlExt {
          |         CAST(len(list_distinct(toks2)) AS BIGINT) AS distinct_cnt
          |  FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks2
          |        FROM documents)
-         |), kept AS (
+         |), kept0 AS (
          |  SELECT doc_id, lang, n_chars,
          |         CAST(concat('0x', substr(md5('$seed' || CAST(doc_id AS VARCHAR)), 1, 4))
          |              AS BIGINT) % 10 AS bucket
          |  FROM u
          |  WHERE $qualityScoreExpr >= $minScore
-         |    AND doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster)
+         |), cs AS (
+         |  SELECT kept0.doc_id, cl.cluster
+         |  FROM kept0 JOIN cl ON kept0.doc_id = cl.doc_id
+         |), dropped AS (
+         |  SELECT cs.doc_id
+         |  FROM cs JOIN (SELECT cluster, min(doc_id) AS keep
+         |                FROM cs GROUP BY cluster) c2
+         |    ON cs.cluster = c2.cluster
+         |  WHERE cs.doc_id <> c2.keep
+         |), kept AS (
+         |  SELECT * FROM kept0
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
          |)
          |SELECT lang,
          |       CASE WHEN bucket < 8 THEN 'train'
