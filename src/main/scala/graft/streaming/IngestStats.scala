@@ -31,12 +31,31 @@ class IngestStats extends StreamingQueryListener {
   import IngestStats.BatchStats
 
   private val buf = mutable.ArrayBuffer.empty[BatchStats]
+  // listeners are session-global: without scoping, rows from EVERY
+  // query on the session interleave into this table
+  @volatile private var boundRunId: Option[String] = None
+
+  /** Scope this collector to one query run (StreamingIngest.start calls
+    * this with its query's runId). Rows already collected from other
+    * runs — possible in the window between listener registration and
+    * query start — are pruned.
+    */
+  def bind(runId: java.util.UUID): Unit = {
+    val r = runId.toString
+    boundRunId = Some(r)
+    buf.synchronized {
+      val keep = buf.filter(_.runId == r)
+      buf.clear()
+      buf ++= keep
+    }
+  }
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = e.progress
+    if (boundRunId.exists(_ != p.runId.toString)) return
     def obs(name: String, field: String): Long =
       Option(p.observedMetrics.get(name))
         .map(r => r.getAs[Long](field)).getOrElse(0L)

@@ -79,17 +79,39 @@ object StreamingIngest {
     * overwrite would erase its only copy) and [[HtaStore.compact]] must
     * carry it through unmerged (or the replay would double-count it).
     *
-    * The path is canonicalized before hashing: "/ckpt/q1" and
-    * "/ckpt/q1/" are the same checkpoint to Spark but would otherwise
-    * get different tags, and a replayed batch under a new tag would
-    * duplicate instead of overwrite.
+    * The tag hashes a per-INCARNATION id persisted inside the
+    * checkpoint directory (`graft-id`, written on first use), NOT the
+    * path: an operator who wipes and recreates the same checkpoint path
+    * restarts batch ids at 0, and a path-derived tag would make batch 0
+    * overwrite the old incarnation's committed batch-0 directory while
+    * leaving its later batches as duplicates. A fresh incarnation gets
+    * a fresh tag, and the old incarnation's directories are correctly
+    * trusted as foreign committed data.
     */
   def checkpointIdentity(spark: SparkSession, checkpoint: String): (String, Long) = {
     val hp = new org.apache.hadoop.fs.Path(checkpoint)
     val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val canonical = hfs.makeQualified(hp).toString
+    val idFile = new org.apache.hadoop.fs.Path(hp, "graft-id")
+    val incarnation =
+      if (hfs.exists(idFile)) {
+        val in = hfs.open(idFile)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      } else {
+        val id = java.util.UUID.randomUUID().toString
+        hfs.mkdirs(hp)
+        try {
+          val out = hfs.create(idFile, false) // no-overwrite: racers fail
+          try { out.write(id.getBytes("UTF-8")); id } finally out.close()
+        } catch {
+          case _: java.io.IOException => // lost the race — use the winner's id
+            val in = hfs.open(idFile)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+        }
+      }
     val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(canonical.getBytes("UTF-8")).map("%02x".format(_))
+      .digest(incarnation.getBytes("UTF-8")).map("%02x".format(_))
       .mkString.take(12)
     val cp = new org.apache.hadoop.fs.Path(s"$checkpoint/commits")
     val committedMax =
@@ -124,7 +146,7 @@ object StreamingIngest {
           .otherwise(0L)).as("n_inf"))
       .as[Point]
     val gated = gate(observed, store.seedState(spark, ckptTag, committedMax))
-    gated.toDF()
+    val q = gated.toDF()
       .observe("ingest_out",
         sum(when(!col("anchor"), 1L).otherwise(0L)).as("n_kept"))
       .writeStream
@@ -138,6 +160,10 @@ object StreamingIngest {
         store.writeBatch(spark, batch, s"${ckptTag}_$batchId")
       }
       .start()
+    // scope the stats collector to THIS query run — listeners are
+    // session-global and would otherwise interleave other queries' rows
+    stats.foreach(_.bind(q.runId))
+    q
   }
 }
 
@@ -165,11 +191,58 @@ class HtaStore(val root: String, val intervalMin: Long) {
   val levels: List[Long] = Intervals.ladder(intervalMin)
   private def rawPath = s"$root/raw"
   private def partialsPath = s"$root/partials"
+  private def commitsPath = s"$root/batch_commits"
+
+  // explicit read schemas: partition-column type inference would turn
+  // all-numeric metric names (sensor ids like "42") into an int column,
+  // breaking seedState's typed collect and every string comparison
+  private val rawSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "time LONG, value DOUBLE, metric STRING, batch_id STRING")
+  private val partialsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "metric STRING, bucket_start LONG, min_v DOUBLE, max_v DOUBLE, " +
+      "sum_c LONG, cnt LONG, integral_cus LONG, active_us LONG, " +
+      "interval_ns LONG, batch_id STRING")
 
   private def fs(spark: SparkSession, p: String) = {
     val hp = new org.apache.hadoop.fs.Path(p)
     (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
   }
+
+  /** Batch commit markers — a minimal store-side transaction log. A
+    * marker is written only AFTER a batch's raw AND partials writes both
+    * return, so a crash between the two dual writes leaves a marker-less
+    * (invisible) batch. Without this, a half-written batch abandoned by
+    * its checkpoint (restart under a NEW checkpoint) would permanently
+    * diverge raw from partials: the new gate seed would trust the
+    * orphaned raw rows and gate out their redelivery, so the missing
+    * partials could never be rebuilt. Marker-less directories are
+    * ignored by every reader and overwritten (then marked) if their
+    * batch is ever replayed. A transactional table format subsumes this
+    * file at 100 TB (SCALE.md §1).
+    */
+  private def committedKeys(spark: SparkSession): Set[String] = {
+    val (hfs, cp) = fs(spark, commitsPath)
+    if (!hfs.exists(cp)) Set.empty
+    else hfs.listStatus(cp).map(_.getPath.getName).toSet
+  }
+
+  private def markCommitted(spark: SparkSession, batchKey: String): Unit = {
+    val (hfs, cp) = fs(spark, commitsPath)
+    hfs.mkdirs(cp)
+    hfs.create(new org.apache.hadoop.fs.Path(cp, batchKey), true).close()
+  }
+
+  private def onlyCommitted(spark: SparkSession, df: DataFrame): DataFrame = {
+    val keys = committedKeys(spark)
+    if (keys.isEmpty) df.filter(org.apache.spark.sql.functions.lit(false))
+    else df.filter(org.apache.spark.sql.functions.col("batch_id")
+      .isin(keys.toSeq: _*))
+  }
+
+  private def emptyDf(spark: SparkSession,
+                      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** Seed the gate from what is already durable AND committed: batch
     * directories of `ckptTag` with an id above `committedMaxBatch` were
@@ -185,7 +258,7 @@ class HtaStore(val root: String, val intervalMin: Long) {
     import spark.implicits._
     val (hfs, hp) = fs(spark, rawPath)
     if (!hfs.exists(hp)) Map.empty
-    else spark.read.parquet(rawPath)
+    else onlyCommitted(spark, spark.read.schema(rawSchema).parquet(rawPath))
       .filter(!col("batch_id").startsWith(s"${ckptTag}_") ||
         substring_index(col("batch_id"), "_", -1).cast("long") <= committedMaxBatch)
       .groupBy("metric")
@@ -194,7 +267,10 @@ class HtaStore(val root: String, val intervalMin: Long) {
       .map { case (m, t, v) => m -> StreamingIngest.GateState(t, v) }.toMap
   }
 
-  /** Write a gated micro-batch idempotently (see class doc). */
+  /** Write a gated micro-batch idempotently (see class doc). The commit
+    * marker lands only after BOTH writes return — a half-written batch
+    * stays invisible to every reader until its replay completes it.
+    */
   def writeBatch(spark: SparkSession, gated: DataFrame, batchKey: String): Unit = {
     val batch = gated.cache()
     try {
@@ -209,21 +285,35 @@ class HtaStore(val root: String, val intervalMin: Long) {
       Ingest.rollupWithAnchors(batch, intervalMin)
         .write.mode("overwrite").partitionBy("interval_ns")
         .parquet(s"$partialsPath/batch_id=$batchKey")
+      markCommitted(spark, batchKey)
     } finally batch.unpersist()
   }
 
-  def raw(spark: SparkSession): DataFrame =
-    spark.read.parquet(rawPath).drop("batch_id")
+  def raw(spark: SparkSession): DataFrame = {
+    val (hfs, hp) = fs(spark, rawPath)
+    if (!hfs.exists(hp)) // empty store is readable, not a crash
+      emptyDf(spark, org.apache.spark.sql.types.StructType.fromDDL(
+        "metric STRING, time LONG, value DOUBLE"))
+    else onlyCommitted(spark, spark.read.schema(rawSchema).parquet(rawPath))
+      .select("metric", "time", "value")
+  }
 
   /** Merge-on-read level-0 view (exact: Agg is a monoid — same merge as
     * the batch hierarchy builder).
     */
-  def level0(spark: SparkSession): DataFrame =
-    Ingest.mergeToLevel(
-      spark.read.parquet(partialsPath)
+  def level0(spark: SparkSession): DataFrame = {
+    val (hfs, hp) = fs(spark, partialsPath)
+    if (!hfs.exists(hp))
+      emptyDf(spark, org.apache.spark.sql.types.StructType.fromDDL(
+        "metric STRING, interval_ns LONG, bucket_start LONG, min_v DOUBLE, " +
+          "max_v DOUBLE, sum_c LONG, cnt LONG, integral_cus LONG, active_us LONG"))
+    else Ingest.mergeToLevel(
+      onlyCommitted(spark,
+        spark.read.schema(partialsSchema).parquet(partialsPath))
         .filter(col("interval_ns") === intervalMin)
         .drop("interval_ns", "batch_id"),
       intervalMin)
+  }
 
   /** Fold partials down physically into a single batch directory.
     *
@@ -240,37 +330,61 @@ class HtaStore(val root: String, val intervalMin: Long) {
     * is then carried through UNMERGED under its original batch key, so
     * the replay's overwrite still converges. Folding it into
     * `compacted` would let the replayed batch re-append its partials
-    * and double-count that batch in the merge-on-read view.
+    * and double-count that batch in the merge-on-read view. The
+    * parameter has no default on purpose — `None` is only safe after a
+    * clean stop, and that must be a conscious claim by the caller.
+    *
+    * Marker-less (half-written) batch directories are carried through
+    * unmerged as well: they are invisible to readers, and a later
+    * replay completes them in place.
     */
-  def compact(spark: SparkSession, activeCheckpoint: Option[String] = None): Unit = {
+  def compact(spark: SparkSession, activeCheckpoint: Option[String]): Unit = {
     val (hfs, cur) = fs(spark, partialsPath)
     val bak = new org.apache.hadoop.fs.Path(s"$root/partials_old")
     val tmp = new org.apache.hadoop.fs.Path(s"$root/partials_compacted")
-    // recovery from a previous crash
-    if (hfs.exists(bak) && !hfs.exists(cur)) hfs.rename(bak, cur)
-    if (hfs.exists(bak)) hfs.delete(bak, true)
+    // recovery from a previous crash: bak holds the ONLY copy — the
+    // rename back must be verified before anything may delete bak
+    if (hfs.exists(bak) && !hfs.exists(cur) && !hfs.rename(bak, cur))
+      throw new java.io.IOException(
+        s"compact recovery: rename $bak -> $cur failed; data is in $bak")
+    if (hfs.exists(bak)) {
+      // bak now coexists with cur ⇒ it is a stale duplicate, not data
+      if (!hfs.exists(cur))
+        throw new java.io.IOException(s"compact recovery left no $cur")
+      hfs.delete(bak, true)
+    }
     if (hfs.exists(tmp)) hfs.delete(tmp, true)
+    if (!hfs.exists(cur)) return // nothing to compact
 
     import org.apache.spark.sql.functions.{col, lit, substring_index}
-    val uncommitted: org.apache.spark.sql.Column = activeCheckpoint match {
+    val uncommittedTail: org.apache.spark.sql.Column = activeCheckpoint match {
       case Some(ckpt) =>
         val (tag, committedMax) = StreamingIngest.checkpointIdentity(spark, ckpt)
         col("batch_id").startsWith(s"${tag}_") &&
           substring_index(col("batch_id"), "_", -1).cast("long") > committedMax
       case None => lit(false)
     }
-    val all = spark.read.parquet(partialsPath)
+    val keys = committedKeys(spark)
+    val marked =
+      if (keys.isEmpty) lit(false) else col("batch_id").isin(keys.toSeq: _*)
+    val preserve = uncommittedTail || !marked
+    val all = spark.read.schema(partialsSchema).parquet(partialsPath)
     val committedMerged = Ingest.mergeToLevel(
-        all.filter(!uncommitted)
+        all.filter(!preserve)
           .filter(col("interval_ns") === intervalMin)
           .drop("interval_ns", "batch_id"),
         intervalMin)
       .withColumn("batch_id", lit("compacted"))
-    // uncommitted trailing-batch partials pass through byte-identical
-    // under their original batch key
+    // preserved partials pass through byte-identical under their
+    // original batch keys
     val merged = committedMerged.unionByName(
-      all.filter(uncommitted).select(committedMerged.columns.map(col): _*))
+      all.filter(preserve).select(committedMerged.columns.map(col): _*))
     merged.write.partitionBy("batch_id", "interval_ns").parquet(tmp.toString)
+    // marker BEFORE the swap: a marker without a directory is harmless,
+    // but a swapped-in compacted directory without a marker would hide
+    // all merged history. Markers for merged batches stay — they still
+    // validate the raw/ side of those batches
+    markCommitted(spark, "compacted")
     // Hadoop rename signals failure by returning false — never delete
     // the backup unless both renames actually happened
     if (!hfs.rename(cur, bak))

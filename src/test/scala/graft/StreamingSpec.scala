@@ -68,7 +68,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotL0.exceptAll(expectL0).isEmpty && expectL0.exceptAll(gotL0).isEmpty)
 
     // physical compaction changes nothing logically
-    store.compact(spark)
+    store.compact(spark, None) // clean stop above
     val gotAfter = store.level0(spark)
     assert(gotAfter.exceptAll(expectL0).isEmpty && expectL0.exceptAll(gotAfter).isEmpty)
   }
@@ -125,6 +125,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(seedOther("m2").maxTs == T0 + 65L * 60000000000L)
   }
 
+  test("a half-written batch (no commit marker) is invisible until replayed") {
+    val root = mkTmp("hta-halfwritten")
+    val store = new HtaStore(root, H)
+    val gated = batch1.map(p =>
+      StreamingIngest.GatedPoint(p.metric, p.time, p.value, anchor = false))
+      .filter(p => !p.value.isNaN && !p.value.isInfinite).toDF()
+    store.writeBatch(spark, gated, "t_0")
+    // simulate the crash window: a raw directory written without its
+    // partials/marker (delete the marker + partials of a second batch)
+    store.writeBatch(spark, gated.withColumn("time", col("time") + lit(300L * 60000000000L)), "t_1")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/batch_commits/t_1"))
+    // readers and the gate seed must not see the unmarked batch
+    assert(store.raw(spark).agg(max("time")).head.getLong(0) ==
+      T0 + 70L * 60000000000L)
+    assert(store.seedState(spark, "other", -1L)("m1").maxTs ==
+      T0 + 70L * 60000000000L)
+    // replay completes the batch in place and it becomes visible
+    store.writeBatch(spark, gated.withColumn("time", col("time") + lit(300L * 60000000000L)), "t_1")
+    assert(store.raw(spark).agg(max("time")).head.getLong(0) ==
+      T0 + 370L * 60000000000L)
+  }
+
+  test("wiping and recreating a checkpoint path yields a fresh batch-key tag") {
+    val ckpt = mkTmp("hta-incarnation")
+    val (tag1, _) = StreamingIngest.checkpointIdentity(spark, ckpt)
+    // stable across calls for the same incarnation
+    assert(StreamingIngest.checkpointIdentity(spark, ckpt)._1 == tag1)
+    // wipe and recreate the same path: a NEW incarnation, so batch 0 of
+    // the new run cannot clobber the old run's committed batch-0 dir
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(ckpt)).deleteRecursively()
+    val (tag2, _) = StreamingIngest.checkpointIdentity(spark, ckpt)
+    assert(tag2 != tag1)
+  }
+
   test("compact recovers from a crash between the two directory renames") {
     val root = mkTmp("hta-crash")
     val store = new HtaStore(root, H)
@@ -138,7 +173,7 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.move(
       java.nio.file.Paths.get(s"$root/partials"),
       java.nio.file.Paths.get(s"$root/partials_old"))
-    store.compact(spark) // must restore, then compact
+    store.compact(spark, None) // must restore, then compact
     assert(store.level0(spark).collect().toSet == before)
   }
 
