@@ -470,6 +470,56 @@ object SparkEntry {
         .filter(col("event_type") =!= "__sentinel__")
         .orderBy("win_start_us", "event_type")
     }),
+    // J3 streaming extension: stream-stream inner join with watermarks
+    // on BOTH sides and a range condition (clicks within the hour
+    // preceding each purchase — q40's semantics as a join emitting the
+    // matched pairs). Both sides arrive in 3 time-aligned chunks, so
+    // matches span micro-batches and the buffered-state path is
+    // exercised; the oracle is the equivalent batch range join, proving
+    // cross-batch stream-stream matching ≡ batch
+    "q56_stream_stream_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(ts AS LONG) div 1000").as("us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "us")
+        .as[(Long, Long, Long)].collect().sortBy(_._3)
+      val c = ev.filter(col("event_type") === "click")
+        .select("user_id", "us")
+        .as[(Long, Long)].collect().sortBy(_._2)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val msP = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)](ss)
+      val msC = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)](ss)
+      val pDf = msP.toDS().toDF("event_id", "p_user", "p_us")
+        .withColumn("p_ts", timestamp_micros(col("p_us")))
+        .withWatermark("p_ts", "1 hour")
+      val cDf = msC.toDS().toDF("c_user", "c_us")
+        .withColumn("c_ts", timestamp_micros(col("c_us")))
+        .withWatermark("c_ts", "1 hour")
+      val q = pDf.join(cDf,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") < col("p_ts"))
+        .select(col("event_id"), col("p_user").as("user_id"),
+          col("p_us"), col("c_us"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_stream_join")
+        .start()
+      val pChunks = p.grouped(math.max(1, p.length / 3 + 1)).toSeq
+      val cChunks = c.grouped(math.max(1, c.length / 3 + 1)).toSeq
+      (0 until math.max(pChunks.length, cChunks.length)).foreach { i =>
+        pChunks.lift(i).foreach(ch => msP.addData(ch.toSeq))
+        cChunks.lift(i).foreach(ch => msC.addData(ch.toSeq))
+        q.processAllAvailable()
+      }
+      q.stop()
+      ss.table("graft_stream_stream_join")
+        .orderBy("event_id", "c_us")
+    }),
     // SQL text surface: the same ANSI string runs in spark.sql and DuckDB
     "q35_sql_tpch" -> ((s, dir) => {
       Seq("orders", "lineitem").foreach(t =>
@@ -515,6 +565,16 @@ object SparkEntry {
         Dedup.jaccardPairs(Tables.read(s, dir, "documents"),
           ClusterJaccard, ClusterBand).select("doc_a", "doc_b"))
         .orderBy("doc_id")),
+    // X2 alternative clustering: the SAME components via alternating
+    // large-star/small-star contraction (O(log² n) rounds on any graph
+    // shape, where x45's min-label propagation needs O(diameter)) —
+    // same recursive-CTE oracle, so a match proves the two distributed
+    // algorithms and the sequential closure all agree
+    "x55_star_clusters" -> ((s, dir) =>
+      Dedup.starClusters(
+        Dedup.jaccardPairs(Tables.read(s, dir, "documents"),
+          ClusterJaccard, ClusterBand).select("doc_a", "doc_b"))
+        .orderBy("doc_id")),
     // X4/X1: benchmark decontamination — n-gram overlap against the
     // held-out subset (doc_id ≡ 0 mod 20)
     "x46_decontaminate" -> ((s, dir) =>
@@ -532,6 +592,44 @@ object SparkEntry {
       TextAnalysis.curateWith(Tables.read(s, dir, "documents"), 3.0,
         clusters(s, dir))
         .orderBy("lang", "split")),
+    // Sketch surface: HLL++ distinct-count next to the exact count.
+    // At 100 TB approx_count_distinct is the only affordable form (the
+    // exact count shuffles every distinct key; the sketch is a few KB
+    // per group, merged map-side). No oracleSql — DuckDB's approx
+    // sketch differs; the driver records a rows-only check and
+    // SketchSpec enforces the error bound against the exact count
+    "x57_approx_distinct" -> ((s, dir) =>
+      Tables.read(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.005).as("approx_orders_hi"))
+        .orderBy("l_returnflag")),
+    // Sketch surface: rank-sketch percentiles next to the exact ones.
+    // percentile() sorts every group's values; percentile_approx keeps
+    // a bounded summary (rank error ≤ n/accuracy) and is the 100 TB
+    // path. Rows-only check; SketchSpec enforces the rank-error bound
+    "x58_approx_quantiles" -> ((s, dir) =>
+      Tables.read(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("approx_p"),
+          expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("exact_p"))
+        .orderBy("l_returnflag")),
+    // Exact interpolated percentiles — the sort-based form the sketches
+    // above approximate; both engines use the p·(n−1) linear
+    // interpolation, so this one IS hash-checkable against DuckDB's
+    // quantile_cont
+    "q57_percentiles" -> ((s, dir) =>
+      Tables.read(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5D)").as("p50_qty"),
+          expr("percentile(l_quantity, 0.9D)").as("p90_qty"),
+          expr("percentile(l_extendedprice, 0.25D)").as("p25_price"))
+        .orderBy("l_returnflag")),
     // TSDB analytics: per-metric rate of change (Prometheus rate/deriv)
     "q42_rate" -> ((s, dir) =>
       graft.operators.TimeSeriesOps.rate(sanitized(s, dir))
@@ -625,10 +723,17 @@ object SparkEntry {
     "q31_streamed_rollup" -> OracleSql.rollupSql(Q.IntervalMin),
     "q41_backfill_chunked" -> OracleSql.rollupSql(Q.IntervalMin),
     "x45_dedup_clusters" -> OracleSqlExt.dedupClustersSql(ClusterJaccard, ClusterBand),
+    "x55_star_clusters" -> OracleSqlExt.dedupClustersSql(ClusterJaccard, ClusterBand),
     "x46_decontaminate" -> OracleSqlExt.decontaminateSql,
     "x47_split_stratified" -> OracleSqlExt.splitCountsSql("graft"),
     "x48_corpus_curation" ->
       OracleSqlExt.curateSql(3.0, ClusterJaccard, ClusterBand, "graft"),
+    "q57_percentiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |       quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |       quantile_cont(l_extendedprice, 0.25) AS p25_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q42_rate" -> OracleSql.rateSql,
     "q51_metric_align" -> OracleSql.alignMetricsSql(Q.IntervalMin, "click", "view"),
     "q52_metric_corr" -> OracleSql.corrMetricsSql(Q.IntervalMin, "click", "view"),
@@ -653,6 +758,16 @@ object SparkEntry {
       s"""SELECT event_type AS metric, ${OracleSql.tsNs} AS time, value
         |FROM events ORDER BY metric, time, value""".stripMargin,
     "q39_flex_agg" -> OracleSql.timelineSql(Q.Level1, Q.Start, Q.End),
+    "q56_stream_stream_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events
+        |), p AS (SELECT event_id, user_id, t FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, t FROM ev WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.t AS p_us, c.t AS c_us
+        |FROM p JOIN c ON c.user_id = p.user_id
+        |  AND c.t >= p.t - 3600000000
+        |  AND c.t < p.t
+        |ORDER BY p.event_id, c_us""".stripMargin,
     "q40_range_join" ->
       s"""WITH ev AS (
         |  SELECT event_id, user_id, event_type, ${OracleSql.tsNs} AS t FROM events

@@ -173,20 +173,16 @@ object Dedup {
     val edges = fwd.unionByName(
       fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct().cache()
     // per round, ONE job does everything: the relabeled set carries a
-    // `changed` flag, and counting the changed rows both materializes
-    // the full cache (an isEmpty probe alone would leave partitions
-    // lazy) and decides convergence — no separate probe join. The
-    // previous round's cache is released once counted. localCheckpoint
-    // would also truncate lineage but its blocks cannot be freed
-    // explicitly — 25 materialized label copies would accumulate; at
-    // maxIter=25 the logical plan stays shallow enough that
-    // cached-parent reuse is the better trade.
-    // `cachedRound` tracks the frame the cache is registered on —
-    // unpersist must target it, not a projection derived from it
-    var cachedRound = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id")).cache()
-    cachedRound.count()
-    var labels = cachedRound
+    // `changed` flag, and the eager localCheckpoint both materializes
+    // the round and TRUNCATES LINEAGE — each round's plan references
+    // `labels` twice (neighborMin + the left join), so without
+    // truncation the logical tree doubles per round and cache-lookup
+    // canonicalization goes exponential long before maxIter (a
+    // non-converging input would hang, not fail loudly). Old rounds'
+    // checkpoint blocks are freed by the ContextCleaner once
+    // unreferenced.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id")).localCheckpoint(true)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -198,10 +194,8 @@ object Dedup {
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
           (coalesce(col("nmin"), col("cluster")) < col("cluster")).as("changed"))
-        .cache()
+        .localCheckpoint(true)
       converged = updated.filter(col("changed")).count() == 0
-      cachedRound.unpersist()
-      cachedRound = updated
       labels = updated.select("doc_id", "cluster")
       it += 1
     }
@@ -212,6 +206,105 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"nearDupClusters did not converge within $maxIter rounds")
+    labels.withColumn("cluster_size",
+      count(lit(1)).over(Window.partitionBy("cluster")))
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SOCC 2014) — the high-diameter companion to
+    * [[nearDupClusters]]: O(log² n) rounds on ANY graph shape, where
+    * min-label propagation needs O(diameter) rounds and a pathological
+    * chain of near-dups (doc₁≈doc₂≈…≈docₙ) would exhaust its budget.
+    *
+    * Each round is two groupBy-min + join passes over the edge list —
+    * the same shuffle shape as one propagation round, so at 100 TB the
+    * choice between the two is purely (rounds × shuffle) arithmetic:
+    * propagation wins on shallow similarity clusters (2-4 rounds),
+    * contraction wins on chains. Both are exposed; callers pick by
+    * corpus shape.
+    *
+    *  - large-star(u): every neighbor v > u re-points to
+    *    m = min(Γ(u) ∪ {u}) — halves the depth of tall subtrees;
+    *  - small-star(u): every neighbor v ≤ u (and u itself) re-points to
+    *    m — flattens what remains into stars.
+    *
+    * Convergence: a round that changes nothing (same canonical edge
+    * multiset) means every tree is a star rooted at its component
+    * minimum. Detected by (count, xxhash64-sum) checksum — collision
+    * odds are negligible and a false "converged" would only surface as
+    * an oracle mismatch, never silent data loss at two independent
+    * 64-bit sums.
+    *
+    * Output schema matches [[nearDupClusters]]:
+    * `(doc_id, cluster, cluster_size)` with cluster = component min.
+    */
+  def starClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    // canonical directed form u > v (parent-pointer convention: larger
+    // node points at smaller), self-loops dropped
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+
+    def checksum(edges: DataFrame): (Long, Long, Long) = {
+      // bit_xor, not sum: xor of 64-bit hashes cannot overflow (ANSI
+      // mode makes sum throw), and the edge set is distinct so no two
+      // identical hashes cancel
+      val r = edges.agg(
+        count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)),
+        coalesce(bit_xor(xxhash64(col("v"), col("u"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+
+    // large-star operates on the FULL symmetric neighborhood; small-star
+    // on the canonical (u > v) form only
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      canon(sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+
+    def smallStar(edges: DataFrame): DataFrame = {
+      val mins = edges.groupBy("u").agg(min(col("v")).as("m"))
+      canon(edges.join(mins, "u")
+        .select(explode(array(
+          struct(col("u").as("u"), col("m").as("v")),
+          struct(col("v").as("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v")))
+    }
+
+    var edges = canon(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .localCheckpoint(true)
+    var sig = checksum(edges)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // localCheckpoint (not cache) each round: star-contraction plans
+      // deepen by two joins per round, and 50 rounds of lineage would
+      // overwhelm the optimizer; materialize-and-truncate keeps every
+      // round's plan two joins deep
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = checksum(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"starClusters did not converge within $maxIter rounds")
+    // converged edge set is a star forest u→min; roots label themselves
+    val labels = edges.select(col("u").as("doc_id"), col("v").as("cluster"))
+      .unionByName(edges.select(col("v").as("doc_id"),
+        col("v").as("cluster")).distinct())
     labels.withColumn("cluster_size",
       count(lit(1)).over(Window.partitionBy("cluster")))
   }

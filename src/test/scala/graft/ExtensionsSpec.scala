@@ -58,6 +58,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("starClusters matches nearDupClusters on the fixture pairs") {
+    import spark.implicits._
+    val pairs = Dedup.jaccardPairs(docs, 0.5, 10).select("doc_a", "doc_b")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(m(Dedup.starClusters(pairs)) == m(Dedup.nearDupClusters(pairs)))
+  }
+
+  test("starClusters converges on a chain that exceeds the propagation budget") {
+    import spark.implicits._
+    // a 200-node path: diameter 199, so min-label propagation at its
+    // default 25-round budget must fail loudly...
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    assertThrows[IllegalStateException](Dedup.nearDupClusters(chain).collect())
+    // ...while star contraction needs O(log n) rounds
+    val got = Dedup.starClusters(chain)
+      .select("doc_id", "cluster", "cluster_size")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 200)
+    assert(got.forall { case (_, c, s) => c == 0L && s == 200L })
+  }
+
   test("splitAssign is deterministic and respects the 8/1/1 bucket rule") {
     import spark.implicits._
     def assign(d: org.apache.spark.sql.DataFrame) =
