@@ -520,6 +520,40 @@ object SparkEntry {
       ss.table("graft_stream_stream_join")
         .orderBy("event_id", "c_us")
     }),
+    // T2/T4 streaming extension: watermark-bounded streaming
+    // deduplication — every chunk is delivered TWICE (at-least-once
+    // replay), dropDuplicatesWithinWatermark keeps state only one
+    // watermark delay deep (the unbounded-state dropDuplicates is the
+    // thing that does NOT survive an infinite stream); oracle is the
+    // batch count(DISTINCT), so a match proves the doubled stream
+    // deduplicated exactly
+    "q58_streamed_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select(
+          col("event_id"), col("event_type"),
+          expr("CAST(ts AS LONG) div 1000").as("us"))
+        .as[(Long, String, Long)].collect().sortBy(_._3)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Long)](ss)
+      val q = ms.toDS().toDF("event_id", "event_type", "us")
+        .withColumn("tstamp", timestamp_micros(col("us")))
+        .withWatermark("tstamp", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("graft_streamed_dedup")
+        .start()
+      ev.grouped(math.max(1, ev.length / 3 + 1)).foreach { ch =>
+        ms.addData(ch.toSeq)
+        ms.addData(ch.toSeq) // replay the whole chunk
+        q.processAllAvailable()
+      }
+      q.stop()
+      ss.table("graft_streamed_dedup")
+        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
     // SQL text surface: the same ANSI string runs in spark.sql and DuckDB
     "q35_sql_tpch" -> ((s, dir) => {
       Seq("orders", "lineitem").foreach(t =>
@@ -630,6 +664,36 @@ object SparkEntry {
           expr("percentile(l_quantity, 0.9D)").as("p90_qty"),
           expr("percentile(l_extendedprice, 0.25D)").as("p25_price"))
         .orderBy("l_returnflag")),
+    // C7 string surface: the scalar string suite, same semantics in
+    // both engines (1-based substring, split_part, lpad, concat_ws)
+    "q59_string_suite" -> ((s, dir) =>
+      Tables.read(s, dir, "customer")
+        .filter(col("c_custkey") % 25 === 0)
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          substring(col("c_name"), 10, 9).as("tail9"),
+          length(col("c_mktsegment")).cast("long").as("seg_len"),
+          expr("split_part(c_name, '#', 2)").as("cnum"),
+          concat_ws("|", col("c_mktsegment"), lower(col("c_name"))).as("joined"),
+          lpad(col("c_custkey").cast("string"), 12, "0").as("padded"),
+          expr("replace(c_mktsegment, 'A', '_')").as("seg_repl"))
+        .orderBy("c_custkey")),
+    // C7 date/time surface: calendar grouping + month truncation over
+    // the ms-precision order dates (UTC in both engines)
+    "q60_date_suite" -> ((s, dir) =>
+      Tables.read(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"))
+        .agg(count(lit(1)).as("cnt"),
+          // parquet timestamp[ms] (not UTC-adjusted) reads as NTZ;
+          // unix_micros needs LTZ — identity under the UTC session tz
+          unix_micros(min(col("o_orderdate")).cast("timestamp")).as("first_us"),
+          unix_micros(date_trunc("month", min(col("o_orderdate"))))
+            .as("month_start_us"),
+          datediff(max(col("o_orderdate")), min(col("o_orderdate")))
+            .cast("long").as("span_days"))
+        .orderBy("yr", "mo")),
     // TSDB analytics: per-metric rate of change (Prometheus rate/deriv)
     "q42_rate" -> ((s, dir) =>
       graft.operators.TimeSeriesOps.rate(sanitized(s, dir))
@@ -728,6 +792,28 @@ object SparkEntry {
     "x47_split_stratified" -> OracleSqlExt.splitCountsSql("graft"),
     "x48_corpus_curation" ->
       OracleSqlExt.curateSql(3.0, ClusterJaccard, ClusterBand, "graft"),
+    "q58_streamed_dedup" ->
+      """SELECT event_type, count(DISTINCT event_id) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q59_string_suite" ->
+      """SELECT c_custkey,
+        |       upper(c_name) AS uname,
+        |       substring(c_name, 10, 9) AS tail9,
+        |       CAST(length(c_mktsegment) AS BIGINT) AS seg_len,
+        |       split_part(c_name, '#', 2) AS cnum,
+        |       concat_ws('|', c_mktsegment, lower(c_name)) AS joined,
+        |       lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+        |       replace(c_mktsegment, 'A', '_') AS seg_repl
+        |FROM customer WHERE c_custkey % 25 = 0 ORDER BY c_custkey""".stripMargin,
+    "q60_date_suite" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |       count(*) AS cnt,
+        |       epoch_us(min(o_orderdate)) AS first_us,
+        |       epoch_us(date_trunc('month', min(o_orderdate))) AS month_start_us,
+        |       CAST(date_diff('day', CAST(min(o_orderdate) AS DATE),
+        |                      CAST(max(o_orderdate) AS DATE)) AS BIGINT) AS span_days
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
     "q57_percentiles" ->
       """SELECT l_returnflag,
         |       quantile_cont(l_quantity, 0.5) AS p50_qty,
