@@ -664,6 +664,26 @@ object SparkEntry {
           expr("percentile(l_quantity, 0.9D)").as("p90_qty"),
           expr("percentile(l_extendedprice, 0.25D)").as("p25_price"))
         .orderBy("l_returnflag")),
+    // A9 surface: PIVOT with an EXPLICIT value list — the implicit form
+    // runs a distinct-collect planning pass over the pivot column,
+    // which at 100 TB is a full extra scan before the real job
+    "q61_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("value_c", round(col("value") * 100).cast("long"))
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(sum("value_c"))
+        // empty cells surface as NULL after the pivot — coalesce there
+        .select(col("user_id"), coalesce(col("click"), lit(0L)).as("click_c"),
+          coalesce(col("view"), lit(0L)).as("view_c"),
+          coalesce(col("purchase"), lit(0L)).as("purchase_c"))
+        .orderBy("user_id")),
+    // A9 surface: GROUPING SETS (disjoint, not the ROLLUP/CUBE
+    // expansions of q17/q53) — verbatim SQL in both engines
+    "q62_grouping_sets" -> ((s, dir) => {
+      Tables.read(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(OracleSqlExt.groupingSetsSql)
+    }),
     // C7 string surface: the scalar string suite, same semantics in
     // both engines (1-based substring, split_part, lpad, concat_ws)
     "q59_string_suite" -> ((s, dir) =>
@@ -795,6 +815,16 @@ object SparkEntry {
     "q58_streamed_dedup" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q61_pivot" ->
+      """SELECT user_id,
+        |  coalesce(sum(CASE WHEN event_type = 'click'
+        |    THEN CAST(round(value*100) AS BIGINT) END), 0) AS click_c,
+        |  coalesce(sum(CASE WHEN event_type = 'view'
+        |    THEN CAST(round(value*100) AS BIGINT) END), 0) AS view_c,
+        |  coalesce(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(round(value*100) AS BIGINT) END), 0) AS purchase_c
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q62_grouping_sets" -> OracleSqlExt.groupingSetsSql,
     "q59_string_suite" ->
       """SELECT c_custkey,
         |       upper(c_name) AS uname,

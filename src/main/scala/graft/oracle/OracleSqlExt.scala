@@ -343,6 +343,19 @@ object OracleSqlExt {
       |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Runs VERBATIM in both engines: disjoint GROUPING SETS (not the
+    * ROLLUP/CUBE expansions) with grouping() disambiguation of the
+    * NULL group keys.
+    */
+  val groupingSetsSql: String =
+    """SELECT CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid,
+      |       l_returnflag, l_linestatus,
+      |       sum(l_quantity) AS sum_qty,
+      |       count(*) AS cnt
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   def textQualitySql: String =
     s"""WITH t AS (
       |  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks
