@@ -168,21 +168,28 @@ object Dedup {
     * executors (the alternating-star optimization can replace this
     * loop if profiling ever demands fewer rounds).
     */
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 25,
+                      reliable: Boolean = false): DataFrame = {
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = fwd.unionByName(
       fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct().cache()
     // per round, ONE job does everything: the relabeled set carries a
-    // `changed` flag, and the eager localCheckpoint both materializes
-    // the round and TRUNCATES LINEAGE — each round's plan references
+    // `changed` flag, and the eager checkpoint both materializes the
+    // round and TRUNCATES LINEAGE — each round's plan references
     // `labels` twice (neighborMin + the left join), so without
     // truncation the logical tree doubles per round and cache-lookup
     // canonicalization goes exponential long before maxIter (a
     // non-converging input would hang, not fail loudly). Old rounds'
     // checkpoint blocks are freed by the ContextCleaner once
-    // unreferenced.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id")).localCheckpoint(true)
+    // unreferenced. localCheckpoint blocks are unreplicated with no
+    // lineage, so losing an executor mid-loop fails the job — on a
+    // preemptible/dynamic-allocation cluster pass `reliable = true`
+    // (requires `sparkContext.setCheckpointDir`) to write rounds to
+    // fault-tolerant storage instead
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    var labels = materialize(edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id")))
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -190,11 +197,10 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst"), col("cluster")), "dst")
         .groupBy("src").agg(min("cluster").as("nmin"))
         .withColumnRenamed("src", "doc_id")
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+      val updated = materialize(labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
-          (coalesce(col("nmin"), col("cluster")) < col("cluster")).as("changed"))
-        .localCheckpoint(true)
+          (coalesce(col("nmin"), col("cluster")) < col("cluster")).as("changed")))
       converged = updated.filter(col("changed")).count() == 0
       labels = updated.select("doc_id", "cluster")
       it += 1
@@ -236,11 +242,17 @@ object Dedup {
     * an oracle mismatch, never silent data loss at two independent
     * 64-bit sums.
     *
-    * Output schema matches [[nearDupClusters]]:
-    * `(doc_id, cluster, cluster_size)` with cluster = component min.
+    * Output schema AND node contract match [[nearDupClusters]]:
+    * `(doc_id, cluster, cluster_size)` with cluster = component min,
+    * and a node appearing only in self-pairs comes out as a singleton
+    * cluster (contraction drops self-loops internally, so singletons
+    * are re-attached from the input node set at the end).
     */
-  def starClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def starClusters(pairs: DataFrame, maxIter: Int = 50,
+                   reliable: Boolean = false): DataFrame = {
     val spark = pairs.sparkSession
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
     // canonical directed form u > v (parent-pointer convention: larger
     // node points at smaller), self-loops dropped
     def canon(df: DataFrame): DataFrame =
@@ -281,17 +293,23 @@ object Dedup {
         .select(col("e.u").as("u"), col("e.v").as("v")))
     }
 
-    var edges = canon(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
-      .localCheckpoint(true)
+    val input = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    // every node mentioned in the input, BEFORE self-loops are dropped —
+    // a node with only self-pairs must still surface as a singleton
+    // (the contract nearDupClusters keeps via its symmetric union)
+    val allNodes = materialize(input.select(col("u").as("doc_id"))
+      .unionByName(input.select(col("v").as("doc_id"))).distinct())
+    var edges = materialize(canon(input))
     var sig = checksum(edges)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      // localCheckpoint (not cache) each round: star-contraction plans
+      // eager checkpoint (not cache) each round: star-contraction plans
       // deepen by two joins per round, and 50 rounds of lineage would
       // overwhelm the optimizer; materialize-and-truncate keeps every
-      // round's plan two joins deep
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // round's plan two joins deep (`reliable` trades local speed for
+      // executor-loss tolerance, as in nearDupClusters)
+      val next = materialize(smallStar(largeStar(edges)))
       val nextSig = checksum(next)
       converged = nextSig == sig
       edges = next
@@ -301,11 +319,15 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"starClusters did not converge within $maxIter rounds")
-    // converged edge set is a star forest u→min; roots label themselves
-    val labels = edges.select(col("u").as("doc_id"), col("v").as("cluster"))
+    // converged edge set is a star forest u→min; roots label themselves,
+    // and nodes the contraction never saw (self-pair-only) are singletons
+    val connected = edges.select(col("u").as("doc_id"), col("v").as("cluster"))
       .unionByName(edges.select(col("v").as("doc_id"),
         col("v").as("cluster")).distinct())
-    labels.withColumn("cluster_size",
+    val singletons = allNodes
+      .join(connected.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("cluster", col("doc_id"))
+    connected.unionByName(singletons).withColumn("cluster_size",
       count(lit(1)).over(Window.partitionBy("cluster")))
   }
 

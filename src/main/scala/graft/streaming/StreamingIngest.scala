@@ -92,22 +92,44 @@ object StreamingIngest {
     val hp = new org.apache.hadoop.fs.Path(checkpoint)
     val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val idFile = new org.apache.hadoop.fs.Path(hp, "graft-id")
+    def readId(): String = {
+      val in = hfs.open(idFile)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      // an empty/garbled id would make this checkpoint share a tag with
+      // every other checkpoint that hit the same corruption — md5("") —
+      // recreating exactly the batch-key collision the id prevents.
+      // Refuse loudly; the operator removes the corrupt file to mint a
+      // fresh incarnation.
+      require(s.matches("[0-9a-f-]{36}") || s.contains(":/"),
+        s"corrupt $idFile (content '${s.take(40)}'): remove it to " +
+          "start a fresh incarnation, or restore it from backup")
+      s
+    }
     val incarnation =
-      if (hfs.exists(idFile)) {
-        val in = hfs.open(idFile)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      } else {
-        val id = java.util.UUID.randomUUID().toString
+      if (hfs.exists(idFile)) readId()
+      else {
+        // pre-graft-id checkpoint already in use (Spark's commits/ dir
+        // exists): its store batch keys hashed the canonical PATH —
+        // adopt that exact string as the incarnation id so the tag (and
+        // with it every batch key) is unchanged and replays keep
+        // overwriting the directories the old code wrote
+        val legacy = hfs.exists(new org.apache.hadoop.fs.Path(hp, "commits"))
+        val id =
+          if (legacy) hfs.makeQualified(hp).toString
+          else java.util.UUID.randomUUID().toString
         hfs.mkdirs(hp)
-        try {
-          val out = hfs.create(idFile, false) // no-overwrite: racers fail
-          try { out.write(id.getBytes("UTF-8")); id } finally out.close()
-        } catch {
-          case _: java.io.IOException => // lost the race — use the winner's id
-            val in = hfs.open(idFile)
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-            finally in.close()
+        // content atomicity: write the full id to a temp file, then
+        // rename into place (rename is atomic; create-then-write leaves
+        // a window where a crash persists a zero-length id)
+        val tmp = new org.apache.hadoop.fs.Path(hp,
+          s"graft-id.tmp-${java.util.UUID.randomUUID()}")
+        val out = hfs.create(tmp, true)
+        try out.write(id.getBytes("UTF-8")) finally out.close()
+        if (hfs.rename(tmp, idFile)) id
+        else { // lost the race — use the winner's id
+          hfs.delete(tmp, false)
+          readId()
         }
       }
     val tag = java.security.MessageDigest.getInstance("MD5")
@@ -132,7 +154,13 @@ object StreamingIngest {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     implicit val s: SparkSession = spark
     import spark.implicits._
-    stats.foreach(spark.streams.addListener)
+    // idempotent registration: reusing one collector across restarts
+    // (the pattern bind() supports) must not double-register it — a
+    // second addListener would fire onQueryProgress twice per batch
+    stats.foreach { st =>
+      spark.streams.removeListener(st)
+      spark.streams.addListener(st)
+    }
     val (ckptTag, committedMax) = checkpointIdentity(spark, checkpoint)
     // A8 skip counters as observable metrics (collected per micro-batch by
     // IngestStats; stateless classification — a NaN that is also stale
@@ -219,11 +247,18 @@ class HtaStore(val root: String, val intervalMin: Long) {
     * ignored by every reader and overwritten (then marked) if their
     * batch is ever replayed. A transactional table format subsumes this
     * file at 100 TB (SCALE.md §1).
+    *
+    * Migration: a store written before markers existed has data but no
+    * `batch_commits/` directory — `None` here, and every batch is
+    * trusted (the pre-marker trust model, so upgrading cannot make
+    * history vanish). [[writeBatch]] creates the directory BEFORE its
+    * first data write, so on any store the new code has touched, an
+    * absent directory can only mean "legacy store".
     */
-  private def committedKeys(spark: SparkSession): Set[String] = {
+  private def committedKeys(spark: SparkSession): Option[Set[String]] = {
     val (hfs, cp) = fs(spark, commitsPath)
-    if (!hfs.exists(cp)) Set.empty
-    else hfs.listStatus(cp).map(_.getPath.getName).toSet
+    if (!hfs.exists(cp)) None
+    else Some(hfs.listStatus(cp).map(_.getPath.getName).toSet)
   }
 
   private def markCommitted(spark: SparkSession, batchKey: String): Unit = {
@@ -232,12 +267,45 @@ class HtaStore(val root: String, val intervalMin: Long) {
     hfs.create(new org.apache.hadoop.fs.Path(cp, batchKey), true).close()
   }
 
-  private def onlyCommitted(spark: SparkSession, df: DataFrame): DataFrame = {
-    val keys = committedKeys(spark)
-    if (keys.isEmpty) df.filter(org.apache.spark.sql.functions.lit(false))
-    else df.filter(org.apache.spark.sql.functions.col("batch_id")
-      .isin(keys.toSeq: _*))
+  private def markerDirInit(spark: SparkSession): Unit = {
+    val (hfs, cp) = fs(spark, commitsPath)
+    if (!hfs.exists(cp)) {
+      // first write by marker-aware code: if legacy data exists it was
+      // trusted wholesale until now — backfill a marker per existing
+      // batch directory so creating the marker dir cannot hide history
+      val (rfs, rp) = fs(spark, rawPath)
+      val legacyKeys =
+        if (!rfs.exists(rp)) Seq.empty
+        else rfs.listStatus(rp).map(_.getPath.getName)
+          .filter(_.startsWith("batch_id=")).map(_.stripPrefix("batch_id="))
+          .toSeq
+      hfs.mkdirs(cp)
+      legacyKeys.foreach(markCommitted(spark, _))
+    }
   }
+
+  /** An `isin` literal list grows one entry per micro-batch forever and
+    * eventually dominates analysis/codegen; past a small size, switch
+    * to a broadcast left-semi join against the marker table (constant
+    * plan size at any batch count).
+    */
+  private def commitFilter(spark: SparkSession, df: DataFrame,
+                           keys: Set[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    if (keys.isEmpty) df.filter(lit(false))
+    else if (keys.size <= 128) df.filter(col("batch_id").isin(keys.toSeq: _*))
+    else {
+      import spark.implicits._
+      df.join(broadcast(keys.toSeq.toDF("batch_id")), Seq("batch_id"),
+        "left_semi")
+    }
+  }
+
+  private def onlyCommitted(spark: SparkSession, df: DataFrame): DataFrame =
+    committedKeys(spark) match {
+      case None => df // legacy pre-marker store: every batch is trusted
+      case Some(keys) => commitFilter(spark, df, keys)
+    }
 
   private def emptyDf(spark: SparkSession,
                       schema: org.apache.spark.sql.types.StructType): DataFrame =
@@ -272,6 +340,10 @@ class HtaStore(val root: String, val intervalMin: Long) {
     * stays invisible to every reader until its replay completes it.
     */
   def writeBatch(spark: SparkSession, gated: DataFrame, batchKey: String): Unit = {
+    // the marker directory must exist BEFORE any data lands: its
+    // absence is what distinguishes a legacy pre-marker store (trust
+    // everything) from a store with a half-written first batch
+    markerDirInit(spark)
     val batch = gated.cache()
     try {
       // no repartition: micro-batches are already metric-hashed by the
@@ -364,9 +436,13 @@ class HtaStore(val root: String, val intervalMin: Long) {
           substring_index(col("batch_id"), "_", -1).cast("long") > committedMax
       case None => lit(false)
     }
-    val keys = committedKeys(spark)
-    val marked =
-      if (keys.isEmpty) lit(false) else col("batch_id").isin(keys.toSeq: _*)
+    // legacy pre-marker store: every batch is trusted (and the compact
+    // itself writes the marker directory, migrating the store)
+    val marked: org.apache.spark.sql.Column = committedKeys(spark) match {
+      case None => lit(true)
+      case Some(keys) =>
+        if (keys.isEmpty) lit(false) else col("batch_id").isin(keys.toSeq: _*)
+    }
     val preserve = uncommittedTail || !marked
     val all = spark.read.schema(partialsSchema).parquet(partialsPath)
     val committedMerged = Ingest.mergeToLevel(
@@ -383,7 +459,10 @@ class HtaStore(val root: String, val intervalMin: Long) {
     // marker BEFORE the swap: a marker without a directory is harmless,
     // but a swapped-in compacted directory without a marker would hide
     // all merged history. Markers for merged batches stay — they still
-    // validate the raw/ side of those batches
+    // validate the raw/ side of those batches. On a legacy store this
+    // also backfills raw-side markers (markerDirInit) so creating the
+    // marker dir cannot hide pre-marker history
+    markerDirInit(spark)
     markCommitted(spark, "compacted")
     // Hadoop rename signals failure by returning false — never delete
     // the backup unless both renames actually happened

@@ -160,6 +160,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(tag2 != tag1)
   }
 
+  test("legacy pre-marker store keeps full history and is migrated on write") {
+    val root = mkTmp("hta-premarker")
+    val store = new HtaStore(root, H)
+    val gated = batch1.map(p =>
+      StreamingIngest.GatedPoint(p.metric, p.time, p.value, anchor = false))
+      .filter(p => !p.value.isNaN && !p.value.isInfinite).toDF()
+    store.writeBatch(spark, gated, "t_0")
+    val before = store.raw(spark).count()
+    // simulate a store written before commit markers existed
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$root/batch_commits")).deleteRecursively()
+    // legacy trust model: absence of the marker dir hides nothing
+    assert(store.raw(spark).count() == before)
+    assert(store.level0(spark).count() > 0)
+    // the next write backfills markers for pre-existing batches — the
+    // marker dir appearing must not make legacy history vanish
+    store.writeBatch(spark,
+      gated.withColumn("time", col("time") + lit(300L * 60000000000L)), "t_1")
+    assert(store.raw(spark).count() == 2 * before)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/batch_commits/t_0")))
+  }
+
+  test("pre-graft-id checkpoint adopts the path-derived legacy tag") {
+    val ckpt = mkTmp("hta-legacy-ckpt")
+    // an in-use pre-upgrade checkpoint is recognized by Spark's commits/
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$ckpt/commits"))
+    val (tag, _) = StreamingIngest.checkpointIdentity(spark, ckpt)
+    // must equal the OLD derivation — md5 of the canonical qualified
+    // path — so existing store batch keys keep matching
+    val hp = new org.apache.hadoop.fs.Path(ckpt)
+    val canonical = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(hp).toString
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(12)
+    assert(tag == expect)
+    // and it is persisted: a second call agrees
+    assert(StreamingIngest.checkpointIdentity(spark, ckpt)._1 == tag)
+  }
+
   test("compact recovers from a crash between the two directory renames") {
     val root = mkTmp("hta-crash")
     val store = new HtaStore(root, H)
