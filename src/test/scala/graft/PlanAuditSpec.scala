@@ -54,6 +54,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q61 explicit-value pivot plans exactly one scan of events") {
+    // the implicit pivot form runs a separate distinct job over the
+    // pivot column before planning — an extra full scan at 100 TB
+    val qe = SparkEntry.queries("q61_pivot")(spark, sf).queryExecution
+    val scans = qe.sparkPlan.collectLeaves().size
+    assert(scans == 1, s"expected a single events scan, got $scans leaves")
+  }
+
+  test("q57 exact percentiles aggregate via ObjectHashAggregate") {
+    // percentile is a TypedImperativeAggregate: ObjectHashAggregate
+    // keeps one buffer per group; a SortAggregate fallback would
+    // re-sort every group's rows
+    val p = sparkPlan("q57_percentiles")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_percentile"), p)
+  }
+
   test("whole-stage codegen covers the rollup pipeline") {
     // audit the real rollup computation, not the memoized store view —
     // and execute THIS DataFrame so AQE finalizes its plan
