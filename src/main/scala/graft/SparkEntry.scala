@@ -643,14 +643,21 @@ object SparkEntry {
     // Sketch surface: rank-sketch percentiles next to the exact ones.
     // percentile() sorts every group's values; percentile_approx keeps
     // a bounded summary (rank error ≤ n/accuracy) and is the 100 TB
-    // path. Rows-only check; SketchSpec enforces the rank-error bound
+    // path. Scalar columns (not arrays) so the driver's rows-only sort
+    // works; SketchSpec enforces the rank-error bound
     "x58_approx_quantiles" -> ((s, dir) =>
       Tables.read(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          percentile_approx(col("l_extendedprice"),
-            array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("approx_p"),
-          expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("exact_p"))
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("approx_p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000))
+            .as("approx_p90"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000))
+            .as("approx_p99"),
+          expr("percentile(l_extendedprice, 0.5D)").as("exact_p50"),
+          expr("percentile(l_extendedprice, 0.9D)").as("exact_p90"),
+          expr("percentile(l_extendedprice, 0.99D)").as("exact_p99"))
         .orderBy("l_returnflag")),
     // Exact interpolated percentiles — the sort-based form the sketches
     // above approximate; both engines use the p·(n−1) linear
@@ -817,12 +824,12 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q61_pivot" ->
       """SELECT user_id,
-        |  coalesce(sum(CASE WHEN event_type = 'click'
-        |    THEN CAST(round(value*100) AS BIGINT) END), 0) AS click_c,
-        |  coalesce(sum(CASE WHEN event_type = 'view'
-        |    THEN CAST(round(value*100) AS BIGINT) END), 0) AS view_c,
-        |  coalesce(sum(CASE WHEN event_type = 'purchase'
-        |    THEN CAST(round(value*100) AS BIGINT) END), 0) AS purchase_c
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'click'
+        |    THEN CAST(round(value*100) AS BIGINT) END), 0) AS BIGINT) AS click_c,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'view'
+        |    THEN CAST(round(value*100) AS BIGINT) END), 0) AS BIGINT) AS view_c,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(round(value*100) AS BIGINT) END), 0) AS BIGINT) AS purchase_c
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q62_grouping_sets" -> OracleSqlExt.groupingSetsSql,
     "q59_string_suite" ->

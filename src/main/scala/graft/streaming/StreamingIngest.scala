@@ -290,14 +290,17 @@ class HtaStore(val root: String, val intervalMin: Long) {
     * plan size at any batch count).
     */
   private def commitFilter(spark: SparkSession, df: DataFrame,
-                           keys: Set[String]): DataFrame = {
+                           keys: Set[String],
+                           keep: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
-    if (keys.isEmpty) df.filter(lit(false))
-    else if (keys.size <= 128) df.filter(col("batch_id").isin(keys.toSeq: _*))
-    else {
+    if (keys.isEmpty) df.filter(lit(!keep))
+    else if (keys.size <= 128) {
+      val in = col("batch_id").isin(keys.toSeq: _*)
+      df.filter(if (keep) in else !in)
+    } else {
       import spark.implicits._
       df.join(broadcast(keys.toSeq.toDF("batch_id")), Seq("batch_id"),
-        "left_semi")
+        if (keep) "left_semi" else "left_anti")
     }
   }
 
@@ -436,25 +439,30 @@ class HtaStore(val root: String, val intervalMin: Long) {
           substring_index(col("batch_id"), "_", -1).cast("long") > committedMax
       case None => lit(false)
     }
-    // legacy pre-marker store: every batch is trusted (and the compact
-    // itself writes the marker directory, migrating the store)
-    val marked: org.apache.spark.sql.Column = committedKeys(spark) match {
-      case None => lit(true)
-      case Some(keys) =>
-        if (keys.isEmpty) lit(false) else col("batch_id").isin(keys.toSeq: _*)
-    }
-    val preserve = uncommittedTail || !marked
     val all = spark.read.schema(partialsSchema).parquet(partialsPath)
+    // legacy pre-marker store: every batch is trusted (and the compact
+    // itself writes the marker directory, migrating the store). The
+    // marked/unmarked split goes through commitFilter so a long-lived
+    // store (>128 batch keys ever written) gets the broadcast semi-join
+    // plan, not one `isin` literal per micro-batch
+    val (markedRows, unmarkedRows) = committedKeys(spark) match {
+      case None => (all, all.filter(lit(false)))
+      case Some(keys) =>
+        (commitFilter(spark, all, keys, keep = true),
+         commitFilter(spark, all, keys, keep = false))
+    }
+    // preserve = uncommittedTail || !marked, exactly as before
     val committedMerged = Ingest.mergeToLevel(
-        all.filter(!preserve)
+        markedRows.filter(!uncommittedTail)
           .filter(col("interval_ns") === intervalMin)
           .drop("interval_ns", "batch_id"),
         intervalMin)
       .withColumn("batch_id", lit("compacted"))
     // preserved partials pass through byte-identical under their
     // original batch keys
+    val preserved = unmarkedRows.unionByName(markedRows.filter(uncommittedTail))
     val merged = committedMerged.unionByName(
-      all.filter(preserve).select(committedMerged.columns.map(col): _*))
+      preserved.select(committedMerged.columns.map(col): _*))
     merged.write.partitionBy("batch_id", "interval_ns").parquet(tmp.toString)
     // marker BEFORE the swap: a marker without a directory is harmless,
     // but a swapped-in compacted directory without a marker would hide

@@ -36,7 +36,8 @@ class SketchSpec extends AnyFunSuite {
         .select(col("l_extendedprice").cast("double"))
         .collect().map(_.getDouble(0)).sorted
       val n = values.length.toDouble
-      val approx = r.getSeq[Double](r.fieldIndex("approx_p"))
+      val approx = Seq("approx_p50", "approx_p90", "approx_p99")
+        .map(c => r.getAs[Double](c))
       probs.zip(approx).foreach { case (p, a) =>
         // guarantee: a value whose rank is within ±n/accuracy of p·n
         val lo = values.count(_ < a).toDouble   // smallest rank of a
