@@ -19,7 +19,9 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val tc = System.nanoTime()
     val df = SparkEntry.queries(name)(spark, sfDir)
+    println(f"CONSTRUCT $name time=${(System.nanoTime() - tc) / 1e9}%.2fs")
     if (mode != "none") df.explain(mode)
     (1 to 2).foreach { i =>
       val t0 = System.nanoTime()

@@ -479,17 +479,24 @@ object SparkEntry {
     // cross-batch stream-stream matching ≡ batch
     "q56_stream_stream_join" -> ((s, dir) => {
       import s.implicits._
-      val ev = Tables.events(s, dir).select(
-        col("event_id"), col("user_id"), col("event_type"),
-        expr("CAST(ts AS LONG) div 1000").as("us"))
-      val p = ev.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "us")
-        .as[(Long, Long, Long)].collect().sortBy(_._3)
-      val c = ev.filter(col("event_type") === "click")
-        .select("user_id", "us")
-        .as[(Long, Long)].collect().sortBy(_._2)
+      // one scan for both sides, split driver-side (two filtered
+      // collects would scan events twice)
+      val both = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("CAST(ts AS LONG) div 1000").as("us"))
+        .as[(Long, Long, String, Long)].collect()
+      val p = both.collect { case (id, u, "purchase", us) => (id, u, us) }
+        .sortBy(_._3)
+      val c = both.collect { case (_, u, "click", us) => (u, us) }
+        .sortBy(_._2)
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
+      // inner stream-stream joins emit matches eagerly — the no-data
+      // micro-batch after each watermark advance only evicts state, so
+      // skipping it cannot change the emitted rows (it would for the
+      // append-mode AGGREGATION in q50, which emits on watermark pass)
+      ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val msP = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long, Long)](ss)
       val msC = org.apache.spark.sql.execution.streaming.runtime
@@ -535,6 +542,10 @@ object SparkEntry {
         .as[(Long, String, Long)].collect().sortBy(_._3)
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
+      // dropDuplicatesWithinWatermark emits first-seen rows in the batch
+      // they arrive — the watermark only bounds state retention — so the
+      // no-data eviction batch after each chunk cannot change the output
+      ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String, Long)](ss)
       val q = ms.toDS().toDF("event_id", "event_type", "us")
