@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.WordShingles
+import graft.functions.{VecDot, VecNormSq, VecQuantize, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -18,6 +18,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       GraftExtensions.buildWordShingles))
+    e.injectFunction((
+      new FunctionIdentifier("vec_quantize"),
+      new ExpressionInfo(classOf[VecQuantize].getName, "vec_quantize"),
+      GraftExtensions.buildVecQuantize))
+    e.injectFunction((
+      new FunctionIdentifier("vec_norm_sq"),
+      new ExpressionInfo(classOf[VecNormSq].getName, "vec_norm_sq"),
+      GraftExtensions.buildVecNormSq))
+    e.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      GraftExtensions.buildVecDot))
   }
 }
 
@@ -33,10 +45,27 @@ object GraftExtensions {
       WordShingles(exprs.head, n)
   }
 
+  private[graft] val buildVecQuantize: Seq[Expression] => Expression = { exprs =>
+    require(exprs.size == 1, "vec_quantize(embedding)")
+    VecQuantize(exprs.head)
+  }
+  private[graft] val buildVecNormSq: Seq[Expression] => Expression = { exprs =>
+    require(exprs.size == 1, "vec_norm_sq(vq)")
+    VecNormSq(exprs.head)
+  }
+  private[graft] val buildVecDot: Seq[Expression] => Expression = { exprs =>
+    require(exprs.size == 2, "vec_dot(a, b)")
+    VecDot(exprs.head, exprs(1))
+  }
+
   /** Register on an already-built session (the extensions class covers
     * `spark.sql.extensions`-configured sessions).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_shingles", buildWordShingles, "built-in")
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction("word_shingles", buildWordShingles, "built-in")
+    r.createOrReplaceTempFunction("vec_quantize", buildVecQuantize, "built-in")
+    r.createOrReplaceTempFunction("vec_norm_sq", buildVecNormSq, "built-in")
+    r.createOrReplaceTempFunction("vec_dot", buildVecDot, "built-in")
+  }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.VecOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -21,17 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Corpus with quantized vector + exact squared norm. */
+  /** Corpus with quantized vector + exact squared norm — native
+    * single-pass expressions ([[graft.functions.VecQuantize]] /
+    * [[graft.functions.VecNormSq]]), byte-identical to the HOF
+    * formulation they replaced but without per-element interpreted
+    * lambda dispatch.
+    */
   def quantized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("label"),
-      transform(col("embedding"), x =>
-        round(x.cast("double") * 10000).cast("long")).as("vq"))
-      .withColumn("n2",
-        aggregate(col("vq"), lit(0L), (acc, x) => acc + x * x))
+      VecOps.quantize(col("embedding")).as("vq"))
+      .withColumn("n2", VecOps.normSq(col("vq")))
 
   private def cosExpr = {
-    val dot = aggregate(zip_with(col("vq"), col("qv"), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x)
+    val dot = VecOps.dot(col("vq"), col("qv"))
     // zero-norm guard: an all-near-zero embedding quantizes to the zero
     // vector; under ANSI mode the division would throw, and the oracle
     // would produce inf/NaN — define cosine(0, ·) = 0 in both engines
@@ -66,8 +69,7 @@ object Similarity {
       col("vq").as("va"), col("n2").as("na"))
     val b = q.select(col("vec_id").as("vec_b"), col("label"),
       col("vq").as("vb"), col("n2").as("nb"))
-    val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x)
+    val dot = VecOps.dot(col("va"), col("vb"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cosine",

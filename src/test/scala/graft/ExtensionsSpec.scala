@@ -113,6 +113,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.toSeq == expect)
   }
 
+  test("native vec_quantize/vec_norm_sq/vec_dot are bitwise-equal to the HOF formulation") {
+    import spark.implicits._
+    // the HOF pipeline VecQuantize/VecNormSq/VecDot replaced — any
+    // divergence (rounding mode, overflow, null handling) breaks the
+    // DuckDB oracle hash, so assert exact equality on the real table
+    val hof = emb.select(col("vec_id"),
+        transform(col("embedding"), x =>
+          round(x.cast("double") * 10000).cast("long")).as("vq"))
+      .withColumn("n2", aggregate(col("vq"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn("dot_self", aggregate(
+        zip_with(col("vq"), col("vq"), (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+    val native = emb.select(col("vec_id"),
+        graft.functions.VecOps.quantize(col("embedding")).as("vq"))
+      .withColumn("n2", graft.functions.VecOps.normSq(col("vq")))
+      .withColumn("dot_self", graft.functions.VecOps.dot(col("vq"), col("vq")))
+    val h = hof.as[(Long, Seq[Long], Long, Long)].collect().sortBy(_._1)
+    val n = native.as[(Long, Seq[Long], Long, Long)].collect().sortBy(_._1)
+    assert(h.length == n.length && h.nonEmpty)
+    h.zip(n).foreach { case (a, b) => assert(a == b, s"mismatch at vec_id ${a._1}") }
+  }
+
   test("IVF top-k is the label-restricted subset of brute force ranking") {
     import spark.implicits._
     val qLabel = emb.filter(col("vec_id") === 0L).select("label").head.getInt(0)

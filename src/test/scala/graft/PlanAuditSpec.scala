@@ -85,4 +85,16 @@ class PlanAuditSpec extends AnyFunSuite {
     // map-side combine: partial aggregation below the exchange
     assert(df.queryExecution.sparkPlan.toString.contains("partial_"))
   }
+
+  test("similarity queries use native vector expressions, no interpreted lambdas") {
+    // higher-order functions print as lambdafunction(...) and evaluate
+    // interpreted per array element — the hot candidate-pair path must
+    // instead call the single-pass native VecDot/VecNormSq/VecQuantize
+    Seq("x24_cosine_topk", "x25_cosine_ivf", "x36_embedding_neardup").foreach { q =>
+      val p = sparkPlan(q)
+      assert(!p.contains("lambdafunction"), s"$q still plans an interpreted HOF:\n$p")
+      assert(p.contains("vec_dot"), s"$q missing native vec_dot:\n$p")
+      assert(p.contains("vec_quantize"), s"$q missing native vec_quantize:\n$p")
+    }
+  }
 }
