@@ -1,0 +1,121 @@
+package graft
+
+import graft.core.{HistoryRequest => R, HistoryResponse => Resp}
+import graft.operators.{HtaService, Ingest, QueryDispatcher, QueryStats, RequestError}
+import graft.sources.Tables
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Read-side telemetry (S6/T6) + per-request failure isolation (T5):
+  * the dispatcher must answer errors as values (reference
+  * `handler.failed`, async_hta_service.hpp:518-534) and the stats
+  * collector must reproduce the 7 derived read metrics of
+  * db_stats.cpp:119-216 over a scripted request mix.
+  */
+class QueryStatsSpec extends AnyFunSuite {
+  private val spark = SparkTestBase.spark
+  import SparkTestBase.sf
+
+  private lazy val sanitized = Ingest.sanitize(Tables.htaPoints(spark, sf)).cache()
+  private val levels = SparkEntry.Q.Ladder
+  private val start = SparkEntry.Q.Start
+  private val end = SparkEntry.Q.End
+
+  /** Deterministic clock: advances 1 ms per reading, so every lifecycle
+    * edge (pending→active, active→done) spans exactly 1 ms.
+    */
+  private def stepClock(): () => Long = {
+    var now = 0L
+    () => { now += 1000000L; now }
+  }
+
+  test("T5: malformed range and unknown metric answer Left, not an exception") {
+    val stats = new QueryStats(clock = stepClock())
+    val d = new QueryDispatcher(stats, knownMetrics = Some(Set("purchase")))
+    val bad = d.dispatch(R.Aggregate("purchase", end, start), sanitized, levels)
+    assert(bad == Left(RequestError("purchase", s"malformed range [$end, $start]")))
+    val unknown = d.dispatch(R.LastValue("no_such_metric"), sanitized, levels)
+    assert(unknown == Left(RequestError("no_such_metric", "unknown metric 'no_such_metric'")))
+    val ok = d.dispatch(R.Aggregate("purchase", start, end), sanitized, levels)
+    assert(ok.isRight)
+    val Right(Resp.Aggregates(df)) = ok: @unchecked
+    assert(df.count() == 1)
+  }
+
+  test("T5: an exception inside query execution is caught per request") {
+    val stats = new QueryStats(clock = stepClock())
+    val d = new QueryDispatcher(stats)
+    // an empty level ladder makes the timeline path throw internally —
+    // the dispatcher must convert it to Left, like handler.failed
+    val r = d.dispatch(
+      R.AggregateTimeline("purchase", start, end, 1000L), sanitized, Seq.empty)
+    assert(r.isLeft)
+    // and the service stays usable afterwards
+    assert(d.dispatch(R.LastValue("purchase"), sanitized, levels).isRight)
+  }
+
+  test("S6/T6: scripted mix produces the 7 read metrics with reference semantics") {
+    val stats = new QueryStats(prefix = "test.db.", clock = stepClock())
+    val d = new QueryDispatcher(stats, knownMetrics = Some(Set("purchase")))
+    // mix: 2 completed, 2 failed (one validation, one unknown metric)
+    assert(d.dispatch(R.Aggregate("purchase", start, end), sanitized, levels).isRight)
+    assert(d.dispatch(R.LastValue("purchase"), sanitized, levels).isRight)
+    assert(d.dispatch(R.Aggregate("purchase", end, start), sanitized, levels).isLeft)
+    assert(d.dispatch(R.LastValue("ghost"), sanitized, levels).isLeft)
+
+    val rows = stats.collect()
+    val byName = rows.map(s => s.metric -> s).toMap
+    assert(byName.keySet == Set(
+      "test.db.read.request.rate", "test.db.read.data.rate",
+      "test.db.read.pending.time", "test.db.read.utilization",
+      "test.db.read.pending.count", "test.db.read.active.count",
+      "test.db.read.failed.count"))
+
+    // 14 clock readings total: 1 construction + 4×(pending,active,done)
+    // + this collect → duration = 14−1 = 13 ms; every edge is exactly 1 ms
+    val duration = 13e-3
+    def v(n: String) = byName(s"test.db.read.$n").value
+    assert(math.abs(v("request.rate") - 2 / duration) < 1e-9)
+    assert(v("failed.count") == 2.0)
+    assert(v("pending.count") == 0.0 && v("active.count") == 0.0)
+    assert(math.abs(v("pending.time") - 1e-3) < 1e-12) // 4 × 1 ms / 4 started
+    assert(math.abs(v("utilization") - 4e-3 / duration) < 1e-9)
+    assert(v("data.rate") > 0) // 2 completed responses carried payload
+
+    // metadata mirrors db_stats.cpp:132-178
+    val rate = byName("test.db.read.request.rate")
+    assert(rate.unit == "Hz" && rate.quantity == "rate" && rate.scope == "last")
+    assert(byName("test.db.read.pending.count").scope == "point")
+    assert(byName("test.db.read.pending.time").unit == "s")
+    assert(byName("test.db.read.data.rate").unit == "B/s")
+    assert(byName("test.db.read.utilization").quantity == "utilization")
+
+    // second tick: deltas were reset, levels persist
+    val again = stats.collect().map(s => s.metric -> s.value).toMap
+    assert(again("test.db.read.request.rate") == 0.0)
+    assert(again("test.db.read.failed.count") == 0.0)
+    assert(again("test.db.read.pending.count") == 0.0)
+
+    // the published stream is queryable as a table: 2 ticks × 7 metrics
+    val df = stats.toDF(spark)
+    assert(df.count() == 14)
+    assert(df.columns.toSet == Set(
+      "time_ns", "metric", "value", "unit", "quantity", "description", "scope"))
+  }
+
+  test("in-flight requests show up in the point-scope counts") {
+    val stats = new QueryStats(clock = stepClock())
+    val t1 = stats.pending()
+    val t2 = stats.pending()
+    stats.active(t1)
+    val mid = stats.collect().map(s => s.metric -> s.value).toMap
+    assert(mid("graft.db.read.pending.count") == 1.0)
+    assert(mid("graft.db.read.active.count") == 1.0)
+    stats.complete(t1, 10L)
+    stats.active(t2)
+    stats.failed(t2)
+    val fin = stats.collect().map(s => s.metric -> s.value).toMap
+    assert(fin("graft.db.read.pending.count") == 0.0)
+    assert(fin("graft.db.read.active.count") == 0.0)
+    assert(fin("graft.db.read.failed.count") == 1.0)
+  }
+}
