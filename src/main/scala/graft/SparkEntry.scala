@@ -641,8 +641,10 @@ object SparkEntry {
     // At 100 TB approx_count_distinct is the only affordable form (the
     // exact count shuffles every distinct key; the sketch is a few KB
     // per group, merged map-side). No oracleSql — DuckDB's approx
-    // sketch differs; the driver records a rows-only check and
-    // SketchSpec enforces the error bound against the exact count
+    // sketch differs; instead the query itself emits within_* verdict
+    // columns (|approx−exact| ≤ 4·rsd·exact, deterministic since HLL++
+    // is randomness-free) so the driver's rows-only check carries a
+    // real pass signal; SketchSpec asserts they're all true
     "x57_approx_distinct" -> ((s, dir) =>
       Tables.read(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -650,12 +652,22 @@ object SparkEntry {
           countDistinct(col("l_orderkey")).as("exact_orders"),
           approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           approx_count_distinct(col("l_orderkey"), 0.005).as("approx_orders_hi"))
+        .withColumn("within_default",
+          abs(col("approx_orders") - col("exact_orders")).cast("double") <=
+            lit(4 * 0.05) * col("exact_orders") + 1)
+        .withColumn("within_hi",
+          abs(col("approx_orders_hi") - col("exact_orders")).cast("double") <=
+            lit(4 * 0.005) * col("exact_orders") + 1)
         .orderBy("l_returnflag")),
     // Sketch surface: rank-sketch percentiles next to the exact ones.
     // percentile() sorts every group's values; percentile_approx keeps
     // a bounded summary (rank error ≤ n/accuracy) and is the 100 TB
     // path. Scalar columns (not arrays) so the driver's rows-only sort
-    // works; SketchSpec enforces the rank-error bound
+    // works. within_* verdict columns: the approx value (an actual
+    // element within ±1e-4 rank) must lie between the exact
+    // interpolated percentiles at p ∓ 0.001 (~7× the guaranteed rank
+    // error + interpolation slack) — deterministic, asserted true in
+    // SketchSpec, so the driver's rows-only check carries a verdict
     "x58_approx_quantiles" -> ((s, dir) =>
       Tables.read(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -668,7 +680,20 @@ object SparkEntry {
             .as("approx_p99"),
           expr("percentile(l_extendedprice, 0.5D)").as("exact_p50"),
           expr("percentile(l_extendedprice, 0.9D)").as("exact_p90"),
-          expr("percentile(l_extendedprice, 0.99D)").as("exact_p99"))
+          expr("percentile(l_extendedprice, 0.99D)").as("exact_p99"),
+          expr("percentile(l_extendedprice, 0.499D)").as("lo_p50"),
+          expr("percentile(l_extendedprice, 0.501D)").as("hi_p50"),
+          expr("percentile(l_extendedprice, 0.899D)").as("lo_p90"),
+          expr("percentile(l_extendedprice, 0.901D)").as("hi_p90"),
+          expr("percentile(l_extendedprice, 0.989D)").as("lo_p99"),
+          expr("percentile(l_extendedprice, 0.991D)").as("hi_p99"))
+        .withColumn("within_p50",
+          col("approx_p50") >= col("lo_p50") && col("approx_p50") <= col("hi_p50"))
+        .withColumn("within_p90",
+          col("approx_p90") >= col("lo_p90") && col("approx_p90") <= col("hi_p90"))
+        .withColumn("within_p99",
+          col("approx_p99") >= col("lo_p99") && col("approx_p99") <= col("hi_p99"))
+        .drop("lo_p50", "hi_p50", "lo_p90", "hi_p90", "lo_p99", "hi_p99")
         .orderBy("l_returnflag")),
     // Exact interpolated percentiles — the sort-based form the sketches
     // above approximate; both engines use the p·(n−1) linear

@@ -21,6 +21,9 @@ class SketchSpec extends AnyFunSuite {
         4 * 0.05 * exact + 1, s"default-rsd estimate off: $r")
       assert(math.abs(r.getAs[Long]("approx_orders_hi") - exact) <=
         4 * 0.005 * exact + 1, s"high-precision estimate off: $r")
+      // the query's own verdict columns must agree
+      assert(r.getAs[Boolean]("within_default") && r.getAs[Boolean]("within_hi"),
+        s"in-query verdict false: $r")
     }
   }
 
@@ -45,6 +48,10 @@ class SketchSpec extends AnyFunSuite {
         val eps = n / accuracy + 1
         assert(hi >= p * n - eps && lo <= p * n + eps,
           s"flag=$flag p=$p approx=$a rank=[$lo,$hi] n=$n")
+      }
+      // the query's own verdict columns must agree
+      Seq("within_p50", "within_p90", "within_p99").foreach { c =>
+        assert(r.getAs[Boolean](c), s"in-query verdict $c false: $r")
       }
     }
   }
