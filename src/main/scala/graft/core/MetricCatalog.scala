@@ -16,6 +16,12 @@ final case class MetricConfig(
     val l = Intervals.ladder(intervalMin, intervalFactor)
     l.takeWhile(_ <= intervalMax)
   }
+
+  /** RO metrics are query-only: the ingest path rejects their writes
+    * (the reference hands `mode` to HTA's open, ref `:242`-adjacent —
+    * a read-only metric cannot accept a data chunk).
+    */
+  def writable: Boolean = mode != "RO"
 }
 
 /** The metric catalog: name → config plus the input→name rename map.
@@ -31,6 +37,10 @@ final class MetricCatalog private (val metrics: Map[String, MetricConfig]) {
   /** Transport-name → logical-name map (identity entries omitted). */
   val inputMapping: Map[String, String] =
     metrics.values.flatMap(c => c.input.map(_ -> c.name)).toMap
+
+  /** Metrics whose mode rejects writes (config-sized, broadcastable). */
+  val readOnlyMetrics: Set[String] =
+    metrics.values.filterNot(_.writable).map(_.name).toSet
 
   def mappedName(transport: String): String =
     inputMapping.getOrElse(transport, transport)
@@ -74,6 +84,10 @@ object MetricCatalog {
       c.intervalMin <= 0 || c.intervalFactor <= 1 || c.intervalMax < c.intervalMin)
     if (badIv.nonEmpty)
       return Left(s"bad interval config: ${badIv.map(_.name).mkString(", ")}")
+    val badMode = configs.filterNot(c => c.mode == "RW" || c.mode == "RO")
+    if (badMode.nonEmpty)
+      return Left(s"invalid mode (want RW|RO): ${
+        badMode.map(c => s"${c.name}=${c.mode}").mkString(", ")}")
     Right(new MetricCatalog(configs.map(c => c.name -> c).toMap))
   }
 

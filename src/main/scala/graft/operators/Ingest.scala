@@ -74,6 +74,15 @@ object Ingest {
       count(lit(1)).as("n_total"))
   }
 
+  /** Mode enforcement for batch writes (S5): drop rows addressed to a
+    * read-only metric before ingest — the reference hands `mode` to
+    * HTA's open, and an RO metric cannot accept a data chunk. The RO
+    * set is config-sized, so an isin hash probe beats a join.
+    */
+  def enforceWritable(points: DataFrame, readOnly: Set[String]): DataFrame =
+    if (readOnly.isEmpty) points
+    else points.filter(!col("metric").isin(readOnly.toSeq: _*))
+
   /** Quantize to the exact integer domain (see class doc). */
   def quantized(sanitized: DataFrame): DataFrame =
     sanitized.withColumn("value_c", round(col("value") * 100).cast("long"))

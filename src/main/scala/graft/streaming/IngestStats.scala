@@ -21,7 +21,7 @@ object IngestStats {
       timestamp: String,
       numInputRows: Long,
       batchDurationMs: Long,
-      nIn: Long, nNan: Long, nInf: Long, nKept: Long,
+      nIn: Long, nNan: Long, nInf: Long, nRo: Long, nKept: Long,
       rowsPerSec: Double)
   /** Driver-side retention cap — the buffer is a ring, not a leak. */
   val MaxRetained = 10000
@@ -68,7 +68,8 @@ class IngestStats extends StreamingQueryListener {
       buf += BatchStats(
         p.runId.toString, p.batchId, p.timestamp, p.numInputRows, dur,
         obs("ingest_in", "n_in"), obs("ingest_in", "n_nan"),
-        obs("ingest_in", "n_inf"), obs("ingest_out", "n_kept"),
+        obs("ingest_in", "n_inf"), obs("ingest_in", "n_ro"),
+        obs("ingest_out", "n_kept"),
         if (dur > 0) p.numInputRows.toDouble * 1000.0 / dur else 0.0)
       if (buf.length > IngestStats.MaxRetained)
         buf.remove(0, buf.length - IngestStats.MaxRetained)
@@ -76,7 +77,9 @@ class IngestStats extends StreamingQueryListener {
   }
 
   /** The stats table (C5 derivations included):
-    * `n_dropped = n_in − n_kept`, `n_nonmono = dropped − nan − inf`.
+    * `n_dropped = n_in − n_kept`,
+    * `n_nonmono = dropped − nan − inf − ro` (the four drop classes are
+    * disjoint: RO rejection runs first, then NaN, then Inf).
     */
   def toDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -88,6 +91,7 @@ class IngestStats extends StreamingQueryListener {
       .withColumn("n_nonmono",
         org.apache.spark.sql.functions.col("n_dropped") -
           org.apache.spark.sql.functions.col("nNan") -
-          org.apache.spark.sql.functions.col("nInf"))
+          org.apache.spark.sql.functions.col("nInf") -
+          org.apache.spark.sql.functions.col("nRo"))
   }
 }

@@ -150,7 +150,8 @@ object StreamingIngest {
     * already covers it, and appends nothing (effectively-once).
     */
   def start(spark: SparkSession, points: Dataset[Point], store: HtaStore,
-            checkpoint: String, stats: Option[IngestStats] = None)
+            checkpoint: String, stats: Option[IngestStats] = None,
+            catalog: Option[graft.core.MetricCatalog] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     implicit val s: SparkSession = spark
     import spark.implicits._
@@ -162,16 +163,26 @@ object StreamingIngest {
       spark.streams.addListener(st)
     }
     val (ckptTag, committedMax) = checkpointIdentity(spark, checkpoint)
+    // mode enforcement: a metric configured RO rejects writes — dropped
+    // before the gate (so no state is ever created for it) and counted.
+    // The RO set is config-sized; isin compiles to a codegen'd hash probe
+    val roSet = catalog.map(_.readOnlyMetrics).getOrElse(Set.empty)
+    val isRo =
+      if (roSet.isEmpty) lit(false) else col("metric").isin(roSet.toSeq: _*)
     // A8 skip counters as observable metrics (collected per micro-batch by
     // IngestStats; stateless classification — a NaN that is also stale
-    // counts as NaN here, unlike the ref's check order, but totals agree)
+    // counts as NaN here, unlike the ref's check order, but totals agree;
+    // RO rejection is checked FIRST, like the reference failing the write
+    // before value sanitation ever runs)
     val observed = points.toDF()
       .observe("ingest_in",
         count(lit(1)).as("n_in"),
-        sum(when(isnan(col("value")), 1L).otherwise(0L)).as("n_nan"),
-        sum(when(!isnan(col("value")) &&
+        sum(when(isRo, 1L).otherwise(0L)).as("n_ro"),
+        sum(when(!isRo && isnan(col("value")), 1L).otherwise(0L)).as("n_nan"),
+        sum(when(!isRo && !isnan(col("value")) &&
           abs(col("value")) === lit(Double.PositiveInfinity), 1L)
           .otherwise(0L)).as("n_inf"))
+      .filter(!isRo)
       .as[Point]
     val gated = gate(observed, store.seedState(spark, ckptTag, committedMax))
     val q = gated.toDF()

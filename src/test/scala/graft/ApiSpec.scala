@@ -83,6 +83,22 @@ class ApiSpec extends AnyFunSuite {
     assert(grown.toOption.get.subscribeList == Seq("in1", "m.c"))
   }
 
+  test("catalog: mode is validated and RO metrics are query-only") {
+    val bad = MetricCatalog.build(Seq(MetricConfig("m.x", None, "XX", 1000L, 100000L)))
+    assert(bad == Left("invalid mode (want RW|RO): m.x=XX"))
+    val cat = MetricCatalog.build(Seq(
+      MetricConfig("m.ro", None, "RO", 1000L, 100000L),
+      MetricConfig("m.rw", None, "RW", 1000L, 100000L))).toOption.get
+    assert(cat.readOnlyMetrics == Set("m.ro"))
+    assert(!cat.metrics("m.ro").writable && cat.metrics("m.rw").writable)
+    // batch-side enforcement drops only the RO metric's rows
+    val pts = Seq(("m.ro", 1L, 1.0), ("m.rw", 2L, 2.0))
+      .toDF("metric", "time", "value")
+    val kept = Ingest.enforceWritable(pts, cat.readOnlyMetrics)
+      .select("metric").as[String].collect()
+    assert(kept.toSeq == Seq("m.rw"))
+  }
+
   test("catalog: parses the reference config-JSON shape") {
     val json =
       """{"type":"file","path":"/var/hta","threads":2,

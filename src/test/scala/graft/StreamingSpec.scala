@@ -96,6 +96,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((4L, 0L, 0L, 2L, 2L), (6L, 1L, 1L, 3L, 1L)))
   }
 
+  test("mode=RO metrics reject writes before the gate and are counted") {
+    val store = new HtaStore(mkTmp("hta-ro"), H)
+    val catalog = graft.core.MetricCatalog.build(Seq(
+      graft.core.MetricConfig("m1", None, "RW", 1000L, 100000L),
+      graft.core.MetricConfig("m2", None, "RO", 1000L, 100000L))).toOption.get
+    val stats = new graft.streaming.IngestStats
+    val ms = MemoryStream[Point](spark)
+    val q = StreamingIngest.start(spark, ms.toDS(), store, mkTmp("ck-ro"),
+      Some(stats), Some(catalog))
+    ms.addData(batch1)
+    q.processAllAvailable()
+    q.stop()
+    spark.streams.removeListener(stats)
+    // no m2 row reached the store; m1 ingested normally (2 kept points)
+    val raw = store.raw(spark).select("metric", "time", "value")
+      .as[(String, Long, Double)].collect().sortBy(_._2)
+    assert(raw.nonEmpty && raw.forall(_._1 == "m1") && raw.length == 2)
+    // the rejection is visible in telemetry: m2's 2 arrivals count as RO
+    // (checked before value sanitation — its Inf row is NOT an Inf skip)
+    val deadline = System.currentTimeMillis() + 20000
+    def rows() = stats.toDF(spark).filter(col("nIn") > 0)
+      .select("nIn", "nRo", "nNan", "nInf", "nKept", "n_nonmono")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    while (rows().isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    assert(rows().toSeq == Seq((6L, 2L, 1L, 0L, 2L, 1L)))
+  }
+
   test("writeBatch is idempotent: replaying a batch key leaves the store unchanged") {
     val store = new HtaStore(mkTmp("hta-idem"), H)
     val gated = batch1.map(p =>
