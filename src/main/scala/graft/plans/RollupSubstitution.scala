@@ -25,8 +25,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object RollupSubstitution {
 
-  final case class Entry(rawPlan: LogicalPlan, levelPlan: LogicalPlan,
-                         intervalNs: Long, valueNotNull: Boolean)
+  /** `levels` is the registered ladder, ascending by interval — the rule
+    * answers from the COARSEST level that divides the query's bucket
+    * (fewest rows merged per output group).
+    */
+  final case class Entry(rawPlan: LogicalPlan,
+                         levels: Seq[(LogicalPlan, Long)],
+                         valueNotNull: Boolean)
 
   private val registry =
     scala.collection.concurrent.TrieMap.empty[SparkSession, Entry]
@@ -39,25 +44,42 @@ object RollupSubstitution {
     * contains no NULLs even though its schema is nullable (true for any
     * table written by `Ingest.sanitize` — the NaN filter also drops
     * NULLs because `!isnan(NULL)` is NULL). This unlocks the
-    * `count(value)` and quantized-sum mappings, which are wrong in the
-    * presence of NULL values (the level's cnt/sum_c count rows / treat
-    * an all-NULL bucket as 0, where raw count skips NULLs / sums to
-    * NULL).
+    * `count(value)`, quantized-sum, and `avg(value)` mappings, which are
+    * wrong in the presence of NULL values (the level's cnt/sum_c count
+    * rows / treat an all-NULL bucket as 0, where raw count skips NULLs /
+    * sums to NULL).
     */
   def install(spark: SparkSession, raw: DataFrame, level0: DataFrame,
-              intervalNs: Long, assumeValueNotNull: Boolean = false): Unit = {
+              intervalNs: Long, assumeValueNotNull: Boolean = false): Unit =
+    installLadder(spark, raw, Seq(level0 -> intervalNs), assumeValueNotNull)
+
+  /** Register a whole level ladder (A5's `Intervals.ladder` materialized
+    * by ingest): queries bucketed at a coarse interval merge the coarsest
+    * dividing level instead of always paying the level-0 merge — at a
+    * 10×-per-level ladder that is 10× fewer input rows per rung.
+    */
+  def installLadder(spark: SparkSession, raw: DataFrame,
+                    ladder: Seq[(DataFrame, Long)],
+                    assumeValueNotNull: Boolean = false): Unit = {
+    require(ladder.nonEmpty, "ladder must contain at least one level")
+    require(ladder.forall(_._2 > 0), "level intervals must be positive")
+    require(ladder.map(_._2).distinct.size == ladder.size,
+      "duplicate level intervals in ladder")
     // sum_c included: the quantized-sum mapping dereferences it, and
     // declining at install time beats a NoSuchElementException inside
     // the optimizer
     val needed = Seq("metric", "bucket_start", "min_v", "max_v", "cnt", "sum_c")
-    val missing = needed.filterNot(level0.columns.contains)
-    require(missing.isEmpty,
-      s"level0 is missing required columns: ${missing.mkString(", ")}")
+    ladder.foreach { case (level, i) =>
+      val missing = needed.filterNot(level.columns.contains)
+      require(missing.isEmpty,
+        s"level at interval $i is missing required columns: ${missing.mkString(", ")}")
+    }
     require(Seq("metric", "time", "value").forall(raw.columns.contains),
       "raw must expose (metric, time, value)")
     registry.put(spark,
-      Entry(raw.queryExecution.analyzed, level0.queryExecution.analyzed,
-        intervalNs, assumeValueNotNull))
+      Entry(raw.queryExecution.analyzed,
+        ladder.sortBy(_._2).map { case (df, i) => (df.queryExecution.analyzed, i) },
+        assumeValueNotNull))
     // the injected rule has no removal API, so install/uninstall/install
     // cycles must reuse the instance already present for this session
     // instead of appending another (each extra instance re-scans every
@@ -141,8 +163,6 @@ class RollupSubstitutionRule(private[plans] val session: SparkSession)
                       entry: RollupSubstitution.Entry): Option[LogicalPlan] = {
     def childAttr(name: String): Option[Attribute] =
       child.output.find(_.name == name)
-    def lvlAttr(name: String): Attribute =
-      entry.levelPlan.output.find(_.name == name).get
 
     val (metricAttr, timeAttr, valueAttr) =
       (childAttr("metric"), childAttr("time"), childAttr("value")) match {
@@ -150,11 +170,12 @@ class RollupSubstitutionRule(private[plans] val session: SparkSession)
         case _ => return None
       }
 
-    // grouping must be exactly {metric, time - time % I} with level₀ | I
+    // grouping must be exactly {metric, time - time % I} with some
+    // registered level dividing I
     val bucketOf: PartialFunction[Expression, Long] = {
       case Subtract(t: Attribute, Remainder(t2: Attribute, Literal(i: Long, _), _), _)
           if t.exprId == timeAttr.exprId && t2.exprId == timeAttr.exprId &&
-            i > 0 && i % entry.intervalNs == 0 => i
+            i > 0 && entry.levels.exists(i % _._2 == 0) => i
     }
     val intervals = groups.collect(bucketOf)
     val metricGroups = groups.collect {
@@ -163,6 +184,11 @@ class RollupSubstitutionRule(private[plans] val session: SparkSession)
     if (intervals.size != 1 || metricGroups.size != 1 || groups.size != 2)
       return None
     val i = intervals.head
+
+    // attempt against one rung of the ladder
+    def rewriteOn(levelPlan: LogicalPlan, levelNs: Long): Option[LogicalPlan] = {
+    def lvlAttr(name: String): Attribute =
+      levelPlan.output.find(_.name == name).get
 
     val lvlMetric = lvlAttr("metric")
     val lvlBucket = lvlAttr("bucket_start")
@@ -194,6 +220,23 @@ class RollupSubstitutionRule(private[plans] val session: SparkSession)
       // but was folded to 0 in the level)
       case Sum(e, _) if entry.valueNotNull && isQuantizedValue(e) =>
         Some(AggregateExpression(Sum(lvlAttr("sum_c")), Complete, isDistinct = false))
+      // avg(value) = (Σ sum_c / 100) / Σ cnt under the same no-NULL
+      // assertion (cnt > 0 is guaranteed by the baseCond bucket filter,
+      // so the division can't hit zero). Exactness caveat, documented:
+      // the raw plan's avg sums doubles in shuffle order — itself not
+      // bitwise deterministic run-to-run — while this form is the exact
+      // integer-domain sum divided once; they agree to within the same
+      // last-ulp class the engine already accepts for double sums
+      case Average(v: Attribute, _)
+          if v.exprId == valueAttr.exprId && entry.valueNotNull =>
+        val sumC = Cast(
+          AggregateExpression(Sum(lvlAttr("sum_c")), Complete, isDistinct = false),
+          org.apache.spark.sql.types.DoubleType)
+        val cntS = Cast(
+          AggregateExpression(Sum(lvlAttr("cnt")), Complete, isDistinct = false),
+          org.apache.spark.sql.types.DoubleType)
+        Some(Divide(Divide(sumC, Literal(100.0), EvalMode.LEGACY),
+          cntS, EvalMode.LEGACY))
       case _ => None
     }
 
@@ -243,10 +286,10 @@ class RollupSubstitutionRule(private[plans] val session: SparkSession)
       // shares bucket 0 with [0, I) rows and would leak through the
       // mapped filter
       case GreaterThanOrEqual(t: Attribute, l @ Literal(v: Long, _))
-          if t.exprId == timeAttr.exprId && v > 0 && v % entry.intervalNs == 0 =>
+          if t.exprId == timeAttr.exprId && v > 0 && v % levelNs == 0 =>
         Some(GreaterThanOrEqual(lvlBucket, l))
       case LessThan(t: Attribute, l @ Literal(v: Long, _))
-          if t.exprId == timeAttr.exprId && v > 0 && v % entry.intervalNs == 0 =>
+          if t.exprId == timeAttr.exprId && v > 0 && v % levelNs == 0 =>
         Some(LessThan(lvlBucket, l))
       case p if p.references.nonEmpty &&
           p.references.forall(_.exprId == metricAttr.exprId) &&
@@ -270,7 +313,19 @@ class RollupSubstitutionRule(private[plans] val session: SparkSession)
     // aggregation would not produce their groups, so exclude them
     val baseCond = GreaterThan(lvlAttr("cnt"), Literal(0L))
     val levelRows = org.apache.spark.sql.catalyst.plans.logical.Filter(
-      mapped.map(And(baseCond, _)).getOrElse(baseCond), entry.levelPlan)
+      mapped.map(And(baseCond, _)).getOrElse(baseCond), levelPlan)
     Some(Aggregate(newGroups, newResults, levelRows))
+    } // rewriteOn
+
+    // coarsest dividing level first: 10× fewer merged rows per rung; a
+    // coarser level can still lose to a finer one on FILTER alignment
+    // (bounds cut at level-0 boundaries but inside a coarse bucket), so
+    // fall through the ladder until a level admits the whole rewrite
+    entry.levels
+      .filter { case (_, l) => i % l == 0 }
+      .sortBy { case (_, l) => -l }
+      .iterator
+      .map { case (plan, l) => rewriteOn(plan, l) }
+      .collectFirst { case Some(p) => p }
   }
 }

@@ -127,6 +127,81 @@ class RollupSubstitutionSpec extends AnyFunSuite {
     } finally RollupSubstitution.uninstall(spark)
   }
 
+  test("avg(value) rewrites to sum_c/100/cnt under the not-null assertion") {
+    def qAvg() = raw.groupBy(col("metric"),
+        (col("time") - col("time") % (10 * H)).as("bucket"))
+      .agg(avg("value").as("a"), count(lit(1)).as("c"))
+
+    RollupSubstitution.install(spark, raw, level0, H, assumeValueNotNull = true)
+    try {
+      val q = qAvg()
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("sum_c") && optimized.contains("bucket_start"),
+        s"avg rewrite did not fire:\n$optimized")
+      val got = q.as[(String, Long, Double, Long)].collect().sortBy(r => (r._1, r._2))
+      RollupSubstitution.uninstall(spark)
+      val expect = qAvg().as[(String, Long, Double, Long)].collect().sortBy(r => (r._1, r._2))
+      assert(got.length == expect.length && got.nonEmpty)
+      // exact integer-domain mean vs shuffle-order double sum: equal to
+      // relative 1e-12 (the raw plan itself is not bitwise stable)
+      got.zip(expect).foreach { case (g, e) =>
+        assert(g._1 == e._1 && g._2 == e._2 && g._4 == e._4)
+        assert(math.abs(g._3 - e._3) <= 1e-12 * math.max(1.0, math.abs(e._3)),
+          s"avg mismatch: $g vs $e")
+      }
+    } finally RollupSubstitution.uninstall(spark)
+  }
+
+  test("ladder: the coarsest dividing level answers; filters can demote a rung") {
+    val root = Files.createTempDirectory("graft-ladder").toString
+    Ingest.mergeToLevel(level0, 10 * H).write.parquet(s"$root/level1")
+    val level1 = spark.read.parquet(s"$root/level1")
+    def leafIn(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectLeaves()
+    def answersFrom(q: org.apache.spark.sql.DataFrame,
+                    lvl: org.apache.spark.sql.DataFrame) =
+      leafIn(q).exists(s => leafIn(lvl).exists(s.sameResult))
+
+    RollupSubstitution.installLadder(spark, raw, Seq(level0 -> H, level1 -> (10 * H)))
+    try {
+      // grouped at 10 h: the 10 h level wins (10× fewer rows merged)
+      val q10 = raw.groupBy(col("metric"),
+          (col("time") - col("time") % (10 * H)).as("bucket"))
+        .agg(min("value").as("mn"), count(lit(1)).as("cnt"))
+      assert(answersFrom(q10, level1), "10h grouping should read the 10h level")
+      // grouped at 1 h: only level-0 divides
+      val q1 = raw.groupBy(col("metric"),
+          (col("time") - col("time") % H).as("bucket"))
+        .agg(min("value").as("mn"))
+      assert(answersFrom(q1, level0) && !answersFrom(q1, level1))
+      // 10 h grouping with an H-aligned (not 10H-aligned) bound: the
+      // coarse rung can't map the filter — falls through to level-0,
+      // still substituted, still correct
+      val lo = 1704412800000000000L + H // 1 h past a 10 h boundary
+      val qDemoted = raw.filter(col("time") >= lo)
+        .groupBy(col("metric"),
+          (col("time") - col("time") % (10 * H)).as("bucket"))
+        .agg(min("value").as("mn"), count(lit(1)).as("cnt"))
+      assert(answersFrom(qDemoted, level0) && !answersFrom(qDemoted, level1),
+        "misaligned filter must demote to the finer level")
+
+      val got = q10.as[(String, Long, Double, Long)].collect().sortBy(r => (r._1, r._2))
+      val gotD = qDemoted.as[(String, Long, Double, Long)].collect().sortBy(r => (r._1, r._2))
+      RollupSubstitution.uninstall(spark)
+      val expect = raw.groupBy(col("metric"),
+          (col("time") - col("time") % (10 * H)).as("bucket"))
+        .agg(min("value").as("mn"), count(lit(1)).as("cnt"))
+        .as[(String, Long, Double, Long)].collect().sortBy(r => (r._1, r._2))
+      val expectD = raw.filter(col("time") >= lo)
+        .groupBy(col("metric"),
+          (col("time") - col("time") % (10 * H)).as("bucket"))
+        .agg(min("value").as("mn"), count(lit(1)).as("cnt"))
+        .as[(String, Long, Double, Long)].collect().sortBy(r => (r._1, r._2))
+      assert(got.toSeq == expect.toSeq && got.nonEmpty)
+      assert(gotD.toSeq == expectD.toSeq && gotD.nonEmpty)
+    } finally RollupSubstitution.uninstall(spark)
+  }
+
   test("non-derivable or misaligned aggregates are left untouched") {
     RollupSubstitution.install(spark, raw, level0, H)
     try {
