@@ -306,12 +306,36 @@ class HtaStore(val root: String, val intervalMin: Long) {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     if (keys.isEmpty) df.filter(lit(!keep))
     else if (keys.size <= 128) {
+      // NULL batch_id (impossible by construction — it's a partition
+      // column — but cheap to pin down): `!isin` would drop such a row
+      // while the left_anti branch keeps it; make both plans keep it
       val in = col("batch_id").isin(keys.toSeq: _*)
-      df.filter(if (keep) in else !in)
+      df.filter(if (keep) in else !in || col("batch_id").isNull)
     } else {
       import spark.implicits._
       df.join(broadcast(keys.toSeq.toDF("batch_id")), Seq("batch_id"),
         if (keep) "left_semi" else "left_anti")
+    }
+  }
+
+  /** One-pass membership tag for [[HtaStore.compact]]: `df` plus a
+    * non-null boolean `flag` column marking committed batch keys —
+    * one broadcast join (or codegen'd isin) regardless of how many
+    * downstream splits consume the flag, where semi+anti filtering
+    * would pay the join twice.
+    */
+  private def withCommitFlag(spark: SparkSession, df: DataFrame,
+                             keys: Set[String], flag: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+    if (keys.isEmpty) df.withColumn(flag, lit(false))
+    else if (keys.size <= 128)
+      df.withColumn(flag, col("batch_id").isin(keys.toSeq: _*))
+    else {
+      import spark.implicits._
+      val marks = keys.toSeq.toDF("batch_id").withColumn("__mark", lit(true))
+      df.join(broadcast(marks), Seq("batch_id"), "left")
+        .withColumn(flag, coalesce(col("__mark"), lit(false)))
+        .drop("__mark")
     }
   }
 
@@ -453,25 +477,27 @@ class HtaStore(val root: String, val intervalMin: Long) {
     val all = spark.read.schema(partialsSchema).parquet(partialsPath)
     // legacy pre-marker store: every batch is trusted (and the compact
     // itself writes the marker directory, migrating the store). The
-    // marked/unmarked split goes through commitFilter so a long-lived
-    // store (>128 batch keys ever written) gets the broadcast semi-join
-    // plan, not one `isin` literal per micro-batch
-    val (markedRows, unmarkedRows) = committedKeys(spark) match {
-      case None => (all, all.filter(lit(false)))
-      case Some(keys) =>
-        (commitFilter(spark, all, keys, keep = true),
-         commitFilter(spark, all, keys, keep = false))
+    // committed-key membership is computed ONCE as a boolean tag (one
+    // broadcast join at >128 keys, a codegen'd isin below), then both
+    // consumers split on it — the merge branch and the preserve branch
+    // each still scan the parquet once (2 scans total; deliberately NOT
+    // cached: at scale the partials table dwarfs executor memory and a
+    // pushdown-filtered parquet re-scan is cheaper than a spill)
+    val tagged = committedKeys(spark) match {
+      case None => all.withColumn("__marked", lit(true))
+      case Some(keys) => withCommitFlag(spark, all, keys, "__marked")
     }
     // preserve = uncommittedTail || !marked, exactly as before
     val committedMerged = Ingest.mergeToLevel(
-        markedRows.filter(!uncommittedTail)
+        tagged.filter(col("__marked") && !uncommittedTail)
           .filter(col("interval_ns") === intervalMin)
-          .drop("interval_ns", "batch_id"),
+          .drop("interval_ns", "batch_id", "__marked"),
         intervalMin)
       .withColumn("batch_id", lit("compacted"))
     // preserved partials pass through byte-identical under their
     // original batch keys
-    val preserved = unmarkedRows.unionByName(markedRows.filter(uncommittedTail))
+    val preserved = tagged
+      .filter(!col("__marked") || uncommittedTail).drop("__marked")
     val merged = committedMerged.unionByName(
       preserved.select(committedMerged.columns.map(col): _*))
     merged.write.partitionBy("batch_id", "interval_ns").parquet(tmp.toString)

@@ -277,6 +277,82 @@ class StreamingSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("transaction log under churn: write/replay/crash/compact/restart stays exact") {
+    // property-style script over the store's transaction log: after
+    // EVERY step, the merge-on-read level-0 view must equal the batch
+    // rollup of exactly the committed points, and raw must expose
+    // exactly the committed points — uncommitted batches invisible,
+    // replays absorbed, compaction logically inert
+    val root = mkTmp("hta-churn")
+    val store = new HtaStore(root, H)
+    val minute = 60000000000L
+
+    // 6 deterministic chunks, 2 metrics, strictly ascending times
+    val chunks: Seq[Seq[Point]] = (0 until 6).map { k =>
+      (0 until 5).flatMap { j =>
+        val i = k * 5 + j
+        Seq(Point("m1", T0 + i * 10 * minute, (i % 7) * 0.25, 2 * i),
+          Point("m2", T0 + i * 17 * minute, 1.0 + (i % 4) * 0.5, 2 * i + 1))
+      }
+    }
+    // the gate's output shape: each chunk carries the previous chunk's
+    // last point per metric as an anchor row (segment seed)
+    def gatedOf(k: Int): org.apache.spark.sql.DataFrame = {
+      val anchors =
+        if (k == 0) Seq.empty
+        else chunks(k - 1).groupBy(_.metric).values.map(_.maxBy(_.time))
+          .map(p => StreamingIngest.GatedPoint(p.metric, p.time, p.value, anchor = true))
+      (anchors.toSeq ++ chunks(k).map(p =>
+        StreamingIngest.GatedPoint(p.metric, p.time, p.value, anchor = false))).toDF()
+    }
+    def refOf(upTo: Seq[Int]) = {
+      val pts = upTo.sorted.flatMap(chunks)
+      Ingest.rollup(Ingest.sanitize(
+        pts.toDS().toDF().select(col("metric"), col("time"), col("value"), col("seq"))), H)
+    }
+    def check(committed: Seq[Int], label: String): Unit = {
+      val ref = refOf(committed)
+      val got = store.level0(spark)
+      assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+        s"$label: level0 view diverged from batch rollup")
+      val wantRaw = committed.sorted.flatMap(chunks)
+        .map(p => (p.metric, p.time, p.value)).sortBy(r => (r._1, r._2))
+      val gotRaw = store.raw(spark).as[(String, Long, Double)]
+        .collect().sortBy(r => (r._1, r._2))
+      assert(gotRaw.toSeq == wantRaw, s"$label: raw view diverged")
+    }
+    def unmark(key: String): Unit = // crash window: data durable, marker not
+      Files.delete(java.nio.file.Paths.get(s"$root/batch_commits/$key"))
+
+    store.writeBatch(spark, gatedOf(0), "t_0")
+    check(Seq(0), "after first write")
+    store.writeBatch(spark, gatedOf(1), "t_1")
+    store.writeBatch(spark, gatedOf(1), "t_1") // ack-lost replay
+    check(Seq(0, 1), "after replayed write")
+    store.compact(spark, None)
+    check(Seq(0, 1), "after clean compact")
+    store.writeBatch(spark, gatedOf(2), "t_2")
+    unmark("t_2") // crashed before the checkpoint commit
+    check(Seq(0, 1), "uncommitted batch stays invisible")
+    store.compact(spark, None)
+    check(Seq(0, 1), "compact must not launder an uncommitted batch")
+    store.writeBatch(spark, gatedOf(2), "t_2") // restart replays it
+    check(Seq(0, 1, 2), "replay after crash commits the batch")
+    // restart: the gate seed reflects exactly the committed history
+    val seed = store.seedState(spark, "t", committedMaxBatch = 2L)
+    assert(seed("m1").maxTs == chunks(2).filter(_.metric == "m1").map(_.time).max)
+    store.writeBatch(spark, gatedOf(3), "t_3")
+    store.compact(spark, None)
+    store.writeBatch(spark, gatedOf(4), "t_4")
+    unmark("t_4")
+    store.compact(spark, None)
+    store.writeBatch(spark, gatedOf(4), "t_4")
+    store.writeBatch(spark, gatedOf(5), "t_5")
+    store.compact(spark, None)
+    store.compact(spark, None) // back-to-back compaction is idempotent
+    check(Seq(0, 1, 2, 3, 4, 5), "full churn sequence")
+  }
+
   test("chunked backfill equals one-shot batch rollup (gate + anchors across chunks)") {
     val store = new HtaStore(mkTmp("hta-backfill"), H)
     val all = (batch1 ++ batch2).toDS().toDF()
