@@ -341,10 +341,10 @@ object SparkEntry {
       val store = new HtaStore(root, Q.IntervalMin)
       // child session: a stateful shuffle creates one state store per
       // partition per micro-batch, and at this metric cardinality 32
-      // partitions is pure checkpoint I/O — 8 covers the key space while
-      // quartering the per-batch state-store commit cost
+      // partitions is pure checkpoint I/O — 4 covers the key space while
+      // cutting the per-batch state-store commit cost 8×
       val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[StreamingIngest.Point](ss)
       val q = StreamingIngest.start(ss, ms.toDS(), store, ckpt)
@@ -411,7 +411,7 @@ object SparkEntry {
         .select(col("user_id"), expr("CAST(ts AS LONG) div 1000").as("ts_us"))
         .as[(Long, Long)].collect()
       val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long)](ss)
       val q = ms.toDS().toDF("user_id", "ts_us")
@@ -446,7 +446,7 @@ object SparkEntry {
         .as[(String, Long, Long)].collect().sortBy(_._2) // ascending event time
       val sentinelUs = ev.map(_._2).max + 30L * 86400000000L // +30 d
       val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(String, Long, Long)](ss)
       val q = ms.toDS().toDF("event_type", "ts_us", "value_c")
@@ -491,7 +491,7 @@ object SparkEntry {
       val c = both.collect { case (_, u, "click", us) => (u, us) }
         .sortBy(_._2)
       val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
       // inner stream-stream joins emit matches eagerly — the no-data
       // micro-batch after each watermark advance only evicts state, so
       // skipping it cannot change the emitted rows (it would for the
@@ -541,7 +541,7 @@ object SparkEntry {
           expr("CAST(ts AS LONG) div 1000").as("us"))
         .as[(Long, String, Long)].collect().sortBy(_._3)
       val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
       // dropDuplicatesWithinWatermark emits first-seen rows in the batch
       // they arrive — the watermark only bounds state retention — so the
       // no-data eviction batch after each chunk cannot change the output
