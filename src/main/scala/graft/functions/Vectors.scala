@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -14,8 +14,11 @@ import org.apache.spark.sql.types._
   * their lambda *interpreted per array element* — for a 64-dim embedding
   * that is 64 interpreted calls per row on the candidate-pair hot path.
   * These expressions run the whole loop as plain JVM code behind a single
-  * virtual call (CodegenFallback leaf), keeping the surrounding plan in
-  * whole-stage codegen.
+  * call. Each implements `doGenCode` (not CodegenFallback): the generated
+  * code invokes the expression's `compute` on the child's codegen'd value
+  * directly, so the surrounding stage needs no `INPUT_ROW`
+  * materialization and no interpreted expression-tree dispatch. `eval`
+  * and codegen share the same `compute` body and cannot diverge.
   *
   * Determinism: [[VecQuantize]] reproduces Spark's `round(x*10000)` for
   * doubles bit-for-bit (shortest-decimal BigDecimal, HALF_UP — the same
@@ -38,8 +41,7 @@ object VectorExprs {
   * `round(x * 10000)::long`, one JVM pass. Null anywhere → null result
   * (embeddings are non-null by contract; this is the defensive path).
   */
-case class VecQuantize(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class VecQuantize(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "vec_quantize"
 
@@ -52,8 +54,8 @@ case class VecQuantize(child: Expression)
   private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Shared by eval and generated code; null on a null element. */
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Long](n)
     var i = 0
@@ -66,13 +68,23 @@ case class VecQuantize(child: Expression)
     ArrayData.toArrayData(out)
   }
 
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vecQuantize", this, classOf[VecQuantize].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
   override protected def withNewChildInternal(newChild: Expression): VecQuantize =
     copy(child = newChild)
 }
 
 /** `array<long>` → `long`: Σ x², exact integer. */
-case class VecNormSq(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class VecNormSq(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "vec_norm_sq"
 
@@ -82,8 +94,8 @@ case class VecNormSq(child: Expression)
       s"vec_norm_sq needs array<long>, got $other")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Shared by eval and generated code; null on a null element. */
+  def compute(arr: ArrayData): java.lang.Long = {
     val n = arr.numElements()
     var acc = 0L
     var i = 0
@@ -96,6 +108,20 @@ case class VecNormSq(child: Expression)
     acc
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vecNormSq", this, classOf[VecNormSq].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("normSq")
+      s"""
+      java.lang.Long $res = $ref.compute($c);
+      if ($res == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $res.longValue(); }
+      """
+    })
+  }
+
   override protected def withNewChildInternal(newChild: Expression): VecNormSq =
     copy(child = newChild)
 }
@@ -105,8 +131,7 @@ case class VecNormSq(child: Expression)
   * feeding an additive `aggregate`). This is the candidate-pair hot
   * path of brute/IVF top-k and embedding near-dup.
   */
-case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "vec_dot"
 
@@ -118,9 +143,9 @@ case class VecDot(left: Expression, right: Expression)
         s"vec_dot needs two array<long> inputs, got $l / $r")
     }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  /** Shared by eval and generated code; null on length mismatch or a
+    * null element. */
+  def compute(x: ArrayData, y: ArrayData): java.lang.Long = {
     val n = x.numElements()
     if (y.numElements() != n) return null
     var acc = 0L
@@ -131,6 +156,21 @@ case class VecDot(left: Expression, right: Expression)
       i += 1
     }
     acc
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vecDot", this, classOf[VecDot].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("dot")
+      s"""
+      java.lang.Long $res = $ref.compute($a, $b);
+      if ($res == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $res.longValue(); }
+      """
+    })
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =

@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -14,16 +14,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * `array_distinct(transform(sequence(…), i → concat_ws(element_at…)))`
   * evaluates its lambda *interpreted* per array element (higher-order
   * functions don't join whole-stage codegen) — ~1 ms/doc. This single
-  * Scala pass with a hash set is ~50× cheaper and keeps the surrounding
-  * operators inside codegen (the expression itself is a leaf call via
-  * CodegenFallback — one virtual call per row, loop body is plain JVM).
+  * Scala pass with a hash set is ~50× cheaper and stays inside the
+  * surrounding stage's generated code (`doGenCode` calls [[compute]]
+  * on the child's codegen'd value — no interpreted dispatch, no
+  * `INPUT_ROW` materialization; eval and codegen share the same body).
   *
   * Output order = first occurrence, matching `array_distinct` and
   * DuckDB's `list_distinct` — callers only use it as a set (jaccard,
   * minhash/array_min), so order never leaks into results.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -36,11 +37,15 @@ case class WordShingles(child: Expression, n: Int)
       s"word_shingles needs a string input, got ${child.dataType}")
   override def prettyName: String = "word_shingles"
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Shared by eval and generated code; never null for non-null input. */
+  def compute(input: UTF8String): ArrayData = {
     // limit -1: keep trailing empty tokens, matching Spark's split() and
     // DuckDB's string_split — a trailing space must tokenize identically
     // in the engine and the oracle
-    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val toks = input.toString.split(" ", -1)
     if (toks.length < n) new GenericArrayData(Array.empty[Any])
     else {
       val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
@@ -58,6 +63,11 @@ case class WordShingles(child: Expression, n: Int)
       while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
       new GenericArrayData(out)
     }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingles", this, classOf[WordShingles].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =

@@ -134,6 +134,27 @@ class ExtensionsSpec extends AnyFunSuite {
     h.zip(n).foreach { case (a, b) => assert(a == b, s"mismatch at vec_id ${a._1}") }
   }
 
+  test("custom expressions join whole-stage codegen (compute call, no eval dispatch)") {
+    // All four custom expressions implement doGenCode by calling their
+    // shared `compute` body from the generated stage. If one regressed to
+    // CodegenFallback the generated code would route through
+    // `((Expression) references[i]).eval(row)` instead — assert the
+    // direct compute call is what's in the compiled stage.
+    import org.apache.spark.sql.execution.debug._
+    val vecCode = codegenString(
+      emb.select(graft.functions.VecOps.quantize(col("embedding")).as("vq"))
+        .select(graft.functions.VecOps.normSq(col("vq")).as("n2"),
+          graft.functions.VecOps.dot(col("vq"), col("vq")).as("d"))
+        .queryExecution.executedPlan)
+    assert(vecCode.contains(".compute("), s"no compute call in:\n$vecCode")
+    assert(!vecCode.contains("CodegenFallback"), "vec exprs fell back")
+    val shingleCode = codegenString(
+      docs.select(graft.functions.WordShingles(col("text"), 3).as("sh"))
+        .queryExecution.executedPlan)
+    assert(shingleCode.contains(".compute("), s"no compute call in:\n$shingleCode")
+    assert(!shingleCode.contains("CodegenFallback"), "word_shingles fell back")
+  }
+
   test("IVF top-k is the label-restricted subset of brute force ranking") {
     import spark.implicits._
     val qLabel = emb.filter(col("vec_id") === 0L).select("label").head.getInt(0)
