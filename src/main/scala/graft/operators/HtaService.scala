@@ -84,9 +84,14 @@ object HtaService {
     if (chosen.isEmpty) return aggregateRange(sanitized, startNs, endNs)
     val (interval, istart, iend) = chosen.get
 
-    val chain = levels.takeWhile(_ <= interval)
-    val level = chain.tail.foldLeft(level0)(
-      (child, i) => Ingest.mergeToLevel(child, i))
+    // one groupBy straight from level-0 to the chosen interval: the Agg
+    // monoid is associative (property-tested in CoreSpec) and ladder
+    // levels divide each other, so this equals a level-by-level fold
+    // while shuffling once instead of once per intermediate level (the
+    // per-level maintenance shape lives in Ingest.hierarchy)
+    val level =
+      if (interval == levels.head) level0
+      else Ingest.mergeToLevel(level0, interval)
     val interior = level
       .filter(col("bucket_start") >= istart && col("bucket_start") < iend)
       .select(col("metric"), col("min_v"), col("max_v"), col("sum_c"),
@@ -156,10 +161,12 @@ object HtaService {
                          startNs: Long, endNs: Long, intervalMaxNs: Long): DataFrame = {
     val interval = Intervals.selectLevel(levels, intervalMaxNs)
       .getOrElse(levels.min) // reference falls back to finest available level
-    // build only the needed level: level0 then merges up to `interval`
-    val chain = levels.takeWhile(_ <= interval)
-    val level = chain.tail.foldLeft(level0)(
-      (child, i) => Ingest.mergeToLevel(child, i))
+    // build only the needed level, in one groupBy straight from level-0
+    // (associative Agg monoid + dividing ladder levels ⇒ identical to a
+    // level-by-level fold, with one shuffle instead of one per level)
+    val level =
+      if (interval == levels.head) level0
+      else Ingest.mergeToLevel(level0, interval)
     Ingest.present(level)
       .filter(col("bucket_start") + lit(interval) > startNs &&
         col("bucket_start") < endNs)
