@@ -168,11 +168,16 @@ object OracleSqlExt {
        |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 
   def minhashLshSql(threshold: Double, k: Int = 12, r: Int = 3): String = {
+    // double hashing (Kirsch–Mitzenmacher), mirroring Dedup
+    // .withMinhashSignature: h_i = g1 + i*g2 over the two 56-bit halves
+    // of one md5 — exact int64 arithmetic in both engines
+    def g(off: Int) = s"CAST(('0x' || substr(md5(x), $off, 14)) AS BIGINT)"
     val sigCols = (0 until k).map(i =>
-      s"list_min(list_transform(s, x -> substr(md5(x || '#$i'), 1, 16))) AS h$i")
+      s"list_min(list_transform(s, x -> ${g(1)} + $i * ${g(17)})) AS h$i")
       .mkString(",\n         ")
     val bandRows = (0 until k / r).map { j =>
-      val cat = (0 until r).map(o => s"h${j * r + o}").mkString(" || '|' || ")
+      val cat = (0 until r).map(o => s"CAST(h${j * r + o} AS VARCHAR)")
+        .mkString(" || '|' || ")
       s"SELECT doc_id, $j AS band, md5($cat) AS bsig FROM sig"
     }.mkString("\n  UNION ALL ")
     shCte(3) +
