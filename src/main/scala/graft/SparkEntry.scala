@@ -637,6 +637,17 @@ object SparkEntry {
       TextAnalysis.curateWith(Tables.read(s, dir, "documents"), 3.0,
         clusters(s, dir))
         .orderBy("lang", "split")),
+    // X4: Gopher-style within-document repetition quality scores —
+    // top-2-gram concentration, duplicated-5-gram mass, type-token ratio
+    "x59_repetition_scores" -> ((s, dir) =>
+      TextAnalysis.repetitionScores(Tables.read(s, dir, "documents"))
+        .orderBy("doc_id")),
+    // X1/X4: C4-style cross-document boilerplate stripping — tokens
+    // covered by a 3-gram repeated across >= 5 docs are removed, text
+    // rebuilt in order
+    "x60_boilerplate_strip" -> ((s, dir) =>
+      TextAnalysis.boilerplateStrip(Tables.read(s, dir, "documents"))
+        .orderBy("doc_id")),
     // Sketch surface: HLL++ distinct-count next to the exact count.
     // At 100 TB approx_count_distinct is the only affordable form (the
     // exact count shuffles every distinct key; the sketch is a few KB
@@ -855,6 +866,8 @@ object SparkEntry {
     "x47_split_stratified" -> OracleSqlExt.splitCountsSql("graft"),
     "x48_corpus_curation" ->
       OracleSqlExt.curateSql(3.0, ClusterJaccard, ClusterBand, "graft"),
+    "x59_repetition_scores" -> OracleSqlExt.repetitionScoresSql,
+    "x60_boilerplate_strip" -> OracleSqlExt.boilerplateStripSql(5),
     "q58_streamed_dedup" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -161,4 +161,94 @@ object TextAnalysis {
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_total"))
   }
+
+  /** Positional word n-grams of each document: `(doc_id, pos, gram)` for
+    * every start position with a full n-gram. The per-doc `lead` window
+    * partitions by doc_id — parallel across documents, never global.
+    */
+  private def positionalGrams(docs: DataFrame, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val withNext = (1 until n).foldLeft(toks)((df, i) =>
+      df.withColumn(s"t$i", lead(col("tok"), i).over(w)))
+    withNext.filter(col(s"t${n - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("tok") +: (1 until n).map(i => col(s"t$i")): _*)
+          .as("gram"))
+  }
+
+  /** Gopher-style within-document repetition scores (Rae et al. 2021,
+    * §A1.1 — "fraction of characters in the most frequent n-gram" /
+    * "in duplicated n-grams", re-expressed over tokens):
+    *
+    *  - `top2_ratio`: occurrences of the most frequent 2-gram / total
+    *    2-grams — high ⇒ a phrase loops;
+    *  - `dup5_ratio`: fraction of 5-gram occurrences whose gram appears
+    *    ≥ 2× in the doc — high ⇒ block-level self-repetition;
+    *  - `ttr`: distinct tokens / tokens (type-token ratio).
+    *
+    * All three are int/int divisions of exact counts — one IEEE divide,
+    * bit-identical in any engine. Scale: everything is per-doc (grouped
+    * or windowed by doc_id) — parallel across the corpus, no cross-doc
+    * state.
+    */
+  def repetitionScores(docs: DataFrame): DataFrame = {
+    def gramStats(n: Int, dup: Boolean): DataFrame = {
+      val cnts = positionalGrams(docs, n).groupBy("doc_id", "gram")
+        .agg(count(lit(1)).as("cnt"))
+      if (dup) cnts.groupBy("doc_id").agg(
+        (sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).cast("double") /
+          sum("cnt").cast("double")).as(s"dup${n}_ratio"))
+      else cnts.groupBy("doc_id").agg(
+        (max("cnt").cast("double") / sum("cnt").cast("double"))
+          .as(s"top${n}_ratio"))
+    }
+    val toks = split(col("text"), " ")
+    docs.select(col("doc_id"),
+        (size(array_distinct(toks)).cast("double") /
+          size(toks).cast("double")).as("ttr"))
+      .join(gramStats(2, dup = false), Seq("doc_id"), "left")
+      .join(gramStats(5, dup = true), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("top2_ratio"), col("dup5_ratio"), col("ttr"))
+  }
+
+  /** Cross-document boilerplate stripping (the C4/CCNet "remove spans
+    * repeated across many pages" rule): any token covered by a word
+    * `n`-gram that occurs in ≥ `minDf` distinct documents is removed,
+    * and the document is rebuilt from the surviving tokens in order.
+    *
+    * Scale posture: document frequency is one shuffle on the gram; the
+    * frequent set is by definition the small head of the distribution
+    * (boilerplate), and the join back is a plain equi-join on `gram`
+    * that AQE broadcasts when the set is small; coverage explodes ≤ n
+    * rows per frequent-gram occurrence; the rebuild groups by doc_id
+    * with per-doc bounded state. No all-pairs shape anywhere. Fully
+    *-covered documents are kept as empty strings (dropping them is the
+    * quality gate's decision, not the strip's).
+    */
+  def boilerplateStrip(docs: DataFrame, n: Int = 3, minDf: Long = 5): DataFrame = {
+    val grams = positionalGrams(docs, n)
+    val frequent = grams.groupBy("gram")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDf).select("gram")
+    val covered = grams.join(frequent, "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val kept = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      sort_array(collect_list(struct(col("pos"), col("tok")))).as("arr"))
+      .select(col("doc_id"), col("n_kept"),
+        expr("array_join(transform(arr, x -> x.tok), ' ')").as("clean_text"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -435,4 +435,78 @@ object OracleSqlExt {
       |       CAST(CASE WHEN length(text) = 0 THEN -1
       |                 ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS head_byte
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Positional-token CTE shared by the repetition / boilerplate
+    * oracles (1-based `pos`; the engine's 0-based posexplode only has
+    * to be internally consistent, positions never cross engines).
+    */
+  private val toksCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS pos
+      |  FROM documents)""".stripMargin
+
+  /** Mirrors `TextAnalysis.repetitionScores`: per-doc n-gram counts via
+    * the same lead-window construction; every ratio is one int/int IEEE
+    * divide.
+    */
+  def repetitionScoresSql: String = {
+    def gramSub(n: Int): String = {
+      val leads = (1 until n).map(i => s"lead(tok,$i) OVER w").mkString(" || ' ' || ")
+      s"""SELECT doc_id, tok || ' ' || $leads AS gram
+         |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)""".stripMargin
+    }
+    toksCte +
+      s""", c2 AS (
+         |  SELECT doc_id, gram, count(*) AS cnt FROM (
+         |    ${gramSub(2)})
+         |  WHERE gram IS NOT NULL GROUP BY doc_id, gram),
+         |t2 AS (SELECT doc_id,
+         |              CAST(max(cnt) AS DOUBLE)/CAST(sum(cnt) AS DOUBLE) AS top2_ratio
+         |       FROM c2 GROUP BY doc_id),
+         |c5 AS (
+         |  SELECT doc_id, gram, count(*) AS cnt FROM (
+         |    ${gramSub(5)})
+         |  WHERE gram IS NOT NULL GROUP BY doc_id, gram),
+         |t5 AS (SELECT doc_id,
+         |              CAST(sum(CASE WHEN cnt>=2 THEN cnt ELSE 0 END) AS DOUBLE) /
+         |                CAST(sum(cnt) AS DOUBLE) AS dup5_ratio
+         |       FROM c5 GROUP BY doc_id),
+         |ttr AS (SELECT doc_id,
+         |               CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) /
+         |                 CAST(len(string_split(text,' ')) AS DOUBLE) AS ttr
+         |        FROM documents)
+         |SELECT d.doc_id, t2.top2_ratio, t5.dup5_ratio, ttr.ttr
+         |FROM documents d LEFT JOIN t2 USING(doc_id) LEFT JOIN t5 USING(doc_id)
+         |JOIN ttr USING(doc_id)
+         |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Mirrors `TextAnalysis.boilerplateStrip(n=3, minDf)`: identical
+    * frequent-gram set (exact df counts), identical covered-position
+    * expansion, ordered rebuild via `string_agg(... ORDER BY pos)`.
+    */
+  def boilerplateStripSql(minDf: Long): String =
+    toksCte +
+      s""", gn AS (
+         |  SELECT doc_id, pos, gram FROM (
+         |    SELECT doc_id, pos,
+         |           tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS gram
+         |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+         |  WHERE gram IS NOT NULL),
+         |freq AS (SELECT gram FROM gn GROUP BY gram
+         |         HAVING count(DISTINCT doc_id) >= $minDf),
+         |cov AS (SELECT DISTINCT gn.doc_id, gn.pos + o.o AS pos
+         |        FROM gn JOIN freq USING (gram)
+         |        CROSS JOIN (SELECT unnest([0,1,2]) AS o) o),
+         |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+         |         ANTI JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos),
+         |reb AS (SELECT doc_id, count(*) AS n_kept,
+         |               string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+         |       coalesce(r.clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN reb r USING (doc_id) ORDER BY doc_id""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -162,6 +162,54 @@ class ExtensionsSpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSet
     val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
     assert(ivf.forall(labels(_) == qLabel))
+  }
+
+  test("repetitionScores matches a local per-doc n-gram computation") {
+    import spark.implicits._
+    val got = TextAnalysis.repetitionScores(docs)
+      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
+    assert(texts.nonEmpty)
+    texts.take(50).foreach { case (id, t) =>
+      val toks = t.split(" ", -1)
+      def grams(n: Int) = toks.sliding(n).filter(_.length == n)
+        .map(_.mkString(" ")).toSeq
+      val c2 = grams(2).groupBy(identity).map(_._2.size)
+      val c5 = grams(5).groupBy(identity).map(_._2.size)
+      val (_, top2, dup5, ttr) = got(id)
+      assert(top2 == c2.max.toDouble / c2.sum)
+      assert(dup5 == c5.filter(_ >= 2).sum.toDouble / c5.sum)
+      assert(ttr == toks.distinct.length.toDouble / toks.length)
+    }
+  }
+
+  test("boilerplateStrip removes exactly the tokens covered by frequent 3-grams") {
+    import spark.implicits._
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
+    // local reference: global 3-gram df, covered positions, rebuild
+    val gramDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    texts.foreach { case (id, t) =>
+      t.split(" ", -1).sliding(3).filter(_.length == 3).foreach { g =>
+        val k = g.mkString(" ")
+        gramDocs(k) = gramDocs.getOrElse(k, Set.empty) + id
+      }
+    }
+    val frequent = gramDocs.collect { case (g, ds) if ds.size >= 5 => g }.toSet
+    assert(frequent.nonEmpty, "fixture should contain repeated 3-grams")
+    val expect = texts.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val covered = toks.sliding(3).zipWithIndex
+        .collect { case (g, i) if g.length == 3 && frequent(g.mkString(" ")) =>
+          Seq(i, i + 1, i + 2) }.flatten.toSet
+      val kept = toks.zipWithIndex.collect { case (tok, i) if !covered(i) => tok }
+      id -> (toks.length.toLong, kept.length.toLong, kept.mkString(" "))
+    }.toMap
+    val got = TextAnalysis.boilerplateStrip(docs)
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.length == texts.length)
+    got.foreach { case (id, nTok, nKept, clean) =>
+      assert((nTok, nKept, clean) == expect(id), s"doc $id")
+    }
   }
 
   test("multimodal feature extraction: md5 + byte length round-trip") {
