@@ -369,13 +369,25 @@ object Dedup {
     val v = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
     val toks = docs.select(col("doc_id"), col("n_chars"), tok)
       .withColumn("v", v)
-    val bitSums = (0 until SimhashBits).map(b =>
-      sum(when(shiftright(col("v"), b).bitwiseAND(1L) === 1L, 1L)
-        .otherwise(-1L)).as(s"s$b"))
-    val fp = (0 until SimhashBits).map(b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    // pack 3 per-bit one-counters of 21 bits into each aggregation
+    // buffer: 20 packed sums + count(*) instead of 60 ±1 sums — same
+    // fingerprint (sign of Σ±1 = 2·ones − cnt > 0 ⟺ 2·ones > cnt),
+    // a third of the per-row aggregation-buffer updates. Field width
+    // bounds the contract at 2^21 tokens per document (any real doc);
+    // packed sums stay < 2^63 so int64 arithmetic is exact, fields
+    // cannot carry into each other.
+    val packed = (0 until SimhashBits / 3).map { j =>
+      sum((0 until 3).map(m =>
+        shiftleft(shiftright(col("v"), 3 * j + m).bitwiseAND(1L), 21 * m))
+        .reduce(_ + _)).as(s"p$j")
+    }
+    val fp = (0 until SimhashBits).map { b =>
+      val ones = shiftright(col(s"p${b / 3}"), 21 * (b % 3))
+        .bitwiseAND((1L << 21) - 1)
+      when(ones * 2 > col("cnt"), lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
     toks.groupBy("doc_id", "n_chars")
-      .agg(bitSums.head, bitSums.tail: _*)
+      .agg(packed.head, (packed.tail :+ count(lit(1)).as("cnt")): _*)
       .withColumn("simhash", fp)
       .select("doc_id", "n_chars", "simhash")
   }
