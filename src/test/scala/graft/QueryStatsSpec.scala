@@ -118,4 +118,35 @@ class QueryStatsSpec extends AnyFunSuite {
     assert(fin("graft.db.read.active.count") == 0.0)
     assert(fin("graft.db.read.failed.count") == 1.0)
   }
+
+  test("dogfood loop: published stats ingest and query back as ordinary metrics") {
+    import org.apache.spark.sql.functions._
+    // the reference's db_stats metrics are first-class bus metrics a db
+    // instance can itself store (db_stats.cpp:119-178). Close the loop:
+    // a scripted request mix publishes ticks, the published stream runs
+    // through the ordinary ingest gate, and the engine's own query
+    // surface answers LAST_VALUE over a self-metric.
+    val stats = new QueryStats(prefix = "self.", clock = stepClock())
+    val d = new QueryDispatcher(stats, knownMetrics = Some(Set("purchase")))
+    (1 to 3).foreach { _ =>
+      assert(d.dispatch(R.LastValue("purchase"), sanitized, levels).isRight)
+      stats.collect()
+    }
+    val published = stats.toDF(spark)
+    val pts = published.select(col("metric"), col("time_ns").as("time"),
+      col("value"), col("time_ns").as("seq"))
+    val clean = Ingest.sanitize(pts)
+    // finite values + strictly monotonic ticks per metric ⇒ the gate
+    // keeps every published sample
+    assert(clean.count() == published.count())
+    val r = new QueryDispatcher(new QueryStats(clock = stepClock()))
+      .dispatch(R.LastValue("self.read.request.rate"), clean, levels)
+    val Right(Resp.Raw(df)) = r: @unchecked
+    val got = df.head()
+    val lastTick = published
+      .filter(col("metric") === "self.read.request.rate")
+      .orderBy(col("time_ns").desc).head()
+    assert(got.getAs[Long]("time") == lastTick.getAs[Long]("time_ns"))
+    assert(got.getAs[Double]("value") == lastTick.getAs[Double]("value"))
+  }
 }
