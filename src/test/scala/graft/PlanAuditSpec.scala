@@ -71,6 +71,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_percentile"), p)
   }
 
+  test("x59/x60 text-curation plans stay equi-join + per-doc-window shaped") {
+    Seq("x59_repetition_scores", "x60_boilerplate_strip").foreach { q =>
+      val p = sparkPlan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested loop:\n$p")
+      // the gram windows must partition by doc_id — a global window
+      // would serialize the corpus through one task
+      assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+        s"$q has an unpartitioned window:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the rollup pipeline") {
     // audit the real rollup computation, not the memoized store view —
     // and execute THIS DataFrame so AQE finalizes its plan
