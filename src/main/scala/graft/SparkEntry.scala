@@ -347,8 +347,19 @@ object SparkEntry {
       ss.conf.set("spark.sql.shuffle.partitions", "4")
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[StreamingIngest.Point](ss)
-      val q = StreamingIngest.start(ss, ms.toDS(), store, ckpt)
-      pts.grouped(math.max(1, pts.length / 3 + 1)).foreach { chunk =>
+      // mode=RO enforcement runs inside the driver's gate: the catalog
+      // declares one read-only metric and the stream carries points
+      // addressed to it — they must be dropped before the store, or the
+      // level-0 view grows an extra metric and the oracle hash fails
+      val catalog = graft.core.MetricCatalog.build(
+        pts.map(_.metric).distinct.sorted.map(m =>
+          graft.core.MetricConfig(m, None, "RW", Q.IntervalMin, Q.Ladder.last)) :+
+        graft.core.MetricConfig("ro.blocked", None, "RO",
+          Q.IntervalMin, Q.Ladder.last)).toOption.get
+      val roNoise = pts.take(50).map(p => p.copy(metric = "ro.blocked"))
+      val q = StreamingIngest.start(ss, ms.toDS(), store, ckpt,
+        catalog = Some(catalog))
+      (pts ++ roNoise).grouped(math.max(1, pts.length / 3 + 1)).foreach { chunk =>
         ms.addData(chunk.toSeq)
         q.processAllAvailable()
       }

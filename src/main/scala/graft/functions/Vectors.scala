@@ -44,6 +44,11 @@ object VectorExprs {
 case class VecQuantize(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "vec_quantize"
+  // null on a null ELEMENT even when the array itself is non-nullable —
+  // without this override the generated code assigns ev.isNull while
+  // nullSafeCodeGen declared it a literal `false` (janino error →
+  // interpreted fallback writing garbage 0 for a "non-null" long)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -87,6 +92,7 @@ case class VecQuantize(child: Expression) extends UnaryExpression {
 case class VecNormSq(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "vec_norm_sq"
+  override def nullable: Boolean = true // null element → null (see VecQuantize)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -134,6 +140,9 @@ case class VecNormSq(child: Expression) extends UnaryExpression {
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "vec_dot"
+  // null on LENGTH MISMATCH or a null element, independent of child
+  // nullability (see VecQuantize note)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {

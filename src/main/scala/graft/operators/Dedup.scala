@@ -388,7 +388,14 @@ object Dedup {
     }.reduce(_ + _)
     toks.groupBy("doc_id", "n_chars")
       .agg(packed.head, (packed.tail :+ count(lit(1)).as("cnt")): _*)
-      .withColumn("simhash", fp)
+      // enforce the field-width contract loudly: past 2^21 tokens the
+      // packed counters would carry into neighbor bits and silently
+      // corrupt the fingerprint
+      .withColumn("simhash",
+        when(col("cnt") >= lit(1L << 21),
+          raise_error(concat(lit("simhash: document exceeds 2^21 tokens, doc_id="),
+            col("doc_id").cast("string"))).cast("long"))
+        .otherwise(fp))
       .select("doc_id", "n_chars", "simhash")
   }
 

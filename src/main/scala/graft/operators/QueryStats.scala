@@ -64,6 +64,9 @@ final class QueryStats(prefix: String = "graft.db.", rateHz: Double = 0.1,
   private var pendingNs, activeNs = 0L
   private var inPending, inActive = 0L
   private var lastCollectNs = clock() // "collect empty stats right at the beginning"
+  // a ring, not a leak: same retention policy as IngestStats — a
+  // long-lived service ticking forever must not grow driver heap
+  private val MaxRetained = 10000
   private val published = mutable.ArrayBuffer.empty[Sample]
 
   def pending(): Token = synchronized {
@@ -100,7 +103,10 @@ final class QueryStats(prefix: String = "graft.db.", rateHz: Double = 0.1,
   def collect(): Seq[Sample] = synchronized {
     val now = clock()
     val duration = (now - lastCollectNs) / 1e9
-    require(duration > 0, "stats interval elapsed no time")
+    // two ticks in the same clock quantum (coarse nanoTime on VMs, or a
+    // flush racing the scheduled tick): a no-op interval, not an error —
+    // keep the deltas for the next real tick instead of dying
+    if (duration <= 0) return Seq.empty
     lastCollectNs = now
     val meanPending =
       if (startedCount > 0) pendingNs / 1e9 / startedCount else 0.0
@@ -118,6 +124,8 @@ final class QueryStats(prefix: String = "graft.db.", rateHz: Double = 0.1,
       Sample(now, s"${prefix}read.$suffix", values(suffix), unit, quantity, desc, scope)
     }
     published ++= rows
+    if (published.size > MaxRetained)
+      published.remove(0, published.size - MaxRetained)
     rows
   }
 
@@ -166,13 +174,15 @@ final class QueryDispatcher(stats: QueryStats,
   }
 
   /** One request in, `Right(response)` or `Left(error)` out — never an
-    * exception (NonFatal). The response row count is materialized here:
-    * like the reference, the service encodes the full (per-metric,
-    * bounded) response before replying, and the byte estimate feeds the
-    * `data.rate` stat.
+    * exception (NonFatal). The response is materialized ONCE here via an
+    * eager localCheckpoint — like the reference, the service encodes the
+    * full (per-metric, bounded) response before replying — so the byte
+    * estimate for the `data.rate` stat and the caller's consumption
+    * share one execution instead of running the query plan twice.
     */
   def dispatch(req: HistoryRequest, sanitized: DataFrame,
                levels: Seq[Long]): Either[RequestError, HistoryResponse] = {
+    import graft.core.{HistoryResponse => Resp}
     val t = stats.pending()
     stats.active(t)
     validate(req) match {
@@ -181,7 +191,10 @@ final class QueryDispatcher(stats: QueryStats,
         Left(RequestError(req.metric, msg))
       case None =>
         try {
-          val resp = HtaService.history(req, sanitized, levels)
+          val resp = HtaService.history(req, sanitized, levels) match {
+            case Resp.Aggregates(df) => Resp.Aggregates(df.localCheckpoint(true))
+            case Resp.Raw(df) => Resp.Raw(df.localCheckpoint(true))
+          }
           val bytes = resp.df.count() * resp.df.schema.defaultSize
           stats.complete(t, bytes)
           Right(resp)

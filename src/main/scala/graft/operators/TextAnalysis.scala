@@ -195,22 +195,34 @@ object TextAnalysis {
     * state.
     */
   def repetitionScores(docs: DataFrame): DataFrame = {
-    def gramStats(n: Int, dup: Boolean): DataFrame = {
-      val cnts = positionalGrams(docs, n).groupBy("doc_id", "gram")
-        .agg(count(lit(1)).as("cnt"))
-      if (dup) cnts.groupBy("doc_id").agg(
-        (sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).cast("double") /
-          sum("cnt").cast("double")).as(s"dup${n}_ratio"))
-      else cnts.groupBy("doc_id").agg(
-        (max("cnt").cast("double") / sum("cnt").cast("double"))
-          .as(s"top${n}_ratio"))
-    }
-    val toks = split(col("text"), " ")
+    // ONE tokenize + window-shuffle pass computes leads 1–4; both gram
+    // sizes project from the same rows (the 2-gram is a prefix of the
+    // 5-gram's leads), so the explode/shuffle below the window is a
+    // reused exchange instead of running per gram size. ttr is a pure
+    // per-row expression over the docs scan — no shuffle at all.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val leads = (1 until 5).foldLeft(toks)((df, i) =>
+      df.withColumn(s"t$i", lead(col("tok"), i).over(w)))
+    def gramCounts(n: Int): DataFrame = leads
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok") +: (1 until n).map(i => col(s"t$i")): _*)
+          .as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+    val top2 = gramCounts(2).groupBy("doc_id").agg(
+      (max("cnt").cast("double") / sum("cnt").cast("double")).as("top2_ratio"))
+    val dup5 = gramCounts(5).groupBy("doc_id").agg(
+      (sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).cast("double") /
+        sum("cnt").cast("double")).as("dup5_ratio"))
+    val t = split(col("text"), " ")
     docs.select(col("doc_id"),
-        (size(array_distinct(toks)).cast("double") /
-          size(toks).cast("double")).as("ttr"))
-      .join(gramStats(2, dup = false), Seq("doc_id"), "left")
-      .join(gramStats(5, dup = true), Seq("doc_id"), "left")
+        (size(array_distinct(t)).cast("double") /
+          size(t).cast("double")).as("ttr"))
+      .join(top2, Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
       .select(col("doc_id"), col("top2_ratio"), col("dup5_ratio"), col("ttr"))
   }
 

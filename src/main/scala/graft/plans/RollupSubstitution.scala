@@ -31,7 +31,8 @@ object RollupSubstitution {
     */
   final case class Entry(rawPlan: LogicalPlan,
                          levels: Seq[(LogicalPlan, Long)],
-                         valueNotNull: Boolean)
+                         valueNotNull: Boolean,
+                         centQuantized: Boolean)
 
   private val registry =
     scala.collection.concurrent.TrieMap.empty[SparkSession, Entry]
@@ -48,10 +49,20 @@ object RollupSubstitution {
     * wrong in the presence of NULL values (the level's cnt/sum_c count
     * rows / treat an all-NULL bucket as 0, where raw count skips NULLs /
     * sums to NULL).
+    *
+    * `assumeCentQuantized`: the caller additionally asserts every raw
+    * `value` lies exactly on the 0.01 grid (`value == round(value*100)
+    * / 100`). Required by the `avg(value)` mapping: the level's `sum_c`
+    * is `Σ round(value·100)`, so the rewritten mean is the mean of
+    * QUANTIZED values — exact only on the grid, and up to 0.005/point
+    * systematic error off it. The quantized-sum mapping does NOT need
+    * this (the query itself asks for `sum(round(value*100)::long)`).
     */
   def install(spark: SparkSession, raw: DataFrame, level0: DataFrame,
-              intervalNs: Long, assumeValueNotNull: Boolean = false): Unit =
-    installLadder(spark, raw, Seq(level0 -> intervalNs), assumeValueNotNull)
+              intervalNs: Long, assumeValueNotNull: Boolean = false,
+              assumeCentQuantized: Boolean = false): Unit =
+    installLadder(spark, raw, Seq(level0 -> intervalNs), assumeValueNotNull,
+      assumeCentQuantized)
 
   /** Register a whole level ladder (A5's `Intervals.ladder` materialized
     * by ingest): queries bucketed at a coarse interval merge the coarsest
@@ -60,7 +71,8 @@ object RollupSubstitution {
     */
   def installLadder(spark: SparkSession, raw: DataFrame,
                     ladder: Seq[(DataFrame, Long)],
-                    assumeValueNotNull: Boolean = false): Unit = {
+                    assumeValueNotNull: Boolean = false,
+                    assumeCentQuantized: Boolean = false): Unit = {
     require(ladder.nonEmpty, "ladder must contain at least one level")
     require(ladder.forall(_._2 > 0), "level intervals must be positive")
     require(ladder.map(_._2).distinct.size == ladder.size,
@@ -79,7 +91,7 @@ object RollupSubstitution {
     registry.put(spark,
       Entry(raw.queryExecution.analyzed,
         ladder.sortBy(_._2).map { case (df, i) => (df.queryExecution.analyzed, i) },
-        assumeValueNotNull))
+        assumeValueNotNull, assumeCentQuantized))
     // the injected rule has no removal API, so install/uninstall/install
     // cycles must reuse the instance already present for this session
     // instead of appending another (each extra instance re-scans every
@@ -220,15 +232,17 @@ class RollupSubstitutionRule(private[plans] val session: SparkSession)
       // but was folded to 0 in the level)
       case Sum(e, _) if entry.valueNotNull && isQuantizedValue(e) =>
         Some(AggregateExpression(Sum(lvlAttr("sum_c")), Complete, isDistinct = false))
-      // avg(value) = (Σ sum_c / 100) / Σ cnt under the same no-NULL
-      // assertion (cnt > 0 is guaranteed by the baseCond bucket filter,
-      // so the division can't hit zero). Exactness caveat, documented:
-      // the raw plan's avg sums doubles in shuffle order — itself not
-      // bitwise deterministic run-to-run — while this form is the exact
-      // integer-domain sum divided once; they agree to within the same
-      // last-ulp class the engine already accepts for double sums
+      // avg(value) = (Σ sum_c / 100) / Σ cnt — requires BOTH install
+      // assertions: no NULL values AND cent-quantized values (sum_c is
+      // Σ round(v·100), so off the 0.01 grid this mean is the mean of
+      // quantized values, up to 0.005/point wrong — see install()).
+      // cnt > 0 is guaranteed by the baseCond bucket filter, so the
+      // division can't hit zero. On the grid the rewritten form is the
+      // exact integer-domain sum divided once, vs the raw plan's
+      // shuffle-order double sum (itself not bitwise stable run-to-run)
       case Average(v: Attribute, _)
-          if v.exprId == valueAttr.exprId && entry.valueNotNull =>
+          if v.exprId == valueAttr.exprId && entry.valueNotNull &&
+            entry.centQuantized =>
         val sumC = Cast(
           AggregateExpression(Sum(lvlAttr("sum_c")), Complete, isDistinct = false),
           org.apache.spark.sql.types.DoubleType)

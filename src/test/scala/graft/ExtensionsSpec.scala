@@ -134,6 +134,22 @@ class ExtensionsSpec extends AnyFunSuite {
     h.zip(n).foreach { case (a, b) => assert(a == b, s"mismatch at vec_id ${a._1}") }
   }
 
+  test("vec exprs are nullable even over non-nullable children") {
+    // vec_dot returns null on length mismatch and null elements; with
+    // non-nullable literal-array children the expression must still
+    // declare nullable=true or the generated code assigns a
+    // FalseLiteral isNull (janino error → interpreted fallback writing
+    // 0 for a "non-null" long)
+    val r = spark.range(1).select(
+      graft.functions.VecOps.dot(
+        array(lit(1L), lit(2L)), array(lit(3L))).as("d"),
+      graft.functions.VecOps.dot(
+        array(lit(1L), lit(2L)), array(lit(3L), lit(4L))).as("ok"))
+      .head()
+    assert(r.isNullAt(0), "length mismatch must be NULL, not 0")
+    assert(r.getLong(1) == 11L)
+  }
+
   test("custom expressions join whole-stage codegen (compute call, no eval dispatch)") {
     // All four custom expressions implement doGenCode by calling their
     // shared `compute` body from the generated stage. If one regressed to

@@ -77,9 +77,14 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q plans a nested loop:\n$p")
       // the gram windows must partition by doc_id — a global window
-      // would serialize the corpus through one task
-      assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
-        s"$q has an unpartitioned window:\n$p")
+      // would serialize the corpus through one task. Every window spec
+      // in the plan must name doc_id as its partition key (an
+      // unpartitioned spec starts straight at the ORDER BY column)
+      val specs = "windowspecdefinition\\(([^,]*)".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(specs.nonEmpty, s"$q lost its window:\n$p")
+      specs.foreach(s => assert(s.contains("doc_id"),
+        s"$q has a window not partitioned by doc_id (spec head: $s)"))
     }
   }
 

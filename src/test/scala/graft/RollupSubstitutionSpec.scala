@@ -127,12 +127,20 @@ class RollupSubstitutionSpec extends AnyFunSuite {
     } finally RollupSubstitution.uninstall(spark)
   }
 
-  test("avg(value) rewrites to sum_c/100/cnt under the not-null assertion") {
+  test("avg(value) rewrites only under BOTH not-null and cent-grid assertions") {
     def qAvg() = raw.groupBy(col("metric"),
         (col("time") - col("time") % (10 * H)).as("bucket"))
       .agg(avg("value").as("a"), count(lit(1)).as("c"))
 
+    // not-null alone must NOT unlock avg: sum_c is the sum of QUANTIZED
+    // values, so off the 0.01 grid the rewrite would be systematically
+    // wrong (up to 0.005/point), not last-ulp
     RollupSubstitution.install(spark, raw, level0, H, assumeValueNotNull = true)
+    try assert(!qAvg().queryExecution.optimizedPlan.toString.contains("sum_c"))
+    finally RollupSubstitution.uninstall(spark)
+
+    RollupSubstitution.install(spark, raw, level0, H,
+      assumeValueNotNull = true, assumeCentQuantized = true)
     try {
       val q = qAvg()
       val optimized = q.queryExecution.optimizedPlan.toString
