@@ -121,10 +121,12 @@ object Dedup {
   def withMinhashSignature(shingledDocs: DataFrame, k: Int = 12): DataFrame = {
     val hashed = shingledDocs
       .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), md5(col("s")).as("m"))
+      // fused: one digest → both 56-bit halves, no hex string
+      // (= conv(substring(md5(s), 1|17, 14), 16, 10) exactly)
       .select(col("doc_id"),
-        conv(substring(col("m"), 1, 14), 16, 10).cast("long").as("g1"),
-        conv(substring(col("m"), 17, 14), 16, 10).cast("long").as("g2"))
+        graft.functions.Md5Longs(col("s"), Seq((1, 14), (17, 14))).as("gs"))
+      .select(col("doc_id"),
+        element_at(col("gs"), 1).as("g1"), element_at(col("gs"), 2).as("g2"))
       .select(col("doc_id") +: (0 until k).map(i =>
         (col("g1") + lit(i.toLong) * col("g2")).as(s"h$i")): _*)
     hashed.groupBy("doc_id")
@@ -366,7 +368,9 @@ object Dedup {
 
   def simhash(docs: DataFrame): DataFrame = {
     val tok = explode(split(col("text"), " ")).as("tok")
-    val v = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    // fused digest→int60, = conv(substring(md5(tok), 1, 15), 16, 10)
+    val v = element_at(
+      graft.functions.Md5Longs(col("tok"), Seq((1, 15))), 1)
     val toks = docs.select(col("doc_id"), col("n_chars"), tok)
       .withColumn("v", v)
     // pack 3 per-bit one-counters of 21 bits into each aggregation

@@ -99,9 +99,9 @@ object TextAnalysis {
     * none of it. md5 keeps it engine-portable (oracle rule).
     */
   def splitAssign(docs: DataFrame, seed: String = "graft"): DataFrame = {
-    val bucket = conv(
-      substring(md5(concat(lit(seed), col("doc_id").cast("string"))), 1, 4),
-      16, 10).cast("long") % 10
+    // fused digest→int16, = conv(substring(md5(seed||id), 1, 4), 16, 10)
+    val bucket = element_at(graft.functions.Md5Longs(
+      concat(lit(seed), col("doc_id").cast("string")), Seq((1, 4))), 1) % 10
     // pass-through: downstream stages keep their columns without
     // re-joining the corpus
     docs.withColumn("split",

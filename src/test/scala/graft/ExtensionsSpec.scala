@@ -134,6 +134,20 @@ class ExtensionsSpec extends AnyFunSuite {
     h.zip(n).foreach { case (a, b) => assert(a == b, s"mismatch at vec_id ${a._1}") }
   }
 
+  test("Md5Longs equals the conv(substring(md5)) idiom it fused") {
+    import spark.implicits._
+    val fused = docs.select(col("doc_id"),
+      graft.functions.Md5Longs(col("text"), Seq((1, 14), (17, 14), (1, 15), (1, 4))).as("f"))
+    val idiom = docs.select(col("doc_id"), array(
+      conv(substring(md5(col("text")), 1, 14), 16, 10).cast("long"),
+      conv(substring(md5(col("text")), 17, 14), 16, 10).cast("long"),
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long"),
+      conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")).as("f"))
+    val a = fused.as[(Long, Seq[Long])].collect().sortBy(_._1)
+    val b = idiom.as[(Long, Seq[Long])].collect().sortBy(_._1)
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
   test("vec exprs are nullable even over non-nullable children") {
     // vec_dot returns null on length mismatch and null elements; with
     // non-nullable literal-array children the expression must still
