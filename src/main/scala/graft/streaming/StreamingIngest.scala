@@ -42,16 +42,21 @@ object StreamingIngest {
 
   /** The keyed-state monotonic gate (T1/T2). Within a batch, points are
     * processed in arrival (`seq`) order — the strand semantics. State
-    * seeds from `seed` on first sight of a metric (the reference seeds
-    * from `metric.range().second`, ref :259).
+    * seeds from the `seed` Dataset via the initial-state overload (the
+    * reference seeds from `metric.range().second`, ref :259): Spark
+    * co-partitions the seed with the state store and `putState`s every
+    * seeded key at batch 0 — including keys with no batch-0 data — so
+    * seeding is fully distributed; no per-metric map ever touches the
+    * driver or the task closure, whatever the metric cardinality.
     */
-  def gate(points: Dataset[Point], seed: Map[String, GateState])(
+  def gate(points: Dataset[Point], seed: Dataset[(String, GateState)])(
       implicit spark: SparkSession): Dataset[GatedPoint] = {
     import spark.implicits._
     points.groupByKey(_.metric)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout,
+        seed.groupByKey(_._1).mapValues(_._2)) {
         (metric: String, it: Iterator[Point], state: GroupState[GateState]) =>
-          val st0 = state.getOption.orElse(seed.get(metric))
+          val st0 = state.getOption
           var maxTs = st0.map(_.maxTs).getOrElse(Long.MinValue)
           var lastV = st0.map(_.lastValue).getOrElse(Double.NaN)
           val anchor = st0.map(s => GatedPoint(metric, s.maxTs, s.lastValue, anchor = true))
@@ -234,7 +239,7 @@ class HtaStore(val root: String, val intervalMin: Long) {
 
   // explicit read schemas: partition-column type inference would turn
   // all-numeric metric names (sensor ids like "42") into an int column,
-  // breaking seedState's typed collect and every string comparison
+  // breaking seedState's typed Dataset and every string comparison
   private val rawSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "time LONG, value DOUBLE, metric STRING, batch_id STRING")
   private val partialsSchema = org.apache.spark.sql.types.StructType.fromDDL(
@@ -355,22 +360,25 @@ class HtaStore(val root: String, val intervalMin: Long) {
     * written by a crashed, uncommitted batch that is about to be
     * replayed — seeding from them would gate out the replay and lose
     * the data (directories from other checkpoints are trusted as
-    * committed). The map is captured in the gate closure — small at
-    * our metric cardinality; use the `flatMapGroupsWithState`
-    * initial-state overload when metrics number in the millions.
+    * committed). Returned as a Dataset — the gate consumes it through
+    * the `flatMapGroupsWithState` initial-state overload, so the seed
+    * is shuffled straight into the state-store partitions and never
+    * materializes on the driver, whatever the metric cardinality (the
+    * reference's directory likewise seeds per metric from storage,
+    * async_hta_service.hpp:258-259).
     */
-  def seedState(spark: SparkSession, ckptTag: String,
-                committedMaxBatch: Long): Map[String, StreamingIngest.GateState] = {
+  def seedState(spark: SparkSession, ckptTag: String, committedMaxBatch: Long)
+      : Dataset[(String, StreamingIngest.GateState)] = {
     import spark.implicits._
     val (hfs, hp) = fs(spark, rawPath)
-    if (!hfs.exists(hp)) Map.empty
+    if (!hfs.exists(hp)) spark.emptyDataset[(String, StreamingIngest.GateState)]
     else onlyCommitted(spark, spark.read.schema(rawSchema).parquet(rawPath))
       .filter(!col("batch_id").startsWith(s"${ckptTag}_") ||
         substring_index(col("batch_id"), "_", -1).cast("long") <= committedMaxBatch)
       .groupBy("metric")
       .agg(max("time").as("t"), max_by(col("value"), col("time")).as("v"))
-      .as[(String, Long, Double)].collect()
-      .map { case (m, t, v) => m -> StreamingIngest.GateState(t, v) }.toMap
+      .as[(String, Long, Double)]
+      .map { case (m, t, v) => (m, StreamingIngest.GateState(t, v)) }
   }
 
   /** Write a gated micro-batch idempotently (see class doc). The commit

@@ -146,10 +146,11 @@ class StreamingSpec extends AnyFunSuite {
     store.writeBatch(spark, gatedOf(batch1), "tag_0")
     store.writeBatch(spark, gatedOf(batch2.filter(_.metric == "m2")), "tag_1")
     // batch 1 crashed before commit: its rows must not seed the gate
-    val seed = store.seedState(spark, "tag", committedMaxBatch = 0L)
+    val seed = store.seedState(spark, "tag", committedMaxBatch = 0L).collect().toMap
     assert(seed("m2").maxTs == T0 + 5L * 60000000000L) // batch-0 max only
     // other checkpoints' directories are trusted as committed
-    val seedOther = store.seedState(spark, "other", committedMaxBatch = -1L)
+    val seedOther =
+      store.seedState(spark, "other", committedMaxBatch = -1L).collect().toMap
     assert(seedOther("m2").maxTs == T0 + 65L * 60000000000L)
   }
 
@@ -167,8 +168,8 @@ class StreamingSpec extends AnyFunSuite {
     // readers and the gate seed must not see the unmarked batch
     assert(store.raw(spark).agg(max("time")).head.getLong(0) ==
       T0 + 70L * 60000000000L)
-    assert(store.seedState(spark, "other", -1L)("m1").maxTs ==
-      T0 + 70L * 60000000000L)
+    assert(store.seedState(spark, "other", -1L).collect().toMap
+      .apply("m1").maxTs == T0 + 70L * 60000000000L)
     // replay completes the batch in place and it becomes visible
     store.writeBatch(spark, gated.withColumn("time", col("time") + lit(300L * 60000000000L)), "t_1")
     assert(store.raw(spark).agg(max("time")).head.getLong(0) ==
@@ -339,7 +340,7 @@ class StreamingSpec extends AnyFunSuite {
     store.writeBatch(spark, gatedOf(2), "t_2") // restart replays it
     check(Seq(0, 1, 2), "replay after crash commits the batch")
     // restart: the gate seed reflects exactly the committed history
-    val seed = store.seedState(spark, "t", committedMaxBatch = 2L)
+    val seed = store.seedState(spark, "t", committedMaxBatch = 2L).collect().toMap
     assert(seed("m1").maxTs == chunks(2).filter(_.metric == "m1").map(_.time).max)
     store.writeBatch(spark, gatedOf(3), "t_3")
     store.compact(spark, None)
