@@ -373,8 +373,12 @@ class HtaStore(val root: String, val intervalMin: Long) {
     val (hfs, hp) = fs(spark, rawPath)
     if (!hfs.exists(hp)) spark.emptyDataset[(String, StreamingIngest.GateState)]
     else onlyCommitted(spark, spark.read.schema(rawSchema).parquet(rawPath))
+      // try_cast, not cast: partition pruning evaluates this predicate on
+      // every batch_id value regardless of the OR short-circuit, and the
+      // ANSI cast hard-fails on the non-numeric `compacted` key
       .filter(!col("batch_id").startsWith(s"${ckptTag}_") ||
-        substring_index(col("batch_id"), "_", -1).cast("long") <= committedMaxBatch)
+        expr("try_cast(substring_index(batch_id, '_', -1) AS LONG)")
+          <= committedMaxBatch)
       .groupBy("metric")
       .agg(max("time").as("t"), max_by(col("value"), col("time")).as("v"))
       .as[(String, Long, Double)]
@@ -433,35 +437,14 @@ class HtaStore(val root: String, val intervalMin: Long) {
       intervalMin)
   }
 
-  /** Fold partials down physically into a single batch directory.
-    *
-    * OFFLINE maintenance op: must not run concurrently with the
-    * streaming query (it lists-then-deletes batch directories; a
-    * concurrent append would be destroyed). Crash-safe via recovery on
-    * entry: a crash between the two renames leaves `partials_old`
-    * holding the data, restored on the next call.
-    *
-    * If the owning streaming query might have crashed mid-batch (any
-    * stop that was not a clean `query.stop()` after
-    * `processAllAvailable`), pass its checkpoint as `activeCheckpoint`:
-    * the trailing batch directory that was written but never committed
-    * is then carried through UNMERGED under its original batch key, so
-    * the replay's overwrite still converges. Folding it into
-    * `compacted` would let the replayed batch re-append its partials
-    * and double-count that batch in the merge-on-read view. The
-    * parameter has no default on purpose — `None` is only safe after a
-    * clean stop, and that must be a conscious claim by the caller.
-    *
-    * Marker-less (half-written) batch directories are carried through
-    * unmerged as well: they are invisible to readers, and a later
-    * replay completes them in place.
+  /** Recover one side of a previous compact crash: `bak` holding the
+    * ONLY copy means the swap died between its two renames — the rename
+    * back must be verified before anything may delete bak.
     */
-  def compact(spark: SparkSession, activeCheckpoint: Option[String]): Unit = {
-    val (hfs, cur) = fs(spark, partialsPath)
-    val bak = new org.apache.hadoop.fs.Path(s"$root/partials_old")
-    val tmp = new org.apache.hadoop.fs.Path(s"$root/partials_compacted")
-    // recovery from a previous crash: bak holds the ONLY copy — the
-    // rename back must be verified before anything may delete bak
+  private def recoverCompact(hfs: org.apache.hadoop.fs.FileSystem,
+                             cur: org.apache.hadoop.fs.Path,
+                             bak: org.apache.hadoop.fs.Path,
+                             tmp: org.apache.hadoop.fs.Path): Unit = {
     if (hfs.exists(bak) && !hfs.exists(cur) && !hfs.rename(bak, cur))
       throw new java.io.IOException(
         s"compact recovery: rename $bak -> $cur failed; data is in $bak")
@@ -472,53 +455,16 @@ class HtaStore(val root: String, val intervalMin: Long) {
       hfs.delete(bak, true)
     }
     if (hfs.exists(tmp)) hfs.delete(tmp, true)
-    if (!hfs.exists(cur)) return // nothing to compact
+  }
 
-    import org.apache.spark.sql.functions.{col, lit, substring_index}
-    val uncommittedTail: org.apache.spark.sql.Column = activeCheckpoint match {
-      case Some(ckpt) =>
-        val (tag, committedMax) = StreamingIngest.checkpointIdentity(spark, ckpt)
-        col("batch_id").startsWith(s"${tag}_") &&
-          substring_index(col("batch_id"), "_", -1).cast("long") > committedMax
-      case None => lit(false)
-    }
-    val all = spark.read.schema(partialsSchema).parquet(partialsPath)
-    // legacy pre-marker store: every batch is trusted (and the compact
-    // itself writes the marker directory, migrating the store). The
-    // committed-key membership is computed ONCE as a boolean tag (one
-    // broadcast join at >128 keys, a codegen'd isin below), then both
-    // consumers split on it — the merge branch and the preserve branch
-    // each still scan the parquet once (2 scans total; deliberately NOT
-    // cached: at scale the partials table dwarfs executor memory and a
-    // pushdown-filtered parquet re-scan is cheaper than a spill)
-    val tagged = committedKeys(spark) match {
-      case None => all.withColumn("__marked", lit(true))
-      case Some(keys) => withCommitFlag(spark, all, keys, "__marked")
-    }
-    // preserve = uncommittedTail || !marked, exactly as before
-    val committedMerged = Ingest.mergeToLevel(
-        tagged.filter(col("__marked") && !uncommittedTail)
-          .filter(col("interval_ns") === intervalMin)
-          .drop("interval_ns", "batch_id", "__marked"),
-        intervalMin)
-      .withColumn("batch_id", lit("compacted"))
-    // preserved partials pass through byte-identical under their
-    // original batch keys
-    val preserved = tagged
-      .filter(!col("__marked") || uncommittedTail).drop("__marked")
-    val merged = committedMerged.unionByName(
-      preserved.select(committedMerged.columns.map(col): _*))
-    merged.write.partitionBy("batch_id", "interval_ns").parquet(tmp.toString)
-    // marker BEFORE the swap: a marker without a directory is harmless,
-    // but a swapped-in compacted directory without a marker would hide
-    // all merged history. Markers for merged batches stay — they still
-    // validate the raw/ side of those batches. On a legacy store this
-    // also backfills raw-side markers (markerDirInit) so creating the
-    // marker dir cannot hide pre-marker history
-    markerDirInit(spark)
-    markCommitted(spark, "compacted")
-    // Hadoop rename signals failure by returning false — never delete
-    // the backup unless both renames actually happened
+  /** Swap the freshly-written `tmp` in for `cur` via the verified
+    * double rename. Hadoop rename signals failure by returning false —
+    * never delete the backup unless both renames actually happened.
+    */
+  private def swapCompact(hfs: org.apache.hadoop.fs.FileSystem,
+                          cur: org.apache.hadoop.fs.Path,
+                          bak: org.apache.hadoop.fs.Path,
+                          tmp: org.apache.hadoop.fs.Path): Unit = {
     if (!hfs.rename(cur, bak))
       throw new java.io.IOException(s"compact: rename $cur -> $bak failed")
     if (!hfs.rename(tmp, cur)) {
@@ -526,5 +472,138 @@ class HtaStore(val root: String, val intervalMin: Long) {
       throw new java.io.IOException(s"compact: rename $tmp -> $cur failed")
     }
     hfs.delete(bak, true)
+  }
+
+  /** Fold partials AND raw batch directories down physically into a
+    * single `batch_id=compacted` directory per side. Without the raw
+    * fold, continuous ingest grows one raw directory per micro-batch
+    * forever (~1 440/day at a 1-minute trigger) — the small-files
+    * growth that degrades every scan and listing at scale; the
+    * reference never meets this because HTA appends to one file per
+    * metric.
+    *
+    * OFFLINE maintenance op: must not run concurrently with the
+    * streaming query (it lists-then-deletes batch directories; a
+    * concurrent append would be destroyed). Crash-safe via recovery on
+    * entry: a crash between a side's two renames leaves `*_old`
+    * holding the data, restored on the next call; a crash between the
+    * two sides leaves one side folded and the other not, which readers
+    * never notice (the merged batches' markers are retained until both
+    * sides are folded).
+    *
+    * If the owning streaming query might have crashed mid-batch (any
+    * stop that was not a clean `query.stop()` after
+    * `processAllAvailable`), pass its checkpoint as `activeCheckpoint`:
+    * the trailing batch directory that was written but never committed
+    * is then carried through UNMERGED under its original batch key, so
+    * the replay's overwrite still converges. Folding it into
+    * `compacted` would let the replayed batch re-append its rows and
+    * double-count that batch. The parameter has no default on purpose —
+    * `None` is only safe after a clean stop, and that must be a
+    * conscious claim by the caller.
+    *
+    * Marker-less (half-written) batch directories are carried through
+    * unmerged as well: they are invisible to readers, and a later
+    * replay completes them in place.
+    */
+  def compact(spark: SparkSession, activeCheckpoint: Option[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val uncommittedTail: org.apache.spark.sql.Column = activeCheckpoint match {
+      case Some(ckpt) =>
+        val (tag, committedMax) = StreamingIngest.checkpointIdentity(spark, ckpt)
+        // try_cast: see seedState — the ANSI cast would hard-fail on the
+        // `compacted` key during partition pruning
+        col("batch_id").startsWith(s"${tag}_") &&
+          expr("try_cast(substring_index(batch_id, '_', -1) AS LONG)") > committedMax
+      case None => lit(false)
+    }
+    // the committed-key snapshot is taken ONCE, before this compact's
+    // own "compacted" marker lands — both sides fold the same set, so
+    // a batch can never be folded on one side and trusted-as-pending on
+    // the other. Legacy pre-marker store: every batch is trusted (and
+    // the compact itself writes the marker directory, migrating the
+    // store). Membership is computed as a boolean tag (one broadcast
+    // join at >128 keys, a codegen'd isin below), then both consumers
+    // split on it — the merge branch and the preserve branch each still
+    // scan the parquet once (2 scans total per side; deliberately NOT
+    // cached: at scale the tables dwarf executor memory and a
+    // pushdown-filtered parquet re-scan is cheaper than a spill)
+    val keys = committedKeys(spark)
+    def tagged(df: DataFrame): DataFrame = keys match {
+      case None => df.withColumn("__marked", lit(true))
+      case Some(ks) => withCommitFlag(spark, df, ks, "__marked")
+    }
+
+    // ---- partials side ----
+    val (pfs, pcur) = fs(spark, partialsPath)
+    val pbak = new org.apache.hadoop.fs.Path(s"$root/partials_old")
+    val ptmp = new org.apache.hadoop.fs.Path(s"$root/partials_compacted")
+    recoverCompact(pfs, pcur, pbak, ptmp)
+    if (pfs.exists(pcur)) {
+      val all = tagged(spark.read.schema(partialsSchema).parquet(partialsPath))
+      // preserve = uncommittedTail || !marked
+      val committedMerged = Ingest.mergeToLevel(
+          all.filter(col("__marked") && !uncommittedTail)
+            .filter(col("interval_ns") === intervalMin)
+            .drop("interval_ns", "batch_id", "__marked"),
+          intervalMin)
+        .withColumn("batch_id", lit("compacted"))
+      // preserved partials pass through byte-identical under their
+      // original batch keys
+      val preserved = all
+        .filter(!col("__marked") || uncommittedTail).drop("__marked")
+      val merged = committedMerged.unionByName(
+        preserved.select(committedMerged.columns.map(col): _*))
+      merged.write.partitionBy("batch_id", "interval_ns").parquet(ptmp.toString)
+      // marker BEFORE the swap: a marker without a directory is
+      // harmless, but a swapped-in compacted directory without a marker
+      // would hide all merged history. On a legacy store this also
+      // backfills per-batch markers (markerDirInit) so creating the
+      // marker dir cannot hide pre-marker history
+      markerDirInit(spark)
+      markCommitted(spark, "compacted")
+      swapCompact(pfs, pcur, pbak, ptmp)
+    }
+
+    // ---- raw side ----
+    val (rfs, rcur) = fs(spark, rawPath)
+    val rbak = new org.apache.hadoop.fs.Path(s"$root/raw_old")
+    val rtmp = new org.apache.hadoop.fs.Path(s"$root/raw_compacted")
+    recoverCompact(rfs, rcur, rbak, rtmp)
+    if (rfs.exists(rcur)) {
+      val all = tagged(spark.read.schema(rawSchema).parquet(rawPath))
+      val committedFolded = all.filter(col("__marked") && !uncommittedTail)
+        .select("metric", "time", "value")
+        .withColumn("batch_id", lit("compacted"))
+      val preserved = all.filter(!col("__marked") || uncommittedTail)
+        .select("metric", "time", "value", "batch_id")
+      // range-partition so each task holds a contiguous (batch, metric,
+      // time) slice → O(shuffle.partitions) well-sized files; the
+      // within-partition sort already satisfies partitionBy's required
+      // (batch_id, metric) ordering, so no second sort is inserted and
+      // row groups stay time-ordered for min/max pruning, same as
+      // writeBatch
+      val merged = committedFolded.unionByName(preserved)
+        .repartitionByRange(col("batch_id"), col("metric"), col("time"))
+        .sortWithinPartitions("batch_id", "metric", "time")
+      merged.write.partitionBy("batch_id", "metric").parquet(rtmp.toString)
+      markerDirInit(spark)
+      markCommitted(spark, "compacted")
+      swapCompact(rfs, rcur, rbak, rtmp)
+    }
+
+    // marker GC: a batch folded into `compacted` on BOTH sides has no
+    // directory left for its marker to validate — without this the
+    // marker dir itself grows one file per micro-batch forever. A key
+    // whose directory survives on either side (uncommitted tail,
+    // marker-less replay target) keeps its marker; a crash mid-GC
+    // merely leaves extra markers, which are harmless.
+    committedKeys(spark).foreach(_.filterNot(_ == "compacted").foreach { k =>
+      val rdir = new org.apache.hadoop.fs.Path(rcur, s"batch_id=$k")
+      val pdir = new org.apache.hadoop.fs.Path(pcur, s"batch_id=$k")
+      if (!rfs.exists(rdir) && !pfs.exists(pdir))
+        rfs.delete(new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(commitsPath), k), false)
+    })
   }
 }

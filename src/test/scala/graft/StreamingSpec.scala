@@ -267,15 +267,58 @@ class StreamingSpec extends AnyFunSuite {
     val before = store.level0(spark)
       .agg(sum("cnt"), sum("sum_c")).as[(Long, Long)].head()
 
+    val beforeRaw = store.raw(spark).as[(String, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+
     store.compact(spark, Some(ckpt))
-    // the uncommitted directory must survive under its original key …
+    // the uncommitted directory must survive under its original key on
+    // BOTH sides …
     assert(Files.exists(
       java.nio.file.Paths.get(s"$root/partials/batch_id=${tag}_1")))
-    // … so the replayed batch overwrites it and the view is unchanged
+    assert(Files.exists(
+      java.nio.file.Paths.get(s"$root/raw/batch_id=${tag}_1")))
+    // … so the replayed batch overwrites it and the views are unchanged
     store.writeBatch(spark, gatedOf(batch2.filter(_.metric == "m2")), s"${tag}_1")
     val after = store.level0(spark)
       .agg(sum("cnt"), sum("sum_c")).as[(Long, Long)].head()
     assert(after == before)
+    val afterRaw = store.raw(spark).as[(String, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(afterRaw == beforeRaw)
+  }
+
+  test("compact folds raw batch directories: O(1) dirs, views and seed unchanged") {
+    val root = mkTmp("hta-raw-compact")
+    val store = new HtaStore(root, H)
+    val minute = 60000000000L
+    def gatedOf(k: Int) = (0 until 5).map { j =>
+      val i = k * 5 + j
+      StreamingIngest.GatedPoint("m1", T0 + i * 10 * minute, i * 0.25, anchor = false)
+    }.toDF()
+    (0 until 8).foreach(k => store.writeBatch(spark, gatedOf(k), s"t_$k"))
+    def rawRows() = store.raw(spark).as[(String, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    def seed() = store.seedState(spark, "other", -1L).collect().toMap
+    val (beforeRaw, beforeSeed) = (rawRows(), seed())
+    def dirCount(side: String) =
+      new java.io.File(s"$root/$side").listFiles()
+        .count(_.getName.startsWith("batch_id="))
+    assert(dirCount("raw") == 8)
+
+    store.compact(spark, None)
+    // one directory per side; content and gate seed byte-identical
+    assert(dirCount("raw") == 1 && dirCount("partials") == 1)
+    assert(rawRows() == beforeRaw && seed() == beforeSeed)
+    // markers for fully-folded batches are GC'd — only `compacted` left
+    // (ignore the local FS's hidden .crc checksum sidecars)
+    assert(new java.io.File(s"$root/batch_commits").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).toSeq == Seq("compacted"))
+    // a later batch appends and a second compact re-folds it
+    store.writeBatch(spark, gatedOf(8), "t_8")
+    assert(dirCount("raw") == 2)
+    store.compact(spark, None)
+    assert(dirCount("raw") == 1)
+    assert(rawRows().size == 45 && seed()("m1").maxTs == T0 + 44 * 10 * minute)
   }
 
   test("transaction log under churn: write/replay/crash/compact/restart stays exact") {
