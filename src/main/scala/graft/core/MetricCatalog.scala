@@ -101,6 +101,14 @@ object MetricCatalog {
       val root = JsonMethods.parse(json)
       val configs = (root \ "metrics") match {
         case JObject(fields) => fields.map { case (name, v) =>
+          // prefix metrics are a hard config error, not an ignorable key
+          // (ref async_hta_service.hpp:161-165: "adding prefix metrics
+          // no longer supported")
+          (v \ "prefix") match {
+            case JBool(true) => return Left(
+              s"prefix metrics are not supported: $name")
+            case _ => ()
+          }
           def longAt(k: String, dflt: Option[Long] = None): Long =
             (v \ k) match {
               case JInt(x) => x.toLong

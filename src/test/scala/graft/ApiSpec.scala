@@ -111,6 +111,17 @@ class ApiSpec extends AnyFunSuite {
     assert(c.input.contains("taurusi_watts"))
     assert(c.levels == List(40L, 400L, 4000L, 40000L, 400000L).map(_ * 1000000000L))
     assert(MetricCatalog.fromJson("""{"no": "metrics"}""").isLeft)
+    // prefix metrics are a hard config error (ref hpp:161-165), not an
+    // ignorable key — and prefix:false stays accepted
+    val withPrefix =
+      """{"metrics": {"taurus.": {"prefix": true,
+        |   "interval_min": 1000, "interval_max": 100000}}}""".stripMargin
+    assert(MetricCatalog.fromJson(withPrefix)
+      .swap.exists(_.contains("prefix")))
+    val falsePrefix =
+      """{"metrics": {"taurus.power": {"prefix": false,
+        |   "interval_min": 1000, "interval_max": 100000}}}""".stripMargin
+    assert(MetricCatalog.fromJson(falsePrefix).isRight)
   }
 
   test("Aggregator UDAF: typed merge equals the plain groupBy merge") {

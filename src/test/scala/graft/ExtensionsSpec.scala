@@ -207,8 +207,10 @@ class ExtensionsSpec extends AnyFunSuite {
       val c2 = grams(2).groupBy(identity).map(_._2.size)
       val c5 = grams(5).groupBy(identity).map(_._2.size)
       val (_, top2, dup5, ttr) = got(id)
-      assert(top2 == c2.max.toDouble / c2.sum)
-      assert(dup5 == c5.filter(_ >= 2).sum.toDouble / c5.sum)
+      // docs shorter than the gram size have no grams — the operator
+      // leaves the ratio NULL there, so only assert when grams exist
+      if (c2.nonEmpty) assert(top2 == c2.max.toDouble / c2.sum)
+      if (c5.nonEmpty) assert(dup5 == c5.filter(_ >= 2).sum.toDouble / c5.sum)
       assert(ttr == toks.distinct.length.toDouble / toks.length)
     }
   }
