@@ -173,12 +173,22 @@ final class QueryDispatcher(stats: QueryStats,
     case _ => None
   }
 
+  /** The persisted RDD behind an eagerly localCheckpoint'ed frame (its
+    * analyzed plan is a LogicalRDD wrapping exactly that RDD).
+    */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
   /** One request in, `Right(response)` or `Left(error)` out — never an
     * exception (NonFatal). The response is materialized ONCE here via an
     * eager localCheckpoint — like the reference, the service encodes the
-    * full (per-metric, bounded) response before replying — so the byte
-    * estimate for the `data.rate` stat and the caller's consumption
-    * share one execution instead of running the query plan twice.
+    * full (per-metric, bounded) response before replying. The `data.rate`
+    * byte figure is read off the checkpoint's persisted block sizes: no
+    * second job over the frame, and actual row bytes instead of
+    * `schema.defaultSize`'s fixed per-type guess (which overstates
+    * strings and ignores row count variance).
     */
   def dispatch(req: HistoryRequest, sanitized: DataFrame,
                levels: Seq[Long]): Either[RequestError, HistoryResponse] = {
@@ -195,7 +205,11 @@ final class QueryDispatcher(stats: QueryStats,
             case Resp.Aggregates(df) => Resp.Aggregates(df.localCheckpoint(true))
             case Resp.Raw(df) => Resp.Raw(df.localCheckpoint(true))
           }
-          val bytes = resp.df.count() * resp.df.schema.defaultSize
+          val sc = resp.df.sparkSession.sparkContext
+          val bytes = checkpointRdd(resp.df).map { rdd =>
+            sc.getRDDStorageInfo.filter(_.id == rdd.id)
+              .map(i => i.memSize + i.diskSize).sum
+          }.getOrElse(0L)
           stats.complete(t, bytes)
           Right(resp)
         } catch {
@@ -205,4 +219,13 @@ final class QueryDispatcher(stats: QueryStats,
         }
     }
   }
+
+  /** Free a response's checkpoint blocks once the reply has been
+    * consumed/encoded. Without this a long-lived service accumulates
+    * executor block-manager storage until the driver GCs the plan and
+    * the ContextCleaner notices — at sustained request rates that lag
+    * is real memory pressure.
+    */
+  def release(resp: HistoryResponse): Unit =
+    checkpointRdd(resp.df).foreach(_.unpersist(blocking = false))
 }

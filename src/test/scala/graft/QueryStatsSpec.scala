@@ -102,6 +102,56 @@ class QueryStatsSpec extends AnyFunSuite {
       "time_ns", "metric", "value", "unit", "quantity", "description", "scope"))
   }
 
+  test("byte accounting reads the checkpoint's block size: no extra job, release frees it") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // listener events are async — a count is settled once it stops moving
+    def settledJobs(): Int = {
+      var prev = -1
+      var cur = jobs.get()
+      while (cur != prev) { Thread.sleep(200); prev = cur; cur = jobs.get() }
+      cur
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // baseline: the same request materialized bare (checkpoint only)
+      val Resp.Aggregates(base) =
+        HtaService.history(R.Aggregate("purchase", start, end),
+          sanitized, levels): @unchecked
+      val bareCkpt = base.localCheckpoint(true)
+      val baseline = settledJobs()
+      bareCkpt.unpersist()
+
+      jobs.set(0)
+      val stats = new QueryStats(clock = stepClock())
+      val d = new QueryDispatcher(stats)
+      val Right(resp) =
+        d.dispatch(R.Aggregate("purchase", start, end), sanitized, levels): @unchecked
+      // byte accounting added NO job beyond the materialization itself —
+      // the old count()-based estimate ran one more
+      assert(settledJobs() == baseline,
+        s"dispatch ran ${jobs.get()} jobs, expected the bare-checkpoint $baseline")
+      // and the stat carried real nonzero payload bytes
+      val rate = stats.collect().map(s => s.metric -> s.value).toMap
+      assert(rate("graft.db.read.data.rate") > 0)
+
+      // the checkpoint's blocks are registered … and release frees them
+      def storedIds() = spark.sparkContext.getRDDStorageInfo
+        .filter(i => i.memSize + i.diskSize > 0).map(_.id).toSet
+      val before = storedIds()
+      d.release(resp)
+      val deadline = System.currentTimeMillis() + 20000
+      while (storedIds().size >= before.size &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(storedIds().size < before.size,
+        "release must drop the response's checkpoint blocks")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("in-flight requests show up in the point-scope counts") {
     val stats = new QueryStats(clock = stepClock())
     val t1 = stats.pending()
