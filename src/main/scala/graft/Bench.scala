@@ -21,9 +21,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional comma-separated query filter for targeted re-measurement
+    // (unset = all queries, the driver's configuration)
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(only) =>
+        val want = only.split(",").map(_.trim).toSet
+        SparkEntry.queries.keys.toSeq.filter(want)
+      case None => SparkEntry.queries.keys.toSeq
+    }
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    names.foreach { name =>
+      try SparkEntry.queries(name)(spark, warmDir).count()
+      catch { case _: Throwable => () }
     }
     // materialize the store views at the measured SF outside the timed
     // loop — they are what ingest would have written ahead of time, and
@@ -37,7 +46,6 @@ object Bench {
     // contention window — separated samples let min() reject it. Three
     // passes by default: two can both straddle one long burst
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    val names = SparkEntry.queries.keys.toSeq
     val failed = scala.collection.mutable.Set.empty[String]
     val samples = (1 to passes).flatMap { _ =>
       names.map { name =>
