@@ -211,6 +211,15 @@ object StreamingIngest {
   }
 }
 
+object HtaStore {
+  /** Nanoseconds per day — the raw layout's coarse time partition
+    * granularity. A day directory under each metric keeps directory
+    * counts bounded (1 per metric-day) while giving time-ranged scans
+    * directory-level pruning.
+    */
+  val DayNs: Long = 86400000000000L
+}
+
 /** Parquet-backed append-only HTA store: `raw/` (kept points) +
   * `partials/` (level-0 partial buckets, merge-on-read).
   *
@@ -224,14 +233,17 @@ object StreamingIngest {
   * storage — including the half-written case where raw/ was flushed but
   * partials/ was not.
   *
-  * Layout for scale: raw is partitioned by metric and sorted by time
-  * within files (range pruning via parquet min/max on sorted `time`);
-  * partials are partitioned by `interval_ns` so a timeline query prunes
-  * to one level directory. At 100 TB add a coarse time partition (day)
-  * under metric — the bucket math is unchanged — and replace the
-  * directory-rename compaction with a transactional table format.
+  * Layout for scale: raw is partitioned by metric and epoch `day`
+  * (derived from `time`, see [[HtaStore.DayNs]]) and sorted by time
+  * within files — a time-ranged scan prunes to its day directories
+  * first ([[HtaStore.rawRange]]), then parquet min/max on sorted
+  * `time` skips row groups within each file; partials are partitioned
+  * by `interval_ns` so a timeline query prunes to one level
+  * directory. At 100 TB replace the directory-rename compaction with
+  * a transactional table format.
   */
 class HtaStore(val root: String, val intervalMin: Long) {
+  import HtaStore.DayNs
   val levels: List[Long] = Intervals.ladder(intervalMin)
   private def rawPath = s"$root/raw"
   private def partialsPath = s"$root/partials"
@@ -241,7 +253,7 @@ class HtaStore(val root: String, val intervalMin: Long) {
   // all-numeric metric names (sensor ids like "42") into an int column,
   // breaking seedState's typed Dataset and every string comparison
   private val rawSchema = org.apache.spark.sql.types.StructType.fromDDL(
-    "time LONG, value DOUBLE, metric STRING, batch_id STRING")
+    "time LONG, value DOUBLE, metric STRING, day LONG, batch_id STRING")
   private val partialsSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "metric STRING, bucket_start LONG, min_v DOUBLE, max_v DOUBLE, " +
       "sum_c LONG, cnt LONG, integral_cus LONG, active_us LONG, " +
@@ -398,11 +410,15 @@ class HtaStore(val root: String, val intervalMin: Long) {
     try {
       // no repartition: micro-batches are already metric-hashed by the
       // gate's groupByKey shuffle; partitionBy splits directories and the
-      // local sort keeps row groups time-ordered for min/max pruning
+      // local sort keeps row groups time-ordered for min/max pruning.
+      // day is monotone in time, so sorting (metric, day, time) is the
+      // same row order as (metric, time) AND satisfies partitionBy's
+      // required (metric, day) prefix — no second sort gets inserted
       batch.filter(!col("anchor"))
         .select("metric", "time", "value")
-        .sortWithinPartitions("metric", "time")
-        .write.mode("overwrite").partitionBy("metric")
+        .withColumn("day", expr(s"time div $DayNs"))
+        .sortWithinPartitions("metric", "day", "time")
+        .write.mode("overwrite").partitionBy("metric", "day")
         .parquet(s"$rawPath/batch_id=$batchKey")
       Ingest.rollupWithAnchors(batch, intervalMin)
         .write.mode("overwrite").partitionBy("interval_ns")
@@ -411,14 +427,31 @@ class HtaStore(val root: String, val intervalMin: Long) {
     } finally batch.unpersist()
   }
 
-  def raw(spark: SparkSession): DataFrame = {
+  private def rawAll(spark: SparkSession): Option[DataFrame] = {
     val (hfs, hp) = fs(spark, rawPath)
-    if (!hfs.exists(hp)) // empty store is readable, not a crash
-      emptyDf(spark, org.apache.spark.sql.types.StructType.fromDDL(
-        "metric STRING, time LONG, value DOUBLE"))
-    else onlyCommitted(spark, spark.read.schema(rawSchema).parquet(rawPath))
-      .select("metric", "time", "value")
+    if (!hfs.exists(hp)) None // empty store is readable, not a crash
+    else Some(onlyCommitted(spark, spark.read.schema(rawSchema).parquet(rawPath)))
   }
+
+  def raw(spark: SparkSession): DataFrame =
+    rawAll(spark).map(_.select("metric", "time", "value")).getOrElse(
+      emptyDf(spark, org.apache.spark.sql.types.StructType.fromDDL(
+        "metric STRING, time LONG, value DOUBLE")))
+
+  /** Time-ranged raw scan. The `day` partition directories are a pure
+    * function of `time`, so the equivalent day range is added as a
+    * partition filter — directory-level pruning BEFORE the pushed time
+    * predicate skips row groups within each surviving file. Times are
+    * non-negative ns since epoch (the engine's TimePoint domain), so
+    * truncating division here agrees with the writer's `div`.
+    */
+  def rawRange(spark: SparkSession, startNs: Long, endNs: Long): DataFrame =
+    rawAll(spark).map(
+      _.filter(col("day").between(startNs / DayNs, endNs / DayNs) &&
+          col("time").between(startNs, endNs))
+        .select("metric", "time", "value")).getOrElse(
+      emptyDf(spark, org.apache.spark.sql.types.StructType.fromDDL(
+        "metric STRING, time LONG, value DOUBLE")))
 
   /** Merge-on-read level-0 view (exact: Agg is a monoid — same merge as
     * the batch hierarchy builder).
@@ -573,20 +606,20 @@ class HtaStore(val root: String, val intervalMin: Long) {
     if (rfs.exists(rcur)) {
       val all = tagged(spark.read.schema(rawSchema).parquet(rawPath))
       val committedFolded = all.filter(col("__marked") && !uncommittedTail)
-        .select("metric", "time", "value")
+        .select("metric", "time", "value", "day")
         .withColumn("batch_id", lit("compacted"))
       val preserved = all.filter(!col("__marked") || uncommittedTail)
-        .select("metric", "time", "value", "batch_id")
+        .select("metric", "time", "value", "day", "batch_id")
       // range-partition so each task holds a contiguous (batch, metric,
-      // time) slice → O(shuffle.partitions) well-sized files; the
-      // within-partition sort already satisfies partitionBy's required
-      // (batch_id, metric) ordering, so no second sort is inserted and
-      // row groups stay time-ordered for min/max pruning, same as
-      // writeBatch
+      // time) slice → O(shuffle.partitions) well-sized files; day is
+      // monotone in time, so the within-partition sort already
+      // satisfies partitionBy's required (batch_id, metric, day)
+      // ordering — no second sort is inserted and row groups stay
+      // time-ordered for min/max pruning, same as writeBatch
       val merged = committedFolded.unionByName(preserved)
         .repartitionByRange(col("batch_id"), col("metric"), col("time"))
-        .sortWithinPartitions("batch_id", "metric", "time")
-      merged.write.partitionBy("batch_id", "metric").parquet(rtmp.toString)
+        .sortWithinPartitions("batch_id", "metric", "day", "time")
+      merged.write.partitionBy("batch_id", "metric", "day").parquet(rtmp.toString)
       markerDirInit(spark)
       markCommitted(spark, "compacted")
       swapCompact(rfs, rcur, rbak, rtmp)

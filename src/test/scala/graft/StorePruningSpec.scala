@@ -16,12 +16,15 @@ class StorePruningSpec extends AnyFunSuite {
   private val H = 3600000000000L
   private val T0 = 1704067200000000000L
 
+  private val D = HtaStore.DayNs
+
   private lazy val store = {
     val s = new HtaStore(
       java.nio.file.Files.createTempDirectory("hta-prune").toString, H)
     val gated = Seq(
       StreamingIngest.GatedPoint("m1", T0 + 1000L, 1.0, anchor = false),
       StreamingIngest.GatedPoint("m1", T0 + H + 1000L, 2.0, anchor = false),
+      StreamingIngest.GatedPoint("m1", T0 + 3 * D + 1000L, 4.0, anchor = false),
       StreamingIngest.GatedPoint("m2", T0 + 2000L, 3.0, anchor = false)).toDF()
     s.writeBatch(spark, gated, "t_0")
     s
@@ -39,6 +42,22 @@ class StorePruningSpec extends AnyFunSuite {
       .filter(col("metric") === "m1" && col("time") >= T0 + H))
     assert(scan2.contains("PushedFilters") &&
       scan2.contains("GreaterThanOrEqual(time"), s"time not pushed:\n$scan2")
+  }
+
+  test("a time-ranged raw read prunes to its day directories") {
+    val ranged = store.rawRange(spark, T0, T0 + 2 * H)
+    val scan = scanString(ranged)
+    // the derived day range is a PARTITION filter (directory pruning),
+    // the time range a pushed data filter (row-group skipping)
+    assert(scan.contains("PartitionFilters") && scan.contains("day#"),
+      s"day not a partition filter:\n$scan")
+    assert(scan.contains("PushedFilters") &&
+      scan.contains("GreaterThanOrEqual(time"), s"time not pushed:\n$scan")
+    // the day-3 point is outside the range; the first two survive
+    assert(ranged.select("value").as[Double].collect().toSet == Set(1.0, 2.0, 3.0))
+    // and the layout really is one directory per metric-day
+    assert(new java.io.File(s"${store.root}/raw/batch_id=t_0/metric=m1")
+      .listFiles().count(_.getName.startsWith("day=")) == 2)
   }
 
   test("a level read prunes to one interval directory") {
