@@ -147,4 +147,52 @@ class ApiSpec extends AnyFunSuite {
     val direct = Ingest.rollup(sanitized, SparkEntry.Q.IntervalMin)
     assert(lvl0.exceptAll(direct).isEmpty && direct.exceptAll(lvl0).isEmpty)
   }
+
+  test("S4: fromJdbc against embedded Derby equals fromDataFrame") {
+    // the importer's MySQL source stood in by Derby in-memory — same
+    // JDBC wiring (partitioned range scan on `timestamp`), zero egress
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val minute = 60000000000L
+    val n = 500
+    try {
+      val st = conn.createStatement()
+      // quoted lower-case names: `timestamp` is a reserved word in
+      // Derby, and the production wiring hardcodes the importer's
+      // lower-case MySQL column names
+      st.execute("""CREATE TABLE samples ("timestamp" BIGINT, "value" DOUBLE)""")
+      val ins = conn.prepareStatement("INSERT INTO samples VALUES (?, ?)")
+      (0 until n).foreach { i =>
+        ins.setLong(1, 1704067200000000000L + i * minute)
+        ins.setDouble(2, (i % 7) * 0.25)
+        ins.addBatch()
+      }
+      // an out-of-range row the explicit bound filter must exclude
+      ins.setLong(1, 1704067200000000000L + (n + 100) * minute)
+      ins.setDouble(2, 99.0)
+      ins.addBatch()
+      ins.executeBatch()
+
+      val lo = 1704067200000000000L
+      val hi = 1704067200000000000L + n * minute
+      val (clean, lvl0) = BulkImport.fromJdbc(spark, url, "samples",
+        "jdbc.m", lo, hi, numPartitions = 4, SparkEntry.Q.IntervalMin)
+
+      val local = (0 until n).map(i =>
+        ("jdbc.m", lo + i * minute, (i % 7) * 0.25, lo + i * minute))
+        .toDF("metric", "time", "value", "seq")
+      val (refClean, refLvl0) =
+        BulkImport.fromDataFrame(local, SparkEntry.Q.IntervalMin)
+      assert(clean.count() == n.toLong)
+      assert(clean.exceptAll(refClean).isEmpty && refClean.exceptAll(clean).isEmpty)
+      assert(lvl0.exceptAll(refLvl0).isEmpty && refLvl0.exceptAll(lvl0).isEmpty)
+    } finally {
+      conn.close()
+      // in-memory Derby drop (throws SQLNonTransientConnectionException
+      // with SQLState 08006 on success, per Derby's shutdown contract)
+      try java.sql.DriverManager
+        .getConnection("jdbc:derby:memory:graftjdbc;drop=true")
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
 }
