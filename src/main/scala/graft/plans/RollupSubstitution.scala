@@ -11,12 +11,15 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * raw; SURVEY §4 row 1) implemented *inside Catalyst*, so it applies to
   * any user query over the raw point table, SQL or DataFrame.
   *
-  * A logical `Aggregate` grouped by `(metric, time - time % I)` over the
-  * registered raw point plan, computing only rollup-derivable aggregates
-  * (`min(value)`, `max(value)`, `count(*)`/`count(value)`), is rewritten
-  * to aggregate the registered level-0 table instead — merging
-  * `I / interval₀` bucket rows per output row instead of scanning every
-  * point. Correct because level buckets tile the raw points exactly
+  * A logical `Aggregate` grouped by `(metric, <bucket>)` over the
+  * registered raw point plan — where `<bucket>` is any of the timeline
+  * spellings `time - time % I`, `time div I`, or `floor(time / I)` —
+  * computing only rollup-derivable aggregates (`min(value)`,
+  * `max(value)`, `count(*)`/`count(value)`), is rewritten to aggregate
+  * the registered level-0 table instead — merging `I / interval₀`
+  * bucket rows per output row instead of scanning every point. An
+  * ORDER BY above the aggregate is untouched (output attributes keep
+  * their ids) and sorts the rewritten result identically. Correct because level buckets tile the raw points exactly
   * (tiling property, `PropertySpec`) and the Agg components form a
   * monoid (A3).
   *
@@ -182,20 +185,37 @@ class RollupSubstitutionRule(private[plans] val session: SparkSession)
         case _ => return None
       }
 
-    // grouping must be exactly {metric, time - time % I} with some
-    // registered level dividing I
-    val bucketOf: PartialFunction[Expression, Long] = {
+    // grouping must be exactly {metric, <bucket spelling over time>}
+    // with some registered level dividing the bucket interval. Three
+    // spellings users write for timelines are recognized: the engine's
+    // `time - time % I` (bucket start), integer division `time div I`
+    // (bucket index), and SQL's `floor(time / I)` (bucket index via
+    // double division). The floor form is exact for the engine's
+    // µs-floored time domain: after the long→double cast every time
+    // sits ≥ (1000−256)/I = 744/I quotient-units from the nearest
+    // integer, while half-ulp of the quotient at these magnitudes is
+    // ≤ 322/I — the floor can never cross a bucket boundary, and the
+    // identical argument covers `bucket_start` on the level side.
+    def bucketIntervalOf(e: Expression): Option[Long] = e match {
       case Subtract(t: Attribute, Remainder(t2: Attribute, Literal(i: Long, _), _), _)
           if t.exprId == timeAttr.exprId && t2.exprId == timeAttr.exprId &&
-            i > 0 && entry.levels.exists(i % _._2 == 0) => i
+            i > 0 => Some(i)
+      case IntegralDivide(t: Attribute, Literal(i: Long, _), _)
+          if t.exprId == timeAttr.exprId && i > 0 => Some(i)
+      case Floor(Divide(Cast(t: Attribute, org.apache.spark.sql.types.DoubleType, _, _),
+          Literal(d: Double, _), _))
+          if t.exprId == timeAttr.exprId && d > 0 && d == math.rint(d) &&
+            d < 9.2e18 => Some(d.toLong)
+      case _ => None
     }
-    val intervals = groups.collect(bucketOf)
+    val bucketGroups = groups.flatMap(g => bucketIntervalOf(g).map(g -> _))
+      .filter { case (_, iv) => entry.levels.exists(iv % _._2 == 0) }
     val metricGroups = groups.collect {
       case a: Attribute if a.exprId == metricAttr.exprId => a
     }
-    if (intervals.size != 1 || metricGroups.size != 1 || groups.size != 2)
+    if (bucketGroups.size != 1 || metricGroups.size != 1 || groups.size != 2)
       return None
-    val i = intervals.head
+    val (bucketExpr, i) = bucketGroups.head
 
     // attempt against one rung of the ladder
     def rewriteOn(levelPlan: LogicalPlan, levelNs: Long): Option[LogicalPlan] = {
@@ -204,8 +224,15 @@ class RollupSubstitutionRule(private[plans] val session: SparkSession)
 
     val lvlMetric = lvlAttr("metric")
     val lvlBucket = lvlAttr("bucket_start")
-    val newBucketExpr =
-      Subtract(lvlBucket, Remainder(lvlBucket, Literal(i)))
+    // the level-side bucket key is the SAME user expression over
+    // bucket_start (every raw time in a level bucket shares its bucket
+    // key with the bucket's start, since the level interval divides I) —
+    // substituting the attribute preserves the user's exact spelling,
+    // eval modes included
+    def onLevelBucket(e: Expression): Expression = e.transformUp {
+      case a: Attribute if a.exprId == timeAttr.exprId => lvlBucket
+    }
+    val newBucketExpr = onLevelBucket(bucketExpr)
 
     def mapAgg(fn: AggregateFunction): Option[Expression] = fn match {
       case Min(v: Attribute) if v.exprId == valueAttr.exprId =>
@@ -265,8 +292,8 @@ class RollupSubstitutionRule(private[plans] val session: SparkSession)
     val newResults = results.map {
       case a: Attribute if a.exprId == metricAttr.exprId =>
         Alias(lvlMetric, a.name)(exprId = a.exprId)
-      case al @ Alias(e, name) if bucketOf.isDefinedAt(e) =>
-        Alias(newBucketExpr, name)(exprId = al.exprId)
+      case al @ Alias(e, name) if bucketIntervalOf(e).contains(i) =>
+        Alias(onLevelBucket(e), name)(exprId = al.exprId)
       // FILTER (WHERE …) clauses are NOT derivable from the level table —
       // rewriting them as unfiltered sums would silently return wrong
       // counts, so only bare aggregates match

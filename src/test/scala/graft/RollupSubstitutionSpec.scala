@@ -68,6 +68,49 @@ class RollupSubstitutionSpec extends AnyFunSuite {
     } finally RollupSubstitution.uninstall(spark)
   }
 
+  test("timeline-shaped SQL (floor(time/I) + ORDER BY) rewrites onto the level") {
+    RollupSubstitution.install(spark, raw, level0, H)
+    try {
+      raw.createOrReplaceTempView("hta_raw_v")
+      val sqlText =
+        s"""SELECT metric, floor(time / ${10 * H}) AS bucket,
+           |       min(value) AS mn, max(value) AS mx, count(*) AS cnt
+           |FROM hta_raw_v GROUP BY 1, 2 ORDER BY metric, bucket""".stripMargin
+      val q = spark.sql(sqlText)
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("min_v") && optimized.contains("bucket_start"),
+        s"rule did not fire for timeline SQL:\n$optimized")
+      val got = q.as[(String, Long, Double, Double, Long)].collect().toSeq
+      RollupSubstitution.uninstall(spark)
+      val expect = spark.sql(sqlText)
+        .as[(String, Long, Double, Double, Long)].collect().toSeq
+      // ORDER BY preserved AND values hash-equal to the raw-scan plan
+      assert(got == expect)
+      assert(got == got.sortBy(r => (r._1, r._2)))
+    } finally RollupSubstitution.uninstall(spark)
+  }
+
+  test("the `time div I` bucket-index spelling rewrites too") {
+    RollupSubstitution.install(spark, raw, level0, H)
+    try {
+      val q = raw.groupBy(col("metric"),
+          expr(s"time div ${10 * H}").as("bucket"))
+        .agg(min("value").as("mn"), count(lit(1)).as("cnt"))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("min_v") && optimized.contains("bucket_start"),
+        s"rule did not fire for div:\n$optimized")
+      val got = q.as[(String, Long, Double, Long)]
+        .collect().sortBy(r => (r._1, r._2))
+      RollupSubstitution.uninstall(spark)
+      val expect = raw.groupBy(col("metric"),
+          expr(s"time div ${10 * H}").as("bucket"))
+        .agg(min("value").as("mn"), count(lit(1)).as("cnt"))
+        .as[(String, Long, Double, Long)]
+        .collect().sortBy(r => (r._1, r._2))
+      assert(got.toSeq == expect.toSeq)
+    } finally RollupSubstitution.uninstall(spark)
+  }
+
   test("bucket-aligned range + metric predicates rewrite; unaligned decline") {
     RollupSubstitution.install(spark, raw, level0, H)
     try {
