@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       GraftExtensions.buildWordShingles))
     e.injectFunction((
+      new FunctionIdentifier("word_grams"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_grams"),
+      GraftExtensions.buildWordGrams))
+    e.injectFunction((
       new FunctionIdentifier("vec_quantize"),
       new ExpressionInfo(classOf[VecQuantize].getName, "vec_quantize"),
       GraftExtensions.buildVecQuantize))
@@ -45,6 +49,17 @@ object GraftExtensions {
       WordShingles(exprs.head, n)
   }
 
+  private[graft] val buildWordGrams: Seq[Expression] => Expression = {
+    exprs =>
+      require(exprs.size == 2, "word_grams(text, n)")
+      val n = exprs(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"word_grams n must be an integer literal, got $other")
+      }
+      WordShingles(exprs.head, n, dedup = false)
+  }
+
   private[graft] val buildVecQuantize: Seq[Expression] => Expression = { exprs =>
     require(exprs.size == 1, "vec_quantize(embedding)")
     VecQuantize(exprs.head)
@@ -64,6 +79,7 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
     r.createOrReplaceTempFunction("word_shingles", buildWordShingles, "built-in")
+    r.createOrReplaceTempFunction("word_grams", buildWordGrams, "built-in")
     r.createOrReplaceTempFunction("vec_quantize", buildVecQuantize, "built-in")
     r.createOrReplaceTempFunction("vec_norm_sq", buildVecNormSq, "built-in")
     r.createOrReplaceTempFunction("vec_dot", buildVecDot, "built-in")

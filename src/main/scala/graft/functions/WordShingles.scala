@@ -7,8 +7,11 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Distinct word n-gram shingles of a whitespace-tokenized string, as a
-  * native Catalyst expression.
+/** Word n-gram shingles of a whitespace-tokenized string, as a native
+  * Catalyst expression — distinct (set semantics, the dedup/minhash
+  * input) by default, or every occurrence (`dedup = false`, registered
+  * in SQL as `word_grams`) for frequency analyses like corpus
+  * vocabulary extraction.
   *
   * Rationale (measured, sf0.1): the equivalent built-in pipeline
   * `array_distinct(transform(sequence(…), i → concat_ws(element_at…)))`
@@ -23,7 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * DuckDB's `list_distinct` — callers only use it as a set (jaccard,
   * minhash/array_min), so order never leaks into results.
   */
-case class WordShingles(child: Expression, n: Int)
+case class WordShingles(child: Expression, n: Int, dedup: Boolean = true)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -35,7 +38,7 @@ case class WordShingles(child: Expression, n: Int)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"word_shingles needs a string input, got ${child.dataType}")
-  override def prettyName: String = "word_shingles"
+  override def prettyName: String = if (dedup) "word_shingles" else "word_grams"
 
   override def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[UTF8String])
@@ -47,7 +50,7 @@ case class WordShingles(child: Expression, n: Int)
     // in the engine and the oracle
     val toks = input.toString.split(" ", -1)
     if (toks.length < n) new GenericArrayData(Array.empty[Any])
-    else {
+    else if (dedup) {
       val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
       var i = 0
       while (i <= toks.length - n) {
@@ -61,6 +64,17 @@ case class WordShingles(child: Expression, n: Int)
       val it = seen.iterator()
       var j = 0
       while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Any](toks.length - n + 1)
+      var i = 0
+      while (i <= toks.length - n) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
       new GenericArrayData(out)
     }
   }
@@ -78,4 +92,7 @@ object WordShingles {
   import org.apache.spark.sql.graftshim.ColumnShim
   def apply(c: Column, n: Int): Column =
     ColumnShim.column(WordShingles(ColumnShim.expression(c), n))
+  /** All n-grams in order, with multiplicity (`word_grams` in SQL). */
+  def grams(c: Column, n: Int): Column =
+    ColumnShim.column(WordShingles(ColumnShim.expression(c), n, dedup = false))
 }

@@ -359,6 +359,34 @@ object Dedup {
       .agg(count(lit(1)).as("n_contaminated")) // shingles are distinct per doc
   }
 
+  /** [[decontaminate]] for benchmark-shingle sets past broadcast size
+    * (many benchmarks, GBs of shingles): a Bloom filter over the
+    * benchmark shingles — compact at any set size — pre-filters corpus
+    * shingles map-side, so the exact verification join (sort-merge, NOT
+    * broadcast) shuffles only candidate volume instead of every shingle
+    * of a 100 TB corpus. Bloom filters have no false negatives, so the
+    * result is IDENTICAL to [[decontaminate]]; false positives (rate
+    * `fpp`) only cost shuffled rows, and the exact join removes them.
+    */
+  def decontaminateBloom(docs: DataFrame, isBenchmark: Column, n: Int = 3,
+                         fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    val benchShingles = shingled(docs.filter(isBenchmark), n)
+      .select(explode(col("sh")).as("g")).distinct()
+    // one extra pass over the (small relative to corpus) benchmark side:
+    // sizing the filter from the true cardinality keeps fpp honest
+    val items = math.max(1L, benchShingles.count())
+    val bloom = benchShingles.stat.bloomFilter("g", items, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => bc.value.mightContainString(g))
+    shingled(docs.filter(!isBenchmark), n)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .filter(mightContain(col("g")))
+      .join(benchShingles.hint("merge"), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
   /** 60-bit SimHash over whitespace tokens. Token value = first 15 hex
     * chars of md5 as a 60-bit int; fingerprint bit b is set iff
     * Σ_tokens (±1 by token-bit b) > 0. 60 bits (not 64) keeps the value

@@ -92,6 +92,16 @@ object OracleSql {
   def sanitizedSql: String =
     ptsCte + "\nSELECT metric, t AS time, value FROM pts ORDER BY metric, time"
 
+  /** Time-ranged sanitized points (inclusive bounds) — the q63 store
+    * range-read oracle: `HtaStore.rawRange` over the batch-written
+    * day-partitioned layout must return exactly this set.
+    */
+  def rangedRawSql(startNs: Long, endNs: Long): String =
+    ptsCte + s"""
+      |SELECT metric, t AS time, value FROM pts
+      |WHERE t >= $startNs AND t <= $endNs
+      |ORDER BY metric, time""".stripMargin
+
   def aggregateSql(startNs: Long, endNs: Long): String =
     ptsCte +
       s""", pagg AS (

@@ -110,6 +110,21 @@ object OracleSqlExt {
         |FROM cand JOIN bench ON cand.g = bench.g
         |GROUP BY cand.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Corpus bigram vocabulary top-k by frequency, deterministic total
+    * order (cnt desc, gram) — mirror of the x61 word_grams + groupBy +
+    * TakeOrdered plan.
+    */
+  def vocabTopkSql(k: Int): String =
+    s"""WITH toks AS (
+       |  SELECT string_split(text, ' ') AS l FROM documents
+       |), grams AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(l)-1),
+       |         i -> l[i] || ' ' || l[i+1])) AS gram
+       |  FROM toks
+       |)
+       |SELECT gram, count(*) AS cnt FROM grams GROUP BY 1
+       |ORDER BY cnt DESC, gram LIMIT $k""".stripMargin
+
   /** End-to-end corpus curation (quality gate → near-dup
     * canonicalization AMONG gate survivors → stratified split) —
     * mirrors `TextAnalysis.curateWith` stage for stage: each cluster

@@ -185,6 +185,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!shingleCode.contains("CodegenFallback"), "word_shingles fell back")
   }
 
+  test("word_grams keeps every occurrence in order; word_shingles dedups") {
+    import spark.implicits._
+    val t = Seq("a b a b a", "x", "").toDF("text")
+    val grams = t.select(
+        graft.functions.WordShingles.grams(col("text"), 2).as("g"))
+      .as[Seq[String]].collect().toSeq
+    assert(grams == Seq(Seq("a b", "b a", "a b", "b a"), Nil, Nil))
+    val shingles = t.select(
+        graft.functions.WordShingles(col("text"), 2).as("g"))
+      .as[Seq[String]].collect().toSeq
+    assert(shingles == Seq(Seq("a b", "b a"), Nil, Nil))
+    // SQL surface agrees with the Column API
+    graft.GraftExtensions.register(spark)
+    t.createOrReplaceTempView("wg_t")
+    assert(spark.sql("SELECT word_grams(text, 2) AS g FROM wg_t")
+      .as[Seq[String]].collect().toSeq == grams)
+  }
+
+  test("decontaminateBloom is result-identical to the broadcast-exact path") {
+    import spark.implicits._
+    def s(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSet
+    val mark = col("doc_id") % 20 === 0
+    assert(s(Dedup.decontaminateBloom(docs, mark)) ==
+      s(Dedup.decontaminate(docs, mark)))
+    // and the exact verify join is NOT broadcast (the past-broadcast
+    // scale path must shuffle, not collect the benchmark side)
+    val plan = Dedup.decontaminateBloom(docs, mark)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a shuffle join:\n$plan")
+  }
+
   test("IVF top-k is the label-restricted subset of brute force ranking") {
     import spark.implicits._
     val qLabel = emb.filter(col("vec_id") === 0L).select("label").head.getInt(0)
