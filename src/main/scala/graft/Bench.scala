@@ -26,6 +26,10 @@ object Bench {
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       case Some(only) =>
         val want = only.split(",").map(_.trim).toSet
+        val unknown = want -- SparkEntry.queries.keySet
+        // a typo'd name must fail fast, not "measure" an empty set
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
         SparkEntry.queries.keys.toSeq.filter(want)
       case None => SparkEntry.queries.keys.toSeq
     }

@@ -371,10 +371,14 @@ object Dedup {
   def decontaminateBloom(docs: DataFrame, isBenchmark: Column, n: Int = 3,
                          fpp: Double = 0.01): DataFrame = {
     val spark = docs.sparkSession
+    // persisted: three consumers (cardinality count, bloom build, exact
+    // verification join) would otherwise each recompute the full
+    // filter+shingle+explode+distinct pipeline over the benchmark side
     val benchShingles = shingled(docs.filter(isBenchmark), n)
       .select(explode(col("sh")).as("g")).distinct()
-    // one extra pass over the (small relative to corpus) benchmark side:
-    // sizing the filter from the true cardinality keeps fpp honest
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one extra action over the (small relative to corpus) benchmark
+    // side: sizing the filter from the true cardinality keeps fpp honest
     val items = math.max(1L, benchShingles.count())
     val bloom = benchShingles.stat.bloomFilter("g", items, fpp)
     val bc = spark.sparkContext.broadcast(bloom)

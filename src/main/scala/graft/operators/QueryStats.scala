@@ -206,9 +206,20 @@ final class QueryDispatcher(stats: QueryStats,
             case Resp.Raw(df) => Resp.Raw(df.localCheckpoint(true))
           }
           val sc = resp.df.sparkSession.sparkContext
+          // getRDDStorageInfo reads the listener-bus-fed status store,
+          // which drains asynchronously after the checkpoint job — wait
+          // (bounded) until every partition's block has been reported
+          // before reading sizes, or data.rate under-reports under load
           val bytes = checkpointRdd(resp.df).map { rdd =>
-            sc.getRDDStorageInfo.filter(_.id == rdd.id)
-              .map(i => i.memSize + i.diskSize).sum
+            val want = rdd.getNumPartitions
+            val deadline = System.currentTimeMillis() + 2000
+            var info = sc.getRDDStorageInfo.find(_.id == rdd.id)
+            while (info.forall(_.numCachedPartitions < want) &&
+                System.currentTimeMillis() < deadline) {
+              Thread.sleep(20)
+              info = sc.getRDDStorageInfo.find(_.id == rdd.id)
+            }
+            info.map(i => i.memSize + i.diskSize).getOrElse(0L)
           }.getOrElse(0L)
           stats.complete(t, bytes)
           Right(resp)

@@ -35,7 +35,8 @@ object RollupSubstitution {
   final case class Entry(rawPlan: LogicalPlan,
                          levels: Seq[(LogicalPlan, Long)],
                          valueNotNull: Boolean,
-                         centQuantized: Boolean)
+                         centQuantized: Boolean,
+                         nonNegativeTime: Boolean)
 
   private val registry =
     scala.collection.concurrent.TrieMap.empty[SparkSession, Entry]
@@ -63,19 +64,31 @@ object RollupSubstitution {
     */
   def install(spark: SparkSession, raw: DataFrame, level0: DataFrame,
               intervalNs: Long, assumeValueNotNull: Boolean = false,
-              assumeCentQuantized: Boolean = false): Unit =
+              assumeCentQuantized: Boolean = false,
+              assumeNonNegativeTime: Boolean = false): Unit =
     installLadder(spark, raw, Seq(level0 -> intervalNs), assumeValueNotNull,
-      assumeCentQuantized)
+      assumeCentQuantized, assumeNonNegativeTime)
 
   /** Register a whole level ladder (A5's `Intervals.ladder` materialized
     * by ingest): queries bucketed at a coarse interval merge the coarsest
     * dividing level instead of always paying the level-0 merge — at a
     * 10×-per-level ladder that is 10× fewer input rows per rung.
     */
+  /** `assumeNonNegativeTime`: the caller asserts every raw `time` is
+    * ≥ 0 (the engine's ns-since-epoch TimePoint domain). Required by
+    * the `floor(time / I)` bucket-spelling mapping: level buckets tile
+    * by truncation (`t - t % L`), which for negative times disagrees
+    * with floor buckets — a t = -101, L = 10, I = 100 row floors to
+    * bucket -2 on raw but its truncation bucket_start -100 floors to
+    * -1. Without the assertion the floor spelling declines (raw scan,
+    * still correct); the `div` spelling is truncation-consistent and
+    * never needs it.
+    */
   def installLadder(spark: SparkSession, raw: DataFrame,
                     ladder: Seq[(DataFrame, Long)],
                     assumeValueNotNull: Boolean = false,
-                    assumeCentQuantized: Boolean = false): Unit = {
+                    assumeCentQuantized: Boolean = false,
+                    assumeNonNegativeTime: Boolean = false): Unit = {
     require(ladder.nonEmpty, "ladder must contain at least one level")
     require(ladder.forall(_._2 > 0), "level intervals must be positive")
     require(ladder.map(_._2).distinct.size == ladder.size,
@@ -94,7 +107,7 @@ object RollupSubstitution {
     registry.put(spark,
       Entry(raw.queryExecution.analyzed,
         ladder.sortBy(_._2).map { case (df, i) => (df.queryExecution.analyzed, i) },
-        assumeValueNotNull, assumeCentQuantized))
+        assumeValueNotNull, assumeCentQuantized, assumeNonNegativeTime))
     // the injected rule has no removal API, so install/uninstall/install
     // cycles must reuse the instance already present for this session
     // instead of appending another (each extra instance re-scans every
@@ -202,10 +215,13 @@ class RollupSubstitutionRule(private[plans] val session: SparkSession)
             i > 0 => Some(i)
       case IntegralDivide(t: Attribute, Literal(i: Long, _), _)
           if t.exprId == timeAttr.exprId && i > 0 => Some(i)
+      // gated on the install-time non-negative-time assertion: level
+      // buckets tile by truncation, which disagrees with floor buckets
+      // for negative times (see installLadder doc)
       case Floor(Divide(Cast(t: Attribute, org.apache.spark.sql.types.DoubleType, _, _),
           Literal(d: Double, _), _))
-          if t.exprId == timeAttr.exprId && d > 0 && d == math.rint(d) &&
-            d < 9.2e18 => Some(d.toLong)
+          if entry.nonNegativeTime && t.exprId == timeAttr.exprId &&
+            d > 0 && d == math.rint(d) && d < 9.2e18 => Some(d.toLong)
       case _ => None
     }
     val bucketGroups = groups.flatMap(g => bucketIntervalOf(g).map(g -> _))

@@ -48,15 +48,25 @@ object StreamingIngest {
     * seeded key at batch 0 — including keys with no batch-0 data — so
     * seeding is fully distributed; no per-metric map ever touches the
     * driver or the task closure, whatever the metric cardinality.
+    *
+    * `legacyFallback` exists for checkpoints created BEFORE initial-state
+    * seeding: Spark applies initial state only at batch 0, so a legacy
+    * checkpoint restarted at batch N would lose the seed for metrics
+    * whose committed history exists but which never created state (e.g.
+    * backfilled metrics that had not streamed yet). For those
+    * checkpoints only, [[start]] passes a driver-resident copy consulted
+    * per batch — the pre-initial-state behavior, bounded by the legacy
+    * deployment's metric cardinality; new checkpoints pass `Map.empty`.
     */
-  def gate(points: Dataset[Point], seed: Dataset[(String, GateState)])(
+  def gate(points: Dataset[Point], seed: Dataset[(String, GateState)],
+           legacyFallback: Map[String, GateState] = Map.empty)(
       implicit spark: SparkSession): Dataset[GatedPoint] = {
     import spark.implicits._
     points.groupByKey(_.metric)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout,
         seed.groupByKey(_._1).mapValues(_._2)) {
         (metric: String, it: Iterator[Point], state: GroupState[GateState]) =>
-          val st0 = state.getOption
+          val st0 = state.getOption.orElse(legacyFallback.get(metric))
           var maxTs = st0.map(_.maxTs).getOrElse(Long.MinValue)
           var lastV = st0.map(_.lastValue).getOrElse(Double.NaN)
           val anchor = st0.map(s => GatedPoint(metric, s.maxTs, s.lastValue, anchor = true))
@@ -168,6 +178,24 @@ object StreamingIngest {
       spark.streams.addListener(st)
     }
     val (ckptTag, committedMax) = checkpointIdentity(spark, checkpoint)
+    // legacy-seed detection: initial state only applies at batch 0, so a
+    // checkpoint created before initial-state seeding and restarted at
+    // batch N needs the per-batch driver-map fallback (see gate doc). A
+    // `graft-seed-v2` flag marks checkpoints born under the new code; an
+    // unmarked checkpoint WITH committed batches is legacy — permanently,
+    // because its batch-0 window is gone
+    val legacySeed = {
+      val hp = new org.apache.hadoop.fs.Path(checkpoint)
+      val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val flag = new org.apache.hadoop.fs.Path(hp, "graft-seed-v2")
+      if (hfs.exists(flag)) false
+      else if (committedMax >= 0L) true
+      else { // fresh checkpoint: mark it and use pure initial state
+        hfs.mkdirs(hp)
+        hfs.create(flag, true).close()
+        false
+      }
+    }
     // mode enforcement: a metric configured RO rejects writes — dropped
     // before the gate (so no state is ever created for it) and counted.
     // The RO set is config-sized; isin compiles to a codegen'd hash probe
@@ -189,7 +217,9 @@ object StreamingIngest {
           .otherwise(0L)).as("n_inf"))
       .filter(!isRo)
       .as[Point]
-    val gated = gate(observed, store.seedState(spark, ckptTag, committedMax))
+    val seed = store.seedState(spark, ckptTag, committedMax)
+    val gated = gate(observed, seed,
+      if (legacySeed) seed.collect().toMap else Map.empty)
     val q = gated.toDF()
       .observe("ingest_out",
         sum(when(!col("anchor"), 1L).otherwise(0L)).as("n_kept"))
@@ -254,6 +284,9 @@ class HtaStore(val root: String, val intervalMin: Long) {
   // breaking seedState's typed Dataset and every string comparison
   private val rawSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "time LONG, value DOUBLE, metric STRING, day LONG, batch_id STRING")
+  // pre-day (v1) raw layout: batch_id/metric with no day level
+  private val rawSchemaV1 = org.apache.spark.sql.types.StructType.fromDDL(
+    "time LONG, value DOUBLE, metric STRING, batch_id STRING")
   private val partialsSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "metric STRING, bucket_start LONG, min_v DOUBLE, max_v DOUBLE, " +
       "sum_c LONG, cnt LONG, integral_cus LONG, active_us LONG, " +
@@ -382,19 +415,20 @@ class HtaStore(val root: String, val intervalMin: Long) {
   def seedState(spark: SparkSession, ckptTag: String, committedMaxBatch: Long)
       : Dataset[(String, StreamingIngest.GateState)] = {
     import spark.implicits._
-    val (hfs, hp) = fs(spark, rawPath)
-    if (!hfs.exists(hp)) spark.emptyDataset[(String, StreamingIngest.GateState)]
-    else onlyCommitted(spark, spark.read.schema(rawSchema).parquet(rawPath))
-      // try_cast, not cast: partition pruning evaluates this predicate on
-      // every batch_id value regardless of the OR short-circuit, and the
-      // ANSI cast hard-fails on the non-numeric `compacted` key
-      .filter(!col("batch_id").startsWith(s"${ckptTag}_") ||
-        expr("try_cast(substring_index(batch_id, '_', -1) AS LONG)")
-          <= committedMaxBatch)
-      .groupBy("metric")
-      .agg(max("time").as("t"), max_by(col("value"), col("time")).as("v"))
-      .as[(String, Long, Double)]
-      .map { case (m, t, v) => (m, StreamingIngest.GateState(t, v)) }
+    rawAll(spark) match {
+      case None => spark.emptyDataset[(String, StreamingIngest.GateState)]
+      case Some(committed) => committed
+        // try_cast, not cast: partition pruning evaluates this predicate
+        // on every batch_id value regardless of the OR short-circuit, and
+        // the ANSI cast hard-fails on the non-numeric `compacted` key
+        .filter(!col("batch_id").startsWith(s"${ckptTag}_") ||
+          expr("try_cast(substring_index(batch_id, '_', -1) AS LONG)")
+            <= committedMaxBatch)
+        .groupBy("metric")
+        .agg(max("time").as("t"), max_by(col("value"), col("time")).as("v"))
+        .as[(String, Long, Double)]
+        .map { case (m, t, v) => (m, StreamingIngest.GateState(t, v)) }
+    }
   }
 
   /** Write a gated micro-batch idempotently (see class doc). The commit
@@ -402,6 +436,13 @@ class HtaStore(val root: String, val intervalMin: Long) {
     * stays invisible to every reader until its replay completes it.
     */
   def writeBatch(spark: SparkSession, gated: DataFrame, batchKey: String): Unit = {
+    // a pre-day (v1) store must be migrated before new day-partitioned
+    // directories land next to v1 ones — mixed partition-column chains
+    // make Spark's partition discovery fail for EVERY reader, which is
+    // far worse than failing this one write loudly
+    require(rawLayoutV2(spark).getOrElse(true),
+      s"store at $root uses the pre-day raw layout; run compact() once " +
+        "to migrate it before writing")
     // the marker directory must exist BEFORE any data lands: its
     // absence is what distinguishes a legacy pre-marker store (trust
     // everything) from a store with a half-written first batch
@@ -427,11 +468,42 @@ class HtaStore(val root: String, val intervalMin: Long) {
     } finally batch.unpersist()
   }
 
-  private def rawAll(spark: SparkSession): Option[DataFrame] = {
+  /** Raw layout probe: `Some(true)` = day-partitioned (v2),
+    * `Some(false)` = pre-day legacy (v1), `None` = no raw data yet.
+    * Decided from the directory shape itself (a constant number of
+    * listings), so no version marker can drift from what is actually
+    * on disk. Mixed shapes cannot arise: [[writeBatch]] refuses to
+    * append v2 directories into a v1 store (Spark's partition
+    * discovery would fail on conflicting partition columns), and
+    * [[compact]] migrates v1 → v2 wholesale.
+    */
+  private def rawLayoutV2(spark: SparkSession): Option[Boolean] = {
     val (hfs, hp) = fs(spark, rawPath)
-    if (!hfs.exists(hp)) None // empty store is readable, not a crash
-    else Some(onlyCommitted(spark, spark.read.schema(rawSchema).parquet(rawPath)))
+    if (!hfs.exists(hp)) None
+    else {
+      val leaf = hfs.listStatus(hp).iterator
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        .flatMap(b => hfs.listStatus(b.getPath).iterator
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("metric=")))
+        .take(1).toSeq.headOption
+      leaf.map(mp => hfs.listStatus(mp.getPath)
+        .exists(s => s.isDirectory && s.getPath.getName.startsWith("day=")))
+    }
   }
+
+  /** Layout-aware committed raw frame with a `day` column: from the
+    * partition directories on v2, derived from `time` on a legacy v1
+    * store — correctness identical, directory pruning absent until
+    * [[compact]] migrates the layout (upgrading never hides history).
+    */
+  private def rawAll(spark: SparkSession): Option[DataFrame] =
+    rawLayoutV2(spark).map {
+      case true =>
+        onlyCommitted(spark, spark.read.schema(rawSchema).parquet(rawPath))
+      case false =>
+        onlyCommitted(spark, spark.read.schema(rawSchemaV1).parquet(rawPath))
+          .withColumn("day", expr(s"time div $DayNs"))
+    }
 
   def raw(spark: SparkSession): DataFrame =
     rawAll(spark).map(_.select("metric", "time", "value")).getOrElse(
@@ -604,7 +676,14 @@ class HtaStore(val root: String, val intervalMin: Long) {
     val rtmp = new org.apache.hadoop.fs.Path(s"$root/raw_compacted")
     recoverCompact(rfs, rcur, rbak, rtmp)
     if (rfs.exists(rcur)) {
-      val all = tagged(spark.read.schema(rawSchema).parquet(rawPath))
+      // layout-aware read: a legacy v1 store (no day directories) gets
+      // day derived from time here, and the rewrite below emits v2 —
+      // compact IS the migration path writeBatch's guard points at
+      val all = tagged(rawLayoutV2(spark) match {
+        case Some(false) => spark.read.schema(rawSchemaV1).parquet(rawPath)
+          .withColumn("day", expr(s"time div $DayNs"))
+        case _ => spark.read.schema(rawSchema).parquet(rawPath)
+      })
       val committedFolded = all.filter(col("__marked") && !uncommittedTail)
         .select("metric", "time", "value", "day")
         .withColumn("batch_id", lit("compacted"))

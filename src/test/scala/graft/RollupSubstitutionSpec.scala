@@ -69,7 +69,10 @@ class RollupSubstitutionSpec extends AnyFunSuite {
   }
 
   test("timeline-shaped SQL (floor(time/I) + ORDER BY) rewrites onto the level") {
-    RollupSubstitution.install(spark, raw, level0, H)
+    // the floor spelling requires the non-negative-time assertion
+    // (truncation vs floor bucket disagreement for negative times)
+    RollupSubstitution.install(spark, raw, level0, H,
+      assumeNonNegativeTime = true)
     try {
       raw.createOrReplaceTempView("hta_raw_v")
       val sqlText =
@@ -87,6 +90,19 @@ class RollupSubstitutionSpec extends AnyFunSuite {
       // ORDER BY preserved AND values hash-equal to the raw-scan plan
       assert(got == expect)
       assert(got == got.sortBy(r => (r._1, r._2)))
+    } finally RollupSubstitution.uninstall(spark)
+  }
+
+  test("the floor spelling declines without the non-negative-time assertion") {
+    RollupSubstitution.install(spark, raw, level0, H)
+    try {
+      raw.createOrReplaceTempView("hta_raw_v")
+      val q = spark.sql(
+        s"""SELECT metric, floor(time / ${10 * H}) AS bucket,
+           |       min(value) AS mn FROM hta_raw_v GROUP BY 1, 2""".stripMargin)
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("bucket_start"),
+        s"floor must decline without the assertion:\n$optimized")
     } finally RollupSubstitution.uninstall(spark)
   }
 

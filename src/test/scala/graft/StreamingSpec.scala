@@ -321,6 +321,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(rawRows().size == 45 && seed()("m1").maxTs == T0 + 44 * 10 * minute)
   }
 
+  test("pre-day (v1) raw layout: readable, write-guarded, migrated by compact") {
+    val root = mkTmp("hta-v1-layout")
+    val store = new HtaStore(root, H)
+    val minute = 60000000000L
+    val rows = (0 until 10).map(i => ("m1", T0 + i * 10 * minute, i * 0.5))
+    // hand-write the layout round-4 code produced: batch_id/metric, no
+    // day level, plus its commit marker
+    rows.toDF("metric", "time", "value")
+      .write.partitionBy("metric").parquet(s"$root/raw/batch_id=old_0")
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/batch_commits"))
+    Files.writeString(java.nio.file.Paths.get(s"$root/batch_commits/old_0"), "")
+    // readers see full history, day derived (rawRange still correct)
+    def rawRows() = store.raw(spark).as[(String, Long, Double)]
+      .collect().sortBy(_._2).toSeq
+    assert(rawRows() == rows)
+    assert(store.rawRange(spark, T0, T0 + 45 * minute)
+      .as[(String, Long, Double)].collect().sortBy(_._2).toSeq == rows.take(5))
+    assert(store.seedState(spark, "other", -1L).collect().toMap
+      .apply("m1").maxTs == T0 + 90 * minute)
+    // a v2 write into the v1 tree must refuse loudly (mixed partition
+    // chains would break discovery for every reader)
+    val more = Seq(StreamingIngest.GatedPoint("m1", T0 + 100 * minute, 9.0,
+      anchor = false)).toDF()
+    val e = intercept[IllegalArgumentException](
+      store.writeBatch(spark, more, "t_1"))
+    assert(e.getMessage.contains("compact"))
+    // compact migrates wholesale: day directories appear, content equal
+    store.compact(spark, None)
+    assert(new java.io.File(s"$root/raw/batch_id=compacted/metric=m1")
+      .listFiles().exists(_.getName.startsWith("day=")))
+    assert(rawRows() == rows)
+    // and writes flow again
+    store.writeBatch(spark, more, "t_1")
+    assert(rawRows().size == 11)
+  }
+
+  test("legacy checkpoint (pre initial-state) restart keeps the seed fallback") {
+    val root = mkTmp("hta-legacy-seed")
+    val ckpt = mkTmp("hta-legacy-seed-ckpt")
+    val store = new HtaStore(root, H)
+    val minute = 60000000000L
+    val ms = MemoryStream[Point](spark)
+    val q1 = StreamingIngest.start(spark, ms.toDS(), store, ckpt)
+    ms.addData(Seq(Point("m1", T0 + 10 * minute, 1.0, 1)))
+    q1.processAllAvailable()
+    q1.stop()
+    // m2's history arrives via backfill under a FOREIGN tag — committed
+    // raw exists but the checkpoint has no state for m2
+    store.writeBatch(spark, Seq(
+      StreamingIngest.GatedPoint("m2", T0 + 50 * minute, 5.0, anchor = false)).toDF(),
+      "backfill_0")
+    // simulate a checkpoint born before initial-state seeding
+    Files.deleteIfExists(java.nio.file.Paths.get(s"$ckpt/graft-seed-v2"))
+    // SAME source resumed (a fresh MemoryStream's offsets would be
+    // swallowed by the checkpoint's committed offset)
+    val q2 = StreamingIngest.start(spark, ms.toDS(), store, ckpt)
+    // stale m2 replay (t < committed max) + a fresh point: restart is at
+    // batch N > 0, so only the legacy fallback can gate the stale row
+    ms.addData(Seq(
+      Point("m2", T0 + 40 * minute, 4.0, 2), // stale — must be dropped
+      Point("m2", T0 + 60 * minute, 6.0, 3))) // fresh — must be kept
+    q2.processAllAvailable()
+    q2.stop()
+    val m2 = store.raw(spark).filter(col("metric") === "m2")
+      .select("time").as[Long].collect().sorted.toSeq
+    assert(m2 == Seq(T0 + 50 * minute, T0 + 60 * minute),
+      s"stale replay leaked through: $m2")
+  }
+
   test("transaction log under churn: write/replay/crash/compact/restart stays exact") {
     // property-style script over the store's transaction log: after
     // EVERY step, the merge-on-read level-0 view must equal the batch
