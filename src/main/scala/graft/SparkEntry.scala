@@ -701,6 +701,13 @@ object SparkEntry {
       Dedup.decontaminateBloom(Tables.read(s, dir, "documents"),
         col("doc_id") % 20 === 0)
         .orderBy("doc_id")),
+    // X4 data mixing: per-language token-budget sampling (greedy
+    // doc_id-ordered prefix) via the two-phase bucket decomposition —
+    // the oracle's naive one-window-per-language form proves it exact
+    "x64_token_budget" -> ((s, dir) =>
+      TextAnalysis.tokenBudgetSample(Tables.read(s, dir, "documents"),
+        budget = 2000L, bucketDocs = 64L)
+        .orderBy("doc_id")),
     // S2/O1 storage layout end-to-end: batch-written day-partitioned
     // store, range-read through rawRange's day partition pruning — the
     // oracle is the sanitized point set filtered by time, so a hash
@@ -930,6 +937,7 @@ object SparkEntry {
     "x59_repetition_scores" -> OracleSqlExt.repetitionScoresSql,
     "x60_boilerplate_strip" -> OracleSqlExt.boilerplateStripSql(5),
     "x61_vocab_topk" -> OracleSqlExt.vocabTopkSql(100),
+    "x64_token_budget" -> OracleSqlExt.tokenBudgetSql(2000L),
     // same oracle as x46 on purpose: the Bloom pre-filter must be
     // result-invisible (no false negatives + exact verification join)
     "x62_bloom_decontaminate" -> OracleSqlExt.decontaminateSql,

@@ -263,4 +263,40 @@ object TextAnalysis {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** Per-language token-budget sampling — the data-mixing primitive
+    * ("take the first `budget` tokens of each language, doc_id order"):
+    * keep every document whose cumulative token count BEFORE it is
+    * under `budget`, with the exact running total.
+    *
+    * Two-phase so no task ever windows a whole language (a naive
+    * `Window.partitionBy(lang)` serializes 100 TB of one language into
+    * one task): docs are bucketed by `doc_id div bucketDocs`; a
+    * bucket-level running sum (rows per language = doc-id range /
+    * bucketDocs — tiny) yields each bucket's `prior` tokens; buckets
+    * that start past the budget are dropped by the join, and the
+    * per-doc window runs per (lang, bucket) — ≤ `bucketDocs` rows per
+    * task at any corpus size, on the same (lang, bkt) exchange the
+    * join already created. The oracle recomputes it as ONE naive
+    * running sum per language, so the hash match proves the
+    * decomposition exact.
+    */
+  def tokenBudgetSample(docs: DataFrame, budget: Long,
+                        bucketDocs: Long = 1024L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      expr(s"doc_id div $bucketDocs").as("bkt"))
+    val wb = Window.partitionBy("lang").orderBy("bkt")
+    val priors = toks.groupBy("lang", "bkt")
+      .agg(sum("n_tokens").as("btoks"))
+      .withColumn("prior", sum("btoks").over(wb) - col("btoks"))
+      .filter(col("prior") < budget) // later buckets cannot contribute
+      .select("lang", "bkt", "prior")
+    val wf = Window.partitionBy("lang", "bkt").orderBy("doc_id")
+    toks.join(priors, Seq("lang", "bkt"))
+      .withColumn("cum", col("prior") + sum("n_tokens").over(wf))
+      .filter(col("cum") - col("n_tokens") < budget)
+      .select("doc_id", "lang", "n_tokens", "cum")
+  }
 }

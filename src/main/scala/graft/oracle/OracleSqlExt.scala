@@ -125,6 +125,23 @@ object OracleSqlExt {
        |SELECT gram, count(*) AS cnt FROM grams GROUP BY 1
        |ORDER BY cnt DESC, gram LIMIT $k""".stripMargin
 
+  /** Per-language token-budget prefix — deliberately the NAIVE single
+    * running sum per language, vs the Spark side's two-phase bucket
+    * decomposition: the hash match proves the decomposition exact.
+    */
+  def tokenBudgetSql(budget: Long): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+       |  FROM toks
+       |)
+       |SELECT doc_id, lang, n_tokens, cum FROM c
+       |WHERE cum - n_tokens < $budget ORDER BY doc_id""".stripMargin
+
   /** End-to-end corpus curation (quality gate → near-dup
     * canonicalization AMONG gate survivors → stratified split) —
     * mirrors `TextAnalysis.curateWith` stage for stage: each cluster

@@ -217,6 +217,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin"), s"expected a shuffle join:\n$plan")
   }
 
+  test("tokenBudgetSample is invariant to bucket size and matches the naive window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def s(bucketDocs: Long) =
+      TextAnalysis.tokenBudgetSample(docs, 2000L, bucketDocs)
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val two = s(64L)
+    assert(two == s(7L) && two == s(1000000L)) // decomposition-invariant
+    // naive single-window reference
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val naive = docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .filter(col("cum") - col("n_tokens") < 2000L)
+      .select("doc_id", "lang", "n_tokens", "cum")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(two == naive)
+    assert(two.nonEmpty && two.size < docs.count(), "budget should bite")
+  }
+
   test("IVF top-k is the label-restricted subset of brute force ranking") {
     import spark.implicits._
     val qLabel = emb.filter(col("vec_id") === 0L).select("label").head.getInt(0)
