@@ -846,6 +846,11 @@ object SparkEntry {
     "q43_gapfill" -> ((s, dir) =>
       graft.operators.TimeSeriesOps.gapFill(sanitized(s, dir), Q.Start, Q.End,
         21600000000000L).orderBy("metric", "grid_time")),
+    // TSDB analytics: linear-interpolation resample on the same grid as
+    // q43 (LOCF vs interp: counters hold, gauges interpolate)
+    "q64_interpolate" -> ((s, dir) =>
+      graft.operators.TimeSeriesOps.interpolate(sanitized(s, dir), Q.Start,
+        Q.End, 21600000000000L).orderBy("metric", "grid_time")),
     // TSDB analytics: OHLC candlestick downsample at 6 h buckets
     "q44_downsample_ohlc" -> ((s, dir) =>
       graft.operators.TimeSeriesOps.downsampleOhlc(sanitized(s, dir),
@@ -984,6 +989,7 @@ object SparkEntry {
     "q51_metric_align" -> OracleSql.alignMetricsSql(Q.IntervalMin, "click", "view"),
     "q52_metric_corr" -> OracleSql.corrMetricsSql(Q.IntervalMin, "click", "view"),
     "q43_gapfill" -> OracleSql.gapFillSql(Q.Start, Q.End, 21600000000000L),
+    "q64_interpolate" -> OracleSql.interpolateSql(Q.Start, Q.End, 21600000000000L),
     "q44_downsample_ohlc" -> OracleSql.ohlcSql(21600000000000L),
     "q32_tumbling_window" -> OracleSqlExt.tumblingWindowSql,
     "q33_sliding_window" -> OracleSqlExt.slidingWindowSql,

@@ -69,6 +69,49 @@ object TimeSeriesOps {
       .select(col("metric"), col("t").as("grid_time"), col("filled").as("value"))
   }
 
+  /** Linear-interpolation resample at a regular grid — [[gapFill]]'s
+    * sibling for continuous quantities (LOCF holds counters, interp
+    * suits gauges): value at grid t = v1 + (v2 − v1)·(t − t1)/(t2 − t1)
+    * from the bracketing samples, NULL outside [first, last) — the
+    * half-open domain a strictly-right bracket induces (a grid instant
+    * ON the last sample has no right bracket). Same
+    * union+window shape as gapFill — one shuffle on metric, never a
+    * per-grid-row join against the point set (the oracle does exactly
+    * those naive bracketing joins; the formula is written in the same
+    * operation order in both engines, and IEEE doubles make it bitwise
+    * reproducible).
+    */
+  def interpolate(sanitized: DataFrame, startNs: Long, endNs: Long,
+                  stepNs: Long): DataFrame = {
+    require(stepNs > 0 && endNs >= startNs)
+    val clean = sanitized.filter(col("metric").isNotNull)
+    val grid = clean.select("metric").distinct()
+      .select(col("metric"),
+        explode(sequence(lit(startNs), lit(endNs), lit(stepNs))).as("t"))
+      .withColumn("value", lit(null).cast("double"))
+      .withColumn("is_grid", lit(1))
+    val pts = clean.select(col("metric"), col("time").as("t"),
+      col("value"), lit(0).as("is_grid"))
+    // a sample exactly at a grid instant sorts BEFORE the grid row
+    // (is_grid tie-break), so it brackets from the left (t1 = t ⇒ the
+    // interpolation collapses to v1 exactly) and is excluded from the
+    // forward frame
+    val asc = Window.partitionBy("metric").orderBy(col("t"), col("is_grid"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = Window.partitionBy("metric").orderBy(col("t"), col("is_grid"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val sample = when(col("is_grid") === 0, struct(col("t"), col("value")))
+    pts.unionByName(grid)
+      .withColumn("p1", last(sample, ignoreNulls = true).over(asc))
+      .withColumn("p2", first(sample, ignoreNulls = true).over(fwd))
+      .filter(col("is_grid") === 1)
+      .select(col("metric"), col("t").as("grid_time"),
+        when(col("p1").isNull || col("p2").isNull, lit(null).cast("double"))
+          .otherwise(col("p1.value") + (col("p2.value") - col("p1.value")) *
+            ((col("t") - col("p1.t")).cast("double") /
+              (col("p2.t") - col("p1.t")).cast("double"))).as("value"))
+  }
+
   /** Multi-metric timeline alignment (SURVEY §2.5 J3): two metrics'
     * level buckets equi-joined on `bucket_start` — the time-bucket
     * alignment join that turns per-metric timelines into comparable

@@ -328,6 +328,39 @@ object OracleSql {
          |  ON grid.metric = p.metric AND p.t <= grid.grid_time
          |ORDER BY grid.metric, grid.grid_time""".stripMargin
 
+  /** Linear-interpolation resample — deliberately the NAIVE bracketing
+    * form (correlated max/min per grid row + two value joins) vs the
+    * Spark side's single union+window pass; the interpolation formula
+    * is written in the same operation order so IEEE doubles agree
+    * bitwise.
+    */
+  def interpolateSql(startNs: Long, endNs: Long, stepNs: Long): String =
+    ptsCte +
+      s"""
+         |, metrics AS (SELECT DISTINCT metric FROM pts),
+         |grid AS (
+         |  SELECT m.metric, g.t AS grid_time
+         |  FROM metrics m,
+         |       (SELECT unnest(generate_series($startNs, $endNs, $stepNs)) AS t) g
+         |), br AS (
+         |  SELECT g.metric, g.grid_time,
+         |         (SELECT max(p.t) FROM pts p
+         |          WHERE p.metric = g.metric AND p.t <= g.grid_time) AS t1,
+         |         (SELECT min(p.t) FROM pts p
+         |          WHERE p.metric = g.metric AND p.t > g.grid_time) AS t2
+         |  FROM grid g
+         |)
+         |SELECT br.metric, br.grid_time,
+         |       CASE WHEN br.t1 IS NULL OR br.t2 IS NULL THEN NULL
+         |            ELSE p1.value + (p2.value - p1.value) *
+         |                 (CAST(br.grid_time - br.t1 AS DOUBLE) /
+         |                  CAST(br.t2 - br.t1 AS DOUBLE))
+         |       END AS value
+         |FROM br
+         |LEFT JOIN pts p1 ON p1.metric = br.metric AND p1.t = br.t1
+         |LEFT JOIN pts p2 ON p2.metric = br.metric AND p2.t = br.t2
+         |ORDER BY br.metric, br.grid_time""".stripMargin
+
   /** OHLC downsample — order-independent aggregates only. */
   def ohlcSql(i: Long): String =
     ptsCte +

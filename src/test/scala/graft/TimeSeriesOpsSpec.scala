@@ -45,6 +45,19 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       ("b", T0 + 30 * M, Some(3.0))))
   }
 
+  test("interpolate: exact at samples, linear between, NULL outside [first,last]") {
+    val got = TimeSeriesOps.interpolate(pts, T0, T0 + 30 * M, 15 * M)
+      .orderBy("metric", "grid_time")
+      .as[(String, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      ("a", T0, Some(10.0)),             // exact hit collapses to v1
+      ("a", T0 + 15 * M, Some(16.0 + (4.0 - 16.0) * (5.0 / 20.0))), // 13.0
+      ("a", T0 + 30 * M, None),          // at the LAST sample: no right bracket
+      ("b", T0, None),                   // before first sample
+      ("b", T0 + 15 * M, None),          // exact hit on b's last sample
+      ("b", T0 + 30 * M, None)))         // after last
+  }
+
   test("downsampleOhlc: open/high/low/close per bucket") {
     val got = TimeSeriesOps.downsampleOhlc(pts, 20 * M)
       .orderBy("metric", "bucket_start")
