@@ -17,4 +17,13 @@ class ExtensionRegistrationSpec extends AnyFunSuite {
       .collect().head.getSeq[String](0)
     assert(n3.isEmpty)
   }
+
+  test("word_grams keeps duplicates where word_shingles dedups, from SQL") {
+    val s = SparkTestBase.spark
+    GraftExtensions.register(s)
+    assert(s.sql("SELECT word_grams('a b a b', 2) AS g")
+      .collect().head.getSeq[String](0) == Seq("a b", "b a", "a b"))
+    assert(s.sql("SELECT word_shingles('a b a b', 2) AS g")
+      .collect().head.getSeq[String](0) == Seq("a b", "b a"))
+  }
 }
