@@ -371,24 +371,40 @@ object Dedup {
   def decontaminateBloom(docs: DataFrame, isBenchmark: Column, n: Int = 3,
                          fpp: Double = 0.01): DataFrame = {
     val spark = docs.sparkSession
-    // persisted: three consumers (cardinality count, bloom build, exact
-    // verification join) would otherwise each recompute the full
-    // filter+shingle+explode+distinct pipeline over the benchmark side
+    // persisted across the three consumers (cardinality count, bloom
+    // build, exact verification join), which would otherwise each
+    // recompute the full filter+shingle+explode+distinct pipeline; the
+    // cache is released before returning — this operator is EAGER (the
+    // bloom build forces two actions anyway), and the checkpointed
+    // result it hands back is the bounded per-doc count table, not the
+    // shingle set
+    val (plan, benchShingles) = decontaminateBloomPlan(docs, isBenchmark, n, fpp)
+    try plan.localCheckpoint(true) finally benchShingles.unpersist()
+  }
+
+  /** The lazy plan behind [[decontaminateBloom]] plus its persisted
+    * benchmark-shingle cache (caller releases) — split out so the plan
+    * shape stays assertable in tests.
+    */
+  private[graft] def decontaminateBloomPlan(
+      docs: DataFrame, isBenchmark: Column, n: Int,
+      fpp: Double): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
     val benchShingles = shingled(docs.filter(isBenchmark), n)
       .select(explode(col("sh")).as("g")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one extra action over the (small relative to corpus) benchmark
-    // side: sizing the filter from the true cardinality keeps fpp honest
+    // sizing the filter from the true cardinality keeps fpp honest
     val items = math.max(1L, benchShingles.count())
     val bloom = benchShingles.stat.bloomFilter("g", items, fpp)
     val bc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((g: String) => bc.value.mightContainString(g))
-    shingled(docs.filter(!isBenchmark), n)
+    (shingled(docs.filter(!isBenchmark), n)
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .filter(mightContain(col("g")))
       .join(benchShingles.hint("merge"), "g")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_contaminated"))
+      .agg(count(lit(1)).as("n_contaminated")),
+      benchShingles)
   }
 
   /** 60-bit SimHash over whitespace tokens. Token value = first 15 hex

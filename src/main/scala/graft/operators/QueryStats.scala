@@ -212,14 +212,17 @@ final class QueryDispatcher(stats: QueryStats,
           // before reading sizes, or data.rate under-reports under load
           val bytes = checkpointRdd(resp.df).map { rdd =>
             val want = rdd.getNumPartitions
-            val deadline = System.currentTimeMillis() + 2000
-            var info = sc.getRDDStorageInfo.find(_.id == rdd.id)
-            while (info.forall(_.numCachedPartitions < want) &&
-                System.currentTimeMillis() < deadline) {
-              Thread.sleep(20)
-              info = sc.getRDDStorageInfo.find(_.id == rdd.id)
+            if (want == 0) 0L // empty plan: no blocks will ever report
+            else {
+              val deadline = System.currentTimeMillis() + 2000
+              var info = sc.getRDDStorageInfo.find(_.id == rdd.id)
+              while (info.forall(_.numCachedPartitions < want) &&
+                  System.currentTimeMillis() < deadline) {
+                Thread.sleep(20)
+                info = sc.getRDDStorageInfo.find(_.id == rdd.id)
+              }
+              info.map(i => i.memSize + i.diskSize).getOrElse(0L)
             }
-            info.map(i => i.memSize + i.diskSize).getOrElse(0L)
           }.getOrElse(0L)
           stats.complete(t, bytes)
           Right(resp)

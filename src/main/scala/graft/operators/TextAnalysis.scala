@@ -283,6 +283,9 @@ object TextAnalysis {
     */
   def tokenBudgetSample(docs: DataFrame, budget: Long,
                         bucketDocs: Long = 1024L): DataFrame = {
+    // div 0 would NULL every bucket (silently empty sample); a negative
+    // size would reverse bucket order (prefix from the wrong end)
+    require(bucketDocs > 0, s"bucketDocs must be positive, got $bucketDocs")
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), col("lang"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),

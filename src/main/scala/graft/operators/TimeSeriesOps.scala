@@ -48,9 +48,26 @@ object TimeSeriesOps {
     */
   def gapFill(sanitized: DataFrame, startNs: Long, endNs: Long,
               stepNs: Long): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy(col("t"), col("is_grid"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    gridUnion(sanitized, startNs, endNs, stepNs)
+      .withColumn("filled", last(col("value"), ignoreNulls = true).over(w))
+      .filter(col("is_grid") === 1)
+      .select(col("metric"), col("t").as("grid_time"), col("filled").as("value"))
+  }
+
+  /** Shared resampling scaffold: grid rows (one per metric × instant,
+    * NULL value, `is_grid = 1`) unioned with the samples in one
+    * per-metric `(t, is_grid)` order. The tie-break contract: a sample
+    * exactly AT a grid instant sorts before the grid row, so running
+    * fills and left brackets see it, forward frames starting at the
+    * grid row do not. A NULL metric would fill its own NULL grid row
+    * via the windows' partitionBy (which groups NULLs, unlike a join) —
+    * excluded here.
+    */
+  private def gridUnion(sanitized: DataFrame, startNs: Long, endNs: Long,
+                        stepNs: Long): DataFrame = {
     require(stepNs > 0 && endNs >= startNs)
-    // a NULL metric would fill its own NULL grid row via the window's
-    // partitionBy (which groups NULLs, unlike a join) — exclude it
     val clean = sanitized.filter(col("metric").isNotNull)
     val grid = clean.select("metric").distinct()
       .select(col("metric"),
@@ -59,14 +76,7 @@ object TimeSeriesOps {
       .withColumn("is_grid", lit(1))
     val pts = clean.select(col("metric"), col("time").as("t"),
       col("value"), lit(0).as("is_grid"))
-    // sample at exactly a grid instant sorts before the grid row
-    // (is_grid breaks the tie), so it is visible to the fill
-    val w = Window.partitionBy("metric").orderBy(col("t"), col("is_grid"))
-      .rowsBetween(Window.unboundedPreceding, 0)
     pts.unionByName(grid)
-      .withColumn("filled", last(col("value"), ignoreNulls = true).over(w))
-      .filter(col("is_grid") === 1)
-      .select(col("metric"), col("t").as("grid_time"), col("filled").as("value"))
   }
 
   /** Linear-interpolation resample at a regular grid — [[gapFill]]'s
@@ -83,25 +93,15 @@ object TimeSeriesOps {
     */
   def interpolate(sanitized: DataFrame, startNs: Long, endNs: Long,
                   stepNs: Long): DataFrame = {
-    require(stepNs > 0 && endNs >= startNs)
-    val clean = sanitized.filter(col("metric").isNotNull)
-    val grid = clean.select("metric").distinct()
-      .select(col("metric"),
-        explode(sequence(lit(startNs), lit(endNs), lit(stepNs))).as("t"))
-      .withColumn("value", lit(null).cast("double"))
-      .withColumn("is_grid", lit(1))
-    val pts = clean.select(col("metric"), col("time").as("t"),
-      col("value"), lit(0).as("is_grid"))
-    // a sample exactly at a grid instant sorts BEFORE the grid row
-    // (is_grid tie-break), so it brackets from the left (t1 = t ⇒ the
-    // interpolation collapses to v1 exactly) and is excluded from the
-    // forward frame
+    // per the gridUnion tie-break, a sample exactly at a grid instant
+    // brackets from the left (t1 = t ⇒ the interpolation collapses to
+    // v1 exactly) and is excluded from the forward frame
     val asc = Window.partitionBy("metric").orderBy(col("t"), col("is_grid"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val fwd = Window.partitionBy("metric").orderBy(col("t"), col("is_grid"))
       .rowsBetween(0, Window.unboundedFollowing)
     val sample = when(col("is_grid") === 0, struct(col("t"), col("value")))
-    pts.unionByName(grid)
+    gridUnion(sanitized, startNs, endNs, stepNs)
       .withColumn("p1", last(sample, ignoreNulls = true).over(asc))
       .withColumn("p2", first(sample, ignoreNulls = true).over(fwd))
       .filter(col("is_grid") === 1)

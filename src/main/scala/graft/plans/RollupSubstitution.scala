@@ -73,8 +73,8 @@ object RollupSubstitution {
     * by ingest): queries bucketed at a coarse interval merge the coarsest
     * dividing level instead of always paying the level-0 merge — at a
     * 10×-per-level ladder that is 10× fewer input rows per rung.
-    */
-  /** `assumeNonNegativeTime`: the caller asserts every raw `time` is
+    *
+    * `assumeNonNegativeTime`: the caller asserts every raw `time` is
     * ≥ 0 (the engine's ns-since-epoch TimePoint domain). Required by
     * the `floor(time / I)` bucket-spelling mapping: level buckets tile
     * by truncation (`t - t % L`), which for negative times disagrees

@@ -297,6 +297,10 @@ class HtaStore(val root: String, val intervalMin: Long) {
     (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
   }
 
+  // write-guard memo: once the raw layout is confirmed day-partitioned
+  // it can never regress, so later writeBatch calls skip the listings
+  @volatile private var layoutV2Confirmed = false
+
   /** Batch commit markers — a minimal store-side transaction log. A
     * marker is written only AFTER a batch's raw AND partials writes both
     * return, so a crash between the two dual writes leaves a marker-less
@@ -439,10 +443,16 @@ class HtaStore(val root: String, val intervalMin: Long) {
     // a pre-day (v1) store must be migrated before new day-partitioned
     // directories land next to v1 ones — mixed partition-column chains
     // make Spark's partition discovery fail for EVERY reader, which is
-    // far worse than failing this one write loudly
-    require(rawLayoutV2(spark).getOrElse(true),
-      s"store at $root uses the pre-day raw layout; run compact() once " +
-        "to migrate it before writing")
+    // far worse than failing this one write loudly. v2 is monotone
+    // (writeBatch refuses v1, compact only migrates v1 → v2), so the
+    // probe's listings are paid once per store instance, not per
+    // micro-batch
+    if (!layoutV2Confirmed) {
+      require(rawLayoutV2(spark).getOrElse(true),
+        s"store at $root uses the pre-day raw layout; run compact() once " +
+          "to migrate it before writing")
+      layoutV2Confirmed = true
+    }
     // the marker directory must exist BEFORE any data lands: its
     // absence is what distinguishes a legacy pre-marker store (trust
     // everything) from a store with a half-written first batch

@@ -212,9 +212,11 @@ class ExtensionsSpec extends AnyFunSuite {
       s(Dedup.decontaminate(docs, mark)))
     // and the exact verify join is NOT broadcast (the past-broadcast
     // scale path must shuffle, not collect the benchmark side)
-    val plan = Dedup.decontaminateBloom(docs, mark)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("SortMergeJoin"), s"expected a shuffle join:\n$plan")
+    val (inner, cache) = Dedup.decontaminateBloomPlan(docs, mark, 3, 0.01)
+    try {
+      val plan = inner.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a shuffle join:\n$plan")
+    } finally cache.unpersist()
   }
 
   test("tokenBudgetSample is invariant to bucket size and matches the naive window") {
