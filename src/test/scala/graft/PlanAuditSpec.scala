@@ -88,6 +88,38 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("x61 vocab: partial counts below the exchange, TakeOrdered on top") {
+    val p = sparkPlan("x61_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("partial_count"))
+    // the gram source is the native expression, not a window shuffle
+    assert(p.contains("word_grams") && !p.contains("windowspecdefinition"))
+  }
+
+  test("x64 token budget: no whole-language window — per-doc window keyed by bucket") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val qe = SparkEntry.queries("x64_token_budget")(spark, sf).queryExecution
+    val windows = qe.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    // every window over the full doc set must partition by (lang, bkt) —
+    // a lang-only window over docs would serialize a whole language into
+    // one task; lang-only is allowed ONLY for the tiny bucket-level
+    // running sum (its input is the per-bucket aggregate, bounded by
+    // doc-id range / bucketDocs)
+    val perDoc = windows.filter(_.partitionSpec.exists(
+      _.references.exists(_.name == "bkt")))
+    val bucketLevel = windows.filterNot(perDoc.contains(_))
+    assert(perDoc.nonEmpty, qe.sparkPlan.toString)
+    assert(bucketLevel.forall(w =>
+      w.child.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      }.nonEmpty),
+      "a lang-only window must sit above the per-bucket aggregate, " +
+        s"not raw docs:\n${qe.sparkPlan}")
+  }
+
   test("whole-stage codegen covers the rollup pipeline") {
     // audit the real rollup computation, not the memoized store view —
     // and execute THIS DataFrame so AQE finalizes its plan
