@@ -90,6 +90,21 @@ object SparkEntry {
       store
     })
 
+  /** A store populated through the FULL backfill pipeline (gate +
+    * anchors across 3 chunks, q41's construction) — unlike
+    * [[batchStore]] its partials are exact, so the store-backed history
+    * queries (q65/q66) read levels AND raw from it: the deployed
+    * serve-from-storage path, end to end.
+    */
+  private def backfillStore(s: SparkSession, dir: String): graft.streaming.HtaStore =
+    storeMemo.getOrElseUpdate((s, dir + "#backfill"), {
+      val root = java.nio.file.Files.createTempDirectory("graft-bfstore").toString
+      val store = new graft.streaming.HtaStore(root, Q.IntervalMin)
+      graft.sources.BulkImport.chunkedBackfill(s,
+        Tables.htaPoints(s, dir), store, 3, tag = "fx")
+      store
+    })
+
   /** Materialize the store views for `dir` (what streaming ingest would
     * have written ahead of time). Bench calls this before its timed
     * passes so query timings measure query cost, not one-time store
@@ -100,6 +115,7 @@ object SparkEntry {
     level0(s, dir)
     clusters(s, dir)
     batchStore(s, dir)
+    backfillStore(s, dir)
     ()
   }
 
@@ -716,6 +732,20 @@ object SparkEntry {
     "q63_store_range" -> ((s, dir) =>
       batchStore(s, dir).rawRange(s, Q.Start, Q.End)
         .orderBy("metric", "time")),
+    // S2+A5 serve-from-storage: AGGREGATE_TIMELINE answered from a
+    // backfill-populated store's merge-on-read level (q05's oracle —
+    // a hash match proves fixture path ≡ durable-store path)
+    "q65_store_timeline" -> ((s, dir) =>
+      HtaService.timelineFromLevel0(backfillStore(s, dir).level0(s),
+        Q.Ladder, Q.Start, Q.End, Q.TlIntervalMax)),
+    // S2+A4 serve-from-storage: the v2 level-composed AGGREGATE with
+    // interior from the store's levels and edges from the store's raw —
+    // q04's oracle, so the match proves v1 ≡ v2 ≡ store round-trip
+    "q66_store_aggregate" -> ((s, dir) => {
+      val store = backfillStore(s, dir)
+      HtaService.aggregateRangeFast(store.raw(s), store.level0(s),
+        Q.Ladder, Q.Start, Q.End).orderBy("metric")
+    }),
     // Sketch surface: HLL++ distinct-count next to the exact count.
     // At 100 TB approx_count_distinct is the only affordable form (the
     // exact count shuffles every distinct key; the sketch is a few KB
@@ -947,6 +977,8 @@ object SparkEntry {
     // result-invisible (no false negatives + exact verification join)
     "x62_bloom_decontaminate" -> OracleSqlExt.decontaminateSql,
     "q63_store_range" -> OracleSql.rangedRawSql(Q.Start, Q.End),
+    "q65_store_timeline" -> OracleSql.timelineSql(Q.Level1, Q.Start, Q.End),
+    "q66_store_aggregate" -> OracleSql.aggregateSql(Q.Start, Q.End),
     "q58_streamed_dedup" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
