@@ -33,10 +33,22 @@ object Bench {
         SparkEntry.queries.keys.toSeq.filter(want)
       case None => SparkEntry.queries.keys.toSeq
     }
+    // release RDDs a query persisted for itself (e.g. x62's eager
+    // bloom checkpoint) after consuming its result — each pass builds a
+    // fresh plan, so the blocks are dead weight that would accumulate
+    // in the block manager across 73 queries × all passes. Runs OUTSIDE
+    // the timed window; unpersist is non-blocking.
+    def releaseNew(before: scala.collection.Set[Int]): Unit = {
+      val now = spark.sparkContext.getPersistentRDDs
+      (now.keySet -- before).foreach(
+        id => now.get(id).foreach(_.unpersist(blocking = false)))
+    }
     val warmDir = "/root/testdata/sf0.001"
     names.foreach { name =>
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case _: Throwable => () }
+      finally releaseNew(before)
     }
     // materialize the store views at the measured SF outside the timed
     // loop — they are what ingest would have written ahead of time, and
@@ -53,22 +65,34 @@ object Bench {
     val failed = scala.collection.mutable.Set.empty[String]
     val samples = (1 to passes).flatMap { _ =>
       names.map { name =>
+        val before = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() } catch {
           case e: Throwable =>
             failed += name
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        releaseNew(before)
+        name -> dt
       }
     }
     // a crashed query must not masquerade as a fast one
     val results = samples.groupMapReduce(_._1)(_._2)(math.min)
       .map { case (n, t) => n -> (if (failed(n)) -1.0 else t) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = f"$v%.4f"
+    // Truncation-proof output: one short line per query BEFORE the JSON,
+    // so a bounded stdout tail still carries every number even if the
+    // (compact, rounded) JSON line were ever clipped. BENCH_r05 lost 13
+    // queries to a mid-line tail cut of one long unrounded JSON line.
+    results.toSeq.sortBy(_._1).foreach { case (n, t) =>
+      println(s"BENCH $n ${fmt(t)}")
+    }
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

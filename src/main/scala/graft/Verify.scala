@@ -18,10 +18,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // release anything a query persisted for itself (e.g. the eager
+      // bloom-decontamination checkpoint) once its result is on disk —
+      // otherwise block-manager storage accumulates across all queries
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        val now = spark.sparkContext.getPersistentRDDs
+        (now.keySet -- persistedBefore).foreach(
+          id => now.get(id).foreach(_.unpersist(blocking = false)))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

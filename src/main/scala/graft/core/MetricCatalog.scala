@@ -100,15 +100,20 @@ object MetricCatalog {
     try {
       val root = JsonMethods.parse(json)
       val configs = (root \ "metrics") match {
-        case JObject(fields) => fields.map { case (name, v) =>
+        case JObject(fields) =>
           // prefix metrics are a hard config error, not an ignorable key
           // (ref async_hta_service.hpp:161-165: "adding prefix metrics
-          // no longer supported")
-          (v \ "prefix") match {
-            case JBool(true) => return Left(
-              s"prefix metrics are not supported: $name")
-            case _ => ()
+          // no longer supported"). Checked BEFORE the mapping closure:
+          // a `return` inside `map` would compile to NonLocalReturnControl
+          // and silently break under a widened catch or a lazy collection
+          fields.collectFirst {
+            case (name, v) if (v \ "prefix") == JBool(true) => name
+          } match {
+            case Some(name) =>
+              return Left(s"prefix metrics are not supported: $name")
+            case None => ()
           }
+          fields.map { case (name, v) =>
           def longAt(k: String, dflt: Option[Long] = None): Long =
             (v \ k) match {
               case JInt(x) => x.toLong

@@ -214,14 +214,24 @@ final class QueryDispatcher(stats: QueryStats,
             val want = rdd.getNumPartitions
             if (want == 0) 0L // empty plan: no blocks will ever report
             else {
-              val deadline = System.currentTimeMillis() + 2000
+              val deadline = System.currentTimeMillis() + 500
               var info = sc.getRDDStorageInfo.find(_.id == rdd.id)
               while (info.forall(_.numCachedPartitions < want) &&
                   System.currentTimeMillis() < deadline) {
                 Thread.sleep(20)
                 info = sc.getRDDStorageInfo.find(_.id == rdd.id)
               }
-              info.map(i => i.memSize + i.diskSize).getOrElse(0L)
+              info match {
+                // partial sizes (blocks evicted / still draining) are an
+                // honest lower bound — report them rather than stalling
+                case Some(i) if i.numCachedPartitions > 0 =>
+                  i.memSize + i.diskSize
+                case _ =>
+                  // status store never saw the blocks: estimate from the
+                  // materialized rows instead of recording 0 (the rdd is
+                  // already checkpointed, so count() is a local scan)
+                  rdd.count() * resp.df.schema.defaultSize
+              }
             }
           }.getOrElse(0L)
           stats.complete(t, bytes)

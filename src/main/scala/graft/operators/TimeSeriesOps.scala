@@ -82,14 +82,15 @@ object TimeSeriesOps {
   /** Linear-interpolation resample at a regular grid — [[gapFill]]'s
     * sibling for continuous quantities (LOCF holds counters, interp
     * suits gauges): value at grid t = v1 + (v2 − v1)·(t − t1)/(t2 − t1)
-    * from the bracketing samples, NULL outside [first, last) — the
-    * half-open domain a strictly-right bracket induces (a grid instant
-    * ON the last sample has no right bracket). Same
-    * union+window shape as gapFill — one shuffle on metric, never a
-    * per-grid-row join against the point set (the oracle does exactly
-    * those naive bracketing joins; the formula is written in the same
-    * operation order in both engines, and IEEE doubles make it bitwise
-    * reproducible).
+    * from the bracketing samples, NULL outside the CLOSED domain
+    * [first, last] — a grid instant exactly ON the last sample has no
+    * right bracket, but its value is known exactly, so it is emitted
+    * (matching [[gapFill]], which also emits that point; beyond it,
+    * NULL). Same union+window shape as gapFill — one shuffle on
+    * metric, never a per-grid-row join against the point set (the
+    * oracle does exactly those naive bracketing joins; the formula is
+    * written in the same operation order in both engines, and IEEE
+    * doubles make it bitwise reproducible).
     */
   def interpolate(sanitized: DataFrame, startNs: Long, endNs: Long,
                   stepNs: Long): DataFrame = {
@@ -106,7 +107,13 @@ object TimeSeriesOps {
       .withColumn("p2", first(sample, ignoreNulls = true).over(fwd))
       .filter(col("is_grid") === 1)
       .select(col("metric"), col("t").as("grid_time"),
-        when(col("p1").isNull || col("p2").isNull, lit(null).cast("double"))
+        when(col("p1").isNull, lit(null).cast("double"))
+          // no right bracket, but the instant IS the last sample: its
+          // value is exact — emit it instead of a surprising boundary
+          // hole (gapFill emits this point too)
+          .when(col("p2").isNull,
+            when(col("p1.t") === col("t"), col("p1.value"))
+              .otherwise(lit(null).cast("double")))
           .otherwise(col("p1.value") + (col("p2.value") - col("p1.value")) *
             ((col("t") - col("p1.t")).cast("double") /
               (col("p2.t") - col("p1.t")).cast("double"))).as("value"))

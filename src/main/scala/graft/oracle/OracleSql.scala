@@ -351,7 +351,9 @@ object OracleSql {
          |  FROM grid g
          |)
          |SELECT br.metric, br.grid_time,
-         |       CASE WHEN br.t1 IS NULL OR br.t2 IS NULL THEN NULL
+         |       CASE WHEN br.t1 IS NULL THEN NULL
+         |            WHEN br.t2 IS NULL THEN
+         |              CASE WHEN br.t1 = br.grid_time THEN p1.value END
          |            ELSE p1.value + (p2.value - p1.value) *
          |                 (CAST(br.grid_time - br.t1 AS DOUBLE) /
          |                  CAST(br.t2 - br.t1 AS DOUBLE))

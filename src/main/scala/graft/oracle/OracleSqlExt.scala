@@ -136,7 +136,8 @@ object OracleSqlExt {
        |  FROM documents
        |), c AS (
        |  SELECT doc_id, lang, n_tokens,
-       |         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+       |         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+       |              AS BIGINT) AS cum
        |  FROM toks
        |)
        |SELECT doc_id, lang, n_tokens, cum FROM c

@@ -28,6 +28,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingIngest {
 
+  /** Cap on the legacy-checkpoint seed collect (see [[start]]): above
+    * this many metrics the fallback fails with a migration message
+    * instead of materializing unbounded state on the driver. System
+    * property so an operator (or test) can tune it without an API
+    * change.
+    */
+  def legacySeedMaxKeys: Long =
+    java.lang.Long.getLong("graft.legacySeed.maxKeys", 100000L)
+
   case class Point(metric: String, time: Long, value: Double, seq: Long)
 
   /** Per-metric gate state: newest stored timestamp + its value (the
@@ -219,7 +228,19 @@ object StreamingIngest {
       .as[Point]
     val seed = store.seedState(spark, ckptTag, committedMax)
     val gated = gate(observed, seed,
-      if (legacySeed) seed.collect().toMap else Map.empty)
+      if (legacySeed) {
+        // the legacy fallback is driver-resident by nature (pre-seed-v2
+        // checkpoints lost their batch-0 initial-state window) — bounded
+        // in practice by the legacy deployment's cardinality, but refuse
+        // to collect unbounded state rather than OOM the driver
+        val n = seed.count()
+        if (n > StreamingIngest.legacySeedMaxKeys) throw new IllegalStateException(
+          s"legacy checkpoint $checkpoint needs a driver-resident seed " +
+            s"map for $n metrics (cap ${StreamingIngest.legacySeedMaxKeys}); " +
+            "migrate to a fresh checkpoint (distributed initial-state " +
+            "seeding) instead, or raise -Dgraft.legacySeed.maxKeys")
+        seed.collect().toMap
+      } else Map.empty)
     val q = gated.toDF()
       .observe("ingest_out",
         sum(when(!col("anchor"), 1L).otherwise(0L)).as("n_kept"))
@@ -234,6 +255,10 @@ object StreamingIngest {
         store.writeBatch(spark, batch, s"${ckptTag}_$batchId")
       }
       .start()
+    // record this run as the store's live writer so a concurrent
+    // compact() refuses instead of destroying in-flight batch dirs; a
+    // stale lock (terminated runId) is cleared by the next compact
+    store.acquireIngestLock(spark, q.runId.toString)
     // scope the stats collector to THIS query run — listeners are
     // session-global and would otherwise interleave other queries' rows
     stats.foreach(_.bind(q.runId))
@@ -249,6 +274,12 @@ object HtaStore {
     */
   val DayNs: Long = 86400000000000L
 }
+
+/** Thrown by [[HtaStore.compact]] when a live ingest query holds the
+  * store's ingest lock — compaction lists-then-deletes batch
+  * directories and would destroy a concurrent append.
+  */
+class StoreBusyException(msg: String) extends IllegalStateException(msg)
 
 /** Parquet-backed append-only HTA store: `raw/` (kept points) +
   * `partials/` (level-0 partial buckets, merge-on-read).
@@ -300,6 +331,67 @@ class HtaStore(val root: String, val intervalMin: Long) {
   // write-guard memo: once the raw layout is confirmed day-partitioned
   // it can never regress, so later writeBatch calls skip the listings
   @volatile private var layoutV2Confirmed = false
+
+  // crash-pending memo: cleared by compact() on entry (it creates the
+  // backup dirs transiently), re-confirmed lazily by the next store use
+  @volatile private var compactBakChecked = false
+
+  /** Refuse reads and writes while a crashed compact's backup
+    * directories exist. Without this, a streaming restart's writeBatch
+    * would see no `raw/` (renamed to `raw_old`, crash before the swap
+    * completed), recreate it, and the next compact's recovery would
+    * then delete `raw_old` as a "stale duplicate" — silently destroying
+    * the only copy of all previously folded history. `compact()` itself
+    * recovers the half-finished swap on entry, so the remedy is simply
+    * to run it once.
+    */
+  private def pendingCompactCheck(spark: SparkSession): Unit = {
+    if (!compactBakChecked) {
+      val stale = Seq(s"$root/raw_old", s"$root/partials_old").filter { p =>
+        val (hfs, hp) = fs(spark, p); hfs.exists(hp)
+      }
+      if (stale.nonEmpty) throw new java.io.IOException(
+        s"compact crash pending (${stale.mkString(", ")} exists): run " +
+          "compact() on this store to recover before reading or writing — " +
+          "a write now would recreate the primary directory and make the " +
+          "backup holding your data look like a stale duplicate")
+      compactBakChecked = true
+    }
+  }
+
+  private def ingestLock = new org.apache.hadoop.fs.Path(s"$root/ingest.lock")
+
+  /** Record `runId` as the live ingest query on this store (a lock file
+    * next to the data). [[compact]] refuses while the recorded query is
+    * still active; a lock left behind by a crashed or cleanly-stopped
+    * query is detected as stale (its runId is no longer active) and
+    * cleared. The liveness probe consults this JVM's
+    * `spark.streams.active` — exactly the scope in which a concurrent
+    * compact could run in local mode; multi-driver deployments need an
+    * external coordinator (the transactional-table-format story,
+    * SCALE.md §1).
+    */
+  def acquireIngestLock(spark: SparkSession, runId: String): Unit = {
+    val (hfs, lp) = fs(spark, ingestLock.toString)
+    lockedRunId(spark).foreach { held =>
+      if (held != runId && spark.streams.active.exists(_.runId.toString == held))
+        throw new StoreBusyException(
+          s"store at $root already has live ingest query $held; two " +
+            "writers on one store would interleave batch directories")
+    }
+    val out = hfs.create(lp, true)
+    try out.write(runId.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def lockedRunId(spark: SparkSession): Option[String] = {
+    val (hfs, lp) = fs(spark, ingestLock.toString)
+    if (!hfs.exists(lp)) None
+    else {
+      val in = hfs.open(lp)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
 
   /** Batch commit markers — a minimal store-side transaction log. A
     * marker is written only AFTER a batch's raw AND partials writes both
@@ -440,6 +532,7 @@ class HtaStore(val root: String, val intervalMin: Long) {
     * stays invisible to every reader until its replay completes it.
     */
   def writeBatch(spark: SparkSession, gated: DataFrame, batchKey: String): Unit = {
+    pendingCompactCheck(spark)
     // a pre-day (v1) store must be migrated before new day-partitioned
     // directories land next to v1 ones — mixed partition-column chains
     // make Spark's partition discovery fail for EVERY reader, which is
@@ -506,7 +599,8 @@ class HtaStore(val root: String, val intervalMin: Long) {
     * store — correctness identical, directory pruning absent until
     * [[compact]] migrates the layout (upgrading never hides history).
     */
-  private def rawAll(spark: SparkSession): Option[DataFrame] =
+  private def rawAll(spark: SparkSession): Option[DataFrame] = {
+    pendingCompactCheck(spark)
     rawLayoutV2(spark).map {
       case true =>
         onlyCommitted(spark, spark.read.schema(rawSchema).parquet(rawPath))
@@ -514,6 +608,7 @@ class HtaStore(val root: String, val intervalMin: Long) {
         onlyCommitted(spark, spark.read.schema(rawSchemaV1).parquet(rawPath))
           .withColumn("day", expr(s"time div $DayNs"))
     }
+  }
 
   def raw(spark: SparkSession): DataFrame =
     rawAll(spark).map(_.select("metric", "time", "value")).getOrElse(
@@ -539,6 +634,7 @@ class HtaStore(val root: String, val intervalMin: Long) {
     * the batch hierarchy builder).
     */
   def level0(spark: SparkSession): DataFrame = {
+    pendingCompactCheck(spark)
     val (hfs, hp) = fs(spark, partialsPath)
     if (!hfs.exists(hp))
       emptyDf(spark, org.apache.spark.sql.types.StructType.fromDDL(
@@ -623,6 +719,21 @@ class HtaStore(val root: String, val intervalMin: Long) {
     */
   def compact(spark: SparkSession, activeCheckpoint: Option[String]): Unit = {
     import org.apache.spark.sql.functions.{col, expr, lit}
+    // mutual exclusion with the streaming query (see acquireIngestLock):
+    // refuse while the lock's query is live; a lock whose query has
+    // terminated (clean stop or crash) is stale — clear it and proceed,
+    // the uncommitted-tail handling below covers the crashed case
+    lockedRunId(spark).foreach { held =>
+      if (spark.streams.active.exists(_.runId.toString == held))
+        throw new StoreBusyException(
+          s"compact refused: ingest query $held is live on the store at " +
+            s"$root; stop it before compacting")
+      val (hfs, lp) = fs(spark, ingestLock.toString)
+      hfs.delete(lp, false)
+    }
+    // compact transiently creates the backup dirs the crash guard
+    // watches; re-arm it so a crash below is caught by the next use
+    compactBakChecked = false
     val uncommittedTail: org.apache.spark.sql.Column = activeCheckpoint match {
       case Some(ckpt) =>
         val (tag, committedMax) = StreamingIngest.checkpointIdentity(spark, ckpt)

@@ -548,4 +548,81 @@ class StreamingSpec extends AnyFunSuite {
     assert(m1.toSeq == Seq(T0 + 10L * 60000000000L, T0 + 70L * 60000000000L,
       T0 + 200L * 60000000000L))
   }
+
+  test("compact refuses while the ingest query is live; succeeds after stop") {
+    val root = mkTmp("hta-lock")
+    val store = new HtaStore(root, H)
+    val ms = MemoryStream[Point](spark)
+    val q = StreamingIngest.start(spark, ms.toDS(), store, mkTmp("ck-lock"))
+    ms.addData(batch1)
+    q.processAllAvailable()
+    // live query holds the lock — compact must not list-then-delete
+    // batch directories out from under it
+    val e = intercept[graft.streaming.StoreBusyException](
+      store.compact(spark, None))
+    assert(e.getMessage.contains("live"))
+    q.stop()
+    // terminated run ⇒ the lock is stale: compact clears it and proceeds
+    store.compact(spark, None)
+    assert(new java.io.File(s"$root/raw/batch_id=compacted").exists())
+    assert(!new java.io.File(s"$root/ingest.lock").exists())
+  }
+
+  test("a crashed compact's backup dir blocks store use until recovery") {
+    val root = mkTmp("hta-bak-guard")
+    val store = new HtaStore(root, H)
+    def gatedOf(ps: Seq[Point]) = ps
+      .map(p => StreamingIngest.GatedPoint(p.metric, p.time, p.value, anchor = false))
+      .filter(p => !p.value.isNaN && !p.value.isInfinite).toDF()
+    store.writeBatch(spark, gatedOf(batch1), "ck_0")
+    val before = store.raw(spark).as[(String, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    // the worst crash window: raw/ renamed to raw_old, swap incomplete —
+    // raw_old now holds the ONLY copy
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$root/raw"),
+      java.nio.file.Paths.get(s"$root/raw_old"))
+    // a restarted process (fresh store instance) must refuse to write:
+    // recreating raw/ would make raw_old look like a stale duplicate
+    // that the next compact deletes — data loss
+    val store2 = new HtaStore(root, H)
+    val w = intercept[java.io.IOException](
+      store2.writeBatch(spark, gatedOf(batch2), "ck_1"))
+    assert(w.getMessage.contains("compact crash pending"))
+    // reads refuse too (an empty answer would be silent data hiding)
+    intercept[java.io.IOException](store2.raw(spark))
+    // compact() recovers the half-finished swap, then everything flows
+    store2.compact(spark, None)
+    assert(store2.raw(spark).as[(String, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq == before)
+    store2.writeBatch(spark, gatedOf(batch2.filter(_.metric == "m2")), "ck_1")
+    assert(store2.raw(spark).count() > before.size)
+  }
+
+  test("legacy-seed fallback refuses above the cap with a migration message") {
+    val root = mkTmp("hta-seed-cap")
+    val ckpt = mkTmp("hta-seed-cap-ckpt")
+    val store = new HtaStore(root, H)
+    val minute = 60000000000L
+    val ms = MemoryStream[Point](spark)
+    val q1 = StreamingIngest.start(spark, ms.toDS(), store, ckpt)
+    ms.addData(Seq(Point("m1", T0 + 10 * minute, 1.0, 1)))
+    q1.processAllAvailable()
+    q1.stop()
+    // make the checkpoint legacy (pre initial-state seeding): the
+    // fallback needs a driver-resident map of every seeded metric
+    Files.deleteIfExists(java.nio.file.Paths.get(s"$ckpt/graft-seed-v2"))
+    System.setProperty("graft.legacySeed.maxKeys", "0")
+    try {
+      val e = intercept[IllegalStateException](
+        StreamingIngest.start(spark, ms.toDS(), store, ckpt))
+      assert(e.getMessage.contains("migrate"))
+    } finally System.clearProperty("graft.legacySeed.maxKeys")
+    // under the default cap the same restart succeeds
+    val q2 = StreamingIngest.start(spark, ms.toDS(), store, ckpt)
+    ms.addData(Seq(Point("m1", T0 + 20 * minute, 2.0, 2)))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(store.raw(spark).count() == 2)
+  }
 }
