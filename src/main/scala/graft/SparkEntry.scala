@@ -885,6 +885,20 @@ object SparkEntry {
     "q44_downsample_ohlc" -> ((s, dir) =>
       graft.operators.TimeSeriesOps.downsampleOhlc(sanitized(s, dir),
         21600000000000L).orderBy("metric", "bucket_start")),
+    // §1.1 Aggregate: time-weighted mean integral/active_time per 10 h
+    // bucket, computed THROUGH the hierarchical merge (1 h level → 10 h,
+    // A3) — the oracle recomputes the 10 h rollup directly from points,
+    // so a hash match proves merge ≡ direct for the integral family and
+    // the twm division (ref async_hta_service.hpp:381-388: integral,
+    // active_time are the Aggregate fields this ratio derives from)
+    "q67_time_weighted_mean" -> ((s, dir) =>
+      Ingest.mergeToLevel(level0(s, dir), Q.Level1)
+        .filter(col("active_us") > 0)
+        .select(col("metric"), col("bucket_start"),
+          (col("integral_cus").cast("double") / col("active_us").cast("double")
+            / 100.0).as("twm"),
+          (col("active_us") * 1000L).as("active_ns"))
+        .orderBy("metric", "bucket_start")),
     // J3: multi-metric timeline alignment — two metrics' level buckets
     // equi-joined on bucket_start into comparable columns
     "q51_metric_align" -> ((s, dir) =>
@@ -1022,6 +1036,7 @@ object SparkEntry {
     "q52_metric_corr" -> OracleSql.corrMetricsSql(Q.IntervalMin, "click", "view"),
     "q43_gapfill" -> OracleSql.gapFillSql(Q.Start, Q.End, 21600000000000L),
     "q64_interpolate" -> OracleSql.interpolateSql(Q.Start, Q.End, 21600000000000L),
+    "q67_time_weighted_mean" -> OracleSql.twmSql(Q.Level1),
     "q44_downsample_ohlc" -> OracleSql.ohlcSql(21600000000000L),
     "q32_tumbling_window" -> OracleSqlExt.tumblingWindowSql,
     "q33_sliding_window" -> OracleSqlExt.slidingWindowSql,

@@ -363,6 +363,23 @@ object OracleSql {
          |LEFT JOIN pts p2 ON p2.metric = br.metric AND p2.t = br.t2
          |ORDER BY br.metric, br.grid_time""".stripMargin
 
+  /** Time-weighted mean per coarse bucket — integral / active_time (ref
+    * async_hta_service.hpp:381-388: the Aggregate fields this ratio is
+    * derived from; SURVEY §1.1). Computed DIRECTLY from points at the
+    * coarse interval, while the engine merges the fine level (A3) — a
+    * hash match proves the merge path exact for the twm family. The
+    * `/100.0` converts centivalue·µs/µs back to value units in the same
+    * IEEE op order as the Spark side.
+    */
+  def twmSql(i: Long): String =
+    ptsCte + levelCte(i) + s"""
+       |SELECT metric, bucket_start,
+       |       CAST(integral_cus AS DOUBLE) / CAST(active_us AS DOUBLE)
+       |         / 100.0 AS twm,
+       |       CAST(active_us * 1000 AS BIGINT) AS active_ns
+       |FROM lvl WHERE active_us > 0
+       |ORDER BY metric, bucket_start""".stripMargin
+
   /** OHLC downsample — order-independent aggregates only. */
   def ohlcSql(i: Long): String =
     ptsCte +

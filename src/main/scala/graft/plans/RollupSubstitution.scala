@@ -23,6 +23,17 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * (tiling property, `PropertySpec`) and the Agg components form a
   * monoid (A3).
   *
+  * A registered LEVEL plan can itself be the aggregation source: a
+  * re-bucketing `Aggregate` grouped by `(metric, <bucket over
+  * bucket_start>)` merging the monoid columns (`min(min_v)`,
+  * `max(max_v)`, `sum(sum_c/cnt/integral_cus/active_us)`) is answered
+  * from the coarsest dividing rung that is an exact merge of the
+  * source. Result expressions may combine mapped aggregates
+  * arbitrarily — in particular the reference's time-weighted mean
+  * `sum(integral_cus) / sum(active_us)` (SURVEY §1.1 Aggregate:
+  * integral/active_time) rewrites onto the rung with int64-exact
+  * components, so the substituted answer is value-identical.
+  *
   * Output attributes keep their original `exprId`s, so the rewrite is
   * invisible to the rest of the plan.
   */
@@ -155,20 +166,22 @@ class RollupSubstitutionRule(private[plans] val session: SparkSession)
         }
     }
 
-  /** Accept the raw plan directly, under one Project (the optimizer's
-    * `PullOutGroupingExpressions` inserts one), and/or above one Filter
-    * (pushdown has already run when extraOptimizations fire, so a user
-    * WHERE sits directly on the scan). Returns a substitution inlining
-    * the projection's aliases, the base plan, and the filter condition
-    * (validated and mapped by [[rewrite]]).
+  /** Accept the raw plan — or a registered LEVEL plan, for re-bucketing
+    * a fine timeline onto a coarser rung — directly, under one Project
+    * (the optimizer's `PullOutGroupingExpressions` inserts one), and/or
+    * above one Filter (pushdown has already run when extraOptimizations
+    * fire, so a user WHERE sits directly on the scan). Returns a
+    * substitution inlining the projection's aliases, the base plan, and
+    * the filter condition (validated and mapped by [[rewrite]]).
     */
   private def unwrap(child: LogicalPlan, entry: RollupSubstitution.Entry)
       : Option[(Expression => Expression, LogicalPlan, Option[Expression])] = {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+    def known(c: LogicalPlan): Boolean =
+      c.sameResult(entry.rawPlan) || entry.levels.exists(l => c.sameResult(l._1))
     def base(c: LogicalPlan): Option[(LogicalPlan, Option[Expression])] = c match {
-      case Filter(cond, inner) if inner.sameResult(entry.rawPlan) =>
-        Some((inner, Some(cond)))
-      case c if c.sameResult(entry.rawPlan) => Some((c, None))
+      case Filter(cond, inner) if known(inner) => Some((inner, Some(cond)))
+      case c if known(c) => Some((c, None))
       case _ => None
     }
     child match {
@@ -192,11 +205,33 @@ class RollupSubstitutionRule(private[plans] val session: SparkSession)
     def childAttr(name: String): Option[Attribute] =
       child.output.find(_.name == name)
 
-    val (metricAttr, timeAttr, valueAttr) =
-      (childAttr("metric"), childAttr("time"), childAttr("value")) match {
-        case (Some(m), Some(t), Some(v)) => (m, t, v)
-        case _ => return None
+    // the aggregation source: the raw point table (srcLevelNs = None), or
+    // a registered LEVEL being re-bucketed onto a coarser rung — the
+    // reference's hierarchical-merge read path (A3), which also serves
+    // the time-weighted mean Σintegral/Σactive_time, the one
+    // rollup-derivable family a raw-table Aggregate can't spell (it
+    // needs lag segmentation, not a plain GROUP BY)
+    val srcLevelNs: Option[Long] =
+      if (child.sameResult(entry.rawPlan)) None
+      else entry.levels.find { case (p, _) => child.sameResult(p) } match {
+        case Some((_, l)) => Some(l)
+        case None => return None
       }
+
+    // the time-like attribute users bucket over: raw `time`, or the fine
+    // level's `bucket_start`
+    val (metricAttr, timeAttr) = (childAttr("metric"),
+        childAttr(if (srcLevelNs.isEmpty) "time" else "bucket_start")) match {
+      case (Some(m), Some(t)) => (m, t)
+      case _ => return None
+    }
+    val valueAttr = srcLevelNs match {
+      case None => childAttr("value") match {
+        case Some(v) => v
+        case None => return None
+      }
+      case Some(_) => metricAttr // unused on the level source
+    }
 
     // grouping must be exactly {metric, <bucket spelling over time>}
     // with some registered level dividing the bucket interval. Three
@@ -224,8 +259,14 @@ class RollupSubstitutionRule(private[plans] val session: SparkSession)
             d > 0 && d == math.rint(d) && d < 9.2e18 => Some(d.toLong)
       case _ => None
     }
+    // a rung can answer when it divides the query bucket; answering for
+    // a LEVEL source additionally requires the rung to be an exact merge
+    // of it (a coarser multiple — the A3 construction), else no benefit
+    def admissible(levelNs: Long, iv: Long): Boolean =
+      iv % levelNs == 0 &&
+        srcLevelNs.forall(s => levelNs % s == 0 && levelNs > s)
     val bucketGroups = groups.flatMap(g => bucketIntervalOf(g).map(g -> _))
-      .filter { case (_, iv) => entry.levels.exists(iv % _._2 == 0) }
+      .filter { case (_, iv) => entry.levels.exists(e => admissible(e._2, iv)) }
     val metricGroups = groups.collect {
       case a: Attribute if a.exprId == metricAttr.exprId => a
     }
@@ -305,18 +346,55 @@ class RollupSubstitutionRule(private[plans] val session: SparkSession)
       case _ => false
     }
 
+    // the level-source monoid merges: re-bucketing a fine rung sums /
+    // min-maxes its exact integer-domain components — including the
+    // time-weighted mean's Σ integral_cus and Σ active_us, so that
+    // rewrite is value-identical, not just statistically close
+    val mergeable = Seq("sum_c", "cnt", "integral_cus", "active_us")
+    def mapAggLvl(fn: AggregateFunction): Option[Expression] = fn match {
+      case Min(v: Attribute) if childAttr("min_v").exists(_.exprId == v.exprId) =>
+        Some(AggregateExpression(Min(lvlAttr("min_v")), Complete, isDistinct = false))
+      case Max(v: Attribute) if childAttr("max_v").exists(_.exprId == v.exprId) =>
+        Some(AggregateExpression(Max(lvlAttr("max_v")), Complete, isDistinct = false))
+      case Sum(v: Attribute, _) =>
+        // safe lookup: install() only mandates the 6 base columns, so a
+        // rung without integral/active columns declines instead of NPEs
+        mergeable.find(n => childAttr(n).exists(_.exprId == v.exprId))
+          .flatMap(n => levelPlan.output.find(_.name == n))
+          .map(a => AggregateExpression(Sum(a), Complete, isDistinct = false))
+      // count(*) over a level counts FINE BUCKETS, which a coarser rung
+      // does not record — decline (likewise avg, count(col), etc.)
+      case _ => None
+    }
+    val mapFn: AggregateFunction => Option[Expression] =
+      if (srcLevelNs.isEmpty) mapAgg else mapAggLvl
+
+    // a result may be ANY expression combining mapped aggregates, the
+    // group keys, and literals — e.g. the reference's time-weighted mean
+    // sum(integral_cus) / sum(active_us), or a cents→value division.
+    // Recursion stops at aggregates (FILTER (WHERE …) / DISTINCT clauses
+    // are not derivable from merged buckets — rewriting them as plain
+    // merges would silently return wrong counts, so they decline),
+    // substitutes the group keys, and refuses any other reference to
+    // the source table.
+    def mapResultExpr(e: Expression): Option[Expression] = e match {
+      case AggregateExpression(fn, _, false, None, _) => mapFn(fn)
+      case _: AggregateExpression => None
+      case ex if ex.semanticEquals(bucketExpr) => Some(newBucketExpr)
+      case a: Attribute if a.exprId == metricAttr.exprId => Some(lvlMetric)
+      case _: Attribute => None
+      case other =>
+        val kids = other.children.map(mapResultExpr)
+        if (kids.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
+    }
+
     val newResults = results.map {
       case a: Attribute if a.exprId == metricAttr.exprId =>
         Alias(lvlMetric, a.name)(exprId = a.exprId)
-      case al @ Alias(e, name) if bucketIntervalOf(e).contains(i) =>
-        Alias(onLevelBucket(e), name)(exprId = al.exprId)
-      // FILTER (WHERE …) clauses are NOT derivable from the level table —
-      // rewriting them as unfiltered sums would silently return wrong
-      // counts, so only bare aggregates match
-      case al @ Alias(AggregateExpression(fn, _, false, filterOpt, _), name)
-          if filterOpt.isEmpty =>
-        mapAgg(fn) match {
-          case Some(ne) => Alias(ne, name)(exprId = al.exprId)
+      case al @ Alias(e, name) =>
+        mapResultExpr(e) match {
+          case Some(m) => Alias(m, name)(exprId = al.exprId)
           case None => return None
         }
       case _ => return None
@@ -366,11 +444,17 @@ class RollupSubstitutionRule(private[plans] val session: SparkSession)
     }
 
     val newGroups = Seq[Expression](lvlMetric, newBucketExpr)
-    // segment-only buckets (cnt = 0) carry no points — a raw point
-    // aggregation would not produce their groups, so exclude them
-    val baseCond = GreaterThan(lvlAttr("cnt"), Literal(0L))
-    val levelRows = org.apache.spark.sql.catalyst.plans.logical.Filter(
-      mapped.map(And(baseCond, _)).getOrElse(baseCond), levelPlan)
+    // raw source: segment-only buckets (cnt = 0) carry no points — a raw
+    // point aggregation would not produce their groups, so exclude them.
+    // LEVEL source: cnt = 0 rows are real source rows (hold segments
+    // carrying integral/active_time) that DO produce groups — keep them
+    val conds = (if (srcLevelNs.isEmpty)
+        Seq(GreaterThan(lvlAttr("cnt"), Literal(0L))) else Seq.empty) ++
+      mapped.toSeq
+    val levelRows =
+      if (conds.isEmpty) levelPlan
+      else org.apache.spark.sql.catalyst.plans.logical.Filter(
+        conds.reduce(And), levelPlan)
     Some(Aggregate(newGroups, newResults, levelRows))
     } // rewriteOn
 
@@ -379,7 +463,7 @@ class RollupSubstitutionRule(private[plans] val session: SparkSession)
     // (bounds cut at level-0 boundaries but inside a coarse bucket), so
     // fall through the ladder until a level admits the whole rewrite
     entry.levels
-      .filter { case (_, l) => i % l == 0 }
+      .filter { case (_, l) => admissible(l, i) }
       .sortBy { case (_, l) => -l }
       .iterator
       .map { case (plan, l) => rewriteOn(plan, l) }

@@ -269,6 +269,101 @@ class RollupSubstitutionSpec extends AnyFunSuite {
     } finally RollupSubstitution.uninstall(spark)
   }
 
+  test("time-weighted mean re-bucketing a level rewrites onto a coarser rung") {
+    val root = Files.createTempDirectory("graft-twm").toString
+    Ingest.mergeToLevel(level0, 10 * H).write.parquet(s"$root/level1")
+    val level1 = spark.read.parquet(s"$root/level1")
+    def leafIn(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectLeaves()
+    def answersFrom(q: org.apache.spark.sql.DataFrame,
+                    lvl: org.apache.spark.sql.DataFrame) =
+      leafIn(q).exists(s => leafIn(lvl).exists(s.sameResult))
+
+    // the reference's time-weighted mean: integral / active_time
+    // (SURVEY §1.1 Aggregate), re-bucketed from the fine level — the
+    // hierarchical-merge read path, never a raw scan
+    def qTwm() = level0.groupBy(col("metric"),
+        (col("bucket_start") - col("bucket_start") % (10 * H)).as("bucket"))
+      .agg((sum("integral_cus") / sum("active_us")).as("twm"),
+        min("min_v").as("mn"), max("max_v").as("mx"),
+        sum("cnt").as("points"))
+
+    RollupSubstitution.installLadder(spark, raw,
+      Seq(level0 -> H, level1 -> (10 * H)))
+    try {
+      val q = qTwm()
+      assert(answersFrom(q, level1) && !answersFrom(q, level0),
+        s"level re-bucketing should read the 10h rung:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect().toSeq
+        .sortBy(r => (r.getString(0), r.getLong(1)))
+      RollupSubstitution.uninstall(spark)
+      val expect = qTwm().collect().toSeq
+        .sortBy(r => (r.getString(0), r.getLong(1)))
+      // int64-exact components + identical division order ⇒ bitwise equal
+      assert(got == expect && got.nonEmpty)
+    } finally RollupSubstitution.uninstall(spark)
+
+    // SQL-text spelling of the same query fires too
+    RollupSubstitution.installLadder(spark, raw,
+      Seq(level0 -> H, level1 -> (10 * H)))
+    try {
+      level0.createOrReplaceTempView("hta_level0_v")
+      val q = spark.sql(
+        s"""SELECT metric, bucket_start - bucket_start % ${10 * H} AS bucket,
+           |       sum(integral_cus) / sum(active_us) AS twm
+           |FROM hta_level0_v GROUP BY 1, 2""".stripMargin)
+      assert(answersFrom(q, level1),
+        s"SQL time-weighted mean did not hit the rung:\n${q.queryExecution.optimizedPlan}")
+      assert(q.count() > 0)
+      // count(*) over a level counts fine buckets — not recorded in the
+      // rung, so it must decline (raw correctness preserved)
+      val qc = spark.sql(
+        s"""SELECT metric, bucket_start - bucket_start % ${10 * H} AS bucket,
+           |       count(*) AS n
+           |FROM hta_level0_v GROUP BY 1, 2""".stripMargin)
+      assert(!answersFrom(qc, level1), "count(*) must not merge rungs")
+    } finally RollupSubstitution.uninstall(spark)
+  }
+
+  test("cnt=0 hold-only buckets survive the level re-bucketing rewrite") {
+    // a metric whose fine level has a segment-only bucket (cnt = 0, NULL
+    // min/max, nonzero active time): the rewrite must keep its group
+    val minute = 60000000000L
+    val pts = Seq(
+      ("s1", 0L * minute, 1.0, 1L),
+      ("s1", 100L * minute, 3.0, 2L)) // hold spans buckets 0..100 min
+      .toDF("metric", "time", "value", "seq")
+    val clean = Ingest.sanitize(pts)
+    val root = Files.createTempDirectory("graft-hold").toString
+    clean.write.parquet(s"$root/raw")
+    val r = spark.read.parquet(s"$root/raw")
+    Ingest.rollup(r, 10 * minute).write.parquet(s"$root/l0")
+    val l0 = spark.read.parquet(s"$root/l0")
+    Ingest.mergeToLevel(l0, 50 * minute).write.parquet(s"$root/l1")
+    val l1 = spark.read.parquet(s"$root/l1")
+    def qAgg(src: org.apache.spark.sql.DataFrame) = src.groupBy(col("metric"),
+        (col("bucket_start") - col("bucket_start") % (50 * minute)).as("bucket"))
+      .agg(sum("integral_cus").as("icus"), sum("active_us").as("aus"),
+        sum("cnt").as("points"))
+    RollupSubstitution.installLadder(spark, r,
+      Seq(l0 -> (10 * minute), l1 -> (50 * minute)))
+    try {
+      val q = qAgg(l0)
+      val optimized = q.queryExecution.optimizedPlan
+      assert(optimized.collectLeaves().exists(s =>
+        l1.queryExecution.optimizedPlan.collectLeaves().exists(s.sameResult)),
+        s"hold-bucket query should read l1:\n$optimized")
+      val got = q.as[(String, Long, Long, Long, Long)]
+        .collect().sortBy(_._2).toSeq
+      RollupSubstitution.uninstall(spark)
+      val expect = qAgg(l0).as[(String, Long, Long, Long, Long)]
+        .collect().sortBy(_._2).toSeq
+      // bucket 50-100 min is hold-only at BOTH granularities (cnt = 0):
+      // it must appear in both answers with identical integrals
+      assert(got == expect && got.exists(_._5 == 0L), s"got $got")
+    } finally RollupSubstitution.uninstall(spark)
+  }
+
   test("non-derivable or misaligned aggregates are left untouched") {
     RollupSubstitution.install(spark, raw, level0, H)
     try {

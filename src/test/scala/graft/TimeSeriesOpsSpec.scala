@@ -52,10 +52,10 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(got == Seq(
       ("a", T0, Some(10.0)),             // exact hit collapses to v1
       ("a", T0 + 15 * M, Some(16.0 + (4.0 - 16.0) * (5.0 / 20.0))), // 13.0
-      ("a", T0 + 30 * M, None),          // at the LAST sample: no right bracket
+      ("a", T0 + 30 * M, Some(4.0)),     // exact hit ON the last sample: known
       ("b", T0, None),                   // before first sample
-      ("b", T0 + 15 * M, None),          // exact hit on b's last sample
-      ("b", T0 + 30 * M, None)))         // after last
+      ("b", T0 + 15 * M, Some(3.0)),     // exact hit on b's last sample
+      ("b", T0 + 30 * M, None)))         // after last: no bracket, unknown
   }
 
   test("downsampleOhlc: open/high/low/close per bucket") {
