@@ -625,4 +625,49 @@ class StreamingSpec extends AnyFunSuite {
     q2.stop()
     assert(store.raw(spark).count() == 2)
   }
+
+  test("initial-state seeding stays distributed at 50k-metric cardinality") {
+    // the scale proof for the modern seed path: a 50 000-key seed built
+    // as a Dataset (never a driver map) flows through the
+    // flatMapGroupsWithState initial-state overload into the state
+    // store. Correctness is asserted at three far-apart keys — a stale
+    // arrival is gated out and the anchor row carries the seeded value,
+    // both impossible unless that key's seed actually reached its state
+    // partition — and, via batch 2, for a key that had NO batch-0 data
+    // (initial state only applies at batch 0, so this proves every
+    // seeded key was putState'd then, not just the observed ones)
+    import StreamingIngest.GatedPoint
+    val n = 50000L
+    val t0 = T0 // local copy: the closure must not capture the suite
+    val seed = spark.range(n)
+      .map(i => (s"m$i", StreamingIngest.GateState(t0, i.toDouble)))
+    val ms = MemoryStream[Point](spark)
+    val gated = StreamingIngest.gate(ms.toDS(), seed)(spark)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("hc_seed")
+      .option("checkpointLocation", mkTmp("ck-hc"))
+      .start()
+    ms.addData(Seq(
+      Point("m0", T0 - 1L, 9.0, 1), // stale vs seed → dropped
+      Point("m0", T0, 9.0, 2), // equal ts → dropped
+      Point("m25000", T0 + H, 5.0, 3), // fresh → kept, anchor = seed
+      Point("m49999", T0, 1.0, 4), // equal ts → dropped
+      Point("m49999", T0 + 2 * H, 2.5, 5), // fresh → kept
+      Point("fresh", T0, 7.0, 6))) // unseeded metric → kept, no anchor
+    q.processAllAvailable()
+    ms.addData(Seq(
+      Point("m12345", T0 - 1L, 8.0, 7), // stale at batch 1 → dropped
+      Point("m12345", T0 + H, 6.0, 8))) // fresh → kept, seeded anchor
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hc_seed").as[GatedPoint].collect().toSet
+    assert(got == Set(
+      GatedPoint("m25000", T0, 25000.0, anchor = true),
+      GatedPoint("m25000", T0 + H, 5.0, anchor = false),
+      GatedPoint("m49999", T0, 49999.0, anchor = true),
+      GatedPoint("m49999", T0 + 2 * H, 2.5, anchor = false),
+      GatedPoint("fresh", T0, 7.0, anchor = false),
+      GatedPoint("m12345", T0, 12345.0, anchor = true),
+      GatedPoint("m12345", T0 + H, 6.0, anchor = false)))
+  }
 }
