@@ -7,18 +7,21 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, feature extraction as a per-partition
   * batch pass.
   *
-  * The decode step is a clearly-marked STUB — this container has no
-  * image/audio codecs — but everything Spark-side is real: the schema
-  * (`blob: binary` + metadata), the partition-batched execution shape
-  * (`mapPartitions` over a typed Dataset, the Scala analogue of
-  * `mapInPandas` batches), and deterministic feature output. A real
-  * deployment swaps [[decodeStub]] for an actual codec; nothing else
-  * changes.
+  * The image decode path is REAL — `javax.imageio` ships with the JDK,
+  * so PNG/JPEG/GIF/BMP payloads yield actual width/height/codec with no
+  * added dependency, via a header-only probe (the reader reports
+  * dimensions without rasterizing, so a 50 MB photo costs a few hundred
+  * header bytes of work — the posture that matters when the blob column
+  * is 100 TB). Non-image payloads (text, audio, unknown codecs) fall
+  * back to byte-level features; audio/video decoding would slot into
+  * the same per-partition probe with an external codec library.
   */
 object Multimodal {
 
   case class MediaRow(doc_id: Long, blob: Array[Byte], fmt: String)
-  case class MediaFeatures(doc_id: Long, n_bytes: Long, sha: String, head_byte: Long)
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, sha: String,
+                           head_byte: Long, width: Long, height: Long,
+                           codec: String)
 
   /** Wrap documents as a media table: utf-8 bytes stand in for media
     * payloads; `fmt` is the typed metadata column.
@@ -28,22 +31,48 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("blob"),
       lit("text/plain").as("fmt"))
 
-  /** STUB decode: a real implementation would decode the payload
-    * (image → pixels, audio → samples) here. The stub derives
-    * deterministic features from raw bytes so the plumbing is testable.
-    * The "codec" (digest) is initialized by the caller once per
-    * partition and reset per row — the execution shape a real decoder
-    * needs.
+  /** Header-only image probe: sniff a reader from the payload's magic
+    * bytes, then ask it for dimensions — `getWidth(0)` parses the
+    * header only (IHDR / SOF marker), never the raster. Returns None
+    * for non-image payloads, truncated headers, or unknown codecs —
+    * media columns in the wild are dirty, so any probe failure is a
+    * clean fallback, never a task failure.
     */
-  private def decodeStub(md: java.security.MessageDigest, m: MediaRow): MediaFeatures = {
+  private def probeImage(blob: Array[Byte]): Option[(Long, Long, String)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          Some((r.getWidth(0).toLong, r.getHeight(0).toLong,
+            r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
+        } finally r.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally if (iis != null) iis.close()
+  }
+
+  /** Decode one payload: image header probe for dimensions/codec,
+    * byte-level features (digest, length, head byte) for every payload.
+    * The digest is initialized by the caller once per partition and
+    * reset per row — the execution shape any further codec needs.
+    */
+  private def decode(md: java.security.MessageDigest, m: MediaRow): MediaFeatures = {
     md.reset()
     val hex = md.digest(m.blob).map("%02x".format(_)).mkString
+    val img = probeImage(m.blob)
     MediaFeatures(m.doc_id, m.blob.length.toLong, hex,
-      m.blob.headOption.map(b => (b & 0xff).toLong).getOrElse(-1L))
+      m.blob.headOption.map(b => (b & 0xff).toLong).getOrElse(-1L),
+      img.map(_._1).getOrElse(-1L), img.map(_._2).getOrElse(-1L),
+      img.map(_._3).orNull)
   }
 
   /** Per-partition batched feature extraction (one codec init per
-    * partition in a real decoder — the reason for mapPartitions, not map).
+    * partition — the reason for mapPartitions, not map).
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
@@ -51,7 +80,7 @@ object Multimodal {
     ds.mapPartitions { it =>
       // codec init once per partition, streamed over the batch
       val md = java.security.MessageDigest.getInstance("MD5")
-      it.map(decodeStub(md, _))
+      it.map(decode(md, _))
     }.toDF()
   }
 }

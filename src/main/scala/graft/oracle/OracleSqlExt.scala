@@ -461,12 +461,20 @@ object OracleSqlExt {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  /** The fixture payloads are utf-8 text, so the engine's image header
+    * probe must report "not an image" for every row — the -1/-1/NULL
+    * constants are a real check that the probe never false-positives on
+    * text bytes (a stray PNG magic in a document would break the hash).
+    */
   def multimodalSql: String =
     """SELECT doc_id,
       |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |       md5(text) AS sha,
       |       CAST(CASE WHEN length(text) = 0 THEN -1
-      |                 ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS head_byte
+      |                 ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS head_byte,
+      |       CAST(-1 AS BIGINT) AS width,
+      |       CAST(-1 AS BIGINT) AS height,
+      |       CAST(NULL AS VARCHAR) AS codec
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Positional-token CTE shared by the repetition / boilerplate

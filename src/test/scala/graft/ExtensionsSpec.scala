@@ -309,6 +309,38 @@ class ExtensionsSpec extends AnyFunSuite {
       val f = feats(id)
       assert(f.sha == hex && f.n_bytes == t.getBytes("UTF-8").length.toLong)
       assert(f.head_byte == (t.head.toInt & 0xff))
+      // text payloads must never probe as images
+      assert(f.width == -1L && f.height == -1L && f.codec == null)
     }
+  }
+
+  test("multimodal image probe decodes real PNG/JPEG headers") {
+    import spark.implicits._
+    // real image bytes, JDK-encoded in memory — the decode path under
+    // test is the same javax.imageio probe a production corpus would hit
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => img.setRGB(x, 0, x * 31))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val png = imageBytes(37, 21, "png")
+    val jpg = imageBytes(64, 48, "jpg")
+    val media = Seq(
+      Multimodal.MediaRow(1L, png, "image/png"),
+      Multimodal.MediaRow(2L, jpg, "image/jpeg"),
+      Multimodal.MediaRow(3L, png.take(8), "image/png"), // truncated header
+      Multimodal.MediaRow(4L, Array[Byte](), "application/octet-stream"))
+      .toDF()
+    val got = Multimodal.extractFeatures(spark, media)
+      .as[Multimodal.MediaFeatures].collect().map(f => f.doc_id -> f).toMap
+    assert((got(1L).width, got(1L).height, got(1L).codec) == (37L, 21L, "png"))
+    assert((got(2L).width, got(2L).height, got(2L).codec) == (64L, 48L, "jpeg"))
+    // a truncated header and an empty blob degrade to byte features,
+    // never a task failure
+    assert(got(3L).codec == null && got(3L).width == -1L)
+    assert(got(4L).codec == null && got(4L).n_bytes == 0L && got(4L).head_byte == -1L)
   }
 }
