@@ -33,22 +33,18 @@ object Bench {
         SparkEntry.queries.keys.toSeq.filter(want)
       case None => SparkEntry.queries.keys.toSeq
     }
-    // release RDDs a query persisted for itself (e.g. x62's eager
-    // bloom checkpoint) after consuming its result — each pass builds a
-    // fresh plan, so the blocks are dead weight that would accumulate
-    // in the block manager across 73 queries × all passes. Runs OUTSIDE
-    // the timed window; unpersist is non-blocking.
-    def releaseNew(before: scala.collection.Set[Int]): Unit = {
-      val now = spark.sparkContext.getPersistentRDDs
-      (now.keySet -- before).foreach(
-        id => now.get(id).foreach(_.unpersist(blocking = false)))
-    }
     val warmDir = "/root/testdata/sf0.001"
+    // prepare BEFORE the first release snapshot at each SF: the shared
+    // memoized views persist lazily on first use, and the per-query
+    // release (SparkEntry.releaseNewlyPersisted doc) would otherwise
+    // evict them after query one, leaving every later query recomputing
+    // the whole ingest pipeline
+    try SparkEntry.prepare(spark, warmDir) catch { case _: Throwable => () }
     names.foreach { name =>
       val before = spark.sparkContext.getPersistentRDDs.keySet
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case _: Throwable => () }
-      finally releaseNew(before)
+      finally SparkEntry.releaseNewlyPersisted(spark, before)
     }
     // materialize the store views at the measured SF outside the timed
     // loop — they are what ingest would have written ahead of time, and
@@ -73,14 +69,18 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        releaseNew(before)
+        SparkEntry.releaseNewlyPersisted(spark, before)
         name -> dt
       }
     }
     // a crashed query must not masquerade as a fast one
     val results = samples.groupMapReduce(_._1)(_._2)(math.min)
       .map { case (n, t) => n -> (if (failed(n)) -1.0 else t) }
-    def fmt(v: Double): String = f"$v%.4f"
+    // Locale.ROOT: the f interpolator uses the JVM default FORMAT
+    // locale — a comma-decimal locale would corrupt both the BENCH
+    // lines and the JSON summary
+    def fmt(v: Double): String =
+      "%.4f".formatLocal(java.util.Locale.ROOT, v)
     // Truncation-proof output: one short line per query BEFORE the JSON,
     // so a bounded stdout tail still carries every number even if the
     // (compact, rounded) JSON line were ever clipped. BENCH_r05 lost 13

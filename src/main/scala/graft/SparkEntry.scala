@@ -119,6 +119,22 @@ object SparkEntry {
     ()
   }
 
+  /** Release RDDs persisted since the `before` snapshot — the drivers
+    * (Bench, Verify) snapshot `getPersistentRDDs.keySet` before a query
+    * and call this after consuming its result, so per-query caches
+    * (e.g. x62's eager bloom checkpoint) don't accumulate in the block
+    * manager across the full query loop. Callers MUST run [[prepare]]
+    * before the first snapshot: the shared memoized views persist
+    * lazily on first use, and releasing one of those would leave every
+    * later query recomputing the whole ingest pipeline per action.
+    */
+  def releaseNewlyPersisted(s: SparkSession,
+                            before: scala.collection.Set[Int]): Unit = {
+    val now = s.sparkContext.getPersistentRDDs
+    (now.keySet -- before).foreach(
+      id => now.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q03_rollup_1h")(spark, "/root/testdata/sf0.001")

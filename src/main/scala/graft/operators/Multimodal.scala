@@ -39,9 +39,14 @@ object Multimodal {
     * clean fallback, never a task failure.
     */
   private def probeImage(blob: Array[Byte]): Option[(Long, Long, String)] = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(blob))
+    // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+    // the factory defaults to a FileCacheImageInputStream, which creates
+    // and deletes a disk temp file PER ROW — syscall churn for payloads
+    // that are already byte arrays in memory
+    var iis: javax.imageio.stream.ImageInputStream = null
     try {
+      iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(blob))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) None
       else {

@@ -314,8 +314,12 @@ class RollupSubstitutionRule(private[plans] val session: SparkSession)
       // BIGINT)) IS the level's sum_c — derivable under the same
       // no-NULL-values assertion (an all-NULL bucket sums to NULL on raw
       // but was folded to 0 in the level)
-      case Sum(e, _) if entry.valueNotNull && isQuantizedValue(e) =>
-        Some(AggregateExpression(Sum(lvlAttr("sum_c")), Complete, isDistinct = false))
+      // eval mode preserved: try_sum must stay try_sum after the
+      // rewrite, or an int64 overflow would wrap/throw instead of
+      // returning NULL — a silent answer change only when the rule fires
+      case Sum(e, mode) if entry.valueNotNull && isQuantizedValue(e) =>
+        Some(AggregateExpression(Sum(lvlAttr("sum_c"), mode), Complete,
+          isDistinct = false))
       // avg(value) = (Σ sum_c / 100) / Σ cnt — requires BOTH install
       // assertions: no NULL values AND cent-quantized values (sum_c is
       // Σ round(v·100), so off the 0.01 grid this mean is the mean of
@@ -356,12 +360,15 @@ class RollupSubstitutionRule(private[plans] val session: SparkSession)
         Some(AggregateExpression(Min(lvlAttr("min_v")), Complete, isDistinct = false))
       case Max(v: Attribute) if childAttr("max_v").exists(_.exprId == v.exprId) =>
         Some(AggregateExpression(Max(lvlAttr("max_v")), Complete, isDistinct = false))
-      case Sum(v: Attribute, _) =>
+      case Sum(v: Attribute, mode) =>
         // safe lookup: install() only mandates the 6 base columns, so a
-        // rung without integral/active columns declines instead of NPEs
+        // rung without integral/active columns declines instead of NPEs.
+        // Eval mode preserved: a try_sum keeps its NULL-on-overflow
+        // semantics on the rewritten plan
         mergeable.find(n => childAttr(n).exists(_.exprId == v.exprId))
           .flatMap(n => levelPlan.output.find(_.name == n))
-          .map(a => AggregateExpression(Sum(a), Complete, isDistinct = false))
+          .map(a => AggregateExpression(Sum(a, mode), Complete,
+            isDistinct = false))
       // count(*) over a level counts FINE BUCKETS, which a coarser rung
       // does not record — decline (likewise avg, count(col), etc.)
       case _ => None

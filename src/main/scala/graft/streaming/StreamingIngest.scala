@@ -241,6 +241,11 @@ object StreamingIngest {
             "seeding) instead, or raise -Dgraft.legacySeed.maxKeys")
         seed.collect().toMap
       } else Map.empty)
+    // refuse BEFORE starting: if the store already has a live writer,
+    // throwing after .start() would leak a second, already-running query
+    // whose handle the caller never receives — two writers interleaving
+    // batch directories, the exact corruption the lock exists to prevent
+    store.assertNotBusy(spark)
     val q = gated.toDF()
       .observe("ingest_out",
         sum(when(!col("anchor"), 1L).otherwise(0L)).as("n_kept"))
@@ -257,8 +262,15 @@ object StreamingIngest {
       .start()
     // record this run as the store's live writer so a concurrent
     // compact() refuses instead of destroying in-flight batch dirs; a
-    // stale lock (terminated runId) is cleared by the next compact
-    store.acquireIngestLock(spark, q.runId.toString)
+    // stale lock (terminated runId) is cleared by the next compact. The
+    // registry is JVM-global because StreamingQueryManager is
+    // per-session — a liveness probe from another session must still
+    // see this query. If a second writer won the pre-start race,
+    // acquire throws — stop our query before propagating so nothing
+    // keeps running without a handle
+    HtaStore.registerRun(q)
+    try store.acquireIngestLock(spark, q.runId.toString)
+    catch { case e: Throwable => q.stop(); throw e }
     // scope the stats collector to THIS query run — listeners are
     // session-global and would otherwise interleave other queries' rows
     stats.foreach(_.bind(q.runId))
@@ -273,6 +285,36 @@ object HtaStore {
     * directory-level pruning.
     */
   val DayNs: Long = 86400000000000L
+
+  /** JVM-global writer registry: `StreamingQueryManager` is scoped to
+    * ONE SparkSession, so probing `spark.streams.active` alone would
+    * miss a live writer started from a sibling session (`newSession()`
+    * or a separately built one) and let compact destroy its in-flight
+    * batches. Weak references: a terminated query's handle must not be
+    * pinned forever — the manager holds active queries strongly, so a
+    * collected referent can only be a dead (or unreachable) query.
+    */
+  private val liveRuns = scala.collection.concurrent.TrieMap
+    .empty[String, java.lang.ref.WeakReference[
+      org.apache.spark.sql.streaming.StreamingQuery]]
+
+  private[streaming] def registerRun(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    // opportunistic sweep keeps the map at O(live queries)
+    liveRuns.filterInPlace((_, ref) =>
+      Option(ref.get).exists(_.isActive))
+    liveRuns.put(q.runId.toString, new java.lang.ref.WeakReference(q))
+  }
+
+  private[streaming] def runIsActive(spark: SparkSession,
+                                     runId: String): Boolean =
+    liveRuns.get(runId).flatMap(r => Option(r.get)) match {
+      case Some(q) => q.isActive
+      // not registered (store written by pre-registry code) or referent
+      // collected: fall back to the calling session's manager
+      case None => spark.streams.active.exists(_.runId.toString == runId)
+    }
+
 }
 
 /** Thrown by [[HtaStore.compact]] when a live ingest query holds the
@@ -332,10 +374,6 @@ class HtaStore(val root: String, val intervalMin: Long) {
   // it can never regress, so later writeBatch calls skip the listings
   @volatile private var layoutV2Confirmed = false
 
-  // crash-pending memo: cleared by compact() on entry (it creates the
-  // backup dirs transiently), re-confirmed lazily by the next store use
-  @volatile private var compactBakChecked = false
-
   /** Refuse reads and writes while a crashed compact's backup
     * directories exist. Without this, a streaming restart's writeBatch
     * would see no `raw/` (renamed to `raw_old`, crash before the swap
@@ -343,20 +381,22 @@ class HtaStore(val root: String, val intervalMin: Long) {
     * then delete `raw_old` as a "stale duplicate" — silently destroying
     * the only copy of all previously folded history. `compact()` itself
     * recovers the half-finished swap on entry, so the remedy is simply
-    * to run it once.
+    * to run it once. Deliberately NOT memoized: a compact can crash in
+    * a different instance — or a different JVM entirely — after this
+    * one last looked, so any cached "clean" verdict is unsound. The
+    * price is two filesystem `exists` probes per store use (per
+    * micro-batch on the write path), noise next to the parquet I/O they
+    * guard.
     */
   private def pendingCompactCheck(spark: SparkSession): Unit = {
-    if (!compactBakChecked) {
-      val stale = Seq(s"$root/raw_old", s"$root/partials_old").filter { p =>
-        val (hfs, hp) = fs(spark, p); hfs.exists(hp)
-      }
-      if (stale.nonEmpty) throw new java.io.IOException(
-        s"compact crash pending (${stale.mkString(", ")} exists): run " +
-          "compact() on this store to recover before reading or writing — " +
-          "a write now would recreate the primary directory and make the " +
-          "backup holding your data look like a stale duplicate")
-      compactBakChecked = true
+    val stale = Seq(s"$root/raw_old", s"$root/partials_old").filter { p =>
+      val (hfs, hp) = fs(spark, p); hfs.exists(hp)
     }
+    if (stale.nonEmpty) throw new java.io.IOException(
+      s"compact crash pending (${stale.mkString(", ")} exists): run " +
+        "compact() on this store to recover before reading or writing — " +
+        "a write now would recreate the primary directory and make the " +
+        "backup holding your data look like a stale duplicate")
   }
 
   private def ingestLock = new org.apache.hadoop.fs.Path(s"$root/ingest.lock")
@@ -365,16 +405,18 @@ class HtaStore(val root: String, val intervalMin: Long) {
     * next to the data). [[compact]] refuses while the recorded query is
     * still active; a lock left behind by a crashed or cleanly-stopped
     * query is detected as stale (its runId is no longer active) and
-    * cleared. The liveness probe consults this JVM's
-    * `spark.streams.active` — exactly the scope in which a concurrent
-    * compact could run in local mode; multi-driver deployments need an
-    * external coordinator (the transactional-table-format story,
-    * SCALE.md §1).
+    * cleared. Liveness is probed through the JVM-global
+    * [[HtaStore.registerRun]] registry (per-session
+    * `spark.streams.active` alone would miss a writer started from a
+    * sibling session), falling back to the calling session's manager —
+    * the JVM is the scope in which a concurrent compact could run in
+    * local mode; multi-driver deployments need an external coordinator
+    * (the transactional-table-format story, SCALE.md §1).
     */
   def acquireIngestLock(spark: SparkSession, runId: String): Unit = {
     val (hfs, lp) = fs(spark, ingestLock.toString)
     lockedRunId(spark).foreach { held =>
-      if (held != runId && spark.streams.active.exists(_.runId.toString == held))
+      if (held != runId && HtaStore.runIsActive(spark, held))
         throw new StoreBusyException(
           s"store at $root already has live ingest query $held; two " +
             "writers on one store would interleave batch directories")
@@ -382,6 +424,20 @@ class HtaStore(val root: String, val intervalMin: Long) {
     val out = hfs.create(lp, true)
     try out.write(runId.getBytes("UTF-8")) finally out.close()
   }
+
+  /** The pre-start half of the ingest handshake: refuse while another
+    * live query holds the lock, WITHOUT acquiring — called before the
+    * new query exists, so a busy store fails before anything starts
+    * (throwing after `.start()` would leak a running, handle-less
+    * second writer).
+    */
+  def assertNotBusy(spark: SparkSession): Unit =
+    lockedRunId(spark).foreach { held =>
+      if (HtaStore.runIsActive(spark, held))
+        throw new StoreBusyException(
+          s"store at $root already has live ingest query $held; two " +
+            "writers on one store would interleave batch directories")
+    }
 
   private def lockedRunId(spark: SparkSession): Option[String] = {
     val (hfs, lp) = fs(spark, ingestLock.toString)
@@ -724,16 +780,16 @@ class HtaStore(val root: String, val intervalMin: Long) {
     // terminated (clean stop or crash) is stale — clear it and proceed,
     // the uncommitted-tail handling below covers the crashed case
     lockedRunId(spark).foreach { held =>
-      if (spark.streams.active.exists(_.runId.toString == held))
+      if (HtaStore.runIsActive(spark, held))
         throw new StoreBusyException(
           s"compact refused: ingest query $held is live on the store at " +
             s"$root; stop it before compacting")
       val (hfs, lp) = fs(spark, ingestLock.toString)
       hfs.delete(lp, false)
     }
-    // compact transiently creates the backup dirs the crash guard
-    // watches; re-arm it so a crash below is caught by the next use
-    compactBakChecked = false
+    // (the crash guard, pendingCompactCheck, is unmemoized — the backup
+    // dirs this compact transiently creates are re-probed on every
+    // store use, so a crash below is caught by the next use anywhere)
     val uncommittedTail: org.apache.spark.sql.Column = activeCheckpoint match {
       case Some(ckpt) =>
         val (tag, committedMax) = StreamingIngest.checkpointIdentity(spark, ckpt)

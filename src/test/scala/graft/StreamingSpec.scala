@@ -561,6 +561,16 @@ class StreamingSpec extends AnyFunSuite {
     val e = intercept[graft.streaming.StoreBusyException](
       store.compact(spark, None))
     assert(e.getMessage.contains("live"))
+    // a second writer on the SAME store must refuse BEFORE starting —
+    // and must not leave a second, handle-less query running (the
+    // pre-fix failure mode: throw after .start(), query leaked)
+    val activeBefore = spark.streams.active.map(_.runId).toSet
+    val ms2 = MemoryStream[Point](spark)
+    val e2 = intercept[graft.streaming.StoreBusyException](
+      StreamingIngest.start(spark, ms2.toDS(), store, mkTmp("ck-lock2")))
+    assert(e2.getMessage.contains("live ingest query"))
+    assert(spark.streams.active.map(_.runId).toSet == activeBefore,
+      "refused second writer must not leak a running query")
     q.stop()
     // terminated run ⇒ the lock is stale: compact clears it and proceeds
     store.compact(spark, None)
