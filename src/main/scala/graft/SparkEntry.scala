@@ -740,6 +740,34 @@ object SparkEntry {
       TextAnalysis.tokenBudgetSample(Tables.read(s, dir, "documents"),
         budget = 2000L, bucketDocs = 64L)
         .orderBy("doc_id")),
+    // X4 PII redaction: emails / phones / IPv4 scrubbed to typed
+    // placeholders with per-class counts. The fixture text is
+    // digit-free word soup, so BOTH sides synthesize the same dirty
+    // text deterministically from doc fields — the hash match then
+    // proves Java regex and RE2 agree on spans, counts, and global
+    // replacement over real PII shapes
+    "x68_pii_redact" -> ((s, dir) =>
+      TextAnalysis.piiRedact(
+        Tables.read(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or call +1-555-"),
+            lpad(col("doc_id").cast("string"), 4, "0"),
+            lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), (col("n_chars") % 256).cast("string")).as("text")))
+        .orderBy("doc_id")),
+    // X1/X2 paragraph-level exact dedup (the C4/Dolma line-dedup
+    // shape): fixed 10-token chunks, global first-occurrence keep,
+    // in-order document reassembly. A shared 10-token header prepended
+    // on both sides makes chunk 0 a genuine corpus-wide duplicate, so
+    // the dedup demonstrably fires on the synthetic fixture
+    "x69_paragraph_dedup" -> ((s, dir) =>
+      TextAnalysis.paragraphDedup(
+        Tables.read(s, dir, "documents").select(col("doc_id"),
+          concat(
+            lit("spark dedup header alpha beta gamma delta epsilon zeta eta "),
+            col("text")).as("text")))
+        .orderBy("doc_id")),
     // S2/O1 storage layout end-to-end: batch-written day-partitioned
     // store, range-read through rawRange's day partition pruning — the
     // oracle is the sanitized point set filtered by time, so a hash
@@ -1003,6 +1031,8 @@ object SparkEntry {
     "x60_boilerplate_strip" -> OracleSqlExt.boilerplateStripSql(5),
     "x61_vocab_topk" -> OracleSqlExt.vocabTopkSql(100),
     "x64_token_budget" -> OracleSqlExt.tokenBudgetSql(2000L),
+    "x68_pii_redact" -> OracleSqlExt.piiRedactSql,
+    "x69_paragraph_dedup" -> OracleSqlExt.paragraphDedupSql,
     // same oracle as x46 on purpose: the Bloom pre-filter must be
     // result-invisible (no false negatives + exact verification join)
     "x62_bloom_decontaminate" -> OracleSqlExt.decontaminateSql,

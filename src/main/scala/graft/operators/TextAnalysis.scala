@@ -302,4 +302,76 @@ object TextAnalysis {
       .filter(col("cum") - col("n_tokens") < budget)
       .select("doc_id", "lang", "n_tokens", "cum")
   }
+
+  /** PII patterns, RE2-compatible on purpose (no backreferences or
+    * lookaround): the redaction an auditor replays with a different
+    * regex engine — or the DuckDB oracle — must find exactly the same
+    * spans. Conservative shapes (strict emails, +CC-NNN-N… phones,
+    * dotted-quad IPs) beat clever ones here: a false redaction
+    * destroys training text silently.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII redaction — scrub emails, phone numbers, and IPv4 addresses
+    * from `text`, each replaced by a typed placeholder, with per-class
+    * hit counts (counted on the ORIGINAL text; pipelines route a
+    * source to quarantine on its PII density, so the counts must not
+    * depend on replacement order). Pure per-row codegen'd regexp
+    * expressions — zero shuffle at any corpus size. The placeholders
+    * are digit-free, so the three chained replacements cannot create
+    * or destroy one another's matches.
+    */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    docs.select(col("doc_id"),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(t, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, lit(EmailRe), lit("<EMAIL>")),
+          lit(PhoneRe), lit("<PHONE>")),
+        lit(Ipv4Re), lit("<IP>")).as("clean_text"))
+  }
+
+  /** Paragraph-level exact dedup with document reassembly — the
+    * C4/Dolma line-dedup shape. Documents split into fixed `k`-token
+    * chunks (the fixture corpus has no newlines, so token windows
+    * stand in for paragraphs; a real corpus would split on '\n'), only
+    * each chunk's FIRST occurrence in global (doc_id, chunk_idx) order
+    * survives, and documents are reassembled from their kept chunks in
+    * position order (a fully-deduplicated document stays as an empty
+    * row — dropping it is a later gate's decision).
+    *
+    * Scale shape: one exchange hash-partitioned on the chunk string
+    * for the first-occurrence window (at 100 TB, window on a 128-bit
+    * chunk digest instead and keep the string out of the shuffle), one
+    * partially-aggregated reassembly by doc_id. Never all-pairs; a
+    * chunk duplicated a million times costs one partition's window
+    * over a million SMALL rows, not a join blowup.
+    */
+  def paragraphDedup(docs: DataFrame, k: Int = 10): DataFrame = {
+    require(k > 0, s"chunk size must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val chunks = docs.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, cast(ceil(size(split(text, ' ')) / $k.0) as int) - 1), " +
+        s"i -> array_join(slice(split(text, ' '), i * $k + 1, $k), ' '))"))
+      .as(Seq("chunk_idx", "chunk")))
+    val kept = chunks.withColumn("rn", row_number().over(
+        Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")))
+      .filter(col("rn") === 1)
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      sort_array(collect_list(struct(col("chunk_idx"), col("chunk")))).as("arr"))
+      .select(col("doc_id"), col("n_kept"),
+        expr("array_join(transform(arr, x -> x.chunk), ' ')").as("dedup_text"))
+    docs.select(col("doc_id"),
+        expr(s"cast(ceil(size(split(text, ' ')) / $k.0) as long)").as("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
 }

@@ -550,4 +550,68 @@ object OracleSqlExt {
          |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
          |       coalesce(r.clean_text, '') AS clean_text
          |FROM documents d LEFT JOIN reb r USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Mirrors `TextAnalysis.piiRedact` over the SAME synthesized dirty
+    * text (the fixture corpus is digit-free, so both sides append an
+    * email, a phone, and an IP derived deterministically from doc
+    * fields). A hash match therefore proves Java regex and RE2 agree
+    * on the match spans, the counts, and the global replacement —
+    * DuckDB's regexp_replace needs the explicit 'g' flag; Spark
+    * replaces globally by default.
+    */
+  def piiRedactSql: String = {
+    import graft.operators.TextAnalysis.{EmailRe, Ipv4Re, PhoneRe}
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |         '@example.com or call +1-555-' ||
+       |         lpad(CAST(doc_id AS VARCHAR), 4, '0') ||
+       |         ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+       |         CAST(n_chars % 256 AS VARCHAR) AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |       CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ips,
+       |       regexp_replace(regexp_replace(regexp_replace(text,
+       |         '$EmailRe', '<EMAIL>', 'g'),
+       |         '$PhoneRe', '<PHONE>', 'g'),
+       |         '$Ipv4Re', '<IP>', 'g') AS clean_text
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
+  /** Mirrors `TextAnalysis.paragraphDedup(k=10)` over text with a
+    * shared 10-token header prepended on BOTH sides — the header makes
+    * chunk 0 identical across every document, so the dedup genuinely
+    * fires (the synthetic corpus has no natural duplicate windows) and
+    * the oracle proves first-occurrence selection, within-doc ordering
+    * of the rebuild, and the empty-document convention.
+    */
+  def paragraphDedupSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         'spark dedup header alpha beta gamma delta epsilon zeta eta ' ||
+      |           text AS text
+      |  FROM documents),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM d),
+      |cl AS (SELECT doc_id,
+      |         list_transform(range(CAST(ceil(len(ts) / 10.0) AS BIGINT)),
+      |           i -> array_to_string(list_slice(ts, i * 10 + 1, i * 10 + 10), ' '))
+      |           AS chunks
+      |       FROM toks),
+      |chunks AS (SELECT doc_id, unnest(chunks) AS chunk,
+      |                  CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS chunk_idx
+      |           FROM cl),
+      |kept AS (SELECT doc_id, chunk_idx, chunk FROM (
+      |           SELECT doc_id, chunk_idx, chunk,
+      |                  row_number() OVER (PARTITION BY chunk
+      |                                     ORDER BY doc_id, chunk_idx) AS rn
+      |           FROM chunks) WHERE rn = 1),
+      |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |               string_agg(chunk, ' ' ORDER BY chunk_idx) AS dedup_text
+      |        FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(ceil(len(t.ts) / 10.0) AS BIGINT) AS n_chunks,
+      |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+      |       coalesce(r.dedup_text, '') AS dedup_text
+      |FROM toks t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id""".stripMargin
 }

@@ -298,6 +298,45 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("piiRedact scrubs emails, phones, IPs with exact counts") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now and alice@ex.io too"),
+      (2L, "call +49-555-12345 or +1-555-0042 from 192.168.0.1 ok"),
+      (3L, "edge 999.1.2.3 still matches but 1.2.3 does not; x@y.z no"),
+      (4L, "clean text with nothing to hide")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiRedact(rows)
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 0L, 0L,
+      "mail <EMAIL> now and <EMAIL> too")))
+    assert(got(2L) == ((2L, 0L, 2L, 1L,
+      "call <PHONE> or <PHONE> from <IP> ok")))
+    // dotted-quad needs all four octets; x@y.z fails the {2,} TLD rule
+    assert(got(3L) == ((3L, 0L, 0L, 1L,
+      "edge <IP> still matches but 1.2.3 does not; x@y.z no")))
+    assert(got(4L) == ((4L, 0L, 0L, 0L, "clean text with nothing to hide")))
+  }
+
+  test("paragraphDedup keeps first occurrences and reassembles in order") {
+    import spark.implicits._
+    // k=3 chunks: doc 1 = [a b c][d e f], doc 2 repeats doc 1's first
+    // chunk at idx 0 and has its own tail; doc 3 = doc 1 entirely; doc 4
+    // duplicates a chunk WITHIN itself
+    val rows = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "a b c d e f"),
+      (4L, "p q r p q r p q")).toDF("doc_id", "text")
+    val got = TextAnalysis.paragraphDedup(rows, k = 3)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 2L, "a b c d e f")))
+    assert(got(2L) == ((2L, 2L, 1L, "x y z")))
+    assert(got(3L) == ((3L, 2L, 0L, ""))) // fully deduplicated, row kept
+    // within-doc dup: second "p q r" dropped, ragged tail "p q" is its
+    // own chunk and survives
+    assert(got(4L) == ((4L, 3L, 2L, "p q r p q")))
+  }
+
   test("multimodal feature extraction: md5 + byte length round-trip") {
     import spark.implicits._
     val feats = Multimodal.extractFeatures(spark, Multimodal.asMediaTable(docs))
