@@ -120,6 +120,33 @@ class PlanAuditSpec extends AnyFunSuite {
         s"not raw docs:\n${qe.sparkPlan}")
   }
 
+  test("x68 PII redaction is a pure per-row projection: zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    // orderBy aside (driver-gate determinism), redaction itself must
+    // never shuffle — drop the sort and audit the scrub plan
+    val qe = SparkEntry.queries("x68_pii_redact")(spark, sf)
+      .queryExecution.sparkPlan
+    val scrub = qe.collectFirst {
+      case s: org.apache.spark.sql.execution.SortExec => s.child
+    }.getOrElse(qe)
+    assert(scrub.collect { case e: Exchange => e }.isEmpty,
+      s"PII scrub should be shuffle-free:\n$qe")
+  }
+
+  test("x69 paragraph dedup windows by chunk, never all-pairs") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val qe = SparkEntry.queries("x69_paragraph_dedup")(spark, sf).queryExecution
+    val p = qe.sparkPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"paragraph dedup plans a nested loop:\n$p")
+    // first-occurrence selection is ONE window partitioned by the chunk
+    // key — a duplicate chunk costs one partition's small rows, not a
+    // join blowup
+    val windows = qe.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.exists(
+      _.references.exists(_.name == "chunk"))), s"expected chunk-keyed window:\n$p")
+  }
+
   test("whole-stage codegen covers the rollup pipeline") {
     // audit the real rollup computation, not the memoized store view —
     // and execute THIS DataFrame so AQE finalizes its plan
