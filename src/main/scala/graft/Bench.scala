@@ -39,7 +39,11 @@ object Bench {
     // release (SparkEntry.releaseNewlyPersisted doc) would otherwise
     // evict them after query one, leaving every later query recomputing
     // the whole ingest pipeline
-    try SparkEntry.prepare(spark, warmDir) catch { case _: Throwable => () }
+    // a swallowed partial prepare would silently reintroduce the
+    // eviction-recompute bug and inflate every number — log it loudly
+    try SparkEntry.prepare(spark, warmDir) catch { case e: Throwable =>
+      System.err.println(s"[bench] prepare($warmDir) failed: ${e.getMessage}")
+    }
     names.foreach { name =>
       val before = spark.sparkContext.getPersistentRDDs.keySet
       try SparkEntry.queries(name)(spark, warmDir).count()
@@ -50,7 +54,9 @@ object Bench {
     // loop — they are what ingest would have written ahead of time, and
     // without this whichever query happens to run first is charged the
     // whole one-time construction cost
-    try SparkEntry.prepare(spark, sfDir) catch { case _: Throwable => () }
+    try SparkEntry.prepare(spark, sfDir) catch { case e: Throwable =>
+      System.err.println(s"[bench] prepare($sfDir) failed: ${e.getMessage}")
+    }
     // min over timed runs per query, taken as full INTERLEAVED passes
     // (run every query once, then all again) rather than back-to-back:
     // the host occasionally steals CPU from this VM for tens of

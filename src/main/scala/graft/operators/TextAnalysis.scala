@@ -320,8 +320,12 @@ object TextAnalysis {
     * source to quarantine on its PII density, so the counts must not
     * depend on replacement order). Pure per-row codegen'd regexp
     * expressions — zero shuffle at any corpus size. The placeholders
-    * are digit-free, so the three chained replacements cannot create
-    * or destroy one another's matches.
+    * are digit- and @-free, so a replacement never CREATES a later
+    * class's match; a span can still belong to two classes (an
+    * all-digit email local part is also a dotted quad), in which case
+    * the earlier replacement consumes it — counts reflect the original
+    * text, so `n_ips` may exceed the `<IP>` placeholders in
+    * `clean_text` on such overlaps. Precedence: email > phone > IP.
     */
   def piiRedact(docs: DataFrame): DataFrame = {
     val t = col("text")
@@ -355,9 +359,18 @@ object TextAnalysis {
   def paragraphDedup(docs: DataFrame, k: Int = 10): DataFrame = {
     require(k > 0, s"chunk size must be positive, got $k")
     import org.apache.spark.sql.expressions.Window
-    val chunks = docs.select(col("doc_id"), posexplode(expr(
-      s"transform(sequence(0, cast(ceil(size(split(text, ' ')) / $k.0) as int) - 1), " +
-        s"i -> array_join(slice(split(text, ' '), i * $k + 1, $k), ' '))"))
+    // tokenize ONCE into its own projection and slice the materialized
+    // array in the lambda — splitting inline would re-run the full
+    // regex split per chunk index (Catalyst does not hoist
+    // loop-invariant subexpressions out of higher-order-function
+    // lambdas), turning chunking quadratic in document length.
+    // CollapseProject keeps `ts` in its own Project because it is a
+    // non-cheap alias referenced more than once; PlanAuditSpec pins
+    // the single-split shape
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val chunks = toks.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, cast(ceil(size(ts) / $k.0) as int) - 1), " +
+        s"i -> array_join(slice(ts, i * $k + 1, $k), ' '))"))
       .as(Seq("chunk_idx", "chunk")))
     val kept = chunks.withColumn("rn", row_number().over(
         Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")))

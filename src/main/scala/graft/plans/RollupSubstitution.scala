@@ -296,7 +296,9 @@ class RollupSubstitutionRule(private[plans] val session: SparkSession)
         Some(AggregateExpression(Min(lvlAttr("min_v")), Complete, isDistinct = false))
       case Max(v: Attribute) if v.exprId == valueAttr.exprId =>
         Some(AggregateExpression(Max(lvlAttr("max_v")), Complete, isDistinct = false))
-      case Count(Seq(Literal(_, _))) =>
+      // count(<literal>) is count(*) only for NON-NULL literals —
+      // count(NULL) is 0 for every group and must decline
+      case Count(Seq(Literal(v, _))) if v != null =>
         Some(Coalesce(Seq(
           AggregateExpression(Sum(lvlAttr("cnt")), Complete, isDistinct = false),
           Literal(0L))))

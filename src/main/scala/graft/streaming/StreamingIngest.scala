@@ -179,6 +179,11 @@ object StreamingIngest {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     implicit val s: SparkSession = spark
     import spark.implicits._
+    // refuse a busy store FIRST — before checkpoint-identity side
+    // effects (graft-id / seed-v2 markers) land and before the legacy
+    // branch pays a driver-side seed collect; the probe is one file
+    // read plus a liveness check
+    store.assertNotBusy(spark)
     // idempotent registration: reusing one collector across restarts
     // (the pattern bind() supports) must not double-register it — a
     // second addListener would fire onQueryProgress twice per batch
@@ -241,11 +246,6 @@ object StreamingIngest {
             "seeding) instead, or raise -Dgraft.legacySeed.maxKeys")
         seed.collect().toMap
       } else Map.empty)
-    // refuse BEFORE starting: if the store already has a live writer,
-    // throwing after .start() would leak a second, already-running query
-    // whose handle the caller never receives — two writers interleaving
-    // batch directories, the exact corruption the lock exists to prevent
-    store.assertNotBusy(spark)
     val q = gated.toDF()
       .observe("ingest_out",
         sum(when(!col("anchor"), 1L).otherwise(0L)).as("n_kept"))
@@ -270,7 +270,12 @@ object StreamingIngest {
     // keeps running without a handle
     HtaStore.registerRun(q)
     try store.acquireIngestLock(spark, q.runId.toString)
-    catch { case e: Throwable => q.stop(); throw e }
+    catch { case e: Throwable =>
+      // best-effort stop: a failing stop() must neither replace the
+      // busy diagnosis nor be ignored silently
+      try q.stop() catch { case s: Throwable => e.addSuppressed(s) }
+      throw e
+    }
     // scope the stats collector to THIS query run — listeners are
     // session-global and would otherwise interleave other queries' rows
     stats.foreach(_.bind(q.runId))
@@ -314,6 +319,16 @@ object HtaStore {
       // collected: fall back to the calling session's manager
       case None => spark.streams.active.exists(_.runId.toString == runId)
     }
+
+  /** Per-root monitor for lock-file read-check-write sequences — see
+    * `busyCheck`. Roots are never removed: the map is O(distinct store
+    * roots this JVM has touched), and a monitor must stay identical
+    * for a root's whole lifetime to exclude anything.
+    */
+  private val rootMonitors =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private[streaming] def rootMonitor(root: String): Object =
+    rootMonitors.getOrElseUpdate(root, new Object)
 
 }
 
@@ -413,30 +428,42 @@ class HtaStore(val root: String, val intervalMin: Long) {
     * local mode; multi-driver deployments need an external coordinator
     * (the transactional-table-format story, SCALE.md §1).
     */
-  def acquireIngestLock(spark: SparkSession, runId: String): Unit = {
-    val (hfs, lp) = fs(spark, ingestLock.toString)
+  /** One busy probe, shared by every lock operation: throw if the lock
+    * file names a LIVE query other than `exempt`. Callers hold the
+    * per-root monitor, which makes each read-check-write sequence
+    * atomic within the JVM — without it, two concurrent `start()`s
+    * could both read an empty lock and both acquire, leaving two live
+    * writers (the JVM is the honest scope here: liveness itself is
+    * probed JVM-wide, and cross-JVM exclusion needs the external
+    * coordinator SCALE.md §1 names).
+    */
+  private def busyCheck(spark: SparkSession, exempt: Option[String]): Unit =
     lockedRunId(spark).foreach { held =>
-      if (held != runId && HtaStore.runIsActive(spark, held))
+      if (!exempt.contains(held) && HtaStore.runIsActive(spark, held))
         throw new StoreBusyException(
           s"store at $root already has live ingest query $held; two " +
             "writers on one store would interleave batch directories")
     }
-    val out = hfs.create(lp, true)
-    try out.write(runId.getBytes("UTF-8")) finally out.close()
-  }
+
+  def acquireIngestLock(spark: SparkSession, runId: String): Unit =
+    HtaStore.rootMonitor(root).synchronized {
+      busyCheck(spark, exempt = Some(runId))
+      val (hfs, lp) = fs(spark, ingestLock.toString)
+      val out = hfs.create(lp, true)
+      try out.write(runId.getBytes("UTF-8")) finally out.close()
+    }
 
   /** The pre-start half of the ingest handshake: refuse while another
     * live query holds the lock, WITHOUT acquiring — called before the
     * new query exists, so a busy store fails before anything starts
     * (throwing after `.start()` would leak a running, handle-less
-    * second writer).
+    * second writer). If two starts race past this, the loser's
+    * [[acquireIngestLock]] sees the winner's live lock and throws, and
+    * the caller stops its query.
     */
   def assertNotBusy(spark: SparkSession): Unit =
-    lockedRunId(spark).foreach { held =>
-      if (HtaStore.runIsActive(spark, held))
-        throw new StoreBusyException(
-          s"store at $root already has live ingest query $held; two " +
-            "writers on one store would interleave batch directories")
+    HtaStore.rootMonitor(root).synchronized {
+      busyCheck(spark, exempt = None)
     }
 
   private def lockedRunId(spark: SparkSession): Option[String] = {
@@ -779,13 +806,15 @@ class HtaStore(val root: String, val intervalMin: Long) {
     // refuse while the lock's query is live; a lock whose query has
     // terminated (clean stop or crash) is stale — clear it and proceed,
     // the uncommitted-tail handling below covers the crashed case
-    lockedRunId(spark).foreach { held =>
-      if (HtaStore.runIsActive(spark, held))
-        throw new StoreBusyException(
-          s"compact refused: ingest query $held is live on the store at " +
-            s"$root; stop it before compacting")
-      val (hfs, lp) = fs(spark, ingestLock.toString)
-      hfs.delete(lp, false)
+    HtaStore.rootMonitor(root).synchronized {
+      lockedRunId(spark).foreach { held =>
+        if (HtaStore.runIsActive(spark, held))
+          throw new StoreBusyException(
+            s"compact refused: ingest query $held is live on the store at " +
+              s"$root; stop it before compacting")
+        val (hfs, lp) = fs(spark, ingestLock.toString)
+        hfs.delete(lp, false)
+      }
     }
     // (the crash guard, pendingCompactCheck, is unmemoized — the backup
     // dirs this compact transiently creates are re-probed on every

@@ -145,6 +145,14 @@ class PlanAuditSpec extends AnyFunSuite {
     val windows = qe.sparkPlan.collect { case w: WindowExec => w }
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.exists(
       _.references.exists(_.name == "chunk"))), s"expected chunk-keyed window:\n$p")
+    // tokenization must happen once per row per branch: if the optimizer
+    // inlined the ts alias into the chunk lambda, the full regex split
+    // would re-run per chunk index (quadratic in document length) and
+    // the plan would show extra split sites inside lambdafunction(...)
+    val opt = qe.optimizedPlan.toString
+    val splits = "split\\(text".r.findAllMatchIn(opt).length
+    assert(splits <= 2,
+      s"expected <= 2 split sites (chunk branch + n_chunks branch), got $splits:\n$opt")
   }
 
   test("whole-stage codegen covers the rollup pipeline") {
