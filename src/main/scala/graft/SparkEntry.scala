@@ -756,6 +756,12 @@ object SparkEntry {
             lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
             lit("."), (col("n_chars") % 256).cast("string")).as("text")))
         .orderBy("doc_id")),
+    // X4 corpus-frequency quality score — the LM-perplexity proxy:
+    // exact global token df, joined back per token, one division per
+    // doc (int64-exact components, order-independent output)
+    "x70_corpus_freq_score" -> ((s, dir) =>
+      TextAnalysis.corpusFreqScore(Tables.read(s, dir, "documents"))
+        .orderBy("doc_id")),
     // X1/X2 paragraph-level exact dedup (the C4/Dolma line-dedup
     // shape): fixed 10-token chunks, global first-occurrence keep,
     // in-order document reassembly. A shared 10-token header prepended
@@ -1033,6 +1039,7 @@ object SparkEntry {
     "x64_token_budget" -> OracleSqlExt.tokenBudgetSql(2000L),
     "x68_pii_redact" -> OracleSqlExt.piiRedactSql,
     "x69_paragraph_dedup" -> OracleSqlExt.paragraphDedupSql,
+    "x70_corpus_freq_score" -> OracleSqlExt.corpusFreqScoreSql,
     // same oracle as x46 on purpose: the Bloom pre-filter must be
     // result-invisible (no false negatives + exact verification join)
     "x62_bloom_decontaminate" -> OracleSqlExt.decontaminateSql,

@@ -340,6 +340,32 @@ object TextAnalysis {
         lit(Ipv4Re), lit("<IP>")).as("clean_text"))
   }
 
+  /** Corpus-frequency document score — the cheap proxy for the
+    * LM-perplexity quality filters (CCNet-style): a document whose
+    * tokens are corpus-rare scores low, one whose tokens are common
+    * scores high. `df(tok)` = exact count of documents containing the
+    * token; `mean_df` = Σ df(tok) / n_tokens with ONE double division
+    * per document (components stay int64-exact, so the output is
+    * order-independent).
+    *
+    * Scale shape: one token-level exchange builds the df table (exact
+    * distinct via the (tok, doc_id) dedup, partially aggregated), one
+    * equi-join tokens↔df (broadcast when the vocabulary is small,
+    * sort-merge when it is not — Spark's choice, both correct), one
+    * per-doc aggregation. No collect, no cross product.
+    */
+  def corpusFreqScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val df = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    toks.join(df, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("df").as("df_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("df_sum"),
+        (col("df_sum").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_df"))
+  }
+
   /** Paragraph-level exact dedup with document reassembly — the
     * C4/Dolma line-dedup shape. Documents split into fixed `k`-token
     * chunks (the fixture corpus has no newlines, so token windows

@@ -580,6 +580,28 @@ object OracleSqlExt {
        |FROM d ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirrors `TextAnalysis.corpusFreqScore`: exact per-token document
+    * frequency, per-doc Σ df and token count (both BIGINT — DuckDB's
+    * window-free sum still widens to HUGEINT, hence the casts), and
+    * the one double division in the same order as the Spark side.
+    */
+  def corpusFreqScoreSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), df AS (
+      |  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM toks GROUP BY tok
+      |), j AS (
+      |  SELECT t.doc_id, df.df FROM toks t JOIN df USING (tok)
+      |), agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |         CAST(sum(df) AS BIGINT) AS df_sum
+      |  FROM j GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_tokens, df_sum,
+      |       CAST(df_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_df
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   /** Mirrors `TextAnalysis.paragraphDedup(k=10)` over text with a
     * shared 10-token header prepended on BOTH sides — the header makes
     * chunk 0 identical across every document, so the dedup genuinely

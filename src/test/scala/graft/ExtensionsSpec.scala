@@ -317,6 +317,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got(4L) == ((4L, 0L, 0L, 0L, "clean text with nothing to hide")))
   }
 
+  test("corpusFreqScore: exact df join-back, hand-computed") {
+    import spark.implicits._
+    // df: a=3 docs, b=2, c=1, d=1 (df counts DOCS, not occurrences —
+    // doc 1's repeated "a" adds once)
+    val rows = Seq(
+      (1L, "a a b"),
+      (2L, "a b c"),
+      (3L, "a d")).toDF("doc_id", "text")
+    val got = TextAnalysis.corpusFreqScore(rows)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 8L, 8.0 / 3.0), // a+a+b = 3+3+2
+      (2L, 3L, 6L, 2.0),       // 3+2+1
+      (3L, 2L, 4L, 2.0)))      // 3+1
+  }
+
   test("paragraphDedup keeps first occurrences and reassembles in order") {
     import spark.implicits._
     // k=3 chunks: doc 1 = [a b c][d e f], doc 2 repeats doc 1's first
