@@ -317,6 +317,59 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got(4L) == ((4L, 0L, 0L, 0L, "clean text with nothing to hide")))
   }
 
+  test("piiRedact is idempotent and count-stable on the fixture corpus") {
+    import spark.implicits._
+    // placeholders are digit- and @-free, so a second pass must find
+    // nothing: redact ∘ redact = redact, and counts on redacted text
+    // are all zero — the property that makes re-running a pipeline
+    // stage safe
+    val dirty = docs.select(col("doc_id"),
+      concat(col("text"), lit(" a"), col("doc_id").cast("string"),
+        lit("@b.io via 10.1."), (col("doc_id") % 200).cast("string"),
+        lit(".9 or +1-555-1234")).as("text"))
+    val once = TextAnalysis.piiRedact(dirty)
+    val twice = TextAnalysis.piiRedact(
+      once.select(col("doc_id"), col("clean_text").as("text")))
+    val t = twice.select("doc_id", "n_emails", "n_phones", "n_ips", "clean_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(t.nonEmpty && t.forall(r => r._2 == 0 && r._3 == 0 && r._4 == 0))
+    val onceTexts = once.select("doc_id", "clean_text")
+      .as[(Long, String)].collect().toMap
+    assert(t.forall(r => r._5 == onceTexts(r._1)))
+  }
+
+  test("paragraphDedup invariants: distinct chunks conserved, order kept") {
+    import spark.implicits._
+    val withHeader = docs.select(col("doc_id"),
+      concat(lit("h1 h2 h3 h4 h5 h6 h7 h8 h9 h10 "), col("text")).as("text"))
+    val out = TextAnalysis.paragraphDedup(withHeader, k = 10)
+      .as[(Long, Long, Long, String)].collect()
+    // conservation: total kept chunks across the corpus == number of
+    // DISTINCT chunks (each survives exactly once, none invented)
+    val allChunks = withHeader.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().flatMap { case (_, t) =>
+        t.split(" ", -1).grouped(10).map(_.mkString(" ")) }
+    assert(out.map(_._3).sum == allChunks.distinct.length.toLong)
+    // the shared header is kept exactly once, in the min-doc_id row
+    val headerKeepers = out.filter(_._4.startsWith("h1 h2 h3 h4 h5"))
+    assert(headerKeepers.map(_._1).toSeq == Seq(out.map(_._1).min))
+    // per doc: kept text is a subsequence of the doc's own chunk list
+    // (order preserved, nothing reordered)
+    val chunksOf = withHeader.as[(Long, String)].collect().toMap
+    out.filter(_._4.nonEmpty).foreach { case (id, _, _, dedup) =>
+      val mine = chunksOf(id).split(" ", -1).grouped(10).map(_.mkString(" ")).toSeq
+      val keptSeq = scala.collection.mutable.ArrayBuffer.empty[String]
+      var rest = dedup
+      // kept chunks are 10-token strings joined by ' '; recover them by
+      // matching against the doc's own chunk sequence in order
+      mine.foreach { c =>
+        if (rest == c) { keptSeq += c; rest = "" }
+        else if (rest.startsWith(c + " ")) { keptSeq += c; rest = rest.drop(c.length + 1) }
+      }
+      assert(rest.isEmpty, s"doc $id kept text is not an in-order chunk subsequence")
+    }
+  }
+
   test("corpusFreqScore: exact df join-back, hand-computed") {
     import spark.implicits._
     // df: a=3 docs, b=2, c=1, d=1 (df counts DOCS, not occurrences —
