@@ -641,6 +641,18 @@ object SparkEntry {
     "x36_embedding_neardup" -> ((s, dir) =>
       Similarity.cosineNearDups(Tables.read(s, dir, "embeddings"), 0.4)
         .orderBy("vec_a", "vec_b")),
+    // X2 semantic dedup (SemDeDup): within-cell greedy lowest-id-wins
+    // keep/remove over the same cell-blocked cosine pairs
+    "x73_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables.read(s, dir, "embeddings"), 0.35)
+        .orderBy("vec_id")),
+    // X2/X4 embedding-space decontamination: corpus vectors semantically
+    // too close (cos ≥ 0.3) to the held-out set vec_id ≡ 0 mod 20 —
+    // the semantic complement of x46's n-gram overlap rule
+    "x75_embed_decontaminate" -> ((s, dir) =>
+      Similarity.embedDecontaminate(Tables.read(s, dir, "embeddings"),
+        col("vec_id") % 20 === 0, 0.3)
+        .orderBy("vec_id")),
     // F4: extended-scope range — the slice plus the point entering it
     "q37_range_extended" -> ((s, dir) =>
       HtaService.rangeExtended(sanitized(s, dir), Q.Start, Q.End)),
@@ -762,6 +774,17 @@ object SparkEntry {
     "x70_corpus_freq_score" -> ((s, dir) =>
       TextAnalysis.corpusFreqScore(Tables.read(s, dir, "documents"))
         .orderBy("doc_id")),
+    // X4 data selection: DSIR-style hashed-unigram importance weights
+    // against the lang='en' target domain — exact bucket counts, one
+    // double division per doc
+    "x74_importance_weights" -> ((s, dir) =>
+      TextAnalysis.importanceWeights(Tables.read(s, dir, "documents"), "en")
+        .orderBy("doc_id")),
+    // X4 RAG prep: sliding-window chunking (12-token windows every 8)
+    // with exact tail-chunk sizes and per-chunk md5 fingerprints
+    "x76_chunk_windows" -> ((s, dir) =>
+      TextAnalysis.chunkWindows(Tables.read(s, dir, "documents"))
+        .orderBy("doc_id", "chunk_idx")),
     // X1/X2 paragraph-level exact dedup (the C4/Dolma line-dedup
     // shape): fixed 10-token chunks, global first-occurrence keep,
     // in-order document reassembly. A shared 10-token header prepended
@@ -935,6 +958,16 @@ object SparkEntry {
     "q44_downsample_ohlc" -> ((s, dir) =>
       graft.operators.TimeSeriesOps.downsampleOhlc(sanitized(s, dir),
         21600000000000L).orderBy("metric", "bucket_start")),
+    // TSDB analytics: reset-aware counter rate (the Prometheus rate()
+    // contract — negative delta ⇒ counter restarted, increase = value)
+    "q72_counter_rate" -> ((s, dir) =>
+      graft.operators.TimeSeriesOps.counterRate(sanitized(s, dir))
+        .orderBy("metric", "time")),
+    // TSDB analytics: robust per-metric outlier summary — exact
+    // median/MAD over the centivalue domain, count beyond 3·MAD
+    "q71_outlier_mad" -> ((s, dir) =>
+      graft.operators.TimeSeriesOps.outliersMad(sanitized(s, dir))
+        .orderBy("metric")),
     // §1.1 Aggregate: time-weighted mean integral/active_time per 10 h
     // bucket, computed THROUGH the hierarchical merge (1 h level → 10 h,
     // A3) — the oracle recomputes the 10 h rollup directly from points,
@@ -1040,6 +1073,8 @@ object SparkEntry {
     "x68_pii_redact" -> OracleSqlExt.piiRedactSql,
     "x69_paragraph_dedup" -> OracleSqlExt.paragraphDedupSql,
     "x70_corpus_freq_score" -> OracleSqlExt.corpusFreqScoreSql,
+    "x74_importance_weights" -> OracleSqlExt.importanceWeightsSql("en", 256),
+    "x76_chunk_windows" -> OracleSqlExt.chunkWindowsSql(12, 8),
     // same oracle as x46 on purpose: the Bloom pre-filter must be
     // result-invisible (no false negatives + exact verification join)
     "x62_bloom_decontaminate" -> OracleSqlExt.decontaminateSql,
@@ -1085,6 +1120,8 @@ object SparkEntry {
         |       quantile_cont(l_extendedprice, 0.25) AS p25_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q42_rate" -> OracleSql.rateSql,
+    "q72_counter_rate" -> OracleSql.counterRateSql,
+    "q71_outlier_mad" -> OracleSql.outliersMadSql(3.0),
     "q51_metric_align" -> OracleSql.alignMetricsSql(Q.IntervalMin, "click", "view"),
     "q52_metric_corr" -> OracleSql.corrMetricsSql(Q.IntervalMin, "click", "view"),
     "q43_gapfill" -> OracleSql.gapFillSql(Q.Start, Q.End, 21600000000000L),
@@ -1098,6 +1135,8 @@ object SparkEntry {
     "q49_streamed_sessions" -> OracleSqlExt.sessionWindowSql,
     "q50_streamed_tumbling_append" -> OracleSqlExt.tumblingWindowSql,
     "x36_embedding_neardup" -> OracleSqlExt.cosineNearDupSql(0.4),
+    "x73_semantic_dedup" -> OracleSqlExt.semanticDedupSql(0.35),
+    "x75_embed_decontaminate" -> OracleSqlExt.embedDecontaminateSql(0.3),
     "q37_range_extended" -> (OracleSql.ptsCte +
       s"""
          |SELECT metric, t AS time, value FROM pts

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VecOps
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -78,6 +78,63 @@ object Similarity {
             (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))))
       .filter(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "cosine")
+  }
+
+  /** Semantic deduplication (the SemDeDup shape, Abbas et al. 2023:
+    * cluster the embedding space, drop within-cluster semantic
+    * duplicates): a vector is REMOVED when a lower-id vector in the
+    * same IVF cell sits at cosine ≥ `threshold`; `dup_of` records the
+    * smallest such keeper (NULL ⇔ kept). The greedy lowest-id-wins
+    * rule (the same first-occurrence convention as
+    * [[TextAnalysis.paragraphDedup]]) makes the kept set deterministic
+    * without materializing connected components — the full
+    * cluster-closure variant is the existing
+    * [[Dedup.nearDupClusters]] composition (x45/x48).
+    *
+    * Scale posture: pair generation is the same cell-blocked equi-join
+    * as [[cosineNearDups]] — candidates grow with within-cell near-dup
+    * density, never n²; the keep decision is one `min` aggregation on
+    * the candidate pairs and a left join back to the corpus.
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double): DataFrame = {
+    val dupOf = cosineNearDups(emb, threshold)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min("vec_a").as("dup_of"))
+    quantized(emb).select("vec_id", "label")
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        // int64 0/1, not boolean: oracle-facing columns stay in the
+        // numeric/string domains the gate's hash is proven on
+        col("dup_of").isNull.cast("long").as("kept"), col("dup_of"))
+  }
+
+  /** Embedding-space benchmark decontamination — the semantic
+    * complement of [[graft.operators.Dedup.decontaminate]]'s n-gram
+    * overlap: a corpus vector is contaminated when any HELD-OUT vector
+    * in its IVF cell sits at cosine ≥ `threshold`. Returns every
+    * non-held vector with its hit count and the smallest hitting held
+    * id (NULL ⇔ clean).
+    *
+    * Scale posture: the held set (a benchmark) is small — broadcast to
+    * the corpus scan, cell-equi-joined so each corpus row only meets
+    * its own cell's held vectors; `n_hits`/`min` aggregate per corpus
+    * vector with map-side partials.
+    */
+  def embedDecontaminate(emb: DataFrame, isHeld: Column,
+                         threshold: Double): DataFrame = {
+    val q = quantized(emb)
+    val corpus = q.filter(!isHeld)
+    val held = q.filter(isHeld).select(col("vec_id").as("q_id"),
+      col("label"), col("vq").as("qv"), col("n2").as("qn2"))
+    val hits = corpus.join(broadcast(held), Seq("label"))
+      .withColumn("cosine", cosExpr)
+      .filter(col("cosine") >= threshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_hits"), min("q_id").as("first_hit"))
+    corpus.select("vec_id", "label")
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("first_hit"))
   }
 
   /** IVF-cell-restricted top-k: only candidates in the query's `label`

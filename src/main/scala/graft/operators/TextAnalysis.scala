@@ -366,6 +366,87 @@ object TextAnalysis {
           .as("mean_df"))
   }
 
+  /** Hashed-unigram importance weights — the DSIR shape (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): tokens hash into `buckets` feature buckets, the
+    * target (docs with `lang = targetLang`) and source (whole corpus)
+    * bucket distributions are counted exactly, and each document's
+    * weight is the ratio of its mean target-bucket mass to its mean
+    * source-bucket mass — documents whose vocabulary looks like the
+    * target domain score high and are kept preferentially when
+    * sampling. (The paper's log-likelihood ratio is a monotone
+    * transform of this ratio under per-doc normalization; staying in
+    * Σcount/Σcount keeps every component int64-exact with ONE double
+    * division per doc — `ln` is only faithfully rounded and would
+    * break cross-engine hash parity.)
+    *
+    * Scale shape: one token-level exchange per distribution (map-side
+    * partial counts into ≤ `buckets` rows), the bucket table is
+    * `buckets` rows — broadcast to the token scan — and the per-doc
+    * aggregation partials. A token present in the corpus always has
+    * `src_n ≥ 1`, so the division never sees zero.
+    */
+  def importanceWeights(docs: DataFrame, targetLang: String,
+                        buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+      // 4 hex nibbles < 2^16, exact in any engine; mod folds to buckets
+      .withColumn("bkt",
+        element_at(graft.functions.Md5Longs(col("tok"), Seq((1, 4))), 1)
+          % buckets)
+    val src = toks.groupBy("bkt").agg(count(lit(1)).as("src_n"))
+    val tgt = toks.filter(col("lang") === targetLang)
+      .groupBy("bkt").agg(count(lit(1)).as("tgt_n"))
+    val dist = src.join(tgt, Seq("bkt"), "left")
+      .select(col("bkt"), col("src_n"), coalesce(col("tgt_n"), lit(0L)).as("tgt_n"))
+    toks.join(broadcast(dist), "bkt")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("tgt_n").as("tgt_sum"), sum("src_n").as("src_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("tgt_sum"), col("src_sum"),
+        (col("tgt_sum").cast("double") / col("src_sum").cast("double"))
+          .as("weight"))
+  }
+
+  /** Sliding-window chunking — the RAG/embedding-prep primitive:
+    * overlapping `size`-token windows every `stride` tokens (start
+    * positions 0, stride, 2·stride, … while < doc length; tail chunks
+    * run short rather than being dropped — the last tokens of a
+    * document must land in some chunk). Emits a content fingerprint
+    * and exact token count per chunk, not the chunk text — the
+    * downstream embedder reads text by (doc_id, chunk_idx); the
+    * pipeline tables stay narrow.
+    *
+    * Scale shape: pure per-row explode (≤ ⌈len/stride⌉ rows per doc),
+    * zero shuffle. The tokenize-once projection rule applies
+    * ([[paragraphDedup]]): the split array is materialized in its own
+    * Project so the window lambda slices it instead of re-splitting
+    * per chunk.
+    */
+  def chunkWindows(docs: DataFrame, size: Int = 12, stride: Int = 8): DataFrame = {
+    require(size > 0 && stride > 0,
+      s"size and stride must be positive, got size=$size stride=$stride")
+    // split() yields >= 1 element for any non-null text ("" -> [""]), so
+    // sequence(0, size-1, stride) is always well-formed — no empty guard
+    // (which would re-split text in a pushed-down Filter predicate)
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+    toks.select(col("doc_id"), size_(col("ts")).as("n_toks"),
+        posexplode(expr(
+          s"transform(sequence(0, size(ts) - 1, $stride), " +
+            s"st -> array_join(slice(ts, st + 1, $size), ' '))"))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(size.toLong),
+          col("n_toks").cast("long") - col("chunk_idx") * stride)
+          .as("n_chunk_tokens"),
+        md5(col("chunk")).as("chunk_fp"))
+  }
+
+  // sql.functions.size, unshadowed from the `size`/`stride` parameters
+  private def size_(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.size(c)
+
   /** Paragraph-level exact dedup with document reassembly — the
     * C4/Dolma line-dedup shape. Documents split into fixed `k`-token
     * chunks (the fixture corpus has no newlines, so token windows

@@ -186,4 +186,65 @@ object TimeSeriesOps {
         min(col("value")).as("low"),
         max_by(col("value"), col("time")).as("close"),
         count(lit(1)).as("n"))
+
+  /** Reset-aware counter rate — the Prometheus `rate()` contract for
+    * monotone counters: a negative delta means the counter restarted
+    * at zero, so the increase since the previous sample is the current
+    * value itself (the counter climbed from 0 to it), not the raw
+    * difference. Same one-`lag`-window-per-metric shape as [[rate]];
+    * `is_reset` is surfaced so consumers can audit how often the rule
+    * fired. Exact: the increase stays in int64 centivalue, the rate is
+    * the same two IEEE ops as [[rate]].
+    */
+  def counterRate(sanitized: DataFrame): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy("time")
+    Ingest.quantized(sanitized)
+      .withColumn("prev_t", lag(col("time"), 1).over(w))
+      .withColumn("prev_c", lag(col("value_c"), 1).over(w))
+      .filter(col("prev_t").isNotNull)
+      .withColumn("reset", col("value_c") < col("prev_c"))
+      // int64 0/1, not boolean: every oracle-facing column stays in the
+      // exact numeric/string domains the gate's hash is proven on
+      .select(col("metric"), col("time"),
+        col("reset").cast("long").as("is_reset"),
+        (when(col("reset"), col("value_c"))
+          .otherwise(col("value_c") - col("prev_c")).cast("double") /
+          expr("(time - prev_t) div 1000").cast("double") * 10000.0)
+          .as("rate_per_s"))
+  }
+
+  /** Robust outlier summary per metric — median / MAD (median absolute
+    * deviation), the standard-deviation-free dispersion pair that one
+    * wild sample cannot drag, and the count of points beyond
+    * `k`·MAD of the median (the robust z-score rule).
+    *
+    * Determinism: medians are exact `percentile` over the int64
+    * centivalue domain (the q57 convention — Spark `percentile` and
+    * DuckDB `quantile_cont` interpolate identically); the deviation,
+    * the `k`·MAD threshold, and the comparison are a fixed IEEE op
+    * sequence on those exact operands.
+    *
+    * Scale: two grouped exact percentiles + one broadcast join back on
+    * `metric` (metric cardinality is config-sized). Exact percentile
+    * sorts each metric's points within its group — the demonstration
+    * path; at 100 TB swap in `approx_percentile` (x58 measures its
+    * error bounds) and the plan shape is unchanged.
+    */
+  def outliersMad(sanitized: DataFrame, k: Double = 3.0): DataFrame = {
+    val q = Ingest.quantized(sanitized)
+    val med = q.groupBy("metric")
+      .agg(expr("percentile(value_c, 0.5D)").as("med_c"))
+    val dev = q.join(broadcast(med), "metric")
+      .withColumn("adev", abs(col("value_c").cast("double") - col("med_c")))
+    val mad = dev.groupBy("metric")
+      .agg(expr("percentile(adev, 0.5D)").as("mad_c"))
+    dev.join(broadcast(mad), "metric")
+      .groupBy("metric")
+      .agg(
+        min("med_c").as("med_c"), // constant per metric; min = the value
+        min("mad_c").as("mad_c"),
+        count(lit(1)).as("n_points"),
+        sum(when(col("adev") > lit(k) * col("mad_c"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
 }

@@ -311,6 +311,53 @@ object OracleSql {
         |FROM d WHERE prev_t IS NOT NULL
         |ORDER BY metric, time""".stripMargin
 
+  /** Reset-aware counter rate — mirror of `TimeSeriesOps.counterRate`:
+    * a negative delta reports the current value as the increase
+    * (counter restarted at zero), same exact operands and IEEE op
+    * order as [[rateSql]].
+    */
+  def counterRateSql: String =
+    ptsCte +
+      """
+        |, d AS (
+        |  SELECT metric, t, value_c,
+        |         lag(t) OVER (PARTITION BY metric ORDER BY t) AS prev_t,
+        |         lag(value_c) OVER (PARTITION BY metric ORDER BY t) AS prev_c
+        |  FROM pts
+        |)
+        |SELECT metric, t AS time,
+        |       CAST(value_c < prev_c AS BIGINT) AS is_reset,
+        |       CAST(CASE WHEN value_c < prev_c THEN value_c
+        |                 ELSE value_c - prev_c END AS DOUBLE)
+        |         / CAST((t - prev_t) // 1000 AS DOUBLE) * 10000.0 AS rate_per_s
+        |FROM d WHERE prev_t IS NOT NULL
+        |ORDER BY metric, time""".stripMargin
+
+  /** Robust per-metric outlier summary — mirror of
+    * `TimeSeriesOps.outliersMad`: exact centivalue medians
+    * (`quantile_cont` ≡ Spark `percentile`, the q57 convention), one
+    * IEEE op sequence for the deviation and the k·MAD rule.
+    */
+  def outliersMadSql(k: Double): String =
+    ptsCte +
+      s"""
+         |, med AS (
+         |  SELECT metric, quantile_cont(value_c, 0.5) AS med_c
+         |  FROM pts GROUP BY metric
+         |), dev AS (
+         |  SELECT pts.metric, abs(CAST(value_c AS DOUBLE) - med_c) AS adev, med_c
+         |  FROM pts JOIN med ON pts.metric = med.metric
+         |), mad AS (
+         |  SELECT metric, quantile_cont(adev, 0.5) AS mad_c
+         |  FROM dev GROUP BY metric
+         |)
+         |SELECT dev.metric, min(dev.med_c) AS med_c, min(mad.mad_c) AS mad_c,
+         |       count(*) AS n_points,
+         |       CAST(sum(CASE WHEN adev > $k * mad_c THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_outliers
+         |FROM dev JOIN mad ON dev.metric = mad.metric
+         |GROUP BY dev.metric ORDER BY dev.metric""".stripMargin
+
   /** Regular-grid LOCF resample — oracle via DuckDB's native ASOF LEFT
     * JOIN (latest sample at-or-before each grid instant).
     */

@@ -328,6 +328,50 @@ object OracleSqlExt {
          |SELECT vec_a, vec_b, cosine FROM pc WHERE cosine >= $threshold
          |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** SemDeDup greedy keep/remove — mirror of `Similarity.semanticDedup`:
+    * same cell-blocked quantized cosine pairs, removed ⇔ a lower-id
+    * within-cell neighbor at cosine ≥ threshold, dup_of = min keeper.
+    */
+  def semanticDedupSql(threshold: Double): String =
+    cosineCte +
+      s""", pc AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN 0.0 ELSE
+         |           CAST(list_sum(list_transform(range(len(a.vq)), i -> a.vq[i+1]*b.vq[i+1])) AS DOUBLE)
+         |             / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) END AS cosine
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |), d AS (
+         |  SELECT vec_b AS vec_id, min(vec_a) AS dup_of
+         |  FROM pc WHERE cosine >= $threshold GROUP BY vec_b
+         |)
+         |SELECT n.vec_id, n.label,
+         |       CAST(d.dup_of IS NULL AS BIGINT) AS kept, d.dup_of
+         |FROM n LEFT JOIN d ON n.vec_id = d.vec_id
+         |ORDER BY n.vec_id""".stripMargin
+
+  /** Embedding-space decontamination — mirror of
+    * `Similarity.embedDecontaminate` with the held set `vec_id % 20 = 0`.
+    */
+  def embedDecontaminateSql(threshold: Double): String =
+    cosineCte +
+      s""", held AS (
+         |  SELECT vec_id AS q_id, label, vq AS qv, n2 AS qn2
+         |  FROM n WHERE vec_id % 20 = 0
+         |), corpus AS (
+         |  SELECT vec_id, label, vq, n2 FROM n WHERE NOT vec_id % 20 = 0
+         |), h AS (
+         |  SELECT c.vec_id, count(*) AS n_hits, min(q_id) AS first_hit
+         |  FROM corpus c JOIN held q ON c.label = q.label
+         |  WHERE (CASE WHEN c.n2 = 0 OR q.qn2 = 0 THEN 0.0 ELSE
+         |           CAST(list_sum(list_transform(range(len(c.vq)), i -> c.vq[i+1]*q.qv[i+1])) AS DOUBLE)
+         |             / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(q.qn2 AS DOUBLE))) END) >= $threshold
+         |  GROUP BY c.vec_id
+         |)
+         |SELECT c.vec_id, c.label,
+         |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, h.first_hit
+         |FROM corpus c LEFT JOIN h ON c.vec_id = h.vec_id
+         |ORDER BY c.vec_id""".stripMargin
+
   /** Shared by q32 (batch window fn) and q50 (watermarked append-mode
     * streaming) — the character-identical oracle IS the equivalence
     * claim between the two execution modes.
@@ -601,6 +645,54 @@ object OracleSqlExt {
       |SELECT doc_id, n_tokens, df_sum,
       |       CAST(df_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_df
       |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** Mirrors `TextAnalysis.importanceWeights`: the md5 bucket is the
+    * splitCountsSql spelling (≡ Md5Longs field (1,4)), counts are
+    * exact, the weight is one double division of the BIGINT sums.
+    */
+  def importanceWeightsSql(targetLang: String, buckets: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |), b AS (
+       |  SELECT doc_id, lang,
+       |         CAST(concat('0x', substr(md5(tok), 1, 4)) AS BIGINT)
+       |           % $buckets AS bkt
+       |  FROM t
+       |), src AS (
+       |  SELECT bkt, CAST(count(*) AS BIGINT) AS src_n FROM b GROUP BY bkt
+       |), tgt AS (
+       |  SELECT bkt, CAST(count(*) AS BIGINT) AS tgt_n FROM b
+       |  WHERE lang = '$targetLang' GROUP BY bkt
+       |), dist AS (
+       |  SELECT src.bkt, src_n, coalesce(tgt_n, CAST(0 AS BIGINT)) AS tgt_n
+       |  FROM src LEFT JOIN tgt ON src.bkt = tgt.bkt
+       |), agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |         CAST(sum(tgt_n) AS BIGINT) AS tgt_sum,
+       |         CAST(sum(src_n) AS BIGINT) AS src_sum
+       |  FROM b JOIN dist USING (bkt) GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_tokens, tgt_sum, src_sum,
+       |       CAST(tgt_sum AS DOUBLE) / CAST(src_sum AS DOUBLE) AS weight
+       |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** Mirrors `TextAnalysis.chunkWindows`: same start grid, short tail
+    * chunks, md5 of the space-joined window.
+    */
+  def chunkWindowsSql(size: Int, stride: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+       |), s AS (
+       |  SELECT doc_id, len(ts) AS n_toks, ts,
+       |         unnest(generate_series(0, len(ts) - 1, $stride)) AS st
+       |  FROM t
+       |)
+       |SELECT doc_id, CAST(st // $stride AS BIGINT) AS chunk_idx,
+       |       CAST(least($size, n_toks - st) AS BIGINT) AS n_chunk_tokens,
+       |       md5(array_to_string(list_slice(ts, st + 1, st + $size), ' '))
+       |         AS chunk_fp
+       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
 
   /** Mirrors `TextAnalysis.paragraphDedup(k=10)` over text with a
     * shared 10-token header prepended on BOTH sides — the header makes

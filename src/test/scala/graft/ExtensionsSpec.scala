@@ -239,6 +239,81 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(two.nonEmpty && two.size < docs.count(), "budget should bite")
   }
 
+  test("semanticDedup: removed ⇔ lower-id within-cell neighbor at cos ≥ τ") {
+    import spark.implicits._
+    val pairs = Similarity.cosineNearDups(emb, 0.35)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    val expectDupOf = pairs.groupBy(_._2).map { case (b, ps) =>
+      b -> ps.map(_._1).min }
+    val got = Similarity.semanticDedup(emb, 0.35)
+      .select("vec_id", "kept", "dup_of")
+      .as[(Long, Long, Option[Long])].collect()
+    assert(got.length == emb.count())
+    got.foreach { case (id, kept, dupOf) =>
+      assert(dupOf == expectDupOf.get(id), s"vec $id")
+      assert((kept == 1L) == dupOf.isEmpty, s"vec $id")
+    }
+    assert(expectDupOf.nonEmpty, "threshold should remove something")
+  }
+
+  test("embedDecontaminate: hits are exactly the held-adjacent pairs") {
+    import spark.implicits._
+    val held = (id: Long) => id % 20 == 0
+    // derive expected hits from the (symmetric) near-dup pair list
+    val pairs = Similarity.cosineNearDups(emb, 0.3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    val hits = pairs.flatMap { case (a, b) =>
+      (if (held(a) && !held(b)) Seq(b -> a) else Nil) ++
+        (if (held(b) && !held(a)) Seq(a -> b) else Nil) }
+      .groupBy(_._1).map { case (v, hs) =>
+        v -> (hs.length.toLong, hs.map(_._2).min) }
+    val got = Similarity.embedDecontaminate(emb, col("vec_id") % 20 === 0, 0.3)
+      .select("vec_id", "n_hits", "first_hit")
+      .as[(Long, Long, Option[Long])].collect()
+    assert(got.length == emb.count() - emb.filter(col("vec_id") % 20 === 0).count())
+    got.foreach { case (id, n, first) =>
+      assert(!held(id))
+      hits.get(id) match {
+        case Some((en, emin)) => assert(n == en && first.contains(emin), s"vec $id")
+        case None             => assert(n == 0L && first.isEmpty, s"vec $id")
+      }
+    }
+    assert(hits.nonEmpty, "threshold should flag something")
+  }
+
+  test("importanceWeights: exact bucket counts on a hand fixture") {
+    import spark.implicits._
+    // 'x', 'y', 'zzz' hash to distinct md5(1,4)%256 buckets (212/82/171)
+    val d = Seq(
+      (1L, "en", "x x"), (2L, "de", "x"), (3L, "de", "zzz"), (4L, "en", "y")
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.importanceWeights(d, "en")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // src: x→3, y→1, zzz→1; tgt (en): x→2, y→1
+    assert(got == Seq(
+      (1L, 2L, 4L, 6L, 4.0 / 6.0), // two x tokens
+      (2L, 1L, 2L, 3L, 2.0 / 3.0),
+      (3L, 1L, 0L, 1L, 0.0),       // zzz absent from the target
+      (4L, 1L, 1L, 1L, 1.0)))
+  }
+
+  test("chunkWindows: start grid, short tail, fingerprint of the window") {
+    import spark.implicits._
+    val words = (1 to 20).map(i => s"w$i")
+    val d = Seq((1L, words.mkString(" ")), (2L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkWindows(d, size = 12, stride = 8)
+      .as[(Long, Long, Long, String)].collect().sortBy(t => (t._1, t._2)).toSeq
+    def fp(ws: Seq[String]) = java.security.MessageDigest.getInstance("MD5")
+      .digest(ws.mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got == Seq(
+      (1L, 0L, 12L, fp(words.slice(0, 12))),
+      (1L, 1L, 12L, fp(words.slice(8, 20))),
+      (1L, 2L, 4L, fp(words.slice(16, 20))),  // tail runs short
+      (2L, 0L, 5L, fp(Seq("a", "b", "c", "d", "e")))))
+  }
+
   test("IVF top-k is the label-restricted subset of brute force ranking") {
     import spark.implicits._
     val qLabel = emb.filter(col("vec_id") === 0L).select("label").head.getInt(0)

@@ -155,6 +155,52 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected <= 2 split sites (chunk branch + n_chunks branch), got $splits:\n$opt")
   }
 
+  test("x73/x75 embedding dedup joins stay cell-blocked equi-joins") {
+    Seq("x73_semantic_dedup", "x75_embed_decontaminate").foreach { q =>
+      val p = sparkPlan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested loop:\n$p")
+    }
+    // the held set is benchmark-sized — its side of the join broadcasts
+    assert(sparkPlan("x75_embed_decontaminate").contains("BroadcastHashJoin"))
+  }
+
+  test("x74 importance weights: bucket table broadcasts to the token scan") {
+    val p = sparkPlan("x74_importance_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=256-row distribution table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"bucket counts must partially aggregate below the exchange:\n$p")
+  }
+
+  test("x76 chunk windows are a pure per-row explode: zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val qe = SparkEntry.queries("x76_chunk_windows")(spark, sf)
+      .queryExecution.sparkPlan
+    // orderBy aside (driver-gate determinism), chunking never shuffles
+    val chunker = qe.collectFirst {
+      case s: org.apache.spark.sql.execution.SortExec => s.child
+    }.getOrElse(qe)
+    assert(chunker.collect { case e: Exchange => e }.isEmpty,
+      s"chunking should be shuffle-free:\n$qe")
+    // tokenize-once rule (the x69 guard): the split array is sliced by
+    // the lambda, never re-split per chunk index
+    val opt = SparkEntry.queries("x76_chunk_windows")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val splits = "split\\(text".r.findAllMatchIn(opt).length
+    assert(splits <= 1, s"expected 1 split site, got $splits:\n$opt")
+  }
+
+  test("q71 robust outliers: metric medians broadcast back, exact percentile aggs") {
+    val p = sparkPlan("q71_outlier_mad")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-metric median/MAD tables must broadcast:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"exact percentile should use ObjectHashAggregate (q57 convention):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("whole-stage codegen covers the rollup pipeline") {
     // audit the real rollup computation, not the memoized store view —
     // and execute THIS DataFrame so AQE finalizes its plan

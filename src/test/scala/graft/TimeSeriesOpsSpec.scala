@@ -32,6 +32,31 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       ("b", T0 + 15 * M, 1.0 / 600.0)))
   }
 
+  test("counterRate: raw delta when monotone, current value on reset") {
+    val got = TimeSeriesOps.counterRate(pts).orderBy("metric", "time")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", T0 + 10 * M, 0L, 6.0 / 600.0),  // +600c over 600 s
+      ("a", T0 + 30 * M, 1L, 4.0 / 1200.0), // reset: increase = 400c
+      ("b", T0 + 15 * M, 0L, 1.0 / 600.0)))
+  }
+
+  test("outliersMad: exact median/MAD, count beyond 3·MAD") {
+    // c: five values near 1.0 plus one wild 100.0 —
+    // med_c = 105, adevs {25,15,5,5,15,9895} → mad_c = 15, one outlier
+    val c = Seq(
+      ("c", T0, 1.0, 6L), ("c", T0 + M, 1.2, 7L), ("c", T0 + 2 * M, 0.8, 8L),
+      ("c", T0 + 3 * M, 1.1, 9L), ("c", T0 + 4 * M, 0.9, 10L),
+      ("c", T0 + 5 * M, 100.0, 11L)
+    ).toDF("metric", "time", "value", "seq")
+    val got = TimeSeriesOps.outliersMad(pts.unionByName(c)).orderBy("metric")
+      .as[(String, Double, Double, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 1000.0, 600.0, 3L, 0L),  // adevs {0,600,600}: none > 1800
+      ("b", 250.0, 50.0, 2L, 0L),    // interpolated median of two
+      ("c", 105.0, 15.0, 6L, 1L)))
+  }
+
   test("gapFill: LOCF on the grid, NULL before first sample, exact-hit visible") {
     val got = TimeSeriesOps.gapFill(pts, T0, T0 + 30 * M, 15 * M)
       .orderBy("metric", "grid_time")
