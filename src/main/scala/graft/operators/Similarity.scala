@@ -82,14 +82,18 @@ object Similarity {
 
   /** Semantic deduplication (the SemDeDup shape, Abbas et al. 2023:
     * cluster the embedding space, drop within-cluster semantic
-    * duplicates): a vector is REMOVED when a lower-id vector in the
+    * duplicates): a vector is REMOVED when ANY lower-id vector in the
     * same IVF cell sits at cosine ≥ `threshold`; `dup_of` records the
-    * smallest such keeper (NULL ⇔ kept). The greedy lowest-id-wins
-    * rule (the same first-occurrence convention as
-    * [[TextAnalysis.paragraphDedup]]) makes the kept set deterministic
-    * without materializing connected components — the full
-    * cluster-closure variant is the existing
-    * [[Dedup.nearDupClusters]] composition (x45/x48).
+    * smallest such neighbor (NULL ⇔ kept). The rule is PAIRWISE, not
+    * a sequential greedy scan: cosine is not transitive, so in a
+    * chain a–b–c with cos(a,b) ≥ τ, cos(b,c) ≥ τ, cos(a,c) < τ this
+    * removes BOTH b and c (a superset of greedy, which would keep c),
+    * and `dup_of` may point at a vector that is itself removed. For
+    * [[TextAnalysis.paragraphDedup]]'s exact-equality key the two
+    * rules coincide (equality IS transitive); here the pairwise form
+    * is what one distributed pass can decide — the full
+    * cluster-closure variant (one keeper per connected component) is
+    * the existing [[Dedup.nearDupClusters]] composition (x45/x48).
     *
     * Scale posture: pair generation is the same cell-blocked equi-join
     * as [[cosineNearDups]] — candidates grow with within-cell near-dup

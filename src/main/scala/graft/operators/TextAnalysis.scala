@@ -371,20 +371,24 @@ object TextAnalysis {
     * Resampling"): tokens hash into `buckets` feature buckets, the
     * target (docs with `lang = targetLang`) and source (whole corpus)
     * bucket distributions are counted exactly, and each document's
-    * weight is the ratio of its mean target-bucket mass to its mean
-    * source-bucket mass — documents whose vocabulary looks like the
-    * target domain score high and are kept preferentially when
-    * sampling. (The paper's log-likelihood ratio is a monotone
-    * transform of this ratio under per-doc normalization; staying in
-    * Σcount/Σcount keeps every component int64-exact with ONE double
-    * division per doc — `ln` is only faithfully rounded and would
-    * break cross-engine hash parity.)
+    * weight is the ratio of its summed target-bucket mass to its
+    * summed source-bucket mass — documents whose vocabulary looks
+    * like the target domain score high and are kept preferentially
+    * when sampling. NOTE: the paper scores by Σ log(p_tgt/p_src); a
+    * ratio of sums is NOT a monotone transform of that sum of logs,
+    * so per-document rankings can diverge from DSIR proper where
+    * token-level ratios are extreme in both directions. The trade is
+    * deliberate: Σcount/Σcount keeps every component int64-exact with
+    * ONE double division per doc (`ln` is only faithfully rounded and
+    * would break cross-engine hash parity), and the signal — "mass in
+    * buckets the target language favors" — is the same feature family.
     *
-    * Scale shape: one token-level exchange per distribution (map-side
-    * partial counts into ≤ `buckets` rows), the bucket table is
-    * `buckets` rows — broadcast to the token scan — and the per-doc
-    * aggregation partials. A token present in the corpus always has
-    * `src_n ≥ 1`, so the division never sees zero.
+    * Scale shape: ONE token-level exchange builds both distributions
+    * (a single conditional aggregation; map-side partial counts into
+    * ≤ `buckets` rows), the bucket table is `buckets` rows — broadcast
+    * to the token scan — and the per-doc aggregation partials. A token
+    * present in the corpus always has `src_n ≥ 1`, so the division
+    * never sees zero.
     */
   def importanceWeights(docs: DataFrame, targetLang: String,
                         buckets: Int = 256): DataFrame = {
@@ -395,11 +399,12 @@ object TextAnalysis {
       .withColumn("bkt",
         element_at(graft.functions.Md5Longs(col("tok"), Seq((1, 4))), 1)
           % buckets)
-    val src = toks.groupBy("bkt").agg(count(lit(1)).as("src_n"))
-    val tgt = toks.filter(col("lang") === targetLang)
-      .groupBy("bkt").agg(count(lit(1)).as("tgt_n"))
-    val dist = src.join(tgt, Seq("bkt"), "left")
-      .select(col("bkt"), col("src_n"), coalesce(col("tgt_n"), lit(0L)).as("tgt_n"))
+    // one conditional aggregation produces both distributions — two
+    // separate groupBys + a join would scan/shuffle the token stream
+    // twice for the same ≤ `buckets`-row table
+    val dist = toks.groupBy("bkt").agg(
+      count(lit(1)).as("src_n"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("tgt_n"))
     toks.join(broadcast(dist), "bkt")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
@@ -494,4 +499,5 @@ object TextAnalysis {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("dedup_text"), lit("")).as("dedup_text"))
   }
+
 }

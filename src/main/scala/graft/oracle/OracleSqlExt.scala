@@ -280,12 +280,31 @@ object OracleSqlExt {
       |  FROM e
       |)""".stripMargin
 
+  /** The quantized-cosine spelling between vector `av` (norm² `an`)
+    * and vector `bv` (norm² `bn`) — ONE definition shared by every
+    * embedding oracle (x24/x25/x36/x73/x75), so a fix to the
+    * zero-norm guard or the 1-based list indexing lands in all of
+    * them at once instead of drifting per copy.
+    */
+  private def cosSql(av: String, an: String, bv: String, bn: String): String =
+    s"CASE WHEN $an = 0 OR $bn = 0 THEN 0.0 ELSE " +
+      s"CAST(list_sum(list_transform(range(len($av)), i -> $av[i+1]*$bv[i+1])) AS DOUBLE)" +
+      s" / (sqrt(CAST($an AS DOUBLE)) * sqrt(CAST($bn AS DOUBLE))) END"
+
+  /** Within-cell ordered candidate pairs with their cosine — shared
+    * by the x36 near-dup and x73 semantic-dedup oracles.
+    */
+  private def pairCte: String =
+    s""", pc AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         ${cosSql("a.vq", "a.n2", "b.vq", "b.n2")} AS cosine
+       |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+       |)""".stripMargin
+
   private def cosineTail(k: Int): String =
-    """, c AS (
+    s""", c AS (
       |  SELECT q_id, vec_id,
-      |         CASE WHEN n2 = 0 OR qn2 = 0 THEN 0.0 ELSE
-      |           CAST(list_sum(list_transform(range(len(vq)), i -> vq[i+1]*qv[i+1])) AS DOUBLE)
-      |             / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) END AS cosine
+      |         ${cosSql("vq", "n2", "qv", "qn2")} AS cosine
       |  FROM cand
       |), r AS (
       |  SELECT q_id, vec_id, cosine,
@@ -317,30 +336,20 @@ object OracleSqlExt {
          |)""".stripMargin + cosineTail(k)
 
   def cosineNearDupSql(threshold: Double): String =
-    cosineCte +
-      s""", pc AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |         CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN 0.0 ELSE
-         |           CAST(list_sum(list_transform(range(len(a.vq)), i -> a.vq[i+1]*b.vq[i+1])) AS DOUBLE)
-         |             / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) END AS cosine
-         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-         |)
+    cosineCte + pairCte +
+      s"""
          |SELECT vec_a, vec_b, cosine FROM pc WHERE cosine >= $threshold
          |ORDER BY vec_a, vec_b""".stripMargin
 
-  /** SemDeDup greedy keep/remove — mirror of `Similarity.semanticDedup`:
-    * same cell-blocked quantized cosine pairs, removed ⇔ a lower-id
-    * within-cell neighbor at cosine ≥ threshold, dup_of = min keeper.
+  /** SemDeDup pairwise keep/remove — mirror of
+    * `Similarity.semanticDedup`: same cell-blocked quantized cosine
+    * pairs, removed ⇔ ANY lower-id within-cell neighbor at cosine ≥
+    * threshold, dup_of = min such neighbor (may itself be removed —
+    * see the operator's docstring on non-transitivity).
     */
   def semanticDedupSql(threshold: Double): String =
-    cosineCte +
-      s""", pc AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |         CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN 0.0 ELSE
-         |           CAST(list_sum(list_transform(range(len(a.vq)), i -> a.vq[i+1]*b.vq[i+1])) AS DOUBLE)
-         |             / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) END AS cosine
-         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-         |), d AS (
+    cosineCte + pairCte +
+      s""", d AS (
          |  SELECT vec_b AS vec_id, min(vec_a) AS dup_of
          |  FROM pc WHERE cosine >= $threshold GROUP BY vec_b
          |)
@@ -362,9 +371,7 @@ object OracleSqlExt {
          |), h AS (
          |  SELECT c.vec_id, count(*) AS n_hits, min(q_id) AS first_hit
          |  FROM corpus c JOIN held q ON c.label = q.label
-         |  WHERE (CASE WHEN c.n2 = 0 OR q.qn2 = 0 THEN 0.0 ELSE
-         |           CAST(list_sum(list_transform(range(len(c.vq)), i -> c.vq[i+1]*q.qv[i+1])) AS DOUBLE)
-         |             / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(q.qn2 AS DOUBLE))) END) >= $threshold
+         |  WHERE (${cosSql("c.vq", "c.n2", "q.qv", "q.qn2")}) >= $threshold
          |  GROUP BY c.vec_id
          |)
          |SELECT c.vec_id, c.label,

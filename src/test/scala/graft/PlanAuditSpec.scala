@@ -121,16 +121,22 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("x68 PII redaction is a pure per-row projection: zero exchanges") {
-    import org.apache.spark.sql.execution.exchange.Exchange
     // orderBy aside (driver-gate determinism), redaction itself must
-    // never shuffle — drop the sort and audit the scrub plan
-    val qe = SparkEntry.queries("x68_pii_redact")(spark, sf)
-      .queryExecution.sparkPlan
-    val scrub = qe.collectFirst {
-      case s: org.apache.spark.sql.execution.SortExec => s.child
-    }.getOrElse(qe)
-    assert(scrub.collect { case e: Exchange => e }.isEmpty,
-      s"PII scrub should be shuffle-free:\n$qe")
+    // never shuffle. Audit the EXECUTED plan of the bare operator:
+    // EnsureRequirements only inserts shuffles into executedPlan —
+    // sparkPlan never contains an Exchange, so collecting Exchange
+    // nodes from it can never fail (it did, vacuously, until round 6).
+    // A shuffle-free plan is never wrapped by AQE, so both the
+    // Exchange and the AdaptiveSparkPlan spellings must be absent.
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.TextAnalysis.piiRedact(
+      graft.sources.Tables.read(spark, sf, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" u"), col("doc_id").cast("string"),
+          lit("@example.com")).as("text")))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("AdaptiveSparkPlan"),
+      s"PII scrub should be shuffle-free:\n$p")
   }
 
   test("x69 paragraph dedup windows by chunk, never all-pairs") {
@@ -175,15 +181,16 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("x76 chunk windows are a pure per-row explode: zero exchanges") {
-    import org.apache.spark.sql.execution.exchange.Exchange
-    val qe = SparkEntry.queries("x76_chunk_windows")(spark, sf)
-      .queryExecution.sparkPlan
-    // orderBy aside (driver-gate determinism), chunking never shuffles
-    val chunker = qe.collectFirst {
-      case s: org.apache.spark.sql.execution.SortExec => s.child
-    }.getOrElse(qe)
-    assert(chunker.collect { case e: Exchange => e }.isEmpty,
-      s"chunking should be shuffle-free:\n$qe")
+    // orderBy aside (driver-gate determinism), chunking never
+    // shuffles. Same executed-plan discipline as the x68 audit above:
+    // Exchange nodes only exist in executedPlan, and a shuffle-free
+    // plan is never AQE-wrapped.
+    val df = graft.operators.TextAnalysis.chunkWindows(
+      graft.sources.Tables.read(spark, sf, "documents"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("AdaptiveSparkPlan"),
+      s"chunking should be shuffle-free:\n$p")
     // tokenize-once rule (the x69 guard): the split array is sliced by
     // the lambda, never re-split per chunk index
     val opt = SparkEntry.queries("x76_chunk_windows")(spark, sf)
