@@ -58,6 +58,13 @@ object SparkEntry {
   val ClusterJaccard: Double = 0.5
   val ClusterBand: Long = 10L
 
+  /** x78 blocklist — ONE definition feeding both the broadcast
+    * DataFrame and the oracle's IN-list, so the Spark/DuckDB
+    * agreement cannot drift. Three of the fixture's 20 sources.
+    */
+  val BlockedHosts: Seq[String] =
+    Seq("src0.example.com", "src7.example.com", "src14.example.com")
+
   /** The near-dup cluster table over `documents` — a derived dedup
     * artifact a pipeline materializes once and consumers reuse (x48
     * curates with it; x45 times the CONSTRUCTION, not this memo).
@@ -785,6 +792,39 @@ object SparkEntry {
     "x76_chunk_windows" -> ((s, dir) =>
       TextAnalysis.chunkWindows(Tables.read(s, dir, "documents"))
         .orderBy("doc_id", "chunk_idx")),
+    // X4 keyword extraction: TF-IDF top-3 terms per doc — int64-exact
+    // (tf·N)/df score, one division per row, deterministic
+    // (score DESC, term) ranking
+    "x77_tfidf_terms" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables.read(s, dir, "documents"), 3)
+        .orderBy("doc_id", "rank")),
+    // X4 domain gate: host extracted from a synthesized URL (fixture
+    // has no url column — BOTH sides build the same one from source +
+    // doc_id), blocklist applied as a broadcast anti-lookup
+    "x78_url_host_filter" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.urlHostFilter(
+        Tables.read(s, dir, "documents").select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example.com/d/"),
+            col("doc_id").cast("string"), lit("?ref=idx")).as("url")),
+        BlockedHosts.toDF("host"))
+        .orderBy("doc_id")
+    }),
+    // X4 incremental-crawl novelty: fraction of each doc's distinct
+    // 3-gram shingles absent from the reference set (doc_id % 20 = 0,
+    // the x46 convention) — zero-hit docs stay via the left join
+    "x79_novelty_ratio" -> ((s, dir) =>
+      Dedup.noveltyRatio(Tables.read(s, dir, "documents"),
+        col("doc_id") % 20 === 0).orderBy("doc_id")),
+    // X4 data mixing: deterministic per-language uniform sample (10
+    // docs per stratum) by content-addressed md5 rank — the engine
+    // runs the two-phase bucket top-k (stratum cardinality is tiny, a
+    // single per-stratum window would serialize each stratum through
+    // one task at scale); the oracle runs the one-window spelling, so
+    // the hash match proves the decomposition exact
+    "x80_stratified_sample" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(Tables.read(s, dir, "documents"),
+        "lang", 10).orderBy("stratum", "sample_rank")),
     // X1/X2 paragraph-level exact dedup (the C4/Dolma line-dedup
     // shape): fixed 10-token chunks, global first-occurrence keep,
     // in-order document reassembly. A shared 10-token header prepended
@@ -1075,6 +1115,10 @@ object SparkEntry {
     "x70_corpus_freq_score" -> OracleSqlExt.corpusFreqScoreSql,
     "x74_importance_weights" -> OracleSqlExt.importanceWeightsSql("en", 256),
     "x76_chunk_windows" -> OracleSqlExt.chunkWindowsSql(12, 8),
+    "x77_tfidf_terms" -> OracleSqlExt.tfidfTopTermsSql(3),
+    "x78_url_host_filter" -> OracleSqlExt.urlHostFilterSql(BlockedHosts),
+    "x79_novelty_ratio" -> OracleSqlExt.noveltyRatioSql,
+    "x80_stratified_sample" -> OracleSqlExt.stratifiedSampleSql(10),
     // same oracle as x46 on purpose: the Bloom pre-filter must be
     // result-invisible (no false negatives + exact verification join)
     "x62_bloom_decontaminate" -> OracleSqlExt.decontaminateSql,

@@ -359,6 +359,32 @@ object Dedup {
       .agg(count(lit(1)).as("n_contaminated")) // shingles are distinct per doc
   }
 
+  /** Per-document n-gram novelty against a reference corpus — the
+    * coverage complement of [[decontaminate]] (and the aggregate the
+    * "how much of this crawl is new?" incremental-ingest decision
+    * reads): novelty = fraction of a document's DISTINCT n-grams
+    * absent from the reference shingle set. Unlike decontaminate
+    * (inner join — zero-hit docs drop out), every non-reference doc
+    * with ≥ 1 shingle appears. `n_grams`/`n_seen` stay int64-exact
+    * with ONE double division per doc. Same broadcast posture as
+    * decontaminate (reference sets are curated, small); past
+    * broadcast size the [[decontaminateBloom]] Bloom + sort-merge
+    * shape applies unchanged.
+    */
+  def noveltyRatio(docs: DataFrame, isReference: Column, n: Int = 3): DataFrame = {
+    val refShingles = shingled(docs.filter(isReference), n)
+      .select(explode(col("sh")).as("g")).distinct()
+    shingled(docs.filter(!isReference), n)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(broadcast(refShingles.withColumn("hit", lit(1L))), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), // shingles are distinct per doc
+        sum(coalesce(col("hit"), lit(0L))).as("n_seen"))
+      .select(col("doc_id"), col("n_grams"), col("n_seen"),
+        ((col("n_grams") - col("n_seen")).cast("double") /
+          col("n_grams").cast("double")).as("novelty"))
+  }
+
   /** [[decontaminate]] for benchmark-shingle sets past broadcast size
     * (many benchmarks, GBs of shingles): a Bloom filter over the
     * benchmark shingles — compact at any set size — pre-filters corpus

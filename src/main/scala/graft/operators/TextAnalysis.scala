@@ -500,4 +500,98 @@ object TextAnalysis {
         coalesce(col("dedup_text"), lit("")).as("dedup_text"))
   }
 
+  /** TF-IDF top-`k` terms per document — the classic keyword /
+    * feature-extraction pass (the reference's text block has no
+    * counterpart; this is pipeline-native). The idf stays in the
+    * exact-integer domain: score = (tf · N_docs) / df with ONE double
+    * division of int64 components per row (`ln`-free for cross-engine
+    * hash parity — the same trade as [[importanceWeights]]; ln(N/df)
+    * is monotone in N/df, so top-k by the raw ratio IS top-k by
+    * textbook idf for fixed tf ordering), and ranking by
+    * (score DESC, term) is deterministic in any engine.
+    *
+    * Scale shape: one token-level exchange for per-(doc, term) tf
+    * (map-side partials); the df table derives from the ALREADY
+    * AGGREGATED tf rows (vocabulary-sized — no second corpus scan)
+    * and joins back by term; the corpus-size scalar is a one-row
+    * broadcast; the final top-k is a per-doc window whose partition is
+    * document-sized, never corpus-sized, so it cannot skew.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // tf rows are distinct (doc, term) pairs, so counting them per term
+    // IS the document frequency — no second pass over the corpus
+    val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    tf.join(dfTbl, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("rank").cast("long").as("rank"), col("score"))
+  }
+
+  /** URL host extraction + blocklist gate — the domain-level filter a
+    * web-corpus pipeline runs before any content filter (cheapest
+    * rejection first). The host is a per-row regexp capture of the
+    * authority (scheme `://` up to the first `/`, `:`, `?` or `#`);
+    * `kept` = 1 iff the host is NOT blocklisted. The blocklist joins
+    * as a broadcast DataFrame rather than an `isin` literal — real
+    * blocklists run to millions of hosts, far past what a plan can
+    * inline but trivially inside broadcast range.
+    */
+  def urlHostFilter(docs: DataFrame, blocklist: DataFrame): DataFrame = {
+    val hosts = docs.select(col("doc_id"), col("url"),
+      regexp_extract(col("url"),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1).as("host"))
+    hosts.join(
+        broadcast(blocklist.select(col("host"), lit(1L).as("block_hit"))),
+        Seq("host"), "left")
+      .select(col("doc_id"), col("host"),
+        col("block_hit").isNull.cast("long").as("kept"))
+  }
+
+  /** Deterministic per-stratum uniform sample — `k` docs per stratum
+    * selected by content-addressed md5 rank (the x47 split
+    * convention: stable under corpus growth and reshuffling — a doc's
+    * membership changes only when a better-ranked doc ENTERS its
+    * stratum, never with partitioning or row order).
+    *
+    * Scale shape: a single per-stratum window would funnel each
+    * stratum through ONE task (5 languages ⇒ 5 tasks for a 100 TB
+    * corpus), so the top-k runs TWO-PHASE: per (stratum, doc-id
+    * bucket) top-k first — `buckets`-way parallel, each window sees
+    * 1/`buckets` of the stratum — then the true per-stratum top-k
+    * over the ≤ `buckets`·`k` survivors. The result is identical to
+    * the one-window spelling (the top-k of bucket-top-ks is the
+    * global top-k), which is exactly what the DuckDB oracle runs.
+    */
+  def stratifiedSample(docs: DataFrame, strata: String, k: Int,
+                       buckets: Int = 32): DataFrame = {
+    require(k > 0 && buckets > 0,
+      s"k and buckets must be positive, got k=$k buckets=$buckets")
+    import org.apache.spark.sql.expressions.Window
+    // 15 hex nibbles < 2^60: exact, positive int64 in any engine
+    val ranked = docs.select(col("doc_id"), col(strata).as("stratum"))
+      .withColumn("rk", element_at(graft.functions.Md5Longs(
+        concat(lit("smp:"), col("doc_id").cast("string")), Seq((1, 15))), 1))
+    val local = ranked
+      .withColumn("bkt", pmod(col("doc_id"), lit(buckets.toLong)))
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy("stratum", "bkt").orderBy(col("rk"), col("doc_id"))))
+      .filter(col("lrn") <= k)
+    local
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy("stratum").orderBy(col("rk"), col("doc_id"))))
+      .filter(col("sample_rank") <= k)
+      .select(col("stratum"), col("doc_id"), col("rk"),
+        col("sample_rank").cast("long").as("sample_rank"))
+  }
 }

@@ -735,4 +735,92 @@ object OracleSqlExt {
       |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
       |       coalesce(r.dedup_text, '') AS dedup_text
       |FROM toks t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
+  /** Mirrors `TextAnalysis.tfidfTopTerms`: df from the distinct
+    * (doc, term) tf rows, score = (tf·N)/df as one double division of
+    * exact int64 components, deterministic (score DESC, term) ranking.
+    */
+  def tfidfTopTermsSql(k: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM t GROUP BY doc_id, term
+       |), df AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+       |), nd AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+       |), s AS (
+       |  SELECT doc_id, term, tf, df,
+       |         CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score,
+       |         row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) DESC,
+       |                    term) AS rnk
+       |  FROM tf JOIN df USING (term) CROSS JOIN nd
+       |)
+       |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rank, score
+       |FROM s WHERE rnk <= $k ORDER BY doc_id, rank""".stripMargin
+
+  /** Mirrors `TextAnalysis.urlHostFilter` over the same synthesized
+    * URL (the fixture has no url column; BOTH sides build
+    * `https://<source>.example.com/d/<doc_id>?ref=idx` so the regexp
+    * capture and the blocklist decision are genuinely exercised).
+    */
+  def urlHostFilterSql(blocked: Seq[String]): String =
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |         'https://' || source || '.example.com/d/' ||
+       |           CAST(doc_id AS VARCHAR) || '?ref=idx' AS url
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id,
+       |         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)
+       |           AS host
+       |  FROM u
+       |)
+       |SELECT doc_id, host,
+       |       CAST(host NOT IN (${blocked.map(b => s"'$b'").mkString(", ")})
+       |            AS BIGINT) AS kept
+       |FROM h ORDER BY doc_id""".stripMargin
+
+  /** Mirrors `TextAnalysis.stratifiedSample(lang, k)` — the oracle runs
+    * the ONE-window spelling; the engine's two-phase bucket top-k must
+    * produce the identical rows (top-k of bucket-top-ks = global top-k).
+    */
+  def stratifiedSampleSql(k: Int): String =
+    s"""WITH r AS (
+       |  SELECT lang AS stratum, doc_id,
+       |         CAST(concat('0x', substr(md5('smp:' || CAST(doc_id AS VARCHAR)),
+       |                                  1, 15)) AS BIGINT) AS rk
+       |  FROM documents
+       |), s AS (
+       |  SELECT stratum, doc_id, rk,
+       |         row_number() OVER (PARTITION BY stratum ORDER BY rk, doc_id) AS rn
+       |  FROM r
+       |)
+       |SELECT stratum, doc_id, rk, CAST(rn AS BIGINT) AS sample_rank
+       |FROM s WHERE rn <= $k ORDER BY stratum, sample_rank""".stripMargin
+
+  /** Mirrors `Dedup.noveltyRatio` with the x46 reference convention
+    * (`doc_id % 20 = 0`): per-doc distinct-shingle counts, LEFT join so
+    * zero-hit (fully novel) docs stay, one double division.
+    */
+  def noveltyRatioSql: String =
+    shCte(3) +
+      """
+        |, ref AS (
+        |  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0
+        |), cand AS (
+        |  SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 20 <> 0
+        |), agg AS (
+        |  SELECT cand.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |         CAST(sum(CASE WHEN ref.g IS NOT NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_seen
+        |  FROM cand LEFT JOIN ref ON cand.g = ref.g
+        |  GROUP BY cand.doc_id
+        |)
+        |SELECT doc_id, n_grams, n_seen,
+        |       CAST(n_grams - n_seen AS DOUBLE) / CAST(n_grams AS DOUBLE)
+        |         AS novelty
+        |FROM agg ORDER BY doc_id""".stripMargin
 }

@@ -526,4 +526,67 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got(3L).codec == null && got(3L).width == -1L)
     assert(got(4L).codec == null && got(4L).n_bytes == 0L && got(4L).head_byte == -1L)
   }
+
+  test("tfidfTopTerms: hand fixture with a score tie broken by term") {
+    import spark.implicits._
+    // N=2. doc 1 tf: x→2, y→1; doc 2 tf: x→1, z→1. df: x→2, y→1, z→1.
+    // doc 1 scores: x = 2·2/2 = 2.0, y = 1·2/1 = 2.0 — a genuine tie,
+    // broken by term ("x" < "y"); doc 2: z = 2.0 outranks x = 1.0.
+    val d = Seq((1L, "x x y"), (2L, "x z")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(d, 3)
+      .as[(Long, String, Long, Long, Long, Double)]
+      .collect().sortBy(t => (t._1, t._5)).toSeq
+    assert(got == Seq(
+      (1L, "x", 2L, 2L, 1L, 2.0), (1L, "y", 1L, 1L, 2L, 2.0),
+      (2L, "z", 1L, 1L, 1L, 2.0), (2L, "x", 1L, 2L, 2L, 1.0)))
+  }
+
+  test("urlHostFilter: authority capture stops at /, :, ? and #") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "https://a.com/p"), (2L, "http://b.org:8080/x?y"),
+      (3L, "https://c.net?q=1"), (4L, "ftp://a.com#frag"))
+      .toDF("doc_id", "url")
+    val got = TextAnalysis.urlHostFilter(d, Seq("a.com").toDF("host"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a.com", 0L), (2L, "b.org", 1L),
+      (3L, "c.net", 1L), (4L, "a.com", 0L)))
+  }
+
+  test("noveltyRatio: zero-hit docs stay, sub-n-gram docs drop") {
+    import spark.implicits._
+    // ref doc 0 shingles: {a b c, b c d}; doc 1 shares one of two,
+    // doc 2 shares none (fully novel), doc 3 is too short to shingle
+    val d = Seq((0L, "a b c d"), (1L, "a b c x"), (2L, "p q r"), (3L, "p q"))
+      .map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    val got = Dedup.noveltyRatio(d, col("doc_id") === 0, 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 1L, 0.5), (2L, 1L, 0L, 1.0)))
+  }
+
+  test("stratifiedSample: two-phase bucket top-k equals the one-window top-k") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val k = 10
+    val got = TextAnalysis.stratifiedSample(docs, "lang", k)
+      .as[(String, Long, Long, Long)].collect().toSet
+    // the oracle spelling: ONE window per stratum over the same rank
+    val naive = docs
+      .select(col("lang").as("stratum"), col("doc_id"))
+      .withColumn("rk", element_at(graft.functions.Md5Longs(
+        concat(lit("smp:"), col("doc_id").cast("string")), Seq((1, 15))), 1))
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy("stratum").orderBy(col("rk"), col("doc_id"))))
+      .filter(col("sample_rank") <= k)
+      .select(col("stratum"), col("doc_id"), col("rk"),
+        col("sample_rank").cast("long"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == naive)
+    // every stratum contributes min(k, |stratum|) rows
+    val sizes = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val perStratum = got.toSeq.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perStratum == sizes.view.mapValues(n => math.min(k.toLong, n).toInt).toMap)
+  }
 }

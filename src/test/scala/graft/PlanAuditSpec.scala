@@ -199,6 +199,42 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(splits <= 1, s"expected 1 split site, got $splits:\n$opt")
   }
 
+  test("x77 tf-idf: equi-joins except the one-row corpus-size broadcast") {
+    val p = sparkPlan("x77_tfidf_terms")
+    assert(!p.contains("CartesianProduct"))
+    // exactly one nested-loop is allowed: the 1-row n_docs scalar
+    // crossJoin(broadcast(...)); the tf↔df join must stay an equi-join
+    val nlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(p).length
+    assert(nlj <= 1, s"unexpected nested loops:\n$p")
+    assert(p.contains("partial_count"),
+      s"tf/df counts must partially aggregate below the exchange:\n$p")
+  }
+
+  test("x78 url host filter: blocklist broadcasts, no nested loop") {
+    val p = sparkPlan("x78_url_host_filter")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("x79 novelty ratio: reference set broadcasts, partial aggregation") {
+    val p = sparkPlan("x79_novelty_ratio")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+  }
+
+  test("x80 stratified sample: bucketed phase precedes the per-stratum window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val qe = SparkEntry.queries("x80_stratified_sample")(spark, sf).queryExecution
+    val windows = qe.sparkPlan.collect { case w: WindowExec => w }
+    // two phases: (stratum, bkt) local top-k — `buckets`-way parallel —
+    // then (stratum) over the ≤ buckets·k survivors; a single-window
+    // regression would funnel each stratum through one task at scale
+    assert(windows.exists(_.partitionSpec.size == 2) &&
+      windows.exists(_.partitionSpec.size == 1),
+      s"expected a 2-key then 1-key window pair:\n${qe.sparkPlan}")
+  }
+
   test("q71 robust outliers: metric medians broadcast back, exact percentile aggs") {
     val p = sparkPlan("q71_outlier_mad")
     assert(p.contains("BroadcastHashJoin"),
