@@ -349,9 +349,17 @@ object Dedup {
     * union (small — benchmarks are curated sets), so the join
     * broadcast-prunes the corpus scan at scale.
     */
-  def decontaminate(docs: DataFrame, isBenchmark: Column, n: Int = 3): DataFrame = {
-    val benchShingles = shingled(docs.filter(isBenchmark), n)
+  /** The distinct shingle set of the docs matching `pred` — ONE
+    * spelling shared by [[decontaminate]], [[decontaminateBloomPlan]]
+    * and [[noveltyRatio]], so the x46/x62/x79 shared-oracle invariant
+    * cannot drift copy-by-copy.
+    */
+  private def refShingleSet(docs: DataFrame, pred: Column, n: Int): DataFrame =
+    shingled(docs.filter(pred), n)
       .select(explode(col("sh")).as("g")).distinct()
+
+  def decontaminate(docs: DataFrame, isBenchmark: Column, n: Int = 3): DataFrame = {
+    val benchShingles = refShingleSet(docs, isBenchmark, n)
     shingled(docs.filter(!isBenchmark), n)
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .join(broadcast(benchShingles), "g")
@@ -372,8 +380,7 @@ object Dedup {
     * shape applies unchanged.
     */
   def noveltyRatio(docs: DataFrame, isReference: Column, n: Int = 3): DataFrame = {
-    val refShingles = shingled(docs.filter(isReference), n)
-      .select(explode(col("sh")).as("g")).distinct()
+    val refShingles = refShingleSet(docs, isReference, n)
     shingled(docs.filter(!isReference), n)
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .join(broadcast(refShingles.withColumn("hit", lit(1L))), Seq("g"), "left")
@@ -416,8 +423,7 @@ object Dedup {
       docs: DataFrame, isBenchmark: Column, n: Int,
       fpp: Double): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
-    val benchShingles = shingled(docs.filter(isBenchmark), n)
-      .select(explode(col("sh")).as("g")).distinct()
+    val benchShingles = refShingleSet(docs, isBenchmark, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // sizing the filter from the true cardinality keeps fpp honest
     val items = math.max(1L, benchShingles.count())

@@ -500,15 +500,19 @@ object TextAnalysis {
         coalesce(col("dedup_text"), lit("")).as("dedup_text"))
   }
 
-  /** TF-IDF top-`k` terms per document — the classic keyword /
+  /** TF-IDF-style top-`k` terms per document — the classic keyword /
     * feature-extraction pass (the reference's text block has no
-    * counterpart; this is pipeline-native). The idf stays in the
+    * counterpart; this is pipeline-native). The score stays in the
     * exact-integer domain: score = (tf · N_docs) / df with ONE double
     * division of int64 components per row (`ln`-free for cross-engine
-    * hash parity — the same trade as [[importanceWeights]]; ln(N/df)
-    * is monotone in N/df, so top-k by the raw ratio IS top-k by
-    * textbook idf for fixed tf ordering), and ranking by
-    * (score DESC, term) is deterministic in any engine.
+    * hash parity — the same trade as [[importanceWeights]]). NOTE:
+    * linear N/df is NOT rank-equivalent to textbook tf·ln(N/df) when
+    * tf varies across a doc's terms (tf=4 at df=N/2 scores 8 but
+    * tf·idf 2.77; tf=1 at df=N/9 scores 9 but tf·idf 2.20 — the
+    * linear form rewards rarity more aggressively than the log-damped
+    * one). Equivalence holds only among terms of equal tf; the
+    * deliberate trade is deterministic cross-engine ranking. Ranking
+    * by (score DESC, term) breaks score ties deterministically.
     *
     * Scale shape: one token-level exchange for per-(doc, term) tf
     * (map-side partials); the df table derives from the ALREADY
@@ -548,14 +552,23 @@ object TextAnalysis {
     * inline but trivially inside broadcast range.
     */
   def urlHostFilter(docs: DataFrame, blocklist: DataFrame): DataFrame = {
+    // nullif: a NULL or unparseable url yields host NULL (Spark's
+    // regexp_extract returns "" on no-match, DuckDB NULL — nullif on
+    // both sides makes the engines agree), and a NULL host is NOT
+    // kept: a doc whose URL fails extraction must not sail through a
+    // domain gate by accident
     val hosts = docs.select(col("doc_id"), col("url"),
-      regexp_extract(col("url"),
-        "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1).as("host"))
+      nullif(regexp_extract(col("url"),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1), lit("")).as("host"))
+    // distinct: real blocklist files carry duplicate entries; without
+    // it a repeated host would duplicate every matching doc row
     hosts.join(
-        broadcast(blocklist.select(col("host"), lit(1L).as("block_hit"))),
+        broadcast(blocklist.select(col("host")).distinct()
+          .withColumn("block_hit", lit(1L))),
         Seq("host"), "left")
       .select(col("doc_id"), col("host"),
-        col("block_hit").isNull.cast("long").as("kept"))
+        (col("host").isNotNull && col("block_hit").isNull)
+          .cast("long").as("kept"))
   }
 
   /** Deterministic per-stratum uniform sample — `k` docs per stratum

@@ -766,7 +766,12 @@ object OracleSqlExt {
     * `https://<source>.example.com/d/<doc_id>?ref=idx` so the regexp
     * capture and the blocklist decision are genuinely exercised).
     */
-  def urlHostFilterSql(blocked: Seq[String]): String =
+  def urlHostFilterSql(blocked: Seq[String]): String = {
+    // an empty list would render invalid "NOT IN ()" SQL; quotes in a
+    // host would break the statement — guard and escape (SQL doubles
+    // single quotes)
+    require(blocked.nonEmpty, "urlHostFilterSql needs a non-empty blocklist")
+    val inList = blocked.map(b => s"'${b.replace("'", "''")}'").mkString(", ")
     s"""WITH u AS (
        |  SELECT doc_id,
        |         'https://' || source || '.example.com/d/' ||
@@ -774,14 +779,15 @@ object OracleSqlExt {
        |  FROM documents
        |), h AS (
        |  SELECT doc_id,
-       |         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)
-       |           AS host
+       |         nullif(regexp_extract(url,
+       |           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1), '') AS host
        |  FROM u
        |)
        |SELECT doc_id, host,
-       |       CAST(host NOT IN (${blocked.map(b => s"'$b'").mkString(", ")})
+       |       CAST(host IS NOT NULL AND host NOT IN ($inList)
        |            AS BIGINT) AS kept
        |FROM h ORDER BY doc_id""".stripMargin
+  }
 
   /** Mirrors `TextAnalysis.stratifiedSample(lang, k)` — the oracle runs
     * the ONE-window spelling; the engine's two-phase bucket top-k must

@@ -553,6 +553,17 @@ class ExtensionsSpec extends AnyFunSuite {
       (3L, "c.net", 1L), (4L, "a.com", 0L)))
   }
 
+  test("urlHostFilter: null/unparseable urls are not kept; dup blocklist rows don't multiply") {
+    import spark.implicits._
+    val d = Seq((1L, "https://a.com/p"), (2L, "not a url"), (3L, null))
+      .toDF("doc_id", "url")
+    // duplicate blocklist entries (real blocklist files have them)
+    // must not duplicate matching doc rows
+    val got = TextAnalysis.urlHostFilter(d, Seq("a.com", "a.com").toDF("host"))
+      .as[(Long, Option[String], Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, Some("a.com"), 0L), (2L, None, 0L), (3L, None, 0L)))
+  }
+
   test("noveltyRatio: zero-hit docs stay, sub-n-gram docs drop") {
     import spark.implicits._
     // ref doc 0 shingles: {a b c, b c d}; doc 1 shares one of two,
