@@ -63,4 +63,38 @@ class BucketJoinSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("bucket-key aggregation needs no exchange; mismatched counts do") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucket2").toString
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Seq(("li_b8a", "l_quantity", 8), ("li_b8b", "l_tax", 8),
+          ("li_b4", "l_extendedprice", 4)).foreach { case (t, c, n) =>
+        Tables.read(spark, sf, "lineitem").select(col("l_orderkey"), col(c))
+          .write.bucketBy(n, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$wh/$t").mode("overwrite").saveAsTable(t)
+      }
+      // a groupBy on the bucket key consumes the persisted hash
+      // distribution — partial AND final aggregation in one stage,
+      // zero exchanges: the layout, not the query, paid the shuffle
+      val agg = spark.table("li_b8a")
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
+      agg.collect()
+      val ap = agg.queryExecution.executedPlan.toString
+      assert(!ap.contains("Exchange"),
+        s"bucket-key aggregation should not shuffle:\n$ap")
+
+      // honest limit: co-location requires AGREEMENT on the bucket
+      // count — an 8↔4 join re-shuffles at least one side
+      val mixed = spark.table("li_b8b")
+        .join(spark.table("li_b4"), "l_orderkey")
+      mixed.collect()
+      assert(mixed.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      Seq("li_b8a", "li_b8b", "li_b4").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
