@@ -153,4 +153,76 @@ class PropertySpec extends AnyFunSuite {
     val gridSize = ((48L * H) / step + 1).toInt
     assert(got.size == metrics.size * gridSize)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("stratifiedSample == local ground truth; growth and row order respected") {
+    import graft.operators.TextAnalysis
+    val langs = Vector("en", "de", "fr")
+    def mk(ids: Seq[Long]) =
+      ids.map(i => (i, langs((i % 3).toInt), s"txt $i"))
+        .toDF("doc_id", "lang", "text")
+    def rk(id: Long) =
+      java.lang.Long.parseLong(md5hex(s"smp:$id").substring(0, 15), 16)
+    val k = 5
+    def expected(ids: Seq[Long]) =
+      ids.groupBy(i => langs((i % 3).toInt)).toSeq.flatMap { case (l, g) =>
+        g.map(i => (i, rk(i))).sortBy { case (i, r) => (r, i) }.take(k)
+          .zipWithIndex.map { case ((i, r), idx) => (l, i, r, idx + 1L) }
+      }.toSet
+    val base = 0L until 60L
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.stratifiedSample(df, "lang", k)
+        .as[(String, Long, Long, Long)].collect().toSet
+    assert(run(mk(base)) == expected(base))
+    // content addressing: row order / partitioning never changes the sample
+    assert(run(mk(base.reverse).repartition(7)) == expected(base))
+    // corpus growth: a doc's membership changes only because a
+    // better-ranked doc ENTERED its stratum — the sample is always
+    // the k smallest ranks of whatever the stratum now contains
+    val grown = base ++ (100L until 140L)
+    assert(run(mk(grown)) == expected(grown))
+  }
+
+  test("tfidfTopTerms == local recomputation on random corpora") {
+    import graft.operators.TextAnalysis
+    val r = new Random(11)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val corpus = (0L until 30L).map(i =>
+      (i, Seq.fill(3 + r.nextInt(10))(vocab(r.nextInt(vocab.size))).mkString(" ")))
+    val k = 3
+    val got = TextAnalysis.tfidfTopTerms(corpus.toDF("doc_id", "text"), k)
+      .as[(Long, String, Long, Long, Long, Double)].collect().toSet
+    val tf = corpus.flatMap { case (id, t) =>
+      t.split(" ").groupBy(identity).map { case (w, a) => (id, w, a.length.toLong) } }
+    val df = tf.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size.toLong).toMap
+    val n = corpus.size.toLong
+    val want = corpus.flatMap { case (id, _) =>
+      tf.filter(_._1 == id)
+        .map { case (_, w, f) => (w, f, df(w), (f * n).toDouble / df(w).toDouble) }
+        .sortBy { case (w, _, _, s) => (-s, w) }.take(k).zipWithIndex
+        .map { case ((w, f, d, s), idx) => (id, w, f, d, idx + 1L, s) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("noveltyRatio is consistent with decontaminate on the fixture corpus") {
+    import graft.operators.Dedup
+    val docs = graft.sources.Tables.read(spark, SparkTestBase.sf, "documents")
+    val ref = col("doc_id") % 20 === 0
+    val nov = Dedup.noveltyRatio(docs, ref)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(nov.nonEmpty)
+    nov.foreach { case (id, grams, seen, novelty) =>
+      assert(grams >= 1 && seen >= 0 && seen <= grams, s"doc $id")
+      assert(novelty == (grams - seen).toDouble / grams.toDouble, s"doc $id")
+    }
+    // the docs decontaminate flags are exactly the n_seen > 0 docs,
+    // with identical overlap counts (shared reference convention)
+    val dec = Dedup.decontaminate(docs, ref)
+      .as[(Long, Long)].collect().toMap
+    assert(nov.filter(_._3 > 0).map(t => t._1 -> t._3).toMap == dec)
+  }
 }
