@@ -792,6 +792,14 @@ object SparkEntry {
     "x76_chunk_windows" -> ((s, dir) =>
       TextAnalysis.chunkWindows(Tables.read(s, dir, "documents"))
         .orderBy("doc_id", "chunk_idx")),
+    // X1/X2 incremental-ingest dedup: which NEW docs (doc_id % 5 ≠ 0)
+    // near-duplicate the curated REFERENCE corpus (doc_id % 5 = 0)?
+    // Bipartite prefix-filtered posting join under one shared
+    // canonical order; oracle is the naive banded cross product, so
+    // the match proves the bipartite candidate generation exhaustive
+    "x81_cross_corpus_neardups" -> ((s, dir) =>
+      Dedup.crossCorpusPairs(Tables.read(s, dir, "documents"),
+        col("doc_id") % 5 === 0, 0.5, 10).orderBy("new_id", "ref_id")),
     // X4 keyword extraction: TF-IDF top-3 terms per doc — int64-exact
     // (tf·N)/df score, one division per row, deterministic
     // (score DESC, term) ranking
@@ -1116,6 +1124,7 @@ object SparkEntry {
     "x74_importance_weights" -> OracleSqlExt.importanceWeightsSql("en", 256),
     "x76_chunk_windows" -> OracleSqlExt.chunkWindowsSql(12, 8),
     "x77_tfidf_terms" -> OracleSqlExt.tfidfTopTermsSql(3),
+    "x81_cross_corpus_neardups" -> OracleSqlExt.crossCorpusJaccardSql(0.5, 10),
     "x78_url_host_filter" -> OracleSqlExt.urlHostFilterSql(BlockedHosts),
     "x79_novelty_ratio" -> OracleSqlExt.noveltyRatioSql,
     "x80_stratified_sample" -> OracleSqlExt.stratifiedSampleSql(10),

@@ -57,17 +57,41 @@ object Dedup {
     * join, which survives a 100× scale-up.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double, band: Long = 50L): DataFrame = {
-    require(threshold > 0, "prefix filtering needs a positive threshold")
-    val sh = shingled(docs).filter(size(col("sh")) > 0)
-      .withColumn("sz", size(col("sh")).cast("long"))
+    val (sh, prefix) = prefixPostings(docs, threshold, lit(false))
+    val a = prefix.select(col("doc_id").as("doc_a"), col("n_chars").as("ca"), col("g"))
+    val b = prefix.select(col("doc_id").as("doc_b"), col("n_chars").as("cb"), col("g"))
+    val cand = a.join(b, Seq("g"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("cb") >= col("ca") - band && col("cb") <= col("ca") + band)
+      .select("doc_a", "doc_b").distinct()
 
-    // Prefix filtering (AllPairs/PPJoin): under a global canonical shingle
-    // order (rarest first), two sets with jaccard ≥ t must share a shingle
-    // within each other's first ⌊(1−t)·|sh|⌋+1 shingles. Joining only the
-    // prefixes keeps hot shingles (whose posting lists explode a naive
-    // posting join quadratically) out of the join entirely.
-    val posts = sh.select(col("doc_id"), col("n_chars"), col("sz"),
-      explode(col("sh")).as("g"))
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Shingle sets + AllPairs prefix postings under the corpus-global
+    * canonical order — the candidate-generation core shared by
+    * [[jaccardPairs]] (self-join) and [[crossCorpusPairs]] (bipartite).
+    *
+    * Prefix filtering (AllPairs/PPJoin): under a global canonical shingle
+    * order (rarest first), two sets with jaccard ≥ t must share a shingle
+    * within each other's first ⌊(1−t)·|sh|⌋+1 shingles. Joining only the
+    * prefixes keeps hot shingles (whose posting lists explode a naive
+    * posting join quadratically) out of the join entirely. The bound
+    * holds for ANY pair under ONE shared total order, so self-join and
+    * bipartite consumers use the identical prefixes.
+    *
+    * Returns (sh: doc_id, n_chars, is_ref, sh, sz;
+    *          prefix: doc_id, n_chars, is_ref, g).
+    */
+  private def prefixPostings(docs: DataFrame, threshold: Double,
+                             tag: Column): (DataFrame, DataFrame) = {
+    require(threshold > 0, "prefix filtering needs a positive threshold")
+    val sh = docs.select(col("doc_id"), col("n_chars"), tag.as("is_ref"),
+        shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sz", size(col("sh")).cast("long"))
+    val posts = sh.select(col("doc_id"), col("n_chars"), col("is_ref"),
+      col("sz"), explode(col("sh")).as("g"))
     val freq = posts.groupBy("g").agg(count(lit(1)).as("f"))
     val wDoc = Window.partitionBy("doc_id").orderBy(col("f"), col("g"))
     // prefix length = |sh| − ⌈t·|sh|⌉ + 1, computed with an epsilon so
@@ -78,15 +102,38 @@ object Dedup {
     val prefix = posts.join(freq, "g")
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <= prefixLen)
-      .select("doc_id", "n_chars", "g")
-    val a = prefix.select(col("doc_id").as("doc_a"), col("n_chars").as("ca"), col("g"))
-    val b = prefix.select(col("doc_id").as("doc_b"), col("n_chars").as("cb"), col("g"))
-    val cand = a.join(b, Seq("g"))
-      .filter(col("doc_a") < col("doc_b") &&
-        col("cb") >= col("ca") - band && col("cb") <= col("ca") + band)
-      .select("doc_a", "doc_b").distinct()
+      .select("doc_id", "n_chars", "is_ref", "g")
+    (sh, prefix)
+  }
 
+  /** Cross-corpus near-dup pairs — the incremental-ingest dedup stage:
+    * which NEW documents (¬`isRef`) near-duplicate something already in
+    * the curated REFERENCE corpus (`isRef`)? Exact n-gram Jaccard ≥
+    * `threshold` within a ±`band`-char length block, like
+    * [[jaccardPairs]], but the candidate join is BIPARTITE (new ⋈ ref),
+    * so intra-side duplicates — already handled when each side was
+    * curated — generate no candidates at all. Returns
+    * (new_id, ref_id, jaccard).
+    *
+    * Scale posture: identical to x21 — prefix-filtered posting
+    * equi-join (one shared canonical order over the union corpus keeps
+    * the AllPairs bound valid across sides), exact verification only on
+    * candidates. The reference side is typically the big one (the
+    * accumulated corpus); nothing here assumes either side broadcasts.
+    */
+  def crossCorpusPairs(docs: DataFrame, isRef: Column, threshold: Double,
+                       band: Long = 50L): DataFrame = {
+    val (sh, prefix) = prefixPostings(docs, threshold, isRef)
+    val a = prefix.filter(!col("is_ref"))
+      .select(col("doc_id").as("doc_a"), col("n_chars").as("ca"), col("g"))
+    val b = prefix.filter(col("is_ref"))
+      .select(col("doc_id").as("doc_b"), col("n_chars").as("cb"), col("g"))
+    val cand = a.join(b, Seq("g"))
+      .filter(col("cb") >= col("ca") - band && col("cb") <= col("ca") + band)
+      .select("doc_a", "doc_b").distinct()
     verifyJaccard(cand, sh, threshold)
+      .select(col("doc_a").as("new_id"), col("doc_b").as("ref_id"),
+        col("jaccard"))
   }
 
   /** Exact Jaccard verification of candidate pairs against shingle sets. */

@@ -49,6 +49,27 @@ object OracleSqlExt {
          |FROM p WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= $threshold
          |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Mirrors `Dedup.crossCorpusPairs` with the new/ref split
+    * `doc_id % 5 = 0` ⇒ reference side. The oracle is the naive banded
+    * bipartite product + exact `list_intersect`, so the match proves
+    * the engine's shared-prefix-order candidate generation loses no
+    * cross-side pair.
+    */
+  def crossCorpusJaccardSql(threshold: Double, band: Long): String =
+    shCte(3) +
+      s""", p AS (
+         |  SELECT a.doc_id AS new_id, b.doc_id AS ref_id,
+         |         len(list_intersect(a.s, b.s)) AS inter,
+         |         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+         |  FROM sh a JOIN sh b
+         |    ON a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+         |   AND b.n_chars >= a.n_chars - $band AND b.n_chars <= a.n_chars + $band
+         |)
+         |SELECT new_id, ref_id,
+         |       CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) AS jaccard
+         |FROM p WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= $threshold
+         |ORDER BY new_id, ref_id""".stripMargin
+
   /** Shared connected-components closure over banded Jaccard pairs:
     * appends CTEs `p` (pairs), `e` (undirected edges), `reach`
     * (recursive transitive closure), `cl` (doc_id → min reachable id).

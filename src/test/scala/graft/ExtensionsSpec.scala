@@ -527,6 +527,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got(4L).codec == null && got(4L).n_bytes == 0L && got(4L).head_byte == -1L)
   }
 
+  test("crossCorpusPairs == the straddling subset of jaccardPairs") {
+    import spark.implicits._
+    val ref = col("doc_id") % 5 === 0
+    val cross = Dedup.crossCorpusPairs(docs, ref, 0.5, 10)
+      .as[(Long, Long, Double)].collect().toSet
+    // ground truth: the self-join pairs, restricted to pairs that
+    // straddle the new/ref split, re-oriented as (new, ref)
+    val straddle = Dedup.jaccardPairs(docs, 0.5, 10)
+      .as[(Long, Long, Double)].collect().flatMap { case (a, b, j) =>
+        if (a % 5 == 0 && b % 5 != 0) Some((b, a, j))
+        else if (a % 5 != 0 && b % 5 == 0) Some((a, b, j))
+        else None
+      }.toSet
+    assert(cross.nonEmpty, "fixture should contain cross-split near-dups")
+    assert(cross == straddle)
+  }
+
   test("tfidfTopTerms: hand fixture with a score tie broken by term") {
     import spark.implicits._
     // N=2. doc 1 tf: x→2, y→1; doc 2 tf: x→1, z→1. df: x→2, y→1, z→1.

@@ -41,12 +41,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") || p.contains("partial_count"))
   }
 
-  test("q40/x23 banded self-joins stay equi-joins (no nested loop)") {
-    Seq("q40_range_join", "x23_simhash").foreach { q =>
-      val p = sparkPlan(q)
-      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-        s"$q plans a nested loop:\n$p")
-    }
+  test("q40/x23/x81 banded joins stay equi-joins (no nested loop)") {
+    Seq("q40_range_join", "x23_simhash", "x81_cross_corpus_neardups")
+      .foreach { q =>
+        val p = sparkPlan(q)
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+          s"$q plans a nested loop:\n$p")
+      }
   }
 
   test("q18 as-of join has no row-exploding join at all") {
