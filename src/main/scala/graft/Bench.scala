@@ -87,18 +87,20 @@ object Bench {
     // lines and the JSON summary
     def fmt(v: Double): String =
       "%.4f".formatLocal(java.util.Locale.ROOT, v)
-    // Truncation-proof output: one short line per query BEFORE the JSON,
-    // so a bounded stdout tail still carries every number even if the
-    // (compact, rounded) JSON line were ever clipped. BENCH_r05 lost 13
-    // queries to a mid-line tail cut of one long unrounded JSON line.
-    results.toSeq.sortBy(_._1).foreach { case (n, t) =>
-      println(s"BENCH $n ${fmt(t)}")
-    }
+    // Truncation-proof output: the driver keeps only a bounded TAIL of
+    // stdout, so the JSON summary prints FIRST and the ~25-byte
+    // per-query BENCH lines print LAST — whatever the tail window cuts,
+    // it cuts from the (redundant) front. BENCH_r05/r06 both lost
+    // queries when the short lines preceded the ~3.4 KB JSON line and
+    // the tail kept only the end.
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    results.toSeq.sortBy(_._1).foreach { case (n, t) =>
+      println(s"BENCH $n ${fmt(t)}")
+    }
     spark.stop()
   }
 }

@@ -45,7 +45,14 @@ object QueryStats {
     ("utilization", "", "utilization", "fraction of time spent on processing read-requests", "last"),
     ("pending.count", "", "", "number of pending read-requests", "point"),
     ("active.count", "", "", "number of actively processed read-requests", "point"),
-    ("failed.count", "", "", "number of failed read-requests", "last"))
+    ("failed.count", "", "", "number of failed read-requests", "last"),
+    // extension beyond the reference's 7: the slice of data.rate whose
+    // byte size was ESTIMATED (status store reported no cached blocks;
+    // rows × defaultSize) rather than measured off block sizes — a
+    // consumer comparing data.rate across hosts must be able to tell
+    // measured transfer from a guess
+    ("data.estimated.rate", "B/s", "rate",
+      "portion of the read payload data rate whose size was estimated, not measured", "last"))
 }
 
 /** @param prefix metric-name prefix, reference `stats.prefix` config —
@@ -61,6 +68,7 @@ final class QueryStats(prefix: String = "graft.db.", rateHz: Double = 0.1,
   // interval deltas (reset by collect) + state levels (never reset) —
   // exactly StatsCollector::Stats (db_stats.cpp:78-102)
   private var completedCount, failedCount, startedCount, dataSize = 0L
+  private var dataSizeEstimated = 0L // ⊆ dataSize; see data.estimated.rate
   private var pendingNs, activeNs = 0L
   private var inPending, inActive = 0L
   private var lastCollectNs = clock() // "collect empty stats right at the beginning"
@@ -82,12 +90,19 @@ final class QueryStats(prefix: String = "graft.db.", rateHz: Double = 0.1,
     inActive += 1
   }
 
-  def complete(t: Token, sizeBytes: Long): Unit = synchronized {
-    completedCount += 1
-    inActive -= 1
-    activeNs += clock() - t.activeSince
-    dataSize += sizeBytes
-  }
+  /** @param estimated true when `sizeBytes` is an estimate (row count ×
+    *                   `defaultSize`) rather than a measured block size —
+    *                   the bytes still count into `data.rate`, and are
+    *                   additionally surfaced via `data.estimated.rate`
+    */
+  def complete(t: Token, sizeBytes: Long, estimated: Boolean = false): Unit =
+    synchronized {
+      completedCount += 1
+      inActive -= 1
+      activeNs += clock() - t.activeSince
+      dataSize += sizeBytes
+      if (estimated) dataSizeEstimated += sizeBytes
+    }
 
   def failed(t: Token): Unit = synchronized {
     inActive -= 1
@@ -117,9 +132,10 @@ final class QueryStats(prefix: String = "graft.db.", rateHz: Double = 0.1,
       "utilization" -> activeNs / 1e9 / duration,
       "pending.count" -> inPending.toDouble,
       "active.count" -> inActive.toDouble,
-      "failed.count" -> failedCount.toDouble)
+      "failed.count" -> failedCount.toDouble,
+      "data.estimated.rate" -> dataSizeEstimated / duration)
     completedCount = 0; failedCount = 0; startedCount = 0
-    dataSize = 0; pendingNs = 0; activeNs = 0
+    dataSize = 0; dataSizeEstimated = 0; pendingNs = 0; activeNs = 0
     val rows = MetricDefs.map { case (suffix, unit, quantity, desc, scope) =>
       Sample(now, s"${prefix}read.$suffix", values(suffix), unit, quantity, desc, scope)
     }
@@ -210,9 +226,9 @@ final class QueryDispatcher(stats: QueryStats,
           // which drains asynchronously after the checkpoint job — wait
           // (bounded) until every partition's block has been reported
           // before reading sizes, or data.rate under-reports under load
-          val bytes = checkpointRdd(resp.df).map { rdd =>
+          val (bytes, estimated) = checkpointRdd(resp.df).map { rdd =>
             val want = rdd.getNumPartitions
-            if (want == 0) 0L // empty plan: no blocks will ever report
+            if (want == 0) (0L, false) // empty plan: no blocks will report
             else {
               val deadline = System.currentTimeMillis() + 500
               var info = sc.getRDDStorageInfo.find(_.id == rdd.id)
@@ -225,16 +241,18 @@ final class QueryDispatcher(stats: QueryStats,
                 // partial sizes (blocks evicted / still draining) are an
                 // honest lower bound — report them rather than stalling
                 case Some(i) if i.numCachedPartitions > 0 =>
-                  i.memSize + i.diskSize
+                  (i.memSize + i.diskSize, false)
                 case _ =>
                   // status store never saw the blocks: estimate from the
                   // materialized rows instead of recording 0 (the rdd is
-                  // already checkpointed, so count() is a local scan)
-                  rdd.count() * resp.df.schema.defaultSize
+                  // already checkpointed, so count() is a local scan) —
+                  // and FLAG it, so stats consumers can tell this guess
+                  // apart from measured block sizes (data.estimated.rate)
+                  (rdd.count() * resp.df.schema.defaultSize, true)
               }
             }
-          }.getOrElse(0L)
-          stats.complete(t, bytes)
+          }.getOrElse((0L, false))
+          stats.complete(t, bytes, estimated)
           Right(resp)
         } catch {
           case NonFatal(e) =>

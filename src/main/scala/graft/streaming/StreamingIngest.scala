@@ -330,6 +330,25 @@ object HtaStore {
   private[streaming] def rootMonitor(root: String): Object =
     rootMonitors.getOrElseUpdate(root, new Object)
 
+  /** Live compact tokens (`compact:<uuid>` lock-file values). A compact
+    * holds the ingest lock for its WHOLE duration — entry-only
+    * exclusion would let a `start()` that begins mid-compact pass
+    * `assertNotBusy` (no lock file) and write fresh batch directories
+    * into `raw/` that `swapCompact`'s rename+delete silently destroys.
+    * Liveness of a token is JVM membership here: a token in a lock file
+    * with no registration can only be a crashed compact (the JVM died
+    * mid-run), which the next busy probe treats as stale — and whose
+    * half-finished swap, if any, `pendingCompactCheck` still blocks on
+    * independently.
+    */
+  private val liveCompacts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[streaming] def registerCompact(token: String): Unit =
+    liveCompacts.add(token)
+  private[streaming] def unregisterCompact(token: String): Unit =
+    liveCompacts.remove(token)
+  private[streaming] def compactIsActive(token: String): Boolean =
+    liveCompacts.contains(token)
 }
 
 /** Thrown by [[HtaStore.compact]] when a live ingest query holds the
@@ -416,6 +435,12 @@ class HtaStore(val root: String, val intervalMin: Long) {
 
   private def ingestLock = new org.apache.hadoop.fs.Path(s"$root/ingest.lock")
 
+  /** Lock-file values beginning with this prefix mark a live compaction
+    * rather than a streaming query — see [[HtaStore.registerCompact]].
+    * A streaming runId is a UUID and can never collide with it.
+    */
+  private val CompactTokenPrefix = "compact:"
+
   /** Record `runId` as the live ingest query on this store (a lock file
     * next to the data). [[compact]] refuses while the recorded query is
     * still active; a lock left behind by a crashed or cleanly-stopped
@@ -439,11 +464,25 @@ class HtaStore(val root: String, val intervalMin: Long) {
     */
   private def busyCheck(spark: SparkSession, exempt: Option[String]): Unit =
     lockedRunId(spark).foreach { held =>
-      if (!exempt.contains(held) && HtaStore.runIsActive(spark, held))
+      if (!exempt.contains(held) && tokenIsLive(spark, held))
         throw new StoreBusyException(
-          s"store at $root already has live ingest query $held; two " +
-            "writers on one store would interleave batch directories")
+          s"store at $root is held by live ${describeToken(held)}; two " +
+            "concurrent writers on one store would interleave or destroy " +
+            "batch directories")
     }
+
+  /** One liveness predicate for both lock-token kinds: an ingest query's
+    * runId (probed via the query registry) or a compact's
+    * `compact:<uuid>` token (probed via JVM membership — see
+    * [[HtaStore.registerCompact]]).
+    */
+  private def tokenIsLive(spark: SparkSession, held: String): Boolean =
+    if (held.startsWith(CompactTokenPrefix)) HtaStore.compactIsActive(held)
+    else HtaStore.runIsActive(spark, held)
+
+  private def describeToken(held: String): String =
+    if (held.startsWith(CompactTokenPrefix)) s"compaction $held"
+    else s"ingest query $held"
 
   def acquireIngestLock(spark: SparkSession, runId: String): Unit =
     HtaStore.rootMonitor(root).synchronized {
@@ -801,21 +840,47 @@ class HtaStore(val root: String, val intervalMin: Long) {
     * replay completes them in place.
     */
   def compact(spark: SparkSession, activeCheckpoint: Option[String]): Unit = {
-    import org.apache.spark.sql.functions.{col, expr, lit}
     // mutual exclusion with the streaming query (see acquireIngestLock):
-    // refuse while the lock's query is live; a lock whose query has
-    // terminated (clean stop or crash) is stale — clear it and proceed,
-    // the uncommitted-tail handling below covers the crashed case
+    // refuse while the lock's token (ingest runId OR another compact) is
+    // live; a stale lock (terminated holder) is replaced. The compact
+    // then holds the lock with its OWN token for its WHOLE duration —
+    // entry-only exclusion would leave a window where a start() begun
+    // mid-compact sees no lock, passes assertNotBusy, and appends batch
+    // directories that swapCompact's rename(cur->bak)+delete(bak) would
+    // silently destroy. busyCheck treats a live compact token as busy,
+    // so that start() now fails loudly instead.
+    val compactToken = CompactTokenPrefix + java.util.UUID.randomUUID()
     HtaStore.rootMonitor(root).synchronized {
       lockedRunId(spark).foreach { held =>
-        if (HtaStore.runIsActive(spark, held))
+        if (tokenIsLive(spark, held))
           throw new StoreBusyException(
-            s"compact refused: ingest query $held is live on the store at " +
-              s"$root; stop it before compacting")
+            s"compact refused: ${describeToken(held)} is live on the store " +
+              s"at $root; stop it before compacting")
+      }
+      // register BEFORE the file lands: a busy probe that reads our
+      // token must find it live, never a just-written-but-unregistered
+      // token it would misjudge as a stale crash
+      HtaStore.registerCompact(compactToken)
+      val (hfs, lp) = fs(spark, ingestLock.toString)
+      val out = hfs.create(lp, true)
+      try out.write(compactToken.getBytes("UTF-8")) finally out.close()
+    }
+    try compactLocked(spark, activeCheckpoint)
+    finally HtaStore.rootMonitor(root).synchronized {
+      HtaStore.unregisterCompact(compactToken)
+      // release only our own token — never a successor's lock (nothing
+      // can legally replace a live compact token, but a crash-then-
+      // recover path must not delete the recovering writer's lock)
+      if (lockedRunId(spark).contains(compactToken)) {
         val (hfs, lp) = fs(spark, ingestLock.toString)
         hfs.delete(lp, false)
       }
     }
+  }
+
+  private def compactLocked(spark: SparkSession,
+                            activeCheckpoint: Option[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
     // (the crash guard, pendingCompactCheck, is unmemoized — the backup
     // dirs this compact transiently creates are re-probed on every
     // store use, so a crash below is caught by the next use anywhere)

@@ -68,7 +68,7 @@ class QueryStatsSpec extends AnyFunSuite {
       "test.db.read.request.rate", "test.db.read.data.rate",
       "test.db.read.pending.time", "test.db.read.utilization",
       "test.db.read.pending.count", "test.db.read.active.count",
-      "test.db.read.failed.count"))
+      "test.db.read.failed.count", "test.db.read.data.estimated.rate"))
 
     // 14 clock readings total: 1 construction + 4×(pending,active,done)
     // + this collect → duration = 14−1 = 13 ms; every edge is exactly 1 ms
@@ -95,9 +95,10 @@ class QueryStatsSpec extends AnyFunSuite {
     assert(again("test.db.read.failed.count") == 0.0)
     assert(again("test.db.read.pending.count") == 0.0)
 
-    // the published stream is queryable as a table: 2 ticks × 7 metrics
+    // the published stream is queryable as a table: 2 ticks × 8 metrics
+    // (the reference's 7 + the data.estimated.rate extension)
     val df = stats.toDF(spark)
-    assert(df.count() == 14)
+    assert(df.count() == 16)
     assert(df.columns.toSet == Set(
       "time_ns", "metric", "value", "unit", "quantity", "description", "scope"))
   }
@@ -150,6 +151,26 @@ class QueryStatsSpec extends AnyFunSuite {
       assert(storedIds().size < before.size,
         "release must drop the response's checkpoint blocks")
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("estimated byte sizes are flagged separately from measured ones") {
+    val stats = new QueryStats(clock = stepClock())
+    val t1 = stats.pending(); stats.active(t1)
+    stats.complete(t1, 100L) // measured
+    val t2 = stats.pending(); stats.active(t2)
+    stats.complete(t2, 40L, estimated = true) // rows × defaultSize guess
+    val tick = stats.collect()
+    val v = tick.map(s => s.metric -> s.value).toMap
+    // 8 clock readings: construction + 2×(pending,active,complete) +
+    // this collect → duration = 8−1 = 7 ms
+    val duration = 7e-3
+    // data.rate carries ALL bytes; data.estimated.rate only the flagged
+    // slice — a consumer subtracts to get the measured portion
+    assert(math.abs(v("graft.db.read.data.rate") - 140 / duration) < 1e-9)
+    assert(math.abs(v("graft.db.read.data.estimated.rate") - 40 / duration) < 1e-9)
+    // and the flag resets with the other interval deltas
+    val again = stats.collect().map(s => s.metric -> s.value).toMap
+    assert(again("graft.db.read.data.estimated.rate") == 0.0)
   }
 
   test("in-flight requests show up in the point-scope counts") {

@@ -578,6 +578,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$root/ingest.lock").exists())
   }
 
+  test("a live compact token blocks new writers for the compact's whole duration") {
+    // the pre-fix hole: compact's exclusion was entry-only — it cleared
+    // the stale lock, released the monitor, and ran the long merge/swap
+    // with NO lock file, so a start() beginning mid-compact passed
+    // assertNotBusy and appended batch dirs into raw/ that swapCompact's
+    // rename+delete silently destroyed. Now compact holds its own
+    // `compact:<uuid>` token in ingest.lock for its whole run; this
+    // simulates the mid-compact window deterministically via the
+    // JVM-liveness registry instead of racing a real compact thread.
+    val root = mkTmp("hta-compact-lock")
+    val store = new HtaStore(root, H)
+    def gatedOf(ps: Seq[Point]) = ps
+      .map(p => StreamingIngest.GatedPoint(p.metric, p.time, p.value, anchor = false))
+      .filter(p => !p.value.isNaN && !p.value.isInfinite).toDF()
+    store.writeBatch(spark, gatedOf(batch1), "ck_0")
+    val token = "compact:00000000-dead-beef-0000-000000000000"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/ingest.lock"),
+      token.getBytes("UTF-8"))
+    graft.streaming.StreamingTestHooks.registerCompact(token)
+    try {
+      // a new ingest query must refuse before starting…
+      val ms = MemoryStream[Point](spark)
+      val e = intercept[graft.streaming.StoreBusyException](
+        StreamingIngest.start(spark, ms.toDS(), store, mkTmp("ck-cl1")))
+      assert(e.getMessage.contains("compaction"))
+      // …and a second compact must refuse too
+      val e2 = intercept[graft.streaming.StoreBusyException](
+        store.compact(spark, None))
+      assert(e2.getMessage.contains("compaction"))
+    } finally graft.streaming.StreamingTestHooks.unregisterCompact(token)
+    // JVM registration gone = crashed compact: its token is stale, a new
+    // writer may proceed (any half-finished swap is separately blocked
+    // by the backup-dir guard, covered by the crashed-compact test)
+    val ms2 = MemoryStream[Point](spark)
+    val q = StreamingIngest.start(spark, ms2.toDS(), store, mkTmp("ck-cl2"))
+    ms2.addData(batch2)
+    q.processAllAvailable()
+    q.stop()
+    // and a completed compact leaves no lock behind (releases its token)
+    store.compact(spark, None)
+    assert(!new java.io.File(s"$root/ingest.lock").exists())
+  }
+
   test("a crashed compact's backup dir blocks store use until recovery") {
     val root = mkTmp("hta-bak-guard")
     val store = new HtaStore(root, H)
