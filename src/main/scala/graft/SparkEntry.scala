@@ -787,6 +787,14 @@ object SparkEntry {
     "x74_importance_weights" -> ((s, dir) =>
       TextAnalysis.importanceWeights(Tables.read(s, dir, "documents"), "en")
         .orderBy("doc_id")),
+    // X12 canonical DSIR: the paper's Σ-of-logs estimator (Laplace
+    // smoothed) — deliberately NO int64 oracle (ln is only faithfully
+    // rounded, so engines may differ in the last ulp); the driver
+    // records rows-only and tools/check_log_variants.py proves
+    // |Δ| < 1e-9 per row against DuckDB ln()
+    "x82_importance_log" -> ((s, dir) =>
+      TextAnalysis.importanceWeightsLog(Tables.read(s, dir, "documents"), "en")
+        .orderBy("doc_id")),
     // X4 RAG prep: sliding-window chunking (12-token windows every 8)
     // with exact tail-chunk sizes and per-chunk md5 fingerprints
     "x76_chunk_windows" -> ((s, dir) =>
@@ -805,6 +813,12 @@ object SparkEntry {
     // (score DESC, term) ranking
     "x77_tfidf_terms" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(Tables.read(s, dir, "documents"), 3)
+        .orderBy("doc_id", "rank")),
+    // X17 canonical tf·ln(N/df): the textbook log-damped weighting —
+    // like x82, no int64 oracle; DuckDB-ln tolerance via
+    // tools/check_log_variants.py
+    "x83_tfidf_ln" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTermsLn(Tables.read(s, dir, "documents"), 3)
         .orderBy("doc_id", "rank")),
     // X4 domain gate: host extracted from a synthesized URL (fixture
     // has no url column — BOTH sides build the same one from source +

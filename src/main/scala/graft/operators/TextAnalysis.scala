@@ -382,6 +382,8 @@ object TextAnalysis {
     * ONE double division per doc (`ln` is only faithfully rounded and
     * would break cross-engine hash parity), and the signal — "mass in
     * buckets the target language favors" — is the same feature family.
+    * [[importanceWeightsLog]] is the canonical Σ-of-logs estimator,
+    * sharing this plan shape and verified by ln-tolerance instead.
     *
     * Scale shape: ONE token-level exchange builds both distributions
     * (a single conditional aggregation; map-side partial counts into
@@ -412,6 +414,57 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("tgt_sum"), col("src_sum"),
         (col("tgt_sum").cast("double") / col("src_sum").cast("double"))
           .as("weight"))
+  }
+
+  /** The CANONICAL log-space DSIR estimator (Xie et al. 2023, eq. 3):
+    * per-document log importance weight
+    * `log w(x) = Σ_tokens [log p_tgt(bkt) − log p_src(bkt)]` over
+    * hashed-unigram bucket distributions, Laplace-smoothed
+    * (`p(b) = (n_b + 1)/(total + buckets)`) so an empty bucket
+    * contributes a finite penalty instead of −∞. This is the sibling of
+    * [[importanceWeights]] (same hashing, same distributions): that
+    * spelling trades the paper's Σ-of-logs for an int64-exact ratio so
+    * the driver can hash-compare it cross-engine; THIS one reproduces
+    * the published estimator, verified by tolerance against DuckDB
+    * `ln()` (tools/check_log_variants.py, |Δ| < 1e-9) rather than by
+    * bit-exact hash — `ln` is only faithfully rounded, so the last ulp
+    * may legitimately differ between engines.
+    *
+    * Scale shape: identical to the exact sibling — the token stream is
+    * scanned and aggregated ONCE into the ≤ `buckets`-row distribution
+    * table; the totals fold in via a single-partition window over those
+    * ≤ `buckets` rows (256 rows through one task, not a second token
+    * exchange); the per-bucket log-ratio is precomputed there so the
+    * token-level join adds one double per row and sums.
+    */
+  def importanceWeightsLog(docs: DataFrame, targetLang: String,
+                           buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+      .withColumn("bkt",
+        element_at(graft.functions.Md5Longs(col("tok"), Seq((1, 4))), 1)
+          % buckets)
+    val dist = toks.groupBy("bkt").agg(
+      count(lit(1)).as("src_n"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("tgt_n"))
+    // totals over the bucket table itself — an empty-frame window is a
+    // deliberate single-task funnel of ≤ `buckets` rows, cheaper than
+    // re-aggregating the token stream for one scalar pair
+    val tot = Window.partitionBy()
+    val logRatio = dist
+      .withColumn("src_tot", sum("src_n").over(tot))
+      .withColumn("tgt_tot", sum("tgt_n").over(tot))
+      .select(col("bkt"),
+        (log((col("tgt_n") + 1).cast("double") /
+             (col("tgt_tot") + buckets).cast("double")) -
+         log((col("src_n") + 1).cast("double") /
+             (col("src_tot") + buckets).cast("double"))).as("log_ratio"))
+    toks.join(broadcast(logRatio), "bkt")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("log_ratio").as("log_weight"))
+      .select(col("doc_id"), col("n_tokens"), col("log_weight"))
   }
 
   /** Sliding-window chunking — the RAG/embedding-prep primitive:
@@ -513,6 +566,8 @@ object TextAnalysis {
     * one). Equivalence holds only among terms of equal tf; the
     * deliberate trade is deterministic cross-engine ranking. Ranking
     * by (score DESC, term) breaks score ties deterministically.
+    * [[tfidfTopTermsLn]] is the canonical tf·ln(N/df) sibling, sharing
+    * this plan shape and verified by ln-tolerance instead.
     *
     * Scale shape: one token-level exchange for per-(doc, term) tf
     * (map-side partials); the df table derives from the ALREADY
@@ -535,6 +590,40 @@ object TextAnalysis {
       .crossJoin(broadcast(n))
       .withColumn("score",
         (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("rank").cast("long").as("rank"), col("score"))
+  }
+
+  /** The textbook log-damped TF-IDF: `score = tf · ln(N/df)` — the
+    * sibling of [[tfidfTopTerms]], which trades the logarithm for a
+    * linear `(tf·N)/df` so the score stays int64-exact under the
+    * driver's cross-engine hash (the two rankings diverge when tf
+    * varies across a doc's terms; see that doc). This one reproduces
+    * the published weighting, verified by tolerance against DuckDB
+    * `ln()` (tools/check_log_variants.py, |Δ| < 1e-9 per row) rather
+    * than bit-exact hash. Ranking stays (score DESC, term) — a
+    * ubiquitous term (df = N) scores exactly 0 and loses every tie to
+    * rarer terms only through the deterministic term order.
+    *
+    * Scale shape: identical to the exact sibling — one token exchange
+    * for per-(doc, term) tf, df derived from the aggregated tf rows,
+    * one-row corpus-size broadcast, document-sized top-k windows.
+    */
+  def tfidfTopTermsLn(docs: DataFrame, k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    tf.join(dfTbl, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") *
+        log(col("n_docs").cast("double") / col("df").cast("double")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
       .filter(col("rank") <= k)

@@ -558,6 +558,61 @@ class ExtensionsSpec extends AnyFunSuite {
       (2L, "z", 1L, 1L, 1L, 2.0), (2L, "x", 1L, 2L, 2L, 1.0)))
   }
 
+  test("importanceWeightsLog: canonical Σ-of-logs vs independent Math.log ground truth") {
+    import spark.implicits._
+    // same fixture as the exact sibling: src x→3, y→1, zzz→1 (tot 5);
+    // tgt (en) x→2, y→1, zzz→0 (tot 3); Laplace +1 over 256 buckets
+    val d = Seq(
+      (1L, "en", "x x"), (2L, "de", "x"), (3L, "de", "zzz"), (4L, "en", "y")
+    ).toDF("doc_id", "lang", "text")
+    def lr(tgtN: Long, srcN: Long): Double =
+      math.log((tgtN + 1).toDouble / (3 + 256)) -
+        math.log((srcN + 1).toDouble / (5 + 256))
+    val expected = Map(
+      1L -> (2L, 2 * lr(2, 3)), // two x tokens
+      2L -> (1L, lr(2, 3)),
+      3L -> (1L, lr(0, 1)),     // zzz absent from target: smoothed, finite
+      4L -> (1L, lr(1, 1)))
+    val got = TextAnalysis.importanceWeightsLog(d, "en")
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 4)
+    got.foreach { case (id, n, w) =>
+      val (en, ew) = expected(id)
+      assert(n == en, s"doc $id token count")
+      assert(math.abs(w - ew) < 1e-9, s"doc $id: got $w expected $ew")
+      assert(!w.isInfinite && !w.isNaN, s"doc $id: smoothing must keep w finite")
+    }
+    // sanity across the siblings: both estimators agree the pure-target
+    // doc 4 (y, in-target) outranks doc 3 (zzz, absent from target)
+    val exact = TextAnalysis.importanceWeights(d, "en")
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r._5).toMap
+    assert(exact(4L) > exact(3L) && expected(4L)._2 > expected(3L)._2)
+  }
+
+  test("tfidfTopTermsLn: tf·ln(N/df) vs Math.log, rank divergence from the linear sibling") {
+    import spark.implicits._
+    // N=10, engineered so the two spellings RANK doc 1 differently:
+    //   "r": tf=1, df=1  → linear 1·10/1 = 10   ln 1·ln(10) ≈ 2.303
+    //   "b": tf=4, df=5  → linear 4·10/5 = 8    ln 4·ln(2)  ≈ 2.773
+    // linear ranks r above b (rarity rewarded aggressively); the
+    // log-damped canonical form ranks b above r — exactly the
+    // documented divergence a paper-reproducing user cares about
+    val d = (Seq((1L, "b b b b r")) ++ (2L to 5L).map(i => (i, "b")) ++
+      (6L to 10L).map(i => (i, "z"))).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTermsLn(d, 2)
+      .as[(Long, String, Long, Long, Long, Double)].collect()
+      .filter(_._1 == 1L).sortBy(_._5)
+    def score(tf: Long, df: Long): Double = tf * math.log(10.0 / df)
+    got.foreach { case (_, term, tf, df, _, s) =>
+      assert(math.abs(s - score(tf, df)) < 1e-9, s"term $term")
+    }
+    assert(got.map(_._2).toSeq == Seq("b", "r"), "ln ranking: b above r")
+    val lin = TextAnalysis.tfidfTopTerms(d, 2)
+      .as[(Long, String, Long, Long, Long, Double)].collect()
+      .filter(_._1 == 1L).sortBy(_._5).map(_._2).toSeq
+    assert(lin == Seq("r", "b"), "linear ranking: r above b")
+  }
+
   test("urlHostFilter: authority capture stops at /, :, ? and #") {
     import spark.implicits._
     val d = Seq(

@@ -181,6 +181,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bucket counts must partially aggregate below the exchange:\n$p")
   }
 
+  test("x82 log-DSIR shares the exact sibling's shape: broadcast dist, one token agg") {
+    val p = sparkPlan("x82_importance_log")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=256-row log-ratio table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"bucket counts must partially aggregate below the exchange:\n$p")
+    // the totals fold in via a window over the <=256-row dist table —
+    // that window must be the ONLY unpartitioned one, and the token
+    // stream must never pass through it (it sits above the bucket agg)
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).length
+    assert(specs > 0, s"totals window missing:\n$p")
+  }
+
+  test("x83 ln tf-idf shares the exact sibling's shape: one allowed scalar NLJ") {
+    val p = sparkPlan("x83_tfidf_ln")
+    assert(!p.contains("CartesianProduct"))
+    val nlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(p).length
+    assert(nlj <= 1, s"unexpected nested loops:\n$p")
+    assert(p.contains("partial_count"),
+      s"tf/df counts must partially aggregate below the exchange:\n$p")
+  }
+
   test("x76 chunk windows are a pure per-row explode: zero exchanges") {
     // orderBy aside (driver-gate determinism), chunking never
     // shuffles. Same executed-plan discipline as the x68 audit above:
