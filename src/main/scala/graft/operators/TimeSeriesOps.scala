@@ -226,9 +226,10 @@ object TimeSeriesOps {
     *
     * Scale: two grouped exact percentiles + one broadcast join back on
     * `metric` (metric cardinality is config-sized). Exact percentile
-    * sorts each metric's points within its group — the demonstration
-    * path; at 100 TB swap in `approx_percentile` (x58 measures its
-    * error bounds) and the plan shape is unchanged.
+    * buffers each metric's points within its group — the demonstration
+    * path; [[outliersMadApprox]] is the 100 TB spelling: the same plan
+    * shape with bounded-memory `approx_percentile` sketches (x58
+    * measures their error bounds).
     */
   def outliersMad(sanitized: DataFrame, k: Double = 3.0): DataFrame = {
     val q = Ingest.quantized(sanitized)
@@ -242,6 +243,45 @@ object TimeSeriesOps {
       .groupBy("metric")
       .agg(
         min("med_c").as("med_c"), // constant per metric; min = the value
+        min("mad_c").as("mad_c"),
+        count(lit(1)).as("n_points"),
+        sum(when(col("adev") > lit(k) * col("mad_c"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  /** The 100 TB spelling of [[outliersMad]]: identical plan shape (two
+    * grouped percentile aggregations + two broadcast join-backs), with
+    * `approx_percentile` (KLL-style sketch, a fixed-size mergeable
+    * buffer per group) replacing the exact `percentile` (which buffers
+    * EVERY group row in the aggregation state — fine at config-sized
+    * metric cardinality and bench-scale points-per-metric, unbounded
+    * memory at 100 TB of points).
+    *
+    * `accuracy` bounds the RANK error: the returned median is the value
+    * at some rank within `n/accuracy` of n/2, so it is always one of
+    * the group's actual values (no interpolation — the one semantic
+    * difference from the exact path, whose even-n median interpolates
+    * between the two middle values) and lies between the group's exact
+    * `(0.5 ± 1/accuracy)` quantiles. The outlier comparison then runs
+    * against the sketched med/MAD with the same fixed IEEE op sequence.
+    * [[outliersMad]] remains the oracle-checked demonstration path
+    * (q71); OutlierApproxSpec bounds this one against it.
+    */
+  def outliersMadApprox(sanitized: DataFrame, k: Double = 3.0,
+                        accuracy: Int = 10000): DataFrame = {
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
+    val q = Ingest.quantized(sanitized)
+    val med = q.groupBy("metric")
+      .agg(expr(s"approx_percentile(value_c, 0.5D, $accuracy)")
+        .cast("double").as("med_c"))
+    val dev = q.join(broadcast(med), "metric")
+      .withColumn("adev", abs(col("value_c").cast("double") - col("med_c")))
+    val mad = dev.groupBy("metric")
+      .agg(expr(s"approx_percentile(adev, 0.5D, $accuracy)").as("mad_c"))
+    dev.join(broadcast(mad), "metric")
+      .groupBy("metric")
+      .agg(
+        min("med_c").as("med_c"),
         min("mad_c").as("mad_c"),
         count(lit(1)).as("n_points"),
         sum(when(col("adev") > lit(k) * col("mad_c"), 1L).otherwise(0L))

@@ -15,7 +15,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * registered raw point plan — where `<bucket>` is any of the timeline
   * spellings `time - time % I`, `time div I`, or `floor(time / I)` —
   * computing only rollup-derivable aggregates (`min(value)`,
-  * `max(value)`, `count(*)`/`count(value)`), is rewritten to aggregate
+  * `max(value)`, `count(*)`/`count(value)`; under the install-time
+  * data assertions also quantized-sum, plain `sum(value)`, and
+  * `avg(value)`), is rewritten to aggregate
   * the registered level-0 table instead — merging `I / interval₀`
   * bucket rows per output row instead of scanning every point. An
   * ORDER BY above the aggregate is untouched (output attributes keep
@@ -67,11 +69,12 @@ object RollupSubstitution {
     *
     * `assumeCentQuantized`: the caller additionally asserts every raw
     * `value` lies exactly on the 0.01 grid (`value == round(value*100)
-    * / 100`). Required by the `avg(value)` mapping: the level's `sum_c`
-    * is `Σ round(value·100)`, so the rewritten mean is the mean of
-    * QUANTIZED values — exact only on the grid, and up to 0.005/point
-    * systematic error off it. The quantized-sum mapping does NOT need
-    * this (the query itself asks for `sum(round(value*100)::long)`).
+    * / 100`). Required by the `avg(value)` and plain `sum(value)`
+    * mappings: the level's `sum_c` is `Σ round(value·100)`, so the
+    * rewritten mean/sum is over QUANTIZED values — exact only on the
+    * grid, and up to 0.005/point systematic error off it. The
+    * quantized-sum mapping does NOT need this (the query itself asks
+    * for `sum(round(value*100)::long)`).
     */
   def install(spark: SparkSession, raw: DataFrame, level0: DataFrame,
               intervalNs: Long, assumeValueNotNull: Boolean = false,
@@ -341,6 +344,21 @@ class RollupSubstitutionRule(private[plans] val session: SparkSession)
           org.apache.spark.sql.types.DoubleType)
         Some(Divide(Divide(sumC, Literal(100.0), EvalMode.LEGACY),
           cntS, EvalMode.LEGACY))
+      // plain sum(value) = Σ sum_c / 100 — the same dual assertion as
+      // avg: sum_c is Σ round(v·100), so off the cent grid the rewrite
+      // is systematically wrong, and NULL values would vanish into the
+      // level's 0-fold. On the grid, one int64 sum + one correctly-
+      // rounded division replaces the raw plan's shuffle-order double
+      // sum (itself not bitwise stable run-to-run). The double sum
+      // cannot overflow where the int64 one could — the same accepted
+      // exposure as the avg mapping (9.2e16 currency units)
+      case Sum(v: Attribute, _)
+          if v.exprId == valueAttr.exprId && entry.valueNotNull &&
+            entry.centQuantized =>
+        Some(Divide(Cast(
+          AggregateExpression(Sum(lvlAttr("sum_c")), Complete, isDistinct = false),
+          org.apache.spark.sql.types.DoubleType), Literal(100.0),
+          EvalMode.LEGACY))
       case _ => None
     }
 

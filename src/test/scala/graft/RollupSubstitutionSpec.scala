@@ -219,6 +219,53 @@ class RollupSubstitutionSpec extends AnyFunSuite {
     } finally RollupSubstitution.uninstall(spark)
   }
 
+  test("plain sum(value) rewrites only under BOTH assertions, from the level scan") {
+    def qSum() = raw.groupBy(col("metric"),
+        (col("time") - col("time") % (10 * H)).as("bucket"))
+      .agg(sum("value").as("s"), min("value").as("mn"))
+
+    // not-null alone must NOT unlock it: sum_c sums QUANTIZED values,
+    // so off the cent grid the rewrite would be systematically wrong
+    RollupSubstitution.install(spark, raw, level0, H, assumeValueNotNull = true)
+    try assert(!qSum().queryExecution.optimizedPlan.toString.contains("sum_c"))
+    finally RollupSubstitution.uninstall(spark)
+
+    RollupSubstitution.install(spark, raw, level0, H,
+      assumeValueNotNull = true, assumeCentQuantized = true)
+    try {
+      val q = qSum()
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("sum_c") && optimized.contains("bucket_start"),
+        s"sum rewrite did not fire:\n$optimized")
+      // the LEVEL scan answers: no leaf of the optimized plan is raw
+      val leaves = q.queryExecution.optimizedPlan.collectLeaves()
+      assert(!leaves.exists(_.sameResult(raw.queryExecution.analyzed)),
+        s"raw table still scanned:\n$optimized")
+      val got = q.as[(String, Long, Double, Double)].collect().sortBy(r => (r._1, r._2))
+      RollupSubstitution.uninstall(spark)
+      val expect = qSum().as[(String, Long, Double, Double)].collect().sortBy(r => (r._1, r._2))
+      assert(got.length == expect.length && got.nonEmpty)
+      // exact integer-domain sum (one division) vs the raw plan's
+      // shuffle-order double sum: equal to relative 1e-12 (the raw
+      // plan itself is not bitwise stable), min bitwise-identical
+      got.zip(expect).foreach { case (g, e) =>
+        assert(g._1 == e._1 && g._2 == e._2 && g._4 == e._4)
+        assert(math.abs(g._3 - e._3) <= 1e-12 * math.max(1.0, math.abs(e._3)),
+          s"sum mismatch: $g vs $e")
+      }
+      // and BITWISE equality against the exact integer-domain spelling
+      // on raw — the rewrite is (Σ sum_c)/100.0, which must be the same
+      // double as Σ round(v·100) (int64) divided once
+      val exact = raw.groupBy(col("metric"),
+          (col("time") - col("time") % (10 * H)).as("bucket"))
+        .agg((sum(round(col("value") * 100).cast("long")) / 100.0).as("s"),
+          min("value").as("mn"))
+        .as[(String, Long, Double, Double)].collect().sortBy(r => (r._1, r._2))
+      assert(got.toSeq == exact.toSeq,
+        "rewritten sum must be bit-identical to the integer-domain sum")
+    } finally RollupSubstitution.uninstall(spark)
+  }
+
   test("ladder: the coarsest dividing level answers; filters can demote a rung") {
     val root = Files.createTempDirectory("graft-ladder").toString
     Ingest.mergeToLevel(level0, 10 * H).write.parquet(s"$root/level1")

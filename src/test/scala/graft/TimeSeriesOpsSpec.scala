@@ -57,6 +57,61 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       ("c", 105.0, 15.0, 6L, 1L)))
   }
 
+  test("outliersMadApprox: rank-bounded vs exact, internally consistent counts") {
+    import SparkTestBase.sf
+    import graft.sources.Tables
+    // real fixture data (hundreds of points per metric) — a 6-point
+    // hand fixture can't distinguish sketch error from wrong answers
+    val sanitized = Ingest.sanitize(Tables.htaPoints(spark, sf))
+    val exact = TimeSeriesOps.outliersMad(sanitized)
+      .as[(String, Double, Double, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val approx = TimeSeriesOps.outliersMadApprox(sanitized)
+      .as[(String, Double, Double, Long, Long)].collect()
+    assert(approx.nonEmpty && approx.length == exact.size)
+
+    // rank-error assertion, the x58 SketchSpec convention: the sketch's
+    // answer must be a value whose rank is within ±(n/accuracy + 1) of
+    // the true median rank — measured by counting, NOT by interpolated
+    // percentile bands (interpolation through a sparse value region
+    // yields band edges many value-units from data only 1 rank away)
+    val byMetric = Ingest.quantized(sanitized)
+      .select(col("metric"), col("value_c").cast("double"))
+      .as[(String, Double)].collect().groupBy(_._1)
+      .map { case (m, rs) => m -> rs.map(_._2).sorted }
+    def rankOk(values: Array[Double], a: Double, p: Double): Boolean = {
+      val n = values.length.toDouble
+      val lo = values.count(_ < a).toDouble
+      val hi = values.count(_ <= a).toDouble
+      val eps = n / 10000.0 + 1
+      hi >= p * n - eps && lo <= p * n + eps
+    }
+    approx.foreach { case (m, medA, madA, nP, nOut) =>
+      val (_, _, _, nPe, _) = exact(m)
+      assert(nP == nPe, s"$m: point counts must be exact")
+      val values = byMetric(m)
+      assert(rankOk(values, medA, 0.5),
+        s"$m: approx median $medA violates the rank-error bound")
+      // the MAD sketch runs over deviations from the APPROX median —
+      // bound its rank against that same stream
+      val adevs = values.map(v => math.abs(v - medA)).sorted
+      assert(rankOk(adevs, madA, 0.5),
+        s"$m: approx MAD $madA violates the rank-error bound")
+      // internal consistency: n_outliers is exactly the count implied
+      // by the query's OWN published med/mad — recompute locally
+      assert(nOut == adevs.count(_ > 3.0 * madA),
+        s"$m: n_outliers inconsistent with published med/mad")
+    }
+
+    // plan shape: sketch aggregation, broadcast join-backs, no exact
+    // row-buffering percentile anywhere
+    val p = TimeSeriesOps.outliersMadApprox(sanitized)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("approx_percentile"), p)
+    assert(!p.contains("partial_percentile("), "exact percentile leaked into the approx path")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("gapFill: LOCF on the grid, NULL before first sample, exact-hit visible") {
     val got = TimeSeriesOps.gapFill(pts, T0, T0 + 30 * M, 15 * M)
       .orderBy("metric", "grid_time")
