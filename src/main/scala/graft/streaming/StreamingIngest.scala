@@ -607,10 +607,11 @@ class HtaStore(val root: String, val intervalMin: Long) {
     }
   }
 
-  private def onlyCommitted(spark: SparkSession, df: DataFrame): DataFrame =
-    committedKeys(spark) match {
+  private def onlyCommittedWith(spark: SparkSession, df: DataFrame,
+                                keys: Option[Set[String]]): DataFrame =
+    keys match {
       case None => df // legacy pre-marker store: every batch is trusted
-      case Some(keys) => commitFilter(spark, df, keys)
+      case Some(ks) => commitFilter(spark, df, ks)
     }
 
   private def emptyDf(spark: SparkSession,
@@ -721,21 +722,30 @@ class HtaStore(val root: String, val intervalMin: Long) {
     * store — correctness identical, directory pruning absent until
     * [[compact]] migrates the layout (upgrading never hides history).
     */
-  private def rawAll(spark: SparkSession): Option[DataFrame] = {
+  private def rawAll(spark: SparkSession): Option[DataFrame] =
+    rawAllWith(spark, committedKeys(spark))
+
+  private def rawAllWith(spark: SparkSession,
+                         keys: Option[Set[String]]): Option[DataFrame] = {
     pendingCompactCheck(spark)
     rawLayoutV2(spark).map {
       case true =>
-        onlyCommitted(spark, spark.read.schema(rawSchema).parquet(rawPath))
+        onlyCommittedWith(spark,
+          spark.read.schema(rawSchema).parquet(rawPath), keys)
       case false =>
-        onlyCommitted(spark, spark.read.schema(rawSchemaV1).parquet(rawPath))
+        onlyCommittedWith(spark,
+          spark.read.schema(rawSchemaV1).parquet(rawPath), keys)
           .withColumn("day", expr(s"time div $DayNs"))
     }
   }
 
-  def raw(spark: SparkSession): DataFrame =
-    rawAll(spark).map(_.select("metric", "time", "value")).getOrElse(
+  private def rawFrom(spark: SparkSession,
+                      all: Option[DataFrame]): DataFrame =
+    all.map(_.select("metric", "time", "value")).getOrElse(
       emptyDf(spark, org.apache.spark.sql.types.StructType.fromDDL(
         "metric STRING, time LONG, value DOUBLE")))
+
+  def raw(spark: SparkSession): DataFrame = rawFrom(spark, rawAll(spark))
 
   /** Time-ranged raw scan. The `day` partition directories are a pure
     * function of `time`, so the equivalent day range is added as a
@@ -745,7 +755,11 @@ class HtaStore(val root: String, val intervalMin: Long) {
     * truncating division here agrees with the writer's `div`.
     */
   def rawRange(spark: SparkSession, startNs: Long, endNs: Long): DataFrame =
-    rawAll(spark).map(
+    rawRangeFrom(spark, rawAll(spark), startNs, endNs)
+
+  private def rawRangeFrom(spark: SparkSession, all: Option[DataFrame],
+                           startNs: Long, endNs: Long): DataFrame =
+    all.map(
       _.filter(col("day").between(startNs / DayNs, endNs / DayNs) &&
           col("time").between(startNs, endNs))
         .select("metric", "time", "value")).getOrElse(
@@ -755,7 +769,11 @@ class HtaStore(val root: String, val intervalMin: Long) {
   /** Merge-on-read level-0 view (exact: Agg is a monoid — same merge as
     * the batch hierarchy builder).
     */
-  def level0(spark: SparkSession): DataFrame = {
+  def level0(spark: SparkSession): DataFrame =
+    level0With(spark, committedKeys(spark))
+
+  private def level0With(spark: SparkSession,
+                         keys: Option[Set[String]]): DataFrame = {
     pendingCompactCheck(spark)
     val (hfs, hp) = fs(spark, partialsPath)
     if (!hfs.exists(hp))
@@ -763,11 +781,39 @@ class HtaStore(val root: String, val intervalMin: Long) {
         "metric STRING, interval_ns LONG, bucket_start LONG, min_v DOUBLE, " +
           "max_v DOUBLE, sum_c LONG, cnt LONG, integral_cus LONG, active_us LONG"))
     else Ingest.mergeToLevel(
-      onlyCommitted(spark,
-        spark.read.schema(partialsSchema).parquet(partialsPath))
+      onlyCommittedWith(spark,
+        spark.read.schema(partialsSchema).parquet(partialsPath), keys)
         .filter(col("interval_ns") === intervalMin)
         .drop("interval_ns", "batch_id"),
       intervalMin)
+  }
+
+  /** A snapshot-consistent read view of this store: the commit-marker
+    * set is captured ONCE here, so [[Snapshot.raw]],
+    * [[Snapshot.rawRange]] and [[Snapshot.level0]] all expose exactly
+    * the same committed-batch prefix regardless of how many batches a
+    * live ingest query commits while a composed history query is being
+    * planned or executed. The per-call [[raw]]/[[level0]] views are
+    * each committed-only, but a LEVEL-COMPOSED query (e.g.
+    * `HtaService.aggregateRangeFast` reading raw edge buckets + level
+    * interior) builds them at different instants — under active ingest
+    * its interior could then include a batch its edges don't, yielding
+    * an answer that matches no single point in the store's history.
+    * The reference serves each request from one consistent directory
+    * state (async_hta_service.hpp:346-512); this is that guarantee on
+    * the Spark side. Cheap: one `batch_commits/` listing per snapshot.
+    */
+  def snapshot(spark: SparkSession): Snapshot = {
+    pendingCompactCheck(spark)
+    new Snapshot(committedKeys(spark))
+  }
+
+  final class Snapshot private[HtaStore](keys: Option[Set[String]]) {
+    def raw(spark: SparkSession): DataFrame =
+      rawFrom(spark, rawAllWith(spark, keys))
+    def rawRange(spark: SparkSession, startNs: Long, endNs: Long): DataFrame =
+      rawRangeFrom(spark, rawAllWith(spark, keys), startNs, endNs)
+    def level0(spark: SparkSession): DataFrame = level0With(spark, keys)
   }
 
   /** Recover one side of a previous compact crash: `bak` holding the

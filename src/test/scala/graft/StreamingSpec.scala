@@ -724,4 +724,88 @@ class StreamingSpec extends AnyFunSuite {
       GatedPoint("m12345", T0, 12345.0, anchor = true),
       GatedPoint("m12345", T0 + H, 6.0, anchor = false)))
   }
+
+  test("history reads during active ingest: committed-only, monotone, snapshot-consistent") {
+    // the operational read path a deployment exercises continuously:
+    // history queries served WHILE the streaming query commits batches.
+    // The main thread adds a batch and then polls the store until the
+    // batch appears — every poll before that overlaps the batch's
+    // raw/partials parquet writes and the marker race, which is exactly
+    // the window where a half-written batch could leak. Assertions:
+    // (1) every raw read is EXACTLY some committed-batch prefix (never
+    //     a torn/partial batch), (2) the visible prefix only grows,
+    // (3) a store.snapshot's raw and level0 expose the SAME prefix,
+    // (4) a level-composed AGGREGATE served from one snapshot equals
+    //     the same request answered from that prefix's data alone.
+    import graft.operators.HtaService
+    val store = new HtaStore(mkTmp("hta-live"), H)
+    val ms = MemoryStream[Point](spark)
+    val q = StreamingIngest.start(spark, ms.toDS(), store, mkTmp("ck-live"))
+    try {
+      val metrics = Seq("m1", "m2", "m3")
+      val P = 200 // points per metric per batch
+      val step = 30000000000L // 30 s in ns
+      def pts(b: Int): Seq[Point] =
+        for { m <- metrics; i <- 0 until P } yield {
+          val n = b * P + i
+          Point(m, T0 + n.toLong * step, n.toDouble, (b * P + i).toLong)
+        }
+      val nB = 5
+      def prefixSan(k: Int) =
+        Ingest.sanitize((0 until k).flatMap(pts).toDS().toDF()
+          .select(col("metric"), col("time"), col("value"), col("seq")))
+      val cum: IndexedSeq[Set[(String, Long, Double)]] = (0 to nB).map(k =>
+        (0 until k).flatMap(pts).map(p => (p.metric, p.time, p.value)).toSet)
+      // expected level-0 total cnt per prefix, from the same rollup the
+      // store maintains (no assumption about bucket/anchor shape)
+      val cumCnt: IndexedSeq[Long] = (0 to nB).map(k =>
+        if (k == 0) 0L
+        else Ingest.rollup(prefixSan(k), H)
+          .agg(sum("cnt")).as[Long].collect().head)
+      // q66-style request bounds: µs-aligned, interior spans hour levels
+      val (aStart, aEnd) = (T0 + H, T0 + 6 * H)
+
+      var lastK = 0
+      var duringReads = 0 // polls that ran before the pending batch landed
+      for (b <- 0 until nB) {
+        ms.addData(pts(b))
+        var k = -1
+        var firstPoll = true
+        val deadline = System.currentTimeMillis() + 180000
+        while (k != b + 1 && System.currentTimeMillis() < deadline) {
+          val snap = store.snapshot(spark)
+          val rawSet = snap.raw(spark)
+            .as[(String, Long, Double)].collect().toSet
+          k = cum.indexWhere(_ == rawSet)
+          assert(k >= 0, s"raw read during batch $b is not a committed " +
+            s"prefix (${rawSet.size} rows) — a partial batch leaked")
+          assert(k >= lastK, s"visibility went backwards: $lastK -> $k")
+          val l0 = snap.level0(spark)
+            .agg(coalesce(sum("cnt"), lit(0L))).as[Long].collect().head
+          assert(l0 == cumCnt(k),
+            s"snapshot torn: raw shows prefix $k (${cumCnt(k)} pts) but " +
+              s"level0 sums $l0")
+          if (firstPoll) {
+            // level-composed aggregate from ONE snapshot: raw edges +
+            // level interior must answer from the same prefix
+            val got = HtaService.aggregateRangeFast(snap.raw(spark),
+              snap.level0(spark), store.levels, aStart, aEnd)
+            val want = HtaService.aggregateRangeFast(prefixSan(k),
+              store.levels, aStart, aEnd)
+            assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+              s"snapshot-composed aggregate diverges from prefix $k")
+            firstPoll = false
+          }
+          lastK = k
+          if (k <= b) duringReads += 1
+        }
+        assert(k == b + 1, s"batch $b never became visible")
+      }
+      // sanity that the loop exercised the during-commit window at all:
+      // a commit takes two parquet writes, the first poll starts
+      // immediately after addData — across nB batches at least one poll
+      // must have run before its batch landed
+      assert(duringReads > 0, "no poll ever overlapped an in-flight commit")
+    } finally q.stop()
+  }
 }
