@@ -77,11 +77,14 @@ object StressProof {
     val docs = base.unionByName(dups)
       .withColumn("n_chars", length(col("text")))
 
-    val (nCand, tCand) = timed(
-      Dedup.lshCandidatePairs(docs).count())
+    // candidates generated ONCE (cached), counted, then verified — so
+    // each stage runs and is timed exactly once
+    val cand = Dedup.lshCandidatePairs(docs).cache()
+    val (nCand, tCand) = timed(cand.count())
     val (found, tVerify) = timed(
-      Dedup.minhashNearDups(docs, 0.8)
+      Dedup.verifyJaccard(cand, Dedup.shingled(docs), 0.8)
         .filter(col("doc_b") === col("doc_a") + nBase).count())
+    cand.unpersist()
     val recall = found.toDouble / nDups
     println(f"STRESS lsh docs=${nBase + nDups} candidates=$nCand " +
       f"planted=$nDups recall=$recall%.4f t_cand=$tCand%.1fs t_all=${tCand + tVerify}%.1fs")
@@ -94,7 +97,8 @@ object StressProof {
   }
 
   /** 10 000 chains of 10 nodes + one chain of 10 000 nodes (110 000
-    * nodes, 109 999 edges). Star contraction must converge within the
+    * nodes, 99 999 edges = nodes − components, a spanning forest of
+    * 10 001 trees). Star contraction must converge within the
     * default 50 rounds — any linear-diameter label propagation would
     * need ~10 000 rounds on the long chain — and emit exactly the
     * planted components.

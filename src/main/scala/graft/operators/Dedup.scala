@@ -137,8 +137,8 @@ object Dedup {
   }
 
   /** Exact Jaccard verification of candidate pairs against shingle sets. */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
-                            threshold: Double): DataFrame = {
+  private[graft] def verifyJaccard(cand: DataFrame, sh: DataFrame,
+                                   threshold: Double): DataFrame = {
     val inter = size(array_intersect(col("sa"), col("sb")))
     val uni = size(col("sa")) + size(col("sb")) - inter
     cand

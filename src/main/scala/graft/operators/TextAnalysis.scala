@@ -394,19 +394,7 @@ object TextAnalysis {
     */
   def importanceWeights(docs: DataFrame, targetLang: String,
                         buckets: Int = 256): DataFrame = {
-    require(buckets > 0, s"buckets must be positive, got $buckets")
-    val toks = docs.select(col("doc_id"), col("lang"),
-      explode(split(col("text"), " ")).as("tok"))
-      // 4 hex nibbles < 2^16, exact in any engine; mod folds to buckets
-      .withColumn("bkt",
-        element_at(graft.functions.Md5Longs(col("tok"), Seq((1, 4))), 1)
-          % buckets)
-    // one conditional aggregation produces both distributions — two
-    // separate groupBys + a join would scan/shuffle the token stream
-    // twice for the same ≤ `buckets`-row table
-    val dist = toks.groupBy("bkt").agg(
-      count(lit(1)).as("src_n"),
-      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("tgt_n"))
+    val (toks, dist) = dsirDistributions(docs, targetLang, buckets)
     toks.join(broadcast(dist), "bkt")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
@@ -439,16 +427,8 @@ object TextAnalysis {
     */
   def importanceWeightsLog(docs: DataFrame, targetLang: String,
                            buckets: Int = 256): DataFrame = {
-    require(buckets > 0, s"buckets must be positive, got $buckets")
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"), col("lang"),
-      explode(split(col("text"), " ")).as("tok"))
-      .withColumn("bkt",
-        element_at(graft.functions.Md5Longs(col("tok"), Seq((1, 4))), 1)
-          % buckets)
-    val dist = toks.groupBy("bkt").agg(
-      count(lit(1)).as("src_n"),
-      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("tgt_n"))
+    val (toks, dist) = dsirDistributions(docs, targetLang, buckets)
     // totals over the bucket table itself — an empty-frame window is a
     // deliberate single-task funnel of ≤ `buckets` rows, cheaper than
     // re-aggregating the token stream for one scalar pair
@@ -465,6 +445,31 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("log_ratio").as("log_weight"))
       .select(col("doc_id"), col("n_tokens"), col("log_weight"))
+  }
+
+  /** ONE tokenize → hash-bucket → dual-distribution prep shared by
+    * [[importanceWeights]] and [[importanceWeightsLog]]: the siblings'
+    * whole comparability story rests on identical hashing and
+    * distribution semantics, so the pipeline exists exactly once.
+    * Returns (token stream with `bkt`, ≤ `buckets`-row distribution
+    * table with `src_n`/`tgt_n`).
+    */
+  private def dsirDistributions(docs: DataFrame, targetLang: String,
+                                buckets: Int): (DataFrame, DataFrame) = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+      // 4 hex nibbles < 2^16, exact in any engine; mod folds to buckets
+      .withColumn("bkt",
+        element_at(graft.functions.Md5Longs(col("tok"), Seq((1, 4))), 1)
+          % buckets)
+    // one conditional aggregation produces both distributions — two
+    // separate groupBys + a join would scan/shuffle the token stream
+    // twice for the same ≤ `buckets`-row table
+    val dist = toks.groupBy("bkt").agg(
+      count(lit(1)).as("src_n"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("tgt_n"))
+    (toks, dist)
   }
 
   /** Sliding-window chunking — the RAG/embedding-prep primitive:
@@ -576,26 +581,9 @@ object TextAnalysis {
     * broadcast; the final top-k is a per-doc window whose partition is
     * document-sized, never corpus-sized, so it cannot skew.
     */
-  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // tf rows are distinct (doc, term) pairs, so counting them per term
-    // IS the document frequency — no second pass over the corpus
-    val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = docs.select(count(lit(1)).as("n_docs"))
-    tf.join(dfTbl, "term")
-      .crossJoin(broadcast(n))
-      .withColumn("score",
-        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
-      .filter(col("rank") <= k)
-      .select(col("doc_id"), col("term"), col("tf"), col("df"),
-        col("rank").cast("long").as("rank"), col("score"))
-  }
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame =
+    tfidfTopK(docs, k,
+      (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
 
   /** The textbook log-damped TF-IDF: `score = tf · ln(N/df)` — the
     * sibling of [[tfidfTopTerms]], which trades the logarithm for a
@@ -612,18 +600,29 @@ object TextAnalysis {
     * for per-(doc, term) tf, df derived from the aggregated tf rows,
     * one-row corpus-size broadcast, document-sized top-k windows.
     */
-  def tfidfTopTermsLn(docs: DataFrame, k: Int = 3): DataFrame = {
+  def tfidfTopTermsLn(docs: DataFrame, k: Int = 3): DataFrame =
+    tfidfTopK(docs, k, col("tf").cast("double") *
+      log(col("n_docs").cast("double") / col("df").cast("double")))
+
+  /** ONE tokenize → tf → df → rank pipeline shared by [[tfidfTopTerms]]
+    * and [[tfidfTopTermsLn]] — only the `score` expression (over the
+    * `tf`, `df`, `n_docs` columns) differs between the siblings, so
+    * their tokenization, df derivation, and deterministic
+    * (score DESC, term) tie-break can never drift apart.
+    */
+  private def tfidfTopK(docs: DataFrame, k: Int, score: Column): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // tf rows are distinct (doc, term) pairs, so counting them per term
+    // IS the document frequency — no second pass over the corpus
     val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     tf.join(dfTbl, "term")
       .crossJoin(broadcast(n))
-      .withColumn("score", col("tf").cast("double") *
-        log(col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("score", score)
       .withColumn("rank", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
       .filter(col("rank") <= k)

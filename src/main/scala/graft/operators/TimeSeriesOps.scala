@@ -265,7 +265,8 @@ object TimeSeriesOps {
     * `(0.5 ± 1/accuracy)` quantiles. The outlier comparison then runs
     * against the sketched med/MAD with the same fixed IEEE op sequence.
     * [[outliersMad]] remains the oracle-checked demonstration path
-    * (q71); OutlierApproxSpec bounds this one against it.
+    * (q71); TimeSeriesOpsSpec bounds this one against it by counted
+    * rank error.
     */
   def outliersMadApprox(sanitized: DataFrame, k: Double = 3.0,
                         accuracy: Int = 10000): DataFrame = {

@@ -802,6 +802,16 @@ class HtaStore(val root: String, val intervalMin: Long) {
     * The reference serves each request from one consistent directory
     * state (async_hta_service.hpp:346-512); this is that guarantee on
     * the Spark side. Cheap: one `batch_commits/` listing per snapshot.
+    *
+    * Lifetime: a snapshot pins marker KEYS, not directories. Compact
+    * excludes writers but deliberately not readers (merge-on-read), so
+    * a [[compact]] completing after capture folds the referenced batch
+    * directories away — a stale snapshot would then silently filter the
+    * rewritten store down to nothing. Each accessor therefore re-checks
+    * that every captured marker still exists (compact's marker GC
+    * removes folded keys) and fails loudly instead of returning an
+    * empty answer. Snapshots are per-request objects; don't hold one
+    * across maintenance.
     */
   def snapshot(spark: SparkSession): Snapshot = {
     pendingCompactCheck(spark)
@@ -809,11 +819,29 @@ class HtaStore(val root: String, val intervalMin: Long) {
   }
 
   final class Snapshot private[HtaStore](keys: Option[Set[String]]) {
-    def raw(spark: SparkSession): DataFrame =
+    // loud staleness guard — see [[snapshot]] doc. Races narrower than
+    // the check (a compact finishing between this probe and the read's
+    // file listing) are bounded by compact's swap+GC being adjacent,
+    // and a mid-swap read trips pendingCompactCheck instead.
+    private def assertValid(spark: SparkSession): Unit = keys.foreach { ks =>
+      val gone = ks -- committedKeys(spark).getOrElse(Set.empty)
+      if (gone.nonEmpty) throw new IllegalStateException(
+        s"snapshot invalidated: ${gone.size} captured batch marker(s) no " +
+          s"longer exist (a compact folded them, e.g. '${gone.head}'); " +
+          "take a fresh snapshot")
+    }
+    def raw(spark: SparkSession): DataFrame = {
+      assertValid(spark)
       rawFrom(spark, rawAllWith(spark, keys))
-    def rawRange(spark: SparkSession, startNs: Long, endNs: Long): DataFrame =
+    }
+    def rawRange(spark: SparkSession, startNs: Long, endNs: Long): DataFrame = {
+      assertValid(spark)
       rawRangeFrom(spark, rawAllWith(spark, keys), startNs, endNs)
-    def level0(spark: SparkSession): DataFrame = level0With(spark, keys)
+    }
+    def level0(spark: SparkSession): DataFrame = {
+      assertValid(spark)
+      level0With(spark, keys)
+    }
   }
 
   /** Recover one side of a previous compact crash: `bak` holding the
@@ -907,9 +935,17 @@ class HtaStore(val root: String, val intervalMin: Long) {
       // token must find it live, never a just-written-but-unregistered
       // token it would misjudge as a stale crash
       HtaStore.registerCompact(compactToken)
-      val (hfs, lp) = fs(spark, ingestLock.toString)
-      val out = hfs.create(lp, true)
-      try out.write(compactToken.getBytes("UTF-8")) finally out.close()
+      // a failed lock write must unregister the token, or the store is
+      // wedged for the JVM's lifetime behind a "live" compact that never
+      // ran (the half-written lock file itself is harmless: its token is
+      // not live after unregistration, so busyCheck clears it as stale)
+      try {
+        val (hfs, lp) = fs(spark, ingestLock.toString)
+        val out = hfs.create(lp, true)
+        try out.write(compactToken.getBytes("UTF-8")) finally out.close()
+      } catch { case t: Throwable =>
+        HtaStore.unregisterCompact(compactToken); throw t
+      }
     }
     try compactLocked(spark, activeCheckpoint)
     finally HtaStore.rootMonitor(root).synchronized {

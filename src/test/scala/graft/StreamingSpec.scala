@@ -138,6 +138,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.level0(spark).agg(sum("cnt")).head.getLong(0) == l0once)
   }
 
+  test("a snapshot outlived by a compact fails loudly instead of reading empty") {
+    val store = new HtaStore(mkTmp("hta-snapinv"), H)
+    val gated = batch1.map(p =>
+      StreamingIngest.GatedPoint(p.metric, p.time, p.value, anchor = false))
+      .filter(p => !p.value.isNaN && !p.value.isInfinite)
+      .toDF()
+    store.writeBatch(spark, gated, "ck_0")
+    val snap = store.snapshot(spark)
+    assert(snap.raw(spark).count() == 4) // valid while markers exist
+    store.compact(spark, None) // folds ck_0 away, GCs its marker
+    val e = intercept[IllegalStateException](snap.raw(spark).count())
+    assert(e.getMessage.contains("snapshot invalidated"))
+    // a FRESH snapshot sees the folded store in full
+    assert(store.snapshot(spark).raw(spark).count() == 4)
+  }
+
   test("seedState ignores uncommitted batch directories of its own checkpoint") {
     val store = new HtaStore(mkTmp("hta-seed"), H)
     def gatedOf(ps: Seq[Point]) = ps
@@ -801,10 +817,13 @@ class StreamingSpec extends AnyFunSuite {
         }
         assert(k == b + 1, s"batch $b never became visible")
       }
-      // sanity that the loop exercised the during-commit window at all:
-      // a commit takes two parquet writes, the first poll starts
-      // immediately after addData — across nB batches at least one poll
-      // must have run before its batch landed
+      // sanity that the loop exercised the during-commit window. Not
+      // timing-flaky: k is decided by the marker listing inside
+      // store.snapshot() — a driver-side FS call issued within
+      // milliseconds of addData returning — not by when the (slow) poll
+      // body finishes. The batch's marker only lands after the stream
+      // plans the micro-batch and completes two parquet writes, so the
+      // first snapshot of each batch precedes its commit by construction
       assert(duringReads > 0, "no poll ever overlapped an in-flight commit")
     } finally q.stop()
   }
