@@ -1030,6 +1030,43 @@ object SparkEntry {
     "q71_outlier_mad" -> ((s, dir) =>
       graft.operators.TimeSeriesOps.outliersMad(sanitized(s, dir))
         .orderBy("metric")),
+    // The bounded-memory sketch sibling of q71 (approx_percentile —
+    // the 100 TB path). No oracle: DuckDB's sketch differs; instead
+    // the query re-reads the data and emits within_* verdict columns
+    // proving the sketched median/MAD sit inside the published
+    // ±(n/accuracy + 1) RANK error bound (counted, not interpolated)
+    // and that n_outliers is exactly the count its own med/mad imply —
+    // deterministic, so the driver's rows-only check carries a real
+    // pass signal; TimeSeriesOpsSpec asserts the verdicts hold
+    "x84_outlier_mad_approx" -> ((s, dir) => {
+      val ap = graft.operators.TimeSeriesOps.outliersMadApprox(sanitized(s, dir))
+      val eps = col("n").cast("double") / 10000.0 + 1.0
+      Ingest.quantized(sanitized(s, dir))
+        .join(broadcast(ap), "metric")
+        .withColumn("v", col("value_c").cast("double"))
+        .withColumn("adev", abs(col("v") - col("med_c")))
+        .groupBy("metric")
+        .agg(
+          max("n_points").as("n_points"),
+          max("n_outliers").as("n_outliers"),
+          count(lit(1)).as("n"),
+          sum(when(col("v") < col("med_c"), 1L).otherwise(0L)).as("lo_med"),
+          sum(when(col("v") <= col("med_c"), 1L).otherwise(0L)).as("hi_med"),
+          sum(when(col("adev") < col("mad_c"), 1L).otherwise(0L)).as("lo_mad"),
+          sum(when(col("adev") <= col("mad_c"), 1L).otherwise(0L)).as("hi_mad"),
+          sum(when(col("adev") > lit(3.0) * col("mad_c"), 1L).otherwise(0L))
+            .as("n_out_check"))
+        .select(col("metric"), col("n_points"), col("n_outliers"),
+          (col("n_points") === col("n")).as("count_exact"),
+          (col("hi_med").cast("double") >= lit(0.5) * col("n") - eps &&
+            col("lo_med").cast("double") <= lit(0.5) * col("n") + eps)
+            .as("within_med"),
+          (col("hi_mad").cast("double") >= lit(0.5) * col("n") - eps &&
+            col("lo_mad").cast("double") <= lit(0.5) * col("n") + eps)
+            .as("within_mad"),
+          (col("n_outliers") === col("n_out_check")).as("outliers_consistent"))
+        .orderBy("metric")
+    }),
     // §1.1 Aggregate: time-weighted mean integral/active_time per 10 h
     // bucket, computed THROUGH the hierarchical merge (1 h level → 10 h,
     // A3) — the oracle recomputes the 10 h rollup directly from points,

@@ -112,6 +112,17 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("x84 verdict columns all hold on the fixture") {
+    import SparkTestBase.sf
+    val rows = SparkEntry.queries("x84_outlier_mad_approx")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("count_exact") && r.getAs[Boolean]("within_med") &&
+        r.getAs[Boolean]("within_mad") &&
+        r.getAs[Boolean]("outliers_consistent"), r.toString)
+    }
+  }
+
   test("gapFill: LOCF on the grid, NULL before first sample, exact-hit visible") {
     val got = TimeSeriesOps.gapFill(pts, T0, T0 + 30 * M, 15 * M)
       .orderBy("metric", "grid_time")
