@@ -88,19 +88,21 @@ object Bench {
     def fmt(v: Double): String =
       "%.4f".formatLocal(java.util.Locale.ROOT, v)
     // Truncation-proof output: the driver keeps only a bounded TAIL of
-    // stdout, so the JSON summary prints FIRST and the ~25-byte
-    // per-query BENCH lines print LAST — whatever the tail window cuts,
-    // it cuts from the (redundant) front. BENCH_r05/r06 both lost
-    // queries when the short lines preceded the ~3.4 KB JSON line and
-    // the tail kept only the end.
+    // stdout (~3-4 KB observed), so the one complete compact-JSON
+    // summary line prints LAST — any tail window that keeps the end of
+    // stdout keeps the whole per-query map. The redundant human-readable
+    // BENCH lines print first; whatever the window cuts, it cuts from
+    // them. (r05-r07 all lost numbers under other orderings; and
+    // build.sbt's run/outputStrategy now passes this stdout through
+    // without sbt's "[info] " prefix so the JSON line parses bare.)
+    results.toSeq.sortBy(_._1).foreach { case (n, t) =>
+      println(s"BENCH $n ${fmt(t)}")
+    }
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    results.toSeq.sortBy(_._1).foreach { case (n, t) =>
-      println(s"BENCH $n ${fmt(t)}")
-    }
     spark.stop()
   }
 }

@@ -13,12 +13,28 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` has a parquet `timestamp[ns]` column; read it as raw
-    * Long ns via the legacy conf (set per-session, harmless if already set).
+  /** `events.parquet`'s `ts` column, normalized to raw Long ns. The
+    * driver has generated this column as parquet `timestamp[ns]` (read as
+    * Long via the legacy conf) in some rounds and `timestamp[us]` (read
+    * as TIMESTAMP_NTZ — pandas writes isAdjustedToUTC=false) in others,
+    * so dispatch on the type actually read. The NTZ→timestamp cast
+    * interprets wall time in the session zone; every entry point pins
+    * `spark.sql.session.timeZone=UTC` (build.sbt javaOptions + each
+    * builder), matching DuckDB's naive-as-UTC `epoch_us(ts)` oracle.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
+    val df = read(spark, dir, "events")
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case other => throw new IllegalStateException(
+        s"events.ts: expected int64-ns, timestamp, or timestamp_ntz; got $other")
+    }
   }
 
   /** The canonical time-series fixture `hta_points` (FIXTURES.md §2):
