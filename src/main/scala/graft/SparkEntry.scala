@@ -371,6 +371,43 @@ object SparkEntry {
     "x25_cosine_ivf" -> ((s, dir) =>
       Similarity.topKIvf(Tables.read(s, dir, "embeddings"), Seq(0L, 1L, 2L), 5)
         .orderBy("q_id", "rank")),
+    // X24 ANN quality audit: recall@5 of the IVF path vs brute-force
+    // ground truth — the production gate before trusting cell pruning
+    "x88_ann_recall" -> ((s, dir) =>
+      Similarity.annRecall(Tables.read(s, dir, "embeddings"), Seq(0L, 1L, 2L), 5)
+        .orderBy("q_id")),
+    // X23 streaming exact dedup: the crawl-shaped first-occurrence keep
+    // through a REAL keyed-state streaming query (3 micro-batches,
+    // append mode). The fixture corpus has no whole-doc duplicates, so
+    // both sides synthesize them deterministically (runs of 5
+    // consecutive doc_ids share the canonical run-head text); the
+    // oracle is the batch min-per-fingerprint, so a hash match proves
+    // stream ≡ batch — duplicates fire both within and across batches
+    "x87_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.read(s, dir, "documents")
+      val canon = docs.select(col("doc_id").as("c_id"), col("text"))
+      val rows = docs
+        .select(col("doc_id"), (col("doc_id") - col("doc_id") % 5).as("c_id"))
+        .join(canon, "c_id")
+        .select(md5(col("text")).as("fp"), col("doc_id"))
+        .as[(String, Long)].collect().sortBy(_._2)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long)](ss)
+      val q = Dedup.streamingFirstOccurrence(ms.toDS())
+        .toDF("fp", "doc_id")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_dedup")
+        .start()
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      ss.table("graft_stream_dedup").orderBy("doc_id")
+    }),
     // X4: per-doc quality features + composite score
     "x26_text_quality" -> ((s, dir) =>
       TextAnalysis.quality(Tables.read(s, dir, "documents")).orderBy("doc_id")),
@@ -847,6 +884,24 @@ object SparkEntry {
     "x80_stratified_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(Tables.read(s, dir, "documents"),
         "lang", 10).orderBy("stratum", "sample_rank")),
+    // X21 data mixing: downsample-only sampling plan realizing a target
+    // source mixture. The weights table is user-supplied in production;
+    // the fixture derives weight = src-number % 3 + 1 from the source
+    // name so the rule works at any SF's source cardinality
+    "x85_mixture_weights" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val weights = docs.select(col("source")).distinct()
+        .withColumn("weight",
+          (substring(col("source"), 4, 10).cast("int") % 3 + 1).cast("long"))
+      TextAnalysis.mixtureWeights(docs, weights).orderBy("source")
+    }),
+    // X22 exact substring-dedup criterion (Lee et al. 2022): per-doc
+    // fraction of token positions covered by a corpus-duplicated
+    // 5-gram (the fixture corpus naturally repeats ~1.1k 5-grams at
+    // sf0.01, so coverage demonstrably fires without synthetic help)
+    "x86_dup_span_coverage" -> ((s, dir) =>
+      TextAnalysis.dupSpanCoverage(Tables.read(s, dir, "documents"))
+        .orderBy("doc_id")),
     // X1/X2 paragraph-level exact dedup (the C4/Dolma line-dedup
     // shape): fixed 10-token chunks, global first-occurrence keep,
     // in-order document reassembly. A shared 10-token header prepended
@@ -1179,6 +1234,10 @@ object SparkEntry {
     "x78_url_host_filter" -> OracleSqlExt.urlHostFilterSql(BlockedHosts),
     "x79_novelty_ratio" -> OracleSqlExt.noveltyRatioSql,
     "x80_stratified_sample" -> OracleSqlExt.stratifiedSampleSql(10),
+    "x85_mixture_weights" -> OracleSqlExt.mixtureWeightsSql,
+    "x86_dup_span_coverage" -> OracleSqlExt.dupSpanCoverageSql(2L),
+    "x87_stream_dedup" -> OracleSqlExt.streamDedupSql,
+    "x88_ann_recall" -> OracleSqlExt.annRecallSql(Seq(0L, 1L, 2L), 5),
     // same oracle as x46 on purpose: the Bloom pre-filter must be
     // result-invisible (no false negatives + exact verification join)
     "x62_bloom_decontaminate" -> OracleSqlExt.decontaminateSql,

@@ -24,7 +24,19 @@ object Verify {
     try SparkEntry.prepare(spark, sfDir) catch { case e: Throwable =>
       System.err.println(s"[verify] prepare failed: ${e.getMessage}")
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated filter for fast single-query iteration
+    // (unset = all queries, the driver's configuration — same contract
+    // as Bench's SPARK_GRAFT_BENCH_ONLY)
+    val selected = sys.env.get("SPARK_GRAFT_VERIFY_ONLY") match {
+      case Some(only) =>
+        val want = only.split(",").map(_.trim).toSet
+        val unknown = want -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_VERIFY_ONLY names unknown queries: ${unknown.mkString(", ")}")
+        SparkEntry.queries.view.filterKeys(want).toMap
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       // release anything a query persisted for itself (e.g. the eager
       // bloom-decontamination checkpoint) once its result is on disk —
       // otherwise block-manager storage accumulates across all queries
@@ -47,7 +59,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // under the iteration filter, dump only the selected oracles so
+    // check_local compares exactly what was run (driver leaves the
+    // filter unset and gets the full map)
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

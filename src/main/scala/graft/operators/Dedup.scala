@@ -556,4 +556,39 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /** Streaming exact dedup (SURVEY §2.10 X23) — first-occurrence keep
+    * over an unbounded stream of `(fingerprint, id)` rows, the
+    * crawl-pipeline shape of X1: the state store remembers every
+    * fingerprint ever admitted; a batch's group emits its MINIMUM id
+    * iff the fingerprint is new, else nothing. Compared to
+    * `dropDuplicates` (whose within-batch survivor is
+    * partition-order-dependent), the explicit min makes the output
+    * DETERMINISTIC: when the stream arrives id-ascending, the kept id
+    * is exactly the batch oracle's `min(id) GROUP BY fp` — the q31
+    * trick of proving stream ≡ batch by sharing one oracle.
+    *
+    * Scale shape: one keyed-state exchange on the fingerprint; state is
+    * one boolean per distinct fingerprint (RocksDB-backed at real
+    * cardinality); output volume = distinct keys, not input rows. No
+    * watermark: dedup state is intentionally forever (a duplicate a
+    * year later is still a duplicate) — callers who want bounded state
+    * compose [[decontaminateBloom]]-style sketches upstream instead.
+    */
+  def streamingFirstOccurrence(
+      ds: org.apache.spark.sql.Dataset[(String, Long)])
+    : org.apache.spark.sql.Dataset[(String, Long)] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fp: String, rows: Iterator[(String, Long)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single((fp, rows.map(_._2).min))
+          }
+      }
+  }
 }

@@ -158,4 +158,30 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "vec_id", "rank", "cosine")
   }
+
+  /** ANN quality audit (SURVEY §2.10 X24): per-query recall@k of the
+    * IVF-pruned search against the brute-force ground truth — the
+    * metric every production ANN deployment tracks before trusting the
+    * pruned path. `n_hit` counts brute-force neighbors the IVF search
+    * also returned; `recall = n_hit / n_brute` is the ONE double
+    * division (components int64-exact, so the output hash-matches any
+    * engine).
+    *
+    * Scale shape: both inputs are top-k result sets — k·|queries| rows
+    * — so the audit join is broadcast-sized regardless of corpus size;
+    * the corpus-scan cost is the two searches themselves, each already
+    * scale-shaped (broadcast query set; IVF additionally cell-pruned).
+    */
+  def annRecall(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val brute = topKBrute(emb, queryIds, k).select("q_id", "vec_id")
+    val ivf = topKIvf(emb, queryIds, k).select("q_id", "vec_id")
+      .withColumn("hit", lit(1L))
+    brute.join(broadcast(ivf), Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_brute"),
+        coalesce(sum("hit"), lit(0L)).as("n_hit"))
+      .select(col("q_id"), col("n_brute"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_brute").cast("double"))
+          .as("recall"))
+  }
 }

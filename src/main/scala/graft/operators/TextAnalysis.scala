@@ -695,4 +695,100 @@ object TextAnalysis {
       .select(col("stratum"), col("doc_id"), col("rk"),
         col("sample_rank").cast("long").as("sample_rank"))
   }
+
+  /** Corpus mixture reweighting (SURVEY §2.10 X21) — the data-mixing
+    * planner: given the measured per-source token counts and a table of
+    * target mixture weights, compute the downsample-only sampling plan
+    * that realizes the target mixture exactly.
+    *
+    * With `W = Σ w_s` over the weighted sources, the largest total the
+    * corpus can supply at the target mixture without upsampling any
+    * source is `T* = min_s ⌊tokens_s·W / w_s⌋` (the binding source is
+    * the one scarcest relative to its target share), and each source
+    * keeps `keep_s = ⌊w_s·T* / W⌋ ≤ tokens_s`. All components are
+    * int64-exact; the per-source `rate = keep_s / tokens_s` is the ONE
+    * double division, so the output is order-independent and
+    * cross-engine hash-stable. Sources absent from `weights` are
+    * excluded from the plan entirely (inner join) — the caller's target
+    * mixture IS the output universe.
+    *
+    * Scale shape: one partially-aggregated per-source roll-up of token
+    * counts (sources number in the dozens, tokens in the trillions — the
+    * exchange moves |sources| rows per task), a broadcast join against
+    * the weights table, and a global window over the |sources|-row
+    * result to fold in (W, T*) — a deliberate single-task pass over a
+    * table that is tiny by construction, not over data rows. No
+    * token-level shuffle, no collect. Overflow headroom: `tokens_s·W` needs
+    * tokens_s < 2^63/W ≈ 9e15 at W ≈ 1000 — comfortable at 100 TB
+    * (~2.5e13 tokens).
+    */
+  def mixtureWeights(docs: DataFrame, weights: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSource = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+      .join(broadcast(weights), "source")
+    // global window over the POST-AGGREGATION table: |sources| rows
+    // through one task by design (the corpus-sized input was already
+    // reduced by the partial-aggregating groupBy above) — the same
+    // ≤256-row single-task pattern as importanceWeightsLog's totals
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perSource
+      .withColumn("w_total", sum("weight").over(all))
+      .withColumn("t_star",
+        min(expr("n_tokens * w_total DIV weight")).over(all))
+      .withColumn("keep_tokens", expr("weight * t_star DIV w_total"))
+      .select(col("source"), col("weight").cast("long").as("weight"),
+        col("n_docs"), col("n_tokens"),
+        col("t_star"), col("keep_tokens"),
+        (col("keep_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("rate"))
+  }
+
+  /** Duplicated-n-gram span coverage (SURVEY §2.10 X22) — the exact
+    * substring-dedup criterion of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better"), re-expressed over
+    * token n-grams: a token position is DUPLICATED if it is covered by
+    * at least one n-gram that occurs ≥ `minCount` times corpus-wide
+    * (within-document repeats count — a looping doc is its own
+    * duplicate). Emits per doc the exact covered-position count and
+    * the coverage fraction (the paper's removal criterion is
+    * `dup_frac` over a span threshold; surfacing the score lets the
+    * caller pick the cut).
+    *
+    * This is the occurrence-count sibling of [[boilerplateStrip]]
+    * (which keys on document frequency and rebuilds text): same
+    * positional-gram machinery, different duplicate predicate,
+    * score-not-strip output.
+    *
+    * Scale shape: one tokenize + per-doc window builds positional
+    * grams (per-doc state only), one gram-level exchange counts
+    * occurrences (map-side partial), the ≥ minCount gram set joins
+    * back by gram equi-join (candidates ∝ duplicated mass, not n²),
+    * and covered positions dedup per (doc, pos) on the doc-keyed
+    * exchange. No collect, no cross product.
+    */
+  def dupSpanCoverage(docs: DataFrame, n: Int = 5,
+                      minCount: Long = 2L): DataFrame = {
+    require(n > 0 && minCount > 1,
+      s"need n > 0 and minCount > 1, got n=$n minCount=$minCount")
+    val grams = positionalGrams(docs, n)
+    val dup = grams.groupBy("gram")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount).select("gram")
+    val covered = grams.join(dup, "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        (coalesce(col("n_covered"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_frac"))
+  }
 }

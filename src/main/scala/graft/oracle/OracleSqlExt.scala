@@ -850,4 +850,125 @@ object OracleSqlExt {
         |       CAST(n_grams - n_seen AS DOUBLE) / CAST(n_grams AS DOUBLE)
         |         AS novelty
         |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** Mirrors `TextAnalysis.mixtureWeights` under the x85 fixture
+    * convention (weight = src-number % 3 + 1): per-source token
+    * roll-up, W and T* via window functions over the tiny per-source
+    * table, floor division everywhere (all operands positive, so
+    * DuckDB `//` ≡ Spark `DIV`), and the one double division for the
+    * rate. Every intermediate CASTs back to BIGINT — DuckDB widens
+    * both sums and integer products to HUGEINT, which would otherwise
+    * leak int128 into the compared schema.
+    */
+  def mixtureWeightsSql: String =
+    """WITH per AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |), w AS (
+      |  SELECT source, n_docs, n_tokens,
+      |         CAST((CAST(substr(source, 4) AS INT) % 3) + 1 AS BIGINT)
+      |           AS weight
+      |  FROM per
+      |), t AS (
+      |  SELECT *, CAST(sum(weight) OVER () AS BIGINT) AS w_total FROM w
+      |), t2 AS (
+      |  SELECT *,
+      |         CAST(min(n_tokens * w_total // weight) OVER () AS BIGINT)
+      |           AS t_star
+      |  FROM t
+      |)
+      |SELECT source, weight, n_docs, n_tokens, t_star,
+      |       CAST(weight * t_star // w_total AS BIGINT) AS keep_tokens,
+      |       CAST(CAST(weight * t_star // w_total AS BIGINT) AS DOUBLE) /
+      |         CAST(n_tokens AS DOUBLE) AS rate
+      |FROM t2 ORDER BY source""".stripMargin
+
+  /** Mirrors `TextAnalysis.dupSpanCoverage(n = 5, minCount = 2)`: the
+    * same lead-window positional 5-grams (1-based pos here vs Spark's
+    * 0-based — positions never reach the output, only their counts),
+    * corpus-wide occurrence counts (NOT distinct doc_id — within-doc
+    * repeats are duplicates too, the Lee-et-al. criterion), covered
+    * positions via offset expansion + DISTINCT, and one double
+    * division per doc.
+    */
+  def dupSpanCoverageSql(minCount: Long): String =
+    toksCte +
+      s""", gn AS (
+         |  SELECT doc_id, pos, gram FROM (
+         |    SELECT doc_id, pos,
+         |           tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
+         |               || ' ' || lead(tok,3) OVER w || ' ' || lead(tok,4) OVER w
+         |             AS gram
+         |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+         |  WHERE gram IS NOT NULL),
+         |dup AS (SELECT gram FROM gn GROUP BY gram
+         |        HAVING count(*) >= $minCount),
+         |cov AS (SELECT DISTINCT gn.doc_id, gn.pos + o.o AS pos
+         |        FROM gn JOIN dup USING (gram)
+         |        CROSS JOIN (SELECT unnest([0,1,2,3,4]) AS o) o),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_covered
+         |        FROM cov GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(a.n_covered, 0) AS BIGINT) AS n_covered,
+         |       CAST(coalesce(a.n_covered, 0) AS DOUBLE) /
+         |         CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS dup_frac
+         |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Mirrors `Similarity.annRecall`: both top-k result sets (the x24
+    * brute CTE and the x25 IVF CTE verbatim, sharing `cosineCte`/`q`),
+    * then recall@k per query as int64 hit counts with one double
+    * division.
+    */
+  def annRecallSql(queryIds: Seq[Long], k: Int): String =
+    cosineCte +
+      s""", q AS (
+         |  SELECT vec_id AS q_id, label AS q_label, vq AS qv, n2 AS qn2
+         |  FROM n WHERE vec_id IN (${queryIds.mkString(",")})
+         |), cb AS (
+         |  SELECT q_id, vec_id,
+         |         ${cosSql("vq", "n2", "qv", "qn2")} AS cosine
+         |  FROM n CROSS JOIN q WHERE vec_id <> q_id
+         |), tb AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |                              ORDER BY cosine DESC, vec_id) AS rn
+         |    FROM cb) WHERE rn <= $k
+         |), ci AS (
+         |  SELECT q_id, vec_id,
+         |         ${cosSql("vq", "n2", "qv", "qn2")} AS cosine
+         |  FROM n JOIN q ON n.label = q.q_label WHERE vec_id <> q_id
+         |), ti AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |                              ORDER BY cosine DESC, vec_id) AS rn
+         |    FROM ci) WHERE rn <= $k
+         |), agg AS (
+         |  SELECT tb.q_id, CAST(count(*) AS BIGINT) AS n_brute,
+         |         CAST(sum(CASE WHEN ti.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_hit
+         |  FROM tb LEFT JOIN ti
+         |    ON tb.q_id = ti.q_id AND tb.vec_id = ti.vec_id
+         |  GROUP BY tb.q_id
+         |)
+         |SELECT q_id, n_brute, n_hit,
+         |       CAST(n_hit AS DOUBLE) / CAST(n_brute AS DOUBLE) AS recall
+         |FROM agg ORDER BY q_id""".stripMargin
+
+  /** Mirrors the x87 streaming dedup: the synthesized duplicated corpus
+    * (every run of 5 consecutive doc_ids shares the canonical
+    * `doc_id − doc_id % 5` text) deduped to its first occurrence — the
+    * batch spelling `min(doc_id) GROUP BY md5(text)` that the
+    * keyed-state streaming query must reproduce exactly.
+    */
+  def streamDedupSql: String =
+    """WITH d AS (
+      |  SELECT a.doc_id, b.text
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id - a.doc_id % 5
+      |)
+      |SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS doc_id
+      |FROM d GROUP BY md5(text) ORDER BY doc_id""".stripMargin
 }

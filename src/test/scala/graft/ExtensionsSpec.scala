@@ -672,4 +672,97 @@ class ExtensionsSpec extends AnyFunSuite {
     val perStratum = got.toSeq.groupBy(_._1).view.mapValues(_.size).toMap
     assert(perStratum == sizes.view.mapValues(n => math.min(k.toLong, n).toInt).toMap)
   }
+
+  test("mixtureWeights: hand fixture — binding source saturates, plan is feasible") {
+    import spark.implicits._
+    // a: 100 tokens weight 1, b: 100 tokens weight 3 → W=4.
+    // caps: a ⌊100·4/1⌋=400, b ⌊100·4/3⌋=133 → T*=133 (b binds).
+    // keep: a ⌊1·133/4⌋=33, b ⌊3·133/4⌋=99 ≤ 100 ✓
+    val d = Seq(
+      ("a", Seq.fill(100)("t").mkString(" ")),
+      ("b", Seq.fill(100)("t").mkString(" "))).toDF("source", "text")
+    val w = Seq(("a", 1L), ("b", 3L)).toDF("source", "weight")
+    val got = TextAnalysis.mixtureWeights(d, w)
+      .select("source", "weight", "n_tokens", "t_star", "keep_tokens")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", 1L, 100L, 133L, 33L), ("b", 3L, 100L, 133L, 99L)))
+  }
+
+  test("mixtureWeights invariants on the fixture corpus: keep ≤ have, mixture hit") {
+    import spark.implicits._
+    val weights = docs.select(col("source")).distinct()
+      .withColumn("weight",
+        (substring(col("source"), 4, 10).cast("int") % 3 + 1).cast("long"))
+    val rows = TextAnalysis.mixtureWeights(docs, weights)
+      .select("weight", "n_tokens", "t_star", "keep_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    val wTotal = rows.map(_._1).sum
+    val tStar = rows.head._3
+    rows.foreach { case (w, have, ts, keep) =>
+      assert(ts == tStar, "T* is a global scalar")
+      assert(keep <= have, "downsample-only: never upsample a source")
+      assert(keep == w * tStar / wTotal, "keep realizes the target share of T*")
+    }
+    // the binding source's cap IS T* (some source saturates the plan)
+    assert(rows.exists { case (w, have, _, _) => have * wTotal / w == tStar })
+  }
+
+  test("dupSpanCoverage: hand fixture with within-doc and cross-doc duplicates") {
+    import spark.implicits._
+    // doc 1: "a b c d e a b c d e" — the 5-gram "a b c d e" occurs at
+    // pos 0 and 5 (count 2) → all 10 positions covered. Cross-gram
+    // occurrences like "b c d e a" occur only once each.
+    // doc 2: "a b c d e x y z w v" — "a b c d e" covers pos 0-4 only.
+    // doc 3: "p q r s t" — unique 5-gram, count 1 → nothing covered.
+    val d = Seq(
+      (1L, "a b c d e a b c d e"),
+      (2L, "a b c d e x y z w v"),
+      (3L, "p q r s t")).toDF("doc_id", "text")
+    val got = TextAnalysis.dupSpanCoverage(d)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 10L, 10L, 1.0), (2L, 10L, 5L, 0.5), (3L, 5L, 0L, 0.0)))
+  }
+
+  test("annRecall: hits equal the local brute∩ivf intersection per query") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L)
+    val brute = Similarity.topKBrute(emb, ids, 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.topKIvf(emb, ids, 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.annRecall(emb, ids, 5)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == ids)
+    got.foreach { case (qid, nBrute, nHit, recall) =>
+      assert(nBrute == 5L)
+      val expectHit = brute.count(p => p._1 == qid && ivf(p))
+      assert(nHit == expectHit.toLong)
+      assert(recall == nHit.toDouble / nBrute)
+      assert(nHit <= nBrute)
+    }
+  }
+
+  test("annRecall is 1.0 when every vector shares one IVF cell") {
+    import spark.implicits._
+    // single-cell corpus: IVF prunes nothing, so the pruned search IS
+    // brute force and recall must be exactly 1 for every query
+    val one = emb.withColumn("label", lit(0))
+    val got = Similarity.annRecall(one, Seq(0L, 1L), 3)
+      .select("recall").as[Double].collect().toSeq
+    assert(got == Seq(1.0, 1.0))
+  }
+
+  test("dupSpanCoverage: docs shorter than n are uncovered, not dropped") {
+    import spark.implicits._
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c d e"),
+      (4L, "a b c d e")).toDF("doc_id", "text")
+    val got = TextAnalysis.dupSpanCoverage(d)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // "a b" repeats but is shorter than a 5-gram → no gram, no coverage;
+    // docs 3/4 share their single 5-gram → fully covered
+    assert(got == Seq((1L, 2L, 0L, 0.0), (2L, 2L, 0L, 0.0),
+      (3L, 5L, 5L, 1.0), (4L, 5L, 5L, 1.0)))
+  }
 }

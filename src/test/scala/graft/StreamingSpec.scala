@@ -827,4 +827,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(duringReads > 0, "no poll ever overlapped an in-flight commit")
     } finally q.stop()
   }
+
+  test("streamingFirstOccurrence: in-batch min, cross-batch first-arrival state") {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "2")
+    import ss.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)](ss)
+    val q = graft.operators.Dedup.streamingFirstOccurrence(ms.toDS())
+      .toDF("fp", "id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sfo_test").start()
+    try {
+      // batch 1: "a" duplicated in-batch (min 3 wins), "b" single
+      ms.addData(Seq(("a", 7L), ("a", 3L), ("b", 10L)))
+      q.processAllAvailable()
+      // batch 2: "a" again with a SMALLER id — state says seen, nothing
+      // emitted (streaming keeps first ARRIVAL; only an id-ascending
+      // feed makes that the global min, which the x87 fixture provides);
+      // "c" is new
+      ms.addData(Seq(("a", 1L), ("c", 5L)))
+      q.processAllAvailable()
+      val got = ss.table("sfo_test").as[(String, Long)].collect().toSet
+      assert(got == Set(("a", 3L), ("b", 10L), ("c", 5L)))
+    } finally q.stop()
+  }
 }
