@@ -283,6 +283,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(df.queryExecution.sparkPlan.toString.contains("partial_"))
   }
 
+  test("x85 mixture planner: weights broadcast, token roll-up partially aggregates") {
+    val p = sparkPlan("x85_mixture_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"weights table must broadcast to the per-source roll-up:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the corpus-sized input must reduce map-side before any exchange —
+    // the global W/T* window runs over the post-aggregation sources table
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-source token counts must partially aggregate:\n$p")
+  }
+
+  test("x86 dup-span coverage: gram join stays equi, per-doc window only") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val qe = SparkEntry.queries("x86_dup_span_coverage")(spark, sf).queryExecution
+    val p = qe.sparkPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gram↔dup join must stay an equi-join:\n$p")
+    assert(p.contains("partial_count"),
+      s"gram occurrence counts must partially aggregate:\n$p")
+    // every window partitions by doc_id — no global (empty-key) window
+    // anywhere in this plan (the positional-gram leads are per-doc)
+    qe.sparkPlan.collect { case w: WindowExec => w }.foreach { w =>
+      assert(w.partitionSpec.nonEmpty && w.partitionSpec.exists(
+        _.toString.contains("doc_id")),
+        s"window must partition by doc_id:\n$w")
+    }
+  }
+
+  test("x88 ann recall: audit join broadcasts the k-by-queries result set") {
+    val p = sparkPlan("x88_ann_recall")
+    assert(p.contains("BroadcastHashJoin"),
+      s"top-k result sets are broadcast-sized by construction:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // brute force keeps its deliberate one-row-per-query broadcast NLJ
+    // (the crossJoin(broadcast(q)) corpus scan) — but exactly that one
+    val nlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(p).length
+    assert(nlj <= 1, s"unexpected nested loops:\n$p")
+  }
+
   test("similarity queries use native vector expressions, no interpreted lambdas") {
     // higher-order functions print as lambdafunction(...) and evaluate
     // interpreted per array element — the hot candidate-pair path must
