@@ -895,6 +895,33 @@ object SparkEntry {
           (substring(col("source"), 4, 10).cast("int") % 3 + 1).cast("long"))
       TextAnalysis.mixtureWeights(docs, weights).orderBy("source")
     }),
+    // X21 mixture plan EXECUTION: per-source keep-until-budget sampling
+    // driven by the x85 plan — the engine runs the two-phase
+    // (source, bucket) decomposition with bucketDocs=64 so buckets
+    // genuinely split at sf0.01; the oracle runs one naive per-source
+    // running-sum window, so the hash match proves the decomposition
+    "x89_mixture_apply" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val weights = docs.select(col("source")).distinct()
+        .withColumn("weight",
+          (substring(col("source"), 4, 10).cast("int") % 3 + 1).cast("long"))
+      TextAnalysis.mixtureApply(docs, weights, bucketDocs = 64L)
+        .orderBy("doc_id")
+    }),
+    // X25 crawl-refresh triage: per-id diff of two corpus snapshots.
+    // The new snapshot is synthesized deterministically on both sides:
+    // every 10th id deleted (reborn at +1000000 as an add), every 7th
+    // surviving text revised — all four statuses fire
+    "x90_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val newSnap = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.snapshotDiff(docs, newSnap).orderBy("doc_id")
+    }),
     // X22 exact substring-dedup criterion (Lee et al. 2022): per-doc
     // fraction of token positions covered by a corpus-duplicated
     // 5-gram (the fixture corpus naturally repeats ~1.1k 5-grams at
@@ -1238,6 +1265,8 @@ object SparkEntry {
     "x86_dup_span_coverage" -> OracleSqlExt.dupSpanCoverageSql(2L),
     "x87_stream_dedup" -> OracleSqlExt.streamDedupSql,
     "x88_ann_recall" -> OracleSqlExt.annRecallSql(Seq(0L, 1L, 2L), 5),
+    "x89_mixture_apply" -> OracleSqlExt.mixtureApplySql,
+    "x90_snapshot_diff" -> OracleSqlExt.snapshotDiffSql,
     // same oracle as x46 on purpose: the Bloom pre-filter must be
     // result-invisible (no false negatives + exact verification join)
     "x62_bloom_decontaminate" -> OracleSqlExt.decontaminateSql,

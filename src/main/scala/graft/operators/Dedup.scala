@@ -557,6 +557,30 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Corpus snapshot diff (SURVEY §2.10 X25) — incremental-crawl
+    * refresh triage: classify every document id across two corpus
+    * snapshots as `added` (new only), `removed` (old only), `changed`
+    * (both, content fingerprint differs), or `unchanged`. Downstream,
+    * `added ∪ changed` is the reprocess set (dedup → filter → embed)
+    * and `removed` the retraction set — the diff bounds incremental
+    * pipeline work by churn instead of corpus size.
+    *
+    * Scale shape: each side reduces to `(id, md5)` at the scan (text
+    * never crosses the exchange), then ONE full-outer equi-join on the
+    * id — sort-merge on the id ranges both snapshots are already
+    * laid out by. No window, no collect.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select(col("doc_id"), md5(col("text")).as("fp_old"))
+    val n = newSnap.select(col("doc_id"), md5(col("text")).as("fp_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") === col("fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Streaming exact dedup (SURVEY §2.10 X23) — first-occurrence keep
     * over an unbounded stream of `(fingerprint, id)` rows, the
     * crawl-pipeline shape of X1: the state store remembers every

@@ -747,6 +747,47 @@ object TextAnalysis {
           .as("rate"))
   }
 
+  /** Execute a [[mixtureWeights]] plan (SURVEY §2.10 X21): keep each
+    * source's documents in `doc_id` order until that source's
+    * `keep_tokens` budget is exhausted (a document is kept iff the
+    * cumulative token count BEFORE it is under budget — the
+    * [[tokenBudgetSample]] rule with a per-source budget computed from
+    * the target mixture instead of one global constant). The output
+    * corpus realizes the plan: Σ n_tokens per source ∈
+    * [keep_tokens, keep_tokens + max_doc_tokens).
+    *
+    * Scale shape: the same two-phase decomposition as
+    * [[tokenBudgetSample]] — docs bucket by `doc_id div bucketDocs`; a
+    * bucket-level running sum per source (tiny table) yields each
+    * bucket's `prior`; buckets starting past budget drop at the join;
+    * the per-doc window runs per (source, bucket) — ≤ `bucketDocs`
+    * rows per task at any corpus size. The plan table (|sources| rows)
+    * broadcasts everywhere it is consumed. The oracle recomputes it as
+    * ONE naive running sum per source, so the hash match proves the
+    * decomposition exact.
+    */
+  def mixtureApply(docs: DataFrame, weights: DataFrame,
+                   bucketDocs: Long = 1024L): DataFrame = {
+    require(bucketDocs > 0, s"bucketDocs must be positive, got $bucketDocs")
+    import org.apache.spark.sql.expressions.Window
+    val plan = mixtureWeights(docs, weights).select("source", "keep_tokens")
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      expr(s"doc_id div $bucketDocs").as("bkt"))
+    val wb = Window.partitionBy("source").orderBy("bkt")
+    val priors = toks.groupBy("source", "bkt")
+      .agg(sum("n_tokens").as("btoks"))
+      .withColumn("prior", sum("btoks").over(wb) - col("btoks"))
+      .join(broadcast(plan), "source")
+      .filter(col("prior") < col("keep_tokens"))
+      .select("source", "bkt", "prior", "keep_tokens")
+    val wf = Window.partitionBy("source", "bkt").orderBy("doc_id")
+    toks.join(priors, Seq("source", "bkt"))
+      .withColumn("cum", col("prior") + sum("n_tokens").over(wf))
+      .filter(col("cum") - col("n_tokens") < col("keep_tokens"))
+      .select("doc_id", "source", "n_tokens", "cum")
+  }
+
   /** Duplicated-n-gram span coverage (SURVEY §2.10 X22) — the exact
     * substring-dedup criterion of Lee et al. 2022 ("Deduplicating
     * Training Data Makes Language Models Better"), re-expressed over

@@ -958,6 +958,70 @@ object OracleSqlExt {
          |       CAST(n_hit AS DOUBLE) / CAST(n_brute AS DOUBLE) AS recall
          |FROM agg ORDER BY q_id""".stripMargin
 
+  /** Mirrors `TextAnalysis.mixtureApply` under the x85 weight
+    * convention: the same plan CTEs as [[mixtureWeightsSql]], then ONE
+    * naive running-sum window per source with the keep-while-prior-
+    * under-budget rule — the engine's two-phase (source, bucket)
+    * decomposition must hash-match this one-window spelling.
+    */
+  def mixtureApplySql: String =
+    """WITH per AS (
+      |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+      |           AS n_tokens
+      |  FROM documents GROUP BY source
+      |), w AS (
+      |  SELECT source, n_tokens,
+      |         CAST((CAST(substr(source, 4) AS INT) % 3) + 1 AS BIGINT)
+      |           AS weight
+      |  FROM per
+      |), t AS (
+      |  SELECT *, CAST(sum(weight) OVER () AS BIGINT) AS w_total FROM w
+      |), t2 AS (
+      |  SELECT *,
+      |         CAST(min(n_tokens * w_total // weight) OVER () AS BIGINT)
+      |           AS t_star
+      |  FROM t
+      |), plan AS (
+      |  SELECT source,
+      |         CAST(weight * t_star // w_total AS BIGINT) AS keep_tokens
+      |  FROM t2
+      |), d AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), r AS (
+      |  SELECT d.doc_id, d.source, d.n_tokens, p.keep_tokens,
+      |         CAST(sum(d.n_tokens) OVER (PARTITION BY d.source
+      |                                    ORDER BY d.doc_id) AS BIGINT) AS cum
+      |  FROM d JOIN plan p USING (source)
+      |)
+      |SELECT doc_id, source, n_tokens, cum
+      |FROM r WHERE cum - n_tokens < keep_tokens ORDER BY doc_id""".stripMargin
+
+  /** Mirrors the x90 snapshot diff over the synthesized new snapshot
+    * (10% of ids deleted, every 7th text revised, deleted ids reborn
+    * at +1000000 as adds): per-id full outer join of md5 fingerprints.
+    */
+  def snapshotDiffSql: String =
+    """WITH oldsnap AS (
+      |  SELECT doc_id, md5(text) AS fp_old FROM documents
+      |), newsnap AS (
+      |  SELECT doc_id,
+      |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END)
+      |           AS fp_new
+      |  FROM documents WHERE doc_id % 10 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, md5(text) AS fp_new
+      |  FROM documents WHERE doc_id % 10 = 0
+      |)
+      |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |       CASE WHEN o.doc_id IS NULL THEN 'added'
+      |            WHEN n.doc_id IS NULL THEN 'removed'
+      |            WHEN fp_old = fp_new THEN 'unchanged'
+      |            ELSE 'changed' END AS status
+      |FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Mirrors the x87 streaming dedup: the synthesized duplicated corpus
     * (every run of 5 consecutive doc_ids shares the canonical
     * `doc_id − doc_id % 5` text) deduped to its first occurrence — the

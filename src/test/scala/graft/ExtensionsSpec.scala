@@ -725,6 +725,45 @@ class ExtensionsSpec extends AnyFunSuite {
       (1L, 10L, 10L, 1.0), (2L, 10L, 5L, 0.5), (3L, 5L, 0L, 0.0)))
   }
 
+  test("mixtureApply: bucket-size invariant; realized tokens land in [keep, keep+max)") {
+    import spark.implicits._
+    val weights = docs.select(col("source")).distinct()
+      .withColumn("weight",
+        (substring(col("source"), 4, 10).cast("int") % 3 + 1).cast("long"))
+    def run(b: Long) = TextAnalysis.mixtureApply(docs, weights, b)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val got = run(64L)
+    assert(got == run(7L) && got == run(100000L),
+      "the two-phase decomposition must not depend on bucket size")
+    val plan = TextAnalysis.mixtureWeights(docs, weights)
+      .select("source", "keep_tokens").as[(String, Long)].collect().toMap
+    val maxDoc = got.map(_._3).max
+    val srcDocs = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      val realized = rows.toSeq.map(_._3).sum
+      // keep-while-prior-under-budget ⇒ either the source ran out of
+      // docs, or the kept prefix reaches the budget
+      assert(rows.size == srcDocs(src) || realized >= plan(src),
+        s"$src under-filled ($realized < ${plan(src)}) with docs left unkept")
+      assert(realized < plan(src) + maxDoc,
+        s"$src overshot its budget by a whole document")
+    }
+    // every source in the plan contributes at least one doc (budgets
+    // are far above one doc on this fixture)
+    assert(got.map(_._2) == plan.keySet)
+  }
+
+  test("snapshotDiff: all four statuses on a hand fixture") {
+    import spark.implicits._
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val nw = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(old, nw)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "removed"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "added")))
+  }
+
   test("annRecall: hits equal the local brute∩ivf intersection per query") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 2L)

@@ -311,6 +311,47 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("x89 mixture apply: no whole-source doc window — bucketed like x64") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val qe = SparkEntry.queries("x89_mixture_apply")(spark, sf).queryExecution
+    val windows = qe.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    // per-doc running sums must partition by (source, bkt); source-only
+    // windows are allowed ONLY above an aggregate (the per-bucket
+    // running sum and the |sources|-row plan scalars)
+    val perDoc = windows.filter(_.partitionSpec.exists(
+      _.references.exists(_.name == "bkt")))
+    val aggregateLevel = windows.filterNot(perDoc.contains(_))
+    assert(perDoc.nonEmpty, qe.sparkPlan.toString)
+    assert(aggregateLevel.forall(w =>
+      w.child.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      }.nonEmpty),
+      "a source-level window must sit above an aggregate, " +
+        s"not raw docs:\n${qe.sparkPlan}")
+  }
+
+  test("x90 snapshot diff: one equi-join of fingerprints, text pruned at the scan") {
+    val qe = SparkEntry.queries("x90_snapshot_diff")(spark, sf).queryExecution
+    val p = qe.sparkPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), s"diff must be an equi-join:\n$p")
+    // the md5 reduces each side to (id, fp) before the join — raw text
+    // must not appear in any join output attribute set
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec, BroadcastHashJoinExec}
+    qe.sparkPlan.collect {
+      case j: SortMergeJoinExec => j.output
+      case j: ShuffledHashJoinExec => j.output
+      case j: BroadcastHashJoinExec => j.output
+    }.foreach { out =>
+      assert(!out.exists(_.name == "text"),
+        s"text crossed the exchange:\n${qe.sparkPlan}")
+    }
+  }
+
   test("x88 ann recall: audit join broadcasts the k-by-queries result set") {
     val p = sparkPlan("x88_ann_recall")
     assert(p.contains("BroadcastHashJoin"),
