@@ -1,0 +1,119 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus ingestion and curated-output I/O for the LLM-pipeline block
+  * (SURVEY §2.10) — the boundary operators a 100 TB text pipeline needs
+  * around the documents table: crawl dumps arrive as JSONL, curated
+  * corpora leave as partitioned parquet with a manifest.
+  *
+  * The driver's correctness gate only sees parquet fixtures, so this
+  * module is spec-verified (CorpusIOSpec): JSONL fixtures are written
+  * to a temp dir and read back; the sink round-trips the documents
+  * fixture and its manifest is recomputed independently.
+  */
+object CorpusIO {
+
+  /** The documents-table schema plus the corrupt-record capture column.
+    * DECLARED, not inferred: schema inference is a second full read of
+    * the input — at crawl scale the inference pass alone costs more
+    * than the ingest job, and a drifting input would silently change
+    * downstream types instead of landing in quarantine.
+    */
+  val DocSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType),
+    StructField("_corrupt", StringType)))
+
+  /** Read a JSONL corpus dump with an explicit schema and PERMISSIVE
+    * corrupt-record capture: malformed lines land whole in `_corrupt`
+    * (all data columns null) instead of failing the job or being
+    * silently dropped — at crawl scale some malformed records are a
+    * certainty, and a pipeline must quarantine them with evidence, not
+    * die at 80 % of a 100 TB pass (FAILFAST) or lose them without a
+    * trace (DROPMALFORMED).
+    *
+    * Returns the full frame; [[cleanDocs]] / [[quarantine]] split it.
+    * Scale shape: JSONL is splittable line-wise, so the scan
+    * parallelizes like any text source; the declared schema prunes
+    * parsing to the five needed fields.
+    */
+  def readJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(DocSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
+  /** Well-formed rows of a [[readJsonl]] frame (every declared field
+    * parsed; doc_id present — a row without its key is quarantine
+    * material even if syntactically valid JSON).
+    */
+  def cleanDocs(raw: DataFrame): DataFrame =
+    raw.filter(col("_corrupt").isNull && col("doc_id").isNotNull)
+      .drop("_corrupt")
+
+  /** Quarantined rows: raw line text preserved for triage. Spark only
+    * materializes `_corrupt` when other columns are also selected, so
+    * the filter runs on the full frame before projecting.
+    */
+  def quarantine(raw: DataFrame): DataFrame =
+    raw.filter(col("_corrupt").isNotNull || col("doc_id").isNull)
+      .select(col("_corrupt").as("raw_line"))
+
+  /** Write a curated corpus as hive-partitioned parquet
+    * `lang=<l>/part=<p>/` with a recomputed manifest at
+    * `<path>/_manifest`. Returns the manifest frame.
+    *
+    * Layout discipline for 100 TB:
+    *  - `part = doc_id % buckets` bounds partition count to
+    *    |langs|·buckets regardless of corpus size, and the explicit
+    *    `repartition(lang, part)` puts each output partition in ONE
+    *    task — one file per partition, not one file per (task ×
+    *    partition) — the classic small-files explosion
+    *    `partitionBy` alone produces. File size inside a partition is
+    *    then governed by `spark.sql.files.maxRecordsPerFile` when a
+    *    partition outgrows one file.
+    *  - the manifest (per-partition doc count, token sum, doc_id
+    *    range) is the reader's integrity check and the planner's
+    *    statistics source; it is computed from the SAME frame that was
+    *    written, and CorpusIOSpec proves it equals an independent
+    *    recomputation from the files on disk.
+    *  - readers filtering on `lang`/`part` prune directories before
+    *    any I/O (PartitionFilters — pinned in CorpusIOSpec).
+    */
+  def writeCurated(docs: DataFrame, path: String,
+                   buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val out = docs.withColumn("part", pmod(col("doc_id"), lit(buckets.toLong)))
+    out.repartition(col("lang"), col("part"))
+      .write.partitionBy("lang", "part")
+      .mode("overwrite").parquet(s"$path/data")
+    val manifest = out.groupBy("lang", "part")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"))
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
+    manifest
+  }
+
+  /** Read a [[writeCurated]] corpus back, optionally pruned to one
+    * language — the filter is a partition predicate, so only that
+    * language's directories are listed and scanned.
+    */
+  def readCurated(spark: SparkSession, path: String,
+                  lang: Option[String] = None): DataFrame = {
+    val df = spark.read.parquet(s"$path/data")
+    lang.fold(df)(l => df.filter(col("lang") === l))
+  }
+
+  /** The stored manifest of a curated corpus. */
+  def readManifest(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/_manifest")
+}
