@@ -908,6 +908,15 @@ object SparkEntry {
       TextAnalysis.mixtureApply(docs, weights, bucketDocs = 64L)
         .orderBy("doc_id")
     }),
+    // X27 sequence packing index: concatenate the corpus token stream
+    // in doc_id order, cut 512-token training sequences (docs may
+    // straddle cuts — GPT-style packing); two-phase bucket running sum
+    // (bucketDocs=64 so buckets genuinely split at sf0.01), oracle is
+    // the naive global window
+    "x91_sequence_pack" -> ((s, dir) =>
+      TextAnalysis.packSequences(Tables.read(s, dir, "documents"),
+        binTokens = 512L, bucketDocs = 64L)
+        .orderBy("doc_id")),
     // X25 crawl-refresh triage: per-id diff of two corpus snapshots.
     // The new snapshot is synthesized deterministically on both sides:
     // every 10th id deleted (reborn at +1000000 as an add), every 7th
@@ -1267,6 +1276,7 @@ object SparkEntry {
     "x88_ann_recall" -> OracleSqlExt.annRecallSql(Seq(0L, 1L, 2L), 5),
     "x89_mixture_apply" -> OracleSqlExt.mixtureApplySql,
     "x90_snapshot_diff" -> OracleSqlExt.snapshotDiffSql,
+    "x91_sequence_pack" -> OracleSqlExt.packSequencesSql(512L),
     // same oracle as x46 on purpose: the Bloom pre-filter must be
     // result-invisible (no false negatives + exact verification join)
     "x62_bloom_decontaminate" -> OracleSqlExt.decontaminateSql,

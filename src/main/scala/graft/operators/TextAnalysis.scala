@@ -747,6 +747,46 @@ object TextAnalysis {
           .as("rate"))
   }
 
+  /** Sequence packing index (SURVEY §2.10 X27) — the last step of a
+    * pretraining data pipeline: conceptually concatenate every
+    * document's tokens in `doc_id` order and cut the stream into
+    * fixed `binTokens`-token training sequences (documents MAY
+    * straddle a cut — the standard GPT-style packing). Emits each
+    * document's position in the packed stream: `start_tok` (0-based
+    * offset), `first_seq`/`last_seq` (the training-sequence ids it
+    * lands in). A writer materializes sequence `s` by taking token
+    * range `[s·binTokens, (s+1)·binTokens)` against this index.
+    *
+    * Scale shape: the global running sum is decomposed two-phase like
+    * [[tokenBudgetSample]] — per-bucket totals (rows = doc-id range /
+    * `bucketDocs`) roll up through ONE ordered window over the tiny
+    * bucket table, then the per-doc window runs per bucket, ≤
+    * `bucketDocs` rows per task at any corpus size. The oracle
+    * recomputes it as ONE naive global window, so the hash match
+    * proves the decomposition. All arithmetic is int64.
+    */
+  def packSequences(docs: DataFrame, binTokens: Long,
+                    bucketDocs: Long = 1024L): DataFrame = {
+    require(binTokens > 0 && bucketDocs > 0,
+      s"binTokens and bucketDocs must be positive, got $binTokens/$bucketDocs")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      expr(s"doc_id div $bucketDocs").as("bkt"))
+    val wb = Window.orderBy("bkt")
+    val priors = toks.groupBy("bkt")
+      .agg(sum("n_tokens").as("btoks"))
+      .withColumn("prior", sum("btoks").over(wb) - col("btoks"))
+      .select("bkt", "prior")
+    val wf = Window.partitionBy("bkt").orderBy("doc_id")
+    toks.join(broadcast(priors), Seq("bkt"))
+      .withColumn("cum", col("prior") + sum("n_tokens").over(wf))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_tok"),
+        expr(s"(cum - n_tokens) div $binTokens").as("first_seq"),
+        expr(s"(cum - 1) div $binTokens").as("last_seq"))
+  }
+
   /** Execute a [[mixtureWeights]] plan (SURVEY §2.10 X21): keep each
     * source's documents in `doc_id` order until that source's
     * `keep_tokens` budget is exhausted (a document is kept iff the

@@ -998,6 +998,27 @@ object OracleSqlExt {
       |SELECT doc_id, source, n_tokens, cum
       |FROM r WHERE cum - n_tokens < keep_tokens ORDER BY doc_id""".stripMargin
 
+  /** Mirrors `TextAnalysis.packSequences(binTokens)`: ONE naive global
+    * running-sum window in doc_id order — the engine's two-phase
+    * bucket decomposition must hash-match this spelling. `//` ≡ Spark
+    * `DIV` (all operands non-negative).
+    */
+  def packSequencesSql(binTokens: Long): String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+       |  FROM d
+       |)
+       |SELECT doc_id, n_tokens,
+       |       cum - n_tokens AS start_tok,
+       |       CAST((cum - n_tokens) // $binTokens AS BIGINT) AS first_seq,
+       |       CAST((cum - 1) // $binTokens AS BIGINT) AS last_seq
+       |FROM r ORDER BY doc_id""".stripMargin
+
   /** Mirrors the x90 snapshot diff over the synthesized new snapshot
     * (10% of ids deleted, every 7th text revised, deleted ids reborn
     * at +1000000 as adds): per-id full outer join of md5 fingerprints.

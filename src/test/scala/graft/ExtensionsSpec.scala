@@ -754,6 +754,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.map(_._2) == plan.keySet)
   }
 
+  test("packSequences: hand fixture with a straddling doc; bucket-size invariant") {
+    import spark.implicits._
+    // tokens: 3, 2, 4; bin 4 ⇒ doc1 [0,3)→seq 0; doc2 [3,5)→seqs 0-1
+    // (straddles the cut at 4); doc3 [5,9)→seqs 1-2
+    val d = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(d, 4L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 3L, 0L, 0L, 0L), (2L, 2L, 3L, 0L, 1L),
+      (3L, 4L, 5L, 1L, 2L)))
+    // corpus fixture: decomposition invariant to bucket size, and the
+    // packed stream is gapless (start_tok = prefix sum of n_tokens)
+    def run(b: Long) = TextAnalysis.packSequences(docs, 512L, b)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val ref = run(100000L)
+    assert(run(64L) == ref && run(7L) == ref)
+    ref.foldLeft(0L) { case (expectStart, (_, n, start, first, last)) =>
+      assert(start == expectStart, "packed stream must be gapless")
+      assert(first == start / 512L && last == (start + n - 1) / 512L)
+      start + n
+    }
+  }
+
   test("snapshotDiff: all four statuses on a hand fixture") {
     import spark.implicits._
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")

@@ -333,6 +333,26 @@ class PlanAuditSpec extends AnyFunSuite {
         s"not raw docs:\n${qe.sparkPlan}")
   }
 
+  test("x91 sequence pack: no global doc window — bucketed running sum") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val qe = SparkEntry.queries("x91_sequence_pack")(spark, sf).queryExecution
+    val windows = qe.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    // per-doc running sums partition by bkt; the only unpartitioned
+    // window is the bucket-level prior, which must sit above the
+    // per-bucket aggregate (tiny table), never above raw docs
+    val perDoc = windows.filter(_.partitionSpec.nonEmpty)
+    val global = windows.filter(_.partitionSpec.isEmpty)
+    assert(perDoc.nonEmpty, qe.sparkPlan.toString)
+    assert(global.forall(w =>
+      w.child.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      }.nonEmpty),
+      s"a global window must sit above the per-bucket aggregate:\n${qe.sparkPlan}")
+  }
+
   test("x90 snapshot diff: one equi-join of fingerprints, text pruned at the scan") {
     val qe = SparkEntry.queries("x90_snapshot_diff")(spark, sf).queryExecution
     val p = qe.sparkPlan.toString
