@@ -86,6 +86,18 @@ object SparkEntry {
   private val storeMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), graft.streaming.HtaStore]
 
+  /** The x85/x89 fixture weight convention: `weight = src-number % 3
+    * + 1`, derived from the source NAME so it works at any SF's source
+    * cardinality. ONE definition for both query bodies and the specs —
+    * it must stay in lock-step with the SQL copies in
+    * `OracleSqlExt.mixtureWeightsSql`/`mixtureApplySql`.
+    */
+  private[graft] def fixtureSourceWeights(docs: org.apache.spark.sql.DataFrame)
+    : org.apache.spark.sql.DataFrame =
+    docs.select(col("source")).distinct()
+      .withColumn("weight",
+        (substring(col("source"), 4, 10).cast("int") % 3 + 1).cast("long"))
+
   private def batchStore(s: SparkSession, dir: String): graft.streaming.HtaStore =
     storeMemo.getOrElseUpdate((s, dir), {
       val root = java.nio.file.Files.createTempDirectory("graft-bstore").toString
@@ -886,14 +898,12 @@ object SparkEntry {
         "lang", 10).orderBy("stratum", "sample_rank")),
     // X21 data mixing: downsample-only sampling plan realizing a target
     // source mixture. The weights table is user-supplied in production;
-    // the fixture derives weight = src-number % 3 + 1 from the source
-    // name so the rule works at any SF's source cardinality
+    // the fixture derives it via fixtureSourceWeights so the rule works
+    // at any SF's source cardinality
     "x85_mixture_weights" -> ((s, dir) => {
       val docs = Tables.read(s, dir, "documents")
-      val weights = docs.select(col("source")).distinct()
-        .withColumn("weight",
-          (substring(col("source"), 4, 10).cast("int") % 3 + 1).cast("long"))
-      TextAnalysis.mixtureWeights(docs, weights).orderBy("source")
+      TextAnalysis.mixtureWeights(docs, fixtureSourceWeights(docs))
+        .orderBy("source")
     }),
     // X21 mixture plan EXECUTION: per-source keep-until-budget sampling
     // driven by the x85 plan — the engine runs the two-phase
@@ -902,10 +912,8 @@ object SparkEntry {
     // running-sum window, so the hash match proves the decomposition
     "x89_mixture_apply" -> ((s, dir) => {
       val docs = Tables.read(s, dir, "documents")
-      val weights = docs.select(col("source")).distinct()
-        .withColumn("weight",
-          (substring(col("source"), 4, 10).cast("int") % 3 + 1).cast("long"))
-      TextAnalysis.mixtureApply(docs, weights, bucketDocs = 64L)
+      TextAnalysis.mixtureApply(docs, fixtureSourceWeights(docs),
+        bucketDocs = 64L)
         .orderBy("doc_id")
     }),
     // X27 sequence packing index: concatenate the corpus token stream

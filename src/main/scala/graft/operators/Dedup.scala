@@ -571,13 +571,19 @@ object Dedup {
     * laid out by. No window, no collect.
     */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
-    val o = oldSnap.select(col("doc_id"), md5(col("text")).as("fp_old"))
-    val n = newSnap.select(col("doc_id"), md5(col("text")).as("fp_new"))
+    // presence is tracked by explicit markers, NOT by fingerprint
+    // nullness: md5(NULL text) is NULL, so a null-text row (which
+    // CorpusIO.cleanDocs admits) would otherwise masquerade as absent
+    // and misclassify — the oracle keys on id presence too
+    val o = oldSnap.select(col("doc_id"), md5(col("text")).as("fp_old"),
+      lit(true).as("in_old"))
+    val n = newSnap.select(col("doc_id"), md5(col("text")).as("fp_new"),
+      lit(true).as("in_new"))
     o.join(n, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("fp_old").isNull, lit("added"))
-          .when(col("fp_new").isNull, lit("removed"))
-          .when(col("fp_old") === col("fp_new"), lit("unchanged"))
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
+          .when(col("fp_old") <=> col("fp_new"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 

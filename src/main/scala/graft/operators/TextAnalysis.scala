@@ -286,21 +286,53 @@ object TextAnalysis {
     // div 0 would NULL every bucket (silently empty sample); a negative
     // size would reverse bucket order (prefix from the wrong end)
     require(bucketDocs > 0, s"bucketDocs must be positive, got $bucketDocs")
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"), col("lang"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"),
-      expr(s"doc_id div $bucketDocs").as("bkt"))
-    val wb = Window.partitionBy("lang").orderBy("bkt")
-    val priors = toks.groupBy("lang", "bkt")
-      .agg(sum("n_tokens").as("btoks"))
-      .withColumn("prior", sum("btoks").over(wb) - col("btoks"))
+    val toks = bucketedTokens(docs, Seq("lang"), bucketDocs)
+    val priors = bucketPriors(toks, Seq("lang"))
       .filter(col("prior") < budget) // later buckets cannot contribute
-      .select("lang", "bkt", "prior")
-    val wf = Window.partitionBy("lang", "bkt").orderBy("doc_id")
-    toks.join(priors, Seq("lang", "bkt"))
-      .withColumn("cum", col("prior") + sum("n_tokens").over(wf))
+    bucketedCum(toks, priors, Seq("lang"))
       .filter(col("cum") - col("n_tokens") < budget)
       .select("doc_id", "lang", "n_tokens", "cum")
+  }
+
+  /** `(doc_id, keys…, n_tokens, bkt)` projection — phase 0 of the
+    * two-phase running-sum decomposition shared by
+    * [[tokenBudgetSample]], [[mixtureApply]] and [[packSequences]].
+    */
+  private def bucketedTokens(docs: DataFrame, keys: Seq[String],
+                             bucketDocs: Long): DataFrame =
+    docs.select(col("doc_id") +: keys.map(col) :+
+      size(split(col("text"), " ")).cast("long").as("n_tokens") :+
+      expr(s"doc_id div $bucketDocs").as("bkt"): _*)
+
+  /** Phase 1: per-(keys, bkt) token totals with each bucket's
+    * EXCLUSIVE prefix sum `prior`. The ordered window runs over the
+    * post-aggregation bucket table (rows = doc-id range / bucketDocs
+    * per key), never over docs; with `keys` empty the window is
+    * global — over the same tiny table.
+    */
+  private def bucketPriors(toks: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wb =
+      if (keys.isEmpty) Window.orderBy("bkt")
+      else Window.partitionBy(keys.map(col): _*).orderBy("bkt")
+    toks.groupBy((keys :+ "bkt").map(col): _*)
+      .agg(sum("n_tokens").as("btoks"))
+      .withColumn("prior", sum("btoks").over(wb) - col("btoks"))
+      .drop("btoks")
+  }
+
+  /** Phase 2: join the (possibly filtered / budget-enriched) priors
+    * back and run the per-doc running sum PER (keys, bkt) — ≤
+    * `bucketDocs` rows per task at any corpus size. Extra columns on
+    * `priors` (e.g. a per-key budget) survive the join.
+    */
+  private def bucketedCum(toks: DataFrame, priors: DataFrame,
+                          keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wf = Window.partitionBy((keys :+ "bkt").map(col): _*).orderBy("doc_id")
+    val p = if (keys.isEmpty) broadcast(priors) else priors
+    toks.join(p, keys :+ "bkt")
+      .withColumn("cum", col("prior") + sum("n_tokens").over(wf))
   }
 
   /** PII patterns, RE2-compatible on purpose (no backreferences or
@@ -724,11 +756,28 @@ object TextAnalysis {
     */
   def mixtureWeights(docs: DataFrame, weights: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // data-level validation fails LOUDLY at execution: a weight ≤ 0
+    // would otherwise NULL its cap under non-ANSI integer division
+    // (min() skips NULL, so the source silently never binds T*), and a
+    // duplicate source row would double-count W — both are caller
+    // config errors, and the weights table is tiny, so the per-row
+    // checks are free
+    val wDup = Window.partitionBy("source")
+    val checked = weights
+      .withColumn("__dup", count(lit(1)).over(wDup))
+      .select(col("source"),
+        when(col("weight") <= 0, raise_error(concat(
+          lit("mixtureWeights: non-positive weight for source "),
+          col("source"))))
+          .when(col("__dup") > 1, raise_error(concat(
+            lit("mixtureWeights: duplicate weight rows for source "),
+            col("source"))))
+          .otherwise(col("weight")).as("weight"))
     val perSource = docs
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
-      .join(broadcast(weights), "source")
+      .join(broadcast(checked), "source")
     // global window over the POST-AGGREGATION table: |sources| rows
     // through one task by design (the corpus-sized input was already
     // reduced by the partial-aggregating groupBy above) — the same
@@ -769,18 +818,8 @@ object TextAnalysis {
                     bucketDocs: Long = 1024L): DataFrame = {
     require(binTokens > 0 && bucketDocs > 0,
       s"binTokens and bucketDocs must be positive, got $binTokens/$bucketDocs")
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"),
-      expr(s"doc_id div $bucketDocs").as("bkt"))
-    val wb = Window.orderBy("bkt")
-    val priors = toks.groupBy("bkt")
-      .agg(sum("n_tokens").as("btoks"))
-      .withColumn("prior", sum("btoks").over(wb) - col("btoks"))
-      .select("bkt", "prior")
-    val wf = Window.partitionBy("bkt").orderBy("doc_id")
-    toks.join(broadcast(priors), Seq("bkt"))
-      .withColumn("cum", col("prior") + sum("n_tokens").over(wf))
+    val toks = bucketedTokens(docs, Nil, bucketDocs)
+    bucketedCum(toks, bucketPriors(toks, Nil), Nil)
       .select(col("doc_id"), col("n_tokens"),
         (col("cum") - col("n_tokens")).as("start_tok"),
         expr(s"(cum - n_tokens) div $binTokens").as("first_seq"),
@@ -809,21 +848,12 @@ object TextAnalysis {
   def mixtureApply(docs: DataFrame, weights: DataFrame,
                    bucketDocs: Long = 1024L): DataFrame = {
     require(bucketDocs > 0, s"bucketDocs must be positive, got $bucketDocs")
-    import org.apache.spark.sql.expressions.Window
     val plan = mixtureWeights(docs, weights).select("source", "keep_tokens")
-    val toks = docs.select(col("doc_id"), col("source"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"),
-      expr(s"doc_id div $bucketDocs").as("bkt"))
-    val wb = Window.partitionBy("source").orderBy("bkt")
-    val priors = toks.groupBy("source", "bkt")
-      .agg(sum("n_tokens").as("btoks"))
-      .withColumn("prior", sum("btoks").over(wb) - col("btoks"))
+    val toks = bucketedTokens(docs, Seq("source"), bucketDocs)
+    val priors = bucketPriors(toks, Seq("source"))
       .join(broadcast(plan), "source")
       .filter(col("prior") < col("keep_tokens"))
-      .select("source", "bkt", "prior", "keep_tokens")
-    val wf = Window.partitionBy("source", "bkt").orderBy("doc_id")
-    toks.join(priors, Seq("source", "bkt"))
-      .withColumn("cum", col("prior") + sum("n_tokens").over(wf))
+    bucketedCum(toks, priors, Seq("source"))
       .filter(col("cum") - col("n_tokens") < col("keep_tokens"))
       .select("doc_id", "source", "n_tokens", "cum")
   }

@@ -1038,7 +1038,7 @@ object OracleSqlExt {
       |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
       |       CASE WHEN o.doc_id IS NULL THEN 'added'
       |            WHEN n.doc_id IS NULL THEN 'removed'
-      |            WHEN fp_old = fp_new THEN 'unchanged'
+      |            WHEN fp_old IS NOT DISTINCT FROM fp_new THEN 'unchanged'
       |            ELSE 'changed' END AS status
       |FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
       |ORDER BY doc_id""".stripMargin

@@ -81,9 +81,10 @@ object CorpusIO {
     *    partition outgrows one file.
     *  - the manifest (per-partition doc count, token sum, doc_id
     *    range) is the reader's integrity check and the planner's
-    *    statistics source; it is computed from the SAME frame that was
-    *    written, and CorpusIOSpec proves it equals an independent
-    *    recomputation from the files on disk.
+    *    statistics source; it is computed from the files just written
+    *    (one scan of the curated output — NOT a re-execution of the
+    *    source frame's lineage), and CorpusIOSpec proves it equals a
+    *    recomputation from the source frame, closing the loop.
     *  - readers filtering on `lang`/`part` prune directories before
     *    any I/O (PartitionFilters — pinned in CorpusIOSpec).
     */
@@ -94,7 +95,14 @@ object CorpusIO {
     out.repartition(col("lang"), col("part"))
       .write.partitionBy("lang", "part")
       .mode("overwrite").parquet(s"$path/data")
-    val manifest = out.groupBy("lang", "part")
+    // the manifest aggregates the FILES JUST WRITTEN, not the source
+    // frame: re-aggregating `docs` would re-execute its whole upstream
+    // lineage (a curation pipeline's dedup/filter/redact — a second
+    // full pass at corpus scale) and would describe the lineage's
+    // output, not what landed on disk; reading back costs one scan of
+    // the (smaller) curated output and IS the integrity statement
+    val manifest = readCurated(docs.sparkSession, path)
+      .groupBy("lang", "part")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
         min("doc_id").as("min_doc_id"),
@@ -109,7 +117,11 @@ object CorpusIO {
     */
   def readCurated(spark: SparkSession, path: String,
                   lang: Option[String] = None): DataFrame = {
+    // hive partition-directory inference types `part` as INT; pin it
+    // back to the LongType it was written from so the round-trip (and
+    // the manifest-vs-files comparison) is schema-stable
     val df = spark.read.parquet(s"$path/data")
+      .withColumn("part", col("part").cast("long"))
     lang.fold(df)(l => df.filter(col("lang") === l))
   }
 

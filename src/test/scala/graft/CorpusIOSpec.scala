@@ -39,9 +39,11 @@ class CorpusIOSpec extends AnyFunSuite {
     assert(clean.length + quarantined.length == lines.length)
   }
 
-  test("writeCurated round-trips; manifest equals independent recomputation") {
+  test("writeCurated round-trips; files-derived manifest equals source-side recomputation") {
     val docs = Tables.read(spark, sf, "documents")
     val dir = tmp("graft-curated")
+    // the manifest is computed from the written files (one scan of the
+    // curated output, no source-lineage re-execution)...
     val manifest = CorpusIO.writeCurated(docs, dir, buckets = 8)
       .as[(String, Long, Long, Long, Long, Long)].collect().toSet
     // read-back content equality (partition columns re-derive doc_id%8)
@@ -49,9 +51,11 @@ class CorpusIOSpec extends AnyFunSuite {
     assert(back.count() == docs.count())
     assert(back.select(sum("n_chars")).head.getLong(0) ==
       docs.select(sum("n_chars")).head.getLong(0))
-    // manifest vs recomputation FROM THE FILES, not the source frame
-    val recomputed = back
-      .groupBy(col("lang"), col("part").cast("long").as("part"))
+    // ...so comparing it against a recomputation from the SOURCE frame
+    // proves the write lost/duplicated nothing, per partition
+    val recomputed = docs
+      .withColumn("part", pmod(col("doc_id"), lit(8L)))
+      .groupBy("lang", "part")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
         min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))

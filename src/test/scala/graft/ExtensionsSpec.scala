@@ -690,9 +690,7 @@ class ExtensionsSpec extends AnyFunSuite {
 
   test("mixtureWeights invariants on the fixture corpus: keep ≤ have, mixture hit") {
     import spark.implicits._
-    val weights = docs.select(col("source")).distinct()
-      .withColumn("weight",
-        (substring(col("source"), 4, 10).cast("int") % 3 + 1).cast("long"))
+    val weights = SparkEntry.fixtureSourceWeights(docs)
     val rows = TextAnalysis.mixtureWeights(docs, weights)
       .select("weight", "n_tokens", "t_star", "keep_tokens")
       .as[(Long, Long, Long, Long)].collect().toSeq
@@ -727,9 +725,7 @@ class ExtensionsSpec extends AnyFunSuite {
 
   test("mixtureApply: bucket-size invariant; realized tokens land in [keep, keep+max)") {
     import spark.implicits._
-    val weights = docs.select(col("source")).distinct()
-      .withColumn("weight",
-        (substring(col("source"), 4, 10).cast("int") % 3 + 1).cast("long"))
+    val weights = SparkEntry.fixtureSourceWeights(docs)
     def run(b: Long) = TextAnalysis.mixtureApply(docs, weights, b)
       .as[(Long, String, Long, Long)].collect().toSet
     val got = run(64L)
@@ -785,6 +781,37 @@ class ExtensionsSpec extends AnyFunSuite {
       .as[(Long, String)].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, "removed"), (2L, "unchanged"),
       (3L, "changed"), (4L, "added")))
+  }
+
+  test("snapshotDiff: null-text rows classify by id presence, not fingerprint") {
+    import spark.implicits._
+    // md5(NULL) is NULL — presence must come from the join sides, and
+    // null-vs-null fingerprints compare null-safely as unchanged
+    val old = Seq((1L, null: String), (2L, null: String), (3L, "c"))
+      .toDF("doc_id", "text")
+    val nw = Seq((2L, null: String), (3L, null: String), (4L, null: String))
+      .toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(old, nw)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "removed"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "added")))
+  }
+
+  test("mixtureWeights rejects non-positive weights and duplicate source rows") {
+    import spark.implicits._
+    val d = Seq(("a", "t t"), ("b", "t")).toDF("source", "text")
+    val zero = Seq(("a", 1L), ("b", 0L)).toDF("source", "weight")
+    val e1 = intercept[Exception] {
+      TextAnalysis.mixtureWeights(d, zero).collect()
+    }
+    assert(e1.getMessage.contains("non-positive weight") ||
+      Option(e1.getCause).exists(_.getMessage.contains("non-positive weight")))
+    val dup = Seq(("a", 1L), ("a", 2L), ("b", 1L)).toDF("source", "weight")
+    val e2 = intercept[Exception] {
+      TextAnalysis.mixtureWeights(d, dup).collect()
+    }
+    assert(e2.getMessage.contains("duplicate weight rows") ||
+      Option(e2.getCause).exists(_.getMessage.contains("duplicate weight rows")))
   }
 
   test("annRecall: hits equal the local brute∩ivf intersection per query") {
