@@ -388,6 +388,13 @@ object SparkEntry {
     "x88_ann_recall" -> ((s, dir) =>
       Similarity.annRecall(Tables.read(s, dir, "embeddings"), Seq(0L, 1L, 2L), 5)
         .orderBy("q_id")),
+    // X28 one deterministic Lloyd iteration: floor-integer-mean
+    // centroids per current cell, exact int64 squared-distance argmin
+    // reassignment — the operator that LEARNS the IVF cells the other
+    // embedding queries consume
+    "x92_kmeans_iter" -> ((s, dir) =>
+      Similarity.kmeansIter(Tables.read(s, dir, "embeddings"))
+        .orderBy("vec_id")),
     // X23 streaming exact dedup: the crawl-shaped first-occurrence keep
     // through a REAL keyed-state streaming query (3 micro-batches,
     // append mode). The fixture corpus has no whole-doc duplicates, so
@@ -1285,6 +1292,7 @@ object SparkEntry {
     "x89_mixture_apply" -> OracleSqlExt.mixtureApplySql,
     "x90_snapshot_diff" -> OracleSqlExt.snapshotDiffSql,
     "x91_sequence_pack" -> OracleSqlExt.packSequencesSql(512L),
+    "x92_kmeans_iter" -> OracleSqlExt.kmeansIterSql,
     // same oracle as x46 on purpose: the Bloom pre-filter must be
     // result-invisible (no false negatives + exact verification join)
     "x62_bloom_decontaminate" -> OracleSqlExt.decontaminateSql,

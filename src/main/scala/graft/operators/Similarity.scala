@@ -159,6 +159,53 @@ object Similarity {
       .select("q_id", "vec_id", "rank", "cosine")
   }
 
+  /** One deterministic k-means (Lloyd) iteration (SURVEY §2.10 X28) —
+    * the centroid-refinement primitive behind the IVF cell assignment
+    * every other embedding operator here consumes ([[topKIvf]],
+    * [[semanticDedup]], [[embedDecontaminate]] all take the cell
+    * column as given; this is the operator that LEARNS it). Computes
+    * each current cell's centroid as the element-wise FLOOR integer
+    * mean of the quantized vectors, then reassigns every vector to its
+    * nearest centroid by exact squared euclidean distance
+    * `|x|² − 2·x·c + |c|²` — every term an int64 sum, ties broken by
+    * the lower centroid label, so the assignment is bit-deterministic
+    * in any engine (the integer mean TRUNCATES toward zero on negative
+    * sums: Spark `div` and DuckDB `//` share that convention —
+    * verified, not assumed — and the ±1 quantization step on a
+    * centroid component is noise at the 1e4 quantization scale).
+    *
+    * Scale shape: the centroid build is one (label, dim)-keyed partial
+    * aggregation (k·dim rows out); the k-row centroid table broadcasts
+    * to the corpus scan, and the argmin folds the k candidates per
+    * vector through a min-of-struct aggregate — n·k candidate rows,
+    * the irreducible Lloyd assignment cost, with no window and no
+    * driver loop. Iterating = calling this again on the relabeled
+    * output.
+    */
+  def kmeansIter(emb: DataFrame): DataFrame = {
+    val q = quantized(emb)
+    val cent = q.select(col("label"), posexplode(col("vq")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
+      .withColumn("c", expr("s div cnt"))
+      .groupBy("label")
+      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), x -> x.c)")
+        .as("cvec"))
+      .select(col("label").as("c_label"), col("cvec"),
+        VecOps.normSq(col("cvec")).as("cn2"))
+    q.crossJoin(broadcast(cent))
+      .withColumn("d2",
+        col("n2") - lit(2L) * VecOps.dot(col("vq"), col("cvec")) + col("cn2"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(struct(col("d2"), col("c_label"))).as("m"))
+      .select(col("vec_id"),
+        col("label").cast("long").as("old_label"),
+        col("m.c_label").cast("long").as("new_label"),
+        col("m.d2").as("d2"),
+        (col("label").cast("long") =!= col("m.c_label").cast("long"))
+          .as("moved"))
+  }
+
   /** ANN quality audit (SURVEY §2.10 X24): per-query recall@k of the
     * IVF-pruned search against the brute-force ground truth — the
     * metric every production ANN deployment tracks before trusting the

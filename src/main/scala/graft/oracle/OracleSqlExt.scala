@@ -851,6 +851,45 @@ object OracleSqlExt {
         |         AS novelty
         |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Mirrors `Similarity.kmeansIter`: same quantized corpus CTE,
+    * per-(label, dim) truncated-mean centroids (DuckDB `//` truncates
+    * toward zero exactly like Spark `div` — verified on negatives),
+    * exact int64 squared distances, argmin with the (d2, label)
+    * tie-break.
+    */
+  def kmeansIterSql: String =
+    cosineCte +
+      s""", dims AS (
+         |  SELECT label, unnest(vq) AS v, generate_subscripts(vq, 1) AS dim
+         |  FROM n
+         |), cd AS (
+         |  SELECT label, dim, CAST(sum(v) AS BIGINT) AS s,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM dims GROUP BY label, dim
+         |), cent AS (
+         |  SELECT label, list(s // cnt ORDER BY dim) AS cvec
+         |  FROM cd GROUP BY label
+         |), centn AS (
+         |  SELECT label AS c_label, cvec,
+         |         CAST(list_sum(list_transform(cvec, x -> x*x)) AS BIGINT)
+         |           AS cn2
+         |  FROM cent
+         |), asgn AS (
+         |  SELECT vec_id, n.label AS old_label, c_label,
+         |         CAST(n2 - 2*list_sum(list_transform(range(len(vq)),
+         |                i -> vq[i+1]*cvec[i+1])) + cn2 AS BIGINT) AS d2
+         |  FROM n CROSS JOIN centn
+         |), best AS (
+         |  SELECT vec_id, old_label, c_label, d2,
+         |         row_number() OVER (PARTITION BY vec_id
+         |                            ORDER BY d2, c_label) AS rn
+         |  FROM asgn
+         |)
+         |SELECT vec_id, CAST(old_label AS BIGINT) AS old_label,
+         |       CAST(c_label AS BIGINT) AS new_label, d2,
+         |       old_label <> c_label AS moved
+         |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   /** Mirrors `TextAnalysis.mixtureWeights` under the x85 fixture
     * convention (weight = src-number % 3 + 1): per-source token
     * roll-up, W and T* via window functions over the tiny per-source

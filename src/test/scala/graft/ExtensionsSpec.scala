@@ -833,6 +833,34 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansIter: one Lloyd step repairs a corrupted assignment") {
+    import spark.implicits._
+    // two tight planted clusters around (1,0,…) and (0,1,…); vectors 0
+    // and 5 start mislabeled — their cluster's centroid is still
+    // dominated by correctly-labeled mass, so one iteration moves
+    // exactly the two defectors and nothing else
+    def v(main: Int, eps: Float): Seq[Float] =
+      Seq.tabulate(4)(i => if (i == main) 1.0f + eps else eps)
+    val rows = Seq(
+      (0L, v(0, 0.001f), 1), (1L, v(0, 0.002f), 0), (2L, v(0, 0.003f), 0),
+      (3L, v(0, 0.004f), 0), (4L, v(1, 0.001f), 1), (5L, v(1, 0.002f), 0),
+      (6L, v(1, 0.003f), 1), (7L, v(1, 0.004f), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.kmeansIter(emb)
+      .select("vec_id", "new_label", "moved")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out.map(r => r._1 -> r._2).toMap ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+        4L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 1L))
+    assert(out.count(_._3) == 2, "exactly the two defectors move")
+    // a second iteration from the repaired labels is a fixed point
+    val again = Similarity.kmeansIter(
+      emb.drop("label").join(
+        Similarity.kmeansIter(emb).select(col("vec_id"),
+          col("new_label").cast("int").as("label")), "vec_id"))
+    assert(again.filter(col("moved")).count() == 0L)
+  }
+
   test("annRecall is 1.0 when every vector shares one IVF cell") {
     import spark.implicits._
     // single-cell corpus: IVF prunes nothing, so the pruned search IS

@@ -372,6 +372,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("x92 kmeans iter: centroids broadcast to the scan, no window, native vec exprs") {
+    val qe = SparkEntry.queries("x92_kmeans_iter")(spark, sf).queryExecution
+    val p = qe.sparkPlan.toString
+    // the k-row centroid table rides a broadcast nested-loop (the
+    // deliberate crossJoin(broadcast(cent)) — k candidates per vector);
+    // no cartesian on data, no window anywhere, partial aggregation
+    // below both exchanges, distances through the native expressions
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("WindowExec") && !qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.exists(_ => true), s"argmin must fold via aggregate, not window:\n$p")
+    assert(p.contains("partial_"), s"centroid/argmin must partially aggregate:\n$p")
+    assert(p.contains("vec_dot") && p.contains("vec_quantize"),
+      s"distance must use native vector expressions:\n$p")
+  }
+
   test("x88 ann recall: audit join broadcasts the k-by-queries result set") {
     val p = sparkPlan("x88_ann_recall")
     assert(p.contains("BroadcastHashJoin"),
