@@ -206,6 +206,48 @@ object Similarity {
           .as("moved"))
   }
 
+  /** Run [[kmeansIter]] to convergence (no vector moves) or `maxIter`,
+    * whichever first — the same driver-loop-over-converging-jobs shape
+    * as `Dedup.starClusters`: each iteration is one distributed Lloyd
+    * step (every step individually oracle-checkable), the loop only
+    * inspects the scalar move count. Non-convergence is LOUD by
+    * default (`requireConverged`) — k-means on adversarial data can
+    * cycle, and a silently-unconverged cell assignment would quietly
+    * degrade every IVF consumer downstream.
+    *
+    * Returns `(assignment, iterations)` — the assignment carries the
+    * final `(vec_id, label)`.
+    */
+  def kmeansConverge(emb: DataFrame, maxIter: Int = 20,
+                     requireConverged: Boolean = true): (DataFrame, Int) = {
+    require(maxIter > 0, s"maxIter must be positive, got $maxIter")
+    var cur = emb.select(col("vec_id"), col("label"), col("embedding"))
+    var it = 0
+    while (it < maxIter) {
+      it += 1
+      val step = kmeansIter(cur)
+        .select(col("vec_id"), col("new_label").cast("int").as("label"),
+          col("moved"))
+        .persist()
+      val moves = step.filter(col("moved")).count()
+      val next = emb.select(col("vec_id"), col("embedding"))
+        .join(step.select("vec_id", "label"), "vec_id")
+      if (moves == 0L) {
+        step.unpersist()
+        return (next.select("vec_id", "label"), it)
+      }
+      // materialize the relabeling before unpersisting so the next
+      // iteration doesn't recompute the whole chain of steps
+      cur = next.select(col("vec_id"), col("label"), col("embedding"))
+        .localCheckpoint(true)
+      step.unpersist()
+    }
+    if (requireConverged)
+      throw new IllegalStateException(
+        s"k-means did not converge within $maxIter iterations")
+    (cur.select("vec_id", "label"), it)
+  }
+
   /** ANN quality audit (SURVEY §2.10 X24): per-query recall@k of the
     * IVF-pruned search against the brute-force ground truth — the
     * metric every production ANN deployment tracks before trusting the

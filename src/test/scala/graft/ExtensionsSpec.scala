@@ -861,6 +861,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(again.filter(col("moved")).count() == 0L)
   }
 
+  test("kmeansConverge reaches a fixed point and reports iterations") {
+    import spark.implicits._
+    val (assign, iters) = Similarity.kmeansConverge(emb, maxIter = 20)
+    assert(iters >= 1 && iters <= 20)
+    // converged means one more step moves nothing
+    val relabeled = emb.drop("label")
+      .join(assign.select(col("vec_id"), col("label").cast("int").as("label")),
+        "vec_id")
+    assert(Similarity.kmeansIter(relabeled).filter(col("moved")).count() == 0L)
+    // every vector keeps exactly one label
+    assert(assign.count() == emb.count())
+    assert(assign.select("vec_id").distinct().count() == emb.count())
+  }
+
   test("annRecall is 1.0 when every vector shares one IVF cell") {
     import spark.implicits._
     // single-cell corpus: IVF prunes nothing, so the pruned search IS
