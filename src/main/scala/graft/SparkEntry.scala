@@ -388,6 +388,26 @@ object SparkEntry {
     "x88_ann_recall" -> ((s, dir) =>
       Similarity.annRecall(Tables.read(s, dir, "embeddings"), Seq(0L, 1L, 2L), 5)
         .orderBy("q_id")),
+    // X29 host-graph centrality: two damped power-iteration steps over
+    // the synthesized host link graph (each doc links its source host
+    // to src{(src_num·3 + doc_id%5) % 20}, edges deduped) — exact
+    // int64 arithmetic, so both iterations hash-match the oracle
+    "x93_host_rank" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      val edges = docs.select(
+        concat(col("source"), lit(".example.com")).as("src"),
+        concat(lit("src"),
+          ((srcNum * 3 + col("doc_id") % 5) % 20).cast("string"),
+          lit(".example.com")).as("dst"))
+        .distinct()
+      val r0 = graft.operators.HostGraph.uniformRanks(
+        edges.select(col("src").as("host"))
+          .unionByName(edges.select(col("dst").as("host"))))
+      val r2 = graft.operators.HostGraph.rankIter(edges,
+        graft.operators.HostGraph.rankIter(edges, r0))
+      r2.orderBy("host")
+    }),
     // X28 one deterministic Lloyd iteration: floor-integer-mean
     // centroids per current cell, exact int64 squared-distance argmin
     // reassignment — the operator that LEARNS the IVF cells the other
@@ -1293,6 +1313,7 @@ object SparkEntry {
     "x90_snapshot_diff" -> OracleSqlExt.snapshotDiffSql,
     "x91_sequence_pack" -> OracleSqlExt.packSequencesSql(512L),
     "x92_kmeans_iter" -> OracleSqlExt.kmeansIterSql,
+    "x93_host_rank" -> OracleSqlExt.hostRankSql,
     // same oracle as x46 on purpose: the Bloom pre-filter must be
     // result-invisible (no false negatives + exact verification join)
     "x62_bloom_decontaminate" -> OracleSqlExt.decontaminateSql,

@@ -890,6 +890,40 @@ object OracleSqlExt {
          |       old_label <> c_label AS moved
          |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** Mirrors the x93 host-rank query: same synthesized distinct edge
+    * list, two damped power-iteration steps in exact int64 arithmetic
+    * (`//` ≡ `div` — every operand non-negative here).
+    */
+  def hostRankSql: String = {
+    def iter(prev: String, c: String, r: String): String =
+      s"""$c AS (
+         |  SELECT e.dst AS host,
+         |         CAST(sum($prev.rank // d.out_deg) AS BIGINT) AS in_sum
+         |  FROM e JOIN deg d USING (src) JOIN $prev ON $prev.host = e.src
+         |  GROUP BY e.dst
+         |), $r AS (
+         |  SELECT h.host,
+         |         CAST((15 * 1000000 + 85 * coalesce($c.in_sum, 0)) // 100
+         |              AS BIGINT) AS rank
+         |  FROM $prev h LEFT JOIN $c USING (host)
+         |)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT source || '.example.com' AS src,
+       |         'src' || CAST((CAST(substr(source, 4) AS INT) * 3
+       |                        + doc_id % 5) % 20 AS VARCHAR)
+       |               || '.example.com' AS dst
+       |  FROM documents
+       |), hosts AS (
+       |  SELECT DISTINCT host FROM (
+       |    SELECT src AS host FROM e UNION ALL SELECT dst FROM e)
+       |), r0 AS (
+       |  SELECT host, CAST(1000000 AS BIGINT) AS rank FROM hosts
+       |), deg AS (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY src
+       |), ${iter("r0", "c1", "r1")}, ${iter("r1", "c2", "r2")}
+       |SELECT host, rank FROM r2 ORDER BY host""".stripMargin
+  }
+
   /** Mirrors `TextAnalysis.mixtureWeights` under the x85 fixture
     * convention (weight = src-number % 3 + 1): per-source token
     * roll-up, W and T* via window functions over the tiny per-source

@@ -861,6 +861,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(again.filter(col("moved")).count() == 0L)
   }
 
+  test("hostRank iteration: hand graph with sink, fan-out, and unlinked host") {
+    import graft.operators.HostGraph
+    import spark.implicits._
+    // a→b, a→c, b→a; d unlinked; c is a sink (sheds its mass)
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "a")).toDF("src", "dst")
+    val r0 = HostGraph.uniformRanks(Seq("a", "b", "c", "d").toDF("host"))
+    val r1 = HostGraph.rankIter(edges, r0)
+      .as[(String, Long)].collect().toMap
+    val S = HostGraph.Scale
+    // a gets all of b: (15S + 85·S) div 100 = S
+    assert(r1("a") == (15 * S + 85 * S) / 100)
+    // b and c each get half of a (out_deg 2, trunc div)
+    assert(r1("b") == (15 * S + 85 * (S / 2)) / 100)
+    assert(r1("c") == r1("b"))
+    // d: damped base only
+    assert(r1("d") == 15 * S / 100)
+    // iterating preserves the universe and never goes negative
+    val r2 = HostGraph.rankIter(edges, HostGraph.rankIter(edges, r0))
+    assert(r2.count() == 4 && r2.filter(col("rank") < 0).count() == 0)
+  }
+
   test("kmeansConverge reaches a fixed point and reports iterations") {
     import spark.implicits._
     val (assign, iters) = Similarity.kmeansConverge(emb, maxIter = 20)

@@ -372,6 +372,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("x93 host rank: equi-joins and partial aggregation only — no window, no cartesian") {
+    val qe = SparkEntry.queries("x93_host_rank")(spark, sf).queryExecution
+    val p = qe.sparkPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"rank propagation must stay equi-join shaped:\n$p")
+    assert(qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"no window belongs in a power iteration:\n$p")
+    assert(p.contains("partial_"),
+      s"degree/contribution sums must partially aggregate:\n$p")
+  }
+
   test("x92 kmeans iter: centroids broadcast to the scan, no window, native vec exprs") {
     val qe = SparkEntry.queries("x92_kmeans_iter")(spark, sf).queryExecution
     val p = qe.sparkPlan.toString
