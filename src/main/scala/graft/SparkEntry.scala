@@ -86,6 +86,16 @@ object SparkEntry {
   private val storeMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), graft.streaming.HtaStore]
 
+  /** The numeric suffix of a fixture source name (`src17` → 17) — the
+    * ONE Scala spelling of the parse that the x85/x89 weight rule and
+    * the x93 host-graph edges both derive from; it must stay in
+    * lock-step with the SQL `CAST(substr(source, 4) AS INT)` copies in
+    * `OracleSqlExt`.
+    */
+  private[graft] def fixtureSourceNum(c: org.apache.spark.sql.Column)
+    : org.apache.spark.sql.Column =
+    substring(c, 4, 10).cast("int")
+
   /** The x85/x89 fixture weight convention: `weight = src-number % 3
     * + 1`, derived from the source NAME so it works at any SF's source
     * cardinality. ONE definition for both query bodies and the specs —
@@ -96,7 +106,7 @@ object SparkEntry {
     : org.apache.spark.sql.DataFrame =
     docs.select(col("source")).distinct()
       .withColumn("weight",
-        (substring(col("source"), 4, 10).cast("int") % 3 + 1).cast("long"))
+        (fixtureSourceNum(col("source")) % 3 + 1).cast("long"))
 
   private def batchStore(s: SparkSession, dir: String): graft.streaming.HtaStore =
     storeMemo.getOrElseUpdate((s, dir), {
@@ -394,7 +404,7 @@ object SparkEntry {
     // int64 arithmetic, so both iterations hash-match the oracle
     "x93_host_rank" -> ((s, dir) => {
       val docs = Tables.read(s, dir, "documents")
-      val srcNum = substring(col("source"), 4, 10).cast("int")
+      val srcNum = fixtureSourceNum(col("source"))
       val edges = docs.select(
         concat(col("source"), lit(".example.com")).as("src"),
         concat(lit("src"),

@@ -222,6 +222,7 @@ object Similarity {
                      requireConverged: Boolean = true): (DataFrame, Int) = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
     var cur = emb.select(col("vec_id"), col("label"), col("embedding"))
+    var prevCkpt: Option[DataFrame] = None
     var it = 0
     while (it < maxIter) {
       it += 1
@@ -233,14 +234,25 @@ object Similarity {
       val next = emb.select(col("vec_id"), col("embedding"))
         .join(step.select("vec_id", "label"), "vec_id")
       if (moves == 0L) {
+        // materialize the result BEFORE releasing the step it depends
+        // on — otherwise every caller action re-runs the final Lloyd
+        // assignment pass
+        val result = next.select("vec_id", "label").localCheckpoint(true)
         step.unpersist()
-        return (next.select("vec_id", "label"), it)
+        prevCkpt.foreach(_.unpersist())
+        return (result, it)
       }
       // materialize the relabeling before unpersisting so the next
-      // iteration doesn't recompute the whole chain of steps
-      cur = next.select(col("vec_id"), col("label"), col("embedding"))
+      // iteration doesn't recompute the whole chain of steps — and
+      // release the PREVIOUS iteration's checkpoint now that the new
+      // one is durable (leaving them piles up a full corpus copy per
+      // iteration in executor storage)
+      val ckpt = next.select(col("vec_id"), col("label"), col("embedding"))
         .localCheckpoint(true)
       step.unpersist()
+      prevCkpt.foreach(_.unpersist())
+      prevCkpt = Some(ckpt)
+      cur = ckpt
     }
     if (requireConverged)
       throw new IllegalStateException(

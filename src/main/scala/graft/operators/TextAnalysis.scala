@@ -766,8 +766,8 @@ object TextAnalysis {
     val checked = weights
       .withColumn("__dup", count(lit(1)).over(wDup))
       .select(col("source"),
-        when(col("weight") <= 0, raise_error(concat(
-          lit("mixtureWeights: non-positive weight for source "),
+        when(col("weight").isNull || col("weight") <= 0, raise_error(concat(
+          lit("mixtureWeights: null or non-positive weight for source "),
           col("source"))))
           .when(col("__dup") > 1, raise_error(concat(
             lit("mixtureWeights: duplicate weight rows for source "),

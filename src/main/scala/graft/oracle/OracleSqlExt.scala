@@ -895,6 +895,7 @@ object OracleSqlExt {
     * (`//` ≡ `div` — every operand non-negative here).
     */
   def hostRankSql: String = {
+    val S = graft.operators.HostGraph.Scale
     def iter(prev: String, c: String, r: String): String =
       s"""$c AS (
          |  SELECT e.dst AS host,
@@ -903,7 +904,7 @@ object OracleSqlExt {
          |  GROUP BY e.dst
          |), $r AS (
          |  SELECT h.host,
-         |         CAST((15 * 1000000 + 85 * coalesce($c.in_sum, 0)) // 100
+         |         CAST((15 * $S + 85 * coalesce($c.in_sum, 0)) // 100
          |              AS BIGINT) AS rank
          |  FROM $prev h LEFT JOIN $c USING (host)
          |)""".stripMargin
@@ -917,7 +918,7 @@ object OracleSqlExt {
        |  SELECT DISTINCT host FROM (
        |    SELECT src AS host FROM e UNION ALL SELECT dst FROM e)
        |), r0 AS (
-       |  SELECT host, CAST(1000000 AS BIGINT) AS rank FROM hosts
+       |  SELECT host, CAST($S AS BIGINT) AS rank FROM hosts
        |), deg AS (
        |  SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY src
        |), ${iter("r0", "c1", "r1")}, ${iter("r1", "c2", "r2")}

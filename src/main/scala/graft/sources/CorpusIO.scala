@@ -100,8 +100,12 @@ object CorpusIO {
     // lineage (a curation pipeline's dedup/filter/redact — a second
     // full pass at corpus scale) and would describe the lineage's
     // output, not what landed on disk; reading back costs one scan of
-    // the (smaller) curated output and IS the integrity statement
-    val manifest = readCurated(docs.sparkSession, path)
+    // the (smaller) curated output and IS the integrity statement.
+    // The schema is pinned from the written frame — inference would
+    // throw on an all-rows-filtered (empty) corpus, which must yield
+    // an empty manifest, not a crash after the data write
+    val manifest = docs.sparkSession.read.schema(out.schema)
+      .parquet(s"$path/data")
       .groupBy("lang", "part")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),

@@ -67,6 +67,14 @@ class CorpusIOSpec extends AnyFunSuite {
     assert(stored == manifest)
   }
 
+  test("writeCurated of an all-rows-filtered corpus yields an empty manifest, not a crash") {
+    val docs = Tables.read(spark, sf, "documents").filter(col("doc_id") < 0)
+    val dir = tmp("graft-empty")
+    val manifest = CorpusIO.writeCurated(docs, dir, buckets = 4)
+    assert(manifest.count() == 0L)
+    assert(CorpusIO.readManifest(spark, dir).count() == 0L)
+  }
+
   test("readCurated lang filter prunes partitions before I/O") {
     val docs = Tables.read(spark, sf, "documents")
     val dir = tmp("graft-pruned")

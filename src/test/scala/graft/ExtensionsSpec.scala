@@ -812,6 +812,15 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("duplicate weight rows") ||
       Option(e2.getCause).exists(_.getMessage.contains("duplicate weight rows")))
+    // a NULL weight must raise too — `weight <= 0` alone evaluates to
+    // NULL and would sail through both branches silently
+    val withNull = Seq(("a", java.lang.Long.valueOf(1L)),
+      ("b", null: java.lang.Long)).toDF("source", "weight")
+    val e3 = intercept[Exception] {
+      TextAnalysis.mixtureWeights(d, withNull).collect()
+    }
+    assert(e3.getMessage.contains("null or non-positive") ||
+      Option(e3.getCause).exists(_.getMessage.contains("null or non-positive")))
   }
 
   test("annRecall: hits equal the local brute∩ivf intersection per query") {

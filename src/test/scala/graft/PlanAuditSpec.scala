@@ -392,9 +392,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // no cartesian on data, no window anywhere, partial aggregation
     // below both exchanges, distances through the native expressions
     assert(!p.contains("CartesianProduct"))
-    assert(!p.contains("WindowExec") && !qe.sparkPlan.collect {
+    assert(qe.sparkPlan.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
-    }.exists(_ => true), s"argmin must fold via aggregate, not window:\n$p")
+    }.isEmpty, s"argmin must fold via aggregate, not window:\n$p")
     assert(p.contains("partial_"), s"centroid/argmin must partially aggregate:\n$p")
     assert(p.contains("vec_dot") && p.contains("vec_quantize"),
       s"distance must use native vector expressions:\n$p")

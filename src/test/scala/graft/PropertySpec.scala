@@ -225,4 +225,71 @@ class PropertySpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(nov.filter(_._3 > 0).map(t => t._1 -> t._3).toMap == dec)
   }
+
+  test("packSequences == local prefix-sum ground truth on random corpora") {
+    import graft.operators.TextAnalysis
+    val r = new Random(97)
+    val docs = (0L until 80L).map { i =>
+      (i, Seq.fill(1 + r.nextInt(40))("w").mkString(" "))
+    }
+    val bin = 17L
+    val expected = docs.sortBy(_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, text)) =>
+        val n = text.split(" ").length.toLong
+        (id, n, cum + n)
+      }.drop(1)
+      .map { case (id, n, cum) =>
+        (id, n, cum - n, (cum - n) / bin, (cum - 1) / bin) }.toSet
+    // partitioning / row order never changes the packed index
+    val got = TextAnalysis.packSequences(
+      docs.reverse.toDF("doc_id", "text").repartition(7), bin, 11L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("mixtureWeights plan is feasible and tight on random corpora") {
+    import graft.operators.TextAnalysis
+    val r = new Random(41)
+    val docs = (0L until 120L).map { i =>
+      (i, s"src${i % 7}", Seq.fill(1 + r.nextInt(30))("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val weights = (0 until 7).map(i => (s"src$i", 1L + r.nextInt(5)))
+      .toDF("source", "weight")
+    val rows = TextAnalysis.mixtureWeights(docs, weights)
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+    val wTotal = rows.map(_._2).sum
+    val tStar = rows.head._5
+    // T* is exactly the binding source's cap; every keep is feasible
+    // and exactly realizes its share of T*
+    assert(tStar == rows.map(t => t._4 * wTotal / t._2).min)
+    rows.foreach { case (_, w, _, have, ts, keep, rate) =>
+      assert(ts == tStar && keep == w * tStar / wTotal && keep <= have)
+      assert(rate == keep.toDouble / have.toDouble)
+    }
+  }
+
+  test("dupSpanCoverage: duplicated docs are fully covered, unique-gram mass is not") {
+    import graft.operators.TextAnalysis
+    val r = new Random(7)
+    // 30 base docs of unique text (distinct token per position) + 10
+    // exact duplicates of base docs — every position of a duplicated
+    // doc (and its twin) is covered; docs never duplicated and sharing
+    // no 5-gram with anything stay at zero
+    val base = (0L until 30L).map { i =>
+      (i, (0 until 8).map(j => s"t${i}_$j").mkString(" "))
+    }
+    val dups = (0L until 10L).map(i => (100L + i, base(i.toInt)._2))
+    val out = TextAnalysis.dupSpanCoverage(
+      r.shuffle(base ++ dups).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    def full(id: Long) = {
+      val (n, cov, frac) = out(id); cov == n && frac == 1.0
+    }
+    (0L until 10L).foreach(i => assert(full(i) && full(100L + i)))
+    (10L until 30L).foreach { i =>
+      val (n, cov, frac) = out(i)
+      assert(cov == 0L && frac == 0.0, s"unique doc $i covered")
+    }
+  }
 }
