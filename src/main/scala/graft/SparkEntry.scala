@@ -418,6 +418,18 @@ object SparkEntry {
         graft.operators.HostGraph.rankIter(edges, r0))
       r2.orderBy("host")
     }),
+    // X28+X3 composition: relabel the corpus with the Lloyd step's
+    // assignment, then IVF-search the LEARNED cells — proves the
+    // learn-then-search pipeline end-to-end under one oracle
+    "x94_ivf_learned_cells" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      val relabeled = emb.drop("label").join(
+        Similarity.kmeansIter(emb)
+          .select(col("vec_id"), col("new_label").cast("int").as("label")),
+        "vec_id")
+      Similarity.topKIvf(relabeled, Seq(0L, 1L, 2L), 5)
+        .orderBy("q_id", "rank")
+    }),
     // X28 one deterministic Lloyd iteration: floor-integer-mean
     // centroids per current cell, exact int64 squared-distance argmin
     // reassignment — the operator that LEARNS the IVF cells the other
@@ -1324,6 +1336,7 @@ object SparkEntry {
     "x91_sequence_pack" -> OracleSqlExt.packSequencesSql(512L),
     "x92_kmeans_iter" -> OracleSqlExt.kmeansIterSql,
     "x93_host_rank" -> OracleSqlExt.hostRankSql,
+    "x94_ivf_learned_cells" -> OracleSqlExt.ivfLearnedSql(Seq(0L, 1L, 2L), 5),
     // same oracle as x46 on purpose: the Bloom pre-filter must be
     // result-invisible (no false negatives + exact verification join)
     "x62_bloom_decontaminate" -> OracleSqlExt.decontaminateSql,

@@ -857,38 +857,63 @@ object OracleSqlExt {
     * exact int64 squared distances, argmin with the (d2, label)
     * tie-break.
     */
+  /** The Lloyd-step CTE chain (after `cosineCte`): centroids from the
+    * current cells, exact-distance assignment, `best` holds the argmin
+    * (rn = 1). Shared by [[kmeansIterSql]] and [[ivfLearnedSql]].
+    */
+  private val kmeansCtes: String =
+    s""", dims AS (
+       |  SELECT label, unnest(vq) AS v, generate_subscripts(vq, 1) AS dim
+       |  FROM n
+       |), cd AS (
+       |  SELECT label, dim, CAST(sum(v) AS BIGINT) AS s,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM dims GROUP BY label, dim
+       |), cent AS (
+       |  SELECT label, list(s // cnt ORDER BY dim) AS cvec
+       |  FROM cd GROUP BY label
+       |), centn AS (
+       |  SELECT label AS c_label, cvec,
+       |         CAST(list_sum(list_transform(cvec, x -> x*x)) AS BIGINT)
+       |           AS cn2
+       |  FROM cent
+       |), asgn AS (
+       |  SELECT vec_id, n.label AS old_label, c_label,
+       |         CAST(n2 - 2*list_sum(list_transform(range(len(vq)),
+       |                i -> vq[i+1]*cvec[i+1])) + cn2 AS BIGINT) AS d2
+       |  FROM n CROSS JOIN centn
+       |), best AS (
+       |  SELECT vec_id, old_label, c_label, d2,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY d2, c_label) AS rn
+       |  FROM asgn
+       |)""".stripMargin
+
   def kmeansIterSql: String =
-    cosineCte +
-      s""", dims AS (
-         |  SELECT label, unnest(vq) AS v, generate_subscripts(vq, 1) AS dim
-         |  FROM n
-         |), cd AS (
-         |  SELECT label, dim, CAST(sum(v) AS BIGINT) AS s,
-         |         CAST(count(*) AS BIGINT) AS cnt
-         |  FROM dims GROUP BY label, dim
-         |), cent AS (
-         |  SELECT label, list(s // cnt ORDER BY dim) AS cvec
-         |  FROM cd GROUP BY label
-         |), centn AS (
-         |  SELECT label AS c_label, cvec,
-         |         CAST(list_sum(list_transform(cvec, x -> x*x)) AS BIGINT)
-         |           AS cn2
-         |  FROM cent
-         |), asgn AS (
-         |  SELECT vec_id, n.label AS old_label, c_label,
-         |         CAST(n2 - 2*list_sum(list_transform(range(len(vq)),
-         |                i -> vq[i+1]*cvec[i+1])) + cn2 AS BIGINT) AS d2
-         |  FROM n CROSS JOIN centn
-         |), best AS (
-         |  SELECT vec_id, old_label, c_label, d2,
-         |         row_number() OVER (PARTITION BY vec_id
-         |                            ORDER BY d2, c_label) AS rn
-         |  FROM asgn
-         |)
-         |SELECT vec_id, CAST(old_label AS BIGINT) AS old_label,
-         |       CAST(c_label AS BIGINT) AS new_label, d2,
-         |       old_label <> c_label AS moved
-         |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    cosineCte + kmeansCtes +
+      """
+        |SELECT vec_id, CAST(old_label AS BIGINT) AS old_label,
+        |       CAST(c_label AS BIGINT) AS new_label, d2,
+        |       old_label <> c_label AS moved
+        |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  /** Mirrors the x94 composition: relabel the corpus with the Lloyd
+    * step's assignment, then run the x25 IVF top-k over the LEARNED
+    * cells — the full learn-then-search pipeline in one statement.
+    */
+  def ivfLearnedSql(queryIds: Seq[Long], k: Int): String =
+    cosineCte + kmeansCtes +
+      s""", rl AS (
+         |  SELECT n.vec_id, b.c_label AS label, n.vq, n.n2
+         |  FROM n JOIN (SELECT vec_id, c_label FROM best WHERE rn = 1) b
+         |    USING (vec_id)
+         |), q AS (
+         |  SELECT vec_id AS q_id, label AS q_label, vq AS qv, n2 AS qn2
+         |  FROM rl WHERE vec_id IN (${queryIds.mkString(",")})
+         |), cand AS (
+         |  SELECT q_id, rl.vec_id, vq, qv, n2, qn2
+         |  FROM rl JOIN q ON rl.label = q.q_label WHERE rl.vec_id <> q_id
+         |)""".stripMargin + cosineTail(k)
 
   /** Mirrors the x93 host-rank query: same synthesized distinct edge
     * list, two damped power-iteration steps in exact int64 arithmetic
