@@ -87,14 +87,22 @@ object Bench {
     // lines and the JSON summary
     def fmt(v: Double): String =
       "%.4f".formatLocal(java.util.Locale.ROOT, v)
-    // Truncation-proof output: the driver keeps only a bounded TAIL of
-    // stdout (~3-4 KB observed), so the one complete compact-JSON
-    // summary line prints LAST — any tail window that keeps the end of
-    // stdout keeps the whole per-query map. The redundant human-readable
-    // BENCH lines print first; whatever the window cuts, it cuts from
-    // them. (r05-r07 all lost numbers under other orderings; and
-    // build.sbt's run/outputStrategy now passes this stdout through
-    // without sbt's "[info] " prefix so the JSON line parses bare.)
+    // Truncation-proof output — sized for the driver's MEASURED tail
+    // window of exactly 2000 characters (BENCH_r05–r07 all carry
+    // tail_len 2000 and parsed:null: the full-name JSON is ~3.9 KB at
+    // 101 queries and has NEVER physically fit, whatever the line
+    // ordering). Three layers, least→most durable:
+    //  1. human-greppable full-name BENCH lines;
+    //  2. the full-name JSON (complete in any capture of whole stdout);
+    //  3. LAST: a compact JSON whose "queries" keys are the unique
+    //     query-id PREFIXES (q01, x85, …; ids never collide) at 3
+    //     decimals — ~1.3 KB, so the 2000-char tail (minus sbt's
+    //     trailing "[success]" line) always contains it whole. The
+    //     truncated remnant of layer 2 inside the tail cannot be
+    //     mistaken for it: its line head (and the `"metric"` marker)
+    //     are cut off.
+    // build.sbt's run/outputStrategy passes stdout through without
+    // sbt's "[info] " prefix so both JSON lines parse bare.
     results.toSeq.sortBy(_._1).foreach { case (n, t) =>
       println(s"BENCH $n ${fmt(t)}")
     }
@@ -103,6 +111,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt3(v: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val shortQs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","nq":${results.size},"queries":$shortQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
