@@ -92,25 +92,27 @@ object Bench {
     // tail_len 2000 and parsed:null: the full-name JSON is ~3.9 KB at
     // 101 queries and has NEVER physically fit, whatever the line
     // ordering). Three layers, least→most durable:
-    //  1. human-greppable full-name BENCH lines;
-    //  2. the full-name JSON (complete in any capture of whole stdout);
+    //  1. the full-name JSON (complete in any capture of whole stdout);
+    //  2. human-greppable full-name BENCH lines — the tail's slack
+    //     (~500 chars above layer 3) carries the last ~15 of them;
     //  3. LAST: a compact JSON whose "queries" keys are the unique
     //     query-id PREFIXES (q01, x85, …; ids never collide) at 3
     //     decimals — ~1.3 KB, so the 2000-char tail (minus sbt's
-    //     trailing "[success]" line) always contains it whole. The
-    //     truncated remnant of layer 2 inside the tail cannot be
-    //     mistaken for it: its line head (and the `"metric"` marker)
-    //     are cut off.
+    //     trailing "[success]" line) always contains it whole, as its
+    //     only line carrying the `"metric"` marker.
     // build.sbt's run/outputStrategy passes stdout through without
     // sbt's "[info] " prefix so both JSON lines parse bare.
-    results.toSeq.sortBy(_._1).foreach { case (n, t) =>
-      println(s"BENCH $n ${fmt(t)}")
-    }
+    // full-name JSON FIRST, then BENCH lines: the 2000-char tail then
+    // spends its slack on complete trailing BENCH lines (full names)
+    // instead of an unparseable mid-line fragment of this big JSON
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    results.toSeq.sortBy(_._1).foreach { case (n, t) =>
+      println(s"BENCH $n ${fmt(t)}")
+    }
     def fmt3(v: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val shortQs = results.toSeq.sortBy(_._1)
