@@ -418,6 +418,13 @@ object SparkEntry {
         graft.operators.HostGraph.rankIter(edges, r0))
       r2.orderBy("host")
     }),
+    // X3 recall/cost knob: multi-probe IVF — each query searches its
+    // 2 nearest centroid cells by exact int64 distance instead of
+    // only its own label cell
+    "x95_ivf_multiprobe" -> ((s, dir) =>
+      Similarity.topKIvfProbe(Tables.read(s, dir, "embeddings"),
+        Seq(0L, 1L, 2L), 5, nprobe = 2)
+        .orderBy("q_id", "rank")),
     // X28+X3 composition: relabel the corpus with the Lloyd step's
     // assignment, then IVF-search the LEARNED cells — proves the
     // learn-then-search pipeline end-to-end under one oracle
@@ -1337,6 +1344,7 @@ object SparkEntry {
     "x92_kmeans_iter" -> OracleSqlExt.kmeansIterSql,
     "x93_host_rank" -> OracleSqlExt.hostRankSql,
     "x94_ivf_learned_cells" -> OracleSqlExt.ivfLearnedSql(Seq(0L, 1L, 2L), 5),
+    "x95_ivf_multiprobe" -> OracleSqlExt.ivfMultiProbeSql(Seq(0L, 1L, 2L), 5, 2),
     // same oracle as x46 on purpose: the Bloom pre-filter must be
     // result-invisible (no false negatives + exact verification join)
     "x62_bloom_decontaminate" -> OracleSqlExt.decontaminateSql,

@@ -182,9 +182,12 @@ object Similarity {
     * driver loop. Iterating = calling this again on the relabeled
     * output.
     */
-  def kmeansIter(emb: DataFrame): DataFrame = {
-    val q = quantized(emb)
-    val cent = q.select(col("label"), posexplode(col("vq")).as(Seq("dim", "v")))
+  /** Per-cell truncated-integer-mean centroids of a [[quantized]]
+    * corpus: `(c_label, cvec, cn2)` — k rows, broadcast-sized. Shared
+    * by [[kmeansIter]] and [[topKIvfProbe]].
+    */
+  private def centroids(q: DataFrame): DataFrame =
+    q.select(col("label"), posexplode(col("vq")).as(Seq("dim", "v")))
       .groupBy("label", "dim")
       .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
       .withColumn("c", expr("s div cnt"))
@@ -193,6 +196,10 @@ object Similarity {
         .as("cvec"))
       .select(col("label").as("c_label"), col("cvec"),
         VecOps.normSq(col("cvec")).as("cn2"))
+
+  def kmeansIter(emb: DataFrame): DataFrame = {
+    val q = quantized(emb)
+    val cent = centroids(q)
     q.crossJoin(broadcast(cent))
       .withColumn("d2",
         col("n2") - lit(2L) * VecOps.dot(col("vq"), col("cvec")) + col("cn2"))
@@ -258,6 +265,46 @@ object Similarity {
       throw new IllegalStateException(
         s"k-means did not converge within $maxIter iterations")
     (cur.select("vec_id", "label"), it)
+  }
+
+  /** Multi-probe IVF top-k (SURVEY §2.10 X3's recall/cost knob): each
+    * query searches its `nprobe` NEAREST centroid cells (by the same
+    * exact int64 squared distance as [[kmeansIter]], ties to the lower
+    * cell label) instead of only its own cell — the standard remedy
+    * when a true neighbor sits just across a cell boundary.
+    * `nprobe = 1` probes the query's closest cell (which may differ
+    * from its stored label if the labels aren't converged);
+    * `nprobe = |cells|` degenerates to brute force.
+    *
+    * Scale shape: the centroid table is k rows; the query→cell
+    * ranking runs on a |queries|·k frame (broadcast-sized, windowed
+    * per query over k candidate cells — tiny by construction); the
+    * corpus then joins the probed (query, cell) pairs on the cell
+    * equi-join, scanning `nprobe/|cells|` of the corpus per query.
+    */
+  def topKIvfProbe(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                   nprobe: Int = 2): DataFrame = {
+    require(k > 0 && nprobe > 0,
+      s"k and nprobe must be positive, got k=$k nprobe=$nprobe")
+    val corpus = quantized(emb)
+    val cent = centroids(corpus)
+    val qcells = corpus.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("vq").as("qv"),
+        col("n2").as("qn2"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cd2",
+        col("qn2") - lit(2L) * VecOps.dot(col("qv"), col("cvec")) + col("cn2"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cd2"), col("c_label"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("q_id"), col("qv"), col("qn2"), col("c_label"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    corpus.join(broadcast(qcells), col("label") === col("c_label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosExpr)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "rank", "cosine")
   }
 
   /** ANN quality audit (SURVEY §2.10 X24): per-query recall@k of the

@@ -950,6 +950,29 @@ object OracleSqlExt {
        |SELECT host, rank FROM r2 ORDER BY host""".stripMargin
   }
 
+  /** Mirrors the x95 multi-probe IVF: the shared centroid CTEs, each
+    * query's `nprobe` nearest cells by exact int64 squared distance
+    * (ties to the lower label), then the standard top-k tail over the
+    * probed cells' members.
+    */
+  def ivfMultiProbeSql(queryIds: Seq[Long], k: Int, nprobe: Int): String =
+    cosineCte + kmeansCtes +
+      s""", qc AS (
+         |  SELECT n.vec_id AS q_id, n.vq AS qv, n.n2 AS qn2, c_label,
+         |         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |           CAST(n2 - 2*list_sum(list_transform(range(len(vq)),
+         |                  i -> vq[i+1]*cvec[i+1])) + cn2 AS BIGINT),
+         |           c_label) AS crk
+         |  FROM n CROSS JOIN centn
+         |  WHERE n.vec_id IN (${queryIds.mkString(",")})
+         |), probed AS (
+         |  SELECT q_id, qv, qn2, c_label FROM qc WHERE crk <= $nprobe
+         |), cand AS (
+         |  SELECT p.q_id, n.vec_id, n.vq, p.qv, n.n2, p.qn2
+         |  FROM n JOIN probed p ON n.label = p.c_label
+         |  WHERE n.vec_id <> p.q_id
+         |)""".stripMargin + cosineTail(k)
+
   /** Mirrors `TextAnalysis.mixtureWeights` under the x85 fixture
     * convention (weight = src-number % 3 + 1): per-source token
     * roll-up, W and T* via window functions over the tiny per-source

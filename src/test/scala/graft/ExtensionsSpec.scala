@@ -891,6 +891,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r2.count() == 4 && r2.filter(col("rank") < 0).count() == 0)
   }
 
+  test("topKIvfProbe: probing all cells equals brute force; recall is monotone in nprobe") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L)
+    def s(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val brute = s(Similarity.topKBrute(emb, ids, 5))
+    val nCells = emb.select("label").distinct().count().toInt
+    // nprobe = |cells| degenerates to brute force exactly (ranks too)
+    assert(s(Similarity.topKIvfProbe(emb, ids, 5, nCells)) == brute)
+    // more probes never lose a brute-force hit a narrower probe found
+    val p1 = s(Similarity.topKIvfProbe(emb, ids, 5, 1))
+    val p2 = s(Similarity.topKIvfProbe(emb, ids, 5, 2))
+    assert((p1 & brute).subsetOf(p2 & brute),
+      "widening the probe set must not lose true neighbors")
+  }
+
   test("kmeansConverge reaches a fixed point and reports iterations") {
     import spark.implicits._
     val (assign, iters) = Similarity.kmeansConverge(emb, maxIter = 20)
