@@ -810,6 +810,17 @@ object SparkEntry {
         Dedup.jaccardPairs(Tables.read(s, dir, "documents"),
           ClusterJaccard, ClusterBand).select("doc_a", "doc_b"))
         .orderBy("doc_id")),
+    // X30 leakage-safe split: each doc inherits the split of its
+    // near-dup cluster representative, so near-duplicates never
+    // straddle train/valid/test — the oracle recomputes the clusters
+    // via the recursive-CTE closure and applies the same md5 rule
+    "x96_cluster_safe_split" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val clusters = Dedup.nearDupClusters(
+        Dedup.jaccardPairs(docs, ClusterJaccard, ClusterBand)
+          .select("doc_a", "doc_b"))
+      TextAnalysis.clusterSafeSplit(docs, clusters).orderBy("doc_id")
+    }),
     // X4/X1: benchmark decontamination — n-gram overlap against the
     // held-out subset (doc_id ≡ 0 mod 20)
     "x46_decontaminate" -> ((s, dir) =>
@@ -1345,6 +1356,8 @@ object SparkEntry {
     "x93_host_rank" -> OracleSqlExt.hostRankSql,
     "x94_ivf_learned_cells" -> OracleSqlExt.ivfLearnedSql(Seq(0L, 1L, 2L), 5),
     "x95_ivf_multiprobe" -> OracleSqlExt.ivfMultiProbeSql(Seq(0L, 1L, 2L), 5, 2),
+    "x96_cluster_safe_split" ->
+      OracleSqlExt.clusterSafeSplitSql(ClusterJaccard, ClusterBand, "graft"),
     // same oracle as x46 on purpose: the Bloom pre-filter must be
     // result-invisible (no false negatives + exact verification join)
     "x62_bloom_decontaminate" -> OracleSqlExt.decontaminateSql,

@@ -109,6 +109,32 @@ object TextAnalysis {
         .otherwise("test"))
   }
 
+  /** Leakage-safe split (SURVEY §2.10 X30): every document inherits
+    * the split of its near-dup CLUSTER representative (the cluster's
+    * min doc_id, from [[Dedup.nearDupClusters]]/`starClusters`;
+    * unclustered docs are their own representative) — the
+    * [[splitAssign]] rule keyed on the representative id instead of
+    * the document id, so two near-duplicate documents can NEVER
+    * straddle train/valid/test. A plain per-doc split leaks: a
+    * near-dup pair split across train and test inflates eval scores
+    * with memorized content.
+    *
+    * Scale shape: one left equi-join docs↔clusters (the cluster table
+    * is |clustered docs| rows, usually a small fraction), one per-row
+    * md5 — no new shuffle beyond the join.
+    */
+  def clusterSafeSplit(docs: DataFrame, clusters: DataFrame,
+                       seed: String = "graft"): DataFrame = {
+    val withRep = docs.select(col("doc_id"))
+      .join(clusters.select(col("doc_id"), col("cluster")), Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster"), col("doc_id")))
+    val bucket = element_at(graft.functions.Md5Longs(
+      concat(lit(seed), col("rep").cast("string")), Seq((1, 4))), 1) % 10
+    withRep.select(col("doc_id"), col("rep"),
+      when(bucket < 8, "train").when(bucket === 8, "valid")
+        .otherwise("test").as("split"))
+  }
+
   /** Stratified view of [[splitAssign]]: per-(lang, split) counts —
     * the balance check a pipeline runs before training.
     */

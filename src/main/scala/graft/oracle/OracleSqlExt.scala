@@ -221,6 +221,30 @@ object OracleSqlExt {
        |       count(*) AS n
        |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 
+  /** Mirrors the x96 leakage-safe split: the recursive-CTE cluster
+    * closure (the x45 oracle), each doc's representative =
+    * `coalesce(cluster, doc_id)`, and the splitCountsSql md5 bucket
+    * rule keyed on the REPRESENTATIVE.
+    */
+  def clusterSafeSplitSql(threshold: Double, band: Long,
+                          seed: String): String =
+    shCte(3, recursive = true) + closureCte(threshold, band) +
+      s""", rep AS (
+         |  SELECT d.doc_id,
+         |         CAST(coalesce(cl.cluster, d.doc_id) AS BIGINT) AS rep
+         |  FROM documents d LEFT JOIN cl USING (doc_id)
+         |), bkt AS (
+         |  SELECT doc_id, rep,
+         |         CAST(concat('0x', substr(md5('$seed' || CAST(rep AS VARCHAR)), 1, 4))
+         |              AS BIGINT) % 10 AS bucket
+         |  FROM rep
+         |)
+         |SELECT doc_id, rep,
+         |       CASE WHEN bucket < 8 THEN 'train'
+         |            WHEN bucket = 8 THEN 'valid'
+         |            ELSE 'test' END AS split
+         |FROM bkt ORDER BY doc_id""".stripMargin
+
   def minhashLshSql(threshold: Double, k: Int = 12, r: Int = 3): String = {
     // double hashing (Kirsch–Mitzenmacher), mirroring Dedup
     // .withMinhashSignature: h_i = g1 + i*g2 over the two 56-bit halves

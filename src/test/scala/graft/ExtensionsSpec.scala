@@ -891,6 +891,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r2.count() == 4 && r2.filter(col("rank") < 0).count() == 0)
   }
 
+  test("clusterSafeSplit: near-dup pairs never straddle splits; singletons match splitAssign") {
+    import spark.implicits._
+    val pairs = Dedup.jaccardPairs(docs, 0.5, 10).select("doc_a", "doc_b")
+    val clusters = Dedup.nearDupClusters(pairs)
+    val split = TextAnalysis.clusterSafeSplit(docs, clusters)
+      .as[(Long, Long, String)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    // the leakage property: both ends of every near-dup pair share a split
+    val ps = pairs.as[(Long, Long)].collect()
+    assert(ps.nonEmpty)
+    ps.foreach { case (a, b) =>
+      assert(split(a)._2 == split(b)._2, s"pair ($a,$b) straddles splits")
+    }
+    // unclustered docs keep the plain per-doc assignment (same rule, rep = self)
+    val clustered = clusters.select("doc_id").as[Long].collect().toSet
+    val plain = TextAnalysis.splitAssign(docs)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    split.foreach { case (id, (rep, s)) =>
+      if (!clustered(id)) {
+        assert(rep == id && s == plain(id), s"singleton $id diverged")
+      }
+    }
+  }
+
   test("topKIvfProbe: probing all cells equals brute force; recall is monotone in nprobe") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 2L)
