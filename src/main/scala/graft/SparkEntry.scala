@@ -821,6 +821,17 @@ object SparkEntry {
           .select("doc_a", "doc_b"))
       TextAnalysis.clusterSafeSplit(docs, clusters).orderBy("doc_id")
     }),
+    // X31 curation drop-reason ledger: one decision per candidate doc
+    // with fixed gate precedence (low_quality → duplicate →
+    // contaminated → kept) — the audit trail behind x48's kept corpus
+    "x97_curation_ledger" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val clusters = Dedup.nearDupClusters(
+        Dedup.jaccardPairs(docs, ClusterJaccard, ClusterBand)
+          .select("doc_a", "doc_b"))
+      TextAnalysis.curationLedger(docs, minScore = 2.0, clusters,
+        col("doc_id") % 20 === 0).orderBy("doc_id")
+    }),
     // X4/X1: benchmark decontamination — n-gram overlap against the
     // held-out subset (doc_id ≡ 0 mod 20)
     "x46_decontaminate" -> ((s, dir) =>
@@ -1358,6 +1369,8 @@ object SparkEntry {
     "x95_ivf_multiprobe" -> OracleSqlExt.ivfMultiProbeSql(Seq(0L, 1L, 2L), 5, 2),
     "x96_cluster_safe_split" ->
       OracleSqlExt.clusterSafeSplitSql(ClusterJaccard, ClusterBand, "graft"),
+    "x97_curation_ledger" ->
+      OracleSqlExt.curationLedgerSql(2.0, ClusterJaccard, ClusterBand),
     // same oracle as x46 on purpose: the Bloom pre-filter must be
     // result-invisible (no false negatives + exact verification join)
     "x62_bloom_decontaminate" -> OracleSqlExt.decontaminateSql,

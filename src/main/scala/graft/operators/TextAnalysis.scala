@@ -135,6 +135,48 @@ object TextAnalysis {
         .otherwise("test").as("split"))
   }
 
+  /** Curation drop-reason ledger (SURVEY §2.10 X31) — the audit trail
+    * a production pipeline keeps alongside [[curate]]'s kept corpus:
+    * for every candidate document (the non-held pool), the DECISION
+    * and the first failing gate in fixed precedence order:
+    *
+    *   1. `low_quality`  — quality_score < minScore;
+    *   2. `duplicate`    — in a near-dup cluster, not its min-id
+    *                       representative;
+    *   3. `contaminated` — shares ≥ 1 shingle with the held set;
+    *   4. `kept`         — passed every gate.
+    *
+    * The precedence makes drop counts additive (each doc has exactly
+    * one reason), which is what drop-rate dashboards and curation
+    * regression diffs need — "why did 4 % more docs drop this crawl?"
+    * is unanswerable from a bare kept set.
+    *
+    * Scale shape: the quality gate is per-row; the dup and
+    * contamination signals are the already-scale-shaped [[Dedup]]
+    * operators, joined back by doc_id equi-joins. No new shuffle
+    * class.
+    */
+  def curationLedger(docs: DataFrame, minScore: Double,
+                     clusters: DataFrame,
+                     isHeld: Column): DataFrame = {
+    val q = quality(docs).select(col("doc_id"), col("quality_score"))
+    val dupDropped = clusters
+      .join(clusters.groupBy("cluster").agg(min("doc_id").as("keep")), "cluster")
+      .filter(col("doc_id") =!= col("keep"))
+      .select(col("doc_id")).withColumn("is_dup", lit(true))
+    val contaminated = Dedup.decontaminate(docs, isHeld)
+      .select(col("doc_id")).withColumn("is_cont", lit(true))
+    docs.filter(!isHeld).select(col("doc_id"))
+      .join(q, "doc_id")
+      .join(dupDropped, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("quality_score") < minScore, "low_quality")
+          .when(col("is_dup"), "duplicate")
+          .when(col("is_cont"), "contaminated")
+          .otherwise("kept").as("reason"))
+  }
+
   /** Stratified view of [[splitAssign]]: per-(lang, split) counts —
     * the balance check a pipeline runs before training.
     */

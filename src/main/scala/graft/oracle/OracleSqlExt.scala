@@ -245,6 +245,41 @@ object OracleSqlExt {
          |            ELSE 'test' END AS split
          |FROM bkt ORDER BY doc_id""".stripMargin
 
+  /** Mirrors the x97 curation ledger: quality gate (same score expr),
+    * cluster-representative dup drop (recursive-CTE closure over ALL
+    * docs), held-set shingle contamination (x46 convention), folded by
+    * the SAME fixed precedence CASE.
+    */
+  def curationLedgerSql(minScore: Double, threshold: Double,
+                        band: Long): String =
+    shCte(3, recursive = true) + closureCte(threshold, band) +
+      s""", u AS (
+         |  SELECT doc_id,
+         |         CAST(len(toks2) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter(toks2, x -> x IN ('the', 'a'))) AS BIGINT) AS stop_cnt,
+         |         CAST(len(list_distinct(toks2)) AS BIGINT) AS distinct_cnt
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks2
+         |        FROM documents)
+         |), dup AS (
+         |  SELECT cl.doc_id
+         |  FROM cl JOIN (SELECT cluster, min(doc_id) AS keep
+         |                FROM cl GROUP BY cluster) c2
+         |    ON cl.cluster = c2.cluster
+         |  WHERE cl.doc_id <> c2.keep
+         |), bench AS (
+         |  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0
+         |), cont AS (
+         |  SELECT DISTINCT c.doc_id
+         |  FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 20 <> 0) c
+         |  JOIN bench ON c.g = bench.g
+         |)
+         |SELECT u.doc_id,
+         |       CASE WHEN $qualityScoreExpr < $minScore THEN 'low_quality'
+         |            WHEN u.doc_id IN (SELECT doc_id FROM dup) THEN 'duplicate'
+         |            WHEN u.doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+         |            ELSE 'kept' END AS reason
+         |FROM u WHERE u.doc_id % 20 <> 0 ORDER BY u.doc_id""".stripMargin
+
   def minhashLshSql(threshold: Double, k: Int = 12, r: Int = 3): String = {
     // double hashing (Kirsch–Mitzenmacher), mirroring Dedup
     // .withMinhashSignature: h_i = g1 + i*g2 over the two 56-bit halves

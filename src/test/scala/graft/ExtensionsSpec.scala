@@ -891,6 +891,35 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r2.count() == 4 && r2.filter(col("rank") < 0).count() == 0)
   }
 
+  test("curationLedger: partition of the candidate pool, precedence respected") {
+    import spark.implicits._
+    val held = col("doc_id") % 20 === 0
+    val clusters = Dedup.nearDupClusters(
+      Dedup.jaccardPairs(docs, 0.5, 10).select("doc_a", "doc_b"))
+    val ledger = TextAnalysis.curationLedger(docs, 2.0, clusters, held)
+      .as[(Long, String)].collect().toMap
+    // exactly one decision per non-held doc
+    val pool = docs.filter(held === false).select("doc_id").as[Long].collect().toSet
+    assert(ledger.keySet == pool)
+    // independent signals
+    val quality = TextAnalysis.quality(docs)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    val dupDropped = clusters.as[(Long, Long, Long)].collect()
+      .groupBy(_._2).values.flatMap { g =>
+        val keep = g.map(_._1).min; g.map(_._1).filter(_ != keep)
+      }.toSet
+    val contaminated = Dedup.decontaminate(docs, held)
+      .select("doc_id").as[Long].collect().toSet
+    ledger.foreach { case (id, reason) =>
+      val expected =
+        if (quality(id) < 2.0) "low_quality"
+        else if (dupDropped(id)) "duplicate"
+        else if (contaminated(id)) "contaminated"
+        else "kept"
+      assert(reason == expected, s"doc $id: $reason != $expected")
+    }
+  }
+
   test("clusterSafeSplit: near-dup pairs never straddle splits; singletons match splitAssign") {
     import spark.implicits._
     val pairs = Dedup.jaccardPairs(docs, 0.5, 10).select("doc_a", "doc_b")
