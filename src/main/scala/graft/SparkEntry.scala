@@ -829,7 +829,7 @@ object SparkEntry {
       val clusters = Dedup.nearDupClusters(
         Dedup.jaccardPairs(docs, ClusterJaccard, ClusterBand)
           .select("doc_a", "doc_b"))
-      TextAnalysis.curationLedger(docs, minScore = 2.0, clusters,
+      TextAnalysis.curationLedger(docs, minScore = 3.0, clusters,
         col("doc_id") % 20 === 0).orderBy("doc_id")
     }),
     // X4/X1: benchmark decontamination — n-gram overlap against the
@@ -1370,7 +1370,7 @@ object SparkEntry {
     "x96_cluster_safe_split" ->
       OracleSqlExt.clusterSafeSplitSql(ClusterJaccard, ClusterBand, "graft"),
     "x97_curation_ledger" ->
-      OracleSqlExt.curationLedgerSql(2.0, ClusterJaccard, ClusterBand),
+      OracleSqlExt.curationLedgerSql(3.0, ClusterJaccard, ClusterBand),
     // same oracle as x46 on purpose: the Bloom pre-filter must be
     // result-invisible (no false negatives + exact verification join)
     "x62_bloom_decontaminate" -> OracleSqlExt.decontaminateSql,

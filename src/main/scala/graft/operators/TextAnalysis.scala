@@ -98,16 +98,24 @@ object TextAnalysis {
     * the property a 100 TB pipeline needs; a `rand()`-based split has
     * none of it. md5 keeps it engine-portable (oracle rule).
     */
-  def splitAssign(docs: DataFrame, seed: String = "graft"): DataFrame = {
+  /** The ONE spelling of the deterministic 8/1/1 split rule, keyed on
+    * an arbitrary id column: md5(seed||id) first-4-hex % 10 →
+    * train (<8) / valid (=8) / test. Shared by [[splitAssign]] (keyed
+    * on the doc id) and [[clusterSafeSplit]] (keyed on the cluster
+    * representative) — the DuckDB mirrors in `OracleSqlExt` are pinned
+    * to exactly this rule.
+    */
+  private def splitOf(id: Column, seed: String): Column = {
     // fused digest→int16, = conv(substring(md5(seed||id), 1, 4), 16, 10)
     val bucket = element_at(graft.functions.Md5Longs(
-      concat(lit(seed), col("doc_id").cast("string")), Seq((1, 4))), 1) % 10
+      concat(lit(seed), id.cast("string")), Seq((1, 4))), 1) % 10
+    when(bucket < 8, "train").when(bucket === 8, "valid").otherwise("test")
+  }
+
+  def splitAssign(docs: DataFrame, seed: String = "graft"): DataFrame =
     // pass-through: downstream stages keep their columns without
     // re-joining the corpus
-    docs.withColumn("split",
-      when(bucket < 8, "train").when(bucket === 8, "valid")
-        .otherwise("test"))
-  }
+    docs.withColumn("split", splitOf(col("doc_id"), seed))
 
   /** Leakage-safe split (SURVEY §2.10 X30): every document inherits
     * the split of its near-dup CLUSTER representative (the cluster's
@@ -125,14 +133,11 @@ object TextAnalysis {
     */
   def clusterSafeSplit(docs: DataFrame, clusters: DataFrame,
                        seed: String = "graft"): DataFrame = {
-    val withRep = docs.select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(clusters.select(col("doc_id"), col("cluster")), Seq("doc_id"), "left")
       .withColumn("rep", coalesce(col("cluster"), col("doc_id")))
-    val bucket = element_at(graft.functions.Md5Longs(
-      concat(lit(seed), col("rep").cast("string")), Seq((1, 4))), 1) % 10
-    withRep.select(col("doc_id"), col("rep"),
-      when(bucket < 8, "train").when(bucket === 8, "valid")
-        .otherwise("test").as("split"))
+      .select(col("doc_id"), col("rep"),
+        splitOf(col("rep"), seed).as("split"))
   }
 
   /** Curation drop-reason ledger (SURVEY §2.10 X31) — the audit trail
@@ -142,12 +147,20 @@ object TextAnalysis {
     *
     *   1. `low_quality`  — quality_score < minScore;
     *   2. `duplicate`    — in a near-dup cluster, not its min-id
-    *                       representative;
+    *                       representative AMONG THE QUALITY-GATE
+    *                       SURVIVORS ([[curateWith]]'s canonicalization
+    *                       rule — a cluster whose canonical copy was
+    *                       low-quality still keeps its best survivor,
+    *                       and the ledger must agree or its "kept" rows
+    *                       contradict the curated corpus);
     *   3. `contaminated` — shares ≥ 1 shingle with the held set;
     *   4. `kept`         — passed every gate.
     *
-    * The precedence makes drop counts additive (each doc has exactly
-    * one reason), which is what drop-rate dashboards and curation
+    * With `isHeld = lit(false)` (no held set — gate 3 never fires)
+    * and the same (docs, minScore, clusters), the `kept` rows are
+    * EXACTLY [[curateWith]]'s kept corpus — spec-pinned. The
+    * precedence makes drop counts additive (each doc has exactly one
+    * reason), which is what drop-rate dashboards and curation
     * regression diffs need — "why did 4 % more docs drop this crawl?"
     * is unanswerable from a bare kept set.
     *
@@ -160,8 +173,12 @@ object TextAnalysis {
                      clusters: DataFrame,
                      isHeld: Column): DataFrame = {
     val q = quality(docs).select(col("doc_id"), col("quality_score"))
-    val dupDropped = clusters
-      .join(clusters.groupBy("cluster").agg(min("doc_id").as("keep")), "cluster")
+    val survivingMembers = clusters.select("doc_id", "cluster")
+      .join(q.filter(col("quality_score") >= minScore).select("doc_id"),
+        "doc_id")
+    val dupDropped = survivingMembers
+      .join(survivingMembers.groupBy("cluster").agg(min("doc_id").as("keep")),
+        "cluster")
       .filter(col("doc_id") =!= col("keep"))
       .select(col("doc_id")).withColumn("is_dup", lit(true))
     val contaminated = Dedup.decontaminate(docs, isHeld)

@@ -246,9 +246,10 @@ object OracleSqlExt {
          |FROM bkt ORDER BY doc_id""".stripMargin
 
   /** Mirrors the x97 curation ledger: quality gate (same score expr),
-    * cluster-representative dup drop (recursive-CTE closure over ALL
-    * docs), held-set shingle contamination (x46 convention), folded by
-    * the SAME fixed precedence CASE.
+    * dup drop against the min-id representative AMONG QUALITY
+    * SURVIVORS (curateWith's canonicalization, via the recursive-CTE
+    * closure), held-set shingle contamination (x46 convention), folded
+    * by the SAME fixed precedence CASE.
     */
   def curationLedgerSql(minScore: Double, threshold: Double,
                         band: Long): String =
@@ -260,12 +261,16 @@ object OracleSqlExt {
          |         CAST(len(list_distinct(toks2)) AS BIGINT) AS distinct_cnt
          |  FROM (SELECT doc_id, string_split(text, ' ') AS toks2
          |        FROM documents)
+         |), surv AS (
+         |  SELECT cl.doc_id, cl.cluster
+         |  FROM cl JOIN u ON cl.doc_id = u.doc_id
+         |  WHERE $qualityScoreExpr >= $minScore
          |), dup AS (
-         |  SELECT cl.doc_id
-         |  FROM cl JOIN (SELECT cluster, min(doc_id) AS keep
-         |                FROM cl GROUP BY cluster) c2
-         |    ON cl.cluster = c2.cluster
-         |  WHERE cl.doc_id <> c2.keep
+         |  SELECT surv.doc_id
+         |  FROM surv JOIN (SELECT cluster, min(doc_id) AS keep
+         |                  FROM surv GROUP BY cluster) c2
+         |    ON surv.cluster = c2.cluster
+         |  WHERE surv.doc_id <> c2.keep
          |), bench AS (
          |  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0
          |), cont AS (
@@ -916,11 +921,12 @@ object OracleSqlExt {
     * exact int64 squared distances, argmin with the (d2, label)
     * tie-break.
     */
-  /** The Lloyd-step CTE chain (after `cosineCte`): centroids from the
-    * current cells, exact-distance assignment, `best` holds the argmin
-    * (rn = 1). Shared by [[kmeansIterSql]] and [[ivfLearnedSql]].
+  /** Per-cell truncated-mean centroid CTEs (after `cosineCte`) —
+    * `centn(c_label, cvec, cn2)`. Shared by the Lloyd assignment
+    * ([[kmeansIterSql]]/[[ivfLearnedSql]]) and the multi-probe cell
+    * ranking ([[ivfMultiProbeSql]], which needs NO assignment).
     */
-  private val kmeansCtes: String =
+  private val centroidCtes: String =
     s""", dims AS (
        |  SELECT label, unnest(vq) AS v, generate_subscripts(vq, 1) AS dim
        |  FROM n
@@ -936,17 +942,24 @@ object OracleSqlExt {
        |         CAST(list_sum(list_transform(cvec, x -> x*x)) AS BIGINT)
        |           AS cn2
        |  FROM cent
-       |), asgn AS (
-       |  SELECT vec_id, n.label AS old_label, c_label,
-       |         CAST(n2 - 2*list_sum(list_transform(range(len(vq)),
-       |                i -> vq[i+1]*cvec[i+1])) + cn2 AS BIGINT) AS d2
-       |  FROM n CROSS JOIN centn
-       |), best AS (
-       |  SELECT vec_id, old_label, c_label, d2,
-       |         row_number() OVER (PARTITION BY vec_id
-       |                            ORDER BY d2, c_label) AS rn
-       |  FROM asgn
        |)""".stripMargin
+
+  /** The Lloyd exact-distance assignment over [[centroidCtes]]'
+    * centroids; `best` holds the argmin (rn = 1).
+    */
+  private val kmeansCtes: String =
+    centroidCtes +
+      s""", asgn AS (
+         |  SELECT vec_id, n.label AS old_label, c_label,
+         |         CAST(n2 - 2*list_sum(list_transform(range(len(vq)),
+         |                i -> vq[i+1]*cvec[i+1])) + cn2 AS BIGINT) AS d2
+         |  FROM n CROSS JOIN centn
+         |), best AS (
+         |  SELECT vec_id, old_label, c_label, d2,
+         |         row_number() OVER (PARTITION BY vec_id
+         |                            ORDER BY d2, c_label) AS rn
+         |  FROM asgn
+         |)""".stripMargin
 
   def kmeansIterSql: String =
     cosineCte + kmeansCtes +
@@ -1015,7 +1028,7 @@ object OracleSqlExt {
     * probed cells' members.
     */
   def ivfMultiProbeSql(queryIds: Seq[Long], k: Int, nprobe: Int): String =
-    cosineCte + kmeansCtes +
+    cosineCte + centroidCtes +
       s""", qc AS (
          |  SELECT n.vec_id AS q_id, n.vq AS qv, n.n2 AS qn2, c_label,
          |         row_number() OVER (PARTITION BY n.vec_id ORDER BY

@@ -901,10 +901,12 @@ class ExtensionsSpec extends AnyFunSuite {
     // exactly one decision per non-held doc
     val pool = docs.filter(held === false).select("doc_id").as[Long].collect().toSet
     assert(ledger.keySet == pool)
-    // independent signals
+    // independent signals — the dup rule canonicalizes among QUALITY
+    // SURVIVORS (curateWith's rule), so the local recomputation must too
     val quality = TextAnalysis.quality(docs)
       .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
     val dupDropped = clusters.as[(Long, Long, Long)].collect()
+      .filter(t => quality(t._1) >= 2.0)
       .groupBy(_._2).values.flatMap { g =>
         val keep = g.map(_._1).min; g.map(_._1).filter(_ != keep)
       }.toSet
@@ -918,6 +920,30 @@ class ExtensionsSpec extends AnyFunSuite {
         else "kept"
       assert(reason == expected, s"doc $id: $reason != $expected")
     }
+  }
+
+  test("curationLedger with no held set reconciles exactly with curateWith") {
+    import spark.implicits._
+    val clusters = Dedup.nearDupClusters(
+      Dedup.jaccardPairs(docs, 0.5, 10).select("doc_a", "doc_b"))
+    // no held set ⇒ the contamination gate never fires, and the
+    // ledger's kept rows must BE curateWith's kept corpus
+    val keptIds = TextAnalysis.curationLedger(docs, 3.0, clusters, lit(false))
+      .filter(col("reason") === "kept").select("doc_id")
+      .as[Long].collect().toSet
+    val curated = TextAnalysis.curateWith(docs, 3.0, clusters)
+      .agg(sum("n_docs")).as[Long].head()
+    assert(keptIds.size.toLong == curated,
+      s"ledger kept ${keptIds.size} but curateWith kept $curated")
+    // and the per-(lang, split) breakdown matches too
+    val ledgerCounts = TextAnalysis.splitAssign(
+      docs.join(keptIds.toSeq.toDF("doc_id"), "doc_id"))
+      .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().toSet
+    val curateCounts = TextAnalysis.curateWith(docs, 3.0, clusters)
+      .select("lang", "split", "n_docs")
+      .as[(String, String, Long)].collect().toSet
+    assert(ledgerCounts == curateCounts)
   }
 
   test("clusterSafeSplit: near-dup pairs never straddle splits; singletons match splitAssign") {
@@ -949,10 +975,14 @@ class ExtensionsSpec extends AnyFunSuite {
     val ids = Seq(0L, 1L, 2L)
     def s(df: org.apache.spark.sql.DataFrame) =
       df.select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    def full(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].collect().toSet
     val brute = s(Similarity.topKBrute(emb, ids, 5))
     val nCells = emb.select("label").distinct().count().toInt
-    // nprobe = |cells| degenerates to brute force exactly (ranks too)
-    assert(s(Similarity.topKIvfProbe(emb, ids, 5, nCells)) == brute)
+    // nprobe = |cells| degenerates to brute force exactly — FULL rows,
+    // so ranks and cosines are pinned, not just the neighbor set
+    assert(full(Similarity.topKIvfProbe(emb, ids, 5, nCells)) ==
+      full(Similarity.topKBrute(emb, ids, 5)))
     // more probes never lose a brute-force hit a narrower probe found
     val p1 = s(Similarity.topKIvfProbe(emb, ids, 5, 1))
     val p2 = s(Similarity.topKIvfProbe(emb, ids, 5, 2))
