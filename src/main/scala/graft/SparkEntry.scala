@@ -1003,6 +1003,12 @@ object SparkEntry {
       TextAnalysis.packSequences(Tables.read(s, dir, "documents"),
         binTokens = 512L, bucketDocs = 64L)
         .orderBy("doc_id")),
+    // X32 crawl novelty series: per-batch (doc_id div 100) fraction of
+    // first-seen shingles — one gram-keyed min computes the whole
+    // curve, no batch-over-batch self-join
+    "x98_crawl_novelty" -> ((s, dir) =>
+      Dedup.crawlNoveltySeries(Tables.read(s, dir, "documents"),
+        expr("doc_id div 100")).orderBy("crawl")),
     // X25 crawl-refresh triage: per-id diff of two corpus snapshots.
     // The new snapshot is synthesized deterministically on both sides:
     // every 10th id deleted (reborn at +1000000 as an add), every 7th
@@ -1371,6 +1377,7 @@ object SparkEntry {
       OracleSqlExt.clusterSafeSplitSql(ClusterJaccard, ClusterBand, "graft"),
     "x97_curation_ledger" ->
       OracleSqlExt.curationLedgerSql(3.0, ClusterJaccard, ClusterBand),
+    "x98_crawl_novelty" -> OracleSqlExt.crawlNoveltySql,
     // same oracle as x46 on purpose: the Bloom pre-filter must be
     // result-invisible (no false negatives + exact verification join)
     "x62_bloom_decontaminate" -> OracleSqlExt.decontaminateSql,

@@ -557,6 +557,41 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Crawl novelty time-series (SURVEY §2.10 X32) — the "is this
+    * crawl still adding content?" triage curve: documents arrive in
+    * batches (`crawlOf`, e.g. a capture-date bucket), and each batch
+    * is scored by the fraction of its DISTINCT word shingles seen for
+    * the FIRST time in that batch. A decaying curve says the source is
+    * exhausted; a flat one says keep crawling. Per-batch `novelty =
+    * n_new / n_grams`, both int64-exact, one division per batch row.
+    *
+    * The trick that makes it one pass: a gram is "new in batch b" iff
+    * `b = min(crawl)` over its occurrences — so ONE gram-keyed
+    * aggregation computes every batch's novelty simultaneously, with
+    * no batch-over-batch self-join and no accumulating reference set
+    * (the naive spelling joins each crawl against the union of all
+    * earlier crawls — O(batches) scans).
+    *
+    * Scale shape: one distinct over (crawl, gram) (partial-aggregated),
+    * one gram-keyed min, one equi join-back, one per-crawl roll-up.
+    * Output rows = batches.
+    */
+  def crawlNoveltySeries(docs: DataFrame, crawlOf: Column,
+                         n: Int = 3): DataFrame = {
+    val grams = docs.select(crawlOf.as("crawl"),
+      explode(shingles(col("text"), n)).as("g"))
+      .distinct()
+    val firstSeen = grams.groupBy("g").agg(min("crawl").as("first_crawl"))
+    grams.join(firstSeen, "g")
+      .groupBy("crawl")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("crawl") === col("first_crawl"), 1L).otherwise(0L))
+          .as("n_new"))
+      .select(col("crawl"), col("n_grams"), col("n_new"),
+        (col("n_new").cast("double") / col("n_grams").cast("double"))
+          .as("novelty"))
+  }
+
   /** Corpus snapshot diff (SURVEY §2.10 X25) — incremental-crawl
     * refresh triage: classify every document id across two corpus
     * snapshots as `added` (new only), `removed` (old only), `changed`

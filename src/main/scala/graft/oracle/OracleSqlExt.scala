@@ -1213,6 +1213,27 @@ object OracleSqlExt {
        |       CAST((cum - 1) // $binTokens AS BIGINT) AS last_seq
        |FROM r ORDER BY doc_id""".stripMargin
 
+  /** Mirrors the x98 crawl novelty series (crawl = doc_id // 100):
+    * distinct (crawl, shingle) pairs, first-occurrence crawl per
+    * shingle, per-crawl new-gram fraction.
+    */
+  def crawlNoveltySql: String =
+    shCte(3) +
+      """
+        |, cg AS (
+        |  SELECT DISTINCT doc_id // 100 AS crawl, unnest(s) AS g FROM sh
+        |), fs AS (
+        |  SELECT g, min(crawl) AS first_crawl FROM cg GROUP BY g
+        |), agg AS (
+        |  SELECT cg.crawl, CAST(count(*) AS BIGINT) AS n_grams,
+        |         CAST(sum(CASE WHEN cg.crawl = fs.first_crawl
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |  FROM cg JOIN fs ON cg.g = fs.g GROUP BY cg.crawl
+        |)
+        |SELECT CAST(crawl AS BIGINT) AS crawl, n_grams, n_new,
+        |       CAST(n_new AS DOUBLE) / CAST(n_grams AS DOUBLE) AS novelty
+        |FROM agg ORDER BY crawl""".stripMargin
+
   /** Mirrors the x90 snapshot diff over the synthesized new snapshot
     * (10% of ids deleted, every 7th text revised, deleted ids reborn
     * at +1000000 as adds): per-id full outer join of md5 fingerprints.

@@ -922,6 +922,30 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("crawlNoveltySeries: first batch fully novel; novelty == first-seen fraction") {
+    import spark.implicits._
+    val out = Dedup.crawlNoveltySeries(docs, expr("doc_id div 100"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out.nonEmpty)
+    // batch 0 has no predecessor — everything it contains is new
+    val (c0, g0, n0, nov0) = out.head
+    assert(c0 == 0L && n0 == g0 && nov0 == 1.0)
+    out.foreach { case (_, grams, nw, nov) =>
+      assert(nw <= grams && nov == nw.toDouble / grams.toDouble)
+    }
+    // equivalence with the naive spelling: new in batch b = distinct
+    // grams of b minus the union of all earlier batches' grams
+    val byBatch = docs.select(expr("doc_id div 100").as("c"),
+      explode(Dedup.shingles(col("text"))).as("g"))
+      .distinct().as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { case (c, grams, nw, _) =>
+      val earlier = byBatch.filter(_._1 < c).values.flatten.toSet
+      assert(grams == byBatch(c).size.toLong)
+      assert(nw == byBatch(c).diff(earlier).size.toLong, s"batch $c")
+    }
+  }
+
   test("curationLedger with no held set reconciles exactly with curateWith") {
     import spark.implicits._
     val clusters = Dedup.nearDupClusters(
