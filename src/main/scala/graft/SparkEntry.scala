@@ -58,6 +58,13 @@ object SparkEntry {
   val ClusterJaccard: Double = 0.5
   val ClusterBand: Long = 10L
 
+  /** x99 recall-curve probe counts — ONE definition for the query
+    * body, the oracle call, and the ExtensionsSpec monotonicity pin.
+    * The last value exceeds any SF's cell count, so that curve point
+    * must equal brute force (recall 1.0).
+    */
+  val RecallCurveProbes: Seq[Int] = Seq(1, 2, 1000)
+
   /** x78 blocklist — ONE definition feeding both the broadcast
     * DataFrame and the oracle's IN-list, so the Spark/DuckDB
     * agreement cannot drift. Three of the fixture's 20 sources.
@@ -425,6 +432,14 @@ object SparkEntry {
       Similarity.topKIvfProbe(Tables.read(s, dir, "embeddings"),
         Seq(0L, 1L, 2L), 5, nprobe = 2)
         .orderBy("q_id", "rank")),
+    // X24+X3 the production IVF tuning loop: recall@5 as a function of
+    // nprobe (brute truth computed once, shared across curve points);
+    // the last probe count exceeds any SF's cell count, so those rows
+    // must read recall = 1.0 — the x95 ≡-brute property as data
+    "x99_ann_recall_curve" -> ((s, dir) =>
+      Similarity.annRecallCurve(Tables.read(s, dir, "embeddings"),
+        Seq(0L, 1L, 2L), 5, RecallCurveProbes)
+        .orderBy("nprobe", "q_id")),
     // X28+X3 composition: relabel the corpus with the Lloyd step's
     // assignment, then IVF-search the LEARNED cells — proves the
     // learn-then-search pipeline end-to-end under one oracle
@@ -1373,6 +1388,8 @@ object SparkEntry {
     "x93_host_rank" -> OracleSqlExt.hostRankSql,
     "x94_ivf_learned_cells" -> OracleSqlExt.ivfLearnedSql(Seq(0L, 1L, 2L), 5),
     "x95_ivf_multiprobe" -> OracleSqlExt.ivfMultiProbeSql(Seq(0L, 1L, 2L), 5, 2),
+    "x99_ann_recall_curve" ->
+      OracleSqlExt.annRecallCurveSql(Seq(0L, 1L, 2L), 5, RecallCurveProbes),
     "x96_cluster_safe_split" ->
       OracleSqlExt.clusterSafeSplitSql(ClusterJaccard, ClusterBand, "graft"),
     "x97_curation_ledger" ->

@@ -226,8 +226,17 @@ object Similarity {
     * final `(vec_id, label)`.
     */
   def kmeansConverge(emb: DataFrame, maxIter: Int = 20,
-                     requireConverged: Boolean = true): (DataFrame, Int) = {
+                     requireConverged: Boolean = true,
+                     reliable: Boolean = false): (DataFrame, Int) = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
+    // same contract as Dedup.nearDupClusters/starClusters: default
+    // localCheckpoint blocks are unreplicated with no lineage, so
+    // losing an executor mid-loop fails the job — on a preemptible/
+    // dynamic-allocation cluster pass `reliable = true` (requires
+    // `sparkContext.setCheckpointDir`) to write iterations to
+    // fault-tolerant storage instead
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
     var cur = emb.select(col("vec_id"), col("label"), col("embedding"))
     var prevCkpt: Option[DataFrame] = None
     var it = 0
@@ -244,7 +253,7 @@ object Similarity {
         // materialize the result BEFORE releasing the step it depends
         // on — otherwise every caller action re-runs the final Lloyd
         // assignment pass
-        val result = next.select("vec_id", "label").localCheckpoint(true)
+        val result = materialize(next.select("vec_id", "label"))
         step.unpersist()
         prevCkpt.foreach(_.unpersist())
         return (result, it)
@@ -254,8 +263,8 @@ object Similarity {
       // release the PREVIOUS iteration's checkpoint now that the new
       // one is durable (leaving them piles up a full corpus copy per
       // iteration in executor storage)
-      val ckpt = next.select(col("vec_id"), col("label"), col("embedding"))
-        .localCheckpoint(true)
+      val ckpt = materialize(
+        next.select(col("vec_id"), col("label"), col("embedding")))
       step.unpersist()
       prevCkpt.foreach(_.unpersist())
       prevCkpt = Some(ckpt)
@@ -320,16 +329,61 @@ object Similarity {
     * the corpus-scan cost is the two searches themselves, each already
     * scale-shaped (broadcast query set; IVF additionally cell-pruned).
     */
-  def annRecall(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val brute = topKBrute(emb, queryIds, k).select("q_id", "vec_id")
-    val ivf = topKIvf(emb, queryIds, k).select("q_id", "vec_id")
-      .withColumn("hit", lit(1L))
-    brute.join(broadcast(ivf), Seq("q_id", "vec_id"), "left")
+  def annRecall(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                nprobe: Option[Int] = None): DataFrame = {
+    val approx = nprobe.fold(topKIvf(emb, queryIds, k))(p =>
+      topKIvfProbe(emb, queryIds, k, p))
+    recallAgainstBrute(topKBrute(emb, queryIds, k).select("q_id", "vec_id"),
+      approx.select("q_id", "vec_id"))
+  }
+
+  /** Per-query recall@k of an approximate result set against the
+    * brute-force ground truth — the shared audit aggregation of
+    * [[annRecall]] and [[annRecallCurve]]. Both inputs are top-k
+    * result sets (k·|queries| rows), so the join is broadcast-sized
+    * regardless of corpus size.
+    */
+  private def recallAgainstBrute(brute: DataFrame,
+                                 approx: DataFrame): DataFrame =
+    brute.join(broadcast(approx.withColumn("hit", lit(1L))),
+        Seq("q_id", "vec_id"), "left")
       .groupBy("q_id")
       .agg(count(lit(1)).as("n_brute"),
         coalesce(sum("hit"), lit(0L)).as("n_hit"))
       .select(col("q_id"), col("n_brute"), col("n_hit"),
         (col("n_hit").cast("double") / col("n_brute").cast("double"))
           .as("recall"))
+
+  /** The recall/cost tuning curve a production IVF deployment actually
+    * reads: recall@k of [[topKIvfProbe]] as a function of `nprobe` —
+    * one row per (nprobe, query). Brute-force ground truth is computed
+    * ONCE and shared across the curve points; each point re-runs only
+    * the probed search. An `nprobe` ≥ the cell count degenerates to
+    * brute force (the x95 equivalence), so its rows must read
+    * recall = 1.0 — the property turned into visible data, and the
+    * anchor that says "the curve's ceiling is reachable".
+    *
+    * Monotonicity (recall non-decreasing in nprobe per query) holds by
+    * construction — probing more cells only ADDS candidates, and top-k
+    * over a superset can only improve against the ground truth — and
+    * is pinned in ExtensionsSpec.
+    *
+    * Scale shape: |curve points| is a handful; every per-point search
+    * is the already-scale-shaped probed search (centroid table k rows,
+    * corpus scan pruned to the probed cells), and the audit joins are
+    * k·|queries|-row broadcasts.
+    */
+  def annRecallCurve(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                     nprobes: Seq[Int]): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(_ > 0),
+      s"nprobes must be non-empty positive, got $nprobes")
+    require(nprobes.distinct == nprobes,
+      s"duplicate nprobe values would duplicate curve rows: $nprobes")
+    val brute = topKBrute(emb, queryIds, k).select("q_id", "vec_id")
+    nprobes.map { p =>
+      recallAgainstBrute(brute,
+        topKIvfProbe(emb, queryIds, k, p).select("q_id", "vec_id"))
+        .withColumn("nprobe", lit(p.toLong))
+    }.reduce(_ unionByName _)
   }
 }

@@ -147,12 +147,16 @@ object TextAnalysis {
     *
     *   1. `low_quality`  — quality_score < minScore;
     *   2. `duplicate`    — in a near-dup cluster, not its min-id
-    *                       representative AMONG THE QUALITY-GATE
-    *                       SURVIVORS ([[curateWith]]'s canonicalization
-    *                       rule — a cluster whose canonical copy was
-    *                       low-quality still keeps its best survivor,
-    *                       and the ledger must agree or its "kept" rows
-    *                       contradict the curated corpus);
+    *                       representative AMONG THE NON-HELD
+    *                       QUALITY-GATE SURVIVORS ([[curateWith]]'s
+    *                       canonicalization rule — a cluster whose
+    *                       canonical copy was low-quality still keeps
+    *                       its best survivor, and the ledger must agree
+    *                       or its "kept" rows contradict the curated
+    *                       corpus; held members are excluded from the
+    *                       slot because a representative that never
+    *                       enters the corpus would shift its near-dups'
+    *                       reason from `contaminated` to `duplicate`);
     *   3. `contaminated` — shares ≥ 1 shingle with the held set;
     *   4. `kept`         — passed every gate.
     *
@@ -173,7 +177,14 @@ object TextAnalysis {
                      clusters: DataFrame,
                      isHeld: Column): DataFrame = {
     val q = quality(docs).select(col("doc_id"), col("quality_score"))
+    // canonicalize among NON-HELD quality survivors: if a cluster's
+    // min-id survivor is held, it never enters the corpus, so labeling
+    // its near-dups 'duplicate' of it would misattribute — the docs
+    // are dropped either way (a 3-shingle near-dup of a held doc is
+    // contaminated), but the ledger's whole purpose is the REASON, and
+    // a held doc cannot absorb the representative slot
     val survivingMembers = clusters.select("doc_id", "cluster")
+      .join(docs.filter(!isHeld).select("doc_id"), "doc_id")
       .join(q.filter(col("quality_score") >= minScore).select("doc_id"),
         "doc_id")
     val dupDropped = survivingMembers
@@ -415,8 +426,14 @@ object TextAnalysis {
                           keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wf = Window.partitionBy((keys :+ "bkt").map(col): _*).orderBy("doc_id")
-    val p = if (keys.isEmpty) broadcast(priors) else priors
-    toks.join(p, keys :+ "bkt")
+    // no broadcast hint on the priors side: its row count is doc-id
+    // range / bucketDocs, which at 1e10 docs and the default bucket
+    // size is ~1e7 rows — a forced broadcast past the auto threshold
+    // would risk driver/executor OOM exactly at the scale this
+    // decomposition exists for. Size stats decide: small prior tables
+    // auto-broadcast, huge ones shuffle on the (keys, bkt) exchange
+    // the window needs anyway
+    toks.join(priors, keys :+ "bkt")
       .withColumn("cum", col("prior") + sum("n_tokens").over(wf))
   }
 
@@ -826,8 +843,11 @@ object TextAnalysis {
     * int64-exact; the per-source `rate = keep_s / tokens_s` is the ONE
     * double division, so the output is order-independent and
     * cross-engine hash-stable. Sources absent from `weights` are
-    * excluded from the plan entirely (inner join) — the caller's target
-    * mixture IS the output universe.
+    * excluded from the plan entirely — the caller's target mixture IS
+    * the output universe — and, symmetrically, a weighted source with
+    * NO documents fails loudly at execution (silently dropping it
+    * would renormalize W over the remaining sources, so a typo'd
+    * source name would pass as a skewed-but-valid plan).
     *
     * Scale shape: one partially-aggregated per-source roll-up of token
     * counts (sources number in the dozens, tokens in the trillions — the
@@ -858,11 +878,24 @@ object TextAnalysis {
             lit("mixtureWeights: duplicate weight rows for source "),
             col("source"))))
           .otherwise(col("weight")).as("weight"))
-    val perSource = docs
+    val rollup = docs
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
-      .join(broadcast(checked), "source")
+    // weights-side outer join, not inner: an inner join would silently
+    // DROP a weight row whose source has no documents (a typo'd source
+    // name in the target mixture), renormalizing W over the remaining
+    // sources — a skewed plan passing as valid. A weighted source with
+    // no corpus mass is the same class of caller config error as a
+    // non-positive weight, and fails just as loudly. Both sides of the
+    // join are post-aggregation |sources|-row tables, so the direction
+    // swap moves no data-scale work
+    val perSource = checked.join(broadcast(rollup), Seq("source"), "left")
+      .select(col("source"), col("weight"), col("n_docs"),
+        when(col("n_tokens").isNull, raise_error(concat(
+          lit("mixtureWeights: weighted source has no documents: "),
+          col("source"))))
+          .otherwise(col("n_tokens")).as("n_tokens"))
     // global window over the POST-AGGREGATION table: |sources| rows
     // through one task by design (the corpus-sized input was already
     // reduced by the partial-aggregating groupBy above) — the same

@@ -246,10 +246,12 @@ object OracleSqlExt {
          |FROM bkt ORDER BY doc_id""".stripMargin
 
   /** Mirrors the x97 curation ledger: quality gate (same score expr),
-    * dup drop against the min-id representative AMONG QUALITY
+    * dup drop against the min-id representative AMONG NON-HELD QUALITY
     * SURVIVORS (curateWith's canonicalization, via the recursive-CTE
-    * closure), held-set shingle contamination (x46 convention), folded
-    * by the SAME fixed precedence CASE.
+    * closure; held members never hold the slot — a canonical copy that
+    * never enters the corpus must not shift its near-dups' reason from
+    * `contaminated` to `duplicate`), held-set shingle contamination
+    * (x46 convention), folded by the SAME fixed precedence CASE.
     */
   def curationLedgerSql(minScore: Double, threshold: Double,
                         band: Long): String =
@@ -264,7 +266,7 @@ object OracleSqlExt {
          |), surv AS (
          |  SELECT cl.doc_id, cl.cluster
          |  FROM cl JOIN u ON cl.doc_id = u.doc_id
-         |  WHERE $qualityScoreExpr >= $minScore
+         |  WHERE $qualityScoreExpr >= $minScore AND cl.doc_id % 20 <> 0
          |), dup AS (
          |  SELECT surv.doc_id
          |  FROM surv JOIN (SELECT cluster, min(doc_id) AS keep
@@ -1151,6 +1153,68 @@ object OracleSqlExt {
          |SELECT q_id, n_brute, n_hit,
          |       CAST(n_hit AS DOUBLE) / CAST(n_brute AS DOUBLE) AS recall
          |FROM agg ORDER BY q_id""".stripMargin
+
+  /** Mirrors `Similarity.annRecallCurve`: brute-force ground truth
+    * computed ONCE (`tb`), the query→cell ranking computed ONCE
+    * (`qc`), then each curve point (`probes` VALUES row) takes its
+    * `crk <= nprobe` cell prefix, runs the probed top-k, and joins
+    * back against the shared truth. The largest nprobe exceeds any
+    * SF's cell count, so its rows must read recall = 1.0 — the x95
+    * ≡-brute property as visible data.
+    */
+  def annRecallCurveSql(queryIds: Seq[Long], k: Int,
+                        nprobes: Seq[Int]): String =
+    cosineCte + centroidCtes +
+      s""", probes AS (
+         |  SELECT CAST(np AS BIGINT) AS nprobe
+         |  FROM (VALUES ${nprobes.map(p => s"($p)").mkString(", ")}) t(np)
+         |), q AS (
+         |  SELECT vec_id AS q_id, vq AS qv, n2 AS qn2
+         |  FROM n WHERE vec_id IN (${queryIds.mkString(",")})
+         |), cb AS (
+         |  SELECT q_id, vec_id,
+         |         ${cosSql("vq", "n2", "qv", "qn2")} AS cosine
+         |  FROM n CROSS JOIN q WHERE vec_id <> q_id
+         |), tb AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |                              ORDER BY cosine DESC, vec_id) AS rn
+         |    FROM cb) WHERE rn <= $k
+         |), qc AS (
+         |  SELECT q_id, qv, qn2, c_label,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY
+         |           CAST(qn2 - 2*list_sum(list_transform(range(len(qv)),
+         |                  i -> qv[i+1]*cvec[i+1])) + cn2 AS BIGINT),
+         |           c_label) AS crk
+         |  FROM q CROSS JOIN centn
+         |), probed AS (
+         |  SELECT p.nprobe, qc.q_id, qc.qv, qc.qn2, qc.c_label
+         |  FROM qc CROSS JOIN probes p WHERE qc.crk <= p.nprobe
+         |), ci AS (
+         |  SELECT pr.nprobe, pr.q_id, n.vec_id,
+         |         ${cosSql("n.vq", "n.n2", "pr.qv", "pr.qn2")} AS cosine
+         |  FROM n JOIN probed pr ON n.label = pr.c_label
+         |  WHERE n.vec_id <> pr.q_id
+         |), ti AS (
+         |  SELECT nprobe, q_id, vec_id FROM (
+         |    SELECT nprobe, q_id, vec_id,
+         |           row_number() OVER (PARTITION BY nprobe, q_id
+         |                              ORDER BY cosine DESC, vec_id) AS rn
+         |    FROM ci) WHERE rn <= $k
+         |), agg AS (
+         |  SELECT p.nprobe, tb.q_id, CAST(count(*) AS BIGINT) AS n_brute,
+         |         CAST(sum(CASE WHEN ti.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_hit
+         |  FROM tb CROSS JOIN probes p
+         |  LEFT JOIN ti ON ti.nprobe = p.nprobe AND tb.q_id = ti.q_id
+         |    AND tb.vec_id = ti.vec_id
+         |  GROUP BY p.nprobe, tb.q_id
+         |)
+         |SELECT q_id, n_brute, n_hit,
+         |       CAST(n_hit AS DOUBLE) / CAST(n_brute AS DOUBLE) AS recall,
+         |       nprobe
+         |FROM agg ORDER BY nprobe, q_id""".stripMargin
 
   /** Mirrors `TextAnalysis.mixtureApply` under the x85 weight
     * convention: the same plan CTEs as [[mixtureWeightsSql]], then ONE

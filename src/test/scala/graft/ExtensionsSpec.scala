@@ -901,12 +901,15 @@ class ExtensionsSpec extends AnyFunSuite {
     // exactly one decision per non-held doc
     val pool = docs.filter(held === false).select("doc_id").as[Long].collect().toSet
     assert(ledger.keySet == pool)
-    // independent signals — the dup rule canonicalizes among QUALITY
-    // SURVIVORS (curateWith's rule), so the local recomputation must too
+    // independent signals — the dup rule canonicalizes among NON-HELD
+    // QUALITY SURVIVORS (curateWith's rule + the held exclusion: a
+    // held canonical copy never enters the corpus, so it must not
+    // absorb the representative slot), so the local recomputation must
+    // too
     val quality = TextAnalysis.quality(docs)
       .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
     val dupDropped = clusters.as[(Long, Long, Long)].collect()
-      .filter(t => quality(t._1) >= 2.0)
+      .filter(t => quality(t._1) >= 2.0 && t._1 % 20 != 0)
       .groupBy(_._2).values.flatMap { g =>
         val keep = g.map(_._1).min; g.map(_._1).filter(_ != keep)
       }.toSet
@@ -1036,6 +1039,106 @@ class ExtensionsSpec extends AnyFunSuite {
     val got = Similarity.annRecall(one, Seq(0L, 1L), 3)
       .select("recall").as[Double].collect().toSeq
     assert(got == Seq(1.0, 1.0))
+  }
+
+  test("mixtureWeights fails loudly when a weighted source has no documents") {
+    import spark.implicits._
+    // a typo'd source name in the target mixture must not be silently
+    // dropped (that would renormalize W over the remaining sources and
+    // ship a skewed plan as valid)
+    val d = Seq(("a", "t t"), ("b", "t")).toDF("source", "text")
+    val typo = Seq(("a", 1L), ("bb", 2L)).toDF("source", "weight")
+    val e = intercept[Exception] {
+      TextAnalysis.mixtureWeights(d, typo).collect()
+    }
+    assert(e.getMessage.contains("has no documents") ||
+      Option(e.getCause).exists(_.getMessage.contains("has no documents")))
+  }
+
+  test("annRecallCurve: monotone per query, ceiling point is brute (recall 1.0)") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L)
+    val curve = Similarity.annRecallCurve(emb, ids, 5, SparkEntry.RecallCurveProbes)
+      .select("nprobe", "q_id", "n_brute", "n_hit", "recall")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(curve.length == SparkEntry.RecallCurveProbes.length * ids.length)
+    // recall non-decreasing in nprobe for every query: more probes only
+    // add candidates, and top-k over a superset only improves
+    curve.groupBy(_._2).values.foreach { rows =>
+      val byProbe = rows.sortBy(_._1).map(_._5)
+      assert(byProbe.zip(byProbe.tail).forall { case (a, b) => a <= b },
+        s"non-monotone recall: ${rows.toSeq}")
+    }
+    // the over-provisioned probe count covers every cell ⇒ brute force
+    assert(curve.filter(_._1 == SparkEntry.RecallCurveProbes.last.toLong)
+      .forall(_._5 == 1.0))
+    // each curve point is exactly the single-point audit at that nprobe
+    SparkEntry.RecallCurveProbes.foreach { p =>
+      val point = Similarity.annRecall(emb, ids, 5, Some(p))
+        .select("q_id", "n_hit").as[(Long, Long)].collect().toSet
+      assert(curve.filter(_._1 == p.toLong).map(r => (r._2, r._4)).toSet == point)
+    }
+  }
+
+  test("kmeansConverge reliable checkpointing matches the local-checkpoint path") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val (fast, itFast) = Similarity.kmeansConverge(emb, maxIter = 20)
+    val (rel, itRel) =
+      Similarity.kmeansConverge(emb, maxIter = 20, reliable = true)
+    assert(itFast == itRel)
+    assert(fast.select("vec_id", "label").as[(Long, Int)].collect().toSet ==
+      rel.select("vec_id", "label").as[(Long, Int)].collect().toSet)
+  }
+
+  test("learn-then-search: one Lloyd step over corrupted cells recovers recall") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L)
+    // corrupt 1 in 8 cell assignments — the given-cell IVF search now
+    // scans the WRONG cell for the corrupted queries/neighbors; a
+    // single Lloyd relabel (the x94 composition) must win back recall,
+    // which is the point of learning the cells before searching them
+    val nCells = emb.select(max("label")).as[Int].head() + 1
+    val corrupted = emb.withColumn("label",
+      when(col("vec_id") % 8 === 0,
+        ((col("label") + 1) % nCells).cast("int"))
+        .otherwise(col("label")))
+    def totalHits(e: org.apache.spark.sql.DataFrame): Long =
+      Similarity.annRecall(e, ids, 5).agg(sum("n_hit")).as[Long].head()
+    val given = totalHits(corrupted)
+    val relabeled = corrupted.drop("label").join(
+      Similarity.kmeansIter(corrupted)
+        .select(col("vec_id"), col("new_label").cast("int").as("label")),
+      "vec_id")
+    val learned = totalHits(relabeled)
+    assert(learned >= given,
+      s"learned-cell recall $learned < given-cell recall $given")
+    // and the repair is visible, not vacuous: the corrupted search must
+    // actually have lost ground for the comparison to mean anything
+    assert(given < ids.length * 5L,
+      "fixture corruption did not degrade the given-cell search")
+  }
+
+  test("curationLedger: a held representative cannot absorb the slot — " +
+    "its near-dups read contaminated, not duplicate") {
+    import spark.implicits._
+    // three identical docs: 0 is held, 1 and 2 are candidates. Among
+    // NON-HELD survivors the representative is 1 → doc 1 falls to the
+    // contamination gate (it shares every shingle with held doc 0);
+    // doc 2 is 1's duplicate. The pre-fix rule made doc 1 'duplicate'
+    // of a representative that never enters the corpus
+    val t = "alpha beta gamma delta epsilon"
+    val d = Seq((0L, t), (1L, t), (2L, t))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val clusters = Dedup.nearDupClusters(
+      Dedup.jaccardPairs(d, 0.5, 10).select("doc_a", "doc_b"))
+    val got = TextAnalysis.curationLedger(d, 1.0, clusters,
+      col("doc_id") === 0)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "contaminated", 2L -> "duplicate"))
   }
 
   test("dupSpanCoverage: docs shorter than n are uncovered, not dropped") {
