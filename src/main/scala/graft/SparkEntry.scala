@@ -65,6 +65,13 @@ object SparkEntry {
     */
   val RecallCurveProbes: Seq[Int] = Seq(1, 2, 1000)
 
+  /** x100/x101 epoch cap (percent): 250 ⇒ each source may supply at
+    * most 2.5 passes of itself, so the fixture genuinely upsamples
+    * (high-weight sources land at n_epochs ≥ 1). ONE definition for
+    * the query bodies, the oracle calls, and the specs.
+    */
+  val MixtureEpochCapPct: Long = 250L
+
   /** x78 blocklist — ONE definition feeding both the broadcast
     * DataFrame and the oracle's IN-list, so the Spark/DuckDB
     * agreement cannot drift. Three of the fixture's 20 sources.
@@ -1009,6 +1016,27 @@ object SparkEntry {
         bucketDocs = 64L)
         .orderBy("doc_id")
     }),
+    // X21 upsampling planner (the DoReMi-style completion): each
+    // source may supply up to 2.5 passes of itself, so scarce
+    // high-weight sources repeat (n_epochs ≥ 1) instead of capping the
+    // whole corpus at the scarcest source — int64-exact epoch +
+    // remainder realization
+    "x100_mixture_capped" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      TextAnalysis.mixtureWeightsCapped(docs, fixtureSourceWeights(docs),
+        epochCapPct = MixtureEpochCapPct)
+        .orderBy("source")
+    }),
+    // X21 upsampling plan EXECUTION: per-doc repeat counts (n_epochs
+    // full passes + the remainder prefix), two-phase (source, bucket)
+    // decomposition with bucketDocs=64; the oracle runs one naive
+    // per-source window, so the hash match proves the decomposition
+    "x101_mixture_apply_capped" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      TextAnalysis.mixtureApplyCapped(docs, fixtureSourceWeights(docs),
+        epochCapPct = MixtureEpochCapPct, bucketDocs = 64L)
+        .orderBy("doc_id")
+    }),
     // X27 sequence packing index: concatenate the corpus token stream
     // in doc_id order, cut 512-token training sequences (docs may
     // straddle cuts — GPT-style packing); two-phase bucket running sum
@@ -1037,6 +1065,37 @@ object SparkEntry {
         .unionByName(docs.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       Dedup.snapshotDiff(docs, newSnap).orderBy("doc_id")
+    }),
+    // X25→X2→X31 incremental-pipeline composition: diff two corpus
+    // snapshots (the x90 synthesis), take the reprocess set
+    // (added ∪ changed — the set that bounds incremental work by churn
+    // instead of corpus size), near-dup-cluster WITHIN the increment,
+    // and emit the full curation drop-reason ledger over it — the
+    // refresh loop a production pipeline runs per crawl, under one
+    // oracle statement
+    "x102_incremental_curate" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val newSnap = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"),
+          col("lang"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            col("lang")))
+      val reproc = Dedup.snapshotDiff(docs, newSnap)
+        .filter(col("status").isin("added", "changed"))
+        .select("doc_id")
+        .join(newSnap, "doc_id")
+        // the base n_chars describes the OLD snapshot; revised texts
+        // must re-derive it or the jaccard length band and quality
+        // features disagree with the oracle's recomputation
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val clusters = Dedup.nearDupClusters(
+        Dedup.jaccardPairs(reproc, ClusterJaccard, ClusterBand)
+          .select("doc_a", "doc_b"))
+      TextAnalysis.curationLedger(reproc, minScore = 3.0, clusters,
+        col("doc_id") % 20 === 0).orderBy("doc_id")
     }),
     // X22 exact substring-dedup criterion (Lee et al. 2022): per-doc
     // fraction of token positions covered by a corpus-duplicated
@@ -1382,6 +1441,10 @@ object SparkEntry {
     "x87_stream_dedup" -> OracleSqlExt.streamDedupSql,
     "x88_ann_recall" -> OracleSqlExt.annRecallSql(Seq(0L, 1L, 2L), 5),
     "x89_mixture_apply" -> OracleSqlExt.mixtureApplySql,
+    "x100_mixture_capped" ->
+      OracleSqlExt.mixtureWeightsCappedSql(MixtureEpochCapPct),
+    "x101_mixture_apply_capped" ->
+      OracleSqlExt.mixtureApplyCappedSql(MixtureEpochCapPct),
     "x90_snapshot_diff" -> OracleSqlExt.snapshotDiffSql,
     "x91_sequence_pack" -> OracleSqlExt.packSequencesSql(512L),
     "x92_kmeans_iter" -> OracleSqlExt.kmeansIterSql,
@@ -1395,6 +1458,8 @@ object SparkEntry {
     "x97_curation_ledger" ->
       OracleSqlExt.curationLedgerSql(3.0, ClusterJaccard, ClusterBand),
     "x98_crawl_novelty" -> OracleSqlExt.crawlNoveltySql,
+    "x102_incremental_curate" ->
+      OracleSqlExt.incrementalCurateLedgerSql(3.0, ClusterJaccard, ClusterBand),
     // same oracle as x46 on purpose: the Bloom pre-filter must be
     // result-invisible (no false negatives + exact verification join)
     "x62_bloom_decontaminate" -> OracleSqlExt.decontaminateSql,

@@ -859,7 +859,59 @@ object TextAnalysis {
     * tokens_s < 2^63/W ≈ 9e15 at W ≈ 1000 — comfortable at 100 TB
     * (~2.5e13 tokens).
     */
-  def mixtureWeights(docs: DataFrame, weights: DataFrame): DataFrame = {
+  def mixtureWeights(docs: DataFrame, weights: DataFrame): DataFrame =
+    mixturePlan(docs, weights, capPct = 100L)
+      .select(col("source"), col("weight").cast("long").as("weight"),
+        col("n_docs"), col("n_tokens"),
+        col("t_star"), col("keep_tokens"),
+        (col("keep_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("rate"))
+
+  /** Upsampling mixture planner (SURVEY §2.10 X21, the DoReMi-style
+    * completion of [[mixtureWeights]]): real target mixtures REPEAT
+    * scarce high-quality sources instead of capping the whole corpus
+    * at the scarcest one. Each source may supply up to
+    * `cap_s = tokens_s · epochCapPct / 100` tokens (epochCapPct = 200
+    * ⇒ at most two passes over the source), so
+    * `T* = min_s ⌊cap_s·W / w_s⌋` and `keep_s = ⌊w_s·T* / W⌋ ≤ cap_s`
+    * — the largest total the corpus supplies at the target mixture
+    * without any source exceeding its repeat budget. The realization
+    * rule is int64-exact: `n_epochs = keep_s div tokens_s` full passes
+    * plus a `remainder = keep_s mod tokens_s`-token prefix (executed
+    * by [[mixtureApplyCapped]]). `epochCapPct = 100` degenerates to
+    * [[mixtureWeights]] exactly (cap_s = tokens_s) — spec-pinned.
+    *
+    * The cap is a PERCENT (int64) rather than a double epoch count so
+    * every quantity stays in the exact integer domain — the same
+    * cross-engine determinism trade as the rest of the mixture block.
+    * Scale shape: identical to the downsample planner (one per-source
+    * roll-up, |sources|-row window). Overflow headroom shrinks by
+    * epochCapPct/100: tokens_s·capPct·W needs tokens_s <
+    * 2^63/(capPct·W) ≈ 5e13 at capPct 200, W ≈ 1000 — still clear of
+    * a 100 TB corpus per source.
+    */
+  def mixtureWeightsCapped(docs: DataFrame, weights: DataFrame,
+                           epochCapPct: Long = 200L): DataFrame = {
+    require(epochCapPct >= 100,
+      s"epochCapPct < 100 would forbid even one full pass, got $epochCapPct")
+    mixturePlan(docs, weights, epochCapPct)
+      .select(col("source"), col("weight").cast("long").as("weight"),
+        col("n_docs"), col("n_tokens"), col("cap_tokens"),
+        col("t_star"), col("keep_tokens"),
+        expr("keep_tokens div n_tokens").as("n_epochs"),
+        expr("keep_tokens % n_tokens").as("remainder"),
+        (col("keep_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("rate"))
+  }
+
+  /** Shared planner core of [[mixtureWeights]] (capPct = 100) and
+    * [[mixtureWeightsCapped]]: validated weights, per-source token
+    * roll-up, per-source supply cap, and the (W, T*, keep) fold over
+    * the |sources|-row table. ONE spelling so the two planners can
+    * never drift on validation or arithmetic.
+    */
+  private def mixturePlan(docs: DataFrame, weights: DataFrame,
+                          capPct: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // data-level validation fails LOUDLY at execution: a weight ≤ 0
     // would otherwise NULL its cap under non-ANSI integer division
@@ -903,15 +955,11 @@ object TextAnalysis {
     val all = Window.partitionBy(lit(1))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     perSource
+      .withColumn("cap_tokens", expr(s"n_tokens * $capPct DIV 100"))
       .withColumn("w_total", sum("weight").over(all))
       .withColumn("t_star",
-        min(expr("n_tokens * w_total DIV weight")).over(all))
+        min(expr("cap_tokens * w_total DIV weight")).over(all))
       .withColumn("keep_tokens", expr("weight * t_star DIV w_total"))
-      .select(col("source"), col("weight").cast("long").as("weight"),
-        col("n_docs"), col("n_tokens"),
-        col("t_star"), col("keep_tokens"),
-        (col("keep_tokens").cast("double") / col("n_tokens").cast("double"))
-          .as("rate"))
   }
 
   /** Sequence packing index (SURVEY §2.10 X27) — the last step of a
@@ -974,6 +1022,42 @@ object TextAnalysis {
     bucketedCum(toks, priors, Seq("source"))
       .filter(col("cum") - col("n_tokens") < col("keep_tokens"))
       .select("doc_id", "source", "n_tokens", "cum")
+  }
+
+  /** Execute a [[mixtureWeightsCapped]] plan: each source's documents
+    * are taken `n_epochs` full times, and documents in the
+    * `remainder`-token prefix (the [[tokenBudgetSample]] rule against
+    * the remainder budget) once more — emitted as a per-doc repeat
+    * count `n_copies` rather than exploded rows, so the output stays
+    * |kept docs| rows at any repeat factor and the downstream packer
+    * materializes the copies. Docs outside both (zero full epochs,
+    * past the remainder prefix) are dropped. With `epochCapPct = 100`
+    * the kept set and cumulative sums equal [[mixtureApply]] exactly
+    * (every n_copies = 1) — spec-pinned.
+    *
+    * Scale shape: the same two-phase (source, bucket) decomposition as
+    * [[mixtureApply]]; the only difference is that a source with
+    * n_epochs ≥ 1 keeps ALL its buckets (every doc appears at least
+    * n_epochs times), so the bucket prune applies only to the
+    * pure-remainder sources. The oracle recomputes it as ONE naive
+    * running sum per source.
+    */
+  def mixtureApplyCapped(docs: DataFrame, weights: DataFrame,
+                         epochCapPct: Long = 200L,
+                         bucketDocs: Long = 1024L): DataFrame = {
+    require(bucketDocs > 0, s"bucketDocs must be positive, got $bucketDocs")
+    val plan = mixtureWeightsCapped(docs, weights, epochCapPct)
+      .select("source", "n_epochs", "remainder")
+    val toks = bucketedTokens(docs, Seq("source"), bucketDocs)
+    val priors = bucketPriors(toks, Seq("source"))
+      .join(broadcast(plan), "source")
+      .filter(col("n_epochs") >= 1 || col("prior") < col("remainder"))
+    bucketedCum(toks, priors, Seq("source"))
+      .withColumn("n_copies", col("n_epochs") +
+        when(col("cum") - col("n_tokens") < col("remainder"), 1L)
+          .otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select("doc_id", "source", "n_tokens", "cum", "n_copies")
   }
 
   /** Duplicated-n-gram span coverage (SURVEY §2.10 X22) — the exact

@@ -9,12 +9,16 @@ object OracleSqlExt {
 
   /** Shared doc shingling CTE (3-gram distinct word shingles).
     * `recursive = true` emits `WITH RECURSIVE` (a recursive CTE later in
-    * the same with-list requires the keyword up front).
+    * the same with-list requires the keyword up front). `rel` is the
+    * corpus relation to shingle (default the base table; the x102
+    * incremental chain shingles its derived reprocess set instead) and
+    * `prelude` injects CTEs ahead of `docs` to define it.
     */
-  private def shCte(n: Int, recursive: Boolean = false): String = {
+  private def shCte(n: Int, recursive: Boolean = false,
+                    rel: String = "documents", prelude: String = ""): String = {
     val gram = (0 until n).map(k => s"toks[i+${k + 1}]").mkString(" || ' ' || ")
-    s"""WITH ${if (recursive) "RECURSIVE " else ""}docs AS (
-       |  SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}${prelude}docs AS (
+       |  SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM $rel
        |), sh AS (
        |  SELECT doc_id, n_chars,
        |         CASE WHEN len(toks) >= $n
@@ -256,13 +260,22 @@ object OracleSqlExt {
   def curationLedgerSql(minScore: Double, threshold: Double,
                         band: Long): String =
     shCte(3, recursive = true) + closureCte(threshold, band) +
+      ledgerTail(minScore, "documents")
+
+  /** The ledger decision CTEs + final precedence CASE over an already
+    * shingled/clustered corpus relation `rel` — shared by
+    * [[curationLedgerSql]] (whole corpus) and
+    * [[incrementalCurateLedgerSql]] (the snapshot-diff reprocess set),
+    * so the gate rules can never drift between the two spellings.
+    */
+  private def ledgerTail(minScore: Double, rel: String): String =
       s""", u AS (
          |  SELECT doc_id,
          |         CAST(len(toks2) AS BIGINT) AS n_tokens,
          |         CAST(len(list_filter(toks2, x -> x IN ('the', 'a'))) AS BIGINT) AS stop_cnt,
          |         CAST(len(list_distinct(toks2)) AS BIGINT) AS distinct_cnt
          |  FROM (SELECT doc_id, string_split(text, ' ') AS toks2
-         |        FROM documents)
+         |        FROM $rel)
          |), surv AS (
          |  SELECT cl.doc_id, cl.cluster
          |  FROM cl JOIN u ON cl.doc_id = u.doc_id
@@ -286,6 +299,40 @@ object OracleSqlExt {
          |            WHEN u.doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
          |            ELSE 'kept' END AS reason
          |FROM u WHERE u.doc_id % 20 <> 0 ORDER BY u.doc_id""".stripMargin
+
+  /** Mirrors the x102 incremental-pipeline composition: the x90
+    * snapshot synthesis (every 10th id deleted and reborn at
+    * +1000000, every 7th survivor revised), the diff's reprocess set
+    * `added ∪ changed` as ONE left join (new-side rows whose id is
+    * absent from the old snapshot or whose fingerprint differs —
+    * exactly `snapshotDiff`'s classification restricted to the new
+    * side), then the FULL curation ledger chain — shingles, closure
+    * clustering, quality gate, dup canonicalization, held-set
+    * contamination — over that derived relation instead of the base
+    * table. `n_chars` is recomputed from the revised text on both
+    * sides (the base column describes the old snapshot).
+    */
+  def incrementalCurateLedgerSql(minScore: Double, threshold: Double,
+                                 band: Long): String = {
+    val prelude =
+      """newsnap AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+        |           AS text,
+        |         lang
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), reproc AS (
+        |  SELECT n.doc_id, n.text, n.lang,
+        |         CAST(len(n.text) AS BIGINT) AS n_chars
+        |  FROM newsnap n LEFT JOIN documents o ON n.doc_id = o.doc_id
+        |  WHERE o.doc_id IS NULL OR md5(o.text) <> md5(n.text)
+        |), """.stripMargin
+    shCte(3, recursive = true, rel = "reproc", prelude = prelude) +
+      closureCte(threshold, band) + ledgerTail(minScore, "reproc")
+  }
 
   def minhashLshSql(threshold: Double, k: Int = 12, r: Int = 3): String = {
     // double hashing (Kirsch–Mitzenmacher), mirroring Dedup
@@ -1047,38 +1094,60 @@ object OracleSqlExt {
          |  WHERE n.vec_id <> p.q_id
          |)""".stripMargin + cosineTail(k)
 
-  /** Mirrors `TextAnalysis.mixtureWeights` under the x85 fixture
-    * convention (weight = src-number % 3 + 1): per-source token
-    * roll-up, W and T* via window functions over the tiny per-source
-    * table, floor division everywhere (all operands positive, so
-    * DuckDB `//` ≡ Spark `DIV`), and the one double division for the
-    * rate. Every intermediate CASTs back to BIGINT — DuckDB widens
-    * both sums and integer products to HUGEINT, which would otherwise
-    * leak int128 into the compared schema.
+  /** Shared x85/x89/x100/x101 plan CTEs under the fixture weight
+    * convention (weight = src-number % 3 + 1): per-source roll-up,
+    * per-source supply cap (`capPct` percent of the token count —
+    * 100 = the downsample-only planner), then W, T* and keep via
+    * window functions over the tiny per-source table. Every
+    * intermediate CASTs back to BIGINT — DuckDB widens sums and
+    * integer products to HUGEINT, which would otherwise leak int128
+    * into the compared schema. `//` ≡ Spark `DIV` (all operands
+    * positive).
     */
+  private def mixturePlanCtes(capPct: Long): String =
+    s"""WITH per AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source
+       |), w AS (
+       |  SELECT source, n_docs, n_tokens,
+       |         CAST((CAST(substr(source, 4) AS INT) % 3) + 1 AS BIGINT)
+       |           AS weight,
+       |         CAST(n_tokens * $capPct // 100 AS BIGINT) AS cap_tokens
+       |  FROM per
+       |), t AS (
+       |  SELECT *, CAST(sum(weight) OVER () AS BIGINT) AS w_total FROM w
+       |), t2 AS (
+       |  SELECT *,
+       |         CAST(min(cap_tokens * w_total // weight) OVER () AS BIGINT)
+       |           AS t_star
+       |  FROM t
+       |), plan AS (
+       |  SELECT *, CAST(weight * t_star // w_total AS BIGINT) AS keep_tokens
+       |  FROM t2
+       |)""".stripMargin
+
   def mixtureWeightsSql: String =
-    """WITH per AS (
-      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-      |  FROM documents GROUP BY source
-      |), w AS (
-      |  SELECT source, n_docs, n_tokens,
-      |         CAST((CAST(substr(source, 4) AS INT) % 3) + 1 AS BIGINT)
-      |           AS weight
-      |  FROM per
-      |), t AS (
-      |  SELECT *, CAST(sum(weight) OVER () AS BIGINT) AS w_total FROM w
-      |), t2 AS (
-      |  SELECT *,
-      |         CAST(min(n_tokens * w_total // weight) OVER () AS BIGINT)
-      |           AS t_star
-      |  FROM t
-      |)
-      |SELECT source, weight, n_docs, n_tokens, t_star,
-      |       CAST(weight * t_star // w_total AS BIGINT) AS keep_tokens,
-      |       CAST(CAST(weight * t_star // w_total AS BIGINT) AS DOUBLE) /
-      |         CAST(n_tokens AS DOUBLE) AS rate
-      |FROM t2 ORDER BY source""".stripMargin
+    mixturePlanCtes(100) +
+      """
+        |SELECT source, weight, n_docs, n_tokens, t_star, keep_tokens,
+        |       CAST(keep_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rate
+        |FROM plan ORDER BY source""".stripMargin
+
+  /** Mirrors `TextAnalysis.mixtureWeightsCapped(epochCapPct)`: the
+    * same plan CTEs with the supply cap at `capPct` percent, plus the
+    * int64-exact realization split into full epochs and the remainder
+    * prefix.
+    */
+  def mixtureWeightsCappedSql(capPct: Long): String =
+    mixturePlanCtes(capPct) +
+      """
+        |SELECT source, weight, n_docs, n_tokens, cap_tokens, t_star,
+        |       keep_tokens,
+        |       CAST(keep_tokens // n_tokens AS BIGINT) AS n_epochs,
+        |       CAST(keep_tokens % n_tokens AS BIGINT) AS remainder,
+        |       CAST(keep_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rate
+        |FROM plan ORDER BY source""".stripMargin
 
   /** Mirrors `TextAnalysis.dupSpanCoverage(n = 5, minCount = 2)`: the
     * same lead-window positional 5-grams (1-based pos here vs Spark's
@@ -1223,38 +1292,45 @@ object OracleSqlExt {
     * decomposition must hash-match this one-window spelling.
     */
   def mixtureApplySql: String =
-    """WITH per AS (
-      |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
-      |           AS n_tokens
-      |  FROM documents GROUP BY source
-      |), w AS (
-      |  SELECT source, n_tokens,
-      |         CAST((CAST(substr(source, 4) AS INT) % 3) + 1 AS BIGINT)
-      |           AS weight
-      |  FROM per
-      |), t AS (
-      |  SELECT *, CAST(sum(weight) OVER () AS BIGINT) AS w_total FROM w
-      |), t2 AS (
-      |  SELECT *,
-      |         CAST(min(n_tokens * w_total // weight) OVER () AS BIGINT)
-      |           AS t_star
-      |  FROM t
-      |), plan AS (
-      |  SELECT source,
-      |         CAST(weight * t_star // w_total AS BIGINT) AS keep_tokens
-      |  FROM t2
-      |), d AS (
-      |  SELECT doc_id, source,
-      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-      |  FROM documents
-      |), r AS (
-      |  SELECT d.doc_id, d.source, d.n_tokens, p.keep_tokens,
-      |         CAST(sum(d.n_tokens) OVER (PARTITION BY d.source
-      |                                    ORDER BY d.doc_id) AS BIGINT) AS cum
-      |  FROM d JOIN plan p USING (source)
-      |)
-      |SELECT doc_id, source, n_tokens, cum
-      |FROM r WHERE cum - n_tokens < keep_tokens ORDER BY doc_id""".stripMargin
+    mixturePlanCtes(100) +
+      """, d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), r AS (
+        |  SELECT d.doc_id, d.source, d.n_tokens, p.keep_tokens,
+        |         CAST(sum(d.n_tokens) OVER (PARTITION BY d.source
+        |                                    ORDER BY d.doc_id) AS BIGINT) AS cum
+        |  FROM d JOIN plan p USING (source)
+        |)
+        |SELECT doc_id, source, n_tokens, cum
+        |FROM r WHERE cum - n_tokens < keep_tokens ORDER BY doc_id""".stripMargin
+
+  /** Mirrors `TextAnalysis.mixtureApplyCapped(epochCapPct)`: ONE naive
+    * per-source running-sum window, each doc kept `n_epochs` times
+    * plus once more inside the remainder prefix — emitted as a repeat
+    * count, exactly like the engine. The engine's two-phase
+    * (source, bucket) decomposition must hash-match this spelling.
+    */
+  def mixtureApplyCappedSql(capPct: Long): String =
+    mixturePlanCtes(capPct) +
+      """, d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), r AS (
+        |  SELECT d.doc_id, d.source, d.n_tokens,
+        |         CAST(p.keep_tokens // p.n_tokens AS BIGINT) AS n_epochs,
+        |         CAST(p.keep_tokens % p.n_tokens AS BIGINT) AS remainder,
+        |         CAST(sum(d.n_tokens) OVER (PARTITION BY d.source
+        |                                    ORDER BY d.doc_id) AS BIGINT) AS cum
+        |  FROM d JOIN plan p USING (source)
+        |)
+        |SELECT doc_id, source, n_tokens, cum,
+        |       CAST(n_epochs + CASE WHEN cum - n_tokens < remainder
+        |                            THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        |FROM r WHERE n_epochs >= 1 OR cum - n_tokens < remainder
+        |ORDER BY doc_id""".stripMargin
 
   /** Mirrors `TextAnalysis.packSequences(binTokens)`: ONE naive global
     * running-sum window in doc_id order — the engine's two-phase

@@ -1041,6 +1041,59 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == Seq(1.0, 1.0))
   }
 
+  test("mixtureWeightsCapped at 100% degenerates to mixtureWeights exactly") {
+    import spark.implicits._
+    val w = SparkEntry.fixtureSourceWeights(docs)
+    val down = TextAnalysis.mixtureWeights(docs, w)
+      .select("source", "weight", "n_docs", "n_tokens", "t_star",
+        "keep_tokens", "rate")
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect().toSet
+    val capped = TextAnalysis.mixtureWeightsCapped(docs, w, epochCapPct = 100L)
+      .select("source", "weight", "n_docs", "n_tokens", "t_star",
+        "keep_tokens", "rate")
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(capped == down)
+    // and the realization columns are consistent at any cap
+    TextAnalysis.mixtureWeightsCapped(docs, w, SparkEntry.MixtureEpochCapPct)
+      .select("n_tokens", "cap_tokens", "keep_tokens", "n_epochs", "remainder")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .foreach { case (toks, cap, keep, epochs, rem) =>
+        assert(keep <= cap && cap == toks * SparkEntry.MixtureEpochCapPct / 100)
+        assert(keep == epochs * toks + rem && rem >= 0 && rem < toks)
+      }
+  }
+
+  test("mixtureApplyCapped: realized tokens land in [keep, keep+max); 100% ≡ mixtureApply") {
+    import spark.implicits._
+    val w = SparkEntry.fixtureSourceWeights(docs)
+    val plan = TextAnalysis.mixtureWeightsCapped(docs, w,
+      SparkEntry.MixtureEpochCapPct)
+      .select("source", "keep_tokens").as[(String, Long)].collect().toMap
+    val out = TextAnalysis.mixtureApplyCapped(docs, w,
+      SparkEntry.MixtureEpochCapPct, bucketDocs = 64L)
+      .select("source", "n_tokens", "n_copies")
+      .as[(String, Long, Long)].collect()
+    assert(out.exists(_._3 >= 2), "fixture cap should force real upsampling")
+    val bySource = out.groupBy(_._1)
+    assert(bySource.keySet == plan.keySet)
+    bySource.foreach { case (src, rows) =>
+      val realized = rows.map(r => r._2 * r._3).sum
+      val maxDoc = rows.map(_._2).max
+      assert(realized >= plan(src) && realized < plan(src) + maxDoc,
+        s"$src realized $realized outside [${plan(src)}, ${plan(src)} + $maxDoc)")
+    }
+    // cap 100: the kept set, cumulative sums, and copy counts collapse
+    // to the downsample executor
+    val at100 = TextAnalysis.mixtureApplyCapped(docs, w, 100L, bucketDocs = 64L)
+      .select("doc_id", "source", "n_tokens", "cum", "n_copies")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(at100.forall(_._5 == 1L))
+    val down = TextAnalysis.mixtureApply(docs, w, bucketDocs = 64L)
+      .select("doc_id", "source", "n_tokens", "cum")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(at100.map(t => (t._1, t._2, t._3, t._4)).toSet == down)
+  }
+
   test("mixtureWeights fails loudly when a weighted source has no documents") {
     import spark.implicits._
     // a typo'd source name in the target mixture must not be silently
@@ -1139,6 +1192,32 @@ class ExtensionsSpec extends AnyFunSuite {
       col("doc_id") === 0)
       .as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "contaminated", 2L -> "duplicate"))
+  }
+
+  test("incremental curate: reprocess set is exactly added ∪ changed (churn-bounded)") {
+    import spark.implicits._
+    // the x102 synthesis: every 10th id deleted and reborn at +1e6
+    // (an add), every 7th survivor revised (a change) — incremental
+    // work must be bounded by this churn, never by corpus size
+    val newSnap = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val reproc = Dedup.snapshotDiff(docs, newSnap)
+      .filter(col("status").isin("added", "changed"))
+      .select("doc_id").as[Long].collect().toSet
+    val ids = docs.select("doc_id").as[Long].collect().toSet
+    val expect = ids.filter(_ % 10 == 0).map(_ + 1000000L) ++
+      ids.filter(id => id % 10 != 0 && id % 7 == 0)
+    assert(reproc == expect)
+    // the ledger over the increment decides every reprocess doc except
+    // the held ones — one decision per candidate, nothing from the
+    // unchanged bulk
+    val ledger = SparkEntry.queries("x102_incremental_curate")(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ledger == reproc.filterNot(_ % 20 == 0))
   }
 
   test("dupSpanCoverage: docs shorter than n are uncovered, not dropped") {
