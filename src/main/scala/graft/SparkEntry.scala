@@ -498,6 +498,63 @@ object SparkEntry {
       q.stop()
       ss.table("graft_stream_dedup").orderBy("doc_id")
     }),
+    // X26 streaming corpus ingestion end-to-end over a REAL file
+    // source: deterministic JSONL fixtures (the x87 run-of-5 duplicate
+    // synthesis plus malformed quarantine bait) land one file at a
+    // time in id order; each file streams through declared-schema
+    // parse → clean split → keyed-state first-occurrence dedup →
+    // partitioned curated append; the result is the curated layout
+    // read back. The oracle is the batch min-per-fingerprint over the
+    // same synthesis, so the hash match proves stream ≡ batch through
+    // the whole file-source pipe, not just the state operator
+    "x103_stream_corpus" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val canon = docs.select(col("doc_id").as("c_id"), col("text"))
+      val rows = docs.select(col("doc_id"), col("lang"), col("source"),
+          (col("doc_id") - col("doc_id") % 5).as("c_id"))
+        .join(canon, "c_id")
+        // n_chars re-derived from the CANONICAL text both sides — the
+        // base column describes the original document, not the
+        // synthesized duplicate
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val maxId = docs.agg(max("doc_id")).head.getLong(0)
+      val root = java.nio.file.Files.createTempDirectory("graft-scorpus")
+      val inDir = s"$root/in"
+      new java.io.File(inDir).mkdirs()
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val raw = graft.sources.CorpusIO.readJsonlStream(ss, inDir)
+      val cur = graft.sources.CorpusIO.streamCurated(raw, s"$root/out",
+        s"$root/ck")
+      // three id-RANGE files delivered and drained one at a time:
+      // range order makes each fingerprint's global-min id arrive in
+      // the group's first batch, which is what lets the batch oracle
+      // express the stream's kept set (the x87 chunking rule, over
+      // real files instead of MemoryStream)
+      (0 until 3).foreach { i =>
+        rows.filter(expr(s"doc_id * 3 div ${maxId + 1}") === i)
+          .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))).as("v"))
+          .coalesce(1).write.mode("overwrite").text(s"$root/stage")
+        val part = new java.io.File(s"$root/stage").listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(inDir, f"chunk-$i%03d.json"))
+        if (i == 1) // quarantine bait mid-stream: truncated JSON, junk,
+          // and a well-formed line missing its key — none may surface
+          // in the curated output
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(inDir, "chunk-001-bad.json"),
+            java.util.Arrays.asList("{\"doc_id\": 17, \"text\":",
+              "not json at all", "{\"text\": \"orphan\"}"))
+        cur.processAllAvailable()
+      }
+      cur.stop()
+      graft.sources.CorpusIO.readCurated(s, s"$root/out")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
     // X4: per-doc quality features + composite score
     "x26_text_quality" -> ((s, dir) =>
       TextAnalysis.quality(Tables.read(s, dir, "documents")).orderBy("doc_id")),
@@ -1439,6 +1496,7 @@ object SparkEntry {
     "x85_mixture_weights" -> OracleSqlExt.mixtureWeightsSql,
     "x86_dup_span_coverage" -> OracleSqlExt.dupSpanCoverageSql(2L),
     "x87_stream_dedup" -> OracleSqlExt.streamDedupSql,
+    "x103_stream_corpus" -> OracleSqlExt.streamCorpusSql,
     "x88_ann_recall" -> OracleSqlExt.annRecallSql(Seq(0L, 1L, 2L), 5),
     "x89_mixture_apply" -> OracleSqlExt.mixtureApplySql,
     "x100_mixture_capped" ->

@@ -52,6 +52,7 @@ object StressProof {
       contraction(spark)
       ivf(spark)
       kmeans(spark)
+      streamDedup(spark)
       println("STRESS all bounds hold")
     } finally spark.stop()
   }
@@ -208,5 +209,66 @@ object StressProof {
       f"recovered=$acc%.4f t=$t%.1fs")
     require(acc >= 0.999,
       f"k-means repair $acc%.4f — one Lloyd step failed to recover planted cells")
+  }
+
+  /** 1.2 M rows / 1 M distinct fingerprints through
+    * [[Dedup.streamingFirstOccurrence]] with the RocksDB state store
+    * provider — the state-scale claim SCALE.md makes for X23 (state =
+    * one boolean per distinct key, output = distinct keys, per-batch
+    * latency stable as state grows), held three orders of magnitude
+    * above x87's 500-doc correctness fixture. Four parquet file-drops
+    * become four micro-batches (batches 0–2 all-new keys, batch 3 a
+    * 1/3 duplicate tail), generated and counted distributed — the
+    * driver only moves per-batch scalars.
+    */
+  private def streamDedup(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.types._
+    val nKeys = 1000000L
+    val perBatch = 300000L
+    val root = java.nio.file.Files.createTempDirectory("graft-sdedup")
+    val inDir = s"$root/in"
+    new java.io.File(inDir).mkdirs()
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "32")
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val schema = StructType(Seq(
+      StructField("_1", StringType), StructField("_2", LongType)))
+    import ss.implicits._
+    val raw = ss.readStream.schema(schema).parquet(inDir).as[(String, Long)]
+    var out = 0L
+    var late = 0L
+    val q = Dedup.streamingFirstOccurrence(raw)
+      .toDF("fp", "kept_id")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ck")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val r = b.agg(count(lit(1)),
+          sum(when(col("kept_id") >= nKeys, 1L).otherwise(0L))).head()
+        out += r.getLong(0)
+        late += (if (r.isNullAt(1)) 0L else r.getLong(1))
+        ()
+      }.start()
+    val times = (0 until 4).map { i =>
+      spark.range(i * perBatch, (i + 1) * perBatch).select(
+        concat(lit("k"), pmod(col("id"), lit(nKeys))).as("_1"),
+        col("id").as("_2"))
+        .write.mode("append").parquet(inDir)
+      timed(q.processAllAvailable())._2
+    }
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    println(f"STRESS streamdedup rows=${4 * perBatch} distinct=$nKeys " +
+      f"out=$out state_rows=$stateRows " +
+      s"t_batches=${times.map(t => f"$t%.1f").mkString("/")}s")
+    require(out == nKeys && late == 0L,
+      s"streaming dedup emitted $out rows ($late late) for $nKeys distinct keys")
+    require(stateRows == nKeys,
+      s"state rows $stateRows != distinct keys $nKeys — state is not ∝ distinct keys")
+    // stability: the duplicate-tail batch against 1 M-key state must
+    // not degrade past a small factor of the first (empty-state) batch
+    require(times.last < 5.0 * math.max(times.head, 1.0),
+      s"per-batch latency degraded: ${times.mkString(", ")}")
   }
 }

@@ -644,16 +644,43 @@ object Dedup {
       ds: org.apache.spark.sql.Dataset[(String, Long)])
     : org.apache.spark.sql.Dataset[(String, Long)] = {
     import ds.sparkSession.implicits._
+    streamingFirstOccurrenceBy(ds)(_._1, _._2)
+  }
+
+  /** Row-carrying generalization of [[streamingFirstOccurrence]]: the
+    * first occurrence keeps the WHOLE row (the batch group's minimum
+    * by `ord`), so a streaming corpus pipeline can pass full documents
+    * through the dedup gate instead of joining kept ids back against
+    * a replay of the source ([[graft.sources.CorpusIO.streamCurated]]
+    * composes it this way). Same state contract: one boolean per
+    * distinct key, forever.
+    */
+  def streamingFirstOccurrenceBy[T](ds: org.apache.spark.sql.Dataset[T])(
+      key: T => String, ord: T => Long)(
+      implicit enc: org.apache.spark.sql.Encoder[T])
+    : org.apache.spark.sql.Dataset[T] = {
+    import ds.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    ds.groupByKey(_._1)
-      .flatMapGroupsWithState[Boolean, (String, Long)](
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[Boolean, T](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (fp: String, rows: Iterator[(String, Long)], state: GroupState[Boolean]) =>
+        (_: String, rows: Iterator[T], state: GroupState[Boolean]) =>
           if (state.exists) Iterator.empty
           else {
             state.update(true)
-            Iterator.single((fp, rows.map(_._2).min))
+            Iterator.single(rows.minBy(ord))
           }
       }
   }
+
+  /** md5 hex digest of a string's UTF-8 bytes — the streaming dedup
+    * key ([[streamingFirstOccurrenceBy]] callers key state on the
+    * 128-bit digest so the state store never holds document text),
+    * spelled to agree byte-for-byte with SQL `md5(text)` in Spark and
+    * DuckDB.
+    */
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
 }

@@ -1404,6 +1404,29 @@ object OracleSqlExt {
     * batch spelling `min(doc_id) GROUP BY md5(text)` that the
     * keyed-state streaming query must reproduce exactly.
     */
+  /** Mirrors the x103 streaming corpus ingestion: the same run-of-5
+    * duplicate synthesis (each doc carries its run head's text, with
+    * n_chars re-derived from that canonical text), batch
+    * min-doc_id-per-md5 dedup — the streamed file pipe must land
+    * exactly these rows in the curated layout. Quarantine bait never
+    * reaches the oracle's universe by construction (malformed lines
+    * parse to no doc_id).
+    */
+  def streamCorpusSql: String =
+    """WITH canon AS (
+      |  SELECT doc_id AS c_id, text FROM documents
+      |), r AS (
+      |  SELECT d.doc_id, d.lang, d.source, c.text,
+      |         CAST(len(c.text) AS BIGINT) AS n_chars
+      |  FROM (SELECT doc_id, lang, source, doc_id - doc_id % 5 AS c_id
+      |        FROM documents) d
+      |  JOIN canon c USING (c_id)
+      |), keep AS (
+      |  SELECT min(doc_id) AS doc_id FROM r GROUP BY md5(text)
+      |)
+      |SELECT r.doc_id, r.lang, r.source, r.n_chars
+      |FROM r JOIN keep USING (doc_id) ORDER BY doc_id""".stripMargin
+
   def streamDedupSql: String =
     """WITH d AS (
       |  SELECT a.doc_id, b.text

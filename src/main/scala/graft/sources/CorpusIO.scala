@@ -115,6 +115,88 @@ object CorpusIO {
     manifest
   }
 
+  /** A well-formed corpus document as it flows through the streaming
+    * ingest pipe — the typed row [[streamCurated]]'s keyed dedup state
+    * operates on.
+    */
+  case class CuratedDoc(doc_id: Long, text: String, lang: String,
+                        source: String, n_chars: Long)
+
+  /** Streaming JSONL corpus source — the rolling-crawl sibling of
+    * [[readJsonl]]: same DECLARED schema and PERMISSIVE
+    * corrupt-record capture, over `readStream`'s file source (new
+    * files under `path` become micro-batches; `maxFilesPerTrigger`
+    * bounds batch size so one huge dump drop doesn't become one huge
+    * batch). [[cleanDocs]] / [[quarantine]] split the stream exactly
+    * as they split the batch frame.
+    */
+  def readJsonlStream(spark: SparkSession, path: String,
+                      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(DocSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
+
+  /** Streaming corpus ingestion (SURVEY §2.10 X26, the documents-side
+    * analogue of the S2 metric ingest path): a [[readJsonlStream]]
+    * frame flows clean-split → exact first-occurrence dedup
+    * ([[graft.operators.Dedup.streamingFirstOccurrenceBy]], keyed on
+    * the text's md5 so the state store holds 16-byte digests, never
+    * document text) → curated-layout append via `foreachBatch` (the
+    * same `lang=<l>/part=<p>/` discipline as [[writeCurated]], one
+    * task per output partition per batch). The checkpoint carries both
+    * the file-source offsets and the dedup state, so a restart
+    * resumes exactly (no re-admitted duplicates, no lost batches) —
+    * the ack-after-durable contract the metric side proves in
+    * StreamingSpec.
+    *
+    * Stream ≡ batch: when files arrive in doc_id order, the kept set
+    * is exactly batch `cleanDocs` + min-doc_id-per-fingerprint of the
+    * same files — the x87/q31 oracle technique, pinned by the x103
+    * CORRECTNESS row. Scale shape: one keyed-state exchange per batch
+    * + the partitioned append; no batch-over-batch joins.
+    */
+  def streamCurated(raw: DataFrame, outPath: String, checkpointDir: String,
+                    buckets: Int = 256)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val first = graft.operators.Dedup.streamingFirstOccurrenceBy(
+      cleanDocs(raw).as[CuratedDoc])(
+      d => graft.operators.Dedup.md5Hex(d.text), _.doc_id)
+    first.toDF()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val out = batch
+          .withColumn("part", pmod(col("doc_id"), lit(buckets.toLong)))
+        out.repartition(col("lang"), col("part"))
+          .write.partitionBy("lang", "part").mode("append")
+          .parquet(s"$outPath/data")
+        ()
+      }
+      .start()
+  }
+
+  /** Quarantine side of the streaming ingest: malformed lines append
+    * to `<outPath>/quarantine` with the raw line preserved as
+    * evidence. A separate query over the same (replayable) file
+    * source — the curated pipe never blocks on quarantine I/O.
+    */
+  def streamQuarantine(raw: DataFrame, outPath: String,
+                       checkpointDir: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    quarantine(raw)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .option("path", s"$outPath/quarantine")
+      .format("parquet")
+      .start()
+
   /** Read a [[writeCurated]] corpus back, optionally pruned to one
     * language — the filter is a partition predicate, so only that
     * language's directories are listed and scanned.

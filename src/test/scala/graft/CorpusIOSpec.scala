@@ -97,4 +97,56 @@ class CorpusIOSpec extends AnyFunSuite {
       assert(fs.size == 1, s"partition dir $d has ${fs.size} files")
     }
   }
+
+  test("streaming ingest: stream ≡ batch dedup, quarantine evidence, restart resumes state") {
+    val root = tmp("graft-scorpus")
+    val in = s"$root/in"
+    new java.io.File(in).mkdirs()
+    def jline(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "src0", "n_chars": ${text.length}}"""
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    val cur = CorpusIO.streamCurated(
+      CorpusIO.readJsonlStream(spark, in), s"$root/out", s"$root/ck",
+      buckets = 4)
+    val qr = CorpusIO.streamQuarantine(
+      CorpusIO.readJsonlStream(spark, in), s"$root/out", s"$root/ckq")
+    // batch 0: an in-batch duplicate (ids 0/1 share text — min id wins)
+    writeFile("f0.json",
+      Seq(jline(0, "aa bb"), jline(1, "aa bb"), jline(2, "cc dd")))
+    cur.processAllAvailable()
+    // batch 1: a cross-batch duplicate (id 3 repeats batch 0's text)
+    // plus malformed quarantine bait that must not block the pipe
+    writeFile("f1.json", Seq(jline(3, "aa bb"), jline(4, "ee ff"),
+      """{"doc_id": 9, "text":""", "junk line"))
+    cur.processAllAvailable()
+    cur.stop()
+    // restart against the SAME checkpoint: the dedup state and source
+    // offsets must both survive — a post-restart duplicate (id 5) is
+    // still a duplicate, a new doc (id 6) is admitted, and batches
+    // 0/1 are not re-emitted into the sink
+    writeFile("f2.json", Seq(jline(5, "aa bb"), jline(6, "gg hh")))
+    val cur2 = CorpusIO.streamCurated(
+      CorpusIO.readJsonlStream(spark, in), s"$root/out", s"$root/ck",
+      buckets = 4)
+    cur2.processAllAvailable()
+    cur2.stop()
+    qr.processAllAvailable()
+    qr.stop()
+    val kept = CorpusIO.readCurated(spark, s"$root/out")
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(kept == Set((0L, "aa bb"), (2L, "cc dd"), (4L, "ee ff"),
+      (6L, "gg hh")))
+    // batch equivalence on the same files: min doc_id per text
+    val batch = CorpusIO.cleanDocs(CorpusIO.readJsonl(spark, in))
+      .groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(kept == batch)
+    // both malformed lines are quarantined with their raw text intact
+    val q = spark.read.parquet(s"$root/out/quarantine")
+      .as[String].collect().toSeq
+    assert(q.length == 2 && q.exists(_.contains("\"doc_id\": 9")) &&
+      q.contains("junk line"))
+  }
 }
