@@ -72,6 +72,13 @@ object SparkEntry {
     */
   val MixtureEpochCapPct: Long = 250L
 
+  /** x104 epoch→surrogate-id stride: epoch·stride + doc_id linearizes
+    * (epoch, doc_id) order into one int64 key for the packer. Far
+    * above any SF's doc-id range and far below int64 overflow at the
+    * epoch counts the cap permits.
+    */
+  val EpochStride: Long = 1000000000000L
+
   /** x78 blocklist — ONE definition feeding both the broadcast
     * DataFrame and the oracle's IN-list, so the Spark/DuckDB
     * agreement cannot drift. Three of the fixture's 20 sources.
@@ -1094,6 +1101,31 @@ object SparkEntry {
         epochCapPct = MixtureEpochCapPct, bucketDocs = 64L)
         .orderBy("doc_id")
     }),
+    // X21+X27 the full pretraining-layout composition: the capped
+    // mixture's repeat counts materialize into per-epoch copies
+    // (explode — |kept|·n_copies rows, bounded by the plan), and the
+    // copy stream packs into 512-token training sequences in
+    // (epoch, doc_id) order via a surrogate-keyed run of the same
+    // two-phase running sum; the oracle is ONE naive window over the
+    // exploded stream, so the hash match proves the whole chain
+    "x104_mixture_pack" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val copies = TextAnalysis.mixtureApplyCapped(docs,
+        fixtureSourceWeights(docs),
+        epochCapPct = MixtureEpochCapPct, bucketDocs = 64L)
+      val stream = copies.select(
+        explode(expr("sequence(0, n_copies - 1)")).as("epoch"),
+        col("doc_id"), col("n_tokens"))
+        .select((col("epoch") * EpochStride + col("doc_id")).as("doc_id"),
+          col("n_tokens"))
+      TextAnalysis.packSequenceCounts(stream, binTokens = 512L,
+        bucketDocs = 64L)
+        .select(expr(s"doc_id div $EpochStride").as("epoch"),
+          expr(s"doc_id % $EpochStride").as("doc_id"),
+          col("n_tokens"), col("start_tok"), col("first_seq"),
+          col("last_seq"))
+        .orderBy("epoch", "doc_id")
+    }),
     // X27 sequence packing index: concatenate the corpus token stream
     // in doc_id order, cut 512-token training sequences (docs may
     // straddle cuts — GPT-style packing); two-phase bucket running sum
@@ -1503,6 +1535,8 @@ object SparkEntry {
       OracleSqlExt.mixtureWeightsCappedSql(MixtureEpochCapPct),
     "x101_mixture_apply_capped" ->
       OracleSqlExt.mixtureApplyCappedSql(MixtureEpochCapPct),
+    "x104_mixture_pack" ->
+      OracleSqlExt.mixturePackSql(MixtureEpochCapPct, 512L),
     "x90_snapshot_diff" -> OracleSqlExt.snapshotDiffSql,
     "x91_sequence_pack" -> OracleSqlExt.packSequencesSql(512L),
     "x92_kmeans_iter" -> OracleSqlExt.kmeansIterSql,

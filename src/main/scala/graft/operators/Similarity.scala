@@ -222,6 +222,12 @@ object Similarity {
     * cycle, and a silently-unconverged cell assignment would quietly
     * degrade every IVF consumer downstream.
     *
+    * `reliable = true` swaps the per-iteration `localCheckpoint` for a
+    * fault-tolerant `checkpoint` (requires `setCheckpointDir`) — the
+    * same knob as `Dedup.nearDupClusters`/`starClusters`, for
+    * preemptible/dynamic-allocation clusters where an unreplicated
+    * block loss would kill the loop.
+    *
     * Returns `(assignment, iterations)` — the assignment carries the
     * final `(vec_id, label)`.
     */
@@ -292,9 +298,27 @@ object Similarity {
     * equi-join, scanning `nprobe/|cells|` of the corpus per query.
     */
   def topKIvfProbe(emb: DataFrame, queryIds: Seq[Long], k: Int,
-                   nprobe: Int = 2): DataFrame = {
-    require(k > 0 && nprobe > 0,
-      s"k and nprobe must be positive, got k=$k nprobe=$nprobe")
+                   nprobe: Int = 2): DataFrame =
+    topKProbedMulti(emb, queryIds, k, Seq(nprobe)).drop("nprobe")
+
+  /** The probed search over a WHOLE probe-count dimension in one plan:
+    * for every `(nprobe ∈ nprobes, query)`, the top-k over the query's
+    * `nprobe` nearest centroid cells. The query→cell ranking (`crk`)
+    * is computed once and each probe count takes its prefix via the
+    * tiny probes-table cross join, so adding curve points costs probed
+    * candidates, never extra corpus scans or centroid builds —
+    * [[annRecallCurve]] needs exactly this (a union of per-point
+    * searches would replan the shared work per point: Spark does not
+    * share subplans across union branches). [[topKIvfProbe]] is the
+    * single-point specialization.
+    */
+  private def topKProbedMulti(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                              nprobes: Seq[Int]): DataFrame = {
+    require(k > 0 && nprobes.nonEmpty && nprobes.forall(_ > 0),
+      s"k and nprobes must be positive, got k=$k nprobes=$nprobes")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val probes = nprobes.map(_.toLong).toDF("nprobe")
     val corpus = quantized(emb)
     val cent = centroids(corpus)
     val qcells = corpus.filter(col("vec_id").isin(queryIds: _*))
@@ -305,15 +329,18 @@ object Similarity {
         col("qn2") - lit(2L) * VecOps.dot(col("qv"), col("cvec")) + col("cn2"))
       .withColumn("crk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cd2"), col("c_label"))))
-      .filter(col("crk") <= nprobe)
-      .select(col("q_id"), col("qv"), col("qn2"), col("c_label"))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+      .crossJoin(broadcast(probes))
+      .filter(col("crk") <= col("nprobe"))
+      .select(col("nprobe"), col("q_id"), col("qv"), col("qn2"),
+        col("c_label"))
+    val w = Window.partitionBy("nprobe", "q_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
     corpus.join(broadcast(qcells), col("label") === col("c_label"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", cosExpr)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select("q_id", "vec_id", "rank", "cosine")
+      .select("nprobe", "q_id", "vec_id", "rank", "cosine")
   }
 
   /** ANN quality audit (SURVEY §2.10 X24): per-query recall@k of the
@@ -356,10 +383,11 @@ object Similarity {
 
   /** The recall/cost tuning curve a production IVF deployment actually
     * reads: recall@k of [[topKIvfProbe]] as a function of `nprobe` —
-    * one row per (nprobe, query). Brute-force ground truth is computed
-    * ONCE and shared across the curve points; each point re-runs only
-    * the probed search. An `nprobe` ≥ the cell count degenerates to
-    * brute force (the x95 equivalence), so its rows must read
+    * one row per (nprobe, query), in ONE plan: brute-force ground
+    * truth once, the probed search once over the whole probe dimension
+    * ([[topKProbedMulti]]), and the audit join keyed by
+    * (nprobe, q_id, vec_id). An `nprobe` ≥ the cell count degenerates
+    * to brute force (the x95 equivalence), so its rows must read
     * recall = 1.0 — the property turned into visible data, and the
     * anchor that says "the curve's ceiling is reachable".
     *
@@ -379,11 +407,19 @@ object Similarity {
       s"nprobes must be non-empty positive, got $nprobes")
     require(nprobes.distinct == nprobes,
       s"duplicate nprobe values would duplicate curve rows: $nprobes")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val probes = nprobes.map(_.toLong).toDF("nprobe")
     val brute = topKBrute(emb, queryIds, k).select("q_id", "vec_id")
-    nprobes.map { p =>
-      recallAgainstBrute(brute,
-        topKIvfProbe(emb, queryIds, k, p).select("q_id", "vec_id"))
-        .withColumn("nprobe", lit(p.toLong))
-    }.reduce(_ unionByName _)
+    val probed = topKProbedMulti(emb, queryIds, k, nprobes)
+      .select("nprobe", "q_id", "vec_id").withColumn("hit", lit(1L))
+    brute.crossJoin(broadcast(probes))
+      .join(broadcast(probed), Seq("nprobe", "q_id", "vec_id"), "left")
+      .groupBy("nprobe", "q_id")
+      .agg(count(lit(1)).as("n_brute"),
+        coalesce(sum("hit"), lit(0L)).as("n_hit"))
+      .select(col("q_id"), col("n_brute"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_brute").cast("double"))
+          .as("recall"), col("nprobe"))
   }
 }

@@ -981,10 +981,27 @@ object TextAnalysis {
     * proves the decomposition. All arithmetic is int64.
     */
   def packSequences(docs: DataFrame, binTokens: Long,
-                    bucketDocs: Long = 1024L): DataFrame = {
+                    bucketDocs: Long = 1024L): DataFrame =
+    packSequenceCounts(
+      docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      binTokens, bucketDocs)
+
+  /** [[packSequences]] over PRECOMPUTED `(doc_id, n_tokens)` rows —
+    * the packer for streams that no longer carry text: materialized
+    * repeat plans ([[mixtureApplyCapped]] epochs keyed by a surrogate
+    * id), token-count manifests, chunk indexes. Identical two-phase
+    * decomposition and int64 arithmetic; `doc_id` only needs to be a
+    * unique int64 whose order IS the intended concatenation order
+    * (gaps are fine — the bucket key is `doc_id div bucketDocs`, and
+    * sparse buckets just run small).
+    */
+  def packSequenceCounts(counts: DataFrame, binTokens: Long,
+                         bucketDocs: Long = 1024L): DataFrame = {
     require(binTokens > 0 && bucketDocs > 0,
       s"binTokens and bucketDocs must be positive, got $binTokens/$bucketDocs")
-    val toks = bucketedTokens(docs, Nil, bucketDocs)
+    val toks = counts.select(col("doc_id"), col("n_tokens"),
+      expr(s"doc_id div $bucketDocs").as("bkt"))
     bucketedCum(toks, bucketPriors(toks, Nil), Nil)
       .select(col("doc_id"), col("n_tokens"),
         (col("cum") - col("n_tokens")).as("start_tok"),

@@ -1312,25 +1312,61 @@ object OracleSqlExt {
     * count, exactly like the engine. The engine's two-phase
     * (source, bucket) decomposition must hash-match this spelling.
     */
+  /** The capped-apply CTEs after [[mixturePlanCtes]]: per-doc token
+    * counts, the naive per-source running sum, and the kept set with
+    * its repeat counts (`kept`). Shared by [[mixtureApplyCappedSql]]
+    * and [[mixturePackSql]].
+    */
+  private val cappedApplyCtes: String =
+    """, d AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), r AS (
+      |  SELECT d.doc_id, d.source, d.n_tokens,
+      |         CAST(p.keep_tokens // p.n_tokens AS BIGINT) AS n_epochs,
+      |         CAST(p.keep_tokens % p.n_tokens AS BIGINT) AS remainder,
+      |         CAST(sum(d.n_tokens) OVER (PARTITION BY d.source
+      |                                    ORDER BY d.doc_id) AS BIGINT) AS cum
+      |  FROM d JOIN plan p USING (source)
+      |), kept AS (
+      |  SELECT doc_id, source, n_tokens, cum,
+      |         CAST(n_epochs + CASE WHEN cum - n_tokens < remainder
+      |                              THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+      |  FROM r WHERE n_epochs >= 1 OR cum - n_tokens < remainder
+      |)""".stripMargin
+
   def mixtureApplyCappedSql(capPct: Long): String =
-    mixturePlanCtes(capPct) +
-      """, d AS (
-        |  SELECT doc_id, source,
-        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents
-        |), r AS (
-        |  SELECT d.doc_id, d.source, d.n_tokens,
-        |         CAST(p.keep_tokens // p.n_tokens AS BIGINT) AS n_epochs,
-        |         CAST(p.keep_tokens % p.n_tokens AS BIGINT) AS remainder,
-        |         CAST(sum(d.n_tokens) OVER (PARTITION BY d.source
-        |                                    ORDER BY d.doc_id) AS BIGINT) AS cum
-        |  FROM d JOIN plan p USING (source)
-        |)
-        |SELECT doc_id, source, n_tokens, cum,
-        |       CAST(n_epochs + CASE WHEN cum - n_tokens < remainder
-        |                            THEN 1 ELSE 0 END AS BIGINT) AS n_copies
-        |FROM r WHERE n_epochs >= 1 OR cum - n_tokens < remainder
-        |ORDER BY doc_id""".stripMargin
+    mixturePlanCtes(capPct) + cappedApplyCtes +
+      """
+        |SELECT doc_id, source, n_tokens, cum, n_copies
+        |FROM kept ORDER BY doc_id""".stripMargin
+
+  /** Mirrors the x104 mixture→epochs→packing composition: the capped
+    * plan's kept set exploded into per-epoch copies
+    * (`generate_series`, inclusive like Spark's `sequence`), then ONE
+    * naive running-sum window over the whole copy stream in
+    * (epoch, doc_id) order — the engine's surrogate-keyed two-phase
+    * bucket decomposition must hash-match this spelling.
+    */
+  def mixturePackSql(capPct: Long, binTokens: Long): String =
+    mixturePlanCtes(capPct) + cappedApplyCtes +
+      s""", copies AS (
+         |  SELECT CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT)
+         |           AS epoch,
+         |         doc_id, n_tokens
+         |  FROM kept
+         |), s AS (
+         |  SELECT epoch, doc_id, n_tokens,
+         |         CAST(sum(n_tokens) OVER (ORDER BY epoch, doc_id)
+         |              AS BIGINT) AS cum
+         |  FROM copies
+         |)
+         |SELECT epoch, doc_id, n_tokens,
+         |       CAST(cum - n_tokens AS BIGINT) AS start_tok,
+         |       CAST((cum - n_tokens) // $binTokens AS BIGINT) AS first_seq,
+         |       CAST((cum - 1) // $binTokens AS BIGINT) AS last_seq
+         |FROM s ORDER BY epoch, doc_id""".stripMargin
 
   /** Mirrors `TextAnalysis.packSequences(binTokens)`: ONE naive global
     * running-sum window in doc_id order — the engine's two-phase

@@ -1194,6 +1194,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "contaminated", 2L -> "duplicate"))
   }
 
+  test("mixture→pack composition: gapless token stream over the materialized epochs") {
+    import spark.implicits._
+    val out = SparkEntry.queries("x104_mixture_pack")(spark, sf)
+      .select("epoch", "doc_id", "n_tokens", "start_tok", "first_seq", "last_seq")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out.exists(_._1 >= 1), "cap should materialize repeat epochs")
+    // the packed stream is a gapless concatenation in (epoch, doc_id)
+    // order: each doc starts exactly where the previous one ended
+    out.foldLeft(0L) { case (cursor, (_, _, n, start, first, last)) =>
+      assert(start == cursor, s"gap at start_tok $start, expected $cursor")
+      assert(first == start / 512 && last == (start + n - 1) / 512)
+      cursor + n
+    }
+    // total packed tokens == the executor's realized token count
+    val w = SparkEntry.fixtureSourceWeights(docs)
+    val realized = TextAnalysis.mixtureApplyCapped(docs, w,
+      SparkEntry.MixtureEpochCapPct, bucketDocs = 64L)
+      .agg(sum(col("n_tokens") * col("n_copies"))).as[Long].head()
+    assert(out.map(_._3).sum == realized)
+  }
+
   test("incremental curate: reprocess set is exactly added ∪ changed (churn-bounded)") {
     import spark.implicits._
     // the x102 synthesis: every 10th id deleted and reborn at +1e6

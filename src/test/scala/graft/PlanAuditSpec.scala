@@ -411,6 +411,51 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nlj <= 1, s"unexpected nested loops:\n$p")
   }
 
+  test("x99 recall curve: audit joins broadcast; only the deliberate per-point NLJs") {
+    val p = sparkPlan("x99_ann_recall_curve")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-point audit joins are broadcast-sized by construction:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // allowed NLJs: ONE brute crossJoin(broadcast(q)) corpus scan plus,
+    // per curve point, the |queries|·k centroid-ranking crossJoin — all
+    // broadcast query-set scans, never corpus×corpus
+    val nlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(p).length
+    assert(nlj <= 1 + SparkEntry.RecallCurveProbes.length,
+      s"unexpected nested loops:\n$p")
+  }
+
+  test("x100/x101 capped mixture: same shape discipline as the downsample pair") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = sparkPlan("x100_mixture_capped")
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("CartesianProduct"))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"per-source token counts must partially aggregate:\n$plan")
+    // the executor must not window whole sources at the doc level —
+    // per-doc running sums partition by (source, bkt), exactly x89's rule
+    val qe = SparkEntry.queries("x101_mixture_apply_capped")(spark, sf)
+      .queryExecution
+    val windows = qe.sparkPlan.collect { case w: WindowExec => w }
+    val perDoc = windows.filter(_.partitionSpec.exists(
+      _.references.exists(_.name == "bkt")))
+    assert(perDoc.nonEmpty, qe.sparkPlan.toString)
+    windows.filterNot(perDoc.contains(_)).foreach { w =>
+      assert(w.child.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      }.nonEmpty,
+        s"a source-level window must sit above an aggregate:\n${qe.sparkPlan}")
+    }
+  }
+
+  test("x102 incremental chain: equi-joins only, churn never re-scans via cartesian") {
+    val p = sparkPlan("x102_incremental_curate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the diff/cluster/ledger chain must stay on equi-joins:\n$p")
+    assert(p.contains("partial_"),
+      s"the chain's aggregations must partially aggregate:\n$p")
+  }
+
   test("similarity queries use native vector expressions, no interpreted lambdas") {
     // higher-order functions print as lambdafunction(...) and evaluate
     // interpreted per array element — the hot candidate-pair path must
