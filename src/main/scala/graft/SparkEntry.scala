@@ -532,8 +532,12 @@ object SparkEntry {
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
       val raw = graft.sources.CorpusIO.readJsonlStream(ss, inDir)
+      // buckets sized to the fixture: the default 256 is a 100 TB
+      // setting and would scatter a few thousand docs over ~1300
+      // partition dirs — pure small-files listing cost in a query
+      // whose point is the pipe, not the layout width
       val cur = graft.sources.CorpusIO.streamCurated(raw, s"$root/out",
-        s"$root/ck")
+        s"$root/ck", buckets = 8)
       // three id-RANGE files delivered and drained one at a time:
       // range order makes each fingerprint's global-min id arrive in
       // the group's first batch, which is what lets the batch oracle

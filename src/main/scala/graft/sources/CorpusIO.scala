@@ -171,12 +171,19 @@ object CorpusIO {
       .writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
+          org.apache.spark.sql.Row], batchId: Long) =>
         val out = batch
           .withColumn("part", pmod(col("doc_id"), lit(buckets.toLong)))
+        // per-batch OVERWRITE directory, not a bare append: a batch
+        // that crashes mid-write replays under the SAME batchId with
+        // the same deterministic content (the dedup state commits
+        // after this hook returns), so the overwrite makes the sink
+        // idempotent — the corpus-side spelling of the metric store's
+        // marker discipline. `batch=` rides hive partition discovery;
+        // readers that don't care simply never select it.
         out.repartition(col("lang"), col("part"))
-          .write.partitionBy("lang", "part").mode("append")
-          .parquet(s"$outPath/data")
+          .write.partitionBy("lang", "part").mode("overwrite")
+          .parquet(s"$outPath/data/batch=$batchId")
         ()
       }
       .start()
