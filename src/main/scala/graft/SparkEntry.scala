@@ -473,6 +473,12 @@ object SparkEntry {
     "x92_kmeans_iter" -> ((s, dir) =>
       Similarity.kmeansIter(Tables.read(s, dir, "embeddings"))
         .orderBy("vec_id")),
+    // X28 clustering objective: per-cell exact int64 inertia of the
+    // Lloyd assignment — the dashboard number a production clustering
+    // job watches to decide when the learned cells need a re-fit
+    "x105_kmeans_inertia" -> ((s, dir) =>
+      Similarity.kmeansInertia(Tables.read(s, dir, "embeddings"))
+        .orderBy("label")),
     // X23 streaming exact dedup: the crawl-shaped first-occurrence keep
     // through a REAL keyed-state streaming query (3 micro-batches,
     // append mode). The fixture corpus has no whole-doc duplicates, so
@@ -1544,6 +1550,7 @@ object SparkEntry {
     "x90_snapshot_diff" -> OracleSqlExt.snapshotDiffSql,
     "x91_sequence_pack" -> OracleSqlExt.packSequencesSql(512L),
     "x92_kmeans_iter" -> OracleSqlExt.kmeansIterSql,
+    "x105_kmeans_inertia" -> OracleSqlExt.kmeansInertiaSql,
     "x93_host_rank" -> OracleSqlExt.hostRankSql,
     "x94_ivf_learned_cells" -> OracleSqlExt.ivfLearnedSql(Seq(0L, 1L, 2L), 5),
     "x95_ivf_multiprobe" -> OracleSqlExt.ivfMultiProbeSql(Seq(0L, 1L, 2L), 5, 2),

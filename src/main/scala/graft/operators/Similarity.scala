@@ -213,6 +213,25 @@ object Similarity {
           .as("moved"))
   }
 
+  /** Per-cell clustering objective after one Lloyd assignment — the
+    * inertia dashboard a production clustering job watches per
+    * refresh: for each POST-assignment cell, the member count, the
+    * exact int64 sum of squared distances to the cell's centroid
+    * (`inertia`), and the one-double-division mean. Falling inertia
+    * across refreshes = the cells still fit the corpus; a jump says
+    * re-learn (drifted embeddings, new content domain). Derived
+    * entirely from [[kmeansIter]]'s output, so it shares that plan's
+    * scale shape (broadcast centroids, no window) plus one k-row
+    * aggregation.
+    */
+  def kmeansInertia(emb: DataFrame): DataFrame =
+    kmeansIter(emb)
+      .groupBy(col("new_label").as("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum("d2").as("inertia"))
+      .select(col("label"), col("n_vecs"), col("inertia"),
+        (col("inertia").cast("double") / col("n_vecs").cast("double"))
+          .as("mean_d2"))
+
   /** Run [[kmeansIter]] to convergence (no vector moves) or `maxIter`,
     * whichever first — the same driver-loop-over-converging-jobs shape
     * as `Dedup.starClusters`: each iteration is one distributed Lloyd

@@ -1018,6 +1018,19 @@ object OracleSqlExt {
         |       old_label <> c_label AS moved
         |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** Mirrors `Similarity.kmeansInertia`: the Lloyd assignment's
+    * argmin rows aggregated per post-assignment cell — exact int64
+    * inertia, one double division for the mean.
+    */
+  def kmeansInertiaSql: String =
+    cosineCte + kmeansCtes +
+      """
+        |SELECT CAST(c_label AS BIGINT) AS label,
+        |       CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(sum(d2) AS BIGINT) AS inertia,
+        |       CAST(sum(d2) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_d2
+        |FROM best WHERE rn = 1 GROUP BY c_label ORDER BY label""".stripMargin
+
   /** Mirrors the x94 composition: relabel the corpus with the Lloyd
     * step's assignment, then run the x25 IVF top-k over the LEARNED
     * cells — the full learn-then-search pipeline in one statement.

@@ -268,6 +268,83 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mixtureWeightsCapped: feasibility, epoch identity, cap=100 ≡ downsample (random)") {
+    import graft.operators.TextAnalysis
+    val r = new Random(53)
+    val docs = (0L until 140L).map { i =>
+      (i, s"src${i % 6}", Seq.fill(1 + r.nextInt(25))("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val weights = (0 until 6).map(i => (s"src$i", 1L + r.nextInt(4)))
+      .toDF("source", "weight")
+    val capPct = 100L + r.nextInt(300) // 100..399 %
+    val rows = TextAnalysis.mixtureWeightsCapped(docs, weights, capPct)
+      .select("source", "weight", "n_tokens", "cap_tokens", "t_star",
+        "keep_tokens", "n_epochs", "remainder")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    val wTotal = rows.map(_._2).sum
+    val tStar = rows.head._5
+    assert(tStar == rows.map(t => t._4 * wTotal / t._2).min)
+    rows.foreach { case (_, w, have, cap, ts, keep, epochs, rem) =>
+      assert(cap == have * capPct / 100 && ts == tStar)
+      assert(keep == w * tStar / wTotal && keep <= cap)
+      assert(keep == epochs * have + rem && rem >= 0 && rem < have)
+    }
+    // the 100 % cap IS the downsample planner, on arbitrary data
+    val down = TextAnalysis.mixtureWeights(docs, weights)
+      .select("source", "keep_tokens").as[(String, Long)].collect().toSet
+    val at100 = TextAnalysis.mixtureWeightsCapped(docs, weights, 100L)
+      .select("source", "keep_tokens").as[(String, Long)].collect().toSet
+    assert(at100 == down)
+  }
+
+  test("packSequenceCounts: sparse surrogate ids pack like a dense local prefix sum") {
+    import graft.operators.TextAnalysis
+    val r = new Random(59)
+    // id gaps on purpose — the x104 epoch-stride keying leaves most of
+    // the id space empty, and the bucket decomposition must not care
+    val ids = (0L until 60L).map(i => i * (1L + r.nextInt(1000000)))
+      .distinct.sorted
+    val counts = ids.map(id => (id, 1L + r.nextInt(40).toLong))
+    val bin = 23L
+    val expected = counts.scanLeft((0L, 0L, 0L)) {
+      case ((_, _, cum), (id, n)) => (id, n, cum + n)
+    }.drop(1).map { case (id, n, cum) =>
+      (id, n, cum - n, (cum - n) / bin, (cum - 1) / bin) }.toSet
+    val got = TextAnalysis.packSequenceCounts(
+      r.shuffle(counts).toDF("doc_id", "n_tokens").repartition(5), bin, 7L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("kmeans inertia: consistent with the iteration; Lloyd descent on the fixture") {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val emb = Tables.read(spark, SparkTestBase.sf, "embeddings")
+    val step = Similarity.kmeansIter(emb)
+      .select("new_label", "d2").as[(Long, Long)].collect()
+    val byCell = Similarity.kmeansInertia(emb)
+      .select("label", "n_vecs", "inertia").as[(Long, Long, Long)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // the dashboard aggregates exactly the iteration's argmin distances
+    step.groupBy(_._1).foreach { case (l, rows) =>
+      assert(byCell(l) == ((rows.length.toLong, rows.map(_._2).sum)))
+    }
+    // Lloyd descent: total inertia never increases across an iteration
+    // (assignment is an argmin; the truncated-integer centroid mean
+    // perturbs each component < 1 quantization step — far below the
+    // fixture's inter-cell distances, so the classic monotonicity
+    // survives the integer arithmetic here)
+    val relabeled = emb.drop("label").join(
+      Similarity.kmeansIter(emb)
+        .select(col("vec_id"), col("new_label").cast("int").as("label")),
+      "vec_id")
+    val before = step.map(_._2).sum
+    val after = Similarity.kmeansInertia(relabeled)
+      .agg(sum("inertia")).as[Long].head()
+    assert(after <= before,
+      s"inertia rose across a Lloyd iteration: $before -> $after")
+  }
+
   test("dupSpanCoverage: duplicated docs are fully covered, unique-gram mass is not") {
     import graft.operators.TextAnalysis
     val r = new Random(7)
