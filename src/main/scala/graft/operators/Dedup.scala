@@ -607,9 +607,10 @@ object Dedup {
     */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
     // presence is tracked by explicit markers, NOT by fingerprint
-    // nullness: md5(NULL text) is NULL, so a null-text row (which
-    // CorpusIO.cleanDocs admits) would otherwise masquerade as absent
-    // and misclassify — the oracle keys on id presence too
+    // nullness: md5(NULL text) is NULL, so a null-text row (legal in
+    // a general snapshot frame — the diff makes no CorpusIO-style
+    // all-fields promise about its inputs) would otherwise masquerade
+    // as absent and misclassify — the oracle keys on id presence too
     val o = oldSnap.select(col("doc_id"), md5(col("text")).as("fp_old"),
       lit(true).as("in_old"))
     val n = newSnap.select(col("doc_id"), md5(col("text")).as("fp_new"),

@@ -259,7 +259,13 @@ object Similarity {
     // losing an executor mid-loop fails the job — on a preemptible/
     // dynamic-allocation cluster pass `reliable = true` (requires
     // `sparkContext.setCheckpointDir`) to write iterations to
-    // fault-tolerant storage instead
+    // fault-tolerant storage instead. NOTE: the per-iteration
+    // unpersist below releases block-manager storage (the local
+    // path's footprint); reliable checkpoint FILES are reclaimed by
+    // the ContextCleaner only under
+    // `spark.cleaner.referenceTracking.cleanCheckpoints=true` (set it
+    // for long loops), else they accumulate until application exit —
+    // bounded by maxIter corpus copies on durable storage
     def materialize(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
     var cur = emb.select(col("vec_id"), col("label"), col("embedding"))

@@ -1447,12 +1447,6 @@ object OracleSqlExt {
       |FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
       |ORDER BY doc_id""".stripMargin
 
-  /** Mirrors the x87 streaming dedup: the synthesized duplicated corpus
-    * (every run of 5 consecutive doc_ids shares the canonical
-    * `doc_id − doc_id % 5` text) deduped to its first occurrence — the
-    * batch spelling `min(doc_id) GROUP BY md5(text)` that the
-    * keyed-state streaming query must reproduce exactly.
-    */
   /** Mirrors the x103 streaming corpus ingestion: the same run-of-5
     * duplicate synthesis (each doc carries its run head's text, with
     * n_chars re-derived from that canonical text), batch
@@ -1476,6 +1470,12 @@ object OracleSqlExt {
       |SELECT r.doc_id, r.lang, r.source, r.n_chars
       |FROM r JOIN keep USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Mirrors the x87 streaming dedup: the synthesized duplicated corpus
+    * (every run of 5 consecutive doc_ids shares the canonical
+    * `doc_id − doc_id % 5` text) deduped to its first occurrence — the
+    * batch spelling `min(doc_id) GROUP BY md5(text)` that the
+    * keyed-state streaming query must reproduce exactly.
+    */
   def streamDedupSql: String =
     """WITH d AS (
       |  SELECT a.doc_id, b.text

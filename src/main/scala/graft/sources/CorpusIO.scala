@@ -50,20 +50,38 @@ object CorpusIO {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
 
-  /** Well-formed rows of a [[readJsonl]] frame (every declared field
-    * parsed; doc_id present — a row without its key is quarantine
-    * material even if syntactically valid JSON).
+  /** The data fields a document row must carry to be CLEAN — every
+    * declared column. One list feeding both [[cleanDocs]] and
+    * [[quarantine]] so the two filters always partition the input.
+    */
+  private val RequiredFields: Seq[String] =
+    DocSchema.fieldNames.toSeq.filterNot(_ == "_corrupt")
+
+  /** Well-formed rows of a [[readJsonl]] frame: every declared field
+    * PRESENT, not just parseable — a syntactically valid line missing
+    * its key, its text, or any other declared field is quarantine
+    * material. The all-fields rule is load-bearing for the streaming
+    * pipe: [[streamCurated]] deserializes into the typed
+    * [[CuratedDoc]] and keys dedup state on the text, so a single
+    * admitted null would crash the batch, and a streaming checkpoint
+    * REPLAYS the poison line on every restart — a permanently wedged
+    * ingest, the exact failure mode this module exists to prevent.
     */
   def cleanDocs(raw: DataFrame): DataFrame =
-    raw.filter(col("_corrupt").isNull && col("doc_id").isNotNull)
+    raw.filter(col("_corrupt").isNull &&
+        RequiredFields.map(col(_).isNotNull).reduce(_ && _))
       .drop("_corrupt")
 
-  /** Quarantined rows: raw line text preserved for triage. Spark only
-    * materializes `_corrupt` when other columns are also selected, so
-    * the filter runs on the full frame before projecting.
+  /** Quarantined rows: raw line text preserved for triage (malformed
+    * lines carry the whole line; a parsed-but-field-incomplete line
+    * quarantines with a null `raw_line` — the null field IS the
+    * evidence). Spark only materializes `_corrupt` when other columns
+    * are also selected, so the filter runs on the full frame before
+    * projecting.
     */
   def quarantine(raw: DataFrame): DataFrame =
-    raw.filter(col("_corrupt").isNotNull || col("doc_id").isNull)
+    raw.filter(col("_corrupt").isNotNull ||
+        RequiredFields.map(col(_).isNull).reduce(_ || _))
       .select(col("_corrupt").as("raw_line"))
 
   /** Write a curated corpus as hive-partitioned parquet
@@ -143,7 +161,7 @@ object CorpusIO {
     * analogue of the S2 metric ingest path): a [[readJsonlStream]]
     * frame flows clean-split → exact first-occurrence dedup
     * ([[graft.operators.Dedup.streamingFirstOccurrenceBy]], keyed on
-    * the text's md5 so the state store holds 16-byte digests, never
+    * the text's md5 hex — a constant ~32-byte string per key, never
     * document text) → curated-layout append via `foreachBatch` (the
     * same `lang=<l>/part=<p>/` discipline as [[writeCurated]], one
     * task per output partition per batch). The checkpoint carries both

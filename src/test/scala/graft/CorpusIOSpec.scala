@@ -19,7 +19,8 @@ class CorpusIOSpec extends AnyFunSuite {
       """{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "src1", "n_chars": 7}""",
       """{"doc_id": 3, "text": "truncated""", // malformed JSON
       """not json at all""",
-      """{"text": "no key", "lang": "en", "source": "src0", "n_chars": 6}""") // missing doc_id
+      """{"text": "no key", "lang": "en", "source": "src0", "n_chars": 6}""", // missing doc_id
+      """{"doc_id": 4, "lang": "en", "source": "src0", "n_chars": 4}""") // keyed but missing text
     Files.write(java.nio.file.Paths.get(dir, "part0.jsonl"),
       lines.mkString("\n").getBytes("UTF-8"))
     val raw = CorpusIO.readJsonl(spark, dir)
@@ -29,11 +30,14 @@ class CorpusIOSpec extends AnyFunSuite {
       (1L, "hello world", "en", "src0", 11L),
       (2L, "bonjour", "fr", "src1", 7L)))
     val quarantined = CorpusIO.quarantine(raw).as[String].collect().toSeq
-    // two malformed lines keep their raw text; the keyless-but-valid
-    // line quarantines with a null raw_line (it parsed, so nothing was
-    // captured — the doc_id null IS the evidence)
+    // two malformed lines keep their raw text; the parsed-but-
+    // field-incomplete lines (missing key, missing text) quarantine
+    // with a null raw_line (they parsed, so nothing was captured —
+    // the null field IS the evidence). The missing-text case is
+    // load-bearing: an admitted null text would poison the streaming
+    // pipe's typed dedup state and wedge the checkpoint replay
     assert(quarantined.count(_ != null) == 2)
-    assert(quarantined.length == 3)
+    assert(quarantined.length == 4)
     assert(quarantined.filter(_ != null).exists(_.contains("truncated")))
     // nothing lost: clean + quarantine partition the input lines
     assert(clean.length + quarantined.length == lines.length)
@@ -117,9 +121,14 @@ class CorpusIOSpec extends AnyFunSuite {
       Seq(jline(0, "aa bb"), jline(1, "aa bb"), jline(2, "cc dd")))
     cur.processAllAvailable()
     // batch 1: a cross-batch duplicate (id 3 repeats batch 0's text)
-    // plus malformed quarantine bait that must not block the pipe
+    // plus quarantine bait that must not block the pipe — two
+    // malformed lines AND the poison-pill shape: valid JSON with its
+    // key but NO text, which the typed dedup state would NPE on if
+    // the clean split ever admitted it (a streaming checkpoint then
+    // replays the poison line forever — a wedged ingest)
     writeFile("f1.json", Seq(jline(3, "aa bb"), jline(4, "ee ff"),
-      """{"doc_id": 9, "text":""", "junk line"))
+      """{"doc_id": 9, "text":""", "junk line",
+      """{"doc_id": 10, "lang": "en", "source": "src0", "n_chars": 4}"""))
     cur.processAllAvailable()
     cur.stop()
     // restart against the SAME checkpoint: the dedup state and source
@@ -143,10 +152,12 @@ class CorpusIOSpec extends AnyFunSuite {
       .groupBy("text").agg(min("doc_id").as("doc_id"))
       .select("doc_id", "text").as[(Long, String)].collect().toSet
     assert(kept == batch)
-    // both malformed lines are quarantined with their raw text intact
+    // both malformed lines are quarantined with their raw text
+    // intact; the keyed-but-textless line quarantines as a null
+    // raw_line row (parsed, so nothing was captured)
     val q = spark.read.parquet(s"$root/out/quarantine")
       .as[String].collect().toSeq
-    assert(q.length == 2 && q.exists(_.contains("\"doc_id\": 9")) &&
-      q.contains("junk line"))
+    assert(q.length == 3 && q.exists(_.contains("\"doc_id\": 9")) &&
+      q.contains("junk line") && q.count(_ == null) == 1)
   }
 }
