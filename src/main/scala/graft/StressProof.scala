@@ -49,6 +49,7 @@ object StressProof {
     spark.sparkContext.setLogLevel("WARN")
     try {
       lsh(spark)
+      ppjoin(spark)
       contraction(spark)
       ivf(spark)
       kmeans(spark)
@@ -57,14 +58,17 @@ object StressProof {
     } finally spark.stop()
   }
 
-  /** 50 000 distinct 40-word docs + 2 500 planted near-dups (one word
-    * mutated → 3 of 41 tri-shingles differ, Jaccard 35/41 ≈ 0.854).
-    * Text is a pure function of the id, so the corpus generates
-    * distributed and the ground-truth pair list is `(i, 50000 + i)`.
+  private val NBase = 50000L
+  private val NDups = 2500L
+
+  /** The shared planted-near-dup corpus: 50 000 distinct 40-word docs
+    * + 2 500 one-word-mutated copies (one word mutated → 3 of 41
+    * tri-shingles differ, Jaccard 35/41 ≈ 0.854; pure function of the
+    * id, so the corpus generates distributed and the ground-truth
+    * pair list is `(i, 50000 + i)`). Used by the LSH and
+    * prefix-postings blocks.
     */
-  private def lsh(spark: SparkSession): Unit = {
-    val nBase = 50000L
-    val nDups = 2500L
+  private def plantedDocs(spark: SparkSession): DataFrame = {
     def word(seed: Column) =
       concat(lit("w"), pmod(xxhash64(seed), lit(30000L)))
     def text(baseId: Column, mutate: Boolean) = array_join(
@@ -72,12 +76,17 @@ object StressProof {
         if (mutate) when(j === 39, lit("wMUTATED"))
           .otherwise(word(baseId * 1000L + j))
         else word(baseId * 1000L + j)), " ")
-    val base = spark.range(nBase).select(col("id").as("doc_id"),
+    val base = spark.range(NBase).select(col("id").as("doc_id"),
       text(col("id"), mutate = false).as("text"))
-    val dups = spark.range(nDups).select((col("id") + nBase).as("doc_id"),
+    val dups = spark.range(NDups).select((col("id") + NBase).as("doc_id"),
       text(col("id"), mutate = true).as("text"))
-    val docs = base.unionByName(dups)
-      .withColumn("n_chars", length(col("text")))
+    base.unionByName(dups).withColumn("n_chars", length(col("text")))
+  }
+
+  private def lsh(spark: SparkSession): Unit = {
+    val nBase = NBase
+    val nDups = NDups
+    val docs = plantedDocs(spark)
 
     // candidates generated ONCE (cached), counted, then verified — so
     // each stage runs and is timed exactly once
@@ -96,6 +105,35 @@ object StressProof {
     // regression. Bound: 4× planted covers hash-collision noise.
     require(nCand < 4 * nDups, s"LSH candidate blow-up: $nCand pairs")
     require(recall >= 0.9, f"LSH recall $recall%.4f below banding expectation")
+  }
+
+  /** The EXACT prefix-postings generator ([[Dedup.jaccardPairs]], the
+    * x21/x45/x96/x97/x102 candidate core) over the same planted
+    * corpus: unlike LSH this path is deterministic-complete, so the
+    * verified pair set must be EXACTLY the 2 500 planted pairs —
+    * perfect recall AND zero accidental pairs on the random
+    * vocabulary — while prefix filtering keeps the candidate join ∝
+    * planted structure instead of the 1.38e9 all-pairs product.
+    */
+  private def ppjoin(spark: SparkSession): Unit = {
+    val docs = plantedDocs(spark)
+    val (sh, candDf) = Dedup.jaccardCandidates(docs, 0.8, 50L)
+    val cand = candDf.cache()
+    val (nCand, tCand) = timed(cand.count())
+    val (pairs, tVerify) = timed(
+      Dedup.verifyJaccard(cand, sh, 0.8)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    cand.unpersist()
+    val planted = (0L until NDups).map(i => (i, NBase + i)).toSet
+    println(f"STRESS ppjoin docs=${NBase + NDups} candidates=$nCand " +
+      f"exact_pairs=${pairs.size} planted=$NDups " +
+      f"t_cand=$tCand%.1fs t_all=${tCand + tVerify}%.1fs")
+    require(pairs == planted,
+      s"prefix-postings not exact: ${pairs.size} pairs, " +
+        s"missing=${(planted -- pairs).size} extra=${(pairs -- planted).size}")
+    require(nCand < 40L * NDups,
+      s"prefix-postings candidate blow-up: $nCand pairs")
   }
 
   /** 10 000 chains of 10 nodes + one chain of 10 000 nodes (110 000

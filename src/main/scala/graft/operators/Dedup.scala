@@ -57,6 +57,18 @@ object Dedup {
     * join, which survives a 100× scale-up.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double, band: Long = 50L): DataFrame = {
+    val (sh, cand) = jaccardCandidates(docs, threshold, band)
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** The candidate stage of [[jaccardPairs]] — shingle sets plus the
+    * prefix-posting candidate pairs BEFORE exact verification.
+    * `private[graft]` so StressProof can hold the "candidates ∝
+    * near-dup density, never n²" claim as a measured count at high
+    * cardinality, exactly as it does for the LSH generator.
+    */
+  private[graft] def jaccardCandidates(docs: DataFrame, threshold: Double,
+                                       band: Long): (DataFrame, DataFrame) = {
     val (sh, prefix) = prefixPostings(docs, threshold, lit(false))
     val a = prefix.select(col("doc_id").as("doc_a"), col("n_chars").as("ca"), col("g"))
     val b = prefix.select(col("doc_id").as("doc_b"), col("n_chars").as("cb"), col("g"))
@@ -64,8 +76,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b") &&
         col("cb") >= col("ca") - band && col("cb") <= col("ca") + band)
       .select("doc_a", "doc_b").distinct()
-
-    verifyJaccard(cand, sh, threshold)
+    (sh, cand)
   }
 
   /** Shingle sets + AllPairs prefix postings under the corpus-global
