@@ -50,6 +50,7 @@ object StressProof {
     try {
       lsh(spark)
       ppjoin(spark)
+      simhashBlocks(spark)
       contraction(spark)
       ivf(spark)
       kmeans(spark)
@@ -134,6 +135,46 @@ object StressProof {
         s"missing=${(planted -- pairs).size} extra=${(pairs -- planted).size}")
     require(nCand < 40L * NDups,
       s"prefix-postings candidate blow-up: $nCand pairs")
+  }
+
+  /** SimHash pigeonhole bit-block banding on the DEGENERATE length
+    * distribution — every document forced to the same n_chars, the
+    * chunked-corpus shape where pure length banding is all-pairs
+    * (1.38e9). Candidates must stay bit-block-bounded (~Σ_blk n²/2^w,
+    * two orders below all-pairs), and the output must contain exactly
+    * the planted pairs whose fingerprints sit within the hamming
+    * radius (pigeonhole completeness measured against the engine's
+    * own fingerprints — the blocking is the claim under test, not the
+    * hash).
+    */
+  private def simhashBlocks(spark: SparkSession): Unit = {
+    val maxDist = 6
+    val docs = plantedDocs(spark).withColumn("n_chars", lit(300L))
+    val (nCand, tCand) = timed(
+      Dedup.simhashCandidates(docs, maxDist, 50L).count())
+    val (got, tPairs) = timed(
+      Dedup.simhashPairs(docs, maxDist, 50L)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val fps = Dedup.simhash(
+        docs.filter(col("doc_id") < NDups || col("doc_id") >= NBase))
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (0L until NDups)
+      .filter(i => java.lang.Long.bitCount(fps(i) ^ fps(NBase + i)) <= maxDist)
+      .map(i => (i, NBase + i)).toSet
+    val plantedShape = (0L until NDups).map(i => (i, NBase + i)).toSet
+    val accidental = got -- plantedShape
+    println(f"STRESS simhash docs=${NBase + NDups} const_len candidates=$nCand " +
+      f"found=${got.size} in_radius_planted=${expected.size} " +
+      f"accidental=${accidental.size} t_cand=$tCand%.1fs t_all=${tCand + tPairs}%.1fs")
+    require((got & plantedShape) == expected,
+      s"pigeonhole blocking lost pairs: missing=${(expected -- got).size}")
+    // ~2.7e7 from the block widths at this n; 1.38e9/20 flags any
+    // regression toward the all-pairs shape while tolerating the
+    // inherent block-collision volume
+    require(nCand < 1380000000L / 20L,
+      s"simhash candidate blow-up under constant length: $nCand")
   }
 
   /** 10 000 chains of 10 nodes + one chain of 10 000 nodes (110 000

@@ -543,29 +543,83 @@ object Dedup {
 
   /** SimHash near-dup pairs: hamming distance ≤ `maxDist` within a
     * length band.
+    *
+    * Candidate generation composes TWO complete equi-join keys:
+    *
+    *  - the ±1 length bucket (|ca − cb| ≤ band ⟹ bucket(cb) ∈
+    *    {bucket(ca)−1, …, +1} — the [[AsOfJoin]] bucketing shape);
+    *  - a PIGEONHOLE fingerprint block (Manku et al. 2007, "Detecting
+    *    Near-Duplicates for Web Crawling"): the 60 fingerprint bits
+    *    split into `maxDist + 1` near-equal blocks, and two
+    *    fingerprints within hamming `maxDist` differ in at most
+    *    `maxDist` blocks, so they must agree EXACTLY on at least one
+    *    — joining on (block index, block value) is complete for the
+    *    predicate.
+    *
+    * Both keys are complete, so their conjunction is too, and the
+    * exact hamming/band filters make the output independent of the
+    * blocking — the oracle is the naive banded product and must
+    * hash-match. The composition is what survives 100 TB: length
+    * banding alone degenerates to all-pairs when document lengths
+    * concentrate (a CHUNKED corpus is the common case — every doc the
+    * same length), while the bit blocks divide any bucket by ~2^{60/
+    * (maxDist+1)} regardless of the length distribution
+    * (StressProof's constant-length corpus measures exactly this
+    * degenerate case). Tighter `maxDist` ⇒ wider blocks ⇒ sharper
+    * pruning — the knob trades recall radius against candidate
+    * volume, as in the paper.
     */
-  def simhashPairs(docs: DataFrame, maxDist: Int, band: Long = 50L): DataFrame = {
-    // bucket the length band so the self-join is an equi-join on
-    // (bucket): |ca − cb| ≤ band ⟹ bucket(cb) ∈ {bucket(ca)−1, …, +1},
-    // so the right side is emitted into its own and both neighbor
-    // buckets and the exact predicate filters the rest. Same shape as
-    // AsOfJoin.countInWindow — a pure non-equi self-join would plan as a
-    // nested loop, the O(n²) shape this module exists to avoid.
+  def simhashPairs(docs: DataFrame, maxDist: Int, band: Long = 50L): DataFrame =
+    simhashCandidates(docs, maxDist, band)
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+
+  /** [[simhashPairs]]'s candidate stage: distinct pairs surviving the
+    * composed (fingerprint block, length bucket) equi-keys and the
+    * exact band predicate, BEFORE the hamming test — `private[graft]`
+    * so StressProof can measure candidate volume on the
+    * degenerate-length corpus.
+    */
+  private[graft] def simhashCandidates(docs: DataFrame, maxDist: Int,
+                                       band: Long): DataFrame = {
+    require(maxDist >= 0 && maxDist < SimhashBits,
+      s"maxDist must be in [0, $SimhashBits), got $maxDist")
+    val nBlocks = maxDist + 1
+    val base = SimhashBits / nBlocks
+    val extra = SimhashBits % nBlocks
+    val offsets = (0 until nBlocks).scanLeft(0)((off, i) =>
+      off + base + (if (i < extra) 1 else 0))
+    def blockCols(fp: Column) = array((0 until nBlocks).map { i =>
+      val off = offsets(i)
+      val w = offsets(i + 1) - off
+      struct(lit(i).as("blk"),
+        shiftright(fp, off).bitwiseAND((1L << w) - 1).as("bv"))
+    }: _*)
     val s = simhash(docs)
     val a = s.select(col("doc_id").as("doc_a"), col("n_chars").as("ca"),
       col("simhash").as("fa"))
       .withColumn("__b", (col("ca") / band).cast("long"))
+      .select(col("doc_a"), col("ca"), col("fa"), col("__b"),
+        explode(blockCols(col("fa"))).as("k"))
+      .select(col("doc_a"), col("ca"), col("fa"), col("__b"),
+        col("k.blk").as("blk"), col("k.bv").as("bv"))
     val b = s.select(col("doc_id").as("doc_b"), col("n_chars").as("cb"),
       col("simhash").as("fb"))
       .withColumn("__b0", (col("cb") / band).cast("long"))
       .select(col("doc_b"), col("cb"), col("fb"),
         explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1)).as("__b"))
-    a.join(b, Seq("__b"))
+      .select(col("doc_b"), col("cb"), col("fb"), col("__b"),
+        explode(blockCols(col("fb"))).as("k"))
+      .select(col("doc_b"), col("cb"), col("fb"), col("__b"),
+        col("k.blk").as("blk"), col("k.bv").as("bv"))
+    a.join(b, Seq("blk", "bv", "__b"))
       .filter(col("doc_a") < col("doc_b") &&
         col("cb") >= col("ca") - band && col("cb") <= col("ca") + band)
-      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
-      .filter(col("hamming") <= maxDist)
-      .select("doc_a", "doc_b", "hamming")
+      // a pair agreeing on several blocks matches several times —
+      // dedup the PAIR before the (cheap) exact filter so the output
+      // is one row per qualifying pair
+      .select("doc_a", "doc_b", "fa", "fb").distinct()
   }
 
   /** Crawl novelty time-series (SURVEY §2.10 X32) — the "is this
