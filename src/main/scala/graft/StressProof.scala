@@ -296,9 +296,10 @@ object StressProof {
     * one boolean per distinct key, output = distinct keys, per-batch
     * latency stable as state grows), held three orders of magnitude
     * above x87's 500-doc correctness fixture. Four parquet file-drops
-    * become four micro-batches (batches 0–2 all-new keys, batch 3 a
-    * 1/3 duplicate tail), generated and counted distributed — the
-    * driver only moves per-batch scalars.
+    * become four micro-batches (batches 0–2 all-new keys; batch 3 is
+    * 2/3 duplicates — 100 k novel keys + 200 k replays of batch-0
+    * keys), generated and counted distributed — the driver only moves
+    * per-batch scalars.
     */
   private def streamDedup(spark: SparkSession): Unit = {
     import org.apache.spark.sql.types._

@@ -741,12 +741,30 @@ object Dedup {
 
   /** md5 hex digest of a string's UTF-8 bytes — the streaming dedup
     * key ([[streamingFirstOccurrenceBy]] callers key state on the
-    * 128-bit digest so the state store never holds document text),
-    * spelled to agree byte-for-byte with SQL `md5(text)` in Spark and
-    * DuckDB.
+    * digest so the state store never holds document text), spelled to
+    * agree byte-for-byte with SQL `md5(text)` in Spark and DuckDB.
+    * Hot-path shape: it runs once per streamed document, so the
+    * digest instance is thread-local-reused (getInstance does a
+    * provider lookup per call) and the hex encode is a table lookup,
+    * not per-byte format-string boxing.
     */
-  def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+  def md5Hex(s: String): String = {
+    val md = Md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+  private val Md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 }

@@ -386,25 +386,27 @@ object Similarity {
     val approx = nprobe.fold(topKIvf(emb, queryIds, k))(p =>
       topKIvfProbe(emb, queryIds, k, p))
     recallAgainstBrute(topKBrute(emb, queryIds, k).select("q_id", "vec_id"),
-      approx.select("q_id", "vec_id"))
+      approx.select("q_id", "vec_id"), Seq("q_id"))
+      .select("q_id", "n_brute", "n_hit", "recall")
   }
 
-  /** Per-query recall@k of an approximate result set against the
-    * brute-force ground truth — the shared audit aggregation of
-    * [[annRecall]] and [[annRecallCurve]]. Both inputs are top-k
-    * result sets (k·|queries| rows), so the join is broadcast-sized
-    * regardless of corpus size.
+  /** Per-key recall@k of an approximate result set against the
+    * brute-force ground truth — THE audit aggregation, keyed by
+    * `keys` (q_id alone for [[annRecall]]; (nprobe, q_id) for
+    * [[annRecallCurve]]) so the hit-count/coalesce/recall spelling
+    * exists exactly once. Both inputs are top-k result sets
+    * (k·|queries| rows, times |probes| for the curve), so the join is
+    * broadcast-sized regardless of corpus size.
     */
-  private def recallAgainstBrute(brute: DataFrame,
-                                 approx: DataFrame): DataFrame =
+  private def recallAgainstBrute(brute: DataFrame, approx: DataFrame,
+                                 keys: Seq[String]): DataFrame =
     brute.join(broadcast(approx.withColumn("hit", lit(1L))),
-        Seq("q_id", "vec_id"), "left")
-      .groupBy("q_id")
+        keys :+ "vec_id", "left")
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_brute"),
         coalesce(sum("hit"), lit(0L)).as("n_hit"))
-      .select(col("q_id"), col("n_brute"), col("n_hit"),
-        (col("n_hit").cast("double") / col("n_brute").cast("double"))
-          .as("recall"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_brute").cast("double"))
 
   /** The recall/cost tuning curve a production IVF deployment actually
     * reads: recall@k of [[topKIvfProbe]] as a function of `nprobe` —
@@ -437,14 +439,9 @@ object Similarity {
     val probes = nprobes.map(_.toLong).toDF("nprobe")
     val brute = topKBrute(emb, queryIds, k).select("q_id", "vec_id")
     val probed = topKProbedMulti(emb, queryIds, k, nprobes)
-      .select("nprobe", "q_id", "vec_id").withColumn("hit", lit(1L))
-    brute.crossJoin(broadcast(probes))
-      .join(broadcast(probed), Seq("nprobe", "q_id", "vec_id"), "left")
-      .groupBy("nprobe", "q_id")
-      .agg(count(lit(1)).as("n_brute"),
-        coalesce(sum("hit"), lit(0L)).as("n_hit"))
-      .select(col("q_id"), col("n_brute"), col("n_hit"),
-        (col("n_hit").cast("double") / col("n_brute").cast("double"))
-          .as("recall"), col("nprobe"))
+      .select("nprobe", "q_id", "vec_id")
+    recallAgainstBrute(brute.crossJoin(broadcast(probes)), probed,
+      Seq("nprobe", "q_id"))
+      .select("q_id", "n_brute", "n_hit", "recall", "nprobe")
   }
 }

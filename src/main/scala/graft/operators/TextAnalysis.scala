@@ -156,7 +156,11 @@ object TextAnalysis {
     *                       corpus; held members are excluded from the
     *                       slot because a representative that never
     *                       enters the corpus would shift its near-dups'
-    *                       reason from `contaminated` to `duplicate`);
+    *                       reason from `contaminated` to `duplicate` —
+    *                       and, in a transitive chain, a member with NO
+    *                       direct held overlap may then be kept, which
+    *                       is the direct-overlap contamination policy
+    *                       applied consistently);
     *   3. `contaminated` — shares ≥ 1 shingle with the held set;
     *   4. `kept`         — passed every gate.
     *
@@ -177,12 +181,16 @@ object TextAnalysis {
                      clusters: DataFrame,
                      isHeld: Column): DataFrame = {
     val q = quality(docs).select(col("doc_id"), col("quality_score"))
-    // canonicalize among NON-HELD quality survivors: if a cluster's
-    // min-id survivor is held, it never enters the corpus, so labeling
-    // its near-dups 'duplicate' of it would misattribute — the docs
-    // are dropped either way (a 3-shingle near-dup of a held doc is
-    // contaminated), but the ledger's whole purpose is the REASON, and
-    // a held doc cannot absorb the representative slot
+    // canonicalize among NON-HELD quality survivors: a held cluster
+    // member never enters the corpus, so it cannot absorb the
+    // representative slot. For DIRECT near-dups of a held doc this
+    // only changes the stated reason (they fall to the contamination
+    // gate). In a transitive-closure chain it can also change
+    // MEMBERSHIP: a member connected to the held doc only through
+    // intermediaries (no shared shingle) can become representative
+    // and be KEPT — deliberately, because the contamination policy is
+    // DIRECT overlap (x46's rule); dropping such a doc before this
+    // change was an accident of representative choice, not policy
     val survivingMembers = clusters.select("doc_id", "cluster")
       .join(docs.filter(!isHeld).select("doc_id"), "doc_id")
       .join(q.filter(col("quality_score") >= minScore).select("doc_id"),

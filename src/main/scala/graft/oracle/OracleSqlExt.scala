@@ -254,7 +254,9 @@ object OracleSqlExt {
     * SURVIVORS (curateWith's canonicalization, via the recursive-CTE
     * closure; held members never hold the slot — a canonical copy that
     * never enters the corpus must not shift its near-dups' reason from
-    * `contaminated` to `duplicate`), held-set shingle contamination
+    * `contaminated` to `duplicate`, and a closure member with no
+    * DIRECT held overlap may then be kept, the x46 direct-overlap
+    * policy applied consistently), held-set shingle contamination
     * (x46 convention), folded by the SAME fixed precedence CASE.
     */
   def curationLedgerSql(minScore: Double, threshold: Double,

@@ -51,11 +51,16 @@ class DocsSyncSpec extends AnyFunSuite {
     val testDir = Paths.get("src/test/scala/graft")
     val specCount = {
       import scala.jdk.CollectionConverters._
-      Files.list(testDir).iterator().asScala
+      // walk, not list: spec files under subpackages
+      // (graft/streaming/…) run in `sbt test` and must count, or this
+      // tripwire would pass while the README undercounts the suite
+      val stream = Files.walk(testDir)
+      try stream.iterator().asScala
         .filter(_.toString.endsWith(".scala"))
         .map(p => "(?m)^\\s*test\\(".r
           .findAllMatchIn(Files.readString(p)).size)
         .sum
+      finally stream.close()
     }
     assert(specMark.get.group(1).toInt == specCount,
       s"README says ${specMark.get.group(1)} specs, tree has $specCount " +

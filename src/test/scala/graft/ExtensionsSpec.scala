@@ -1242,6 +1242,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ledger == reproc.filterNot(_ % 20 == 0))
   }
 
+  test("curationLedger: closure member with NO direct held overlap is kept " +
+    "once the held representative steps aside") {
+    import spark.implicits._
+    // cluster {0 held, 1, 2} as a transitive chain: doc 1 shares no
+    // shingle with held doc 0 (doc 2 bridges them). With the held doc
+    // barred from the representative slot, doc 1 becomes rep and is
+    // KEPT — membership, not just attribution, deliberately follows
+    // the DIRECT-overlap contamination policy; doc 2 is doc 1's
+    // duplicate (gate 2 fires before its own direct contamination)
+    val d = Seq((0L, "p q r s"), (1L, "u v w x"), (2L, "p q r s u v w x"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L)).toDF("doc_id", "cluster")
+    val got = TextAnalysis.curationLedger(d, 0.5, clusters,
+      col("doc_id") === 0)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "kept", 2L -> "duplicate"))
+  }
+
   test("dupSpanCoverage: docs shorter than n are uncovered, not dropped") {
     import spark.implicits._
     val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c d e"),

@@ -19,7 +19,9 @@ oracle_section = entry[entry.index("def oracleSql"):]
 oracle = len(re.findall(r'^\s*"[qx]\w+" ->', oracle_section, re.M))
 tests = sum(
     len(re.findall(r"^\s*test\(", f.read_text(), re.M))
-    for f in (root / "src/test/scala/graft").glob("*.scala"))
+    # rglob, not glob: spec files under subpackages (graft/streaming/…)
+    # must count too or the README silently undercounts the suite
+    for f in (root / "src/test/scala/graft").rglob("*.scala"))
 
 readme_path = root / "README.md"
 readme = readme_path.read_text()
