@@ -1203,6 +1203,21 @@ object SparkEntry {
     "x86_dup_span_coverage" -> ((s, dir) =>
       TextAnalysis.dupSpanCoverage(Tables.read(s, dir, "documents"))
         .orderBy("doc_id")),
+    // Per-source data card: the datasheet roll-up a release ships —
+    // volumes, length extremes, short-doc and PII densities per
+    // source, one partially-aggregated groupBy. Every third doc gets
+    // the x68-style synthetic contact line so the PII columns are
+    // non-trivial on the clean fixture corpus
+    "x106_source_datacard" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val enriched = docs.withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(col("text")))
+      TextAnalysis.sourceDataCard(enriched, shortTokens = 50L)
+        .orderBy("source")
+    }),
     // X1/X2 paragraph-level exact dedup (the C4/Dolma line-dedup
     // shape): fixed 10-token chunks, global first-occurrence keep,
     // in-order document reassembly. A shared 10-token header prepended
@@ -1537,6 +1552,7 @@ object SparkEntry {
     "x80_stratified_sample" -> OracleSqlExt.stratifiedSampleSql(10),
     "x85_mixture_weights" -> OracleSqlExt.mixtureWeightsSql,
     "x86_dup_span_coverage" -> OracleSqlExt.dupSpanCoverageSql(2L),
+    "x106_source_datacard" -> OracleSqlExt.sourceDataCardSql(50L),
     "x87_stream_dedup" -> OracleSqlExt.streamDedupSql,
     "x103_stream_corpus" -> OracleSqlExt.streamCorpusSql,
     "x88_ann_recall" -> OracleSqlExt.annRecallSql(Seq(0L, 1L, 2L), 5),

@@ -1085,6 +1085,48 @@ object TextAnalysis {
       .select("doc_id", "source", "n_tokens", "cum", "n_copies")
   }
 
+  /** Per-source data card (SURVEY §2.10) — the release-report roll-up
+    * a dataset ships with (datasheet/data-card convention): for every
+    * source, document and token volumes, length extremes, and the
+    * gate-relevant density signals (short-doc rate, PII-bearing-doc
+    * rate) a consumer reads before training on it. Every aggregate is
+    * an int64 count/sum — no double ever crosses the exchange — and
+    * the three rates are one final division each, so the report is
+    * order-independent and cross-engine hash-stable (the same rule as
+    * every other oracle-facing double here).
+    *
+    * Scale shape: per-row codegen'd expressions (token counts, PII
+    * regexes) feeding ONE partially-aggregated groupBy(source) —
+    * |sources| rows out of the exchange at any corpus size; no join,
+    * no window.
+    */
+  def sourceDataCard(docs: DataFrame, shortTokens: Long = 5L): DataFrame = {
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val nPii = (regexp_count(col("text"), lit(EmailRe)) +
+      regexp_count(col("text"), lit(PhoneRe)) +
+      regexp_count(col("text"), lit(Ipv4Re))).cast("long")
+    docs.select(col("source"), nTok.as("n_tokens"), nPii.as("n_pii"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens"),
+        sum(when(col("n_tokens") < shortTokens, 1L).otherwise(0L))
+          .as("n_short_docs"),
+        sum(when(col("n_pii") > 0, 1L).otherwise(0L)).as("n_pii_docs"),
+        sum("n_pii").as("n_pii_spans"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("min_tokens"), col("max_tokens"),
+        (col("total_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("mean_tokens"),
+        col("n_short_docs"),
+        (col("n_short_docs").cast("double") / col("n_docs").cast("double"))
+          .as("short_rate"),
+        col("n_pii_docs"), col("n_pii_spans"),
+        (col("n_pii_docs").cast("double") / col("n_docs").cast("double"))
+          .as("pii_rate"))
+  }
+
   /** Duplicated-n-gram span coverage (SURVEY §2.10 X22) — the exact
     * substring-dedup criterion of Lee et al. 2022 ("Deduplicating
     * Training Data Makes Language Models Better"), re-expressed over

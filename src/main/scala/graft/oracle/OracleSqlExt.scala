@@ -767,6 +767,52 @@ object OracleSqlExt {
        |FROM d ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirrors the x106 per-source data card: the same gated PII
+    * synthesis (every third doc gains a contact line), per-row token
+    * and PII counts, ONE grouped roll-up per source — every aggregate
+    * BIGINT, the three rates one double division each.
+    */
+  def sourceDataCardSql(shortTokens: Long): String = {
+    import graft.operators.TextAnalysis.{EmailRe, Ipv4Re, PhoneRe}
+    s"""WITH d AS (
+       |  SELECT source,
+       |         CASE WHEN doc_id % 3 = 0
+       |              THEN text || ' contact user' ||
+       |                   CAST(doc_id AS VARCHAR) || '@example.com'
+       |              ELSE text END AS text
+       |  FROM documents
+       |), m AS (
+       |  SELECT source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(len(regexp_extract_all(text, '$EmailRe')) +
+       |              len(regexp_extract_all(text, '$PhoneRe')) +
+       |              len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT)
+       |           AS n_pii
+       |  FROM d
+       |), g AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |         CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       |         CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       |         CAST(sum(CASE WHEN n_tokens < $shortTokens THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_short_docs,
+       |         CAST(sum(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_pii_docs,
+       |         CAST(sum(n_pii) AS BIGINT) AS n_pii_spans
+       |  FROM m GROUP BY source
+       |)
+       |SELECT source, n_docs, total_tokens, min_tokens, max_tokens,
+       |       CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |         AS mean_tokens,
+       |       n_short_docs,
+       |       CAST(n_short_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |         AS short_rate,
+       |       n_pii_docs, n_pii_spans,
+       |       CAST(n_pii_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |         AS pii_rate
+       |FROM g ORDER BY source""".stripMargin
+  }
+
   /** Mirrors `TextAnalysis.corpusFreqScore`: exact per-token document
     * frequency, per-doc Σ df and token count (both BIGINT — DuckDB's
     * window-free sum still widens to HUGEINT, hence the casts), and

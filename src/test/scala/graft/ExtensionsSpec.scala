@@ -1262,6 +1262,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "kept", 2L -> "duplicate"))
   }
 
+  test("sourceDataCard: hand fixture — counts, extremes, densities") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "s1", "a b c"),                          // 3 toks, short
+      (2L, "s1", "mail x@y.io now go"),             // 4 toks, short, 1 email
+      (3L, "s1", "one two three four five six"),    // 6 toks
+      (4L, "s2", "ping 10.0.0.1 and +1-555-1234 ok")) // 5 toks, ip+phone
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.sourceDataCard(d)
+      .as[(String, Long, Long, Long, Long, Double, Long, Double, Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("s1", 3L, 13L, 3L, 6L, 13.0 / 3.0, 2L, 2.0 / 3.0, 1L, 1L, 1.0 / 3.0),
+      ("s2", 1L, 5L, 5L, 5L, 5.0, 0L, 0.0, 1L, 2L, 1.0)))
+  }
+
   test("dupSpanCoverage: docs shorter than n are uncovered, not dropped") {
     import spark.implicits._
     val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c d e"),
