@@ -177,15 +177,32 @@ object CorpusIO {
     * + the partitioned append; no batch-over-batch joins.
     */
   def streamCurated(raw: DataFrame, outPath: String, checkpointDir: String,
-                    buckets: Int = 256)
+                    buckets: Int = 256,
+                    stats: Option[graft.streaming.CorpusIngestStats] = None)
     : org.apache.spark.sql.streaming.StreamingQuery = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = raw.sparkSession
     import spark.implicits._
+    // register BEFORE start so no early batch's progress event is
+    // missed; bind(runId) after start scopes the collector (the
+    // IngestStats ordering discipline)
+    stats.foreach(spark.streams.addListener)
+    // observe counters ride the batch's own pass — no extra scan: the
+    // input split counts (malformed / field-incomplete = the two
+    // quarantine evidence classes) before cleanDocs, the admitted
+    // count after the dedup gate
+    val observed = raw.observe("corpus_in",
+      count(lit(1)).as("n_lines"),
+      sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L))
+        .as("n_malformed"),
+      sum(when(col("_corrupt").isNull &&
+          RequiredFields.map(col(_).isNull).reduce(_ || _), 1L)
+        .otherwise(0L)).as("n_incomplete"))
     val first = graft.operators.Dedup.streamingFirstOccurrenceBy(
-      cleanDocs(raw).as[CuratedDoc])(
+      cleanDocs(observed).as[CuratedDoc])(
       d => graft.operators.Dedup.md5Hex(d.text), _.doc_id)
-    first.toDF()
+    val q = first.toDF()
+      .observe("corpus_out", count(lit(1)).as("n_admitted"))
       .writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
@@ -205,6 +222,8 @@ object CorpusIO {
         ()
       }
       .start()
+    stats.foreach(_.bind(q.runId))
+    q
   }
 
   /** Quarantine side of the streaming ingest: malformed lines append

@@ -111,9 +111,10 @@ class CorpusIOSpec extends AnyFunSuite {
     def writeFile(name: String, lines: Seq[String]): Unit =
       Files.write(java.nio.file.Paths.get(in, name),
         lines.mkString("\n").getBytes("UTF-8"))
+    val stats = new graft.streaming.CorpusIngestStats
     val cur = CorpusIO.streamCurated(
       CorpusIO.readJsonlStream(spark, in), s"$root/out", s"$root/ck",
-      buckets = 4)
+      buckets = 4, stats = Some(stats))
     val qr = CorpusIO.streamQuarantine(
       CorpusIO.readJsonlStream(spark, in), s"$root/out", s"$root/ckq")
     // batch 0: an in-batch duplicate (ids 0/1 share text — min id wins)
@@ -131,6 +132,22 @@ class CorpusIOSpec extends AnyFunSuite {
       """{"doc_id": 10, "lang": "en", "source": "src0", "n_chars": 4}"""))
     cur.processAllAvailable()
     cur.stop()
+    spark.streams.removeListener(stats)
+    // the X26 telemetry reconciles with the data the pipe moved:
+    // batch 0 = 3 lines / 2 admitted (in-batch dup), batch 1 = 5
+    // lines / 2 malformed / 1 incomplete / 1 admitted (cross-batch
+    // dup). Listener events are async — poll to the totals
+    val deadline = System.currentTimeMillis() + 20000
+    def totals() = stats.toDF(spark)
+      .agg(sum("nLines"), sum("nMalformed"), sum("nIncomplete"),
+        sum("nAdmitted"), sum("n_dup_dropped"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    var t = totals()
+    while (t._1 < 8L && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200); t = totals()
+    }
+    assert(t == ((8L, 2L, 1L, 3L, 2L)),
+      s"corpus ingest stats did not reconcile: $t")
     // restart against the SAME checkpoint: the dedup state and source
     // offsets must both survive — a post-restart duplicate (id 5) is
     // still a duplicate, a new doc (id 6) is admitted, and batches
