@@ -213,6 +213,38 @@ object TextAnalysis {
           .otherwise("kept").as("reason"))
   }
 
+  /** Drift report between two [[curationLedger]] runs — the answer to
+    * the question the ledger exists for: "why did N % more docs drop
+    * this run?" Per reason, the document counts on each side, the
+    * delta, and the churn decomposition: `n_entered` docs carrying
+    * this reason only in `after` (new docs, or docs whose reason
+    * shifted here), `n_left` only in `before`. Σ n_after − Σ n_before
+    * over all reasons is the pool-size change; a reason whose
+    * n_entered ≫ delta is a SHIFT (docs trading reasons — e.g. a
+    * quality-bar tightening converting `duplicate` rows to
+    * `low_quality`), not growth — the distinction a threshold-tuning
+    * run reads first.
+    *
+    * Scale shape: one per-(doc, reason) full-outer equi-join of two
+    * ledgers (each |pool| rows, already reduced), partially-aggregated
+    * counts per reason — output rows = |reasons|.
+    */
+  def ledgerDrift(before: DataFrame, after: DataFrame): DataFrame = {
+    val b = before.select(col("doc_id"), col("reason"))
+      .withColumn("in_b", lit(true))
+    val a = after.select(col("doc_id"), col("reason"))
+      .withColumn("in_a", lit(true))
+    b.join(a, Seq("doc_id", "reason"), "full_outer")
+      .groupBy("reason")
+      .agg(sum(when(col("in_b"), 1L).otherwise(0L)).as("n_before"),
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("n_after"),
+        sum(when(col("in_a") && col("in_b").isNull, 1L).otherwise(0L))
+          .as("n_entered"),
+        sum(when(col("in_b") && col("in_a").isNull, 1L).otherwise(0L))
+          .as("n_left"))
+      .withColumn("delta", col("n_after") - col("n_before"))
+  }
+
   /** Stratified view of [[splitAssign]]: per-(lang, split) counts —
     * the balance check a pipeline runs before training.
     */

@@ -1262,6 +1262,35 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "kept", 2L -> "duplicate"))
   }
 
+  test("ledgerDrift: threshold tightening reads as a reason SHIFT, not growth") {
+    import spark.implicits._
+    val clusters = Dedup.nearDupClusters(
+      Dedup.jaccardPairs(docs, 0.5, 10).select("doc_a", "doc_b"))
+    val held = col("doc_id") % 20 === 0
+    val loose = TextAnalysis.curationLedger(docs, 2.0, clusters, held)
+    val tight = TextAnalysis.curationLedger(docs, 4.0, clusters, held)
+    val drift = TextAnalysis.ledgerDrift(loose, tight)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6))).toMap
+    // identical pool on both sides: per-reason deltas sum to zero,
+    // and every (entered, left, delta) triple is internally consistent
+    assert(drift.values.map(_._5).sum == 0L)
+    drift.foreach { case (r, (nb, na, entered, left, delta)) =>
+      assert(delta == na - nb && delta == entered - left, s"reason $r")
+    }
+    // tightening the bar can only grow low_quality and shrink the rest
+    assert(drift("low_quality")._5 > 0)
+    assert(drift("kept")._5 <= 0 && drift("duplicate")._5 <= 0 &&
+      drift("contaminated")._5 <= 0)
+    // cross-check against independently computed ledgers
+    val lm = loose.as[(Long, String)].collect().toMap
+    val tm = tight.as[(Long, String)].collect().toMap
+    assert(drift("low_quality")._2 ==
+      tm.values.count(_ == "low_quality").toLong)
+    assert(drift("low_quality")._3 ==
+      tm.count { case (id, r) => r == "low_quality" && lm(id) != r }.toLong)
+  }
+
   test("sourceDataCard: hand fixture — counts, extremes, densities") {
     import spark.implicits._
     val d = Seq(
