@@ -57,6 +57,20 @@ object CorpusIO {
   private val RequiredFields: Seq[String] =
     DocSchema.fieldNames.toSeq.filterNot(_ == "_corrupt")
 
+  /** The two quarantine evidence classes, as the ONE spelling shared
+    * by [[cleanDocs]], [[quarantine]] and [[streamCurated]]'s observe
+    * counters — a change to the split rule that missed the telemetry
+    * would silently misattribute drops (an uncounted drop class lands
+    * in the derived dup-dropped column, corrupting exactly the signal
+    * the dashboard alerts on). Both expressions are null-free
+    * booleans (isNull/isNotNull never return NULL).
+    */
+  private def isMalformed: org.apache.spark.sql.Column =
+    col("_corrupt").isNotNull
+  private def isIncomplete: org.apache.spark.sql.Column =
+    col("_corrupt").isNull &&
+      RequiredFields.map(col(_).isNull).reduce(_ || _)
+
   /** Well-formed rows of a [[readJsonl]] frame: every declared field
     * PRESENT, not just parseable — a syntactically valid line missing
     * its key, its text, or any other declared field is quarantine
@@ -68,8 +82,7 @@ object CorpusIO {
     * ingest, the exact failure mode this module exists to prevent.
     */
   def cleanDocs(raw: DataFrame): DataFrame =
-    raw.filter(col("_corrupt").isNull &&
-        RequiredFields.map(col(_).isNotNull).reduce(_ && _))
+    raw.filter(!isMalformed && !isIncomplete)
       .drop("_corrupt")
 
   /** Quarantined rows: raw line text preserved for triage (malformed
@@ -80,8 +93,7 @@ object CorpusIO {
     * projecting.
     */
   def quarantine(raw: DataFrame): DataFrame =
-    raw.filter(col("_corrupt").isNotNull ||
-        RequiredFields.map(col(_).isNull).reduce(_ || _))
+    raw.filter(isMalformed || isIncomplete)
       .select(col("_corrupt").as("raw_line"))
 
   /** Write a curated corpus as hive-partitioned parquet
@@ -183,21 +195,24 @@ object CorpusIO {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = raw.sparkSession
     import spark.implicits._
-    // register BEFORE start so no early batch's progress event is
-    // missed; bind(runId) after start scopes the collector (the
-    // IngestStats ordering discipline)
-    stats.foreach(spark.streams.addListener)
+    // idempotent registration BEFORE start (the StreamingIngest
+    // discipline): reusing one collector across restarts — the
+    // pattern bind() supports — must not double-register it, or every
+    // batch's counters arrive twice; registering before start means
+    // no early batch's progress event is missed, and bind(runId)
+    // after start scopes the collector
+    stats.foreach { st =>
+      spark.streams.removeListener(st)
+      spark.streams.addListener(st)
+    }
     // observe counters ride the batch's own pass — no extra scan: the
-    // input split counts (malformed / field-incomplete = the two
-    // quarantine evidence classes) before cleanDocs, the admitted
-    // count after the dedup gate
+    // input split counts (the SHARED isMalformed/isIncomplete
+    // predicates — the same Columns cleanDocs/quarantine filter on)
+    // before cleanDocs, the admitted count after the dedup gate
     val observed = raw.observe("corpus_in",
       count(lit(1)).as("n_lines"),
-      sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L))
-        .as("n_malformed"),
-      sum(when(col("_corrupt").isNull &&
-          RequiredFields.map(col(_).isNull).reduce(_ || _), 1L)
-        .otherwise(0L)).as("n_incomplete"))
+      sum(when(isMalformed, 1L).otherwise(0L)).as("n_malformed"),
+      sum(when(isIncomplete, 1L).otherwise(0L)).as("n_incomplete"))
     val first = graft.operators.Dedup.streamingFirstOccurrenceBy(
       cleanDocs(observed).as[CuratedDoc])(
       d => graft.operators.Dedup.md5Hex(d.text), _.doc_id)

@@ -2,10 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.streaming.StreamingQueryListener
-
-import scala.collection.mutable
-import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.streaming.StreamingQueryProgress
 
 /** X26 operational telemetry — the corpus-side analogue of
   * [[IngestStats]] (S6): per micro-batch, how many JSONL lines
@@ -18,6 +15,7 @@ import scala.jdk.CollectionConverters._
   * the crawler is re-fetching old content. Counters ride
   * `df.observe(...)` into each batch's `StreamingQueryProgress`,
   * exactly like the metric side — zero extra passes over the data.
+  * Scoping/ring machinery comes from [[ScopedQueryListener]].
   */
 object CorpusIngestStats {
   case class BatchStats(
@@ -33,51 +31,20 @@ object CorpusIngestStats {
   val MaxRetained = 10000
 }
 
-class CorpusIngestStats extends StreamingQueryListener {
+class CorpusIngestStats
+    extends ScopedQueryListener[CorpusIngestStats.BatchStats] {
   import CorpusIngestStats.BatchStats
 
-  private val buf = mutable.ArrayBuffer.empty[BatchStats]
-  // listeners are session-global: without scoping, rows from EVERY
-  // query on the session interleave into this table
-  @volatile private var boundRunId: Option[String] = None
+  override protected def maxRetained: Int = CorpusIngestStats.MaxRetained
+  override protected def runIdOf(row: BatchStats): String = row.runId
 
-  /** Scope this collector to one query run (`CorpusIO.streamCurated`
-    * calls this with its query's runId). Rows already collected from
-    * other runs — possible in the window between listener
-    * registration and query start — are pruned.
-    */
-  def bind(runId: java.util.UUID): Unit = {
-    val r = runId.toString
-    boundRunId = Some(r)
-    buf.synchronized {
-      val keep = buf.filter(_.runId == r)
-      buf.clear()
-      buf ++= keep
-    }
-  }
-
-  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-
-  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-    val p = e.progress
-    if (boundRunId.exists(_ != p.runId.toString)) return
-    def obs(name: String, field: String): Long =
-      Option(p.observedMetrics.get(name))
-        .map(r => r.getAs[Long](field)).getOrElse(0L)
-    val dur = Option(p.durationMs.get("triggerExecution"))
-      .map(_.toLong)
-      .getOrElse(p.durationMs.asScala.values.map(_.toLong).sum)
-    buf.synchronized {
-      buf += BatchStats(
-        p.runId.toString, p.batchId, p.timestamp,
-        obs("corpus_in", "n_lines"), obs("corpus_in", "n_malformed"),
-        obs("corpus_in", "n_incomplete"), obs("corpus_out", "n_admitted"),
-        dur)
-      if (buf.length > CorpusIngestStats.MaxRetained)
-        buf.remove(0, buf.length - CorpusIngestStats.MaxRetained)
-    }
-  }
+  override protected def rowOf(p: StreamingQueryProgress): BatchStats =
+    BatchStats(
+      p.runId.toString, p.batchId, p.timestamp,
+      obs(p, "corpus_in", "n_lines"), obs(p, "corpus_in", "n_malformed"),
+      obs(p, "corpus_in", "n_incomplete"),
+      obs(p, "corpus_out", "n_admitted"),
+      totalDuration(p))
 
   /** The stats table with the derived dashboard columns:
     * `n_clean = lines − malformed − incomplete` (what passed the
@@ -87,8 +54,7 @@ class CorpusIngestStats extends StreamingQueryListener {
   def toDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions.when
-    val rows = buf.synchronized(buf.toSeq)
-    rows.toDF()
+    snapshot.toDF()
       .withColumn("n_clean",
         col("nLines") - col("nMalformed") - col("nIncomplete"))
       .withColumn("n_dup_dropped", col("n_clean") - col("nAdmitted"))

@@ -1,10 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.StreamingQueryListener
-
-import scala.collection.mutable
-import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.streaming.StreamingQueryProgress
 
 /** T6 operational telemetry — the reference republishes 14 derived
   * metrics about its own ingest/query activity at a fixed rate
@@ -12,7 +9,8 @@ import scala.jdk.CollectionConverters._
   * `df.observe(...)` counters flow into each micro-batch's
   * `StreamingQueryProgress`; this listener collects them plus engine
   * timings into an `ingest_stats` table with the same derived-rate
-  * arithmetic (C5: count/duration, utilization).
+  * arithmetic (C5: count/duration, utilization). Scoping/ring
+  * machinery comes from [[ScopedQueryListener]].
   */
 object IngestStats {
   case class BatchStats(
@@ -27,53 +25,20 @@ object IngestStats {
   val MaxRetained = 10000
 }
 
-class IngestStats extends StreamingQueryListener {
+class IngestStats extends ScopedQueryListener[IngestStats.BatchStats] {
   import IngestStats.BatchStats
 
-  private val buf = mutable.ArrayBuffer.empty[BatchStats]
-  // listeners are session-global: without scoping, rows from EVERY
-  // query on the session interleave into this table
-  @volatile private var boundRunId: Option[String] = None
+  override protected def maxRetained: Int = IngestStats.MaxRetained
+  override protected def runIdOf(row: BatchStats): String = row.runId
 
-  /** Scope this collector to one query run (StreamingIngest.start calls
-    * this with its query's runId). Rows already collected from other
-    * runs — possible in the window between listener registration and
-    * query start — are pruned.
-    */
-  def bind(runId: java.util.UUID): Unit = {
-    val r = runId.toString
-    boundRunId = Some(r)
-    buf.synchronized {
-      val keep = buf.filter(_.runId == r)
-      buf.clear()
-      buf ++= keep
-    }
-  }
-
-  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-
-  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-    val p = e.progress
-    if (boundRunId.exists(_ != p.runId.toString)) return
-    def obs(name: String, field: String): Long =
-      Option(p.observedMetrics.get(name))
-        .map(r => r.getAs[Long](field)).getOrElse(0L)
-    // durationMs holds the total ("triggerExecution") AND its component
-    // phases — summing the map double-counts the batch duration
-    val dur = Option(p.durationMs.get("triggerExecution"))
-      .map(_.toLong)
-      .getOrElse(p.durationMs.asScala.values.map(_.toLong).sum)
-    buf.synchronized {
-      buf += BatchStats(
-        p.runId.toString, p.batchId, p.timestamp, p.numInputRows, dur,
-        obs("ingest_in", "n_in"), obs("ingest_in", "n_nan"),
-        obs("ingest_in", "n_inf"), obs("ingest_in", "n_ro"),
-        obs("ingest_out", "n_kept"),
-        if (dur > 0) p.numInputRows.toDouble * 1000.0 / dur else 0.0)
-      if (buf.length > IngestStats.MaxRetained)
-        buf.remove(0, buf.length - IngestStats.MaxRetained)
-    }
+  override protected def rowOf(p: StreamingQueryProgress): BatchStats = {
+    val dur = totalDuration(p)
+    BatchStats(
+      p.runId.toString, p.batchId, p.timestamp, p.numInputRows, dur,
+      obs(p, "ingest_in", "n_in"), obs(p, "ingest_in", "n_nan"),
+      obs(p, "ingest_in", "n_inf"), obs(p, "ingest_in", "n_ro"),
+      obs(p, "ingest_out", "n_kept"),
+      if (dur > 0) p.numInputRows.toDouble * 1000.0 / dur else 0.0)
   }
 
   /** The stats table (C5 derivations included):
@@ -83,8 +48,7 @@ class IngestStats extends StreamingQueryListener {
     */
   def toDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val rows = buf.synchronized(buf.toSeq)
-    rows.toDF()
+    snapshot.toDF()
       .withColumn("n_dropped",
         org.apache.spark.sql.functions.col("nIn") -
           org.apache.spark.sql.functions.col("nKept"))

@@ -132,20 +132,26 @@ class CorpusIOSpec extends AnyFunSuite {
       """{"doc_id": 10, "lang": "en", "source": "src0", "n_chars": 4}"""))
     cur.processAllAvailable()
     cur.stop()
-    spark.streams.removeListener(stats)
     // the X26 telemetry reconciles with the data the pipe moved:
     // batch 0 = 3 lines / 2 admitted (in-batch dup), batch 1 = 5
     // lines / 2 malformed / 1 incomplete / 1 admitted (cross-batch
-    // dup). Listener events are async — poll to the totals
+    // dup). Listener events are async (stop() does not flush the
+    // bus), so poll BEFORE removing the listener — removal first
+    // would drop an in-flight event and flake; coalesce guards the
+    // zero-rows-yet window where sum() is null
     val deadline = System.currentTimeMillis() + 20000
     def totals() = stats.toDF(spark)
-      .agg(sum("nLines"), sum("nMalformed"), sum("nIncomplete"),
-        sum("nAdmitted"), sum("n_dup_dropped"))
+      .agg(coalesce(sum("nLines"), lit(0L)),
+        coalesce(sum("nMalformed"), lit(0L)),
+        coalesce(sum("nIncomplete"), lit(0L)),
+        coalesce(sum("nAdmitted"), lit(0L)),
+        coalesce(sum("n_dup_dropped"), lit(0L)))
       .as[(Long, Long, Long, Long, Long)].head()
     var t = totals()
     while (t._1 < 8L && System.currentTimeMillis() < deadline) {
       Thread.sleep(200); t = totals()
     }
+    spark.streams.removeListener(stats)
     assert(t == ((8L, 2L, 1L, 3L, 2L)),
       s"corpus ingest stats did not reconcile: $t")
     // restart against the SAME checkpoint: the dedup state and source
