@@ -129,6 +129,24 @@ object SparkEntry {
       .withColumn("weight",
         (fixtureSourceNum(col("source")) % 3 + 1).cast("long"))
 
+  /** Materialize a fixture-built result off its temp-dir lineage, then
+    * delete the scratch. The streaming fixtures (q31, q41, x103) build
+    * real stores/corpora under `createTempDirectory` on EVERY
+    * invocation; returning a frame that lazily reads those files would
+    * make deletion unsafe, so repeated Bench/Verify passes used to
+    * accumulate unbounded /tmp. The eager localCheckpoint pins the
+    * (result-sized, small) rows in executor storage — the returned
+    * frame no longer references the deleted files, and the drivers'
+    * `releasePersisted` frees the blocks after the result is consumed.
+    */
+  private def materializedWithoutScratch(df: DataFrame, roots: String*)
+    : DataFrame = {
+    val out = df.localCheckpoint(eager = true)
+    roots.foreach(r => new scala.reflect.io.Directory(
+      new java.io.File(r)).deleteRecursively())
+    out
+  }
+
   private def batchStore(s: SparkSession, dir: String): graft.streaming.HtaStore =
     storeMemo.getOrElseUpdate((s, dir), {
       val root = java.nio.file.Files.createTempDirectory("graft-bstore").toString
@@ -568,9 +586,11 @@ object SparkEntry {
         cur.processAllAvailable()
       }
       cur.stop()
-      graft.sources.CorpusIO.readCurated(s, s"$root/out")
-        .select("doc_id", "lang", "source", "n_chars")
-        .orderBy("doc_id")
+      materializedWithoutScratch(
+        graft.sources.CorpusIO.readCurated(s, s"$root/out")
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id"),
+        root.toString)
     }),
     // X4: per-doc quality features + composite score
     "x26_text_quality" -> ((s, dir) =>
@@ -627,7 +647,9 @@ object SparkEntry {
         q.processAllAvailable()
       }
       q.stop()
-      Ingest.present(store.level0(s)).orderBy("metric", "bucket_start")
+      materializedWithoutScratch(
+        Ingest.present(store.level0(s)).orderBy("metric", "bucket_start"),
+        root, ckpt)
     }),
     // T3 extension surface: Spark's native window() tumbling aggregation
     // (vs the engine's own epoch bucket math in q03) — oracle uses
@@ -885,7 +907,9 @@ object SparkEntry {
       val root = java.nio.file.Files.createTempDirectory("graft-backfill").toString
       val store = new HtaStore(root, Q.IntervalMin)
       graft.sources.BulkImport.chunkedBackfill(s, Tables.htaPoints(s, dir), store, 4)
-      Ingest.present(store.level0(s)).orderBy("metric", "bucket_start")
+      materializedWithoutScratch(
+        Ingest.present(store.level0(s)).orderBy("metric", "bucket_start"),
+        root)
     }),
     // X2 composition: near-dup pairs → connected components → dedup
     // clusters (min-label propagation; oracle = recursive-CTE closure).

@@ -339,6 +339,10 @@ object StressProof {
     }
     val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
     q.stop()
+    // the scratch (~1.2 M-row parquet + RocksDB state) is assertion
+    // input only — delete it, or repeated stress passes accumulate
+    // unbounded /tmp
+    new scala.reflect.io.Directory(root.toFile).deleteRecursively()
     println(f"STRESS streamdedup rows=${4 * perBatch} distinct=$nKeys " +
       f"out=$out state_rows=$stateRows " +
       s"t_batches=${times.map(t => f"$t%.1f").mkString("/")}s")

@@ -56,9 +56,14 @@ abstract class ScopedQueryListener[T] extends StreamingQueryListener {
   override final def onQueryProgress(
       e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = e.progress
+    // build the row OUTSIDE the lock (rowOf parses observedMetrics —
+    // holding the lock through it would let a slow listener-bus event
+    // block a driver thread inside bind()); the scope check stays
+    // inside, atomic with the append, which is all the race fix needs
+    val row = rowOf(p)
     buf.synchronized {
       if (!boundRunId.exists(_ != p.runId.toString)) {
-        buf += rowOf(p)
+        buf += row
         if (buf.length > maxRetained)
           buf.remove(0, buf.length - maxRetained)
       }
