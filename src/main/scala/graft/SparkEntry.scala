@@ -952,6 +952,24 @@ object SparkEntry {
       TextAnalysis.curationLedger(docs, minScore = 3.0, clusters,
         col("doc_id") % 20 === 0).orderBy("doc_id")
     }),
+    // X31b ledger drift: the x97 ledger at two quality bars (3.0
+    // "before", 4.0 "after") reduced to per-reason counts with the
+    // enter/leave churn decomposition. Plain relational algebra — one
+    // (doc_id, reason) full-outer join + per-reason sums — so it gets
+    // a DuckDB oracle (built from the SAME decision CTEs as x97's),
+    // closing the one hash-checkable gap the drift report had while
+    // ExtensionsSpec's shift-not-growth property stays the semantic
+    // pin. Both ledgers share the memoized cluster artifact (the x48
+    // consumer pattern — x97 already charges construction)
+    "x107_ledger_drift" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val held = col("doc_id") % 20 === 0
+      val cl = clusters(s, dir)
+      TextAnalysis.ledgerDrift(
+        TextAnalysis.curationLedger(docs, minScore = 3.0, cl, held),
+        TextAnalysis.curationLedger(docs, minScore = 4.0, cl, held))
+        .orderBy("reason")
+    }),
     // X4/X1: benchmark decontamination — n-gram overlap against the
     // held-out subset (doc_id ≡ 0 mod 20)
     "x46_decontaminate" -> ((s, dir) =>
@@ -1601,6 +1619,8 @@ object SparkEntry {
     "x97_curation_ledger" ->
       OracleSqlExt.curationLedgerSql(3.0, ClusterJaccard, ClusterBand),
     "x98_crawl_novelty" -> OracleSqlExt.crawlNoveltySql,
+    "x107_ledger_drift" ->
+      OracleSqlExt.ledgerDriftSql(3.0, 4.0, ClusterJaccard, ClusterBand),
     "x102_incremental_curate" ->
       OracleSqlExt.incrementalCurateLedgerSql(3.0, ClusterJaccard, ClusterBand),
     // same oracle as x46 on purpose: the Bloom pre-filter must be

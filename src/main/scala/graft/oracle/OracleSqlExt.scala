@@ -271,6 +271,16 @@ object OracleSqlExt {
     * so the gate rules can never drift between the two spellings.
     */
   private def ledgerTail(minScore: Double, rel: String): String =
+    ledgerBaseCtes(rel) + ledgerDecisionCtes(minScore, "") +
+      """
+        |SELECT doc_id, reason FROM led ORDER BY doc_id""".stripMargin
+
+  /** The threshold-INDEPENDENT ledger inputs: token stats `u`, held
+    * shingles `bench`, contamination `cont` — shared by every ledger
+    * spelling (and computed once even when [[ledgerDriftSql]] builds
+    * two ledgers).
+    */
+  private def ledgerBaseCtes(rel: String): String =
       s""", u AS (
          |  SELECT doc_id,
          |         CAST(len(toks2) AS BIGINT) AS n_tokens,
@@ -278,29 +288,67 @@ object OracleSqlExt {
          |         CAST(len(list_distinct(toks2)) AS BIGINT) AS distinct_cnt
          |  FROM (SELECT doc_id, string_split(text, ' ') AS toks2
          |        FROM $rel)
-         |), surv AS (
-         |  SELECT cl.doc_id, cl.cluster
-         |  FROM cl JOIN u ON cl.doc_id = u.doc_id
-         |  WHERE $qualityScoreExpr >= $minScore AND cl.doc_id % 20 <> 0
-         |), dup AS (
-         |  SELECT surv.doc_id
-         |  FROM surv JOIN (SELECT cluster, min(doc_id) AS keep
-         |                  FROM surv GROUP BY cluster) c2
-         |    ON surv.cluster = c2.cluster
-         |  WHERE surv.doc_id <> c2.keep
          |), bench AS (
          |  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0
          |), cont AS (
          |  SELECT DISTINCT c.doc_id
          |  FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 20 <> 0) c
          |  JOIN bench ON c.g = bench.g
-         |)
-         |SELECT u.doc_id,
-         |       CASE WHEN $qualityScoreExpr < $minScore THEN 'low_quality'
-         |            WHEN u.doc_id IN (SELECT doc_id FROM dup) THEN 'duplicate'
-         |            WHEN u.doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
-         |            ELSE 'kept' END AS reason
-         |FROM u WHERE u.doc_id % 20 <> 0 ORDER BY u.doc_id""".stripMargin
+         |)""".stripMargin
+
+  /** The per-threshold decision CTEs (`surv`, `dup`, `led`), suffixed
+    * so two thresholds can coexist in one statement — the ONE spelling
+    * of the gate precedence, so [[ledgerDriftSql]]'s two ledgers can
+    * never drift from [[curationLedgerSql]]'s rules.
+    */
+  private def ledgerDecisionCtes(minScore: Double, sfx: String): String =
+      s""", surv$sfx AS (
+         |  SELECT cl.doc_id, cl.cluster
+         |  FROM cl JOIN u ON cl.doc_id = u.doc_id
+         |  WHERE $qualityScoreExpr >= $minScore AND cl.doc_id % 20 <> 0
+         |), dup$sfx AS (
+         |  SELECT surv$sfx.doc_id
+         |  FROM surv$sfx JOIN (SELECT cluster, min(doc_id) AS keep
+         |                  FROM surv$sfx GROUP BY cluster) c2$sfx
+         |    ON surv$sfx.cluster = c2$sfx.cluster
+         |  WHERE surv$sfx.doc_id <> c2$sfx.keep
+         |), led$sfx AS (
+         |  SELECT u.doc_id,
+         |         CASE WHEN $qualityScoreExpr < $minScore THEN 'low_quality'
+         |              WHEN u.doc_id IN (SELECT doc_id FROM dup$sfx) THEN 'duplicate'
+         |              WHEN u.doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+         |              ELSE 'kept' END AS reason
+         |  FROM u WHERE u.doc_id % 20 <> 0
+         |)""".stripMargin
+
+  /** Mirrors the x107 ledger drift report: two full curation ledgers —
+    * same corpus, quality bar `minBefore` vs `minAfter` — joined
+    * full-outer on (doc_id, reason) and reduced to per-reason counts
+    * with the enter/leave churn decomposition, exactly
+    * `TextAnalysis.ledgerDrift` over two `curationLedger` runs. Sums
+    * CAST back to BIGINT (DuckDB widens to HUGEINT).
+    */
+  def ledgerDriftSql(minBefore: Double, minAfter: Double,
+                     threshold: Double, band: Long): String =
+    shCte(3, recursive = true) + closureCte(threshold, band) +
+      ledgerBaseCtes("documents") +
+      ledgerDecisionCtes(minBefore, "_b") +
+      ledgerDecisionCtes(minAfter, "_a") +
+      """
+        |, j AS (
+        |  SELECT coalesce(b.reason, a.reason) AS reason,
+        |         b.doc_id IS NOT NULL AS in_b, a.doc_id IS NOT NULL AS in_a
+        |  FROM led_b b FULL OUTER JOIN led_a a
+        |    ON b.doc_id = a.doc_id AND b.reason = a.reason
+        |)
+        |SELECT reason,
+        |       CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+        |       CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+        |       CAST(sum(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_entered,
+        |       CAST(sum(CASE WHEN in_b AND NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_left,
+        |       CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END)
+        |            - sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS delta
+        |FROM j GROUP BY reason ORDER BY reason""".stripMargin
 
   /** Mirrors the x102 incremental-pipeline composition: the x90
     * snapshot synthesis (every 10th id deleted and reborn at
