@@ -586,6 +586,10 @@ object SparkEntry {
         cur.processAllAvailable()
       }
       cur.stop()
+      // fold the per-batch sink trees into the compacted layout before
+      // reading back (clean stop above ⇒ no uncommitted tail): the
+      // oracle hash unchanged proves compaction is content-invisible
+      graft.sources.CorpusIO.compactCurated(s, s"$root/out", None)
       materializedWithoutScratch(
         graft.sources.CorpusIO.readCurated(s, s"$root/out")
           .select("doc_id", "lang", "source", "n_chars")

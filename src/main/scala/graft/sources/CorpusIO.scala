@@ -85,16 +85,26 @@ object CorpusIO {
     raw.filter(!isMalformed && !isIncomplete)
       .drop("_corrupt")
 
-  /** Quarantined rows: raw line text preserved for triage (malformed
-    * lines carry the whole line; a parsed-but-field-incomplete line
-    * quarantines with a null `raw_line` — the null field IS the
-    * evidence). Spark only materializes `_corrupt` when other columns
-    * are also selected, so the filter runs on the full frame before
-    * projecting.
+  /** Quarantined rows, each carrying its drop class and evidence:
+    * `reason` is `malformed` (unparseable line) or `incomplete`
+    * (parsed but missing a declared field), `raw_line` is the whole
+    * captured line for malformed rows and the JSON of the fields that
+    * DID parse for incomplete ones — previously that class quarantined
+    * as an all-null row, which named the class but discarded the
+    * doc_id/source/lang that were present and made triage ("which
+    * record lost a field?") impossible. `to_json` omits null fields,
+    * so the fallback is exactly the present evidence, at zero extra
+    * passes (it rides the same projection). The classes come from the
+    * SAME shared predicates the telemetry counts, so the split can
+    * never drift from [[streamCurated]]'s observe counters.
     */
   def quarantine(raw: DataFrame): DataFrame =
     raw.filter(isMalformed || isIncomplete)
-      .select(col("_corrupt").as("raw_line"))
+      .select(
+        when(isMalformed, lit("malformed")).otherwise(lit("incomplete"))
+          .as("reason"),
+        coalesce(col("_corrupt"),
+          to_json(struct(RequiredFields.map(col): _*))).as("raw_line"))
 
   /** Write a curated corpus as hive-partitioned parquet
     * `lang=<l>/part=<p>/` with a recomputed manifest at
@@ -134,8 +144,17 @@ object CorpusIO {
     // The schema is pinned from the written frame — inference would
     // throw on an all-rows-filtered (empty) corpus, which must yield
     // an empty manifest, not a crash after the data write
-    val manifest = docs.sparkSession.read.schema(out.schema)
-      .parquet(s"$path/data")
+    writeManifest(docs.sparkSession.read.schema(out.schema)
+      .parquet(s"$path/data"), path)
+  }
+
+  /** The ONE manifest aggregation (per-partition doc count, token sum,
+    * doc_id range) — shared by [[writeCurated]] and [[compactCurated]]
+    * so a streamed-then-compacted corpus and a batch-written one carry
+    * the same integrity/statistics contract.
+    */
+  private def writeManifest(curated: DataFrame, path: String): DataFrame = {
+    val manifest = curated
       .groupBy("lang", "part")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
@@ -195,6 +214,16 @@ object CorpusIO {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = raw.sparkSession
     import spark.implicits._
+    // batch keys carry the checkpoint INCARNATION tag (the metric
+    // store's discipline, same helper): an operator who wipes and
+    // recreates the checkpoint path restarts batch ids at 0, and a
+    // bare-id key would make the new incarnation's batch 0 overwrite
+    // the old incarnation's committed batch-0 directory while leaving
+    // its later batches as duplicates. The tag also lets
+    // [[compactCurated]] distinguish the live incarnation's
+    // uncommitted tail from foreign committed batches.
+    val (ckptTag, _) = graft.streaming.StreamingIngest
+      .checkpointIdentity(spark, checkpointDir)
     // idempotent registration BEFORE start (the StreamingIngest
     // discipline): reusing one collector across restarts — the
     // pattern bind() supports — must not double-register it, or every
@@ -229,11 +258,12 @@ object CorpusIO {
         // the same deterministic content (the dedup state commits
         // after this hook returns), so the overwrite makes the sink
         // idempotent — the corpus-side spelling of the metric store's
-        // marker discipline. `batch=` rides hive partition discovery;
-        // readers that don't care simply never select it.
+        // marker discipline. `batch=` rides hive partition discovery
+        // as the sink's idempotence ledger; [[readCurated]] drops it
+        // and [[compactCurated]] folds committed keys away.
         out.repartition(col("lang"), col("part"))
           .write.partitionBy("lang", "part").mode("overwrite")
-          .parquet(s"$outPath/data/batch=$batchId")
+          .parquet(s"$outPath/data/batch=${ckptTag}_$batchId")
         ()
       }
       .start()
@@ -256,16 +286,109 @@ object CorpusIO {
       .format("parquet")
       .start()
 
-  /** Read a [[writeCurated]] corpus back, optionally pruned to one
-    * language — the filter is a partition predicate, so only that
-    * language's directories are listed and scanned.
+  /** The streamed curated tree as a declared schema: the document
+    * fields in file order plus the `part` (bucket) and `batch`
+    * (sink-idempotence key) partition columns. Declared so partition
+    * types never depend on directory-name inference — a tag that
+    * happens to be all digits must not flip `batch` to a numeric type
+    * under [[compactCurated]]'s string predicates.
+    */
+  private val StreamedTreeSchema: StructType = StructType(
+    DocSchema.fields.filterNot(_.name == "_corrupt") ++ Seq(
+      StructField("part", LongType),
+      StructField("batch", StringType)))
+
+  /** Fold a [[streamCurated]] sink's committed per-batch directory
+    * trees into ONE `batch=compacted` tree ([[writeCurated]]'s
+    * one-file-per-(lang, part) discipline inside it) and refresh the
+    * corpus `_manifest` — the maintenance op that keeps a continuously
+    * ingesting corpus readable. Without it the sink grows one
+    * `batch=<key>` tree per micro-batch forever — ~1,440/day at a
+    * one-minute trigger, each fanning into up to |langs|·buckets leaf
+    * dirs: the exact small-files/listing failure the metric store's
+    * `compact()` exists to prevent. Returns the refreshed manifest.
+    *
+    * OFFLINE maintenance op, like the metric-side compact: it rewrites
+    * the whole `data/` tree via the shared verified double-rename
+    * (`HtaStore.recoverCompact`/`swapCompact` — crash recovery on
+    * entry, backup dir until both renames land), so it must not run
+    * concurrently with the ingest query.
+    *
+    * `activeCheckpoint` follows `HtaStore.compact`'s contract: if the
+    * owning query might have crashed mid-batch (any stop that was not
+    * a clean `stop()` after `processAllAvailable`), pass its
+    * checkpoint — the trailing batch directory that was written but
+    * never committed is then carried through UNMERGED under its
+    * original key, so the replay's overwrite still converges; folding
+    * it would let the replayed batch re-append its rows. `None` is
+    * only safe after a clean stop, and that must be a conscious claim
+    * by the caller (no default on purpose). Foreign-incarnation keys
+    * are always trusted as committed — their checkpoints are gone, so
+    * nothing can ever replay them.
+    *
+    * The refreshed manifest describes the COMPACTED (committed)
+    * content; a crash after the swap but before the manifest write
+    * leaves a stale manifest that the next compact refreshes —
+    * manifest readers get at-least-as-old statistics, never corrupt
+    * data. Scale shape: one scan of the tree, one
+    * (batch, lang, part)-partitioned rewrite, one manifest scan of
+    * the compacted output; no driver-side data path.
+    */
+  def compactCurated(spark: SparkSession, path: String,
+                     activeCheckpoint: Option[String]): DataFrame = {
+    import graft.streaming.{HtaStore, StreamingIngest}
+    val dataPath = s"$path/data"
+    val hp = new org.apache.hadoop.fs.Path(dataPath)
+    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = hfs.makeQualified(hp)
+    val bak = new org.apache.hadoop.fs.Path(s"$path/data_old")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/data_compacted")
+    HtaStore.recoverCompact(hfs, cur, bak, tmp)
+    require(hfs.exists(cur),
+      s"no curated tree at $dataPath — nothing to compact")
+    val uncommittedTail: org.apache.spark.sql.Column =
+      activeCheckpoint match {
+        case Some(ckpt) =>
+          val (tag, committedMax) =
+            StreamingIngest.checkpointIdentity(spark, ckpt)
+          // try_cast, not the ANSI cast: the `compacted` key (and any
+          // foreign tag) must evaluate to false, not fail the scan
+          col("batch").startsWith(s"${tag}_") &&
+            expr("try_cast(substring_index(batch, '_', -1) AS LONG)") >
+              committedMax
+        case None => lit(false)
+      }
+    val all = spark.read.schema(StreamedTreeSchema).parquet(dataPath)
+    // committed rows (incl. an existing `compacted` tree — compaction
+    // is idempotent) fold to ONE key; the uncommitted tail passes
+    // through under its original keys for the replay to overwrite
+    all.withColumn("batch",
+        when(uncommittedTail, col("batch")).otherwise(lit("compacted")))
+      .repartition(col("batch"), col("lang"), col("part"))
+      .write.partitionBy("batch", "lang", "part").parquet(tmp.toString)
+    HtaStore.swapCompact(hfs, cur, bak, tmp)
+    writeManifest(
+      spark.read.schema(StreamedTreeSchema).parquet(dataPath)
+        .filter(col("batch") === "compacted"),
+      path)
+  }
+
+  /** Read a curated corpus back — batch-written ([[writeCurated]]),
+    * streamed ([[streamCurated]]), or streamed-then-compacted — with
+    * ONE schema: the document fields plus `lang`/`part`. Optionally
+    * pruned to one language; the filter is a partition predicate, so
+    * only that language's directories are listed and scanned.
     */
   def readCurated(spark: SparkSession, path: String,
                   lang: Option[String] = None): DataFrame = {
     // hive partition-directory inference types `part` as INT; pin it
     // back to the LongType it was written from so the round-trip (and
     // the manifest-vs-files comparison) is schema-stable
-    val df = spark.read.parquet(s"$path/data")
+    val raw = spark.read.parquet(s"$path/data")
+    // the streamed sink's `batch` partition level is its idempotence
+    // ledger, not data — drop it so streamed and batch-written
+    // corpora read back identically
+    val df = (if (raw.columns.contains("batch")) raw.drop("batch") else raw)
       .withColumn("part", col("part").cast("long"))
     lang.fold(df)(l => df.filter(col("lang") === l))
   }

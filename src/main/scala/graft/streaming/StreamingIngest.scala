@@ -349,6 +349,45 @@ object HtaStore {
     liveCompacts.remove(token)
   private[streaming] def compactIsActive(token: String): Boolean =
     liveCompacts.contains(token)
+
+  /** Recover one side of a previous compact crash: `bak` holding the
+    * ONLY copy means the swap died between its two renames — the rename
+    * back must be verified before anything may delete bak. Shared with
+    * the corpus sink's [[graft.sources.CorpusIO.compactCurated]]: the
+    * crash discipline exists exactly once.
+    */
+  private[graft] def recoverCompact(hfs: org.apache.hadoop.fs.FileSystem,
+                                    cur: org.apache.hadoop.fs.Path,
+                                    bak: org.apache.hadoop.fs.Path,
+                                    tmp: org.apache.hadoop.fs.Path): Unit = {
+    if (hfs.exists(bak) && !hfs.exists(cur) && !hfs.rename(bak, cur))
+      throw new java.io.IOException(
+        s"compact recovery: rename $bak -> $cur failed; data is in $bak")
+    if (hfs.exists(bak)) {
+      // bak now coexists with cur ⇒ it is a stale duplicate, not data
+      if (!hfs.exists(cur))
+        throw new java.io.IOException(s"compact recovery left no $cur")
+      hfs.delete(bak, true)
+    }
+    if (hfs.exists(tmp)) hfs.delete(tmp, true)
+  }
+
+  /** Swap the freshly-written `tmp` in for `cur` via the verified
+    * double rename. Hadoop rename signals failure by returning false —
+    * never delete the backup unless both renames actually happened.
+    */
+  private[graft] def swapCompact(hfs: org.apache.hadoop.fs.FileSystem,
+                                 cur: org.apache.hadoop.fs.Path,
+                                 bak: org.apache.hadoop.fs.Path,
+                                 tmp: org.apache.hadoop.fs.Path): Unit = {
+    if (!hfs.rename(cur, bak))
+      throw new java.io.IOException(s"compact: rename $cur -> $bak failed")
+    if (!hfs.rename(tmp, cur)) {
+      hfs.rename(bak, cur) // restore; next compact can retry
+      throw new java.io.IOException(s"compact: rename $tmp -> $cur failed")
+    }
+    hfs.delete(bak, true)
+  }
 }
 
 /** Thrown by [[HtaStore.compact]] when a live ingest query holds the
@@ -844,42 +883,19 @@ class HtaStore(val root: String, val intervalMin: Long) {
     }
   }
 
-  /** Recover one side of a previous compact crash: `bak` holding the
-    * ONLY copy means the swap died between its two renames — the rename
-    * back must be verified before anything may delete bak.
-    */
+  // recoverCompact / swapCompact live on the HtaStore companion now
+  // (shared with the corpus sink's compactCurated); see there.
   private def recoverCompact(hfs: org.apache.hadoop.fs.FileSystem,
                              cur: org.apache.hadoop.fs.Path,
                              bak: org.apache.hadoop.fs.Path,
-                             tmp: org.apache.hadoop.fs.Path): Unit = {
-    if (hfs.exists(bak) && !hfs.exists(cur) && !hfs.rename(bak, cur))
-      throw new java.io.IOException(
-        s"compact recovery: rename $bak -> $cur failed; data is in $bak")
-    if (hfs.exists(bak)) {
-      // bak now coexists with cur ⇒ it is a stale duplicate, not data
-      if (!hfs.exists(cur))
-        throw new java.io.IOException(s"compact recovery left no $cur")
-      hfs.delete(bak, true)
-    }
-    if (hfs.exists(tmp)) hfs.delete(tmp, true)
-  }
+                             tmp: org.apache.hadoop.fs.Path): Unit =
+    HtaStore.recoverCompact(hfs, cur, bak, tmp)
 
-  /** Swap the freshly-written `tmp` in for `cur` via the verified
-    * double rename. Hadoop rename signals failure by returning false —
-    * never delete the backup unless both renames actually happened.
-    */
   private def swapCompact(hfs: org.apache.hadoop.fs.FileSystem,
                           cur: org.apache.hadoop.fs.Path,
                           bak: org.apache.hadoop.fs.Path,
-                          tmp: org.apache.hadoop.fs.Path): Unit = {
-    if (!hfs.rename(cur, bak))
-      throw new java.io.IOException(s"compact: rename $cur -> $bak failed")
-    if (!hfs.rename(tmp, cur)) {
-      hfs.rename(bak, cur) // restore; next compact can retry
-      throw new java.io.IOException(s"compact: rename $tmp -> $cur failed")
-    }
-    hfs.delete(bak, true)
-  }
+                          tmp: org.apache.hadoop.fs.Path): Unit =
+    HtaStore.swapCompact(hfs, cur, bak, tmp)
 
   /** Fold partials AND raw batch directories down physically into a
     * single `batch_id=compacted` directory per side. Without the raw

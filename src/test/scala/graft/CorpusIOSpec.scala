@@ -29,16 +29,29 @@ class CorpusIOSpec extends AnyFunSuite {
     assert(clean == Seq(
       (1L, "hello world", "en", "src0", 11L),
       (2L, "bonjour", "fr", "src1", 7L)))
-    val quarantined = CorpusIO.quarantine(raw).as[String].collect().toSeq
-    // two malformed lines keep their raw text; the parsed-but-
-    // field-incomplete lines (missing key, missing text) quarantine
-    // with a null raw_line (they parsed, so nothing was captured —
-    // the null field IS the evidence). The missing-text case is
-    // load-bearing: an admitted null text would poison the streaming
-    // pipe's typed dedup state and wedge the checkpoint replay
-    assert(quarantined.count(_ != null) == 2)
+    val quarantined = CorpusIO.quarantine(raw)
+      .as[(String, String)].collect().toSeq
+    // two malformed lines keep their raw text under reason=malformed;
+    // the parsed-but-field-incomplete lines (missing key, missing
+    // text) carry the JSON of the fields that DID parse under
+    // reason=incomplete — BOTH classes must be attributable, never an
+    // all-null row. The missing-text case is load-bearing: an
+    // admitted null text would poison the streaming pipe's typed
+    // dedup state and wedge the checkpoint replay
     assert(quarantined.length == 4)
-    assert(quarantined.filter(_ != null).exists(_.contains("truncated")))
+    assert(quarantined.forall(_._2 != null),
+      "every quarantine row must carry non-null evidence")
+    val (malformed, incomplete) = quarantined.partition(_._1 == "malformed")
+    assert(malformed.length == 2 && incomplete.length == 2)
+    assert(incomplete.forall(_._1 == "incomplete"))
+    assert(malformed.exists(_._2.contains("truncated")))
+    // the keyless line's parsed fields survive; the textless line's
+    // doc_id survives — the triage questions the old null row could
+    // not answer
+    assert(incomplete.exists(r =>
+      r._2.contains("no key") && !r._2.contains("doc_id")))
+    assert(incomplete.exists(r =>
+      r._2.contains("\"doc_id\":4") && !r._2.contains("text")))
     // nothing lost: clean + quarantine partition the input lines
     assert(clean.length + quarantined.length == lines.length)
   }
@@ -176,11 +189,128 @@ class CorpusIOSpec extends AnyFunSuite {
       .select("doc_id", "text").as[(Long, String)].collect().toSet
     assert(kept == batch)
     // both malformed lines are quarantined with their raw text
-    // intact; the keyed-but-textless line quarantines as a null
-    // raw_line row (parsed, so nothing was captured)
+    // intact; the keyed-but-textless line carries the JSON of its
+    // parsed fields (doc_id 10 stays attributable) under
+    // reason=incomplete
     val q = spark.read.parquet(s"$root/out/quarantine")
-      .as[String].collect().toSeq
-    assert(q.length == 3 && q.exists(_.contains("\"doc_id\": 9")) &&
-      q.contains("junk line") && q.count(_ == null) == 1)
+      .select("reason", "raw_line").as[(String, String)].collect().toSeq
+    assert(q.length == 3 && q.forall(_._2 != null))
+    assert(q.count(_._1 == "malformed") == 2 &&
+      q.exists(_._2.contains("\"doc_id\": 9")) &&
+      q.exists(_._2 == "junk line"))
+    val inc = q.filter(_._1 == "incomplete")
+    assert(inc.length == 1 && inc.head._2.contains("\"doc_id\":10"))
+  }
+
+  test("compactCurated: churn — ingest, compact, ingest, crash-replay, compact; read-back identical") {
+    val root = tmp("graft-ccompact")
+    val in = s"$root/in"
+    val out = s"$root/out"
+    val ck = s"$root/ck"
+    new java.io.File(in).mkdirs()
+    def jline(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "${if (id % 2 == 0) "en" else "fr"}", "source": "src0", "n_chars": ${text.length}}"""
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    def drain(): Unit = {
+      val c = CorpusIO.streamCurated(
+        CorpusIO.readJsonlStream(spark, in), out, ck, buckets = 4)
+      c.processAllAvailable(); c.stop()
+    }
+    def keptSet() = CorpusIO.readCurated(spark, out)
+      .select("doc_id", "text", "lang").as[(Long, String, String)]
+      .collect().toSet
+    def batchDirs() = new java.io.File(s"$out/data").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+
+    // two micro-batches (maxFilesPerTrigger=1), clean stop
+    writeFile("f0.json", Seq(jline(0, "aa bb"), jline(1, "cc dd")))
+    writeFile("f1.json", Seq(jline(2, "aa bb"), jline(3, "ee ff")))
+    drain()
+    assert(batchDirs().size == 2, "two per-batch trees before compact")
+    val before = keptSet()
+    CorpusIO.compactCurated(spark, out, None)
+    // the committed trees folded into ONE; content is untouched; the
+    // read schema carries no `batch` column (unified with writeCurated)
+    assert(batchDirs() == Seq("batch=compacted"))
+    assert(keptSet() == before)
+    assert(!CorpusIO.readCurated(spark, out).columns.contains("batch"))
+    // compaction is idempotent
+    CorpusIO.compactCurated(spark, out, None)
+    assert(batchDirs() == Seq("batch=compacted") && keptSet() == before)
+
+    // more ingest against the SAME checkpoint appends a fresh batch
+    // tree NEXT TO the compacted one (id 4 duplicates a compacted
+    // text — the dedup state must still know it)
+    writeFile("f2.json", Seq(jline(4, "aa bb"), jline(5, "gg hh")))
+    drain()
+    assert(batchDirs().size == 2)
+    // simulate a crash window: batch 2's sink tree is on disk but its
+    // checkpoint commit is gone — the StreamingSpec technique. A
+    // compact told the query may replay MUST carry that tree through
+    // unmerged under its original key: folding it would let the
+    // replay's overwrite re-append its rows (double count)
+    Files.delete(java.nio.file.Paths.get(s"$ck/commits/2"))
+    // the local ChecksumFileSystem shadows every file with a .crc —
+    // deleting only the commit file leaves a stale checksum that makes
+    // the replay's commit rename throw FileAlreadyExists
+    Files.deleteIfExists(java.nio.file.Paths.get(s"$ck/commits/.2.crc"))
+    CorpusIO.compactCurated(spark, out, Some(ck))
+    assert(batchDirs().size == 2 &&
+      batchDirs().count(_ == "batch=compacted") == 1,
+      s"uncommitted tail must survive unmerged: ${batchDirs()}")
+    // restart: Spark replays batch 2 (offsets exist, commit missing),
+    // the foreachBatch overwrite converges the carried tree in place
+    drain()
+    CorpusIO.compactCurated(spark, out, None)
+    assert(batchDirs() == Seq("batch=compacted"))
+    // end state ≡ batch semantics over all files: min doc_id per text
+    val batch = CorpusIO.cleanDocs(CorpusIO.readJsonl(spark, in))
+      .groupBy("text").agg(min("doc_id").as("doc_id"))
+      .count()
+    assert(keptSet().size == batch.toInt)
+    assert(keptSet() == Set((0L, "aa bb", "en"), (1L, "cc dd", "fr"),
+      (3L, "ee ff", "fr"), (5L, "gg hh", "fr")))
+    // one file per leaf partition dir inside the compacted tree
+    def parquets(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(parquets)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    parquets(new java.io.File(s"$out/data/batch=compacted"))
+      .groupBy(_.getParentFile.getPath).foreach { case (d, fs) =>
+        assert(fs.size == 1, s"partition dir $d has ${fs.size} files")
+      }
+    // the refreshed manifest equals a recomputation from the kept docs
+    val manifest = CorpusIO.readManifest(spark, out)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val recomputed = CorpusIO.readCurated(spark, out)
+      .groupBy("lang", "part")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(manifest == recomputed)
+  }
+
+  test("compactCurated recovers from a crash between the two directory renames") {
+    val root = tmp("graft-ccrash")
+    val in = s"$root/in"
+    val out = s"$root/out"
+    new java.io.File(in).mkdirs()
+    Files.write(java.nio.file.Paths.get(in, "f0.json"),
+      """{"doc_id": 1, "text": "aa", "lang": "en", "source": "s", "n_chars": 2}"""
+        .getBytes("UTF-8"))
+    val c = CorpusIO.streamCurated(
+      CorpusIO.readJsonlStream(spark, in), out, s"$root/ck", buckets = 2)
+    c.processAllAvailable(); c.stop()
+    val before = CorpusIO.readCurated(spark, out)
+      .select("doc_id").as[Long].collect().toSet
+    // simulate the crash window: data moved to data_old, new dir absent
+    assert(new java.io.File(s"$out/data")
+      .renameTo(new java.io.File(s"$out/data_old")))
+    CorpusIO.compactCurated(spark, out, None)
+    assert(CorpusIO.readCurated(spark, out)
+      .select("doc_id").as[Long].collect().toSet == before)
+    assert(!new java.io.File(s"$out/data_old").exists())
   }
 }
