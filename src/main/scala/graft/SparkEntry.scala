@@ -596,6 +596,39 @@ object SparkEntry {
           .orderBy("doc_id"),
         root.toString)
     }),
+    // X33 streaming near-dup admission gate: the documents table
+    // arrives as three id-RANGE chunks through the chained keyed-state
+    // gate (band-bucket verify → per-doc reduce); a doc is admitted
+    // iff no PREVIOUSLY SEEN doc is a verified MinHash near-dup at the
+    // x22 threshold. With id-ordered arrival the kept set has a closed
+    // batch form — docs minus those with a smaller-id verified LSH
+    // pair — which is the oracle (the same candidate+verify CTEs as
+    // x22's, different projection), so the hash match proves the
+    // online gate ≡ the batch pipeline's candidate and verify rules
+    "x108_stream_neardup_gate" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Tables.read(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .as[graft.sources.CorpusIO.CuratedDoc].collect().sortBy(_.doc_id)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.sources.CorpusIO.CuratedDoc](ss)
+      val kept = Dedup.streamingNearDupGate(ms.toDS(), ClusterJaccard)(
+        _.text, _.doc_id)
+      val q = kept.toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("graft_neardup_gate")
+        .start()
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      ss.table("graft_neardup_gate")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
     // X4: per-doc quality features + composite score
     "x26_text_quality" -> ((s, dir) =>
       TextAnalysis.quality(Tables.read(s, dir, "documents")).orderBy("doc_id")),
@@ -1625,6 +1658,8 @@ object SparkEntry {
     "x98_crawl_novelty" -> OracleSqlExt.crawlNoveltySql,
     "x107_ledger_drift" ->
       OracleSqlExt.ledgerDriftSql(3.0, 4.0, ClusterJaccard, ClusterBand),
+    "x108_stream_neardup_gate" ->
+      OracleSqlExt.streamNearDupGateSql(ClusterJaccard),
     "x102_incremental_curate" ->
       OracleSqlExt.incrementalCurateLedgerSql(3.0, ClusterJaccard, ClusterBand),
     // same oracle as x46 on purpose: the Bloom pre-filter must be

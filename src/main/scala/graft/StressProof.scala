@@ -55,6 +55,8 @@ object StressProof {
       ivf(spark)
       kmeans(spark)
       streamDedup(spark)
+      nearDupGate(spark)
+      corpusPipe(spark)
       println("STRESS all bounds hold")
     } finally spark.stop()
   }
@@ -352,6 +354,170 @@ object StressProof {
       s"state rows $stateRows != distinct keys $nKeys — state is not ∝ distinct keys")
     // stability: the duplicate-tail batch against 1 M-key state must
     // not degrade past a small factor of the first (empty-state) batch
+    require(times.last < 5.0 * math.max(times.head, 1.0),
+      s"per-batch latency degraded: ${times.mkString(", ")}")
+  }
+
+  /** The streaming near-dup gate ([[Dedup.streamingNearDupGate]], x108)
+    * over the SAME planted corpus as the lsh block, two orders of
+    * magnitude above its 500-doc correctness fixture: 52 500 docs in 4
+    * id-range file-drop batches, RocksDB state. Planted ground truth
+    * makes every bound self-verdicting: each mutated copy (J ≈ 0.854)
+    * arrives after its base, so rejected == planted-pairs-LSH-catches
+    * (recall ≥ 0.9, same bound as batch) and NOTHING else — a single
+    * false rejection on the 50 000 random docs would break the kept
+    * count. State rows must equal the distinct (band, sig) buckets of
+    * the batch banding EXACTLY (the bit-parity the spec pins, held at
+    * scale), i.e. state ∝ docs × bands, never pairs.
+    */
+  private def nearDupGate(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.types._
+    val docs = plantedDocs(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft-sgate")
+    val inDir = s"$root/in"
+    new java.io.File(inDir).mkdirs()
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "32")
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val schema = StructType(Seq(
+      StructField("_1", StringType), StructField("_2", LongType)))
+    import ss.implicits._
+    val raw = ss.readStream.schema(schema).parquet(inDir).as[(String, Long)]
+    var kept = 0L
+    val q = Dedup.streamingNearDupGate(raw, 0.8)(_._1, _._2)
+      .toDF("text", "doc_id")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ck")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        kept += b.count(); ()
+      }.start()
+    // 4 id-range chunks: every mutated copy (ids >= NBase) lands after
+    // its base doc, so "previously seen" ≡ "smaller id"
+    val n = NBase + NDups
+    val times = (0 until 4).map { i =>
+      docs.filter(expr(s"doc_id * 4 div $n") === i)
+        .select(col("text").as("_1"), col("doc_id").as("_2"))
+        .write.mode("append").parquet(inDir)
+      timed(q.processAllAvailable())._2
+    }
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    // the batch banding's distinct bucket count — state must equal it
+    val buckets = Dedup.withMinhashSignature(
+        Dedup.shingled(docs).filter(size(col("sh")) > 0))
+      .select(explode(array((0 until 4).map { j =>
+        concat_ws("|", lit(j.toString),
+          md5(concat_ws("|", (0 until 3).map(o => col(s"h${j * 3 + o}")): _*)))
+      }: _*)))
+      .distinct().count()
+    new scala.reflect.io.Directory(root.toFile).deleteRecursively()
+    val rejected = n - kept
+    println(f"STRESS neardupgate docs=$n rejected=$rejected " +
+      f"planted=$NDups state_rows=$stateRows buckets=$buckets " +
+      s"t_batches=${times.map(t => f"$t%.1f").mkString("/")}s")
+    require(rejected <= NDups,
+      s"$rejected rejections for $NDups planted near-dups — false rejections on random docs")
+    require(rejected >= (NDups * 0.9).toLong,
+      s"gate recall ${rejected.toDouble / NDups} below banding expectation")
+    require(times.last < 5.0 * math.max(times.head, 1.0),
+      s"per-batch latency degraded: ${times.mkString(", ")}")
+    require(stateRows == buckets,
+      s"state rows $stateRows != distinct band buckets $buckets — " +
+        "state must be ∝ docs × bands (the batch banding, bit-exact)")
+  }
+
+  /** The WHOLE streaming corpus pipe ([[graft.sources.CorpusIO
+    * .streamCurated]]: JSONL parse → clean/quarantine split →
+    * keyed-state dedup → partitioned curated sink) at ~1 M lines with
+    * a planted quarantine fraction, on the RocksDB provider — the
+    * production state-store setting for crawl-cardinality corpus
+    * ingest (the x103 correctness fixture runs hundreds of rows on
+    * the default provider). Then [[graft.sources.CorpusIO
+    * .compactCurated]] folds the 4 batch trees and the read-back must
+    * still equal the batch oracle — the full lifecycle at scale.
+    * Self-verdicting bounds: admitted == distinct clean texts
+    * (computed batch-side from the same files), state rows ==
+    * admitted, poison lines (malformed + field-incomplete) never
+    * surface, compacted tree is ONE batch dir with ≤ |langs|·buckets
+    * leaf dirs.
+    */
+  private def corpusPipe(spark: SparkSession): Unit = {
+    val nLines = 1000000L
+    val root = java.nio.file.Files.createTempDirectory("graft-spipe")
+    val inDir = s"$root/in"
+    new java.io.File(inDir).mkdirs()
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "32")
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // line synthesis, pure function of the id: run-of-2 duplicate
+    // texts (≈ 500 k distinct keys), every 97th line malformed JSON,
+    // every 101st (non-malformed) parses but drops its text field
+    def lineCol: Column = {
+      val txt = concat(lit("t"), expr("id div 2"), lit(" aa bb cc dd"))
+      val lang = when(pmod(col("id"), lit(2L)) === 0, "en").otherwise("de")
+      when(pmod(col("id"), lit(97L)) === 0, concat(lit("{broken "), col("id")))
+        .when(pmod(col("id"), lit(101L)) === 0,
+          concat(lit("{\"doc_id\": "), col("id"),
+            lit(", \"lang\": \""), lang,
+            lit("\", \"source\": \"s\", \"n_chars\": 1}")))
+        .otherwise(concat(lit("{\"doc_id\": "), col("id"),
+          lit(", \"text\": \""), txt,
+          lit("\", \"lang\": \""), lang,
+          lit("\", \"source\": \"s\", \"n_chars\": "), length(txt), lit("}")))
+    }
+    val cur = graft.sources.CorpusIO.streamCurated(
+      graft.sources.CorpusIO.readJsonlStream(ss, inDir,
+        maxFilesPerTrigger = 4),
+      s"$root/out", s"$root/ck", buckets = 8)
+    val perBatch = nLines / 4
+    val times = (0 until 4).map { i =>
+      spark.range(i * perBatch, (i + 1) * perBatch)
+        .select(lineCol.as("value"))
+        .coalesce(4).write.mode("overwrite").text(s"$root/stage")
+      // one logical drop per batch: move the staged text files in
+      val staged = new java.io.File(s"$root/stage").listFiles()
+        .filter(_.getName.startsWith("part-"))
+      staged.zipWithIndex.foreach { case (f, fi) =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(inDir, f"chunk-$i%02d-$fi%02d.txt"))
+      }
+      timed(cur.processAllAvailable())._2
+    }
+    val stateRows = cur.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    cur.stop()
+    // batch oracle over the same files
+    val clean = graft.sources.CorpusIO.cleanDocs(
+      graft.sources.CorpusIO.readJsonl(spark, inDir))
+    val expectAdmitted = clean.select(md5(col("text"))).distinct().count()
+    val manifest = graft.sources.CorpusIO
+      .compactCurated(spark, s"$root/out", None)
+    val admitted = graft.sources.CorpusIO
+      .readCurated(spark, s"$root/out").count()
+    val manifestDocs = manifest.agg(sum("n_docs")).head.getLong(0)
+    val batchDirs = new java.io.File(s"$root/out/data").listFiles()
+      .count(_.getName.startsWith("batch="))
+    def leaves(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) {
+        val kids = f.listFiles().toSeq
+        if (kids.exists(_.isDirectory)) kids.flatMap(leaves) else Seq(f)
+      } else Nil
+    val leafDirs = leaves(new java.io.File(s"$root/out/data")).size
+    new scala.reflect.io.Directory(root.toFile).deleteRecursively()
+    println(f"STRESS corpuspipe lines=$nLines admitted=$admitted " +
+      f"distinct=$expectAdmitted state_rows=$stateRows " +
+      f"batch_dirs=$batchDirs leaf_dirs=$leafDirs " +
+      s"t_batches=${times.map(t => f"$t%.1f").mkString("/")}s")
+    require(admitted == expectAdmitted,
+      s"pipe admitted $admitted != batch-distinct $expectAdmitted")
+    require(manifestDocs == admitted,
+      s"manifest says $manifestDocs docs, tree has $admitted")
+    require(stateRows == expectAdmitted,
+      s"state rows $stateRows != distinct keys $expectAdmitted")
+    require(batchDirs == 1, s"compact left $batchDirs batch dirs")
+    require(leafDirs <= 2 * 8, s"$leafDirs leaf dirs for 2 langs × 8 buckets")
     require(times.last < 5.0 * math.max(times.head, 1.0),
       s"per-batch latency degraded: ${times.mkString(", ")}")
   }

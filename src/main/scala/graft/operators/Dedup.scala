@@ -739,6 +739,178 @@ object Dedup {
       }
   }
 
+  /** JVM-side distinct word shingles — literally
+    * [[graft.functions.WordShingles]].compute, so the streaming gate's
+    * per-row tokenization can never drift from the batch pipeline's
+    * (and the DuckDB oracle's `string_split`) spelling.
+    */
+  private def shingleSetLocal(text: String, n: Int): Array[String] = {
+    val ad = graft.functions.WordShingles(
+      org.apache.spark.sql.catalyst.expressions.Literal(null,
+        org.apache.spark.sql.types.StringType), n)
+      .compute(org.apache.spark.unsafe.types.UTF8String.fromString(text))
+    Array.tabulate(ad.numElements())(i => ad.getUTF8String(i).toString)
+  }
+
+  /** The two 56-bit halves of md5(s) — the JVM spelling of
+    * `Md5Longs(col, Seq((1,14),(17,14)))` (hex chars 1–14 and 17–30,
+    * 1-indexed), the double-hashing basis [[withMinhashSignature]]
+    * builds every MinHash function from.
+    */
+  private[graft] def md5Halves(s: String): (Long, Long) = {
+    val h = md5Hex(s)
+    (java.lang.Long.parseLong(h.substring(0, 14), 16),
+      java.lang.Long.parseLong(h.substring(16, 30), 16))
+  }
+
+  /** Per-document gate inputs, computed row-side (no shuffle): the
+    * sorted distinct 56-bit shingle hashes (the Jaccard verify set —
+    * one long per shingle instead of the ~20-byte string, the state
+    * the gate can afford to keep; a 2^-56 hash collision folding two
+    * shingles is the documented trade) and the LSH band bucket keys
+    * `"<band>|<md5(h_jr|…)>"`, built EXACTLY as
+    * [[withMinhashSignature]] + [[lshCandidatePairs]] build them —
+    * same md5 halves, same `g1 + i·g2` double hashing, same
+    * `md5(concat_ws("|", …))` band signature — so the gate's candidate
+    * universe is bit-identical to the batch pipeline's.
+    */
+  private[graft] def localShinglesAndBands(text: String, k: Int, r: Int)
+    : (Array[Long], Array[String]) = {
+    val sh = shingleSetLocal(text, 3)
+    if (sh.isEmpty) (Array.emptyLongArray, Array.empty[String])
+    else {
+      val halves = sh.map(md5Halves)
+      val hashes = halves.map(_._1).distinct.sorted
+      val sig = Array.tabulate(k) { i =>
+        var m = Long.MaxValue
+        halves.foreach { case (g1, g2) =>
+          val h = g1 + i.toLong * g2
+          if (h < m) m = h
+        }
+        m
+      }
+      val bands = Array.tabulate(k / r)(j =>
+        j.toString + "|" +
+          md5Hex((0 until r).map(o => sig(j * r + o)).mkString("|")))
+      (hashes, bands)
+    }
+  }
+
+  /** Jaccard of two sorted distinct long arrays (merge intersect). */
+  private[graft] def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter).toDouble
+  }
+
+  /** Streaming near-duplicate admission gate (X33) — the rolling-crawl
+    * sibling of [[minhashNearDups]]: admit a document iff no
+    * PREVIOUSLY SEEN document is a verified near-duplicate of it. A
+    * crawl wants near-dup rejection at the gate, not in nightly batch;
+    * this was the last batch/stream asymmetry in the pipeline block.
+    *
+    * Semantics (exactly the batch construction, applied online): doc f
+    * is REJECTED iff some earlier doc e (smaller `ord`; earlier batch
+    * or earlier in this batch) shares an LSH band bucket with f — the
+    * [[lshCandidatePairs]] candidate rule — AND exact Jaccard(e, f) ≥
+    * `threshold` — the [[verifyJaccard]] rule (computed on the 56-bit
+    * shingle hash sets). The comparison set is ALL seen docs, not just
+    * admitted ones: a doc rejected via near-dup of an admitted one
+    * still rejects ITS later near-dups, which reproduces the batch
+    * clusterer's transitive-closure behavior for chains that arrive in
+    * id order. With id-ordered arrival the kept set has a closed
+    * batch form — `docs ∖ {f : ∃ e<f, (e,f) ∈ verified LSH pairs}` —
+    * which is the x108 DuckDB oracle (and equals
+    * `nearDupClusters`-min-representatives whenever every cluster
+    * member has a direct verified edge to an earlier member, e.g.
+    * mutated-copy near-dup groups).
+    *
+    * Shingle-less docs (fewer words than the shingle width) have no
+    * signature on either side of the batch pipeline and pass through
+    * ungated — including EXACT duplicates of each other; compose
+    * [[streamingFirstOccurrenceBy]] upstream if tiny-doc exact dedup
+    * matters.
+    *
+    * Shape: two chained append-mode keyed-state ops (Spark supports
+    * multiple flatMapGroupsWithState when all are append):
+    *  1. keyed on band bucket — state holds the shingle-hash set of
+    *     every seen doc in the bucket (≈ |bands| × |shingles| × 8 B
+    *     per doc, RocksDB-backed at crawl scale); in-batch rows are
+    *     processed in `ord` order against state ∪ earlier in-batch
+    *     rows, and each doc's per-bucket verdict rides out with its
+    *     payload;
+    *  2. keyed on `ord` — a STATELESS per-batch reduce (state is never
+    *     written): a doc is admitted iff no bucket voted reject, and
+    *     exactly one payload row is emitted. All of a doc's band rows
+    *     are produced within its own micro-batch, so the reduce never
+    *     waits.
+    * Per batch: one exchange on bucket + one on ord; output rows =
+    * admitted docs. No batch-over-batch joins, no driver-side data.
+    * Heavy-hitter buckets (boilerplate bands) concentrate state the
+    * same way they concentrate [[lshCandidatePairs]]'s bucket join —
+    * the shared hazard of the construction, bounded by the same
+    * banding choices.
+    */
+  def streamingNearDupGate[T](ds: org.apache.spark.sql.Dataset[T],
+                              threshold: Double, k: Int = 12, r: Int = 3)(
+      text: T => String, ord: T => Long)(
+      implicit enc: org.apache.spark.sql.Encoder[T])
+    : org.apache.spark.sql.Dataset[T] = {
+    require(r > 0 && k % r == 0,
+      s"band width $r must divide signature size $k (else hashes are silently dropped)")
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import ds.sparkSession.implicits.{newLongArrayEncoder, newSequenceEncoder}
+    val rowEnc: Encoder[(String, Long, Array[Long], T)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+        implicitly[Encoder[Array[Long]]], enc)
+    val outEnc: Encoder[(Long, Boolean, T)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaBoolean, enc)
+    val stEnc: Encoder[Seq[Array[Long]]] = implicitly
+    // row-side fan-out: one row per (doc, band); shingle-less docs get
+    // a per-doc key so they flow through (no band ⇒ no candidates ⇒
+    // admitted) WITHOUT creating state
+    val bandRows = ds.flatMap { d =>
+      val (hashes, bands) = localShinglesAndBands(text(d), k, r)
+      val o = ord(d)
+      if (bands.isEmpty) Seq(("e|" + o, o, hashes, d))
+      else bands.toSeq.map(b => (b, o, hashes, d))
+    }(rowEnc)
+    val verdicts = bandRows.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[Seq[Array[Long]], (Long, Boolean, T)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Long, Array[Long], T)],
+         state: GroupState[Seq[Array[Long]]]) =>
+          val sorted = rows.toSeq.sortBy(_._2)
+          val prior = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+          state.getOption.foreach(prior ++= _)
+          val n0 = prior.length
+          val out = sorted.map { case (_, o, sh, doc) =>
+            val hit = sh.nonEmpty &&
+              prior.exists(p => jaccardSorted(p, sh) >= threshold)
+            if (sh.nonEmpty) prior += sh
+            (o, hit, doc)
+          }
+          if (prior.length > n0) state.update(prior.toSeq)
+          out.iterator
+      }(stEnc, outEnc)
+    verdicts.groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[Boolean, T](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Boolean, T)],
+         _: GroupState[Boolean]) =>
+          // stateless reduce: a doc's band rows all arrive in its own
+          // batch; admit iff no bucket voted reject
+          val rs = rows.toSeq
+          if (rs.exists(_._2)) Iterator.empty
+          else Iterator.single(rs.head._3)
+      }(Encoders.scalaBoolean, enc)
+  }
+
   /** md5 hex digest of a string's UTF-8 bytes — the streaming dedup
     * key ([[streamingFirstOccurrenceBy]] callers key state on the
     * digest so the state store never holds document text), spelled to

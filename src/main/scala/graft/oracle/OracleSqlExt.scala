@@ -384,10 +384,15 @@ object OracleSqlExt {
       closureCte(threshold, band) + ledgerTail(minScore, "reproc")
   }
 
-  def minhashLshSql(threshold: Double, k: Int = 12, r: Int = 3): String = {
-    // double hashing (Kirsch–Mitzenmacher), mirroring Dedup
-    // .withMinhashSignature: h_i = g1 + i*g2 over the two 56-bit halves
-    // of one md5 — exact int64 arithmetic in both engines
+  /** The MinHash+LSH candidate/verify CTE chain (`nz` → `sig` →
+    * `bands` → `cand` → `j`), shared by [[minhashLshSql]] (the pair
+    * list) and [[streamNearDupGateSql]] (the gate's kept set — same
+    * candidate rule, same verify, different final projection).
+    * Double hashing (Kirsch–Mitzenmacher), mirroring Dedup
+    * .withMinhashSignature: h_i = g1 + i*g2 over the two 56-bit halves
+    * of one md5 — exact int64 arithmetic in both engines.
+    */
+  private def minhashCandCtes(k: Int, r: Int): String = {
     def g(off: Int) = s"CAST(('0x' || substr(md5(x), $off, 14)) AS BIGINT)"
     val sigCols = (0 until k).map(i =>
       s"list_min(list_transform(s, x -> ${g(1)} + $i * ${g(17)})) AS h$i")
@@ -416,12 +421,34 @@ object OracleSqlExt {
          |  FROM cand
          |  JOIN nz sa ON sa.doc_id = doc_a
          |  JOIN nz sb ON sb.doc_id = doc_b
-         |)
+         |)""".stripMargin
+  }
+
+  def minhashLshSql(threshold: Double, k: Int = 12, r: Int = 3): String =
+    minhashCandCtes(k, r) +
+      s"""
          |SELECT doc_a, doc_b,
          |       CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) AS jaccard
          |FROM j WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= $threshold
          |ORDER BY doc_a, doc_b""".stripMargin
-  }
+
+  /** Mirrors the x108 streaming near-dup gate on id-ordered arrival:
+    * a doc is rejected iff some SMALLER-id doc shares an LSH band
+    * bucket with it and verifies at `threshold` — the closed batch
+    * form of "no previously seen verified near-duplicate". Pairs in
+    * `j` already carry doc_a < doc_b, so the rejected side is exactly
+    * the doc_b projection; shingle-less docs are absent from `nz` on
+    * both sides and pass through.
+    */
+  def streamNearDupGateSql(threshold: Double, k: Int = 12,
+                           r: Int = 3): String =
+    minhashCandCtes(k, r) +
+      s"""
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN (
+         |  SELECT doc_b FROM j
+         |  WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= $threshold)
+         |ORDER BY d.doc_id""".stripMargin
 
   def simhashPairsSql(maxDist: Int, band: Long, bits: Int = 60): String = {
     val sums = (0 until bits).map(b =>

@@ -209,7 +209,8 @@ object CorpusIO {
     */
   def streamCurated(raw: DataFrame, outPath: String, checkpointDir: String,
                     buckets: Int = 256,
-                    stats: Option[graft.streaming.CorpusIngestStats] = None)
+                    stats: Option[graft.streaming.CorpusIngestStats] = None,
+                    nearDup: Option[Double] = None)
     : org.apache.spark.sql.streaming.StreamingQuery = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = raw.sparkSession
@@ -242,9 +243,24 @@ object CorpusIO {
       count(lit(1)).as("n_lines"),
       sum(when(isMalformed, 1L).otherwise(0L)).as("n_malformed"),
       sum(when(isIncomplete, 1L).otherwise(0L)).as("n_incomplete"))
-    val first = graft.operators.Dedup.streamingFirstOccurrenceBy(
-      cleanDocs(observed).as[CuratedDoc])(
-      d => graft.operators.Dedup.md5Hex(d.text), _.doc_id)
+    // admission gate: exact first-occurrence by default; with
+    // `nearDup = Some(threshold)` the streaming MinHash near-dup gate
+    // instead — it subsumes exact dedup for every shingled doc
+    // (identical text ⇒ identical bands ⇒ Jaccard 1), while
+    // shingle-less docs (< 3 words) pass ungated on both the gate and
+    // its batch oracle. State: band-bucket shingle-hash sets instead
+    // of one boolean per fingerprint — production runs want the
+    // RocksDB state-store provider (see SCALE.md §8d) at crawl
+    // cardinality either way.
+    val cleanTyped = cleanDocs(observed).as[CuratedDoc]
+    val first = nearDup match {
+      case Some(t) =>
+        graft.operators.Dedup.streamingNearDupGate(cleanTyped, t)(
+          _.text, _.doc_id)
+      case None =>
+        graft.operators.Dedup.streamingFirstOccurrenceBy(cleanTyped)(
+          d => graft.operators.Dedup.md5Hex(d.text), _.doc_id)
+    }
     val q = first.toDF()
       .observe("corpus_out", count(lit(1)).as("n_admitted"))
       .writeStream.outputMode("append")

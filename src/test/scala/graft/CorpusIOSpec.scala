@@ -292,6 +292,53 @@ class CorpusIOSpec extends AnyFunSuite {
     assert(manifest == recomputed)
   }
 
+  test("streamCurated with the near-dup gate: mutated copies rejected at the door, telemetry reconciles") {
+    val root = tmp("graft-ndcorpus")
+    val in = s"$root/in"
+    new java.io.File(in).mkdirs()
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"tok$i").mkString(" ")
+    def jline(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "src0", "n_chars": ${text.length}}"""
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    val stats = new graft.streaming.CorpusIngestStats
+    val cur = CorpusIO.streamCurated(
+      CorpusIO.readJsonlStream(spark, in), s"$root/out", s"$root/ck",
+      buckets = 4, stats = Some(stats), nearDup = Some(0.5))
+    // batch 0: base doc + an in-batch EXACT copy (the gate subsumes
+    // exact dedup) + an unrelated doc
+    writeFile("f0.json",
+      Seq(jline(0, base), jline(1, base), jline(2, other)))
+    cur.processAllAvailable()
+    // batch 1: a cross-batch MUTATED copy (near-dup, not exact — the
+    // thing the exact gate cannot catch) and a fresh doc
+    writeFile("f1.json",
+      Seq(jline(3, base + " tail42"), jline(4, "zz yy xx ww vv")))
+    cur.processAllAvailable()
+    cur.stop()
+    import spark.implicits._
+    val kept = CorpusIO.readCurated(spark, s"$root/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 4L),
+      s"near-dup gate kept $kept — the mutated copy must be rejected at the door")
+    // telemetry: the gate path emits one row per ADMITTED doc, so
+    // n_admitted (and the derived dup-dropped) stay honest
+    val deadline = System.currentTimeMillis() + 20000
+    def totals() = stats.toDF(spark)
+      .agg(coalesce(sum("nLines"), lit(0L)),
+        coalesce(sum("nAdmitted"), lit(0L)),
+        coalesce(sum("n_dup_dropped"), lit(0L)))
+      .as[(Long, Long, Long)].head()
+    var t = totals()
+    while (t._1 < 5L && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200); t = totals()
+    }
+    spark.streams.removeListener(stats)
+    assert(t == ((5L, 3L, 2L)), s"gate telemetry did not reconcile: $t")
+  }
+
   test("compactCurated recovers from a crash between the two directory renames") {
     val root = tmp("graft-ccrash")
     val in = s"$root/in"

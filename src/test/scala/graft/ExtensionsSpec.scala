@@ -1307,6 +1307,81 @@ class ExtensionsSpec extends AnyFunSuite {
       ("s2", 1L, 5L, 5L, 5L, 5.0, 0L, 0.0, 1L, 2L, 1.0)))
   }
 
+  test("streamingNearDupGate: kept set equals the batch smaller-id verified-neighbor filter") {
+    import spark.implicits._
+    val rows = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](ss)
+    val q = Dedup.streamingNearDupGate(ms.toDS(), 0.5)(_._2, _._1)
+      .toDF("doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gate_vs_batch").start()
+    // three id-RANGE chunks: cross-batch rejection exercises state
+    rows.grouped(rows.length / 3 + 1).foreach { c =>
+      ms.addData(c.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val kept = ss.table("gate_vs_batch").select("doc_id")
+      .as[Long].collect().toSet
+    // batch form of "has a previously seen verified near-dup" under
+    // id-ordered arrival: appears as doc_b of a verified LSH pair
+    val rejected = Dedup.minhashNearDups(docs, 0.5)
+      .select("doc_b").as[Long].collect().toSet
+    assert(rejected.nonEmpty, "fixture should reject some near-dups")
+    assert(kept == rows.map(_._1).toSet -- rejected)
+  }
+
+  test("gate band keys match the batch MinHash banding bit-for-bit") {
+    import spark.implicits._
+    // DataFrame side: the exact lshCandidatePairs banding spelling
+    val sig = Dedup.withMinhashSignature(
+      Dedup.shingled(docs).filter(size(col("sh")) > 0))
+    val nBands = 12 / 3
+    val dfBands = sig.select(col("doc_id"),
+      explode(array((0 until nBands).map { j =>
+        concat_ws("|", lit(j.toString),
+          md5(concat_ws("|", (0 until 3).map(o => col(s"h${j * 3 + o}")): _*)))
+      }: _*)).as("key"))
+      .as[(Long, String)].collect().toSet
+    // JVM side: the gate's per-row construction over the same texts
+    val local = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .flatMap { case (id, t) =>
+        Dedup.localShinglesAndBands(t, 12, 3)._2.map(b => (id, b))
+      }.toSet
+    assert(dfBands.nonEmpty && dfBands == local,
+      "JVM band keys must equal the DataFrame construction")
+  }
+
+  test("gate: shingle-less docs pass ungated; in-batch near-dup keeps the min ord; state rejects across batches") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val b0 = Seq((1L, "x y"), (2L, "x y"), (10L, base),
+      (11L, base + " tail42"), (20L, other))
+    val b1 = Seq((30L, base + " tail43"), (31L, "x y"))
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](ss)
+    val q = Dedup.streamingNearDupGate(ms.toDS(), 0.5)(_._2, _._1)
+      .toDF("doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gate_semantics").start()
+    ms.addData(b0); q.processAllAvailable()
+    ms.addData(b1); q.processAllAvailable()
+    q.stop()
+    val kept = ss.table("gate_semantics").select("doc_id")
+      .as[Long].collect().toSet
+    // 1, 2, 31: shingle-less (2 words < 3-gram width) — ungated even
+    // as exact duplicates of each other; 10: min of its group; 11:
+    // in-batch near-dup of 10; 30: cross-batch near-dup via state;
+    // 20: unrelated
+    assert(kept == Set(1L, 2L, 10L, 20L, 31L))
+  }
+
   test("dupSpanCoverage: docs shorter than n are uncovered, not dropped") {
     import spark.implicits._
     val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c d e"),
