@@ -215,6 +215,12 @@ object CorpusIO {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = raw.sparkSession
     import spark.implicits._
+    // single-writer exclusion, the metric store's SinkLock discipline:
+    // refuse a busy sink BEFORE start (a live compactCurated would
+    // rename this query's output tree out from under it; a second
+    // writer would interleave batch dirs), acquire after
+    val lock = new graft.streaming.SinkLock(outPath, "corpus sink")
+    lock.assertNotBusy(spark)
     // batch keys carry the checkpoint INCARNATION tag (the metric
     // store's discipline, same helper): an operator who wipes and
     // recreates the checkpoint path restarts batch ids at 0, and a
@@ -277,20 +283,57 @@ object CorpusIO {
         // marker discipline. `batch=` rides hive partition discovery
         // as the sink's idempotence ledger; [[readCurated]] drops it
         // and [[compactCurated]] folds committed keys away.
+        // Upgrade-window convergence: a sink written before
+        // incarnation tags keyed this batch as bare `batch=<n>`; if
+        // that dir still exists we are REPLAYING a batch the old code
+        // wrote but never committed (committed bare keys have smaller
+        // ids and are never revisited), and the overwrite must land on
+        // it too — otherwise the crashed partial would survive as
+        // foreign-committed rows next to the tagged rewrite and
+        // double-count forever. One exists-probe per batch.
+        val legacy = new org.apache.hadoop.fs.Path(
+          s"$outPath/data/batch=$batchId")
+        val lfs = legacy.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (lfs.exists(legacy)) lfs.delete(legacy, true)
         out.repartition(col("lang"), col("part"))
           .write.partitionBy("lang", "part").mode("overwrite")
           .parquet(s"$outPath/data/batch=${ckptTag}_$batchId")
         ()
       }
       .start()
+    // record this run as the sink's live writer so a concurrent
+    // compactCurated (or second writer) refuses; a stale lock is
+    // cleared by the next acquire. If a second writer won the
+    // pre-start race, acquire throws — stop our query before
+    // propagating so nothing keeps running without a handle
+    graft.streaming.HtaStore.registerRun(q)
+    try lock.acquireIngest(spark, q.runId.toString)
+    catch { case e: Throwable =>
+      try q.stop() catch { case s: Throwable => e.addSuppressed(s) }
+      throw e
+    }
     stats.foreach(_.bind(q.runId))
     q
   }
 
-  /** Quarantine side of the streaming ingest: malformed lines append
-    * to `<outPath>/quarantine` with the raw line preserved as
-    * evidence. A separate query over the same (replayable) file
-    * source — the curated pipe never blocks on quarantine I/O.
+  /** Quarantine side of the streaming ingest: malformed and
+    * field-incomplete lines append to `<outPath>/quarantine` with
+    * reason + evidence ([[quarantine]]'s columns). A separate query
+    * over the same (replayable) file source — the curated pipe never
+    * blocks on quarantine I/O. Deliberate trade: the second query
+    * RE-READS every input file, doubling crawl-input scan cost; on a
+    * 100 TB pass either accept it (quarantine triage is usually worth
+    * one extra text scan), or drop this query and recover quarantine
+    * rows batch-wise from the same files ([[readJsonl]] +
+    * [[quarantine]]) on the cadence triage actually needs.
+    *
+    * Migration: [[quarantine]]'s output grew from one column
+    * (`raw_line`) to two (`reason`, `raw_line`); a quarantine
+    * directory written by the single-column format should be archived
+    * aside before resuming into it — parquet reads over a
+    * mixed-format directory sample one footer for the schema, so old
+    * rows would either fail a `reason` projection or read it as null.
     */
   def streamQuarantine(raw: DataFrame, outPath: String,
                        checkpointDir: String)
@@ -351,7 +394,20 @@ object CorpusIO {
     * the compacted output; no driver-side data path.
     */
   def compactCurated(spark: SparkSession, path: String,
-                     activeCheckpoint: Option[String]): DataFrame = {
+                     activeCheckpoint: Option[String]): DataFrame =
+    // single-writer exclusion for the WHOLE fold: a live ingest
+    // query's foreachBatch firing between the swap's two renames
+    // would recreate `data/` under the backup and the success-path
+    // delete(bak) would destroy the only full copy — the exact race
+    // the metric store's lock exists for, same SinkLock
+    new graft.streaming.SinkLock(path, "corpus sink")
+      .withCompact(spark) {
+        compactCuratedLocked(spark, path, activeCheckpoint)
+      }
+
+  private def compactCuratedLocked(spark: SparkSession, path: String,
+                                   activeCheckpoint: Option[String])
+    : DataFrame = {
     import graft.streaming.{HtaStore, StreamingIngest}
     val dataPath = s"$path/data"
     val hp = new org.apache.hadoop.fs.Path(dataPath)
@@ -400,11 +456,10 @@ object CorpusIO {
     // hive partition-directory inference types `part` as INT; pin it
     // back to the LongType it was written from so the round-trip (and
     // the manifest-vs-files comparison) is schema-stable
-    val raw = spark.read.parquet(s"$path/data")
     // the streamed sink's `batch` partition level is its idempotence
-    // ledger, not data — drop it so streamed and batch-written
-    // corpora read back identically
-    val df = (if (raw.columns.contains("batch")) raw.drop("batch") else raw)
+    // ledger, not data — drop it (a no-op on batch-written layouts)
+    // so all corpora read back identically
+    val df = spark.read.parquet(s"$path/data").drop("batch")
       .withColumn("part", col("part").cast("long"))
     lang.fold(df)(l => df.filter(col("lang") === l))
   }

@@ -303,7 +303,7 @@ object HtaStore {
     .empty[String, java.lang.ref.WeakReference[
       org.apache.spark.sql.streaming.StreamingQuery]]
 
-  private[streaming] def registerRun(
+  private[graft] def registerRun(
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     // opportunistic sweep keeps the map at O(live queries)
     liveRuns.filterInPlace((_, ref) =>
@@ -472,64 +472,17 @@ class HtaStore(val root: String, val intervalMin: Long) {
         "backup holding your data look like a stale duplicate")
   }
 
-  private def ingestLock = new org.apache.hadoop.fs.Path(s"$root/ingest.lock")
-
-  /** Lock-file values beginning with this prefix mark a live compaction
-    * rather than a streaming query — see [[HtaStore.registerCompact]].
-    * A streaming runId is a UUID and can never collide with it.
+  /** Single-writer exclusion (lock file + JVM liveness): the
+    * discipline lives in [[SinkLock]], shared verbatim with the corpus
+    * sink — see its doc for the mechanism and scope. [[compact]]
+    * refuses while the recorded query is still active; a stale lock
+    * (crashed or cleanly-stopped holder) is cleared by the next
+    * acquire.
     */
-  private val CompactTokenPrefix = "compact:"
-
-  /** Record `runId` as the live ingest query on this store (a lock file
-    * next to the data). [[compact]] refuses while the recorded query is
-    * still active; a lock left behind by a crashed or cleanly-stopped
-    * query is detected as stale (its runId is no longer active) and
-    * cleared. Liveness is probed through the JVM-global
-    * [[HtaStore.registerRun]] registry (per-session
-    * `spark.streams.active` alone would miss a writer started from a
-    * sibling session), falling back to the calling session's manager —
-    * the JVM is the scope in which a concurrent compact could run in
-    * local mode; multi-driver deployments need an external coordinator
-    * (the transactional-table-format story, SCALE.md §1).
-    */
-  /** One busy probe, shared by every lock operation: throw if the lock
-    * file names a LIVE query other than `exempt`. Callers hold the
-    * per-root monitor, which makes each read-check-write sequence
-    * atomic within the JVM — without it, two concurrent `start()`s
-    * could both read an empty lock and both acquire, leaving two live
-    * writers (the JVM is the honest scope here: liveness itself is
-    * probed JVM-wide, and cross-JVM exclusion needs the external
-    * coordinator SCALE.md §1 names).
-    */
-  private def busyCheck(spark: SparkSession, exempt: Option[String]): Unit =
-    lockedRunId(spark).foreach { held =>
-      if (!exempt.contains(held) && tokenIsLive(spark, held))
-        throw new StoreBusyException(
-          s"store at $root is held by live ${describeToken(held)}; two " +
-            "concurrent writers on one store would interleave or destroy " +
-            "batch directories")
-    }
-
-  /** One liveness predicate for both lock-token kinds: an ingest query's
-    * runId (probed via the query registry) or a compact's
-    * `compact:<uuid>` token (probed via JVM membership — see
-    * [[HtaStore.registerCompact]]).
-    */
-  private def tokenIsLive(spark: SparkSession, held: String): Boolean =
-    if (held.startsWith(CompactTokenPrefix)) HtaStore.compactIsActive(held)
-    else HtaStore.runIsActive(spark, held)
-
-  private def describeToken(held: String): String =
-    if (held.startsWith(CompactTokenPrefix)) s"compaction $held"
-    else s"ingest query $held"
+  private val sinkLock = new SinkLock(root, "store")
 
   def acquireIngestLock(spark: SparkSession, runId: String): Unit =
-    HtaStore.rootMonitor(root).synchronized {
-      busyCheck(spark, exempt = Some(runId))
-      val (hfs, lp) = fs(spark, ingestLock.toString)
-      val out = hfs.create(lp, true)
-      try out.write(runId.getBytes("UTF-8")) finally out.close()
-    }
+    sinkLock.acquireIngest(spark, runId)
 
   /** The pre-start half of the ingest handshake: refuse while another
     * live query holds the lock, WITHOUT acquiring — called before the
@@ -540,19 +493,7 @@ class HtaStore(val root: String, val intervalMin: Long) {
     * the caller stops its query.
     */
   def assertNotBusy(spark: SparkSession): Unit =
-    HtaStore.rootMonitor(root).synchronized {
-      busyCheck(spark, exempt = None)
-    }
-
-  private def lockedRunId(spark: SparkSession): Option[String] = {
-    val (hfs, lp) = fs(spark, ingestLock.toString)
-    if (!hfs.exists(lp)) None
-    else {
-      val in = hfs.open(lp)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-      finally in.close()
-    }
-  }
+    sinkLock.assertNotBusy(spark)
 
   /** Batch commit markers — a minimal store-side transaction log. A
     * marker is written only AFTER a batch's raw AND partials writes both
@@ -929,52 +870,16 @@ class HtaStore(val root: String, val intervalMin: Long) {
     * unmerged as well: they are invisible to readers, and a later
     * replay completes them in place.
     */
-  def compact(spark: SparkSession, activeCheckpoint: Option[String]): Unit = {
-    // mutual exclusion with the streaming query (see acquireIngestLock):
-    // refuse while the lock's token (ingest runId OR another compact) is
-    // live; a stale lock (terminated holder) is replaced. The compact
-    // then holds the lock with its OWN token for its WHOLE duration —
-    // entry-only exclusion would leave a window where a start() begun
-    // mid-compact sees no lock, passes assertNotBusy, and appends batch
-    // directories that swapCompact's rename(cur->bak)+delete(bak) would
-    // silently destroy. busyCheck treats a live compact token as busy,
-    // so that start() now fails loudly instead.
-    val compactToken = CompactTokenPrefix + java.util.UUID.randomUUID()
-    HtaStore.rootMonitor(root).synchronized {
-      lockedRunId(spark).foreach { held =>
-        if (tokenIsLive(spark, held))
-          throw new StoreBusyException(
-            s"compact refused: ${describeToken(held)} is live on the store " +
-              s"at $root; stop it before compacting")
-      }
-      // register BEFORE the file lands: a busy probe that reads our
-      // token must find it live, never a just-written-but-unregistered
-      // token it would misjudge as a stale crash
-      HtaStore.registerCompact(compactToken)
-      // a failed lock write must unregister the token, or the store is
-      // wedged for the JVM's lifetime behind a "live" compact that never
-      // ran (the half-written lock file itself is harmless: its token is
-      // not live after unregistration, so busyCheck clears it as stale)
-      try {
-        val (hfs, lp) = fs(spark, ingestLock.toString)
-        val out = hfs.create(lp, true)
-        try out.write(compactToken.getBytes("UTF-8")) finally out.close()
-      } catch { case t: Throwable =>
-        HtaStore.unregisterCompact(compactToken); throw t
-      }
+  def compact(spark: SparkSession, activeCheckpoint: Option[String]): Unit =
+    // mutual exclusion with the streaming query: refuse while the
+    // lock's token (ingest runId OR another compact) is live, then
+    // hold the lock with our OWN token for the WHOLE duration — the
+    // [[SinkLock.withCompact]] discipline (entry-only exclusion would
+    // let a start() begun mid-compact append batch directories that
+    // swapCompact's rename+delete silently destroys)
+    sinkLock.withCompact(spark) {
+      compactLocked(spark, activeCheckpoint)
     }
-    try compactLocked(spark, activeCheckpoint)
-    finally HtaStore.rootMonitor(root).synchronized {
-      HtaStore.unregisterCompact(compactToken)
-      // release only our own token — never a successor's lock (nothing
-      // can legally replace a live compact token, but a crash-then-
-      // recover path must not delete the recovering writer's lock)
-      if (lockedRunId(spark).contains(compactToken)) {
-        val (hfs, lp) = fs(spark, ingestLock.toString)
-        hfs.delete(lp, false)
-      }
-    }
-  }
 
   private def compactLocked(spark: SparkSession,
                             activeCheckpoint: Option[String]): Unit = {

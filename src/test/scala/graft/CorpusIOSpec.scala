@@ -339,6 +339,38 @@ class CorpusIOSpec extends AnyFunSuite {
     assert(t == ((5L, 3L, 2L)), s"gate telemetry did not reconcile: $t")
   }
 
+  test("corpus sink lock: live ingest blocks compact and a second writer; stale lock clears") {
+    val root = tmp("graft-clock")
+    val in = s"$root/in"
+    val out = s"$root/out"
+    new java.io.File(in).mkdirs()
+    Files.write(java.nio.file.Paths.get(in, "f0.json"),
+      """{"doc_id": 1, "text": "aa", "lang": "en", "source": "s", "n_chars": 2}"""
+        .getBytes("UTF-8"))
+    val cur = CorpusIO.streamCurated(
+      CorpusIO.readJsonlStream(spark, in), out, s"$root/ck", buckets = 2)
+    cur.processAllAvailable()
+    // a live ingest query holds the lock — compact must not rename the
+    // sink tree out from under its foreachBatch
+    val e = intercept[graft.streaming.StoreBusyException](
+      CorpusIO.compactCurated(spark, out, None))
+    assert(e.getMessage.contains("live ingest query"))
+    // a second writer on the SAME sink must refuse BEFORE starting and
+    // must not leak a running, handle-less query
+    val activeBefore = spark.streams.active.map(_.runId).toSet
+    val e2 = intercept[graft.streaming.StoreBusyException](
+      CorpusIO.streamCurated(
+        CorpusIO.readJsonlStream(spark, in), out, s"$root/ck2", buckets = 2))
+    assert(e2.getMessage.contains("live"))
+    assert(spark.streams.active.map(_.runId).toSet == activeBefore,
+      "refused second writer must not leak a running query")
+    cur.stop()
+    // terminated run ⇒ stale lock: compact clears it and proceeds,
+    // releasing its own token on the way out
+    CorpusIO.compactCurated(spark, out, None)
+    assert(!new java.io.File(s"$out/ingest.lock").exists())
+  }
+
   test("compactCurated recovers from a crash between the two directory renames") {
     val root = tmp("graft-ccrash")
     val in = s"$root/in"
