@@ -629,6 +629,35 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),
+    // X33 audit variant: the SAME gate state machine, but every doc
+    // flows out with its verdict — the streaming sibling of x97's
+    // drop-reason discipline ("why did intake drop N% this hour"
+    // needs the rejected rows, not just survivors). The gate is this
+    // stream filtered to admitted — one definition, so x108 passing
+    // and x109 passing together pin that the filter loses nothing
+    "x109_stream_gate_audit" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Tables.read(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .as[graft.sources.CorpusIO.CuratedDoc].collect().sortBy(_.doc_id)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.sources.CorpusIO.CuratedDoc](ss)
+      val verdicts = Dedup.streamingNearDupVerdicts(
+        ms.toDS(), ClusterJaccard)(_.text, _.doc_id)
+        .map(v => (v._1, v._2))
+      val q = verdicts.toDF("doc_id", "admitted")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("graft_gate_audit")
+        .start()
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      ss.table("graft_gate_audit").orderBy("doc_id")
+    }),
     // X4: per-doc quality features + composite score
     "x26_text_quality" -> ((s, dir) =>
       TextAnalysis.quality(Tables.read(s, dir, "documents")).orderBy("doc_id")),
@@ -1660,6 +1689,8 @@ object SparkEntry {
       OracleSqlExt.ledgerDriftSql(3.0, 4.0, ClusterJaccard, ClusterBand),
     "x108_stream_neardup_gate" ->
       OracleSqlExt.streamNearDupGateSql(ClusterJaccard),
+    "x109_stream_gate_audit" ->
+      OracleSqlExt.streamGateAuditSql(ClusterJaccard),
     "x102_incremental_curate" ->
       OracleSqlExt.incrementalCurateLedgerSql(3.0, ClusterJaccard, ClusterBand),
     // same oracle as x46 on purpose: the Bloom pre-filter must be

@@ -860,6 +860,26 @@ object Dedup {
       text: T => String, ord: T => Long)(
       implicit enc: org.apache.spark.sql.Encoder[T])
     : org.apache.spark.sql.Dataset[T] = {
+    streamingNearDupVerdicts(ds, threshold, k, r)(text, ord)
+      .filter((v: (Long, Boolean, T)) => v._2)
+      .map((v: (Long, Boolean, T)) => v._3)(enc)
+  }
+
+  /** Audit variant of [[streamingNearDupGate]]: every doc flows
+    * through with its verdict — `(ord, admitted, doc)` — instead of
+    * rejected docs vanishing. The streaming sibling of the x97
+    * drop-reason discipline: a crawl operator asking "why did intake
+    * drop N % this hour" needs the rejected rows with their identity,
+    * not just the survivors. Same state, same two-exchange shape,
+    * exactly one output row per input doc; the gate is this stream
+    * filtered to admitted (one definition — they cannot drift).
+    */
+  def streamingNearDupVerdicts[T](ds: org.apache.spark.sql.Dataset[T],
+                                  threshold: Double, k: Int = 12,
+                                  r: Int = 3)(
+      text: T => String, ord: T => Long)(
+      implicit enc: org.apache.spark.sql.Encoder[T])
+    : org.apache.spark.sql.Dataset[(Long, Boolean, T)] = {
     require(r > 0 && k % r == 0,
       s"band width $r must divide signature size $k (else hashes are silently dropped)")
     import org.apache.spark.sql.{Encoder, Encoders}
@@ -899,16 +919,15 @@ object Dedup {
           out.iterator
       }(stEnc, outEnc)
     verdicts.groupByKey(_._1)(Encoders.scalaLong)
-      .flatMapGroupsWithState[Boolean, T](
+      .flatMapGroupsWithState[Boolean, (Long, Boolean, T)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, rows: Iterator[(Long, Boolean, T)],
+        (o: Long, rows: Iterator[(Long, Boolean, T)],
          _: GroupState[Boolean]) =>
           // stateless reduce: a doc's band rows all arrive in its own
-          // batch; admit iff no bucket voted reject
+          // batch; admitted iff no bucket voted reject
           val rs = rows.toSeq
-          if (rs.exists(_._2)) Iterator.empty
-          else Iterator.single(rs.head._3)
-      }(Encoders.scalaBoolean, enc)
+          Iterator.single((o, !rs.exists(_._2), rs.head._3))
+      }(Encoders.scalaBoolean, outEnc)
   }
 
   /** md5 hex digest of a string's UTF-8 bytes — the streaming dedup

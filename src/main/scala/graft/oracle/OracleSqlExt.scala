@@ -450,6 +450,21 @@ object OracleSqlExt {
          |  WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= $threshold)
          |ORDER BY d.doc_id""".stripMargin
 
+  /** Mirrors the x109 gate AUDIT stream: every doc with its verdict —
+    * admitted iff no smaller-id verified LSH pair rejects it (the
+    * x108 rule as a flag instead of a filter).
+    */
+  def streamGateAuditSql(threshold: Double, k: Int = 12,
+                         r: Int = 3): String =
+    minhashCandCtes(k, r) +
+      s"""
+         |SELECT d.doc_id,
+         |       d.doc_id NOT IN (
+         |         SELECT doc_b FROM j
+         |         WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= $threshold)
+         |         AS admitted
+         |FROM documents d ORDER BY d.doc_id""".stripMargin
+
   def simhashPairsSql(maxDist: Int, band: Long, bits: Int = 60): String = {
     val sums = (0 until bits).map(b =>
       s"sum(CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")

@@ -456,6 +456,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the chain's aggregations must partially aggregate:\n$p")
   }
 
+  test("x107 ledger drift: equi-joins only (incl. the full-outer), partial aggregation") {
+    // two full ledgers + the (doc, reason) full-outer reduce — a
+    // cartesian anywhere here would square the doc pool; the
+    // full-outer must plan as a sort-merge/shuffled-hash EQUI join
+    val p = sparkPlan("x107_ledger_drift")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the drift reduce must stay on equi-joins:\n$p")
+    assert(p.contains("FullOuter"),
+      s"the (doc, reason) reduce must be a full-outer equi-join:\n$p")
+    assert(p.contains("partial_"),
+      s"the per-reason counts must partially aggregate:\n$p")
+  }
+
   test("similarity queries use native vector expressions, no interpreted lambdas") {
     // higher-order functions print as lambdafunction(...) and evaluate
     // interpreted per array element — the hot candidate-pair path must
