@@ -620,11 +620,13 @@ object SparkEntry {
         .writeStream.outputMode("append")
         .format("memory").queryName("graft_neardup_gate")
         .start()
-      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+      // stop in finally: a poison batch rethrowing through
+      // processAllAvailable must not leak the running query (and its
+      // state stores) into the retrying driver loop
+      try rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
         ms.addData(chunk.toSeq)
         q.processAllAvailable()
-      }
-      q.stop()
+      } finally q.stop()
       ss.table("graft_neardup_gate")
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
@@ -651,11 +653,10 @@ object SparkEntry {
         .writeStream.outputMode("append")
         .format("memory").queryName("graft_gate_audit")
         .start()
-      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+      try rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
         ms.addData(chunk.toSeq)
         q.processAllAvailable()
-      }
-      q.stop()
+      } finally q.stop()
       ss.table("graft_gate_audit").orderBy("doc_id")
     }),
     // X4: per-doc quality features + composite score

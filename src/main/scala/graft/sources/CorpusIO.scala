@@ -216,9 +216,11 @@ object CorpusIO {
     val spark = raw.sparkSession
     import spark.implicits._
     // single-writer exclusion, the metric store's SinkLock discipline:
-    // refuse a busy sink BEFORE start (a live compactCurated would
-    // rename this query's output tree out from under it; a second
-    // writer would interleave batch dirs), acquire after
+    // refuse a busy sink BEFORE the pre-start work (a live
+    // compactCurated would rename this query's output tree out from
+    // under it; a second writer would interleave batch dirs) —
+    // exclusion itself comes from startGuarded below, which holds the
+    // lock from BEFORE .start()
     val lock = new graft.streaming.SinkLock(outPath, "corpus sink")
     lock.assertNotBusy(spark)
     // batch keys carry the checkpoint INCARNATION tag (the metric
@@ -229,8 +231,13 @@ object CorpusIO {
     // its later batches as duplicates. The tag also lets
     // [[compactCurated]] distinguish the live incarnation's
     // uncommitted tail from foreign committed batches.
-    val (ckptTag, _) = graft.streaming.StreamingIngest
+    val (ckptTag, committedMax0) = graft.streaming.StreamingIngest
       .checkpointIdentity(spark, checkpointDir)
+    // pre-tag checkpoint (bare-id batch keys in ITS OWN history)? Only
+    // then may a replay touch a bare dir — under a wiped/recreated
+    // checkpoint, bare dirs are a foreign incarnation's committed data
+    val legacyCkpt = graft.streaming.StreamingIngest
+      .checkpointIsLegacy(spark, checkpointDir)
     // idempotent registration BEFORE start (the StreamingIngest
     // discipline): reusing one collector across restarts — the
     // pattern bind() supports — must not double-register it, or every
@@ -267,7 +274,8 @@ object CorpusIO {
         graft.operators.Dedup.streamingFirstOccurrenceBy(cleanTyped)(
           d => graft.operators.Dedup.md5Hex(d.text), _.doc_id)
     }
-    val q = first.toDF()
+    val q = lock.startGuarded(spark) {
+      first.toDF()
       .observe("corpus_out", count(lit(1)).as("n_admitted"))
       .writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -283,35 +291,32 @@ object CorpusIO {
         // marker discipline. `batch=` rides hive partition discovery
         // as the sink's idempotence ledger; [[readCurated]] drops it
         // and [[compactCurated]] folds committed keys away.
-        // Upgrade-window convergence: a sink written before
-        // incarnation tags keyed this batch as bare `batch=<n>`; if
-        // that dir still exists we are REPLAYING a batch the old code
-        // wrote but never committed (committed bare keys have smaller
-        // ids and are never revisited), and the overwrite must land on
-        // it too — otherwise the crashed partial would survive as
-        // foreign-committed rows next to the tagged rewrite and
-        // double-count forever. One exists-probe per batch.
-        val legacy = new org.apache.hadoop.fs.Path(
-          s"$outPath/data/batch=$batchId")
-        val lfs = legacy.getFileSystem(
-          batch.sparkSession.sparkContext.hadoopConfiguration)
-        if (lfs.exists(legacy)) lfs.delete(legacy, true)
+        // Upgrade-window convergence: a PRE-TAG checkpoint resuming
+        // under this code replays its crashed batch under a tagged
+        // key while the old code's bare `batch=<n>` partial survives
+        // on disk — delete it, or it double-counts forever as
+        // foreign-committed rows next to the tagged rewrite. Guarded
+        // THREE ways so nothing else can ever match: the checkpoint
+        // must be legacy (a wiped/recreated checkpoint restarts ids
+        // at 0 and its bare-dir collisions are a FOREIGN
+        // incarnation's committed data — deleting those is data
+        // loss), the id must be beyond the committed frontier at
+        // start (only the crashed tail replays; committed bare keys
+        // sit at or below it), and the dir must exist. One
+        // exists-probe per batch on the legacy path, zero otherwise.
+        if (legacyCkpt && batchId > committedMax0) {
+          val bare = new org.apache.hadoop.fs.Path(
+            s"$outPath/data/batch=$batchId")
+          val lfs = bare.getFileSystem(
+            batch.sparkSession.sparkContext.hadoopConfiguration)
+          if (lfs.exists(bare)) lfs.delete(bare, true)
+        }
         out.repartition(col("lang"), col("part"))
           .write.partitionBy("lang", "part").mode("overwrite")
           .parquet(s"$outPath/data/batch=${ckptTag}_$batchId")
         ()
       }
       .start()
-    // record this run as the sink's live writer so a concurrent
-    // compactCurated (or second writer) refuses; a stale lock is
-    // cleared by the next acquire. If a second writer won the
-    // pre-start race, acquire throws — stop our query before
-    // propagating so nothing keeps running without a handle
-    graft.streaming.HtaStore.registerRun(q)
-    try lock.acquireIngest(spark, q.runId.toString)
-    catch { case e: Throwable =>
-      try q.stop() catch { case s: Throwable => e.addSuppressed(s) }
-      throw e
     }
     stats.foreach(_.bind(q.runId))
     q
@@ -425,9 +430,19 @@ object CorpusIO {
             StreamingIngest.checkpointIdentity(spark, ckpt)
           // try_cast, not the ANSI cast: the `compacted` key (and any
           // foreign tag) must evaluate to false, not fail the scan
-          col("batch").startsWith(s"${tag}_") &&
+          val tagged = col("batch").startsWith(s"${tag}_") &&
             expr("try_cast(substring_index(batch, '_', -1) AS LONG)") >
               committedMax
+          // a PRE-TAG checkpoint's own crashed tail sits on disk as a
+          // BARE-id key the tagged predicate can't see — folding it
+          // would double-count when the upgraded query replays it
+          // under the tagged key (the compact-before-restart path of
+          // the upgrade window). Bare keys count as this checkpoint's
+          // tail only when the checkpoint is actually legacy; under
+          // any other checkpoint they are foreign committed data.
+          if (StreamingIngest.checkpointIsLegacy(spark, ckpt))
+            tagged || expr("try_cast(batch AS LONG)") > lit(committedMax)
+          else tagged
         case None => lit(false)
       }
     val all = spark.read.schema(StreamedTreeSchema).parquet(dataPath)

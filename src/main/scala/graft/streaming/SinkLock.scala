@@ -47,15 +47,27 @@ private[graft] final class SinkLock(root: String, what: String) {
     }
   }
 
-  /** One liveness predicate for both lock-token kinds. */
+  /** One liveness predicate for all lock-token kinds: an ingest
+    * query's runId (probed via the query registry) or a compact /
+    * start-guard token (probed via JVM membership).
+    */
   private def tokenIsLive(spark: SparkSession, held: String): Boolean =
-    if (held.startsWith(SinkLock.CompactTokenPrefix))
+    if (held.startsWith(SinkLock.CompactTokenPrefix) ||
+        held.startsWith(SinkLock.StartTokenPrefix))
       HtaStore.compactIsActive(held)
     else HtaStore.runIsActive(spark, held)
 
   private def describeToken(held: String): String =
     if (held.startsWith(SinkLock.CompactTokenPrefix)) s"compaction $held"
+    else if (held.startsWith(SinkLock.StartTokenPrefix))
+      s"starting ingest query $held"
     else s"ingest query $held"
+
+  private def writeLock(spark: SparkSession, token: String): Unit = {
+    val (hfs, lp) = fs(spark)
+    val out = hfs.create(lp, true)
+    try out.write(token.getBytes("UTF-8")) finally out.close()
+  }
 
   /** One busy probe, shared by every lock operation: throw if the lock
     * file names a LIVE holder other than `exempt`. Callers hold the
@@ -84,17 +96,60 @@ private[graft] final class SinkLock(root: String, what: String) {
       busyCheck(spark, exempt = None)
     }
 
-  /** Record `runId` as the live ingest holder (lock file next to the
-    * data). A compact refuses while the recorded query is still
-    * active; a stale lock is cleared by the next acquire.
+  /** Start an ingest query under the lock with NO unguarded window:
+    * a fresh start-guard token is acquired BEFORE `start` runs (so a
+    * compact beginning between the busy probe and the run-id write
+    * cannot rename the tree out from under the query's first
+    * batches — the query may commit batches the moment `.start()`
+    * returns, before any post-start bookkeeping), swapped for the
+    * query's runId once it exists, and the query is registered in the
+    * JVM-global liveness registry. If anything fails, the query (if
+    * created) is stopped — a thrown start must not leak a running,
+    * handle-less writer — with the stop failure suppressed into the
+    * original diagnosis, and the guard is released. ONE definition of
+    * the whole handshake, shared by the metric store and the corpus
+    * sink.
     */
-  def acquireIngest(spark: SparkSession, runId: String): Unit =
+  def startGuarded(spark: SparkSession)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    val token = SinkLock.StartTokenPrefix + java.util.UUID.randomUUID()
     HtaStore.rootMonitor(root).synchronized {
-      busyCheck(spark, exempt = Some(runId))
-      val (hfs, lp) = fs(spark)
-      val out = hfs.create(lp, true)
-      try out.write(runId.getBytes("UTF-8")) finally out.close()
+      busyCheck(spark, exempt = None)
+      // register BEFORE the file lands (the withCompact discipline):
+      // a busy probe must find our token live, never misjudge a
+      // just-written-but-unregistered token as a stale crash
+      HtaStore.registerCompact(token)
+      try writeLock(spark, token)
+      catch { case t: Throwable =>
+        HtaStore.unregisterCompact(token); throw t
+      }
     }
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = start
+      HtaStore.registerRun(q)
+      // swap guard → runId: we hold the lock, so no busy re-probe; the
+      // monitor serializes same-JVM readers across the overwrite
+      HtaStore.rootMonitor(root).synchronized {
+        writeLock(spark, q.runId.toString)
+      }
+      q
+    } catch { case e: Throwable =>
+      if (q != null) {
+        try q.stop() catch { case s: Throwable => e.addSuppressed(s) }
+      }
+      // release the guard only if the file still holds OUR token (the
+      // swap may or may not have happened)
+      HtaStore.rootMonitor(root).synchronized {
+        if (lockedToken(spark).contains(token)) {
+          val (hfs, lp) = fs(spark)
+          hfs.delete(lp, false)
+        }
+      }
+      throw e
+    } finally HtaStore.unregisterCompact(token)
+  }
 
   /** Run `body` holding the lock with a fresh compact token for its
     * WHOLE duration — entry-only exclusion would leave a window where
@@ -116,11 +171,8 @@ private[graft] final class SinkLock(root: String, what: String) {
       // never ran (the half-written lock file itself is harmless: its
       // token is not live after unregistration, so busyCheck clears it
       // as stale)
-      try {
-        val (hfs, lp) = fs(spark)
-        val out = hfs.create(lp, true)
-        try out.write(token.getBytes("UTF-8")) finally out.close()
-      } catch { case t: Throwable =>
+      try writeLock(spark, token)
+      catch { case t: Throwable =>
         HtaStore.unregisterCompact(token); throw t
       }
     }
@@ -139,9 +191,12 @@ private[graft] final class SinkLock(root: String, what: String) {
 }
 
 private[graft] object SinkLock {
-  /** Lock-file values beginning with this prefix mark a live
-    * compaction rather than a streaming query — see
+  /** Lock-file values beginning with these prefixes mark a live
+    * compaction / a query mid-start rather than a running streaming
+    * query (a runId is a bare UUID and can never collide) — both
+    * probed for liveness via JVM membership, see
     * [[HtaStore.registerCompact]].
     */
   val CompactTokenPrefix = "compact:"
+  val StartTokenPrefix = "starting:"
 }

@@ -168,6 +168,28 @@ object StreamingIngest {
     (tag, committedMax)
   }
 
+  /** Whether `checkpoint` predates the graft incarnation id: the
+    * adopted identity is then the canonical PATH (contains ":/"),
+    * which only [[checkpointIdentity]]'s legacy branch writes — a
+    * fresh checkpoint always mints a bare UUID. Pre-tag corpus sink
+    * batch keys (bare ids) can only belong to such a checkpoint's own
+    * history; under a NON-legacy (wiped/recreated) checkpoint, bare
+    * dirs on disk are a FOREIGN incarnation's committed data and must
+    * never be touched.
+    */
+  private[graft] def checkpointIsLegacy(spark: SparkSession,
+                                        checkpoint: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(checkpoint)
+    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idFile = new org.apache.hadoop.fs.Path(hp, "graft-id")
+    hfs.exists(idFile) && {
+      val in = hfs.open(idFile)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      s.contains(":/")
+    }
+  }
+
   /** Start the ingest query: gate → foreachBatch dual write into `store`.
     * Ack semantics (T4): the checkpoint commit happens after both writes
     * return — a replayed batch re-runs through the gate, whose state
@@ -246,35 +268,26 @@ object StreamingIngest {
             "seeding) instead, or raise -Dgraft.legacySeed.maxKeys")
         seed.collect().toMap
       } else Map.empty)
-    val q = gated.toDF()
-      .observe("ingest_out",
-        sum(when(!col("anchor"), 1L).otherwise(0L)).as("n_kept"))
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // idempotency key = (checkpoint identity, batchId): stable across
-        // restarts of the same checkpoint (replay overwrites the same
-        // directory) but distinct between queries (a fresh checkpoint
-        // restarts batch ids at 0 and must not clobber prior batches)
-        store.writeBatch(spark, batch, s"${ckptTag}_$batchId")
-      }
-      .start()
-    // record this run as the store's live writer so a concurrent
-    // compact() refuses instead of destroying in-flight batch dirs; a
-    // stale lock (terminated runId) is cleared by the next compact. The
-    // registry is JVM-global because StreamingQueryManager is
-    // per-session — a liveness probe from another session must still
-    // see this query. If a second writer won the pre-start race,
-    // acquire throws — stop our query before propagating so nothing
-    // keeps running without a handle
-    HtaStore.registerRun(q)
-    try store.acquireIngestLock(spark, q.runId.toString)
-    catch { case e: Throwable =>
-      // best-effort stop: a failing stop() must neither replace the
-      // busy diagnosis nor be ignored silently
-      try q.stop() catch { case s: Throwable => e.addSuppressed(s) }
-      throw e
+    // the whole start handshake — guard token BEFORE .start() (a
+    // compact beginning between the pre-start probe and the run-id
+    // write must not rename committed first batches out from under
+    // us), swap to runId, JVM-global registry, stop-on-failure — is
+    // SinkLock.startGuarded, shared with the corpus sink
+    val q = store.startIngestGuarded(spark) {
+      gated.toDF()
+        .observe("ingest_out",
+          sum(when(!col("anchor"), 1L).otherwise(0L)).as("n_kept"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // idempotency key = (checkpoint identity, batchId): stable across
+          // restarts of the same checkpoint (replay overwrites the same
+          // directory) but distinct between queries (a fresh checkpoint
+          // restarts batch ids at 0 and must not clobber prior batches)
+          store.writeBatch(spark, batch, s"${ckptTag}_$batchId")
+        }
+        .start()
     }
     // scope the stats collector to THIS query run — listeners are
     // session-global and would otherwise interleave other queries' rows
@@ -481,16 +494,22 @@ class HtaStore(val root: String, val intervalMin: Long) {
     */
   private val sinkLock = new SinkLock(root, "store")
 
-  def acquireIngestLock(spark: SparkSession, runId: String): Unit =
-    sinkLock.acquireIngest(spark, runId)
+  /** Start an ingest query under the lock with no unguarded window —
+    * [[SinkLock.startGuarded]]'s whole handshake (guard token before
+    * `.start()`, swap to runId, registry, stop-on-failure).
+    */
+  def startIngestGuarded(spark: SparkSession)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    sinkLock.startGuarded(spark)(start)
 
   /** The pre-start half of the ingest handshake: refuse while another
-    * live query holds the lock, WITHOUT acquiring — called before the
-    * new query exists, so a busy store fails before anything starts
-    * (throwing after `.start()` would leak a running, handle-less
-    * second writer). If two starts race past this, the loser's
-    * [[acquireIngestLock]] sees the winner's live lock and throws, and
-    * the caller stops its query.
+    * live query holds the lock, WITHOUT acquiring — a cheap probe
+    * BEFORE expensive pre-start work (seeding, catalog checks), so a
+    * busy store fails fast. Exclusion itself comes from
+    * [[startIngestGuarded]]: if two starts race past this probe, the
+    * loser's guard acquisition sees the winner's live lock and throws
+    * before its query exists.
     */
   def assertNotBusy(spark: SparkSession): Unit =
     sinkLock.assertNotBusy(spark)

@@ -339,6 +339,83 @@ class CorpusIOSpec extends AnyFunSuite {
     assert(t == ((5L, 3L, 2L)), s"gate telemetry did not reconcile: $t")
   }
 
+  test("pre-tag sink upgrade: crashed bare tail converges, foreign bare dirs survive") {
+    val root = tmp("graft-upgrade")
+    val in = s"$root/in"
+    val out = s"$root/out"
+    val ck = s"$root/ck"
+    new java.io.File(in).mkdirs()
+    def jline(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "s", "n_chars": ${text.length}}"""
+    def drain(): Unit = {
+      val c = CorpusIO.streamCurated(
+        CorpusIO.readJsonlStream(spark, in), out, ck, buckets = 2)
+      c.processAllAvailable(); c.stop()
+    }
+    Files.write(java.nio.file.Paths.get(in, "f0.json"),
+      jline(0, "aa bb").getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(in, "f1.json"),
+      jline(1, "cc dd").getBytes("UTF-8"))
+    drain() // batches 0, 1 committed under tagged keys
+    val dataDir = new java.io.File(s"$out/data")
+    // ---- simulate the PRE-TAG state this checkpoint would have left:
+    // bare-id batch dirs on disk, no graft-id in the checkpoint (the
+    // legacy marker is commits/ existing without it), batch 1's commit
+    // gone (crashed mid-batch-1 before the upgrade)
+    dataDir.listFiles().filter(_.getName.startsWith("batch=")).foreach { d =>
+      val id = d.getName.substring(d.getName.lastIndexOf('_') + 1)
+      assert(d.renameTo(new java.io.File(dataDir, s"batch=$id")))
+    }
+    Files.delete(java.nio.file.Paths.get(s"$ck/graft-id"))
+    Files.deleteIfExists(java.nio.file.Paths.get(s"$ck/.graft-id.crc"))
+    Files.delete(java.nio.file.Paths.get(s"$ck/commits/1"))
+    Files.deleteIfExists(java.nio.file.Paths.get(s"$ck/commits/.1.crc"))
+    // ---- compact-FIRST path (the documented crashed-query contract):
+    // the bare tail must be recognized as THIS checkpoint's
+    // uncommitted batch and carried unmerged — folding it would
+    // double-count after the replay rewrites it under a tagged key
+    CorpusIO.compactCurated(spark, out, Some(ck))
+    val dirsAfter = dataDir.listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).sorted.toSeq
+    assert(dirsAfter.contains("batch=compacted") &&
+      dirsAfter.contains("batch=1") && dirsAfter.size == 2,
+      s"legacy bare tail must survive the compact unmerged: $dirsAfter")
+    // ---- the upgraded query resumes: replays batch 1, deletes the
+    // bare partial, rewrites it under its (adopted-identity) tag
+    drain()
+    assert(!new java.io.File(dataDir, "batch=1").exists(),
+      "the replay must converge the bare partial away")
+    CorpusIO.compactCurated(spark, out, None)
+    import spark.implicits._
+    val kept = CorpusIO.readCurated(spark, out)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 1L), s"upgrade window double-counted: $kept")
+    // ---- foreign protection: under a FRESH (wiped/recreated)
+    // checkpoint, a colliding bare-id dir is ANOTHER incarnation's
+    // committed data and must never be deleted, even though batch ids
+    // restart at 0
+    val root2 = tmp("graft-upgrade2")
+    val in2 = s"$root2/in"
+    new java.io.File(in2).mkdirs()
+    new java.io.File(s"$root2/out/data/batch=0/lang=en/part=0").mkdirs()
+    Tables.read(spark, sf, "documents").limit(1)
+      .select(lit(999L).as("doc_id"), col("text"),
+        lit("s").as("source"), lit(2L).as("n_chars"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$root2/out/data/batch=0/lang=en/part=0")
+    Files.write(java.nio.file.Paths.get(in2, "f0.json"),
+      jline(5, "ee ff").getBytes("UTF-8"))
+    val c2 = CorpusIO.streamCurated(
+      CorpusIO.readJsonlStream(spark, in2), s"$root2/out", s"$root2/ck",
+      buckets = 2)
+    c2.processAllAvailable(); c2.stop()
+    assert(new java.io.File(s"$root2/out/data/batch=0").exists(),
+      "a fresh checkpoint must not delete a foreign incarnation's bare dir")
+    val ids = CorpusIO.readCurated(spark, s"$root2/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(5L, 999L))
+  }
+
   test("corpus sink lock: live ingest blocks compact and a second writer; stale lock clears") {
     val root = tmp("graft-clock")
     val in = s"$root/in"
