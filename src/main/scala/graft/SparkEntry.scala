@@ -620,13 +620,18 @@ object SparkEntry {
         .writeStream.outputMode("append")
         .format("memory").queryName("graft_neardup_gate")
         .start()
-      // stop in finally: a poison batch rethrowing through
-      // processAllAvailable must not leak the running query (and its
-      // state stores) into the retrying driver loop
+      // a poison batch rethrowing through processAllAvailable must
+      // not leak the running query (and its state stores) into the
+      // retrying driver loop — and the cleanup stop must not REPLACE
+      // the poison diagnosis, so suppress rather than finally
       try rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
         ms.addData(chunk.toSeq)
         q.processAllAvailable()
-      } finally q.stop()
+      } catch { case e: Throwable =>
+        try q.stop() catch { case s: Throwable => e.addSuppressed(s) }
+        throw e
+      }
+      q.stop()
       ss.table("graft_neardup_gate")
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
@@ -656,7 +661,11 @@ object SparkEntry {
       try rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
         ms.addData(chunk.toSeq)
         q.processAllAvailable()
-      } finally q.stop()
+      } catch { case e: Throwable =>
+        try q.stop() catch { case s: Throwable => e.addSuppressed(s) }
+        throw e
+      }
+      q.stop()
       ss.table("graft_gate_audit").orderBy("doc_id")
     }),
     // X4: per-doc quality features + composite score

@@ -231,13 +231,13 @@ object CorpusIO {
     // its later batches as duplicates. The tag also lets
     // [[compactCurated]] distinguish the live incarnation's
     // uncommitted tail from foreign committed batches.
-    val (ckptTag, committedMax0) = graft.streaming.StreamingIngest
-      .checkpointIdentity(spark, checkpointDir)
-    // pre-tag checkpoint (bare-id batch keys in ITS OWN history)? Only
-    // then may a replay touch a bare dir — under a wiped/recreated
-    // checkpoint, bare dirs are a foreign incarnation's committed data
-    val legacyCkpt = graft.streaming.StreamingIngest
-      .checkpointIsLegacy(spark, checkpointDir)
+    // legacyCkpt: pre-tag checkpoint (bare-id batch keys in ITS OWN
+    // history)? Only then may a replay touch a bare dir — under a
+    // wiped/recreated checkpoint, bare dirs are a foreign
+    // incarnation's committed data. One graft-id read serves tag,
+    // frontier and legacy bit.
+    val (ckptTag, committedMax0, legacyCkpt) = graft.streaming
+      .StreamingIngest.checkpointIdentityFull(spark, checkpointDir)
     // idempotent registration BEFORE start (the StreamingIngest
     // discipline): reusing one collector across restarts — the
     // pattern bind() supports — must not double-register it, or every
@@ -300,11 +300,14 @@ object CorpusIO {
         // must be legacy (a wiped/recreated checkpoint restarts ids
         // at 0 and its bare-dir collisions are a FOREIGN
         // incarnation's committed data — deleting those is data
-        // loss), the id must be beyond the committed frontier at
-        // start (only the crashed tail replays; committed bare keys
-        // sit at or below it), and the dir must exist. One
-        // exists-probe per batch on the legacy path, zero otherwise.
-        if (legacyCkpt && batchId > committedMax0) {
+        // loss), the id must be EXACTLY the frontier successor
+        // (batches commit sequentially, so committedMax0 + 1 is the
+        // ONLY id the old code can have written without committing;
+        // later ids colliding with bare dirs can only be foreign
+        // data, and `>` would hold the delete window open for the
+        // query's whole life), and the dir must exist. One
+        // exists-probe on one batch ever, zero otherwise.
+        if (legacyCkpt && batchId == committedMax0 + 1) {
           val bare = new org.apache.hadoop.fs.Path(
             s"$outPath/data/batch=$batchId")
           val lfs = bare.getFileSystem(
@@ -396,7 +399,15 @@ object CorpusIO {
     * manifest readers get at-least-as-old statistics, never corrupt
     * data. Scale shape: one scan of the tree, one
     * (batch, lang, part)-partitioned rewrite, one manifest scan of
-    * the compacted output; no driver-side data path.
+    * the compacted output; no driver-side data path. Cost stated
+    * honestly: each compact rewrites the WHOLE committed tree
+    * (previous `compacted` content + new batches) — O(corpus), not
+    * O(new batches). The right trade while compaction cadence ≫
+    * ingest cadence (a daily compact's one corpus pass replaces
+    * ~1,440 small trees); a deployment where the compacted corpus
+    * dwarfs daily intake should move the curated sink onto a
+    * transactional table format (the metric store's same top-end
+    * note, SCALE.md §1), which subsumes this mechanism.
     */
   def compactCurated(spark: SparkSession, path: String,
                      activeCheckpoint: Option[String]): DataFrame =
@@ -426,8 +437,8 @@ object CorpusIO {
     val uncommittedTail: org.apache.spark.sql.Column =
       activeCheckpoint match {
         case Some(ckpt) =>
-          val (tag, committedMax) =
-            StreamingIngest.checkpointIdentity(spark, ckpt)
+          val (tag, committedMax, legacy) =
+            StreamingIngest.checkpointIdentityFull(spark, ckpt)
           // try_cast, not the ANSI cast: the `compacted` key (and any
           // foreign tag) must evaluate to false, not fail the scan
           val tagged = col("batch").startsWith(s"${tag}_") &&
@@ -438,10 +449,13 @@ object CorpusIO {
           // would double-count when the upgraded query replays it
           // under the tagged key (the compact-before-restart path of
           // the upgrade window). Bare keys count as this checkpoint's
-          // tail only when the checkpoint is actually legacy; under
-          // any other checkpoint they are foreign committed data.
-          if (StreamingIngest.checkpointIsLegacy(spark, ckpt))
-            tagged || expr("try_cast(batch AS LONG)") > lit(committedMax)
+          // tail ONLY when the checkpoint is actually legacy AND the
+          // id is exactly the frontier successor — the one id the
+          // old code can have written without committing; any other
+          // bare key is foreign committed data and folds.
+          if (legacy)
+            tagged || expr("try_cast(batch AS LONG)") ===
+              lit(committedMax + 1)
           else tagged
         case None => lit(false)
       }

@@ -83,13 +83,12 @@ private[graft] final class SinkLock(root: String, what: String) {
             "batch directories")
     }
 
-  /** The pre-start half of the ingest handshake: refuse while another
-    * live holder exists, WITHOUT acquiring — called before the new
-    * query exists, so a busy sink fails before anything starts
-    * (throwing after `.start()` would leak a running, handle-less
-    * second writer). If two starts race past this, the loser's
-    * [[acquireIngest]] sees the winner's live lock and throws, and the
-    * caller stops its query.
+  /** Cheap pre-start busy probe: refuse while another live holder
+    * exists, WITHOUT acquiring — called before expensive pre-start
+    * work so a busy sink fails fast. Exclusion itself comes from
+    * [[startGuarded]]: if two starts race past this probe, the
+    * loser's guard acquisition sees the winner's live token and
+    * throws before its query ever exists.
     */
   def assertNotBusy(spark: SparkSession): Unit =
     HtaStore.rootMonitor(root).synchronized {

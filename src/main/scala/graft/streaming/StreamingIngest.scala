@@ -113,6 +113,20 @@ object StreamingIngest {
     * trusted as foreign committed data.
     */
   def checkpointIdentity(spark: SparkSession, checkpoint: String): (String, Long) = {
+    val (tag, committedMax, _) = checkpointIdentityFull(spark, checkpoint)
+    (tag, committedMax)
+  }
+
+  /** [[checkpointIdentity]] plus the LEGACY bit — whether the adopted
+    * identity is a canonical PATH (pre-incarnation-id checkpoint, the
+    * only kind whose own sink history can carry bare batch keys). One
+    * read of `graft-id` serves all three facts; callers needing the
+    * legacy bit must not re-read the file (a second unvalidated read
+    * could disagree with the first).
+    */
+  private[graft] def checkpointIdentityFull(spark: SparkSession,
+                                            checkpoint: String)
+    : (String, Long, Boolean) = {
     val hp = new org.apache.hadoop.fs.Path(checkpoint)
     val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val idFile = new org.apache.hadoop.fs.Path(hp, "graft-id")
@@ -123,11 +137,15 @@ object StreamingIngest {
       // an empty/garbled id would make this checkpoint share a tag with
       // every other checkpoint that hit the same corruption — md5("") —
       // recreating exactly the batch-key collision the id prevents.
-      // Refuse loudly; the operator removes the corrupt file to mint a
-      // fresh incarnation.
+      // Refuse loudly; restoring from backup is the safe recovery —
+      // REMOVING the file does NOT mint a fresh incarnation on an
+      // in-use checkpoint (commits/ exists, so the legacy branch
+      // adopts the PATH identity, which also re-enables pre-tag
+      // bare-key semantics on the corpus sink)
       require(s.matches("[0-9a-f-]{36}") || s.contains(":/"),
-        s"corrupt $idFile (content '${s.take(40)}'): remove it to " +
-          "start a fresh incarnation, or restore it from backup")
+        s"corrupt $idFile (content '${s.take(40)}'): restore it from " +
+          "backup; removing it would make this checkpoint adopt the " +
+          "legacy path identity, not a fresh incarnation")
       s
     }
     val incarnation =
@@ -165,29 +183,7 @@ object StreamingIngest {
       else hfs.listStatus(cp).map(_.getPath.getName)
         .flatMap(n => scala.util.Try(n.toLong).toOption)
         .foldLeft(-1L)(math.max)
-    (tag, committedMax)
-  }
-
-  /** Whether `checkpoint` predates the graft incarnation id: the
-    * adopted identity is then the canonical PATH (contains ":/"),
-    * which only [[checkpointIdentity]]'s legacy branch writes — a
-    * fresh checkpoint always mints a bare UUID. Pre-tag corpus sink
-    * batch keys (bare ids) can only belong to such a checkpoint's own
-    * history; under a NON-legacy (wiped/recreated) checkpoint, bare
-    * dirs on disk are a FOREIGN incarnation's committed data and must
-    * never be touched.
-    */
-  private[graft] def checkpointIsLegacy(spark: SparkSession,
-                                        checkpoint: String): Boolean = {
-    val hp = new org.apache.hadoop.fs.Path(checkpoint)
-    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val idFile = new org.apache.hadoop.fs.Path(hp, "graft-id")
-    hfs.exists(idFile) && {
-      val in = hfs.open(idFile)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-      s.contains(":/")
-    }
+    (tag, committedMax, incarnation.contains(":/"))
   }
 
   /** Start the ingest query: gate → foreachBatch dual write into `store`.

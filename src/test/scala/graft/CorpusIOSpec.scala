@@ -216,7 +216,7 @@ class CorpusIOSpec extends AnyFunSuite {
     def drain(): Unit = {
       val c = CorpusIO.streamCurated(
         CorpusIO.readJsonlStream(spark, in), out, ck, buckets = 4)
-      c.processAllAvailable(); c.stop()
+      try c.processAllAvailable() finally c.stop()
     }
     def keptSet() = CorpusIO.readCurated(spark, out)
       .select("doc_id", "text", "lang").as[(Long, String, String)]
@@ -350,7 +350,7 @@ class CorpusIOSpec extends AnyFunSuite {
     def drain(): Unit = {
       val c = CorpusIO.streamCurated(
         CorpusIO.readJsonlStream(spark, in), out, ck, buckets = 2)
-      c.processAllAvailable(); c.stop()
+      try c.processAllAvailable() finally c.stop()
     }
     Files.write(java.nio.file.Paths.get(in, "f0.json"),
       jline(0, "aa bb").getBytes("UTF-8"))
@@ -408,7 +408,7 @@ class CorpusIOSpec extends AnyFunSuite {
     val c2 = CorpusIO.streamCurated(
       CorpusIO.readJsonlStream(spark, in2), s"$root2/out", s"$root2/ck",
       buckets = 2)
-    c2.processAllAvailable(); c2.stop()
+    try c2.processAllAvailable() finally c2.stop()
     assert(new java.io.File(s"$root2/out/data/batch=0").exists(),
       "a fresh checkpoint must not delete a foreign incarnation's bare dir")
     val ids = CorpusIO.readCurated(spark, s"$root2/out")
@@ -458,7 +458,7 @@ class CorpusIOSpec extends AnyFunSuite {
         .getBytes("UTF-8"))
     val c = CorpusIO.streamCurated(
       CorpusIO.readJsonlStream(spark, in), out, s"$root/ck", buckets = 2)
-    c.processAllAvailable(); c.stop()
+    try c.processAllAvailable() finally c.stop()
     val before = CorpusIO.readCurated(spark, out)
       .select("doc_id").as[Long].collect().toSet
     // simulate the crash window: data moved to data_old, new dir absent

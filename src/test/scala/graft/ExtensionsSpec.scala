@@ -1323,6 +1323,17 @@ class ExtensionsSpec extends AnyFunSuite {
     rows.grouped(rows.length / 3 + 1).foreach { c =>
       ms.addData(c.toSeq); q.processAllAvailable()
     }
+    // the scale claims as observed metrics: exactly TWO keyed-state
+    // ops (band-bucket verify + per-doc reduce), and the reduce is
+    // genuinely STATELESS — zero state rows across the whole run
+    // (state.update is never called), so its state store can never
+    // grow. The first op's rows are the seen band buckets.
+    val ops = q.lastProgress.stateOperators
+    assert(ops.length == 2, s"gate must plan exactly two keyed-state ops, got ${ops.length}")
+    assert(ops.map(_.numRowsTotal).min == 0L,
+      s"the per-doc reduce must keep zero state: ${ops.map(_.numRowsTotal).toSeq}")
+    assert(ops.map(_.numRowsTotal).max > 0L,
+      "the band-bucket op must hold the seen buckets")
     q.stop()
     val kept = ss.table("gate_vs_batch").select("doc_id")
       .as[Long].collect().toSet
