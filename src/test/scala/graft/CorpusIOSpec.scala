@@ -380,16 +380,29 @@ class CorpusIOSpec extends AnyFunSuite {
     assert(dirsAfter.contains("batch=compacted") &&
       dirsAfter.contains("batch=1") && dirsAfter.size == 2,
       s"legacy bare tail must survive the compact unmerged: $dirsAfter")
+    // ---- a foreign bare dir BEYOND the frontier successor (id 5,
+    // e.g. left by a checkpoint wiped during the pre-tag era) must
+    // survive the legacy replay untouched: only committedMax+1 can be
+    // this checkpoint's own crashed tail
+    new java.io.File(dataDir, "batch=5/lang=en/part=0").mkdirs()
+    Tables.read(spark, sf, "documents").limit(1)
+      .select(lit(888L).as("doc_id"), col("text"),
+        lit("s").as("source"), lit(2L).as("n_chars"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$out/data/batch=5/lang=en/part=0")
     // ---- the upgraded query resumes: replays batch 1, deletes the
     // bare partial, rewrites it under its (adopted-identity) tag
     drain()
     assert(!new java.io.File(dataDir, "batch=1").exists(),
       "the replay must converge the bare partial away")
+    assert(new java.io.File(dataDir, "batch=5").exists(),
+      "a legacy replay must not touch foreign bare dirs beyond its own tail")
     CorpusIO.compactCurated(spark, out, None)
     import spark.implicits._
     val kept = CorpusIO.readCurated(spark, out)
       .select("doc_id").as[Long].collect().sorted.toSeq
-    assert(kept == Seq(0L, 1L), s"upgrade window double-counted: $kept")
+    assert(kept == Seq(0L, 1L, 888L),
+      s"upgrade window double-counted or lost foreign data: $kept")
     // ---- foreign protection: under a FRESH (wiped/recreated)
     // checkpoint, a colliding bare-id dir is ANOTHER incarnation's
     // committed data and must never be deleted, even though batch ids
