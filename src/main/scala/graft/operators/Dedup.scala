@@ -754,13 +754,26 @@ object Dedup {
 
   /** The two 56-bit halves of md5(s) — the JVM spelling of
     * `Md5Longs(col, Seq((1,14),(17,14)))` (hex chars 1–14 and 17–30,
-    * 1-indexed), the double-hashing basis [[withMinhashSignature]]
-    * builds every MinHash function from.
+    * 1-indexed = digest bytes 0–6 and 8–14 big-endian), the
+    * double-hashing basis [[withMinhashSignature]] builds every
+    * MinHash function from. Reads the digest bytes directly — this
+    * runs once per (doc, shingle) on the gate's hot path, and going
+    * through hex encode + parse would double the per-shingle work
+    * (the same reasoning as the native Md5Longs expression). Bit
+    * parity with the expression/oracle spelling is pinned by the
+    * band-key spec.
     */
   private[graft] def md5Halves(s: String): (Long, Long) = {
-    val h = md5Hex(s)
-    (java.lang.Long.parseLong(h.substring(0, 14), 16),
-      java.lang.Long.parseLong(h.substring(16, 30), 16))
+    val md = Md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def long7(off: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (d(off + i) & 0xffL); i += 1 }
+      v
+    }
+    (long7(0), long7(8))
   }
 
   /** Per-document gate inputs, computed row-side (no shuffle): the

@@ -221,7 +221,7 @@ object CorpusIO {
     // under it; a second writer would interleave batch dirs) —
     // exclusion itself comes from startGuarded below, which holds the
     // lock from BEFORE .start()
-    val lock = new graft.streaming.SinkLock(outPath, "corpus sink")
+    val lock = sinkLock(outPath)
     lock.assertNotBusy(spark)
     // batch keys carry the checkpoint INCARNATION tag (the metric
     // store's discipline, same helper): an operator who wipes and
@@ -276,50 +276,50 @@ object CorpusIO {
     }
     val q = lock.startGuarded(spark) {
       first.toDF()
-      .observe("corpus_out", count(lit(1)).as("n_admitted"))
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], batchId: Long) =>
-        val out = batch
-          .withColumn("part", pmod(col("doc_id"), lit(buckets.toLong)))
-        // per-batch OVERWRITE directory, not a bare append: a batch
-        // that crashes mid-write replays under the SAME batchId with
-        // the same deterministic content (the dedup state commits
-        // after this hook returns), so the overwrite makes the sink
-        // idempotent — the corpus-side spelling of the metric store's
-        // marker discipline. `batch=` rides hive partition discovery
-        // as the sink's idempotence ledger; [[readCurated]] drops it
-        // and [[compactCurated]] folds committed keys away.
-        // Upgrade-window convergence: a PRE-TAG checkpoint resuming
-        // under this code replays its crashed batch under a tagged
-        // key while the old code's bare `batch=<n>` partial survives
-        // on disk — delete it, or it double-counts forever as
-        // foreign-committed rows next to the tagged rewrite. Guarded
-        // THREE ways so nothing else can ever match: the checkpoint
-        // must be legacy (a wiped/recreated checkpoint restarts ids
-        // at 0 and its bare-dir collisions are a FOREIGN
-        // incarnation's committed data — deleting those is data
-        // loss), the id must be EXACTLY the frontier successor
-        // (batches commit sequentially, so committedMax0 + 1 is the
-        // ONLY id the old code can have written without committing;
-        // later ids colliding with bare dirs can only be foreign
-        // data, and `>` would hold the delete window open for the
-        // query's whole life), and the dir must exist. One
-        // exists-probe on one batch ever, zero otherwise.
-        if (legacyCkpt && batchId == committedMax0 + 1) {
-          val bare = new org.apache.hadoop.fs.Path(
-            s"$outPath/data/batch=$batchId")
-          val lfs = bare.getFileSystem(
-            batch.sparkSession.sparkContext.hadoopConfiguration)
-          if (lfs.exists(bare)) lfs.delete(bare, true)
+        .observe("corpus_out", count(lit(1)).as("n_admitted"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], batchId: Long) =>
+          val out = batch
+            .withColumn("part", pmod(col("doc_id"), lit(buckets.toLong)))
+          // per-batch OVERWRITE directory, not a bare append: a batch
+          // that crashes mid-write replays under the SAME batchId with
+          // the same deterministic content (the dedup state commits
+          // after this hook returns), so the overwrite makes the sink
+          // idempotent — the corpus-side spelling of the metric
+          // store's marker discipline. `batch=` rides hive partition
+          // discovery as the sink's idempotence ledger; [[readCurated]]
+          // drops it and [[compactCurated]] folds committed keys away.
+          // Upgrade-window convergence: a PRE-TAG checkpoint resuming
+          // under this code replays its crashed batch under a tagged
+          // key while the old code's bare `batch=<n>` partial survives
+          // on disk — delete it, or it double-counts forever as
+          // foreign-committed rows next to the tagged rewrite. Guarded
+          // THREE ways so nothing else can ever match: the checkpoint
+          // must be legacy (a wiped/recreated checkpoint restarts ids
+          // at 0 and its bare-dir collisions are a FOREIGN
+          // incarnation's committed data — deleting those is data
+          // loss), the id must be EXACTLY the frontier successor
+          // (batches commit sequentially, so committedMax0 + 1 is the
+          // ONLY id the old code can have written without committing;
+          // later ids colliding with bare dirs can only be foreign
+          // data, and `>` would hold the delete window open for the
+          // query's whole life), and the dir must exist. One
+          // exists-probe on one batch ever, zero otherwise.
+          if (legacyCkpt && batchId == committedMax0 + 1) {
+            val bare = new org.apache.hadoop.fs.Path(
+              s"$outPath/data/batch=$batchId")
+            val lfs = bare.getFileSystem(
+              batch.sparkSession.sparkContext.hadoopConfiguration)
+            if (lfs.exists(bare)) lfs.delete(bare, true)
+          }
+          out.repartition(col("lang"), col("part"))
+            .write.partitionBy("lang", "part").mode("overwrite")
+            .parquet(s"$outPath/data/batch=${ckptTag}_$batchId")
+          ()
         }
-        out.repartition(col("lang"), col("part"))
-          .write.partitionBy("lang", "part").mode("overwrite")
-          .parquet(s"$outPath/data/batch=${ckptTag}_$batchId")
-        ()
-      }
-      .start()
+        .start()
     }
     stats.foreach(_.bind(q.runId))
     q
@@ -416,10 +416,16 @@ object CorpusIO {
     // would recreate `data/` under the backup and the success-path
     // delete(bak) would destroy the only full copy — the exact race
     // the metric store's lock exists for, same SinkLock
+    sinkLock(path).withCompact(spark) {
+      compactCuratedLocked(spark, path, activeCheckpoint)
+    }
+
+  /** The ONE spelling of this sink's lock identity: the writer and
+    * the compactor must name the same root and diagnostics label or
+    * they stop excluding each other.
+    */
+  private def sinkLock(path: String) =
     new graft.streaming.SinkLock(path, "corpus sink")
-      .withCompact(spark) {
-        compactCuratedLocked(spark, path, activeCheckpoint)
-      }
 
   private def compactCuratedLocked(spark: SparkSession, path: String,
                                    activeCheckpoint: Option[String])
