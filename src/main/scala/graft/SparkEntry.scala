@@ -147,6 +147,86 @@ object SparkEntry {
     out
   }
 
+  /** Shared construction for the streaming-corpus end-to-end rows
+    * (x103 exact dedup, x110 near-dup gate — the `nearDup` param is
+    * the only difference): the run-of-5 duplicate synthesis lands as
+    * three id-RANGE JSONL files (plus mid-stream quarantine bait)
+    * drained one at a time through `streamCurated`, the sink is
+    * compacted, and the curated layout is read back.
+    */
+  private def streamCorpusFixture(s: SparkSession, dir: String,
+                                  nearDup: Option[Double]): DataFrame = {
+    val docs = Tables.read(s, dir, "documents")
+    val canon = docs.select(col("doc_id").as("c_id"), col("text"))
+    val rows = docs.select(col("doc_id"), col("lang"), col("source"),
+        (col("doc_id") - col("doc_id") % 5).as("c_id"))
+      .join(canon, "c_id")
+      // gate fixture only: each run's ≡1-member is a MUTATED copy
+      // (one appended token, near-dup but not exact) — the case exact
+      // dedup cannot catch, so x110's kept set genuinely
+      // discriminates the gate from x103's md5 rule; the oracle
+      // applies the same mutation, and because it also applies the
+      // same LSH candidate rule, the row stays deterministic
+      // whichever way the banding falls
+      .withColumn("text",
+        when(lit(nearDup.isDefined) && col("doc_id") % 5 === 1,
+          concat(col("text"), lit(" mutado"))).otherwise(col("text")))
+      // n_chars re-derived from the SYNTHESIZED text both sides — the
+      // base column describes the original document, not the
+      // synthesized duplicate
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val root = java.nio.file.Files.createTempDirectory("graft-scorpus")
+    val inDir = s"$root/in"
+    new java.io.File(inDir).mkdirs()
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val raw = graft.sources.CorpusIO.readJsonlStream(ss, inDir)
+    // buckets sized to the fixture: the default 256 is a 100 TB
+    // setting and would scatter a few thousand docs over ~1300
+    // partition dirs — pure small-files listing cost in a query
+    // whose point is the pipe, not the layout width
+    val cur = graft.sources.CorpusIO.streamCurated(raw, s"$root/out",
+      s"$root/ck", buckets = 8, nearDup = nearDup)
+    // three id-RANGE files delivered and drained one at a time:
+    // range order makes each fingerprint's global-min id arrive in
+    // the group's first batch, which is what lets the batch oracle
+    // express the stream's kept set (the x87 chunking rule, over
+    // real files instead of MemoryStream)
+    try (0 until 3).foreach { i =>
+      rows.filter(expr(s"doc_id * 3 div ${maxId + 1}") === i)
+        .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))).as("v"))
+        .coalesce(1).write.mode("overwrite").text(s"$root/stage")
+      val part = new java.io.File(s"$root/stage").listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(inDir, f"chunk-$i%03d.json"))
+      if (i == 1) // quarantine bait mid-stream: truncated JSON, junk,
+        // and a well-formed line missing its key — none may surface
+        // in the curated output
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(inDir, "chunk-001-bad.json"),
+          java.util.Arrays.asList("{\"doc_id\": 17, \"text\":",
+            "not json at all", "{\"text\": \"orphan\"}"))
+      cur.processAllAvailable()
+    } catch { case e: Throwable =>
+      try cur.stop() catch { case st: Throwable => e.addSuppressed(st) }
+      throw e
+    }
+    cur.stop()
+    // fold the per-batch sink trees into the compacted layout before
+    // reading back (clean stop above ⇒ no uncommitted tail): the
+    // oracle hash unchanged proves compaction is content-invisible
+    graft.sources.CorpusIO.compactCurated(s, s"$root/out", None)
+    materializedWithoutScratch(
+      graft.sources.CorpusIO.readCurated(s, s"$root/out")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+      root.toString)
+  }
+
   private def batchStore(s: SparkSession, dir: String): graft.streaming.HtaStore =
     storeMemo.getOrElseUpdate((s, dir), {
       val root = java.nio.file.Files.createTempDirectory("graft-bstore").toString
@@ -538,64 +618,18 @@ object SparkEntry {
     // read back. The oracle is the batch min-per-fingerprint over the
     // same synthesis, so the hash match proves stream ≡ batch through
     // the whole file-source pipe, not just the state operator
-    "x103_stream_corpus" -> ((s, dir) => {
-      val docs = Tables.read(s, dir, "documents")
-      val canon = docs.select(col("doc_id").as("c_id"), col("text"))
-      val rows = docs.select(col("doc_id"), col("lang"), col("source"),
-          (col("doc_id") - col("doc_id") % 5).as("c_id"))
-        .join(canon, "c_id")
-        // n_chars re-derived from the CANONICAL text both sides — the
-        // base column describes the original document, not the
-        // synthesized duplicate
-        .withColumn("n_chars", length(col("text")).cast("long"))
-        .select("doc_id", "text", "lang", "source", "n_chars")
-      val maxId = docs.agg(max("doc_id")).head.getLong(0)
-      val root = java.nio.file.Files.createTempDirectory("graft-scorpus")
-      val inDir = s"$root/in"
-      new java.io.File(inDir).mkdirs()
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "4")
-      val raw = graft.sources.CorpusIO.readJsonlStream(ss, inDir)
-      // buckets sized to the fixture: the default 256 is a 100 TB
-      // setting and would scatter a few thousand docs over ~1300
-      // partition dirs — pure small-files listing cost in a query
-      // whose point is the pipe, not the layout width
-      val cur = graft.sources.CorpusIO.streamCurated(raw, s"$root/out",
-        s"$root/ck", buckets = 8)
-      // three id-RANGE files delivered and drained one at a time:
-      // range order makes each fingerprint's global-min id arrive in
-      // the group's first batch, which is what lets the batch oracle
-      // express the stream's kept set (the x87 chunking rule, over
-      // real files instead of MemoryStream)
-      (0 until 3).foreach { i =>
-        rows.filter(expr(s"doc_id * 3 div ${maxId + 1}") === i)
-          .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
-            col("source"), col("n_chars"))).as("v"))
-          .coalesce(1).write.mode("overwrite").text(s"$root/stage")
-        val part = new java.io.File(s"$root/stage").listFiles()
-          .filter(_.getName.startsWith("part-")).head
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(inDir, f"chunk-$i%03d.json"))
-        if (i == 1) // quarantine bait mid-stream: truncated JSON, junk,
-          // and a well-formed line missing its key — none may surface
-          // in the curated output
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(inDir, "chunk-001-bad.json"),
-            java.util.Arrays.asList("{\"doc_id\": 17, \"text\":",
-              "not json at all", "{\"text\": \"orphan\"}"))
-        cur.processAllAvailable()
-      }
-      cur.stop()
-      // fold the per-batch sink trees into the compacted layout before
-      // reading back (clean stop above ⇒ no uncommitted tail): the
-      // oracle hash unchanged proves compaction is content-invisible
-      graft.sources.CorpusIO.compactCurated(s, s"$root/out", None)
-      materializedWithoutScratch(
-        graft.sources.CorpusIO.readCurated(s, s"$root/out")
-          .select("doc_id", "lang", "source", "n_chars")
-          .orderBy("doc_id"),
-        root.toString)
-    }),
+    "x103_stream_corpus" -> ((s, dir) => streamCorpusFixture(s, dir, None)),
+    // X33+X26 composed: the SAME file pipe with the near-dup admission
+    // gate at the door instead of exact dedup — identical run members
+    // share every band at Jaccard 1 and collapse to the run head,
+    // different run heads reject each other per the x22 rules, and
+    // shingle-less texts pass ungated where exact dedup collapses
+    // them; the oracle is the gate rule (no smaller-id verified LSH
+    // pair) over the synthesized corpus, so the hash match proves the
+    // gate through parse → split → chained keyed state → partitioned
+    // sink → compaction, end to end
+    "x110_stream_gate_corpus" -> ((s, dir) =>
+      streamCorpusFixture(s, dir, Some(ClusterJaccard))),
     // X33 streaming near-dup admission gate: the documents table
     // arrives as three id-RANGE chunks through the chained keyed-state
     // gate (band-bucket verify → per-doc reduce); a doc is admitted
@@ -1701,6 +1735,8 @@ object SparkEntry {
       OracleSqlExt.streamNearDupGateSql(ClusterJaccard),
     "x109_stream_gate_audit" ->
       OracleSqlExt.streamGateAuditSql(ClusterJaccard),
+    "x110_stream_gate_corpus" ->
+      OracleSqlExt.streamGateCorpusSql(ClusterJaccard),
     "x102_incremental_curate" ->
       OracleSqlExt.incrementalCurateLedgerSql(3.0, ClusterJaccard, ClusterBand),
     // same oracle as x46 on purpose: the Bloom pre-filter must be

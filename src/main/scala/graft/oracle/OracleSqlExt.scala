@@ -392,7 +392,8 @@ object OracleSqlExt {
     * .withMinhashSignature: h_i = g1 + i*g2 over the two 56-bit halves
     * of one md5 — exact int64 arithmetic in both engines.
     */
-  private def minhashCandCtes(k: Int, r: Int): String = {
+  private def minhashCandCtes(k: Int, r: Int, rel: String = "documents",
+                              prelude: String = ""): String = {
     def g(off: Int) = s"CAST(('0x' || substr(md5(x), $off, 14)) AS BIGINT)"
     val sigCols = (0 until k).map(i =>
       s"list_min(list_transform(s, x -> ${g(1)} + $i * ${g(17)})) AS h$i")
@@ -402,7 +403,7 @@ object OracleSqlExt {
         .mkString(" || '|' || ")
       s"SELECT doc_id, $j AS band, md5($cat) AS bsig FROM sig"
     }.mkString("\n  UNION ALL ")
-    shCte(3) +
+    shCte(3, rel = rel, prelude = prelude) +
       s""", nz AS (SELECT * FROM sh WHERE len(s) > 0),
          |sig AS (
          |  SELECT doc_id,
@@ -464,6 +465,40 @@ object OracleSqlExt {
          |         WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= $threshold)
          |         AS admitted
          |FROM documents d ORDER BY d.doc_id""".stripMargin
+
+  /** Mirrors the x110 gate-through-the-file-pipe composition: the
+    * x103 run-of-5 duplicate synthesis streamed through the NEAR-DUP
+    * admission gate instead of exact dedup — kept = synthesized docs
+    * with no smaller-id verified LSH pair (identical run members
+    * share every band at Jaccard 1 and collapse to the run head;
+    * different run heads reject each other exactly per the x22
+    * candidate + verify rules; shingle-less texts pass ungated on
+    * both sides, where exact dedup would have collapsed them).
+    */
+  def streamGateCorpusSql(threshold: Double, k: Int = 12,
+                          r: Int = 3): String = {
+    val prelude =
+      """canon AS (
+        |  SELECT doc_id AS c_id, text FROM documents
+        |), synth AS (
+        |  SELECT d.doc_id, d.lang, d.source,
+        |         CASE WHEN d.doc_id % 5 = 1 THEN c.text || ' mutado'
+        |              ELSE c.text END AS text,
+        |         CAST(len(CASE WHEN d.doc_id % 5 = 1
+        |                       THEN c.text || ' mutado'
+        |                       ELSE c.text END) AS BIGINT) AS n_chars
+        |  FROM (SELECT doc_id, lang, source, doc_id - doc_id % 5 AS c_id
+        |        FROM documents) d
+        |  JOIN canon c USING (c_id)
+        |), """.stripMargin
+    minhashCandCtes(k, r, rel = "synth", prelude = prelude) +
+      s"""
+         |SELECT s.doc_id, s.lang, s.source, s.n_chars FROM synth s
+         |WHERE s.doc_id NOT IN (
+         |  SELECT doc_b FROM j
+         |  WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= $threshold)
+         |ORDER BY s.doc_id""".stripMargin
+  }
 
   def simhashPairsSql(maxDist: Int, band: Long, bits: Int = 60): String = {
     val sums = (0 until bits).map(b =>
