@@ -466,39 +466,54 @@ object OracleSqlExt {
          |         AS admitted
          |FROM documents d ORDER BY d.doc_id""".stripMargin
 
+  /** Run-of-5 duplicate synthesis shared by the x103/x110 corpus-pipe
+    * oracles — each doc carries its run head's text
+    * (`doc_id - doc_id % 5`); with `mutate`, each run's ≡1 member
+    * appends one token (near-dup, not exact). Emitted as CTEs ending
+    * in `synth(doc_id, lang, source, text, n_chars)`; n_chars derives
+    * from `text` in a second CTE so the mutation is spelled once and
+    * the two columns cannot drift. One definition keeps the two
+    * oracles synthesis-identical, which is what makes the "same pipe,
+    * different gate" comparison meaningful.
+    */
+  private def corpusSynthCtes(mutate: Boolean): String = {
+    val textExpr =
+      if (mutate)
+        "CASE WHEN d.doc_id % 5 = 1 THEN c.text || ' mutado' ELSE c.text END"
+      else "c.text"
+    s"""canon AS (
+       |  SELECT doc_id AS c_id, text FROM documents
+       |), synth0 AS (
+       |  SELECT d.doc_id, d.lang, d.source, $textExpr AS text
+       |  FROM (SELECT doc_id, lang, source, doc_id - doc_id % 5 AS c_id
+       |        FROM documents) d
+       |  JOIN canon c USING (c_id)
+       |), synth AS (
+       |  SELECT doc_id, lang, source, text,
+       |         CAST(len(text) AS BIGINT) AS n_chars
+       |  FROM synth0
+       |), """.stripMargin
+  }
+
   /** Mirrors the x110 gate-through-the-file-pipe composition: the
     * x103 run-of-5 duplicate synthesis streamed through the NEAR-DUP
     * admission gate instead of exact dedup — kept = synthesized docs
     * with no smaller-id verified LSH pair (identical run members
     * share every band at Jaccard 1 and collapse to the run head;
-    * different run heads reject each other exactly per the x22
-    * candidate + verify rules; shingle-less texts pass ungated on
-    * both sides, where exact dedup would have collapsed them).
+    * mutated members are rejected exactly when the x22 candidate +
+    * verify rules say so; shingle-less texts pass ungated on both
+    * sides, where exact dedup would have collapsed them).
     */
   def streamGateCorpusSql(threshold: Double, k: Int = 12,
-                          r: Int = 3): String = {
-    val prelude =
-      """canon AS (
-        |  SELECT doc_id AS c_id, text FROM documents
-        |), synth AS (
-        |  SELECT d.doc_id, d.lang, d.source,
-        |         CASE WHEN d.doc_id % 5 = 1 THEN c.text || ' mutado'
-        |              ELSE c.text END AS text,
-        |         CAST(len(CASE WHEN d.doc_id % 5 = 1
-        |                       THEN c.text || ' mutado'
-        |                       ELSE c.text END) AS BIGINT) AS n_chars
-        |  FROM (SELECT doc_id, lang, source, doc_id - doc_id % 5 AS c_id
-        |        FROM documents) d
-        |  JOIN canon c USING (c_id)
-        |), """.stripMargin
-    minhashCandCtes(k, r, rel = "synth", prelude = prelude) +
+                          r: Int = 3): String =
+    minhashCandCtes(k, r, rel = "synth",
+      prelude = corpusSynthCtes(mutate = true)) +
       s"""
          |SELECT s.doc_id, s.lang, s.source, s.n_chars FROM synth s
          |WHERE s.doc_id NOT IN (
          |  SELECT doc_b FROM j
          |  WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= $threshold)
          |ORDER BY s.doc_id""".stripMargin
-  }
 
   def simhashPairsSql(maxDist: Int, band: Long, bits: Int = 60): String = {
     val sums = (0 until bits).map(b =>
@@ -1629,19 +1644,12 @@ object OracleSqlExt {
     * parse to no doc_id).
     */
   def streamCorpusSql: String =
-    """WITH canon AS (
-      |  SELECT doc_id AS c_id, text FROM documents
-      |), r AS (
-      |  SELECT d.doc_id, d.lang, d.source, c.text,
-      |         CAST(len(c.text) AS BIGINT) AS n_chars
-      |  FROM (SELECT doc_id, lang, source, doc_id - doc_id % 5 AS c_id
-      |        FROM documents) d
-      |  JOIN canon c USING (c_id)
-      |), keep AS (
-      |  SELECT min(doc_id) AS doc_id FROM r GROUP BY md5(text)
-      |)
-      |SELECT r.doc_id, r.lang, r.source, r.n_chars
-      |FROM r JOIN keep USING (doc_id) ORDER BY doc_id""".stripMargin
+    "WITH " + corpusSynthCtes(mutate = false) +
+      """keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM synth GROUP BY md5(text)
+        |)
+        |SELECT s.doc_id, s.lang, s.source, s.n_chars
+        |FROM synth s JOIN keep USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** Mirrors the x87 streaming dedup: the synthesized duplicated corpus
     * (every run of 5 consecutive doc_ids shares the canonical
