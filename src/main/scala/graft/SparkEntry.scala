@@ -1355,6 +1355,20 @@ object SparkEntry {
     "x86_dup_span_coverage" -> ((s, dir) =>
       TextAnalysis.dupSpanCoverage(Tables.read(s, dir, "documents"))
         .orderBy("doc_id")),
+    // X22 completed to the ExactSubstr REMOVAL (Lee et al. 2022's
+    // all-but-one rule): positions covered by a corpus-duplicated
+    // 5-gram are removed except in the gram's min-doc_id owner, and
+    // the text is rebuilt in order — x86 measures, this rewrites
+    "x111_dup_span_remove" -> ((s, dir) =>
+      TextAnalysis.dupSpanRemove(Tables.read(s, dir, "documents"))
+        .orderBy("doc_id")),
+    // Cross-source contamination matrix: exact 3-gram-set Jaccard per
+    // source pair — the data-card companion to decontamination (x46)
+    // and mixture planning (x85): high overlap ⇒ the mixture
+    // double-counts that content
+    "x112_source_overlap" -> ((s, dir) =>
+      TextAnalysis.sourceOverlapMatrix(Tables.read(s, dir, "documents"))
+        .orderBy("source_a", "source_b")),
     // Per-source data card: the datasheet roll-up a release ships —
     // volumes, length extremes, short-doc and PII densities per
     // source, one partially-aggregated groupBy. Every third doc gets
@@ -1704,6 +1718,8 @@ object SparkEntry {
     "x80_stratified_sample" -> OracleSqlExt.stratifiedSampleSql(10),
     "x85_mixture_weights" -> OracleSqlExt.mixtureWeightsSql,
     "x86_dup_span_coverage" -> OracleSqlExt.dupSpanCoverageSql(2L),
+    "x111_dup_span_remove" -> OracleSqlExt.dupSpanRemoveSql(2L),
+    "x112_source_overlap" -> OracleSqlExt.sourceOverlapSql,
     "x106_source_datacard" -> OracleSqlExt.sourceDataCardSql(50L),
     "x87_stream_dedup" -> OracleSqlExt.streamDedupSql,
     "x103_stream_corpus" -> OracleSqlExt.streamCorpusSql,

@@ -302,17 +302,42 @@ object TextAnalysis {
     * every start position with a full n-gram. The per-doc `lead` window
     * partitions by doc_id — parallel across documents, never global.
     */
-  private def positionalGrams(docs: DataFrame, n: Int): DataFrame = {
+  private def positionalGrams(docs: DataFrame, n: Int,
+                              carry: Seq[String] = Nil): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    val toks = docs.select(col("doc_id"),
-      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val toks = docs.select((col("doc_id") +: carry.map(col)) :+
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")): _*)
     val withNext = (1 until n).foldLeft(toks)((df, i) =>
       df.withColumn(s"t$i", lead(col("tok"), i).over(w)))
     withNext.filter(col(s"t${n - 1}").isNotNull)
-      .select(col("doc_id"), col("pos"),
+      .select((col("doc_id") +: carry.map(col)) :+ col("pos") :+
         concat_ws(" ", col("tok") +: (1 until n).map(i => col(s"t$i")): _*)
-          .as("gram"))
+          .as("gram"): _*)
+  }
+
+  /** Shared tail of the span-removal family (x60 boilerplate strip,
+    * x111 dup-span removal): drop the `(doc_id, pos)` rows in
+    * `covered` and rebuild each document's text from the surviving
+    * tokens in order. Fully-covered documents come back as empty
+    * strings — dropping them is the quality gate's decision, not the
+    * strip's. Per-doc bounded state only (anti equi-join + one
+    * groupBy(doc_id)).
+    */
+  private def rebuildWithout(docs: DataFrame, covered: DataFrame): DataFrame = {
+    val kept = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      sort_array(collect_list(struct(col("pos"), col("tok")))).as("arr"))
+      .select(col("doc_id"), col("n_kept"),
+        expr("array_join(transform(arr, x -> x.tok), ' ')").as("clean_text"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   /** Gopher-style within-document repetition scores (Rae et al. 2021,
@@ -385,19 +410,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
       .distinct()
-    val kept = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .join(covered, Seq("doc_id", "pos"), "left_anti")
-    val rebuilt = kept.groupBy("doc_id").agg(
-      count(lit(1)).as("n_kept"),
-      sort_array(collect_list(struct(col("pos"), col("tok")))).as("arr"))
-      .select(col("doc_id"), col("n_kept"),
-        expr("array_join(transform(arr, x -> x.tok), ' ')").as("clean_text"))
-    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+    rebuildWithout(docs, covered)
   }
 
   /** Per-language token-budget sampling — the data-mixing primitive
@@ -1202,5 +1215,87 @@ object TextAnalysis {
         coalesce(col("n_covered"), lit(0L)).as("n_covered"),
         (coalesce(col("n_covered"), lit(0L)).cast("double") /
           col("n_tokens").cast("double")).as("dup_frac"))
+  }
+
+  /** ExactSubstr-style duplicate-span REMOVAL (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * the remove-all-but-one rule, re-expressed over word `n`-grams):
+    * a gram occurring ≥ `minCount` times corpus-wide (within-doc
+    * repeats count, the x86 criterion) is a duplicated span, and
+    * every token position covered by one is removed EXCEPT in the
+    * gram's canonical owner — the minimum doc_id containing it —
+    * which keeps its copy. The rule is per (doc, gram): a doc
+    * canonical for gram A can still lose a position to an
+    * overlapping gram B it does not own; within the canonical doc,
+    * all of that gram's occurrences survive. Completes the x86/x60
+    * family: coverage measures, boilerplate-strip removes
+    * by document frequency, this removes by occurrence count with
+    * keep-one semantics.
+    *
+    * Scale posture (same shape as boilerplateStrip): occurrence
+    * count + min-owner is ONE groupBy(gram) with partial aggregation;
+    * the join back is a gram equi-join; coverage explodes ≤ n rows
+    * per duplicated occurrence; the rebuild is per-doc bounded. No
+    * all-pairs shape, no window over anything wider than a doc.
+    */
+  def dupSpanRemove(docs: DataFrame, n: Int = 5, minCount: Long = 2L): DataFrame = {
+    require(n > 0 && minCount > 1,
+      s"need n > 0 and minCount > 1, got n=$n minCount=$minCount")
+    val grams = positionalGrams(docs, n)
+    val dup = grams.groupBy("gram")
+      .agg(count(lit(1)).as("cnt"), min("doc_id").as("canon_id"))
+      .filter(col("cnt") >= minCount)
+      .select("gram", "canon_id")
+    val covered = grams.join(dup, "gram")
+      .filter(col("doc_id") =!= col("canon_id"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    rebuildWithout(docs, covered)
+  }
+
+  /** Cross-source contamination matrix — for every unordered pair of
+    * sources, the EXACT Jaccard overlap of their distinct word
+    * `n`-gram sets. The data-card companion to x46 decontamination
+    * and x85 mixture planning: a high-overlap pair means the mixture
+    * double-counts that content and per-source dedup understates
+    * global duplication (cf. the cross-corpus analyses in Penedo et
+    * al. 2023 §4 / Soldaini et al. 2024 §3, computed there with
+    * sketches — exact here, the sketch is x57's territory).
+    *
+    * Scale posture: distinct (source, gram) is one shuffle with
+    * partial distinct; the self-join is a gram equi-join producing
+    * ≤ |S|² rows per distinct gram (|S| = #sources, small by
+    * definition); sizes / pairs / intersections are all ≤ |S|²-row
+    * frames the planner broadcasts. Output is |S|·(|S|−1)/2 rows.
+    * `jaccard` is one int/int IEEE divide — cross-engine exact.
+    */
+  def sourceOverlapMatrix(docs: DataFrame, n: Int = 3): DataFrame = {
+    require(n > 0, s"need n > 0, got n=$n")
+    val g = positionalGrams(docs, n, carry = Seq("source"))
+      .select("source", "gram").distinct()
+    val sizes = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val inter = g.as("a").join(g.as("b"), "gram")
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val srcs = docs.select("source").distinct()
+    val pairs = srcs.as("a").join(srcs.as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
+    pairs
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .join(sizes.select(col("source").as("source_a"),
+        col("n_grams").as("na")), Seq("source_a"), "left")
+      .join(sizes.select(col("source").as("source_b"),
+        col("n_grams").as("nb")), Seq("source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L)) -
+          coalesce(col("n_inter"), lit(0L))).as("n_union"))
+      .withColumn("jaccard",
+        when(col("n_union") > 0,
+          col("n_inter").cast("double") / col("n_union").cast("double"))
+          .otherwise(lit(0.0)))
   }
 }

@@ -1382,6 +1382,78 @@ object OracleSqlExt {
          |         CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS dup_frac
          |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Mirrors `TextAnalysis.dupSpanRemove(n = 5, minCount)`: x86's
+    * duplicated-gram rule extended with the keep-one owner (min
+    * doc_id per gram), non-owner covered positions expanded and
+    * removed, text rebuilt via `string_agg(... ORDER BY pos)` exactly
+    * as the boilerplate-strip oracle does.
+    */
+  def dupSpanRemoveSql(minCount: Long): String =
+    toksCte +
+      s""", gn AS (
+         |  SELECT doc_id, pos, gram FROM (
+         |    SELECT doc_id, pos,
+         |           tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
+         |               || ' ' || lead(tok,3) OVER w || ' ' || lead(tok,4) OVER w
+         |             AS gram
+         |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+         |  WHERE gram IS NOT NULL),
+         |dup AS (SELECT gram, min(doc_id) AS canon_id FROM gn
+         |        GROUP BY gram HAVING count(*) >= $minCount),
+         |cov AS (SELECT DISTINCT gn.doc_id, gn.pos + o.o AS pos
+         |        FROM gn JOIN dup USING (gram)
+         |        CROSS JOIN (SELECT unnest([0,1,2,3,4]) AS o) o
+         |        WHERE gn.doc_id <> dup.canon_id),
+         |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+         |         ANTI JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos),
+         |reb AS (SELECT doc_id, count(*) AS n_kept,
+         |               string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+         |       coalesce(r.clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN reb r USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Mirrors `TextAnalysis.sourceOverlapMatrix(n = 3)`: distinct
+    * (source, 3-gram) sets, pairwise intersection counts on the gram
+    * equi-join, union by inclusion-exclusion as BIGINT, one IEEE
+    * divide per pair. Every count is CAST back to BIGINT against
+    * DuckDB's HUGEINT widening.
+    */
+  def sourceOverlapSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS pos
+      |  FROM documents),
+      |gn AS (
+      |  SELECT source,
+      |         tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS gram
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |g AS (SELECT DISTINCT source, gram FROM gn WHERE gram IS NOT NULL),
+      |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source),
+      |srcs AS (SELECT DISTINCT source FROM documents),
+      |p AS (SELECT a.source AS source_a, b.source AS source_b
+      |      FROM srcs a JOIN srcs b ON a.source < b.source),
+      |i AS (SELECT a.source AS source_a, b.source AS source_b,
+      |             CAST(count(*) AS BIGINT) AS n_inter
+      |      FROM g a JOIN g b USING (gram) WHERE a.source < b.source
+      |      GROUP BY 1, 2)
+      |SELECT p.source_a, p.source_b,
+      |       CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+      |       CAST(coalesce(sa.n, 0) + coalesce(sb.n, 0)
+      |            - coalesce(i.n_inter, 0) AS BIGINT) AS n_union,
+      |       CASE WHEN coalesce(sa.n, 0) + coalesce(sb.n, 0)
+      |                 - coalesce(i.n_inter, 0) > 0
+      |            THEN CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+      |                 CAST(coalesce(sa.n, 0) + coalesce(sb.n, 0)
+      |                      - coalesce(i.n_inter, 0) AS DOUBLE)
+      |            ELSE 0.0 END AS jaccard
+      |FROM p LEFT JOIN i USING (source_a, source_b)
+      |LEFT JOIN sz sa ON sa.source = p.source_a
+      |LEFT JOIN sz sb ON sb.source = p.source_b
+      |ORDER BY source_a, source_b""".stripMargin
+
   /** Mirrors `Similarity.annRecall`: both top-k result sets (the x24
     * brute CTE and the x25 IVF CTE verbatim, sharing `cosineCte`/`q`),
     * then recall@k per query as int64 hit counts with one double

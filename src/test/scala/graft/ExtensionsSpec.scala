@@ -723,6 +723,66 @@ class ExtensionsSpec extends AnyFunSuite {
       (1L, 10L, 10L, 1.0), (2L, 10L, 5L, 0.5), (3L, 5L, 0L, 0.0)))
   }
 
+  test("dupSpanRemove: min-doc_id owner keeps its copy, non-owners lose covered spans") {
+    import spark.implicits._
+    // doc 1 owns "a b c d e" (min doc_id); doc 2 carries the same gram
+    // and loses pos 0-4; doc 3's within-doc repeat ("k k k k k" at pos
+    // 0 and 1, count 2) survives whole because doc 3 IS the owner and
+    // the rule is per (doc, gram); doc 4 is shorter than n → untouched.
+    val d = Seq(
+      (1L, "a b c d e x y z w v"),
+      (2L, "a b c d e p q r s t"),
+      (3L, "k k k k k k"),
+      (4L, "m n")).toDF("doc_id", "text")
+    val got = TextAnalysis.dupSpanRemove(d)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 10L, 10L, "a b c d e x y z w v"),
+      (2L, 10L, 5L, "p q r s t"),
+      (3L, 6L, 6L, "k k k k k k"),
+      (4L, 2L, 2L, "m n")))
+  }
+
+  test("dupSpanRemove: owning gram A does not shield positions covered by foreign gram B") {
+    import spark.implicits._
+    // A = "a b c d e" (docs 1, 2 → owner 1); B = "b c d e f"
+    // (docs 0, 1 → owner 0). Doc 1 owns A but B covers its pos 1-5,
+    // so only pos 0 survives — the per-(doc, gram) semantics exactly.
+    val d = Seq(
+      (0L, "q b c d e f"),
+      (1L, "a b c d e f"),
+      (2L, "a b c d e x")).toDF("doc_id", "text")
+    val got = TextAnalysis.dupSpanRemove(d)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 6L, 6L, "q b c d e f"),
+      (1L, 6L, 1L, "a"),
+      (2L, 6L, 1L, "x")))
+  }
+
+  test("sourceOverlapMatrix: exact distinct-gram Jaccard, all pairs present, no NaN") {
+    import spark.implicits._
+    // s1 = {a b c, b c d, b c q} (the repeated "a b c" across its two
+    // docs counts once — DISTINCT per source); s2 = {b c d, c d e};
+    // s3 = {zz yy xx}; s4/s5 have no 3-grams at all → every pair
+    // involving them shows up with n_inter 0, and the s4-s5 pair's
+    // 0/0 is pinned to 0.0, not NaN.
+    val d = Seq(
+      (1L, "s1", "a b c d"), (2L, "s1", "a b c q"),
+      (3L, "s2", "b c d e"), (4L, "s3", "zz yy xx"),
+      (5L, "s4", "m n"), (6L, "s5", "o p"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.sourceOverlapMatrix(d)
+      .as[(String, String, Long, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      ("s1", "s2", 1L, 4L, 0.25), ("s1", "s3", 0L, 4L, 0.0),
+      ("s1", "s4", 0L, 3L, 0.0), ("s1", "s5", 0L, 3L, 0.0),
+      ("s2", "s3", 0L, 3L, 0.0), ("s2", "s4", 0L, 2L, 0.0),
+      ("s2", "s5", 0L, 2L, 0.0), ("s3", "s4", 0L, 1L, 0.0),
+      ("s3", "s5", 0L, 1L, 0.0), ("s4", "s5", 0L, 0L, 0.0)))
+  }
+
   test("mixtureApply: bucket-size invariant; realized tokens land in [keep, keep+max)") {
     import spark.implicits._
     val weights = SparkEntry.fixtureSourceWeights(docs)

@@ -311,6 +311,33 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("x111 dup-span removal: equi-joins only, windows stay per-doc") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val qe = SparkEntry.queries("x111_dup_span_remove")(spark, sf).queryExecution
+    val p = qe.sparkPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gram↔dup and rebuild joins must stay equi-joins:\n$p")
+    assert(p.contains("partial_count"),
+      s"gram occurrence counts must partially aggregate:\n$p")
+    qe.sparkPlan.collect { case w: WindowExec => w }.foreach { w =>
+      assert(w.partitionSpec.nonEmpty && w.partitionSpec.exists(
+        _.toString.contains("doc_id")),
+        s"window must partition by doc_id:\n$w")
+    }
+  }
+
+  test("x112 source overlap: gram self-join stays equi; only the pair-seed NLJ") {
+    val qe = SparkEntry.queries("x112_source_overlap")(spark, sf).queryExecution
+    val p = qe.sparkPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    // exactly one nested-loop: the |S|×|S| source-pair seed (tiny by
+    // definition). The corpus-sized gram self-join must never be it.
+    val nlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(p).length
+    assert(nlj == 1, s"expected exactly the pair-seed NLJ, got $nlj:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-source gram counts must partially aggregate:\n$p")
+  }
+
   test("x89 mixture apply: no whole-source doc window — bucketed like x64") {
     import org.apache.spark.sql.execution.window.WindowExec
     val qe = SparkEntry.queries("x89_mixture_apply")(spark, sf).queryExecution
