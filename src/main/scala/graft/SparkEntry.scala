@@ -504,6 +504,13 @@ object SparkEntry {
     "x23_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.read(s, dir, "documents"), 6, 50)
         .orderBy("doc_a", "doc_b")),
+    // X2 quality audit: LSH candidate precision/recall vs the exact
+    // banded ground truth, swept over thresholds — the dedup sibling
+    // of the x88/x99 ANN audits (band 10 = x21's truth definition)
+    "x113_lsh_audit" -> ((s, dir) =>
+      Dedup.lshAudit(Tables.read(s, dir, "documents"), Seq(0.5, 0.7, 0.9),
+        band = 10)
+        .orderBy("threshold")),
     // X3: brute-force cosine top-k (exact integer-quantized dot products)
     "x24_cosine_topk" -> ((s, dir) =>
       Similarity.topKBrute(Tables.read(s, dir, "embeddings"), Seq(0L, 1L, 2L), 5)
@@ -517,6 +524,30 @@ object SparkEntry {
     "x88_ann_recall" -> ((s, dir) =>
       Similarity.annRecall(Tables.read(s, dir, "embeddings"), Seq(0L, 1L, 2L), 5)
         .orderBy("q_id")),
+    // X3b product quantization: per-(vector, subspace) codeword +
+    // exact int64 quantization error — 32× index compression
+    "x114_pq_codes" -> ((s, dir) =>
+      Similarity.pqCodes(Tables.read(s, dir, "embeddings"))
+        .orderBy("vec_id", "sub")),
+    // X3b asymmetric-distance top-k over the PQ codes (the scan never
+    // touches original vectors — the point of PQ at 100 TB)
+    "x115_pq_adc_topk" -> ((s, dir) =>
+      Similarity.topKPqAdc(Tables.read(s, dir, "embeddings"), Seq(0L, 1L, 2L), 5)
+        .orderBy("q_id", "rank")),
+    // X3: exact squared-euclidean top-k — the L2 ground truth the ADC
+    // audit needs (and the metric the reference's range queries use)
+    "x116_l2_topk" -> ((s, dir) =>
+      Similarity.topKBruteL2(Tables.read(s, dir, "embeddings"), Seq(0L, 1L, 2L), 5)
+        .orderBy("q_id", "rank")),
+    // X3b PQ recall audit: what the 32× compression costs, per query
+    "x117_pq_recall" -> ((s, dir) =>
+      Similarity.pqRecall(Tables.read(s, dir, "embeddings"), Seq(0L, 1L, 2L), 5)
+        .orderBy("q_id")),
+    // X3b IVFADC: coarse cell prune × ADC over codes — the composed
+    // deployment (partition prune × 32× compression at 100 TB)
+    "x118_ivf_adc_topk" -> ((s, dir) =>
+      Similarity.topKIvfPqAdc(Tables.read(s, dir, "embeddings"), Seq(0L, 1L, 2L), 5)
+        .orderBy("q_id", "rank")),
     // X29 host-graph centrality: two damped power-iteration steps over
     // the synthesized host link graph (each doc links its source host
     // to src{(src_num·3 + doc_id%5) % 20}, edges deduped) — exact
@@ -1686,6 +1717,7 @@ object SparkEntry {
     "x20_dedup_exact" -> OracleSqlExt.dedupExactSql,
     "x21_ngram_jaccard" -> OracleSqlExt.ngramJaccardSql(0.5, 10),
     "x22_minhash_lsh" -> OracleSqlExt.minhashLshSql(0.5),
+    "x113_lsh_audit" -> OracleSqlExt.lshAuditSql(Seq(0.5, 0.7, 0.9), band = 10),
     "x23_simhash" -> OracleSqlExt.simhashPairsSql(6, 50),
     "x24_cosine_topk" -> OracleSqlExt.cosineTopKSql(Seq(0L, 1L, 2L), 5),
     "x25_cosine_ivf" -> OracleSqlExt.cosineIvfSql(Seq(0L, 1L, 2L), 5),
@@ -1724,6 +1756,11 @@ object SparkEntry {
     "x87_stream_dedup" -> OracleSqlExt.streamDedupSql,
     "x103_stream_corpus" -> OracleSqlExt.streamCorpusSql,
     "x88_ann_recall" -> OracleSqlExt.annRecallSql(Seq(0L, 1L, 2L), 5),
+    "x114_pq_codes" -> OracleSqlExt.pqCodesSql(),
+    "x115_pq_adc_topk" -> OracleSqlExt.pqAdcTopKSql(Seq(0L, 1L, 2L), 5),
+    "x116_l2_topk" -> OracleSqlExt.l2TopKSql(Seq(0L, 1L, 2L), 5),
+    "x117_pq_recall" -> OracleSqlExt.pqRecallSql(Seq(0L, 1L, 2L), 5),
+    "x118_ivf_adc_topk" -> OracleSqlExt.pqIvfAdcTopKSql(Seq(0L, 1L, 2L), 5),
     "x89_mixture_apply" -> OracleSqlExt.mixtureApplySql,
     "x100_mixture_capped" ->
       OracleSqlExt.mixtureWeightsCappedSql(MixtureEpochCapPct),

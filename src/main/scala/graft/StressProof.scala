@@ -54,6 +54,7 @@ object StressProof {
       contraction(spark)
       ivf(spark)
       kmeans(spark)
+      pq(spark)
       streamDedup(spark)
       nearDupGate(spark)
       corpusPipe(spark)
@@ -290,6 +291,54 @@ object StressProof {
       f"recovered=$acc%.4f t=$t%.1fs")
     require(acc >= 0.999,
       f"k-means repair $acc%.4f — one Lloyd step failed to recover planted cells")
+  }
+
+  /** PQ + ADC at 100 000 vectors / 64 planted cells: the code table
+    * is EXACTLY n·m rows drawing from ≤ 64·m codewords (the 32×
+    * compression contract — the scoring plan touches codes, never the
+    * original vectors), and cell-level retrieval is perfect — every
+    * ADC top-10 neighbor carries the query's planted cell, and the
+    * IVFADC composition returns the identical set (its prune removes
+    * only rows ADC already ranked out). Finer-than-cell ranking is
+    * tie-broken inside a cell (members share codes) — the honest
+    * resolution limit of a k=64 codebook, which is exactly what the
+    * x117 recall audit exists to report before anyone trusts the
+    * compressed index.
+    */
+  private def pq(spark: SparkSession): Unit = {
+    val n = 100000L
+    val dim = 32
+    val m = 8
+    val k = 10
+    val emb = plantedEmb(spark, n, dim).cache()
+    emb.count()
+    val queries = (0L until 200L by 10L).toSeq
+    val (nCodes, tCodes) = timed(Similarity.pqCodes(emb, m, dim).count())
+    require(nCodes == n * m, s"code table must be n*m rows, got $nCodes")
+    val nCw = Similarity.pqCodes(emb, m, dim)
+      .select("sub", "code").distinct().count()
+    require(nCw <= 64L * m, s"codewords must stay <= cells*m, got $nCw")
+    val lbl = emb.select(col("vec_id"), col("label"))
+    val qlbl = lbl.select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    val (adc, tAdc) = timed(
+      Similarity.topKPqAdc(emb, queries, k, m, dim)
+        .select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val (ivfadc, tIvfAdc) = timed(
+      Similarity.topKIvfPqAdc(emb, queries, k, m, dim)
+        .select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val crossCell = Similarity.topKPqAdc(emb, queries, k, m, dim)
+      .join(lbl, "vec_id").join(qlbl, "q_id")
+      .filter(col("label") =!= col("q_label")).count()
+    emb.unpersist()
+    println(f"STRESS pq n=$n dim=$dim m=$m codes=$nCodes codewords=$nCw " +
+      f"cell_errors=$crossCell t_codes=$tCodes%.1fs t_adc=$tAdc%.1fs " +
+      f"t_ivfadc=$tIvfAdc%.1fs")
+    require(crossCell == 0L,
+      s"$crossCell ADC neighbors left the query's planted cell")
+    require(adc == ivfadc,
+      "IVFADC must equal plain ADC when every ADC hit is already in-cell")
   }
 
   /** 1.2 M rows / 1 M distinct fingerprints through

@@ -224,6 +224,70 @@ object Dedup {
                       k: Int = 12, r: Int = 3): DataFrame =
     verifyJaccard(lshCandidatePairs(docs, k, r), shingled(docs), threshold)
 
+  /** LSH quality audit — precision and recall of the banded-MinHash
+    * candidate generator against the EXACT prefix-postings ground
+    * truth, per working threshold: the dedup sibling of the x88/x99
+    * ANN recall audits ("trust, but verify the approximation before
+    * betting the dedup pass on it"). For each `t` in `thresholds`:
+    * `n_cand` (threshold-independent LSH candidate pairs),
+    * `n_verified` (candidates at exact Jaccard ≥ t — the pairs the
+    * x22 pipeline would emit), `n_true` (exhaustive ≥ t pairs within
+    * the ±`band`-char block, the x21 rule), `n_hit` (their overlap),
+    * `precision` = n_verified/n_cand (how much verification work the
+    * banding wastes), `recall` = n_hit/n_true (what the banding
+    * misses). Verified pairs OUTSIDE the length band are counted in
+    * n_verified but not n_hit — the audit reports the generators'
+    * honest disagreement instead of hiding it.
+    *
+    * Scale posture: candidates and their exact Jaccards are computed
+    * ONCE (threshold 0 ⇒ no filter) and the ground truth once at
+    * min(thresholds); the sweep is a broadcast |T|-row seed fanned
+    * over the candidate-bounded pair tables (the x99 curve's shape —
+    * a deliberate tiny-side NLJ), then two |T|-row aggregates and one
+    * |T|-row join. Nothing rescans the corpus per threshold.
+    */
+  def lshAudit(docs: DataFrame, thresholds: Seq[Double], k: Int = 12,
+               r: Int = 3, band: Long = 50L): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(t => t > 0 && t <= 1),
+      s"thresholds must be in (0, 1], got $thresholds")
+    val ts = {
+      import docs.sparkSession.implicits._
+      broadcast(thresholds.sorted.toDF("threshold"))
+    }
+    val sh = shingled(docs)
+    val candJ = verifyJaccard(lshCandidatePairs(docs, k, r), sh, 0.0)
+    val truth = jaccardPairs(docs, thresholds.min, band)
+    val flagged = candJ.join(
+      truth.select(col("doc_a"), col("doc_b"), lit(1L).as("in_truth")),
+      Seq("doc_a", "doc_b"), "left")
+      .select(col("jaccard"),
+        coalesce(col("in_truth"), lit(0L)).as("in_truth"))
+    val candAgg = flagged.crossJoin(ts).groupBy("threshold").agg(
+      count(lit(1)).as("n_cand"),
+      sum(when(col("jaccard") >= col("threshold"), 1L).otherwise(0L))
+        .as("n_verified"),
+      sum(when(col("jaccard") >= col("threshold") && col("in_truth") === 1L,
+        1L).otherwise(0L)).as("n_hit"))
+    val truthAgg = truth.crossJoin(ts).groupBy("threshold").agg(
+      sum(when(col("jaccard") >= col("threshold"), 1L).otherwise(0L))
+        .as("n_true"))
+    ts.join(candAgg, Seq("threshold"), "left")
+      .join(truthAgg, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("precision",
+        when(col("n_cand") > 0,
+          col("n_verified").cast("double") / col("n_cand").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("recall",
+        when(col("n_true") > 0,
+          col("n_hit").cast("double") / col("n_true").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Connected components over a near-dup pair list → cluster id per
     * document (min doc_id reachable), the step that turns pairwise
     * near-dup evidence into dedup groups ("keep one doc per cluster").

@@ -444,4 +444,168 @@ object Similarity {
       Seq("nprobe", "q_id"))
       .select("q_id", "n_brute", "n_hit", "recall", "nprobe")
   }
+
+  /** Product quantization (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search") — the memory-compression leg of
+    * the ANN block: a `dims`-dim vector becomes `m` small integer
+    * codes, so a corpus-scale index fits in cluster RAM (8 codes ≈
+    * 8 bytes replace 64 floats ≈ 256 bytes here — 32×; the standard
+    * deployment pairs it with the IVF cells this file already has).
+    * Codebooks are learned per subspace exactly like [[kmeansIter]]
+    * learns cells: codeword (j, sub) = the truncated-integer-mean of
+    * subvector `sub` over the vectors currently labeled j — one
+    * Lloyd assignment step from the label seeding, in the same exact
+    * int64 arithmetic, so codes are bit-deterministic in any engine.
+    *
+    * Scale shape: subvector explode is m rows per vector (no
+    * shuffle); the codebook build is one (label, sub, dim) partial
+    * aggregation (k·m·d rows out, broadcast-sized); the assignment
+    * joins the corpus to the broadcast codebook and folds the k
+    * candidates per (vector, subspace) through a min-of-struct
+    * aggregate — n·m·k candidate rows, the irreducible PQ assignment
+    * cost, no window wider than nothing (there is no window at all).
+    */
+  private def pqParts(emb: DataFrame, m: Int, dims: Int): (DataFrame, DataFrame) = {
+    require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val d = dims / m
+    val q = quantized(emb)
+    val subs = q.select(col("vec_id"), col("label"),
+      posexplode(array((0 until m).map(s => slice(col("vq"), s * d + 1, d)): _*))
+        .as(Seq("sub", "svq")))
+    val cb = subs
+      .select(col("label"), col("sub"), posexplode(col("svq")).as(Seq("dim", "v")))
+      .groupBy("label", "sub", "dim")
+      .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
+      .withColumn("c", expr("s div cnt"))
+      .groupBy("label", "sub")
+      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), x -> x.c)")
+        .as("cvec"))
+      .select(col("label").cast("long").as("code"), col("sub"), col("cvec"),
+        VecOps.normSq(col("cvec")).as("cn2"))
+    val codes = subs.withColumn("sn2", VecOps.normSq(col("svq")))
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("d2",
+        col("sn2") - lit(2L) * VecOps.dot(col("svq"), col("cvec")) + col("cn2"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("code"))).as("mn"))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"),
+        col("mn.code").as("code"), col("mn.d2").as("d2"))
+    (cb, codes)
+  }
+
+  /** PQ code assignment: one row per (vector, subspace) with the
+    * assigned codeword and the exact int64 quantization error `d2` —
+    * the per-subspace distortion a PQ deployment monitors (rising
+    * distortion = stale codebooks, same signal as [[kmeansInertia]]).
+    */
+  def pqCodes(emb: DataFrame, m: Int = 8, dims: Int = 64): DataFrame =
+    pqParts(emb, m, dims)._2
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query keeps
+    * its FULL-precision subvectors and precomputes a distance table
+    * d²(q_sub, codeword) for all m·k codewords (|Q|·m·k rows,
+    * broadcast); a corpus vector's approximate distance is then the
+    * sum of m table lookups on its codes — the scan never touches the
+    * original vectors, which is the entire point at 100 TB. All
+    * arithmetic int64 ⇒ `adc_d2` is engine-exact.
+    *
+    * Scale shape: the only corpus-sized work is the (sub, code)
+    * equi-join of the code table against the broadcast distance table
+    * (m rows per vector fanning ×|Q|) and one (q_id, vec_id) partial
+    * aggregation; ranking is a per-query window over an
+    * already-reduced n-row frame per query.
+    */
+  def topKPqAdc(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                m: Int = 8, dims: Int = 64): DataFrame = {
+    val d = dims / m
+    val (cb, codes) = pqParts(emb, m, dims)
+    val qsubs = quantized(emb).filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"),
+        posexplode(array((0 until m).map(s => slice(col("vq"), s * d + 1, d)): _*))
+          .as(Seq("sub", "qsv")))
+      .withColumn("qsn2", VecOps.normSq(col("qsv")))
+    val dtable = qsubs.join(cb, Seq("sub"))
+      .withColumn("qd2",
+        col("qsn2") - lit(2L) * VecOps.dot(col("qsv"), col("cvec")) + col("cn2"))
+      .select(col("q_id"), col("sub").cast("long").as("sub"),
+        col("code"), col("qd2"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc_d2").asc, col("vec_id"))
+    codes.join(broadcast(dtable), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("qd2").as("adc_d2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "rank", "adc_d2")
+  }
+
+  /** IVFADC — the composed deployment (Jégou et al. 2011 §IV; the
+    * classic large-scale ANN layout): coarse IVF cell pruning THEN
+    * asymmetric-distance ranking over PQ codes, so the scan touches
+    * only the query's cell AND only its codes. At 100 TB the code
+    * table is written partitioned by cell, making the cell filter a
+    * partition prune on an already-32×-compressed table — the two
+    * reductions compose multiplicatively.
+    *
+    * Same plan as [[topKPqAdc]] plus one vec_id equi-join to recover
+    * each code row's cell and the `cell == q_cell` filter pushed into
+    * the broadcast-join output.
+    */
+  def topKIvfPqAdc(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                   m: Int = 8, dims: Int = 64): DataFrame = {
+    val d = dims / m
+    val (cb, codes) = pqParts(emb, m, dims)
+    val qsubs = quantized(emb).filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        posexplode(array((0 until m).map(s => slice(col("vq"), s * d + 1, d)): _*))
+          .as(Seq("sub", "qsv")))
+      .withColumn("qsn2", VecOps.normSq(col("qsv")))
+    val dtable = qsubs.join(cb, Seq("sub"))
+      .withColumn("qd2",
+        col("qsn2") - lit(2L) * VecOps.dot(col("qsv"), col("cvec")) + col("cn2"))
+      .select(col("q_id"), col("q_label"), col("sub").cast("long").as("sub"),
+        col("code"), col("qd2"))
+    val cellCodes = codes
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc_d2").asc, col("vec_id"))
+    cellCodes.join(broadcast(dtable), Seq("sub", "code"))
+      .filter(col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("qd2").as("adc_d2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "rank", "adc_d2")
+  }
+
+  /** Brute-force exact squared-euclidean top-k — the ground truth ADC
+    * approximates (PQ quantizes L2 space, so auditing it against the
+    * cosine brute would conflate metric change with quantization
+    * loss). Same broadcast-query/one-scan shape as [[topKBrute]].
+    */
+  def topKBruteL2(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val corpus = quantized(emb)
+    val q = corpus.filter(col("vec_id").isin(queryIds: _*)).select(
+      col("vec_id").as("q_id"), col("vq").as("qv"), col("n2").as("qn2"))
+    val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("vec_id"))
+    corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("d2",
+        col("n2") - lit(2L) * VecOps.dot(col("vq"), col("qv")) + col("qn2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "rank", "d2")
+  }
+
+  /** Recall@k of the ADC search against the exact-L2 ground truth —
+    * the audit that says how much the 32× compression costs before a
+    * deployment trusts it (the PQ sibling of [[annRecall]]; same
+    * broadcast audit join).
+    */
+  def pqRecall(emb: DataFrame, queryIds: Seq[Long], k: Int,
+               m: Int = 8, dims: Int = 64): DataFrame =
+    recallAgainstBrute(
+      topKBruteL2(emb, queryIds, k).select("q_id", "vec_id"),
+      topKPqAdc(emb, queryIds, k, m, dims).select("q_id", "vec_id"),
+      Seq("q_id"))
+      .select("q_id", "n_brute", "n_hit", "recall")
 }

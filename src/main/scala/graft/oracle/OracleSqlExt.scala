@@ -433,6 +433,59 @@ object OracleSqlExt {
          |FROM j WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= $threshold
          |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Mirrors `Dedup.lshAudit`: the LSH candidate pairs with their
+    * exact Jaccard (the `j` CTE, unfiltered), the exhaustive banded
+    * ground truth at min(thresholds) (the x21 naive spelling), a
+    * left-join membership flag, and per-threshold conditional counts
+    * over a CROSS JOIN with the threshold seed. `precision` is quoted
+    * (DuckDB keyword); every count CASTs back to BIGINT against
+    * HUGEINT widening; both ratios are single int/int IEEE divides.
+    */
+  def lshAuditSql(thresholds: Seq[Double], k: Int = 12, r: Int = 3,
+                  band: Long = 50L): String =
+    minhashCandCtes(k, r) +
+      s""", cj AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) AS jaccard FROM j
+         |), tr0 AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         len(list_intersect(a.s, b.s)) AS inter,
+         |         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |   AND b.n_chars >= a.n_chars - $band AND b.n_chars <= a.n_chars + $band
+         |), tr AS (
+         |  SELECT doc_a, doc_b, CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) AS jaccard
+         |  FROM tr0 WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= ${thresholds.min}
+         |), fl AS (
+         |  SELECT cj.jaccard,
+         |         CASE WHEN tr.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_truth
+         |  FROM cj LEFT JOIN tr USING (doc_a, doc_b)
+         |), ts AS (
+         |  SELECT unnest(CAST([${thresholds.sorted.mkString(", ")}] AS DOUBLE[])) AS threshold
+         |), ca AS (
+         |  SELECT threshold, CAST(count(*) AS BIGINT) AS n_cand,
+         |         CAST(sum(CASE WHEN jaccard >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+         |         CAST(sum(CASE WHEN jaccard >= threshold AND in_truth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM fl CROSS JOIN ts GROUP BY threshold
+         |), ta AS (
+         |  SELECT threshold,
+         |         CAST(sum(CASE WHEN jaccard >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+         |  FROM tr CROSS JOIN ts GROUP BY threshold
+         |)
+         |SELECT ts.threshold,
+         |       CAST(coalesce(ca.n_cand, 0) AS BIGINT) AS n_cand,
+         |       CAST(coalesce(ca.n_verified, 0) AS BIGINT) AS n_verified,
+         |       CAST(coalesce(ta.n_true, 0) AS BIGINT) AS n_true,
+         |       CAST(coalesce(ca.n_hit, 0) AS BIGINT) AS n_hit,
+         |       CASE WHEN coalesce(ca.n_cand, 0) > 0
+         |            THEN CAST(ca.n_verified AS DOUBLE) / CAST(ca.n_cand AS DOUBLE)
+         |            ELSE 0.0 END AS "precision",
+         |       CASE WHEN coalesce(ta.n_true, 0) > 0
+         |            THEN CAST(coalesce(ca.n_hit, 0) AS DOUBLE) / CAST(ta.n_true AS DOUBLE)
+         |            ELSE 0.0 END AS recall
+         |FROM ts LEFT JOIN ca USING (threshold) LEFT JOIN ta USING (threshold)
+         |ORDER BY threshold""".stripMargin
+
   /** Mirrors the x108 streaming near-dup gate on id-ordered arrival:
     * a doc is rejected iff some SMALLER-id doc shares an LSH band
     * bucket with it and verifies at `threshold` — the closed batch
@@ -654,6 +707,197 @@ object OracleSqlExt {
          |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, h.first_hit
          |FROM corpus c LEFT JOIN h ON c.vec_id = h.vec_id
          |ORDER BY c.vec_id""".stripMargin
+
+  /** Product-quantization CTE chain shared by the x114/x115/x116
+    * oracles — mirrors `Similarity.pqParts` exactly: quantized
+    * vectors, m subvector slices (DuckDB 1-based inclusive slicing ≡
+    * Spark `slice`), per-(label, sub, dim) truncated-integer-mean
+    * codebooks (`//` ≡ Spark `div`, verified on negatives), and the
+    * argmin code assignment with (d2, code) tie-break via
+    * row_number. Every count/sum CASTs back to BIGINT against
+    * HUGEINT widening; all arithmetic is integer, so codes and
+    * distances are engine-exact.
+    */
+  private def pqCte(m: Int, dims: Int): String = {
+    val d = dims / m
+    s"""WITH e0 AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding,
+       |           x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS vq
+       |  FROM embeddings
+       |), e AS (
+       |  SELECT vec_id, label, vq,
+       |         list_sum(list_transform(vq, x -> x*x)) AS n2
+       |  FROM e0
+       |), sub AS (
+       |  SELECT vec_id, label, s.sub AS sub,
+       |         vq[s.sub*$d+1 : s.sub*$d+$d] AS svq
+       |  FROM e CROSS JOIN (SELECT unnest(range($m)) AS sub) s
+       |), cbd AS (
+       |  SELECT label, sub, di.dim AS dim,
+       |         CAST(sum(svq[di.dim+1]) // count(*) AS BIGINT) AS c
+       |  FROM sub CROSS JOIN (SELECT unnest(range($d)) AS dim) di
+       |  GROUP BY label, sub, di.dim
+       |), cb0 AS (
+       |  SELECT label AS code, sub, list(c ORDER BY dim) AS cvec
+       |  FROM cbd GROUP BY label, sub
+       |), cb AS (
+       |  SELECT code, sub, cvec,
+       |         list_sum(list_transform(cvec, x -> x*x)) AS cn2
+       |  FROM cb0
+       |), sn AS (
+       |  SELECT vec_id, sub, svq,
+       |         list_sum(list_transform(svq, x -> x*x)) AS sn2
+       |  FROM sub
+       |), adist AS (
+       |  SELECT sn.vec_id, sn.sub, cb.code,
+       |         sn.sn2 - 2*list_sum(list_transform(range($d),
+       |           i -> svq[i+1]*cvec[i+1])) + cb.cn2 AS d2
+       |  FROM sn JOIN cb USING (sub)
+       |), codes AS (
+       |  SELECT vec_id, CAST(sub AS BIGINT) AS sub,
+       |         CAST(code AS BIGINT) AS code, CAST(d2 AS BIGINT) AS d2
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |                                     ORDER BY d2, code) AS rn
+       |        FROM adist)
+       |  WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  /** Mirrors `Similarity.pqCodes`. */
+  def pqCodesSql(m: Int = 8, dims: Int = 64): String =
+    pqCte(m, dims) +
+      "\nSELECT vec_id, sub, code, d2 FROM codes ORDER BY vec_id, sub"
+
+  /** The ADC top-k CTEs on top of [[pqCte]] — query-side subvector
+    * distance table (|Q|·m·k rows), then the sum-of-lookups scores.
+    * Shared by the x115 result oracle and the x116 recall oracle.
+    */
+  private def adcCtes(queryIds: Seq[Long], k: Int, m: Int, dims: Int): String = {
+    val d = dims / m
+    s""", qsub AS (
+       |  SELECT vec_id AS q_id, sub, svq AS qsv,
+       |         list_sum(list_transform(svq, x -> x*x)) AS qsn2
+       |  FROM sub WHERE vec_id IN (${queryIds.mkString(",")})
+       |), dt AS (
+       |  SELECT q.q_id, CAST(q.sub AS BIGINT) AS sub,
+       |         CAST(cb.code AS BIGINT) AS code,
+       |         q.qsn2 - 2*list_sum(list_transform(range($d),
+       |           i -> qsv[i+1]*cvec[i+1])) + cb.cn2 AS qd2
+       |  FROM qsub q JOIN cb ON q.sub = cb.sub
+       |), sc AS (
+       |  SELECT dt.q_id, c.vec_id, CAST(sum(dt.qd2) AS BIGINT) AS adc_d2
+       |  FROM codes c JOIN dt ON c.sub = dt.sub AND c.code = dt.code
+       |  WHERE c.vec_id <> dt.q_id
+       |  GROUP BY dt.q_id, c.vec_id
+       |), tadc AS (
+       |  SELECT q_id, vec_id, adc_d2,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY adc_d2, vec_id) AS rn
+       |  FROM sc
+       |)""".stripMargin
+  }
+
+  /** Mirrors `Similarity.topKPqAdc`. */
+  def pqAdcTopKSql(queryIds: Seq[Long], k: Int,
+                   m: Int = 8, dims: Int = 64): String =
+    pqCte(m, dims) + adcCtes(queryIds, k, m, dims) +
+      s"""
+         |SELECT q_id, vec_id, CAST(rn AS BIGINT) AS rank, adc_d2
+         |FROM tadc WHERE rn <= $k ORDER BY q_id, rank""".stripMargin
+
+  /** Mirrors `Similarity.topKIvfPqAdc` — the ADC chain with each code
+    * row's cell recovered through `e` and restricted to the query's
+    * cell before scoring (FAISS-style IVFADC).
+    */
+  def pqIvfAdcTopKSql(queryIds: Seq[Long], k: Int,
+                      m: Int = 8, dims: Int = 64): String = {
+    val d = dims / m
+    pqCte(m, dims) +
+      s""", qsub AS (
+         |  SELECT vec_id AS q_id, label AS q_label, sub, svq AS qsv,
+         |         list_sum(list_transform(svq, x -> x*x)) AS qsn2
+         |  FROM sub WHERE vec_id IN (${queryIds.mkString(",")})
+         |), dt AS (
+         |  SELECT q.q_id, q.q_label, CAST(q.sub AS BIGINT) AS sub,
+         |         CAST(cb.code AS BIGINT) AS code,
+         |         q.qsn2 - 2*list_sum(list_transform(range($d),
+         |           i -> qsv[i+1]*cvec[i+1])) + cb.cn2 AS qd2
+         |  FROM qsub q JOIN cb ON q.sub = cb.sub
+         |), sc AS (
+         |  SELECT dt.q_id, c.vec_id, CAST(sum(dt.qd2) AS BIGINT) AS adc_d2
+         |  FROM codes c
+         |  JOIN e el ON el.vec_id = c.vec_id
+         |  JOIN dt ON c.sub = dt.sub AND c.code = dt.code
+         |         AND el.label = dt.q_label
+         |  WHERE c.vec_id <> dt.q_id
+         |  GROUP BY dt.q_id, c.vec_id
+         |), ta AS (
+         |  SELECT q_id, vec_id, adc_d2,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY adc_d2, vec_id) AS rn
+         |  FROM sc
+         |)
+         |SELECT q_id, vec_id, CAST(rn AS BIGINT) AS rank, adc_d2
+         |FROM ta WHERE rn <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Mirrors `Similarity.topKBruteL2` — exact squared-euclidean over
+    * the full quantized vectors, rank ascending with vec_id
+    * tie-break.
+    */
+  def l2TopKSql(queryIds: Seq[Long], k: Int, dims: Int = 64): String =
+    pqCte(8, dims) +
+      s""", q AS (
+         |  SELECT vec_id AS q_id, vq AS qv, n2 AS qn2
+         |  FROM e WHERE vec_id IN (${queryIds.mkString(",")})
+         |), bl0 AS (
+         |  SELECT q.q_id, c.vec_id,
+         |         c.n2 - 2*list_sum(list_transform(range($dims),
+         |           i -> c.vq[i+1]*q.qv[i+1])) + q.qn2 AS d2
+         |  FROM e c CROSS JOIN q WHERE c.vec_id <> q.q_id
+         |), bl AS (
+         |  SELECT q_id, vec_id, CAST(d2 AS BIGINT) AS d2,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY d2, vec_id) AS rn
+         |  FROM bl0
+         |)
+         |SELECT q_id, vec_id, CAST(rn AS BIGINT) AS rank, d2
+         |FROM bl WHERE rn <= $k ORDER BY q_id, rank""".stripMargin
+
+  /** Mirrors `Similarity.pqRecall`: ADC top-k vs exact-L2 top-k,
+    * the annRecallSql audit spelling.
+    */
+  def pqRecallSql(queryIds: Seq[Long], k: Int,
+                  m: Int = 8, dims: Int = 64): String =
+    pqCte(m, dims) + adcCtes(queryIds, k, m, dims) +
+      s""", q AS (
+         |  SELECT vec_id AS q_id, vq AS qv, n2 AS qn2
+         |  FROM e WHERE vec_id IN (${queryIds.mkString(",")})
+         |), bl0 AS (
+         |  SELECT q.q_id, c.vec_id,
+         |         c.n2 - 2*list_sum(list_transform(range($dims),
+         |           i -> c.vq[i+1]*q.qv[i+1])) + q.qn2 AS d2
+         |  FROM e c CROSS JOIN q WHERE c.vec_id <> q.q_id
+         |), bl AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |                              ORDER BY d2, vec_id) AS rn
+         |    FROM bl0) WHERE rn <= $k
+         |), ta AS (
+         |  SELECT q_id, vec_id FROM tadc WHERE rn <= $k
+         |), agg AS (
+         |  SELECT bl.q_id, CAST(count(*) AS BIGINT) AS n_brute,
+         |         CAST(sum(CASE WHEN ta.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_hit
+         |  FROM bl LEFT JOIN ta
+         |    ON bl.q_id = ta.q_id AND bl.vec_id = ta.vec_id
+         |  GROUP BY bl.q_id
+         |)
+         |SELECT q_id, n_brute, n_hit,
+         |       CAST(n_hit AS DOUBLE) / CAST(n_brute AS DOUBLE) AS recall
+         |FROM agg ORDER BY q_id""".stripMargin
 
   /** Shared by q32 (batch window fn) and q50 (watermarked append-mode
     * streaming) — the character-identical oracle IS the equivalence

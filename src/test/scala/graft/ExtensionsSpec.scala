@@ -22,6 +22,46 @@ class ExtensionsSpec extends AnyFunSuite {
       s"missed: ${truth.diff(cand)}")
   }
 
+  test("lshAudit: band-honesty — identical shingle sets outside the length band verify but never hit") {
+    import spark.implicits._
+    // docs 1/2 share an IDENTICAL 3-gram set (one cycle of "x y z" vs
+    // two) → identical MinHash signatures → guaranteed LSH candidate
+    // at exact jaccard 1.0; but their n_chars differ by more than the
+    // ±1 band, so the banded exact truth EXCLUDES the pair — it must
+    // count in n_verified and NOT in n_true/n_hit. docs 3/4 are exact
+    // duplicates (candidate AND truth); doc 5 is unrelated noise.
+    val d = Seq(
+      (1L, "x y z x y z"),
+      (2L, "x y z x y z x y z x y z"),
+      (3L, "p q r s t u v w"),
+      (4L, "p q r s t u v w"),
+      (5L, "completely different tokens sit here now"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = Dedup.lshAudit(d, Seq(0.5), band = 1L)
+      .as[(Double, Long, Long, Long, Long, Double, Double)].collect()
+    assert(got.toSeq == Seq((0.5, 2L, 2L, 1L, 1L, 1.0, 1.0)))
+  }
+
+  test("lshAudit: corpus sweep — n_cand threshold-free, counts monotone, ratios bounded") {
+    import spark.implicits._
+    val rows = Dedup.lshAudit(docs, Seq(0.5, 0.7, 0.9), band = 10)
+      .orderBy("threshold")
+      .as[(Double, Long, Long, Long, Long, Double, Double)].collect()
+    assert(rows.length == 3 && rows.forall(_._4 > 0),
+      "fixture should contain true near-dup pairs at every threshold")
+    assert(rows.map(_._2).distinct.length == 1,
+      "candidate count must not depend on the threshold")
+    rows.foreach { case (_, cand, ver, tru, hit, p, r) =>
+      assert(hit <= math.min(ver, tru) && ver <= cand)
+      assert(p >= 0.0 && p <= 1.0 && r >= 0.0 && r <= 1.0)
+    }
+    // verified/true/hit all shrink (weakly) as the bar rises
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._3 <= lo._3 && hi._4 <= lo._4 && hi._5 <= lo._5)
+    }
+  }
+
   test("minhashNearDups == jaccardPairs at high threshold") {
     import spark.implicits._
     def s(df: org.apache.spark.sql.DataFrame) =
@@ -900,6 +940,97 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(recall == nHit.toDouble / nBrute)
       assert(nHit <= nBrute)
     }
+  }
+
+  test("pqCodes: m=1 degenerates to the kmeansIter assignment exactly") {
+    import spark.implicits._
+    // one subspace spanning the whole vector ⇒ the PQ codebook IS the
+    // Lloyd centroid table and the code argmin IS the Lloyd argmin —
+    // code == new_label and the quantization error == the Lloyd d2,
+    // row for row. Pins the two learners to one definition of
+    // "nearest centroid in exact int64 space".
+    val pq = Similarity.pqCodes(emb, m = 1, dims = 64)
+      .select(col("vec_id"), col("code"), col("d2").as("pq_d2"))
+    val lloyd = Similarity.kmeansIter(emb)
+      .select(col("vec_id"), col("new_label"), col("d2"))
+    val joined = pq.join(lloyd, "vec_id")
+    assert(joined.count() == emb.count())
+    assert(joined.filter(col("code") =!= col("new_label") ||
+      col("pq_d2") =!= col("d2")).count() == 0L)
+  }
+
+  test("pqCodes/topKPqAdc: zero-distortion corpus — codes lossless, ADC == exact L2") {
+    import spark.implicits._
+    // every vector IS its group centroid (members identical within a
+    // label), so the learned codewords reproduce the vectors exactly:
+    // quantization error must be 0 on every row, and the ADC distance
+    // table lookups must equal the true distances — topKPqAdc and
+    // topKBruteL2 must agree rank-for-rank including the distance.
+    val vecs = for (g <- 0 until 4; i <- 0 until 5) yield
+      (g * 5L + i, g, Array.fill(64)(g * 0.25f + 0.05f))
+    val fix = vecs.toDF("vec_id", "label", "embedding")
+    assert(Similarity.pqCodes(fix).filter(col("d2") =!= 0L).count() == 0L)
+    val adc = Similarity.topKPqAdc(fix, Seq(0L), 7)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._3)
+    val brute = Similarity.topKBruteL2(fix, Seq(0L), 7)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._3)
+    assert(adc.toSeq == brute.toSeq)
+    val rec = Similarity.pqRecall(fix, Seq(0L, 5L), 7)
+      .select("recall").as[Double].collect()
+    assert(rec.toSeq == Seq(1.0, 1.0))
+  }
+
+  test("pqCodes: one code per (vector, subspace); codes drawn from the label set") {
+    import spark.implicits._
+    val codes = Similarity.pqCodes(emb)
+    assert(codes.count() == emb.count() * 8)
+    assert(codes.select("vec_id", "sub").distinct().count() == emb.count() * 8)
+    val labels = emb.select(col("label").cast("long")).as[Long].collect().toSet
+    val used = codes.select("code").as[Long].collect().toSet
+    assert(used.subsetOf(labels))
+    assert(codes.filter(col("d2") < 0L).count() == 0L)
+  }
+
+  test("topKIvfPqAdc: results confined to the query's cell; ≡ ADC re-ranked within it") {
+    import spark.implicits._
+    // (a) every returned neighbor shares the query's coarse cell —
+    // the prune's defining property; (b) the composed search equals
+    // the plain ADC ranking restricted to that cell and re-ranked —
+    // pruning changes the candidate set, never the metric.
+    val res = Similarity.topKIvfPqAdc(emb, Seq(0L, 1L, 2L), 5)
+    val lbl = emb.select(col("vec_id"), col("label"))
+    val crossCell = res.join(lbl, "vec_id")
+      .join(lbl.select(col("vec_id").as("q_id"), col("label").as("q_label")),
+        "q_id")
+      .filter(col("label") =!= col("q_label"))
+    assert(crossCell.count() == 0L)
+    val n = emb.count().toInt
+    val within = Similarity.topKPqAdc(emb, Seq(0L, 1L, 2L), n)
+      .join(lbl, "vec_id")
+      .join(lbl.select(col("vec_id").as("q_id"), col("label").as("q_label")),
+        "q_id")
+      .filter(col("label") === col("q_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adc_d2").asc, col("vec_id"))
+    val expected = within
+      .withColumn("rerank", row_number().over(w).cast("long"))
+      .filter(col("rerank") <= 5)
+      .select(col("q_id"), col("vec_id"), col("rerank").as("rank"), col("adc_d2"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val got = res.as[(Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._3)).toSeq
+    assert(got == expected)
+  }
+
+  test("topKIvfPqAdc: zero-distortion corpus — own-group members at distance 0") {
+    import spark.implicits._
+    val vecs = for (g <- 0 until 4; i <- 0 until 5) yield
+      (g * 5L + i, g, Array.fill(64)(g * 0.25f + 0.05f))
+    val fix = vecs.toDF("vec_id", "label", "embedding")
+    val got = Similarity.topKIvfPqAdc(fix, Seq(0L), 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._3).toSeq
+    assert(got == Seq((0L, 1L, 1L, 0L), (0L, 2L, 2L, 0L),
+      (0L, 3L, 3L, 0L), (0L, 4L, 4L, 0L)))
   }
 
   test("kmeansIter: one Lloyd step repairs a corrupted assignment") {

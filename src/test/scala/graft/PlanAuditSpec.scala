@@ -338,6 +338,44 @@ class PlanAuditSpec extends AnyFunSuite {
       s"per-source gram counts must partially aggregate:\n$p")
   }
 
+  test("x113 lsh audit: only the two threshold-seed NLJs; pair joins stay equi") {
+    val qe = SparkEntry.queries("x113_lsh_audit")(spark, sf).queryExecution
+    val p = qe.sparkPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    // the |T|-row threshold seed fans over the candidate-bounded pair
+    // tables twice (cand-side and truth-side aggregates) — exactly two
+    // broadcast NLJs; the corpus-sized joins (postings, signatures,
+    // verification, truth flag) must all stay equi-joins
+    val nlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(p).length
+    assert(nlj == 2, s"expected exactly the two seed NLJs, got $nlj:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-threshold counts must partially aggregate:\n$p")
+  }
+
+  test("x114/x115 PQ: codebook and distance-table joins broadcast, no NLJ at all") {
+    for (q <- Seq("x114_pq_codes", "x115_pq_adc_topk", "x118_ivf_adc_topk")) {
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: every PQ join is an equi-join (sub / (sub, code)) — " +
+          s"nothing here needs a nested loop:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: the k·m-row codebook must broadcast, not shuffle the corpus:\n$p")
+      assert(p.contains("partial_sum") || p.contains("partial_count") ||
+        p.contains("partial_min"),
+        s"$q: codebook build / ADC sums must partially aggregate:\n$p")
+    }
+  }
+
+  test("x116 L2 brute: exactly the one deliberate broadcast-query NLJ") {
+    val p = SparkEntry.queries("x116_l2_topk")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    val nlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(p).length
+    assert(nlj == 1,
+      s"brute-force scan is corpus × broadcast(queries), nothing else:\n$p")
+  }
+
   test("x89 mixture apply: no whole-source doc window — bucketed like x64") {
     import org.apache.spark.sql.execution.window.WindowExec
     val qe = SparkEntry.queries("x89_mixture_apply")(spark, sf).queryExecution
