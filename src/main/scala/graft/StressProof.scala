@@ -313,24 +313,28 @@ object StressProof {
     val emb = plantedEmb(spark, n, dim).cache()
     emb.count()
     val queries = (0L until 200L by 10L).toSeq
-    val (nCodes, tCodes) = timed(Similarity.pqCodes(emb, m, dim).count())
+    // each operator call replans pqParts from scratch — cache the two
+    // result frames so every bound is checked against ONE execution
+    val codesDf = Similarity.pqCodes(emb, m, dim).cache()
+    val (nCodes, tCodes) = timed(codesDf.count())
     require(nCodes == n * m, s"code table must be n*m rows, got $nCodes")
-    val nCw = Similarity.pqCodes(emb, m, dim)
-      .select("sub", "code").distinct().count()
+    val nCw = codesDf.select("sub", "code").distinct().count()
     require(nCw <= 64L * m, s"codewords must stay <= cells*m, got $nCw")
     val lbl = emb.select(col("vec_id"), col("label"))
     val qlbl = lbl.select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    val adcDf = Similarity.topKPqAdc(emb, queries, k, m, dim).cache()
     val (adc, tAdc) = timed(
-      Similarity.topKPqAdc(emb, queries, k, m, dim)
-        .select("q_id", "vec_id").collect()
+      adcDf.select("q_id", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet)
     val (ivfadc, tIvfAdc) = timed(
       Similarity.topKIvfPqAdc(emb, queries, k, m, dim)
         .select("q_id", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet)
-    val crossCell = Similarity.topKPqAdc(emb, queries, k, m, dim)
+    val crossCell = adcDf
       .join(lbl, "vec_id").join(qlbl, "q_id")
       .filter(col("label") =!= col("q_label")).count()
+    codesDf.unpersist()
+    adcDf.unpersist()
     emb.unpersist()
     println(f"STRESS pq n=$n dim=$dim m=$m codes=$nCodes codewords=$nCw " +
       f"cell_errors=$crossCell t_codes=$tCodes%.1fs t_adc=$tAdc%.1fs " +

@@ -250,6 +250,8 @@ object Dedup {
                r: Int = 3, band: Long = 50L): DataFrame = {
     require(thresholds.nonEmpty && thresholds.forall(t => t > 0 && t <= 1),
       s"thresholds must be in (0, 1], got $thresholds")
+    require(thresholds.distinct == thresholds,
+      s"duplicate thresholds would double-count every row: $thresholds")
     val ts = {
       import docs.sparkSession.implicits._
       broadcast(thresholds.sorted.toDF("threshold"))

@@ -517,22 +517,42 @@ object Similarity {
     */
   def topKPqAdc(emb: DataFrame, queryIds: Seq[Long], k: Int,
                 m: Int = 8, dims: Int = 64): DataFrame = {
-    val d = dims / m
     val (cb, codes) = pqParts(emb, m, dims)
+    val dtable = adcDistTable(emb, queryIds, m, dims, cb, carryLabel = false)
+    adcRank(codes.join(broadcast(dtable), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_id")), k)
+  }
+
+  /** The query-side ADC distance table — ONE definition shared by
+    * [[topKPqAdc]] and [[topKIvfPqAdc]] (with `carryLabel` adding the
+    * query's coarse cell for the IVFADC prune), so the quantization /
+    * distance expression cannot drift between the plain and composed
+    * searches.
+    */
+  private def adcDistTable(emb: DataFrame, queryIds: Seq[Long], m: Int,
+                           dims: Int, cb: DataFrame,
+                           carryLabel: Boolean): DataFrame = {
+    val d = dims / m
+    val carry = if (carryLabel) Seq(col("label").as("q_label")) else Nil
     val qsubs = quantized(emb).filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("q_id"),
+      .select((col("vec_id").as("q_id") +: carry) :+
         posexplode(array((0 until m).map(s => slice(col("vq"), s * d + 1, d)): _*))
-          .as(Seq("sub", "qsv")))
+          .as(Seq("sub", "qsv")): _*)
       .withColumn("qsn2", VecOps.normSq(col("qsv")))
-    val dtable = qsubs.join(cb, Seq("sub"))
+    val keep = (col("q_id") +: (if (carryLabel) Seq(col("q_label")) else Nil)) ++
+      Seq(col("sub").cast("long").as("sub"), col("code"), col("qd2"))
+    qsubs.join(cb, Seq("sub"))
       .withColumn("qd2",
         col("qsn2") - lit(2L) * VecOps.dot(col("qsv"), col("cvec")) + col("cn2"))
-      .select(col("q_id"), col("sub").cast("long").as("sub"),
-        col("code"), col("qd2"))
+      .select(keep: _*)
+  }
+
+  /** Shared ADC ranking tail: sum the m per-subspace lookups and rank
+    * ascending with the vec_id tie-break.
+    */
+  private def adcRank(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("adc_d2").asc, col("vec_id"))
-    codes.join(broadcast(dtable), Seq("sub", "code"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .groupBy("q_id", "vec_id")
+    scored.groupBy("q_id", "vec_id")
       .agg(sum("qd2").as("adc_d2"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -553,28 +573,13 @@ object Similarity {
     */
   def topKIvfPqAdc(emb: DataFrame, queryIds: Seq[Long], k: Int,
                    m: Int = 8, dims: Int = 64): DataFrame = {
-    val d = dims / m
     val (cb, codes) = pqParts(emb, m, dims)
-    val qsubs = quantized(emb).filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
-        posexplode(array((0 until m).map(s => slice(col("vq"), s * d + 1, d)): _*))
-          .as(Seq("sub", "qsv")))
-      .withColumn("qsn2", VecOps.normSq(col("qsv")))
-    val dtable = qsubs.join(cb, Seq("sub"))
-      .withColumn("qd2",
-        col("qsn2") - lit(2L) * VecOps.dot(col("qsv"), col("cvec")) + col("cn2"))
-      .select(col("q_id"), col("q_label"), col("sub").cast("long").as("sub"),
-        col("code"), col("qd2"))
+    val dtable = adcDistTable(emb, queryIds, m, dims, cb, carryLabel = true)
     val cellCodes = codes
       .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
-    val w = Window.partitionBy("q_id").orderBy(col("adc_d2").asc, col("vec_id"))
-    cellCodes.join(broadcast(dtable), Seq("sub", "code"))
-      .filter(col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
-      .groupBy("q_id", "vec_id")
-      .agg(sum("qd2").as("adc_d2"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("q_id", "vec_id", "rank", "adc_d2")
+    adcRank(cellCodes.join(broadcast(dtable), Seq("sub", "code"))
+      .filter(col("label") === col("q_label") && col("vec_id") =!= col("q_id")),
+      k)
   }
 
   /** Brute-force exact squared-euclidean top-k — the ground truth ADC

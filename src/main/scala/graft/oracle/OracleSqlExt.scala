@@ -718,18 +718,26 @@ object OracleSqlExt {
     * HUGEINT widening; all arithmetic is integer, so codes and
     * distances are engine-exact.
     */
+  /** Quantized embeddings with exact int64 squared norms — the `e`
+    * CTE shared by the PQ chain and the exact-L2 oracle (x116 needs
+    * no codebooks; it reuses just this).
+    */
+  private def embQuantCte: String =
+    """WITH e0 AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding,
+      |           x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS vq
+      |  FROM embeddings
+      |), e AS (
+      |  SELECT vec_id, label, vq,
+      |         list_sum(list_transform(vq, x -> x*x)) AS n2
+      |  FROM e0
+      |)""".stripMargin
+
   private def pqCte(m: Int, dims: Int): String = {
     val d = dims / m
-    s"""WITH e0 AS (
-       |  SELECT vec_id, label,
-       |         list_transform(embedding,
-       |           x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS vq
-       |  FROM embeddings
-       |), e AS (
-       |  SELECT vec_id, label, vq,
-       |         list_sum(list_transform(vq, x -> x*x)) AS n2
-       |  FROM e0
-       |), sub AS (
+    embQuantCte +
+    s""", sub AS (
        |  SELECT vec_id, label, s.sub AS sub,
        |         vq[s.sub*$d+1 : s.sub*$d+$d] AS svq
        |  FROM e CROSS JOIN (SELECT unnest(range($m)) AS sub) s
@@ -769,25 +777,39 @@ object OracleSqlExt {
     pqCte(m, dims) +
       "\nSELECT vec_id, sub, code, d2 FROM codes ORDER BY vec_id, sub"
 
-  /** The ADC top-k CTEs on top of [[pqCte]] — query-side subvector
-    * distance table (|Q|·m·k rows), then the sum-of-lookups scores.
-    * Shared by the x115 result oracle and the x116 recall oracle.
+  /** The ADC CTEs on top of [[pqCte]] — query-side subvector distance
+    * table (|Q|·m·k rows), then the sum-of-lookups scores and their
+    * per-query ranking. ONE definition shared by the x115 result
+    * oracle, the x117 recall oracle, and (with `cellRestrict`) the
+    * x118 IVFADC oracle — mirroring the engine's shared
+    * `adcDistTable`/`adcRank`, so the two engines' ADC spellings
+    * cannot drift apart per variant. The rank cutoff is each caller's
+    * `WHERE rn <= k`.
     */
-  private def adcCtes(queryIds: Seq[Long], k: Int, m: Int, dims: Int): String = {
+  private def adcCtes(queryIds: Seq[Long], m: Int, dims: Int,
+                      cellRestrict: Boolean = false): String = {
     val d = dims / m
+    val qLabelSel = if (cellRestrict) "label AS q_label, " else ""
+    val dtLabelSel = if (cellRestrict) "q.q_label, " else ""
+    // after the dt join — the cell predicate references dt.q_label
+    val cellJoin =
+      if (cellRestrict)
+        "\n  JOIN e el ON el.vec_id = c.vec_id AND el.label = dt.q_label"
+      else ""
     s""", qsub AS (
-       |  SELECT vec_id AS q_id, sub, svq AS qsv,
+       |  SELECT vec_id AS q_id, ${qLabelSel}sub, svq AS qsv,
        |         list_sum(list_transform(svq, x -> x*x)) AS qsn2
        |  FROM sub WHERE vec_id IN (${queryIds.mkString(",")})
        |), dt AS (
-       |  SELECT q.q_id, CAST(q.sub AS BIGINT) AS sub,
+       |  SELECT q.q_id, ${dtLabelSel}CAST(q.sub AS BIGINT) AS sub,
        |         CAST(cb.code AS BIGINT) AS code,
        |         q.qsn2 - 2*list_sum(list_transform(range($d),
        |           i -> qsv[i+1]*cvec[i+1])) + cb.cn2 AS qd2
        |  FROM qsub q JOIN cb ON q.sub = cb.sub
        |), sc AS (
        |  SELECT dt.q_id, c.vec_id, CAST(sum(dt.qd2) AS BIGINT) AS adc_d2
-       |  FROM codes c JOIN dt ON c.sub = dt.sub AND c.code = dt.code
+       |  FROM codes c
+       |  JOIN dt ON c.sub = dt.sub AND c.code = dt.code${cellJoin}
        |  WHERE c.vec_id <> dt.q_id
        |  GROUP BY dt.q_id, c.vec_id
        |), tadc AS (
@@ -801,53 +823,28 @@ object OracleSqlExt {
   /** Mirrors `Similarity.topKPqAdc`. */
   def pqAdcTopKSql(queryIds: Seq[Long], k: Int,
                    m: Int = 8, dims: Int = 64): String =
-    pqCte(m, dims) + adcCtes(queryIds, k, m, dims) +
+    pqCte(m, dims) + adcCtes(queryIds, m, dims) +
       s"""
          |SELECT q_id, vec_id, CAST(rn AS BIGINT) AS rank, adc_d2
          |FROM tadc WHERE rn <= $k ORDER BY q_id, rank""".stripMargin
 
-  /** Mirrors `Similarity.topKIvfPqAdc` — the ADC chain with each code
-    * row's cell recovered through `e` and restricted to the query's
-    * cell before scoring (FAISS-style IVFADC).
+  /** Mirrors `Similarity.topKIvfPqAdc` — the identical ADC chain with
+    * each code row's cell recovered through `e` and restricted to the
+    * query's cell before scoring (FAISS-style IVFADC).
     */
   def pqIvfAdcTopKSql(queryIds: Seq[Long], k: Int,
-                      m: Int = 8, dims: Int = 64): String = {
-    val d = dims / m
-    pqCte(m, dims) +
-      s""", qsub AS (
-         |  SELECT vec_id AS q_id, label AS q_label, sub, svq AS qsv,
-         |         list_sum(list_transform(svq, x -> x*x)) AS qsn2
-         |  FROM sub WHERE vec_id IN (${queryIds.mkString(",")})
-         |), dt AS (
-         |  SELECT q.q_id, q.q_label, CAST(q.sub AS BIGINT) AS sub,
-         |         CAST(cb.code AS BIGINT) AS code,
-         |         q.qsn2 - 2*list_sum(list_transform(range($d),
-         |           i -> qsv[i+1]*cvec[i+1])) + cb.cn2 AS qd2
-         |  FROM qsub q JOIN cb ON q.sub = cb.sub
-         |), sc AS (
-         |  SELECT dt.q_id, c.vec_id, CAST(sum(dt.qd2) AS BIGINT) AS adc_d2
-         |  FROM codes c
-         |  JOIN e el ON el.vec_id = c.vec_id
-         |  JOIN dt ON c.sub = dt.sub AND c.code = dt.code
-         |         AND el.label = dt.q_label
-         |  WHERE c.vec_id <> dt.q_id
-         |  GROUP BY dt.q_id, c.vec_id
-         |), ta AS (
-         |  SELECT q_id, vec_id, adc_d2,
-         |         row_number() OVER (PARTITION BY q_id
-         |                            ORDER BY adc_d2, vec_id) AS rn
-         |  FROM sc
-         |)
+                      m: Int = 8, dims: Int = 64): String =
+    pqCte(m, dims) + adcCtes(queryIds, m, dims, cellRestrict = true) +
+      s"""
          |SELECT q_id, vec_id, CAST(rn AS BIGINT) AS rank, adc_d2
-         |FROM ta WHERE rn <= $k ORDER BY q_id, rank""".stripMargin
-  }
+         |FROM tadc WHERE rn <= $k ORDER BY q_id, rank""".stripMargin
 
   /** Mirrors `Similarity.topKBruteL2` — exact squared-euclidean over
     * the full quantized vectors, rank ascending with vec_id
-    * tie-break.
+    * tie-break. Needs only the quantization CTE — no PQ machinery.
     */
   def l2TopKSql(queryIds: Seq[Long], k: Int, dims: Int = 64): String =
-    pqCte(8, dims) +
+    embQuantCte +
       s""", q AS (
          |  SELECT vec_id AS q_id, vq AS qv, n2 AS qn2
          |  FROM e WHERE vec_id IN (${queryIds.mkString(",")})
@@ -870,7 +867,7 @@ object OracleSqlExt {
     */
   def pqRecallSql(queryIds: Seq[Long], k: Int,
                   m: Int = 8, dims: Int = 64): String =
-    pqCte(m, dims) + adcCtes(queryIds, k, m, dims) +
+    pqCte(m, dims) + adcCtes(queryIds, m, dims) +
       s""", q AS (
          |  SELECT vec_id AS q_id, vq AS qv, n2 AS qn2
          |  FROM e WHERE vec_id IN (${queryIds.mkString(",")})
