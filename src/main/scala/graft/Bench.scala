@@ -125,17 +125,18 @@ object Bench {
     */
   def compactLine(results: Map[String, Double], total: Double,
                   sfDir: String): String = {
-    // centiseconds, degrading to whole seconds at ≥ 1000 s: full
+    // deciseconds, degrading to whole seconds at ≥ 1000 s: full
     // millisecond precision lives in the layer-1 JSON and the BENCH
     // lines above; this line exists to survive the tail window whole,
     // and the adaptive width keeps the worst case (every query
-    // pathological) inside the 1900-char pin at 120+ queries
-    def fmt2(v: Double): String =
+    // pathological — "1000.0", 6 chars) inside the 1900-char pin at
+    // 130+ queries
+    def fmt1(v: Double): String =
       if (v >= 1000) "%.0f".formatLocal(java.util.Locale.ROOT, v)
-      else "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      else "%.1f".formatLocal(java.util.Locale.ROOT, v)
     val shortQs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v) }
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt1(v) }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","nq":${results.size},"queries":$shortQs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt1(total)},"unit":"sec","nq":${results.size},"queries":$shortQs,"sf":"$sfDir"}"""
   }
 }

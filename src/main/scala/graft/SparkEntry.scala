@@ -548,6 +548,11 @@ object SparkEntry {
     "x118_ivf_adc_topk" -> ((s, dir) =>
       Similarity.topKIvfPqAdc(Tables.read(s, dir, "embeddings"), Seq(0L, 1L, 2L), 5)
         .orderBy("q_id", "rank")),
+    // X3b per-subspace distortion dashboard — the codebook-health
+    // monitor (stale codebook = rising d2 before recall decays)
+    "x119_pq_distortion" -> ((s, dir) =>
+      Similarity.pqDistortion(Tables.read(s, dir, "embeddings"))
+        .orderBy("sub")),
     // X29 host-graph centrality: two damped power-iteration steps over
     // the synthesized host link graph (each doc links its source host
     // to src{(src_num·3 + doc_id%5) % 20}, edges deduped) — exact
@@ -748,6 +753,18 @@ object SparkEntry {
     // X5 multimodal: binary media column → mapPartitions feature extraction
     "x30_multimodal" -> ((s, dir) =>
       Multimodal.extractFeatures(s,
+        Multimodal.asMediaTable(Tables.read(s, dir, "documents")))
+        .orderBy("doc_id")),
+    // X5 frame sampling: fixed-size frames off the binary payload,
+    // every 3rd kept — pure codegen'd slicing, frames leave as md5s
+    "x121_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.asMediaTable(Tables.read(s, dir, "documents")))
+        .orderBy("doc_id", "frame_idx")),
+    // X5 resize plumbing (deterministic stand-in scaler): per-partition
+    // codec-init shape, byte-decimation fake, size metadata out
+    "x122_media_resize" -> ((s, dir) =>
+      Multimodal.resizeStub(s,
         Multimodal.asMediaTable(Tables.read(s, dir, "documents")))
         .orderBy("doc_id")),
     // T1-T4 end-to-end: ingest the fixture through the REAL Structured
@@ -1262,6 +1279,12 @@ object SparkEntry {
       TextAnalysis.mixtureWeights(docs, fixtureSourceWeights(docs))
         .orderBy("source")
     }),
+    // X21 temperature (α=0.5) sampling shares — the mT5/XLM-R
+    // α-sampling planner; Σ via an ordered left fold so the double
+    // reduction is engine-deterministic (sqrt is exactly rounded)
+    "x120_temperature_mixture" -> ((s, dir) =>
+      TextAnalysis.temperatureMixture(Tables.read(s, dir, "documents"))
+        .orderBy("source")),
     // X21 mixture plan EXECUTION: per-source keep-until-budget sampling
     // driven by the x85 plan — the engine runs the two-phase
     // (source, bucket) decomposition with bucketDocs=64 so buckets
@@ -1726,6 +1749,8 @@ object SparkEntry {
     "x28_token_count" -> OracleSqlExt.tokenCountSql,
     "x29_fingerprint" -> OracleSqlExt.fingerprintSql,
     "x30_multimodal" -> OracleSqlExt.multimodalSql,
+    "x121_frame_sample" -> OracleSqlExt.frameSampleSql(),
+    "x122_media_resize" -> OracleSqlExt.mediaResizeSql(),
     "q31_streamed_rollup" -> OracleSql.rollupSql(Q.IntervalMin),
     "q41_backfill_chunked" -> OracleSql.rollupSql(Q.IntervalMin),
     "x45_dedup_clusters" -> OracleSqlExt.dedupClustersSql(ClusterJaccard, ClusterBand),
@@ -1761,6 +1786,8 @@ object SparkEntry {
     "x116_l2_topk" -> OracleSqlExt.l2TopKSql(Seq(0L, 1L, 2L), 5),
     "x117_pq_recall" -> OracleSqlExt.pqRecallSql(Seq(0L, 1L, 2L), 5),
     "x118_ivf_adc_topk" -> OracleSqlExt.pqIvfAdcTopKSql(Seq(0L, 1L, 2L), 5),
+    "x119_pq_distortion" -> OracleSqlExt.pqDistortionSql(),
+    "x120_temperature_mixture" -> OracleSqlExt.temperatureMixtureSql,
     "x89_mixture_apply" -> OracleSqlExt.mixtureApplySql,
     "x100_mixture_capped" ->
       OracleSqlExt.mixtureWeightsCappedSql(MixtureEpochCapPct),

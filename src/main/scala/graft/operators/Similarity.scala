@@ -501,6 +501,23 @@ object Similarity {
   def pqCodes(emb: DataFrame, m: Int = 8, dims: Int = 64): DataFrame =
     pqParts(emb, m, dims)._2
 
+  /** Per-subspace PQ distortion dashboard — the codebook-health
+    * signal a PQ deployment watches per refresh (the PQ sibling of
+    * [[kmeansInertia]]): member count, exact int64 Σd², max d², and
+    * one double division for the mean, per subspace. Rising
+    * distortion in a subspace says its codebook has gone stale for
+    * the current corpus (drifted embeddings, new content domain) —
+    * re-learn before recall decays silently. m rows out of ONE
+    * partially-aggregated groupBy over [[pqCodes]].
+    */
+  def pqDistortion(emb: DataFrame, m: Int = 8, dims: Int = 64): DataFrame =
+    pqCodes(emb, m, dims)
+      .groupBy("sub")
+      .agg(count(lit(1)).as("n_vecs"), sum("d2").as("total_d2"),
+        max("d2").as("max_d2"))
+      .withColumn("mean_d2",
+        col("total_d2").cast("double") / col("n_vecs").cast("double"))
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: each query keeps
     * its FULL-precision subvectors and precomputes a distance table
     * d²(q_sub, codeword) for all m·k codewords (|Q|·m·k rows,

@@ -920,6 +920,41 @@ object TextAnalysis {
         (col("keep_tokens").cast("double") / col("n_tokens").cast("double"))
           .as("rate"))
 
+  /** Temperature-scaled sampling shares (the mT5/XLM-R α-sampling
+    * rule, Xue et al. 2021 §3.1 / Conneau et al. 2020 §3: sample
+    * source s with probability ∝ p_s^α, α < 1 upweighting scarce
+    * sources) — the third classic mixture planner beside the capped
+    * downsample ([[mixtureWeights]]) and the DoReMi-style upsample
+    * ([[mixtureWeightsCapped]]). Since the corpus-total denominator
+    * cancels under normalization, share_s = T_s^α / Σ T^α directly.
+    *
+    * Determinism: only α where x^α is a correctly-rounded IEEE
+    * primitive are accepted — 0.5 (`sqrt`) and 1.0 (identity) —
+    * because `pow` carries platform-dependent last-ulp error and
+    * would break the cross-engine hash. The Σ is a driver-free
+    * ORDERED left fold (sort by source, `aggregate` from 0.0), bit-
+    * reproducible in any engine — never a partition-order double sum.
+    *
+    * Scale shape: one per-source partial aggregation (|S| rows out),
+    * the fold over the |S|-row frame, one broadcast scalar join back.
+    */
+  def temperatureMixture(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
+    require(alpha == 0.5 || alpha == 1.0,
+      s"only exactly-rounded temperatures are engine-exact (0.5 via " +
+        s"sqrt, 1.0 identity), got $alpha")
+    val perSrc = docs.groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("weight",
+        if (alpha == 0.5) sqrt(col("n_tokens").cast("double"))
+        else col("n_tokens").cast("double"))
+    val tot = perSrc.agg(expr(
+      "aggregate(transform(sort_array(collect_list(struct(source, weight)))," +
+        " x -> x.weight), 0D, (a, x) -> a + x)").as("tw"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        (col("weight") / col("tw")).as("share"))
+  }
+
   /** Upsampling mixture planner (SURVEY §2.10 X21, the DoReMi-style
     * completion of [[mixtureWeights]]): real target mixtures REPEAT
     * scarce high-quality sources instead of capping the whole corpus

@@ -777,6 +777,39 @@ object OracleSqlExt {
     pqCte(m, dims) +
       "\nSELECT vec_id, sub, code, d2 FROM codes ORDER BY vec_id, sub"
 
+  /** Mirrors `TextAnalysis.temperatureMixture(alpha = 0.5)`: the Σ is
+    * the SAME ordered left fold from 0.0 (list ORDER BY source,
+    * prepend 0.0, list_reduce) as the engine's `aggregate` spelling —
+    * bit-identical because `0.0 + w1 == w1` and both engines then add
+    * in source order; sqrt is correctly rounded in both.
+    */
+  def temperatureMixtureSql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |), w AS (
+      |  SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS weight
+      |  FROM t
+      |), tot AS (
+      |  SELECT list_reduce(
+      |           list_prepend(CAST(0 AS DOUBLE), list(weight ORDER BY source)),
+      |           (a, x) -> a + x) AS tw
+      |  FROM w
+      |)
+      |SELECT source, n_tokens, weight, weight / tw AS share
+      |FROM w CROSS JOIN tot ORDER BY source""".stripMargin
+
+  /** Mirrors `Similarity.pqDistortion`. */
+  def pqDistortionSql(m: Int = 8, dims: Int = 64): String =
+    pqCte(m, dims) +
+      """
+        |SELECT sub, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(sum(d2) AS BIGINT) AS total_d2,
+        |       CAST(max(d2) AS BIGINT) AS max_d2,
+        |       CAST(sum(d2) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_d2
+        |FROM codes GROUP BY sub ORDER BY sub""".stripMargin
+
   /** The ADC CTEs on top of [[pqCte]] — query-side subvector distance
     * table (|Q|·m·k rows), then the sum-of-lookups scores and their
     * per-query ranking. ONE definition shared by the x115 result
@@ -1044,6 +1077,52 @@ object OracleSqlExt {
       |       CAST(-1 AS BIGINT) AS height,
       |       CAST(NULL AS VARCHAR) AS codec
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Mirrors `Multimodal.frameSample` over `asMediaTable(documents)`.
+    * The engine slices BYTES of the utf-8 blob; DuckDB has no BLOB
+    * substring, so the oracle slices CHARACTERS — equal because the
+    * fixture text is pure ASCII (verified: octet_length(encode(text))
+    * == length(text) on every row at both SFs; a non-ASCII
+    * regeneration would fail this row loudly, never silently).
+    * DuckDB md5(VARCHAR) hashes the utf-8 bytes, matching Spark's
+    * md5(BINARY) under the same property.
+    */
+  def frameSampleSql(frameBytes: Int = 64, stride: Int = 3): String =
+    s"""WITH m AS (
+       |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id, text,
+       |         unnest(range(0, (n + ${frameBytes - 1}) // $frameBytes,
+       |                      $stride)) AS frame_idx
+       |  FROM m WHERE n > 0
+       |)
+       |SELECT doc_id, frame_idx,
+       |       CAST(frame_idx * $frameBytes AS BIGINT) AS offset_bytes,
+       |       CAST(length(substring(text,
+       |         CAST(frame_idx * $frameBytes + 1 AS BIGINT), $frameBytes))
+       |         AS BIGINT) AS frame_bytes,
+       |       md5(substring(text,
+       |         CAST(frame_idx * $frameBytes + 1 AS BIGINT), $frameBytes))
+       |         AS frame_md5
+       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Mirrors `Multimodal.resizeStub` — every `factor`-th byte, spelled
+    * as every `factor`-th character under the same verified-ASCII
+    * fixture property as [[frameSampleSql]]; empty decimations
+    * coalesce to md5('') exactly as the engine hashes a zero-length
+    * byte array.
+    */
+  def mediaResizeSql(factor: Int = 4): String =
+    s"""SELECT doc_id,
+       |       CAST(length(text) AS BIGINT) AS orig_bytes,
+       |       CAST((length(text) + ${factor - 1}) // $factor AS BIGINT)
+       |         AS resized_bytes,
+       |       md5(coalesce(list_aggregate(
+       |         list_transform(range(0, length(text), $factor),
+       |           i -> substring(text, CAST(i + 1 AS BIGINT), 1)),
+       |         'string_agg', ''), '')) AS resized_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Positional-token CTE shared by the repetition / boilerplate
     * oracles (1-based `pos`; the engine's 0-based posexplode only has

@@ -521,6 +521,44 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got(4L) == ((4L, 3L, 2L, "p q r p q")))
   }
 
+  test("frameSample: frame boundaries, tail frame, stride, empty payload") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val media = Seq((1L, "0123456789"), (2L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"),
+        lit("text/plain").as("fmt"))
+    // 10 bytes at frameBytes=4 → frames 0..2; stride 2 keeps 0 and 2;
+    // frame 2 is the 2-byte tail. The empty payload yields NO rows
+    // (not a zero-length frame).
+    val got = Multimodal.frameSample(media, frameBytes = 4, stride = 2)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._2).toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 4L, md5hex("0123")),
+      (1L, 2L, 8L, 2L, md5hex("89"))))
+  }
+
+  test("resizeStub: byte decimation length + digest; partition-invariant") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val media = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"),
+        lit("text/plain").as("fmt"))
+    val expect = Seq(
+      (1L, 10L, 3L, md5hex("aei")),   // bytes 0, 4, 8
+      (2L, 2L, 1L, md5hex("x")),
+      (3L, 0L, 0L, md5hex("")))       // empty in, md5 of zero bytes out
+    val got = Multimodal.resizeStub(spark, media, factor = 4)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == expect)
+    val reshuffled = Multimodal.resizeStub(spark, media.repartition(5), factor = 4)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(reshuffled == expect)
+  }
+
   test("multimodal feature extraction: md5 + byte length round-trip") {
     import spark.implicits._
     val feats = Multimodal.extractFeatures(spark, Multimodal.asMediaTable(docs))
@@ -823,6 +861,35 @@ class ExtensionsSpec extends AnyFunSuite {
       ("s3", "s5", 0L, 1L, 0.0), ("s4", "s5", 0L, 0L, 0.0)))
   }
 
+  test("temperatureMixture: α=0.5 compresses shares toward uniform; fold order-invariant") {
+    import spark.implicits._
+    val t5 = TextAnalysis.temperatureMixture(docs, 0.5)
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val t1 = TextAnalysis.temperatureMixture(docs, 1.0)
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    // α=1 is the identity mixture: share == exact token share
+    val total = t1.map(_._2).sum.toDouble
+    t1.foreach { case (_, n, _, s) => assert(math.abs(s - n / total) < 1e-12) }
+    // shares are a distribution in both temperatures
+    for (t <- Seq(t5, t1)) {
+      assert(math.abs(t.map(_._4).sum - 1.0) < 1e-12)
+      assert(t.forall(_._4 > 0.0))
+    }
+    // α=0.5 upweights scarce sources: the max/min share ratio strictly
+    // shrinks (the fixture's sources are not uniform)
+    def spread(t: Seq[(String, Long, Double, Double)]) =
+      t.map(_._4).max / t.map(_._4).min
+    assert(spread(t1) > 1.0 + 1e-9, "fixture should have non-uniform sources")
+    assert(spread(t5) < spread(t1))
+    // the ordered fold makes the result partition-order-invariant:
+    // a reshuffled input yields bit-identical doubles
+    val reshuffled = TextAnalysis.temperatureMixture(docs.repartition(7), 0.5)
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(reshuffled == t5)
+    intercept[IllegalArgumentException](
+      TextAnalysis.temperatureMixture(docs, 0.3))
+  }
+
   test("mixtureApply: bucket-size invariant; realized tokens land in [keep, keep+max)") {
     import spark.implicits._
     val weights = SparkEntry.fixtureSourceWeights(docs)
@@ -1031,6 +1098,23 @@ class ExtensionsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().sortBy(_._3).toSeq
     assert(got == Seq((0L, 1L, 1L, 0L), (0L, 2L, 2L, 0L),
       (0L, 3L, 3L, 0L), (0L, 4L, 4L, 0L)))
+  }
+
+  test("pqDistortion: totals reconcile with pqCodes; zero on the lossless corpus") {
+    import spark.implicits._
+    val rows = Similarity.pqDistortion(emb)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(rows.map(_._1) == (0L until 8L))
+    assert(rows.forall(_._2 == emb.count()))
+    val total = Similarity.pqCodes(emb)
+      .agg(sum("d2")).head.getLong(0)
+    assert(rows.map(_._3).sum == total)
+    assert(rows.forall(r => r._4 >= 0L && r._5 >= 0.0))
+    val vecs = for (g <- 0 until 4; i <- 0 until 5) yield
+      (g * 5L + i, g, Array.fill(64)(g * 0.25f + 0.05f))
+    val fix = vecs.toDF("vec_id", "label", "embedding")
+    assert(Similarity.pqDistortion(fix)
+      .filter(col("total_d2") =!= 0L || col("max_d2") =!= 0L).count() == 0L)
   }
 
   test("kmeansIter: one Lloyd step repairs a corrupted assignment") {
