@@ -767,6 +767,12 @@ object SparkEntry {
       Multimodal.resizeStub(s,
         Multimodal.asMediaTable(Tables.read(s, dir, "documents")))
         .orderBy("doc_id")),
+    // X5 cross-doc frame dedup: the decode-budget optimization —
+    // identical frames decode once corpus-wide (min-doc owner rule)
+    "x123_frame_dedup" -> ((s, dir) =>
+      Multimodal.frameDedup(
+        Multimodal.asMediaTable(Tables.read(s, dir, "documents")))
+        .orderBy("doc_id")),
     // T1-T4 end-to-end: ingest the fixture through the REAL Structured
     // Streaming path (3 micro-batches, keyed-state gate, append-only
     // store) and read the level-0 merge-on-read view back — the oracle is
@@ -1751,6 +1757,7 @@ object SparkEntry {
     "x30_multimodal" -> OracleSqlExt.multimodalSql,
     "x121_frame_sample" -> OracleSqlExt.frameSampleSql(),
     "x122_media_resize" -> OracleSqlExt.mediaResizeSql(),
+    "x123_frame_dedup" -> OracleSqlExt.frameDedupSql(),
     "q31_streamed_rollup" -> OracleSql.rollupSql(Q.IntervalMin),
     "q41_backfill_chunked" -> OracleSql.rollupSql(Q.IntervalMin),
     "x45_dedup_clusters" -> OracleSqlExt.dedupClustersSql(ClusterJaccard, ClusterBand),

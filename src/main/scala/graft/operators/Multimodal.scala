@@ -118,6 +118,35 @@ object Multimodal {
         md5(col("frame")).as("frame_md5"))
   }
 
+  /** Cross-document frame-level dedup stats — the decode-budget
+    * optimization [[frameSample]]'s contract enables: frames carrying
+    * identical content (md5) need decoding ONCE corpus-wide, so the
+    * real decode bill is the distinct-frame count, not the frame
+    * count. Per document: sampled frames, distinct frames within the
+    * doc, frames this doc OWNS (global first occurrence = min doc_id,
+    * the x20/x69 canonical-owner rule at frame granularity), and the
+    * owned fraction — duplicated media (re-uploads, shared intros,
+    * watermark frames) shows up as owned_frac ≪ 1.
+    *
+    * Shape: one (md5) groupBy with partial aggregation, one md5
+    * equi-join back, one per-doc aggregation. Nothing pairwise.
+    */
+  def frameDedup(media: DataFrame, frameBytes: Int = 64,
+                 stride: Int = 1): DataFrame = {
+    val frames = frameSample(media, frameBytes, stride)
+      .select("doc_id", "frame_md5")
+    val owners = frames.groupBy("frame_md5")
+      .agg(min("doc_id").as("owner_id"))
+    frames.join(owners, "frame_md5")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct("frame_md5").as("n_distinct"),
+        countDistinct(when(col("owner_id") === col("doc_id"),
+          col("frame_md5"))).as("n_owned"))
+      .withColumn("owned_frac",
+        col("n_owned").cast("double") / col("n_distinct").cast("double"))
+  }
+
   case class ResizeRow(doc_id: Long, orig_bytes: Long, resized_bytes: Long,
                        resized_md5: String)
 

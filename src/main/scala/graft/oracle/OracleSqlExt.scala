@@ -1107,6 +1107,40 @@ object OracleSqlExt {
        |         AS frame_md5
        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Mirrors `Multimodal.frameDedup` — the [[frameSampleSql]] frame
+    * construction at the same (frameBytes, stride), min-owner per
+    * frame md5, per-doc counts. Same verified-ASCII reliance.
+    */
+  def frameDedupSql(frameBytes: Int = 64, stride: Int = 1): String =
+    s"""WITH m AS (
+       |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id,
+       |         md5(substring(text,
+       |           CAST(frame_idx * $frameBytes + 1 AS BIGINT), $frameBytes))
+       |           AS frame_md5
+       |  FROM (SELECT doc_id, text,
+       |               unnest(range(0, (n + ${frameBytes - 1}) // $frameBytes,
+       |                            $stride)) AS frame_idx
+       |        FROM m WHERE n > 0)
+       |), o AS (
+       |  SELECT frame_md5, min(doc_id) AS owner_id FROM f GROUP BY frame_md5
+       |), agg AS (
+       |  SELECT f.doc_id,
+       |         CAST(count(*) AS BIGINT) AS n_frames,
+       |         CAST(count(DISTINCT f.frame_md5) AS BIGINT) AS n_distinct,
+       |         CAST(count(DISTINCT CASE WHEN o.owner_id = f.doc_id
+       |                                  THEN f.frame_md5 END) AS BIGINT)
+       |           AS n_owned
+       |  FROM f JOIN o USING (frame_md5)
+       |  GROUP BY f.doc_id
+       |)
+       |SELECT doc_id, n_frames, n_distinct, n_owned,
+       |       CAST(n_owned AS DOUBLE) / CAST(n_distinct AS DOUBLE)
+       |         AS owned_frac
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   /** Mirrors `Multimodal.resizeStub` — every `factor`-th byte, spelled
     * as every `factor`-th character under the same verified-ASCII
     * fixture property as [[frameSampleSql]]; empty decimations

@@ -539,6 +539,24 @@ class ExtensionsSpec extends AnyFunSuite {
       (1L, 2L, 8L, 2L, md5hex("89"))))
   }
 
+  test("frameDedup: duplicated media owns nothing; the canonical copy owns everything") {
+    import spark.implicits._
+    // docs 1/2 are byte-identical (4 frames each: three "A"*64 repeats
+    // + an "A"*8 tail → 2 DISTINCT frame contents); doc 3 is unique.
+    // Owner = min doc_id per frame md5: doc 1 owns both of its
+    // contents, doc 2 owns none (pure re-upload), doc 3 owns its own.
+    val media = Seq((1L, "A" * 200), (2L, "A" * 200), (3L, "B" * 200))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"),
+        lit("text/plain").as("fmt"))
+    val got = Multimodal.frameDedup(media)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 4L, 2L, 2L, 1.0),
+      (2L, 4L, 2L, 0L, 0.0),
+      (3L, 4L, 2L, 2L, 1.0)))
+  }
+
   test("resizeStub: byte decimation length + digest; partition-invariant") {
     import spark.implicits._
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
