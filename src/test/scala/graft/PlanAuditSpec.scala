@@ -367,6 +367,28 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("x120 temperature mixture: one scalar NLJ; x121 join-free; x123 equi-only") {
+    // x120: the |S|-row frame × the 1-row ordered-fold total — the
+    // allowed scalar NLJ (the x82-totals pattern)
+    val p120 = SparkEntry.queries("x120_temperature_mixture")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!p120.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p120).length == 1,
+      s"expected exactly the scalar-total NLJ:\n$p120")
+    // x121: pure per-row slicing — no join of any kind in the plan
+    val p121 = SparkEntry.queries("x121_frame_sample")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!p121.contains("Join"), s"frame sampling must not join:\n$p121")
+    // x123: md5 groupBy + owner join back — equi-joins only, partial agg
+    val p123 = SparkEntry.queries("x123_frame_dedup")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!p123.contains("CartesianProduct") &&
+      !p123.contains("BroadcastNestedLoopJoin"),
+      s"frame-dedup joins must stay equi:\n$p123")
+    assert(p123.contains("partial_count") || p123.contains("partial_min"),
+      s"owner/count aggregates must partially aggregate:\n$p123")
+  }
+
   test("x116 L2 brute: exactly the one deliberate broadcast-query NLJ") {
     val p = SparkEntry.queries("x116_l2_topk")(spark, sf)
       .queryExecution.sparkPlan.toString
