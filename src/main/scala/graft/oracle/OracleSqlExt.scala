@@ -1078,68 +1078,68 @@ object OracleSqlExt {
       |       CAST(NULL AS VARCHAR) AS codec
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Mirrors `Multimodal.frameSample` over `asMediaTable(documents)`.
-    * The engine slices BYTES of the utf-8 blob; DuckDB has no BLOB
-    * substring, so the oracle slices CHARACTERS — equal because the
-    * fixture text is pure ASCII (verified: octet_length(encode(text))
-    * == length(text) on every row at both SFs; a non-ASCII
-    * regeneration would fail this row loudly, never silently).
-    * DuckDB md5(VARCHAR) hashes the utf-8 bytes, matching Spark's
-    * md5(BINARY) under the same property.
+  /** The frame-construction CTEs shared by [[frameSampleSql]] and
+    * [[frameDedupSql]] — ONE spelling of the slicing rule, mirroring
+    * the engine side where `frameDedup` calls `frameSample`. Yields
+    * `f(doc_id, frame_idx, frame)` for sampled frames. The engine
+    * slices BYTES of the utf-8 blob; DuckDB has no BLOB substring, so
+    * this slices CHARACTERS — equal because the fixture text is pure
+    * ASCII (verified: octet_length(encode(text)) == length(text) on
+    * every row at both SFs; a non-ASCII regeneration would fail these
+    * rows loudly, never silently). DuckDB md5(VARCHAR) hashes the
+    * utf-8 bytes, matching Spark's md5(BINARY) under the same
+    * property.
     */
-  def frameSampleSql(frameBytes: Int = 64, stride: Int = 3): String =
+  private def frameCte(frameBytes: Int, stride: Int): String =
     s"""WITH m AS (
        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
        |  FROM documents
        |), f AS (
-       |  SELECT doc_id, text,
-       |         unnest(range(0, (n + ${frameBytes - 1}) // $frameBytes,
-       |                      $stride)) AS frame_idx
-       |  FROM m WHERE n > 0
-       |)
-       |SELECT doc_id, frame_idx,
-       |       CAST(frame_idx * $frameBytes AS BIGINT) AS offset_bytes,
-       |       CAST(length(substring(text,
-       |         CAST(frame_idx * $frameBytes + 1 AS BIGINT), $frameBytes))
-       |         AS BIGINT) AS frame_bytes,
-       |       md5(substring(text,
-       |         CAST(frame_idx * $frameBytes + 1 AS BIGINT), $frameBytes))
-       |         AS frame_md5
-       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
-
-  /** Mirrors `Multimodal.frameDedup` — the [[frameSampleSql]] frame
-    * construction at the same (frameBytes, stride), min-owner per
-    * frame md5, per-doc counts. Same verified-ASCII reliance.
-    */
-  def frameDedupSql(frameBytes: Int = 64, stride: Int = 1): String =
-    s"""WITH m AS (
-       |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
-       |  FROM documents
-       |), f AS (
-       |  SELECT doc_id,
-       |         md5(substring(text,
-       |           CAST(frame_idx * $frameBytes + 1 AS BIGINT), $frameBytes))
-       |           AS frame_md5
+       |  SELECT doc_id, frame_idx,
+       |         substring(text, CAST(frame_idx * $frameBytes + 1 AS BIGINT),
+       |                   $frameBytes) AS frame
        |  FROM (SELECT doc_id, text,
        |               unnest(range(0, (n + ${frameBytes - 1}) // $frameBytes,
        |                            $stride)) AS frame_idx
        |        FROM m WHERE n > 0)
-       |), o AS (
-       |  SELECT frame_md5, min(doc_id) AS owner_id FROM f GROUP BY frame_md5
-       |), agg AS (
-       |  SELECT f.doc_id,
-       |         CAST(count(*) AS BIGINT) AS n_frames,
-       |         CAST(count(DISTINCT f.frame_md5) AS BIGINT) AS n_distinct,
-       |         CAST(count(DISTINCT CASE WHEN o.owner_id = f.doc_id
-       |                                  THEN f.frame_md5 END) AS BIGINT)
-       |           AS n_owned
-       |  FROM f JOIN o USING (frame_md5)
-       |  GROUP BY f.doc_id
-       |)
-       |SELECT doc_id, n_frames, n_distinct, n_owned,
-       |       CAST(n_owned AS DOUBLE) / CAST(n_distinct AS DOUBLE)
-       |         AS owned_frac
-       |FROM agg ORDER BY doc_id""".stripMargin
+       |)""".stripMargin
+
+  /** Mirrors `Multimodal.frameSample` over `asMediaTable(documents)`
+    * (see [[frameCte]] for the verified-ASCII byte/char equivalence).
+    */
+  def frameSampleSql(frameBytes: Int = 64, stride: Int = 3): String =
+    frameCte(frameBytes, stride) +
+      s"""
+         |SELECT doc_id, frame_idx,
+         |       CAST(frame_idx * $frameBytes AS BIGINT) AS offset_bytes,
+         |       CAST(length(frame) AS BIGINT) AS frame_bytes,
+         |       md5(frame) AS frame_md5
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Mirrors `Multimodal.frameDedup` — the [[frameCte]] construction
+    * at the same (frameBytes, stride), min-owner per frame md5,
+    * per-doc counts.
+    */
+  def frameDedupSql(frameBytes: Int = 64, stride: Int = 1): String =
+    frameCte(frameBytes, stride) +
+      s""", fm AS (
+         |  SELECT doc_id, md5(frame) AS frame_md5 FROM f
+         |), o AS (
+         |  SELECT frame_md5, min(doc_id) AS owner_id FROM fm GROUP BY frame_md5
+         |), agg AS (
+         |  SELECT fm.doc_id,
+         |         CAST(count(*) AS BIGINT) AS n_frames,
+         |         CAST(count(DISTINCT fm.frame_md5) AS BIGINT) AS n_distinct,
+         |         CAST(count(DISTINCT CASE WHEN o.owner_id = fm.doc_id
+         |                                  THEN fm.frame_md5 END) AS BIGINT)
+         |           AS n_owned
+         |  FROM fm JOIN o USING (frame_md5)
+         |  GROUP BY fm.doc_id
+         |)
+         |SELECT doc_id, n_frames, n_distinct, n_owned,
+         |       CAST(n_owned AS DOUBLE) / CAST(n_distinct AS DOUBLE)
+         |         AS owned_frac
+         |FROM agg ORDER BY doc_id""".stripMargin
 
   /** Mirrors `Multimodal.resizeStub` — every `factor`-th byte, spelled
     * as every `factor`-th character under the same verified-ASCII

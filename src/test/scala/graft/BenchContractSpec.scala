@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchContractSpec extends AnyFunSuite {
 
   // worst-case values under the adaptive format: 999.999 renders as
-  // "1000.00" (7 chars — %.2f applies below 1000 and rounds up), the
+  // "1000.0" (6 chars — %.1f applies below 1000 and rounds up), the
   // WIDEST a plausible per-query value can print; values >= 1000 s
   // drop to whole seconds and print NARROWER ("10000" is 5 chars), so
   // pinning at 999.999 pins the true maximum line length
