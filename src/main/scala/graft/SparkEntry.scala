@@ -1622,6 +1622,18 @@ object SparkEntry {
     "q72_counter_rate" -> ((s, dir) =>
       graft.operators.TimeSeriesOps.counterRate(sanitized(s, dir))
         .orderBy("metric", "time")),
+    // Event analytics: first-touch sequential funnel (view → click →
+    // purchase, each step within 7 days of the previous match)
+    "x124_event_funnel" -> ((s, dir) =>
+      graft.operators.TimeSeriesOps.eventFunnel(Tables.events(s, dir),
+        Seq("view", "click", "purchase"), 604800000000000L)
+        .orderBy("step")),
+    // Event analytics: weekly retention cohorts (cohort = first-event
+    // week; cells = users active N weeks later, frac vs cohort size)
+    "x125_retention_cohorts" -> ((s, dir) =>
+      graft.operators.TimeSeriesOps.retentionCohorts(Tables.events(s, dir),
+        604800000000000L)
+        .orderBy("cohort_bucket", "bucket_offset")),
     // TSDB analytics: robust per-metric outlier summary — exact
     // median/MAD over the centivalue domain, count beyond 3·MAD
     "q71_outlier_mad" -> ((s, dir) =>
@@ -1872,6 +1884,10 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q42_rate" -> OracleSql.rateSql,
     "q72_counter_rate" -> OracleSql.counterRateSql,
+    "x124_event_funnel" ->
+      OracleSqlExt.eventFunnelSql(Seq("view", "click", "purchase"),
+        604800000000L),
+    "x125_retention_cohorts" -> OracleSqlExt.retentionCohortsSql(604800000000L),
     "q71_outlier_mad" -> OracleSql.outliersMadSql(3.0),
     "q51_metric_align" -> OracleSql.alignMetricsSql(Q.IntervalMin, "click", "view"),
     "q52_metric_corr" -> OracleSql.corrMetricsSql(Q.IntervalMin, "click", "view"),

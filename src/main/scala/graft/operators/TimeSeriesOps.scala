@@ -288,4 +288,75 @@ object TimeSeriesOps {
         sum(when(col("adev") > lit(k) * col("mad_c"), 1L).otherwise(0L))
           .as("n_outliers"))
   }
+
+  /** First-touch sequential funnel over the events table: step 1 is
+    * each user's FIRST `steps.head` event; every later step is the
+    * first occurrence of its type strictly after the previous step's
+    * match and within `windowNs` of it. "First-touch" is a committed
+    * semantic choice (the rule several analytics products ship): a
+    * user whose ONLY qualifying chain starts at a later step-1 event
+    * does not convert — the alternative ("any qualifying chain")
+    * needs per-user sequence scans; this one is |steps|−1 equi-joins.
+    * Output: one row per step with the user count and the conversion
+    * fraction vs step 1 (a single int/int divide).
+    *
+    * Scale shape: each step is one user-keyed partial-aggregated
+    * groupBy and one user_id equi-join against the (shrinking)
+    * reached set; the only NLJ is the 1-row step-1 base joined to the
+    * |steps|-row summary.
+    */
+  def eventFunnel(events: DataFrame, steps: Seq[String],
+                  windowNs: Long): DataFrame = {
+    require(steps.size >= 2 && steps.distinct == steps && windowNs > 0,
+      s"need >= 2 distinct steps and a positive window, got $steps / $windowNs")
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("t"))
+    val reached = steps.tail.scanLeft(first) { (prev, st) =>
+      events.filter(col("event_type") === st)
+        .join(prev.select(col("user_id"), col("t").as("tp")), "user_id")
+        .filter(col("ts") > col("tp") && col("ts") <= col("tp") + windowNs)
+        .groupBy("user_id").agg(min("ts").as("t"))
+    }
+    val counts = reached.zip(steps).zipWithIndex.map { case ((df, st), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit((i + 1).toLong).as("step"), lit(st).as("event_type"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+    val base = counts.filter(col("step") === 1)
+      .select(col("n_users").as("n_base"))
+    counts.crossJoin(broadcast(base))
+      .select(col("step"), col("event_type"), col("n_users"),
+        when(col("n_base") > 0,
+          col("n_users").cast("double") / col("n_base").cast("double"))
+          .otherwise(lit(0.0)).as("frac_of_first"))
+  }
+
+  /** Retention cohorts over the events table: a user's cohort is the
+    * `bucketNs` bucket of their first event; a (cohort, offset) cell
+    * counts users active in the bucket `offset` buckets later, with
+    * the retention fraction vs the cohort's own size (offset 0). The
+    * dashboard behind every "week-N retention" chart.
+    *
+    * Scale shape: distinct (user, bucket) is ONE shuffle with partial
+    * distinct; the cohort assignment is a user-keyed min; the join
+    * back is a user_id equi-join; bucket arithmetic is exact int64
+    * floor division so the cells hash identically in any engine.
+    */
+  def retentionCohorts(events: DataFrame, bucketNs: Long): DataFrame = {
+    require(bucketNs > 0, s"bucketNs must be positive, got $bucketNs")
+    val active = events
+      .select(col("user_id"), expr(s"ts div ${bucketNs}L").as("bucket"))
+      .distinct()
+    val cohort = active.groupBy("user_id").agg(min("bucket").as("cohort_bucket"))
+    val cells = active.join(cohort, "user_id")
+      .groupBy(col("cohort_bucket"),
+        (col("bucket") - col("cohort_bucket")).as("bucket_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val bases = cells.filter(col("bucket_offset") === 0)
+      .select(col("cohort_bucket"), col("n_users").as("n_cohort"))
+    cells.join(bases, Seq("cohort_bucket"))
+      .select(col("cohort_bucket"), col("bucket_offset"), col("n_users"),
+        (col("n_users").cast("double") / col("n_cohort").cast("double"))
+          .as("retention"))
+  }
 }

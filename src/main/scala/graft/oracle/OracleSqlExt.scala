@@ -929,6 +929,66 @@ object OracleSqlExt {
          |       CAST(n_hit AS DOUBLE) / CAST(n_brute AS DOUBLE) AS recall
          |FROM agg ORDER BY q_id""".stripMargin
 
+  /** Mirrors `TimeSeriesOps.eventFunnel` — the same first-touch step
+    * chain in µs (engine ns are exactly µs·1000, so the strict/
+    * within-window comparisons decide identically).
+    */
+  def eventFunnelSql(steps: Seq[String], windowUs: Long): String = {
+    val stepCtes = steps.tail.zipWithIndex.map { case (st, i) =>
+      s"s${i + 2} AS (" +
+        s"\n  SELECT e.user_id, min(e.t) AS t" +
+        s"\n  FROM e JOIN s${i + 1} p ON e.user_id = p.user_id" +
+        s"\n  WHERE e.event_type = '$st' AND e.t > p.t" +
+        s" AND e.t <= p.t + $windowUs" +
+        s"\n  GROUP BY e.user_id\n)"
+    }.mkString(", ")
+    val countRows = steps.zipWithIndex.map { case (st, i) =>
+      s"SELECT ${i + 1} AS step, '$st' AS event_type, " +
+        s"CAST(count(*) AS BIGINT) AS n_users FROM s${i + 1}"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+       |), s1 AS (
+       |  SELECT user_id, min(t) AS t FROM e
+       |  WHERE event_type = '${steps.head}' GROUP BY user_id
+       |), $stepCtes,
+       |c AS (
+       |  $countRows
+       |), b AS (SELECT n_users AS n_base FROM c WHERE step = 1)
+       |SELECT CAST(step AS BIGINT) AS step, event_type, n_users,
+       |       CASE WHEN n_base > 0
+       |            THEN CAST(n_users AS DOUBLE) / CAST(n_base AS DOUBLE)
+       |            ELSE 0.0 END AS frac_of_first
+       |FROM c CROSS JOIN b ORDER BY step""".stripMargin
+  }
+
+  /** Mirrors `TimeSeriesOps.retentionCohorts` — bucket arithmetic in
+    * µs (`//` floor ≡ the engine's ns `div` on the non-negative
+    * domain, and engine ns buckets = µs buckets exactly).
+    */
+  def retentionCohortsSql(bucketUs: Long): String =
+    s"""WITH a AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $bucketUs AS bucket
+       |  FROM events
+       |), c AS (
+       |  SELECT user_id, min(bucket) AS cohort_bucket FROM a GROUP BY user_id
+       |), cells AS (
+       |  SELECT c.cohort_bucket,
+       |         CAST(a.bucket - c.cohort_bucket AS BIGINT) AS bucket_offset,
+       |         CAST(count(*) AS BIGINT) AS n_users
+       |  FROM a JOIN c ON a.user_id = c.user_id
+       |  GROUP BY 1, 2
+       |), b AS (
+       |  SELECT cohort_bucket, n_users AS n_cohort
+       |  FROM cells WHERE bucket_offset = 0
+       |)
+       |SELECT CAST(cells.cohort_bucket AS BIGINT) AS cohort_bucket,
+       |       cells.bucket_offset, cells.n_users,
+       |       CAST(cells.n_users AS DOUBLE) / CAST(b.n_cohort AS DOUBLE)
+       |         AS retention
+       |FROM cells JOIN b USING (cohort_bucket)
+       |ORDER BY cohort_bucket, bucket_offset""".stripMargin
+
   /** Shared by q32 (batch window fn) and q50 (watermarked append-mode
     * streaming) — the character-identical oracle IS the equivalence
     * claim between the two execution modes.

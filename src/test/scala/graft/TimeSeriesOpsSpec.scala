@@ -182,4 +182,44 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     val r = TimeSeriesOps.corrMetrics(level, "x", "y").as[(Long, Double)].head()
     assert(r._1 == 3L && math.abs(r._2 - 1.0) < 1e-12)
   }
+
+  test("eventFunnel: strict order, window edges, and the first-touch rule") {
+    // window = 5; u1 converts fully; u2's click misses the window;
+    // u3 clicks with no view (never enters); u4's click precedes its
+    // view (strictly-after fails); u5 hits step 2 exactly AT the
+    // window edge (<= passes) but its purchase shares the click's ts
+    // (strictly-after fails); u6 pins FIRST-touch: its second view
+    // would put the click in-window, but step 1 binds to the first.
+    val ev = Seq(
+      (1L, "view", 100L), (1L, "click", 101L), (1L, "purchase", 103L),
+      (2L, "view", 100L), (2L, "click", 106L),
+      (3L, "click", 100L), (3L, "purchase", 101L),
+      (4L, "click", 99L), (4L, "view", 100L),
+      (5L, "view", 100L), (5L, "click", 105L), (5L, "purchase", 105L),
+      (6L, "view", 100L), (6L, "view", 110L), (6L, "click", 112L)
+    ).toDF("user_id", "event_type", "ts")
+    val got = TimeSeriesOps.eventFunnel(ev, Seq("view", "click", "purchase"), 5L)
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "view", 5L, 1.0),      // u1, u2, u4, u5, u6
+      (2L, "click", 2L, 0.4),     // u1, u5
+      (3L, "purchase", 1L, 0.2))) // u1
+  }
+
+  test("retentionCohorts: cohort = first bucket; singleton and shared cohorts") {
+    // bucket size 10: u1 active in buckets {0, 1, 3} (cohort 0),
+    // u2 {1, 2} and u3 {1} share cohort 1 → its offset-1 cell keeps
+    // only u2 (retention 0.5). Duplicate events inside one bucket
+    // (u1's two ts in bucket 0) count the user once.
+    val ev = Seq(
+      (1L, "view", 0L), (1L, "view", 7L), (1L, "click", 12L), (1L, "view", 35L),
+      (2L, "view", 11L), (2L, "click", 25L),
+      (3L, "view", 19L)
+    ).toDF("user_id", "event_type", "ts")
+    val got = TimeSeriesOps.retentionCohorts(ev, 10L)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (0L, 0L, 1L, 1.0), (0L, 1L, 1L, 1.0), (0L, 3L, 1L, 1.0),
+      (1L, 0L, 2L, 1.0), (1L, 1L, 1L, 0.5)))
+  }
 }
