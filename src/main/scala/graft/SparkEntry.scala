@@ -1623,9 +1623,14 @@ object SparkEntry {
       graft.operators.TimeSeriesOps.counterRate(sanitized(s, dir))
         .orderBy("metric", "time")),
     // Event analytics: first-touch sequential funnel (view → click →
-    // purchase, each step within 7 days of the previous match)
+    // purchase, each step within 7 days of the previous match).
+    // ts is µs-floored (eventTimeNs) so the strict-after/window-edge
+    // comparisons decide identically to the µs-domain oracle BY
+    // CONSTRUCTION — raw ns would only coincide on µs-aligned
+    // fixture generations
     "x124_event_funnel" -> ((s, dir) =>
-      graft.operators.TimeSeriesOps.eventFunnel(Tables.events(s, dir),
+      graft.operators.TimeSeriesOps.eventFunnel(
+        Tables.events(s, dir).withColumn("ts", Tables.eventTimeNs),
         Seq("view", "click", "purchase"), 604800000000000L)
         .orderBy("step")),
     // Event analytics: weekly retention cohorts (cohort = first-event

@@ -304,6 +304,13 @@ object TimeSeriesOps {
     * groupBy and one user_id equi-join against the (shrinking)
     * reached set; the only NLJ is the 1-row step-1 base joined to the
     * |steps|-row summary.
+    *
+    * Unit discipline: the strict-after and window-edge comparisons
+    * decide on raw `ts` values — a caller comparing against a
+    * µs-domain oracle must pass µs-floored time
+    * ([[graft.sources.Tables.eventTimeNs]]), as every other events
+    * consumer does; sub-µs remainders would flip boundary
+    * comparisons between engines.
     */
   def eventFunnel(events: DataFrame, steps: Seq[String],
                   windowNs: Long): DataFrame = {

@@ -934,6 +934,13 @@ object OracleSqlExt {
     * within-window comparisons decide identically).
     */
   def eventFunnelSql(steps: Seq[String], windowUs: Long): String = {
+    // mirror the engine's require — an undersized list would otherwise
+    // emit a dangling ',' that only fails at oracle-sweep time, far
+    // from the bad call site; the quote check guards the string splice
+    require(steps.size >= 2 && steps.distinct == steps && windowUs > 0,
+      s"need >= 2 distinct steps and a positive window, got $steps / $windowUs")
+    require(steps.forall(!_.contains("'")),
+      s"step names are spliced into SQL literals, got $steps")
     val stepCtes = steps.tail.zipWithIndex.map { case (st, i) =>
       s"s${i + 2} AS (" +
         s"\n  SELECT e.user_id, min(e.t) AS t" +

@@ -389,6 +389,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"owner/count aggregates must partially aggregate:\n$p123")
   }
 
+  test("x124 funnel: only the 1-row base NLJ; x125 cohorts equi-only") {
+    val p124 = SparkEntry.queries("x124_event_funnel")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!p124.contains("CartesianProduct"))
+    // the step chain is user_id equi-joins; the sole nested loop is
+    // the 1-row step-1 base fanned over the |steps|-row summary
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p124).length == 1,
+      s"expected exactly the scalar base NLJ:\n$p124")
+    val p125 = SparkEntry.queries("x125_retention_cohorts")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!p125.contains("CartesianProduct") &&
+      !p125.contains("BroadcastNestedLoopJoin"),
+      s"cohort joins must stay equi:\n$p125")
+    assert(p125.contains("partial_min") || p125.contains("partial_count"),
+      s"cohort min / cell counts must partially aggregate:\n$p125")
+  }
+
   test("x116 L2 brute: exactly the one deliberate broadcast-query NLJ") {
     val p = SparkEntry.queries("x116_l2_topk")(spark, sf)
       .queryExecution.sparkPlan.toString
