@@ -1422,6 +1422,11 @@ object SparkEntry {
     "x111_dup_span_remove" -> ((s, dir) =>
       TextAnalysis.dupSpanRemove(Tables.read(s, dir, "documents"))
         .orderBy("doc_id")),
+    // X4+X22 cross-diagnostic: does low quality correlate with
+    // duplicated spans? (decides whether the two gates are redundant)
+    "x126_quality_dup_matrix" -> ((s, dir) =>
+      TextAnalysis.qualityDupMatrix(Tables.read(s, dir, "documents"))
+        .orderBy("ttr_band")),
     // Cross-source contamination matrix: exact 3-gram-set Jaccard per
     // source pair — the data-card companion to decontamination (x46)
     // and mixture planning (x85): high overlap ⇒ the mixture
@@ -1800,6 +1805,7 @@ object SparkEntry {
     "x85_mixture_weights" -> OracleSqlExt.mixtureWeightsSql,
     "x86_dup_span_coverage" -> OracleSqlExt.dupSpanCoverageSql(2L),
     "x111_dup_span_remove" -> OracleSqlExt.dupSpanRemoveSql(2L),
+    "x126_quality_dup_matrix" -> OracleSqlExt.qualityDupMatrixSql(10),
     "x112_source_overlap" -> OracleSqlExt.sourceOverlapSql,
     "x106_source_datacard" -> OracleSqlExt.sourceDataCardSql(50L),
     "x87_stream_dedup" -> OracleSqlExt.streamDedupSql,

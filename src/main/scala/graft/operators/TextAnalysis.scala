@@ -1252,6 +1252,35 @@ object TextAnalysis {
           col("n_tokens").cast("double")).as("dup_frac"))
   }
 
+  /** Quality-band × duplication cross-table — the data-card
+    * diagnostic "is the low-quality content ALSO the duplicated
+    * content?", which decides whether the quality gate and the dedup
+    * gate are redundant or complementary for a given corpus.
+    * Documents band by `floor(ttr · bands)` (ttr = distinct-token
+    * ratio from [[quality]] — one int/int IEEE divide, so the band
+    * is engine-exact; ttr = 1.0 lands in its own closed top band),
+    * and each band reports its doc count and the EXACT token-weighted
+    * duplication: Σ covered / Σ tokens as int64 sums with one final
+    * division — never a mean of per-doc doubles, whose addition order
+    * differs across engines.
+    *
+    * Scale shape: [[dupSpanCoverage]]'s shape plus one doc_id
+    * equi-join and one ≤ bands+1-row aggregation.
+    */
+  def qualityDupMatrix(docs: DataFrame, bands: Int = 10): DataFrame = {
+    require(bands > 0, s"bands must be positive, got $bands")
+    val q = quality(docs).select(col("doc_id"),
+      floor(col("ttr") * bands).cast("long").as("ttr_band"))
+    val d = dupSpanCoverage(docs).select("doc_id", "n_tokens", "n_covered")
+    q.join(d, "doc_id")
+      .groupBy("ttr_band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("n_covered").as("n_covered"))
+      .withColumn("dup_frac",
+        col("n_covered").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** ExactSubstr-style duplicate-span REMOVAL (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better" —
     * the remove-all-but-one rule, re-expressed over word `n`-grams):

@@ -1779,29 +1779,61 @@ object OracleSqlExt {
     * positions via offset expansion + DISTINCT, and one double
     * division per doc.
     */
+  /** The x86 duplicated-span coverage CTEs (5-gram build, ≥ minCount
+    * grams, per-doc covered-position counts in `agg`) — shared by
+    * [[dupSpanCoverageSql]] and [[qualityDupMatrixSql]].
+    */
+  private def dupCoverCtes(minCount: Long): String =
+    s""", gn AS (
+       |  SELECT doc_id, pos, gram FROM (
+       |    SELECT doc_id, pos,
+       |           tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
+       |               || ' ' || lead(tok,3) OVER w || ' ' || lead(tok,4) OVER w
+       |             AS gram
+       |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+       |  WHERE gram IS NOT NULL),
+       |dup AS (SELECT gram FROM gn GROUP BY gram
+       |        HAVING count(*) >= $minCount),
+       |cov AS (SELECT DISTINCT gn.doc_id, gn.pos + o.o AS pos
+       |        FROM gn JOIN dup USING (gram)
+       |        CROSS JOIN (SELECT unnest([0,1,2,3,4]) AS o) o),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_covered
+       |        FROM cov GROUP BY doc_id)""".stripMargin
+
   def dupSpanCoverageSql(minCount: Long): String =
-    toksCte +
-      s""", gn AS (
-         |  SELECT doc_id, pos, gram FROM (
-         |    SELECT doc_id, pos,
-         |           tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
-         |               || ' ' || lead(tok,3) OVER w || ' ' || lead(tok,4) OVER w
-         |             AS gram
-         |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
-         |  WHERE gram IS NOT NULL),
-         |dup AS (SELECT gram FROM gn GROUP BY gram
-         |        HAVING count(*) >= $minCount),
-         |cov AS (SELECT DISTINCT gn.doc_id, gn.pos + o.o AS pos
-         |        FROM gn JOIN dup USING (gram)
-         |        CROSS JOIN (SELECT unnest([0,1,2,3,4]) AS o) o),
-         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_covered
-         |        FROM cov GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
-         |       CAST(coalesce(a.n_covered, 0) AS BIGINT) AS n_covered,
-         |       CAST(coalesce(a.n_covered, 0) AS DOUBLE) /
-         |         CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS dup_frac
-         |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+    toksCte + dupCoverCtes(minCount) +
+      """
+        |SELECT d.doc_id,
+        |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(a.n_covered, 0) AS BIGINT) AS n_covered,
+        |       CAST(coalesce(a.n_covered, 0) AS DOUBLE) /
+        |         CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS dup_frac
+        |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Mirrors `TextAnalysis.qualityDupMatrix`: floor(ttr·bands) per
+    * doc (ttr is one int/int IEEE divide, so the band is
+    * engine-exact), joined to the x86 coverage CTEs, Σ int64
+    * tokens/covered per band with ONE final division.
+    */
+  def qualityDupMatrixSql(bands: Int, minCount: Long = 2L): String =
+    toksCte + dupCoverCtes(minCount) +
+      s""",
+         |qd AS (
+         |  SELECT d.doc_id,
+         |         CAST(floor(
+         |           CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE) /
+         |           CAST(len(string_split(d.text, ' ')) AS DOUBLE) * $bands)
+         |           AS BIGINT) AS ttr_band,
+         |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |         CAST(coalesce(a.n_covered, 0) AS BIGINT) AS n_covered
+         |  FROM documents d LEFT JOIN agg a USING (doc_id)
+         |)
+         |SELECT ttr_band, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(sum(n_covered) AS BIGINT) AS n_covered,
+         |       CAST(sum(n_covered) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE)
+         |         AS dup_frac
+         |FROM qd GROUP BY ttr_band ORDER BY ttr_band""".stripMargin
 
   /** Mirrors `TextAnalysis.dupSpanRemove(n = 5, minCount)`: x86's
     * duplicated-gram rule extended with the keep-one owner (min

@@ -819,6 +819,34 @@ class ExtensionsSpec extends AnyFunSuite {
       (1L, 10L, 10L, 1.0), (2L, 10L, 5L, 0.5), (3L, 5L, 0L, 0.0)))
   }
 
+  test("qualityDupMatrix: planted cross-table; totals reconcile with x86") {
+    import spark.implicits._
+    // docs 1/2: identical, all-distinct tokens → ttr band 10, fully
+    // covered; doc 3: one repeated token → band 1, fully covered by
+    // its own within-doc repeats; doc 4: unique all-distinct → band
+    // 10 with zero coverage. Band 10 therefore mixes covered and
+    // clean docs (20/30), band 1 is pure duplication.
+    val d = Seq(
+      (1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
+      (3L, "p p p p p p p p p p"), (4L, "q r s t u v w x y z"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = TextAnalysis.qualityDupMatrix(d)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 1L, 10L, 10L, 1.0),
+      (10L, 3L, 30L, 20L, 20.0 / 30.0)))
+    // fixture-corpus reconciliation: band doc counts partition the
+    // corpus and the int64 totals equal the x86 coverage totals
+    val m = TextAnalysis.qualityDupMatrix(docs)
+    val (td, tt, tc) = m.agg(sum("n_docs"), sum("n_tokens"), sum("n_covered"))
+      .as[(Long, Long, Long)].head()
+    val (ct, cc) = TextAnalysis.dupSpanCoverage(docs)
+      .agg(sum("n_tokens"), sum("n_covered")).as[(Long, Long)].head()
+    assert(td == docs.count() && tt == ct && tc == cc)
+  }
+
   test("dupSpanRemove: min-doc_id owner keeps its copy, non-owners lose covered spans") {
     import spark.implicits._
     // doc 1 owns "a b c d e" (min doc_id); doc 2 carries the same gram
