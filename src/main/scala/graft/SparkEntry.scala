@@ -58,6 +58,13 @@ object SparkEntry {
   val ClusterJaccard: Double = 0.5
   val ClusterBand: Long = 10L
 
+  /** x129 TTL-gate horizon (event-time µs; doc_id is the fixture's
+    * event time) — ONE definition for the query body and the oracle
+    * call. 200 straddles the fixtures' verified near-dup id gaps at
+    * both SFs, so rejection AND horizon re-admission both fire.
+    */
+  val GateHorizonMicros: Long = 200L
+
   /** x99 recall-curve probe counts — ONE definition for the query
     * body, the oracle call, and the ExtensionsSpec monotonicity pin.
     * The last value exceeds any SF's cell count, so that curve point
@@ -737,6 +744,46 @@ object SparkEntry {
       }
       q.stop()
       ss.table("graft_gate_audit").orderBy("doc_id")
+    }),
+    // X33 TTL variant: the horizon-bounded gate an INFINITE crawl
+    // needs — reject near-dups of the last `GateHorizonMicros` of
+    // arrivals only, re-admit after the horizon, and EVICT state
+    // (per-touch prune + event-time timeout) so state tracks the
+    // horizon, not corpus lifetime. doc_id is the event-time µs; the
+    // fixture's verified near-dup pairs straddle the horizon at both
+    // SFs (gaps 4–429 at sf0.01, 7–4675 at sf0.1), so both the
+    // within-horizon rejection and the beyond-horizon re-admission
+    // are exercised. Oracle: x108's closed form + the gap predicate
+    "x129_stream_gate_ttl" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Tables.read(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .as[graft.sources.CorpusIO.CuratedDoc].collect().sortBy(_.doc_id)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      // static-checker opt-out the operator documents: the chained
+      // stateful plan has no dynamic late-row instance
+      ss.conf.set(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.sources.CorpusIO.CuratedDoc](ss)
+      val kept = Dedup.streamingNearDupGateTtl(
+        ms.toDS(), ClusterJaccard, GateHorizonMicros)(_.text, _.doc_id)
+      val q = kept.toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("graft_neardup_gate_ttl")
+        .start()
+      try rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      } catch { case e: Throwable =>
+        try q.stop() catch { case s: Throwable => e.addSuppressed(s) }
+        throw e
+      }
+      q.stop()
+      ss.table("graft_neardup_gate_ttl")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
     }),
     // X4: per-doc quality features + composite score
     "x26_text_quality" -> ((s, dir) =>
@@ -1427,6 +1474,18 @@ object SparkEntry {
     "x126_quality_dup_matrix" -> ((s, dir) =>
       TextAnalysis.qualityDupMatrix(Tables.read(s, dir, "documents"))
         .orderBy("ttr_band")),
+    // FineWeb-style per-language calibrated quality gate: drop the
+    // bottom 20 % of each language by integer permille-TTR; the
+    // threshold comes from a bounded score HISTOGRAM, never a
+    // per-doc rank window (the 100 TB spelling)
+    "x127_quality_gate" -> ((s, dir) =>
+      TextAnalysis.qualityCalibratedGate(Tables.read(s, dir, "documents"))
+        .orderBy("lang")),
+    // C4/Dolma canonicalization pass: case/punct/whitespace-invariant
+    // exact dedup with the min-doc_id canonical owner
+    "x128_normalized_dedup" -> ((s, dir) =>
+      TextAnalysis.normalizedDedup(Tables.read(s, dir, "documents"))
+        .orderBy("doc_id")),
     // Cross-source contamination matrix: exact 3-gram-set Jaccard per
     // source pair — the data-card companion to decontamination (x46)
     // and mixture planning (x85): high overlap ⇒ the mixture
@@ -1806,6 +1865,8 @@ object SparkEntry {
     "x86_dup_span_coverage" -> OracleSqlExt.dupSpanCoverageSql(2L),
     "x111_dup_span_remove" -> OracleSqlExt.dupSpanRemoveSql(2L),
     "x126_quality_dup_matrix" -> OracleSqlExt.qualityDupMatrixSql(10),
+    "x127_quality_gate" -> OracleSqlExt.qualityGateSql(200),
+    "x128_normalized_dedup" -> OracleSqlExt.normalizedDedupSql,
     "x112_source_overlap" -> OracleSqlExt.sourceOverlapSql,
     "x106_source_datacard" -> OracleSqlExt.sourceDataCardSql(50L),
     "x87_stream_dedup" -> OracleSqlExt.streamDedupSql,
@@ -1845,6 +1906,8 @@ object SparkEntry {
       OracleSqlExt.streamNearDupGateSql(ClusterJaccard),
     "x109_stream_gate_audit" ->
       OracleSqlExt.streamGateAuditSql(ClusterJaccard),
+    "x129_stream_gate_ttl" ->
+      OracleSqlExt.streamNearDupGateTtlSql(ClusterJaccard, GateHorizonMicros),
     "x110_stream_gate_corpus" ->
       OracleSqlExt.streamGateCorpusSql(ClusterJaccard),
     "x102_incremental_curate" ->

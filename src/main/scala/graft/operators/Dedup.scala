@@ -1009,6 +1009,139 @@ object Dedup {
       }(Encoders.scalaBoolean, outEnc)
   }
 
+  /** Horizon-bounded (TTL) variant of [[streamingNearDupGate]] — the
+    * state answer for an INFINITE crawl: the unbounded gate's state
+    * grows with every distinct band bucket forever, while a rolling
+    * crawl only needs near-dup rejection against the recent past. A
+    * doc f is REJECTED iff some earlier doc e with
+    * `ord(f) − ord(e) ≤ horizonMicros` shares an LSH band bucket and
+    * verifies at exact Jaccard ≥ `threshold`; an identical re-crawl
+    * arriving after the horizon is ADMITTED again (re-admission is
+    * the semantic point, not a leak — spec-pinned, and with a horizon
+    * wider than the corpus the gate ≡ [[streamingNearDupGate]], the
+    * drift pin between the two state machines).
+    *
+    * `ord` must be event-time MICROSECONDS and arrival must be
+    * ord-ordered across batches (the crawl contract every other
+    * streaming op here assumes). Bounded state, mechanically:
+    *  - per-touch pruning — a bucket keeps only entries within
+    *    `horizonMicros` of its newest ord (older entries can never
+    *    match again under ordered arrival);
+    *  - whole-bucket eviction — a watermark on the ord timestamp
+    *    drives `EventTimeTimeout`: a bucket silent past its newest
+    *    ord + horizon is REMOVED by the state store, so idle buckets
+    *    don't outlive the horizon either (the residual the per-touch
+    *    rule alone cannot reclaim; StressProof pins state rows ≪
+    *    docs seen).
+    * Neither eviction path can change a verdict: a pruned or
+    * timed-out entry is beyond the horizon of every non-late future
+    * doc by construction.
+    *
+    * Same two chained append-mode keyed-state ops as the unbounded
+    * gate (band-bucket verify → stateless per-doc reduce), same
+    * candidate/verify rules, same shingle-less pass-through; state
+    * entries additionally carry their ord.
+    *
+    * The session running the query must set
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`:
+    * Spark's STATIC checker flags every watermark-plus-chained-stateful
+    * plan because a first stateful op COULD emit rows late for the
+    * second. This plan cannot — the verify op emits each row in the
+    * micro-batch it arrives (never from state), and the reduce keeps
+    * zero state — so the flagged hazard has no dynamic instance;
+    * Spark's own error message names the conf, and the TTL specs pin
+    * the verdicts the chain produces.
+    */
+  def streamingNearDupGateTtl[T](ds: org.apache.spark.sql.Dataset[T],
+                                 threshold: Double, horizonMicros: Long,
+                                 k: Int = 12, r: Int = 3)(
+      text: T => String, ord: T => Long)(
+      implicit enc: org.apache.spark.sql.Encoder[T])
+    : org.apache.spark.sql.Dataset[T] = {
+    require(r > 0 && k % r == 0,
+      s"band width $r must divide signature size $k (else hashes are silently dropped)")
+    require(horizonMicros > 0, s"horizonMicros must be positive, got $horizonMicros")
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import ds.sparkSession.implicits.newLongArrayEncoder
+    val rowEnc: Encoder[(String, Long, Array[Long], T)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+        implicitly[Encoder[Array[Long]]], enc)
+    val outEnc: Encoder[(Long, Boolean, T)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaBoolean, enc)
+    val stEnc: Encoder[Seq[(Long, Array[Long])]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    val bandRows = ds.flatMap { d =>
+      val (hashes, bands) = localShinglesAndBands(text(d), k, r)
+      val o = ord(d)
+      if (bands.isEmpty) Seq(("e|" + o, o, hashes, d))
+      else bands.toSeq.map(b => (b, o, hashes, d))
+    }(rowEnc)
+    // the watermark drives EventTimeTimeout; delay 0 is sound because
+    // arrival is ord-ordered (nothing is ever late)
+    // the watermarked timestamp must survive INTO the stateful op's
+    // child plan (EventTimeTimeout validates its presence), so it
+    // rides as tuple slot _5 rather than being projected away
+    val rowEnc5: Encoder[(String, Long, Array[Long], T, java.sql.Timestamp)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+        implicitly[Encoder[Array[Long]]], enc, Encoders.TIMESTAMP)
+    // constant +1 s lift: ord 0 would sit exactly on the INITIAL
+    // watermark (epoch 0) and be dropped as late; a uniform shift
+    // preserves every gap, so horizon semantics are untouched
+    val lift = 1000000L
+    val withWm = bandRows.toDF() // keeps _1.._4 — the tuple encoder resolves by name
+      .withColumn("_5", timestamp_micros(col("_2") + lift))
+      .withWatermark("_5", "0 microseconds")
+      .as[(String, Long, Array[Long], T, java.sql.Timestamp)](rowEnc5)
+    val verdicts = withWm.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[Seq[(Long, Array[Long])], (Long, Boolean, T)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String,
+         rows: Iterator[(String, Long, Array[Long], T, java.sql.Timestamp)],
+         state: GroupState[Seq[(Long, Array[Long])]]) =>
+          if (state.hasTimedOut) {
+            // silent past newest ord + horizon: nothing here can match
+            // a future non-late doc — reclaim the whole bucket
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2)
+            val prior =
+              scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+            state.getOption.foreach(prior ++= _)
+            val out = sorted.map { case (_, o, sh, doc, _) =>
+              val hit = sh.nonEmpty && prior.exists { case (po, p) =>
+                o - po <= horizonMicros && jaccardSorted(p, sh) >= threshold
+              }
+              if (sh.nonEmpty) prior += ((o, sh))
+              (o, hit, doc)
+            }
+            if (prior.nonEmpty) {
+              val newest = prior.last._1
+              val kept = prior.filter { case (po, _) =>
+                newest - po <= horizonMicros
+              }
+              state.update(kept.toSeq)
+              // same +1 s lift as the event-time column, ms-floored
+              state.setTimeoutTimestamp(
+                (newest + 1000000L) / 1000L + horizonMicros / 1000L + 1L)
+            }
+            out.iterator
+          }
+      }(stEnc, outEnc)
+    verdicts.groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[Boolean, (Long, Boolean, T)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (o: Long, rows: Iterator[(Long, Boolean, T)],
+         _: GroupState[Boolean]) =>
+          val rs = rows.toSeq
+          Iterator.single((o, !rs.exists(_._2), rs.head._3))
+      }(Encoders.scalaBoolean, outEnc)
+      .filter((v: (Long, Boolean, T)) => v._2)
+      .map((v: (Long, Boolean, T)) => v._3)(enc)
+  }
+
   /** md5 hex digest of a string's UTF-8 bytes — the streaming dedup
     * key ([[streamingFirstOccurrenceBy]] callers key state on the
     * digest so the state store never holds document text), spelled to

@@ -1281,6 +1281,86 @@ object TextAnalysis {
         col("n_covered").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Per-language calibrated quality gate (the FineWeb-style
+    * "drop the worst X % of each language" rule — a fixed global
+    * threshold over-filters low-resource languages, so the cut is
+    * calibrated per language). Score = `(distinct_tokens · 1000) div
+    * n_tokens` — an INTEGER TTR in permille, engine-exact by
+    * construction. Per language: `cut = (n · dropPermille) div 1000`
+    * docs are dropped from the bottom; the threshold is the
+    * (cut+1)-th smallest score and the gate keeps `score ≥
+    * threshold` — ties AT the threshold are all kept (the keep-ties
+    * convention: a calibration may drop fewer than `cut` docs, never
+    * a doc scoring equal to a kept one; spec-pinned).
+    *
+    * Scale shape: the score domain is bounded ([0, 1000]), so the
+    * k-th-smallest threshold needs NO per-doc sort or rank window —
+    * one (lang, score) groupBy with map-side combine builds a
+    * ≤ 1001-row histogram per language, and every window below runs
+    * over that histogram, not over documents. This is the exact
+    * spelling that survives 100 TB; a `row_number` over
+    * `Window.partitionBy(lang)` would serialize each language into
+    * one task (the same trap [[stratifiedSample]] documents).
+    */
+  def qualityCalibratedGate(docs: DataFrame, dropPermille: Int = 200): DataFrame = {
+    require(dropPermille >= 0 && dropPermille < 1000,
+      s"dropPermille must be in [0, 1000), got $dropPermille")
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val scored = docs.select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .withColumn("score_milli", expr("(n_distinct * 1000) div n_tokens"))
+    val hist = scored.groupBy("lang", "score_milli")
+      .agg(count(lit(1)).as("n_s"), sum("n_tokens").as("tok_s"))
+    // cumulative + per-lang totals over the ≤1001-row histogram
+    val cum = hist
+      .withColumn("cum", sum("n_s").over(
+        Window.partitionBy("lang").orderBy("score_milli")))
+      .withColumn("n", sum("n_s").over(Window.partitionBy("lang")))
+      .withColumn("cut", expr(s"(n * $dropPermille) div 1000"))
+    val thr = cum.filter(col("cum") >= col("cut") + 1)
+      .groupBy("lang").agg(min("score_milli").as("threshold"))
+    cum.join(thr, "lang")
+      .groupBy("lang")
+      .agg(max("n").as("n_docs"), max("cut").as("cut_docs"),
+        max("threshold").as("threshold"),
+        sum(when(col("score_milli") >= col("threshold"), col("n_s"))
+          .otherwise(lit(0L))).as("kept_docs"),
+        sum(when(col("score_milli") >= col("threshold"), col("tok_s"))
+          .otherwise(lit(0L))).as("kept_tokens"))
+  }
+
+  /** The ONE canonicalization rule for [[normalizedDedup]]: lowercase,
+    * strip every char outside `[a-z0-9 ]`, collapse space runs, trim.
+    * The DuckDB mirror in `OracleSqlExt` is pinned to exactly this
+    * chain (with the `'g'` flag — DuckDB `regexp_replace` replaces
+    * only the FIRST match by default, unlike Spark's).
+    */
+  def canonicalText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), lit("[^a-z0-9 ]"), lit("")),
+      lit(" +"), lit(" ")))
+
+  /** Normalization-canonical exact dedup (the C4/Dolma pre-dedup
+    * canonicalization pass): documents that differ only in case,
+    * punctuation, or whitespace runs are the same document. Each doc
+    * reports its canonical fingerprint (`md5` of [[canonicalText]]),
+    * its group's canonical owner (min doc_id — the x20/x69/x123
+    * canonical-owner discipline), the copy count, and whether it is
+    * the kept copy. One md5 groupBy + an equi-join back; nothing
+    * pairwise, per-row expressions otherwise.
+    */
+  def normalizedDedup(docs: DataFrame): DataFrame = {
+    val fp = docs.select(col("doc_id"),
+      md5(canonicalText(col("text"))).as("canon_fp"))
+    val groups = fp.groupBy("canon_fp")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+    fp.join(groups, "canon_fp")
+      .select(col("doc_id"), col("canon_fp"), col("canonical_id"),
+        col("n_copies"), (col("doc_id") === col("canonical_id")).as("is_kept"))
+  }
+
   /** ExactSubstr-style duplicate-span REMOVAL (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better" —
     * the remove-all-but-one rule, re-expressed over word `n`-grams):

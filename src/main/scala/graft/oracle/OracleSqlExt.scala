@@ -519,6 +519,22 @@ object OracleSqlExt {
          |         AS admitted
          |FROM documents d ORDER BY d.doc_id""".stripMargin
 
+  /** Mirrors the x129 horizon-bounded gate: the x108 closed form plus
+    * the horizon predicate — a doc is rejected only by a verified
+    * band-sharing pair whose id gap (≡ event-time µs gap) is within
+    * `horizon`; beyond it the near-dup is re-admitted.
+    */
+  def streamNearDupGateTtlSql(threshold: Double, horizon: Long,
+                              k: Int = 12, r: Int = 3): String =
+    minhashCandCtes(k, r) +
+      s"""
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN (
+         |  SELECT doc_b FROM j
+         |  WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= $threshold
+         |    AND doc_b - doc_a <= $horizon)
+         |ORDER BY d.doc_id""".stripMargin
+
   /** Run-of-5 duplicate synthesis shared by the x103/x110 corpus-pipe
     * oracles — each doc carries its run head's text
     * (`doc_id - doc_id % 5`); with `mutate`, each run's ≡1 member
@@ -2189,4 +2205,59 @@ object OracleSqlExt {
       |)
       |SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS doc_id
       |FROM d GROUP BY md5(text) ORDER BY doc_id""".stripMargin
+
+  /** Mirrors `TextAnalysis.qualityCalibratedGate(dropPermille)`:
+    * integer permille-TTR score, per-lang score histogram, cumulative
+    * counts, `cut = (n · dropPermille) // 1000`, threshold =
+    * (cut+1)-th smallest score, keep-ties gate sums. Every product /
+    * sum CAST back to BIGINT (DuckDB widens both to HUGEINT).
+    */
+  def qualityGateSql(dropPermille: Int): String =
+    s"""WITH s AS (
+       |  SELECT doc_id, lang,
+       |         CAST(CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+       |              * 1000 AS BIGINT)
+       |           // CAST(len(string_split(text, ' ')) AS BIGINT) AS score_milli,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |h AS (
+       |  SELECT lang, score_milli, CAST(count(*) AS BIGINT) AS n_s,
+       |         CAST(sum(n_tokens) AS BIGINT) AS tok_s
+       |  FROM s GROUP BY lang, score_milli),
+       |c AS (
+       |  SELECT lang, score_milli, n_s, tok_s,
+       |         CAST(sum(n_s) OVER (PARTITION BY lang ORDER BY score_milli)
+       |              AS BIGINT) AS cum,
+       |         CAST(sum(n_s) OVER (PARTITION BY lang) AS BIGINT) AS n
+       |  FROM h),
+       |c2 AS (SELECT *, CAST(n * $dropPermille AS BIGINT) // 1000 AS cut FROM c),
+       |t AS (SELECT lang, min(score_milli) AS threshold
+       |      FROM c2 WHERE cum >= cut + 1 GROUP BY lang)
+       |SELECT c2.lang, max(n) AS n_docs, max(cut) AS cut_docs,
+       |       max(threshold) AS threshold,
+       |       CAST(sum(CASE WHEN score_milli >= threshold THEN n_s ELSE 0 END)
+       |            AS BIGINT) AS kept_docs,
+       |       CAST(sum(CASE WHEN score_milli >= threshold THEN tok_s ELSE 0 END)
+       |            AS BIGINT) AS kept_tokens
+       |FROM c2 JOIN t USING (lang) GROUP BY c2.lang ORDER BY lang""".stripMargin
+
+  /** Mirrors `TextAnalysis.normalizedDedup`: the canonicalization
+    * chain (lower → strip `[^a-z0-9 ]` → collapse space runs → trim;
+    * `'g'` flags because DuckDB `regexp_replace` is first-match-only
+    * by default), md5 group, min-doc_id owner, join back.
+    */
+  def normalizedDedupSql: String =
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |         md5(trim(regexp_replace(
+      |           regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |           ' +', ' ', 'g'))) AS canon_fp
+      |  FROM documents),
+      |g AS (
+      |  SELECT canon_fp, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+      |         CAST(count(*) AS BIGINT) AS n_copies
+      |  FROM fp GROUP BY canon_fp)
+      |SELECT fp.doc_id, fp.canon_fp, g.canonical_id, g.n_copies,
+      |       fp.doc_id = g.canonical_id AS is_kept
+      |FROM fp JOIN g USING (canon_fp) ORDER BY fp.doc_id""".stripMargin
 }

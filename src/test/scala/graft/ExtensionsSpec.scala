@@ -847,6 +847,51 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(td == docs.count() && tt == ct && tc == cc)
   }
 
+  test("qualityCalibratedGate: per-lang histogram threshold; keep-ties may drop fewer than cut") {
+    import spark.implicits._
+    // 10 tokens per doc with d distinct → score_milli = d·100 exactly.
+    // en plants a TIE at the threshold: scores [200,200,300,400,500],
+    // cut = 5·200‰ = 1, threshold = 2nd smallest = 200, and BOTH
+    // 200-docs are kept (keep-ties: drops 0 < cut docs). fr has
+    // distinct scores [100..500]: the cut drops exactly one doc.
+    def txt(d: Int) = (0 until 10).map(i => s"t${i % d}").mkString(" ")
+    val d = (Seq((1L, 2), (2L, 2), (3L, 3), (4L, 4), (5L, 5)).map {
+      case (id, k) => (id, txt(k), "en")
+    } ++ Seq((6L, 1), (7L, 2), (8L, 3), (9L, 4), (10L, 5)).map {
+      case (id, k) => (id, txt(k), "fr")
+    }).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.qualityCalibratedGate(d)
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("en", 5L, 1L, 200L, 5L, 50L),
+      ("fr", 5L, 1L, 200L, 4L, 40L)))
+    // dropPermille = 0 → cut 0, threshold = per-lang min score, keep all
+    val all = TextAnalysis.qualityCalibratedGate(d, dropPermille = 0)
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(all == Seq(
+      ("en", 5L, 0L, 200L, 5L, 50L),
+      ("fr", 5L, 0L, 100L, 5L, 50L)))
+  }
+
+  test("normalizedDedup: case/punct/whitespace variants collapse to one canonical owner") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "Hello, World!"), (2L, "hello world"),
+      (3L, "  hello   world  "), (4L, "unique doc"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.normalizedDedup(d)
+      .as[(Long, String, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got.map(r => (r._1, r._3, r._4, r._5)) == Seq(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false),
+      (3L, 1L, 3L, false), (4L, 4L, 1L, true)))
+    // all three variants share one fingerprint, the unique doc doesn't
+    assert(got.take(3).map(_._2).distinct.size == 1 && got(3)._2 != got.head._2)
+    // fixture-corpus invariant: kept copies == distinct fingerprints
+    val m = TextAnalysis.normalizedDedup(docs)
+    assert(m.filter(col("is_kept")).count() ==
+      m.select("canon_fp").distinct().count())
+  }
+
   test("dupSpanRemove: min-doc_id owner keeps its copy, non-owners lose covered spans") {
     import spark.implicits._
     // doc 1 owns "a b c d e" (min doc_id); doc 2 carries the same gram
@@ -1712,6 +1757,82 @@ class ExtensionsSpec extends AnyFunSuite {
     // in-batch near-dup of 10; 30: cross-batch near-dup via state;
     // 20: unrelated
     assert(kept == Set(1L, 2L, 10L, 20L, 31L))
+  }
+
+  test("gate TTL: rejects within horizon, re-admits beyond it, and evicts state") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val sec = 1000000L // ords are event-time µs; seconds keep the
+    val horizon = 100L * sec // timeout mechanics in real ms territory
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](ss)
+    val q = Dedup.streamingNearDupGateTtl(ms.toDS(), 0.5, horizon)(_._2, _._1)
+      .toDF("ord", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gate_ttl").start()
+    // batch 1: 10s owner admitted, 11s in-batch near-dup rejected
+    ms.addData(Seq((10L * sec, base), (11L * sec, base + " tail42")))
+    q.processAllAvailable()
+    // batch 2: 50s — within horizon of 10s via state → rejected
+    ms.addData(Seq((50L * sec, base + " tail43")))
+    q.processAllAvailable()
+    // batch 3: 200s — nearest seen near-dup is 50s, gap 150s > 100s
+    // → RE-ADMITTED (the TTL semantic)
+    ms.addData(Seq((200L * sec, base + " tail44")))
+    q.processAllAvailable()
+    // batch 4: 260s — within horizon of the re-admitted 200s → rejected
+    // (state holds every SEEN doc in-horizon, admitted or not)
+    ms.addData(Seq((260L * sec, base + " tail45")))
+    q.processAllAvailable()
+    val bandRows = q.lastProgress.stateOperators.map(_.numRowsTotal).max
+    // batches 5/6: SHINGLE-LESS docs far in the future — they create
+    // no state of their own but advance the watermark past every
+    // bucket's timeout, so batch 6's timeout sweep must leave the
+    // band-state store EMPTY (shingle-less pass-through + eviction,
+    // pinned together)
+    ms.addData(Seq((10000L * sec, "zz yy")))
+    q.processAllAvailable()
+    ms.addData(Seq((10001L * sec, "aa bb")))
+    q.processAllAvailable()
+    val afterRows = q.lastProgress.stateOperators.map(_.numRowsTotal).max
+    q.stop()
+    val kept = ss.table("gate_ttl").select("ord").as[Long].collect().toSet
+    assert(kept == Set(10L * sec, 200L * sec, 10000L * sec, 10001L * sec),
+      s"TTL gate verdicts wrong: kept $kept")
+    assert(bandRows > 0L && afterRows == 0L,
+      s"event-time timeout must evict every idle bucket: $bandRows -> $afterRows")
+  }
+
+  test("gate TTL with a horizon wider than the corpus equals the unbounded gate") {
+    import spark.implicits._
+    val rows = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](ss)
+    val q = Dedup.streamingNearDupGateTtl(
+      ms.toDS(), 0.5, Long.MaxValue / 4)(_._2, _._1)
+      .toDF("doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gate_ttl_wide").start()
+    rows.grouped(rows.length / 3 + 1).foreach { c =>
+      ms.addData(c.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val kept = ss.table("gate_ttl_wide").select("doc_id")
+      .as[Long].collect().toSet
+    // the drift pin between the two state machines: with nothing ever
+    // beyond the horizon, TTL ≡ the x108 closed form
+    val rejected = Dedup.minhashNearDups(docs, 0.5)
+      .select("doc_b").as[Long].collect().toSet
+    assert(kept == rows.map(_._1).toSet -- rejected)
   }
 
   test("dupSpanCoverage: docs shorter than n are uncovered, not dropped") {
