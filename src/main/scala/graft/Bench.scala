@@ -125,14 +125,14 @@ object Bench {
     */
   def compactLine(results: Map[String, Double], total: Double,
                   sfDir: String): String = {
-    // deciseconds, degrading to whole seconds at ≥ 1000 s: full
+    // deciseconds, degrading to whole seconds at ≥ 10 s: full
     // millisecond precision lives in the layer-1 JSON and the BENCH
     // lines above; this line exists to survive the tail window whole,
-    // and the adaptive width keeps the worst case (every query
-    // pathological — "1000.0", 6 chars) inside the 1900-char pin at
-    // 130+ queries
+    // and the adaptive width caps every value at 4 chars ("10.0" from
+    // %.1f rounding just under the cutoff, "1000" for a pathological
+    // 999.999 s query) — inside the 1900-char pin past 150 queries
     def fmt1(v: Double): String =
-      if (v >= 1000) "%.0f".formatLocal(java.util.Locale.ROOT, v)
+      if (v >= 10) "%.0f".formatLocal(java.util.Locale.ROOT, v)
       else "%.1f".formatLocal(java.util.Locale.ROOT, v)
     val shortQs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt1(v) }

@@ -1486,6 +1486,19 @@ object SparkEntry {
     "x128_normalized_dedup" -> ((s, dir) =>
       TextAnalysis.normalizedDedup(Tables.read(s, dir, "documents"))
         .orderBy("doc_id")),
+    // Training-shard writer: content-addressed md5 shuffle order, cut
+    // into 2048-token shards via the two-phase running sum (256
+    // hash-prefix buckets) — each doc lands in exactly one shard
+    "x130_training_shards" -> ((s, dir) =>
+      TextAnalysis.trainingShards(Tables.read(s, dir, "documents"), 2048L)
+        .orderBy("doc_id")),
+    // Out-of-vocabulary rate vs the corpus's own top-16 unigram
+    // vocabulary (the fixture vocabulary is ~31 tokens, so 16 leaves
+    // a real OOV tail) — the tokenizer-budget quality signal; exact
+    // int64 counts, one final division
+    "x131_oov_rate" -> ((s, dir) =>
+      TextAnalysis.oovRate(Tables.read(s, dir, "documents"), 16)
+        .orderBy("doc_id")),
     // Cross-source contamination matrix: exact 3-gram-set Jaccard per
     // source pair — the data-card companion to decontamination (x46)
     // and mixture planning (x85): high overlap ⇒ the mixture
@@ -1703,6 +1716,19 @@ object SparkEntry {
       graft.operators.TimeSeriesOps.retentionCohorts(Tables.events(s, dir),
         604800000000000L)
         .orderBy("cohort_bucket", "bucket_offset")),
+    // TSDB analytics: per-metric data-availability report — gaps are
+    // deltas > 1 h; downtime, gap count, and exact integer permille
+    // availability over the observed span
+    "x132_availability" -> ((s, dir) =>
+      graft.operators.TimeSeriesOps.availabilityReport(sanitized(s, dir),
+        3600000000000L).orderBy("metric")),
+    // TSDB analytics: time × value heatmap — sample counts per
+    // (metric, 1 d time bucket, 50-unit value band) with exact
+    // centivalue cell extremes
+    "x133_value_heatmap" -> ((s, dir) =>
+      graft.operators.TimeSeriesOps.valueHeatmap(sanitized(s, dir),
+        86400000000000L, 5000L)
+        .orderBy("metric", "t_bucket", "band")),
     // TSDB analytics: robust per-metric outlier summary — exact
     // median/MAD over the centivalue domain, count beyond 3·MAD
     "q71_outlier_mad" -> ((s, dir) =>
@@ -1867,6 +1893,8 @@ object SparkEntry {
     "x126_quality_dup_matrix" -> OracleSqlExt.qualityDupMatrixSql(10),
     "x127_quality_gate" -> OracleSqlExt.qualityGateSql(200),
     "x128_normalized_dedup" -> OracleSqlExt.normalizedDedupSql,
+    "x130_training_shards" -> OracleSqlExt.trainingShardsSql(2048L),
+    "x131_oov_rate" -> OracleSqlExt.oovRateSql(16),
     "x112_source_overlap" -> OracleSqlExt.sourceOverlapSql,
     "x106_source_datacard" -> OracleSqlExt.sourceDataCardSql(50L),
     "x87_stream_dedup" -> OracleSqlExt.streamDedupSql,
@@ -1962,6 +1990,8 @@ object SparkEntry {
       OracleSqlExt.eventFunnelSql(Seq("view", "click", "purchase"),
         604800000000L),
     "x125_retention_cohorts" -> OracleSqlExt.retentionCohortsSql(604800000000L),
+    "x132_availability" -> OracleSql.availabilitySql(3600000000000L),
+    "x133_value_heatmap" -> OracleSql.valueHeatmapSql(86400000000000L, 5000L),
     "q71_outlier_mad" -> OracleSql.outliersMadSql(3.0),
     "q51_metric_align" -> OracleSql.alignMetricsSql(Q.IntervalMin, "click", "view"),
     "q52_metric_corr" -> OracleSql.corrMetricsSql(Q.IntervalMin, "click", "view"),

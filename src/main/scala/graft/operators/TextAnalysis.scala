@@ -1442,4 +1442,72 @@ object TextAnalysis {
           col("n_inter").cast("double") / col("n_union").cast("double"))
           .otherwise(lit(0.0)))
   }
+
+  /** Deterministic training-shard assignment — the "tokenize → shuffle
+    * → shard" writer step of a pretraining pipeline: documents are laid
+    * out in a content-addressed pseudo-random order (md5 of the doc id,
+    * the x80 shuffle discipline — reproducible across runs and
+    * engines, no RNG state) and cut into shards of `shardTokens`
+    * tokens; a document belongs to the shard containing its START
+    * position, so every doc lands in exactly one shard and shard sizes
+    * vary by less than one max-doc length.
+    *
+    * Scale posture: the global running sum over the shuffled order is
+    * the [[packSequences]] two-phase decomposition re-keyed for hash
+    * order — the bucket is the first two hex chars of the hash (256
+    * uniform buckets by construction), phase 1 windows over the
+    * 256-row bucket table, phase 2 windows per bucket (corpus/256 rows
+    * per task, and `bucketChars` widens to 4096/65536 buckets when
+    * even that is too coarse). No global sort, no single-task window,
+    * no driver round-trip.
+    */
+  def trainingShards(docs: DataFrame, shardTokens: Long,
+                     bucketChars: Int = 2): DataFrame = {
+    require(shardTokens > 0, s"shardTokens must be positive, got $shardTokens")
+    require(bucketChars > 0 && bucketChars <= 8,
+      s"bucketChars must be in [1,8], got $bucketChars")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bkt", substring(col("h"), 1, bucketChars))
+    val wb = Window.orderBy("bkt")
+    val priors = toks.groupBy("bkt").agg(sum("n_tokens").as("btoks"))
+      .withColumn("prior", sum("btoks").over(wb) - col("btoks"))
+      .drop("btoks")
+    val wf = Window.partitionBy("bkt").orderBy("h")
+    toks.join(priors, "bkt")
+      .withColumn("cum", col("prior") + sum("n_tokens").over(wf))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $shardTokens").as("shard"))
+  }
+
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * top-`vocabK` unigram vocabulary — the exact-arithmetic sibling of
+    * the CCNet perplexity gate ([[corpusFreqScore]] scores by mean
+    * document frequency; this scores by the fraction of tokens a
+    * fixed-size vocabulary cannot represent, the quantity a tokenizer
+    * budget actually constrains). Vocabulary order is total
+    * (count desc, token asc) so the cut is deterministic at ties.
+    *
+    * Scale posture: the vocabulary is one partial-agg groupBy(token)
+    * into a TakeOrderedAndProject (top-k, never a global sort); the
+    * membership join broadcasts the ≤`vocabK`-row vocab; the per-doc
+    * roll-up is one groupBy(doc_id) with partial aggregation. Rate is
+    * int64 counts with ONE final division — order-independent.
+    */
+  def oovRate(docs: DataFrame, vocabK: Int = 100): DataFrame = {
+    require(vocabK > 0, s"vocabK must be positive, got $vocabK")
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(vocabK)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
 }

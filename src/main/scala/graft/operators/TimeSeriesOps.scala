@@ -366,4 +366,59 @@ object TimeSeriesOps {
         (col("n_users").cast("double") / col("n_cohort").cast("double"))
           .as("retention"))
   }
+
+  /** Per-metric data-availability report — the uptime dashboard a
+    * monitoring consumer derives from the raw series: a delivery GAP
+    * is a consecutive-sample delta exceeding `maxGapNs` (the series
+    * was "absent" for that whole delta, the Prometheus staleness
+    * convention); the report rolls up gap count, total downtime, and
+    * availability in exact integer permille of the observed span.
+    *
+    * Scale posture: one `lag` window per metric over sorted storage,
+    * then one partial-agg groupBy(metric) — the q42/q72 shape. All
+    * columns are int64 ns arithmetic; the permille is floor division
+    * ((span − down) · 1000 div span), exact cross-engine up to spans
+    * of ~106 days · 10⁵ metrics... numerically: the product overflows
+    * int64 only past a ~292-year single-metric span.
+    */
+  def availabilityReport(sanitized: DataFrame, maxGapNs: Long): DataFrame = {
+    require(maxGapNs > 0, s"maxGapNs must be positive, got $maxGapNs")
+    val w = Window.partitionBy("metric").orderBy("time")
+    sanitized
+      .withColumn("delta", col("time") - lag(col("time"), 1).over(w))
+      .groupBy("metric")
+      .agg(min("time").as("first_t"), max("time").as("last_t"),
+        count(lit(1)).as("n_points"),
+        sum(when(col("delta") > maxGapNs, 1L).otherwise(0L)).as("n_gaps"),
+        sum(when(col("delta") > maxGapNs, col("delta")).otherwise(0L))
+          .as("downtime_ns"))
+      .withColumn("span_ns", col("last_t") - col("first_t"))
+      .withColumn("availability_permille",
+        when(col("span_ns") > 0,
+          expr("(span_ns - downtime_ns) * 1000 div span_ns"))
+          .otherwise(lit(1000L)))
+  }
+
+  /** Time × value heatmap — the Grafana-style distribution-over-time
+    * panel: sample counts per (metric, tumbling `bucketNs` time
+    * bucket, `bandC`-centivalue value band), with each cell's exact
+    * centivalue extremes for band-edge rendering. Bands use integer
+    * `div` on the EXACT centivalue domain (≡ DuckDB `//`, verified on
+    * negatives), so negative values band identically in any engine.
+    *
+    * Scale posture: ONE partial-agg groupBy — the cell count is
+    * bounded by (span/bucket)·(range/band)·|metrics| regardless of
+    * sample volume, so the exchange shrinks map-side; no window, no
+    * join, no sort.
+    */
+  def valueHeatmap(sanitized: DataFrame, bucketNs: Long, bandC: Long): DataFrame = {
+    require(bucketNs > 0 && bandC > 0,
+      s"bucketNs and bandC must be positive, got $bucketNs/$bandC")
+    Ingest.quantized(sanitized)
+      .groupBy(col("metric"),
+        expr(s"time div ${bucketNs}L").as("t_bucket"),
+        expr(s"value_c div ${bandC}L").as("band"))
+      .agg(count(lit(1)).as("cnt"),
+        min("value_c").as("min_c"), max("value_c").as("max_c"))
+  }
 }

@@ -311,6 +311,49 @@ object OracleSql {
         |FROM d WHERE prev_t IS NOT NULL
         |ORDER BY metric, time""".stripMargin
 
+  /** Per-metric availability report — mirror of
+    * `TimeSeriesOps.availabilityReport`: gaps are lag deltas >
+    * `maxGapNs`, downtime is their exact int64 sum, and the permille
+    * is the same integer quotient (`//` ≡ Spark `div`); sums CAST
+    * back from DuckDB's HUGEINT widening.
+    */
+  def availabilitySql(maxGapNs: Long): String =
+    ptsCte +
+      s"""
+         |, d AS (
+         |  SELECT metric, t,
+         |         t - lag(t) OVER (PARTITION BY metric ORDER BY t) AS delta
+         |  FROM pts
+         |), r AS (
+         |  SELECT metric, min(t) AS first_t, max(t) AS last_t,
+         |         CAST(count(*) AS BIGINT) AS n_points,
+         |         CAST(sum(CASE WHEN delta > $maxGapNs THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_gaps,
+         |         CAST(sum(CASE WHEN delta > $maxGapNs THEN delta ELSE 0 END)
+         |              AS BIGINT) AS downtime_ns
+         |  FROM d GROUP BY metric
+         |)
+         |SELECT metric, first_t, last_t, n_points, n_gaps, downtime_ns,
+         |       last_t - first_t AS span_ns,
+         |       CASE WHEN last_t - first_t > 0
+         |            THEN CAST((last_t - first_t - downtime_ns) * 1000
+         |                      AS BIGINT) // (last_t - first_t)
+         |            ELSE CAST(1000 AS BIGINT) END AS availability_permille
+         |FROM r ORDER BY metric""".stripMargin
+
+  /** Time × value heatmap — mirror of `TimeSeriesOps.valueHeatmap`:
+    * same integer-quotient bucketing on the exact ns/centivalue
+    * domains, one grouped count with exact cell extremes.
+    */
+  def valueHeatmapSql(bucketNs: Long, bandC: Long): String =
+    ptsCte +
+      s"""
+         |SELECT metric, t // $bucketNs AS t_bucket, value_c // $bandC AS band,
+         |       CAST(count(*) AS BIGINT) AS cnt,
+         |       min(value_c) AS min_c, max(value_c) AS max_c
+         |FROM pts GROUP BY metric, t_bucket, band
+         |ORDER BY metric, t_bucket, band""".stripMargin
+
   /** Reset-aware counter rate — mirror of `TimeSeriesOps.counterRate`:
     * a negative delta reports the current value as the increase
     * (counter restarted at zero), same exact operands and IEEE op

@@ -168,6 +168,49 @@ object OracleSqlExt {
        |SELECT doc_id, lang, n_tokens, cum FROM c
        |WHERE cum - n_tokens < $budget ORDER BY doc_id""".stripMargin
 
+  /** Training-shard assignment — mirror of
+    * `TextAnalysis.trainingShards`: the oracle recomputes the shuffled
+    * running sum as ONE naive global window over md5 order, so the
+    * hash match proves the 256-bucket two-phase decomposition exact.
+    * md5 of the decimal doc_id string is identical in both engines;
+    * the window sum CASTs back from DuckDB's HUGEINT widening.
+    */
+  def trainingShardsSql(shardTokens: Long): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(sum(n_tokens) OVER (ORDER BY h) AS BIGINT) AS cum
+       |  FROM t
+       |)
+       |SELECT doc_id, n_tokens,
+       |       CAST((cum - n_tokens) // $shardTokens AS BIGINT) AS shard
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Per-doc OOV rate vs the corpus top-k unigram vocabulary — mirror
+    * of `TextAnalysis.oovRate`: same total vocabulary order
+    * (count desc, token asc), same int64 counts, same single final
+    * division on the same operands.
+    */
+  def oovRateSql(vocabK: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |), vocab AS (
+       |  SELECT tok FROM (
+       |    SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+       |    ORDER BY cnt DESC, tok LIMIT $vocabK)
+       |), j AS (
+       |  SELECT t.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |       CAST(sum(oov) AS BIGINT) AS n_oov,
+       |       CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** End-to-end corpus curation (quality gate → near-dup
     * canonicalization AMONG gate survivors → stratified split) —
     * mirrors `TextAnalysis.curateWith` stage for stage: each cluster

@@ -9,13 +9,13 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchContractSpec extends AnyFunSuite {
 
-  // worst-case values under the adaptive format: 999.999 renders as
-  // "1000.0" (6 chars — %.1f applies below 1000 and rounds up), the
-  // WIDEST a plausible per-query value can print; values >= 1000 s
-  // drop to whole seconds and print NARROWER ("10000" is 5 chars), so
-  // pinning at 999.999 pins the true maximum line length
+  // worst-case values under the adaptive format: 9.999 renders as
+  // "10.0" (4 chars — %.1f applies below 10 and rounds up), the
+  // WIDEST a per-query value can print under 1000 s; a pathological
+  // 999.999 drops to whole seconds and prints the SAME width
+  // ("1000"), so pinning at 9.999 pins the true maximum line length
   private def line = Bench.compactLine(
-    SparkEntry.queries.keys.map(_ -> 999.999).toMap,
+    SparkEntry.queries.keys.map(_ -> 9.999).toMap,
     999999.999, "/root/testdata/sf0.1")
 
   test("compact bench line fits the 2000-char tail with the sbt success line") {

@@ -1846,4 +1846,48 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L, 0L, 0.0), (2L, 2L, 0L, 0.0),
       (3L, 5L, 5L, 1.0), (4L, 5L, 5L, 1.0)))
   }
+
+  test("trainingShards: two-phase equals the naive global running sum; " +
+       "bucket width is an implementation detail") {
+    import spark.implicits._
+    val shardTokens = 512L
+    val got = TextAnalysis.trainingShards(docs, shardTokens)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // naive reference: one global md5-ordered running sum on the driver
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(id: Long) = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val naive = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .as[(Long, Long)].collect()
+      .map { case (id, n) => (hex(id), id, n) }.sortBy(_._1)
+      .scanLeft(("", 0L, 0L, 0L)) { case ((_, _, _, cum), (h, id, n)) =>
+        (h, id, n, cum + n)
+      }.drop(1)
+      .map { case (_, id, n, cum) => (id, n, (cum - n) / shardTokens) }
+      .sortBy(_._1).toSeq
+    assert(got == naive)
+    assert(got.map(_._3).distinct.length > 1, "fixture should span shards")
+    // the 16-bucket (1 hex char) and 256-bucket decompositions agree —
+    // bucketing never changes the assignment, only the task shape
+    val coarse = TextAnalysis.trainingShards(docs, shardTokens, bucketChars = 1)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(coarse == got)
+  }
+
+  test("oovRate: vocabulary cut is total-ordered at ties; counts hand-checked") {
+    import spark.implicits._
+    // counts: a=4, b=3, c=2, d=2, e=1 → top-3 by (cnt desc, tok asc)
+    // is {a, b, c} — the c/d tie at 2 breaks lexically, d is OOV
+    val d = Seq(
+      (1L, "a a b c d"),
+      (2L, "a b c d e"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.oovRate(d, vocabK = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 5L, 1L, 1.0 / 5.0),   // d
+      (2L, 5L, 2L, 2.0 / 5.0),   // d, e
+      (3L, 2L, 0L, 0.0)))
+  }
 }

@@ -573,6 +573,46 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the per-reason counts must partially aggregate:\n$p")
   }
 
+  test("x130 shards: no global doc window — bucketed like x91; x131 vocab broadcasts") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val qe = SparkEntry.queries("x130_training_shards")(spark, sf).queryExecution
+    val windows = qe.sparkPlan.collect { case w: WindowExec => w }
+    val global = windows.filter(_.partitionSpec.isEmpty)
+    assert(windows.exists(_.partitionSpec.nonEmpty), qe.sparkPlan.toString)
+    assert(global.forall(w =>
+      w.child.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      }.nonEmpty),
+      s"the only global window is the 256-row bucket prior:\n${qe.sparkPlan}")
+    val p131 = sparkPlan("x131_oov_rate")
+    assert(p131.contains("BroadcastHashJoin"),
+      s"the vocab membership join must broadcast:\n$p131")
+    assert(!p131.contains("CartesianProduct") &&
+      !p131.contains("BroadcastNestedLoopJoin"))
+    assert(p131.contains("TakeOrderedAndProject"),
+      s"the top-k vocabulary must never be a global sort:\n$p131")
+  }
+
+  test("x132/x133: one partial-agg pass each, no join, no row explosion") {
+    val pa = sparkPlan("x132_availability")
+    assert(!pa.contains("Join") && !pa.contains("CartesianProduct"),
+      s"availability is window+groupBy only:\n$pa")
+    assert(pa.contains("partial_"), s"gap roll-up must partially aggregate:\n$pa")
+    // the heatmap's own operators: one partial+final aggregate pair,
+    // no window, no join (the sanitize gate's window lives inside the
+    // cached input relation, not this query's plan)
+    import org.apache.spark.sql.execution.window.WindowExec
+    val qh = SparkEntry.queries("x133_value_heatmap")(spark, sf).queryExecution
+    assert(qh.sparkPlan.collect { case w: WindowExec => w }.isEmpty,
+      s"heatmap is ONE aggregation:\n${qh.sparkPlan}")
+    val ph = qh.sparkPlan.toString
+    assert(!ph.contains("Join"), s"heatmap must not join:\n$ph")
+    assert(ph.contains("partial_"),
+      s"cell counts must shrink map-side:\n$ph")
+  }
+
   test("similarity queries use native vector expressions, no interpreted lambdas") {
     // higher-order functions print as lambdafunction(...) and evaluate
     // interpreted per array element — the hot candidate-pair path must

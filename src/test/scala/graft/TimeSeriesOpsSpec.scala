@@ -222,4 +222,40 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       (0L, 0L, 1L, 1.0), (0L, 1L, 1L, 1.0), (0L, 3L, 1L, 1.0),
       (1L, 0L, 2L, 1.0), (1L, 1L, 1L, 0.5)))
   }
+
+  test("availabilityReport: gap counting, downtime, permille; single-point span") {
+    // a: deltas 10m, 20m with maxGap 15m → one gap of 20m over a 30m
+    // span → availability = 10m·1000 div 30m = 333. b: no gap → 1000.
+    // c: one point → zero span, defined as fully available.
+    val one = pts.union(Seq(("c", T0, 1.0, 9L)).toDF(
+      "metric", "time", "value", "seq"))
+    val got = TimeSeriesOps.availabilityReport(one, 15 * M).orderBy("metric")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", T0, T0 + 30 * M, 3L, 1L, 20 * M, 30 * M, 333L),
+      ("b", T0 + 5 * M, T0 + 15 * M, 2L, 0L, 0L, 10 * M, 1000L),
+      ("c", T0, T0, 1L, 0L, 0L, 0L, 1000L)))
+  }
+
+  test("valueHeatmap: cell counts, extremes, negative-centivalue banding") {
+    // bands of 500c (5 units); 20-min buckets. T0 is 20m-aligned, so
+    // a's first two samples share a bucket and land in bands 2 and 3;
+    // the third rolls into the next bucket, band 0. b's two samples
+    // (200c, 300c) share a cell with exact extremes. neg: -6.0 →
+    // -600c div 500 = -1 and -2.0 → -200c div 500 = 0 (int64 `div`
+    // truncates toward zero — the pinned cross-engine convention).
+    val neg = pts.union(Seq(("neg", T0, -6.0, 6L), ("neg", T0 + M, -2.0, 7L))
+      .toDF("metric", "time", "value", "seq"))
+    val b0 = T0 / (20 * M)
+    val got = TimeSeriesOps.valueHeatmap(neg, 20 * M, 500L)
+      .orderBy("metric", "t_bucket", "band")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", b0, 2L, 1L, 1000L, 1000L),
+      ("a", b0, 3L, 1L, 1600L, 1600L),
+      ("a", b0 + 1, 0L, 1L, 400L, 400L),
+      ("b", b0, 0L, 2L, 200L, 300L),
+      ("neg", b0, -1L, 1L, -600L, -600L),
+      ("neg", b0, 0L, 1L, -200L, -200L)))
+  }
 }
