@@ -1729,6 +1729,18 @@ object SparkEntry {
       graft.operators.TimeSeriesOps.valueHeatmap(sanitized(s, dir),
         86400000000000L, 5000L)
         .orderBy("metric", "t_bucket", "band")),
+    // TSDB analytics: diurnal (UTC hour-of-day) profile — the
+    // seasonality baseline; exact int64 sums, one division + scale
+    "x134_hourly_profile" -> ((s, dir) =>
+      graft.operators.TimeSeriesOps.hourlyProfile(sanitized(s, dir))
+        .orderBy("metric", "hour")),
+    // TSDB analytics: threshold-breach episodes (gaps-and-islands) —
+    // alert roll-up at value > 35.00 (~the median, so real multi-
+    // sample runs form): episode count, breaching
+    // samples, longest run, total breach wall-time
+    "x135_breach_episodes" -> ((s, dir) =>
+      graft.operators.TimeSeriesOps.breachEpisodes(sanitized(s, dir), 3500L)
+        .orderBy("metric")),
     // TSDB analytics: robust per-metric outlier summary — exact
     // median/MAD over the centivalue domain, count beyond 3·MAD
     "q71_outlier_mad" -> ((s, dir) =>
@@ -1992,6 +2004,8 @@ object SparkEntry {
     "x125_retention_cohorts" -> OracleSqlExt.retentionCohortsSql(604800000000L),
     "x132_availability" -> OracleSql.availabilitySql(3600000000000L),
     "x133_value_heatmap" -> OracleSql.valueHeatmapSql(86400000000000L, 5000L),
+    "x134_hourly_profile" -> OracleSql.hourlyProfileSql,
+    "x135_breach_episodes" -> OracleSql.breachEpisodesSql(3500L),
     "q71_outlier_mad" -> OracleSql.outliersMadSql(3.0),
     "q51_metric_align" -> OracleSql.alignMetricsSql(Q.IntervalMin, "click", "view"),
     "q52_metric_corr" -> OracleSql.corrMetricsSql(Q.IntervalMin, "click", "view"),

@@ -399,6 +399,54 @@ object TimeSeriesOps {
           .otherwise(lit(1000L)))
   }
 
+  /** Diurnal (hour-of-day) profile — the seasonality baseline an
+    * anomaly detector compares against: per (metric, UTC hour-of-day),
+    * sample count and mean value. The hour is exact integer arithmetic
+    * on the ns domain (`(t div 3600e9) mod 24` — epoch is
+    * midnight-aligned); the mean is int64 centivalue sums with ONE
+    * final division, order-independent.
+    *
+    * Scale posture: ONE partial-agg groupBy into ≤ 24·|metrics| cells.
+    */
+  def hourlyProfile(sanitized: DataFrame): DataFrame =
+    Ingest.quantized(sanitized)
+      .groupBy(col("metric"),
+        expr("(time div 3600000000000) % 24").as("hour"))
+      .agg(count(lit(1)).as("cnt"), sum("value_c").as("sum_c"))
+      .withColumn("mean_v",
+        col("sum_c").cast("double") / col("cnt").cast("double") / 100.0)
+
+  /** Threshold-breach episodes — the alerting roll-up: an EPISODE is a
+    * maximal run of consecutive samples with `value_c > thresholdC`
+    * (gaps-and-islands on the sample sequence, not wall time). Per
+    * metric: episode count, breaching-sample count, the longest
+    * episode's sample length, and total breach wall-time (Σ over
+    * episodes of last_t − first_t; single-sample episodes contribute
+    * 0 — wall-time needs two samples to span).
+    *
+    * Scale posture: two lag/running windows per metric over sorted
+    * storage (island ids via the classic running count of
+    * non-breaching rows), one groupBy(metric, island), one
+    * groupBy(metric) — the q42/q72 shape with bounded intermediate
+    * cardinality (≤ one island row per breaching run).
+    */
+  def breachEpisodes(sanitized: DataFrame, thresholdC: Long): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy("time")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val islands = Ingest.quantized(sanitized)
+      .withColumn("ok", when(col("value_c") > thresholdC, 0L).otherwise(1L))
+      .withColumn("island", sum("ok").over(w))
+      .filter(col("ok") === 0L)
+    val eps = islands.groupBy("metric", "island")
+      .agg(count(lit(1)).as("n_samples"),
+        min("time").as("first_t"), max("time").as("last_t"))
+    eps.groupBy("metric")
+      .agg(count(lit(1)).as("n_episodes"),
+        sum("n_samples").as("n_breaching"),
+        max("n_samples").as("longest_episode"),
+        sum(col("last_t") - col("first_t")).as("breach_ns"))
+  }
+
   /** Time × value heatmap — the Grafana-style distribution-over-time
     * panel: sample counts per (metric, tumbling `bucketNs` time
     * bucket, `bandC`-centivalue value band), with each cell's exact

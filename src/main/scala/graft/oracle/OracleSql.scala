@@ -341,6 +341,49 @@ object OracleSql {
          |            ELSE CAST(1000 AS BIGINT) END AS availability_permille
          |FROM r ORDER BY metric""".stripMargin
 
+  /** Diurnal profile — mirror of `TimeSeriesOps.hourlyProfile`: exact
+    * integer hour-of-day, int64 centivalue sums, the same two IEEE
+    * ops (divide then scale) for the mean.
+    */
+  def hourlyProfileSql: String =
+    ptsCte +
+      """
+        |SELECT metric, (t // 3600000000000) % 24 AS hour,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(value_c) AS BIGINT) AS sum_c,
+        |       CAST(sum(value_c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |         / 100.0 AS mean_v
+        |FROM pts GROUP BY metric, hour
+        |ORDER BY metric, hour""".stripMargin
+
+  /** Threshold-breach episodes — mirror of
+    * `TimeSeriesOps.breachEpisodes`: same island ids (running count of
+    * non-breaching samples), same exact int64 roll-ups.
+    */
+  def breachEpisodesSql(thresholdC: Long): String =
+    ptsCte +
+      s"""
+         |, m AS (
+         |  SELECT metric, t,
+         |         CASE WHEN value_c > $thresholdC THEN 0 ELSE 1 END AS ok
+         |  FROM pts
+         |), isl AS (
+         |  SELECT metric, t, ok,
+         |         sum(ok) OVER (PARTITION BY metric ORDER BY t
+         |                       ROWS BETWEEN UNBOUNDED PRECEDING
+         |                       AND CURRENT ROW) AS island
+         |  FROM m
+         |), eps AS (
+         |  SELECT metric, island, CAST(count(*) AS BIGINT) AS n_samples,
+         |         min(t) AS first_t, max(t) AS last_t
+         |  FROM isl WHERE ok = 0 GROUP BY metric, island
+         |)
+         |SELECT metric, CAST(count(*) AS BIGINT) AS n_episodes,
+         |       CAST(sum(n_samples) AS BIGINT) AS n_breaching,
+         |       max(n_samples) AS longest_episode,
+         |       CAST(sum(last_t - first_t) AS BIGINT) AS breach_ns
+         |FROM eps GROUP BY metric ORDER BY metric""".stripMargin
+
   /** Time × value heatmap — mirror of `TimeSeriesOps.valueHeatmap`:
     * same integer-quotient bucketing on the exact ns/centivalue
     * domains, one grouped count with exact cell extremes.

@@ -611,6 +611,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!ph.contains("Join"), s"heatmap must not join:\n$ph")
     assert(ph.contains("partial_"),
       s"cell counts must shrink map-side:\n$ph")
+    // same discipline for the diurnal profile and breach episodes:
+    // window+aggregate pipelines, never a join
+    val qp = SparkEntry.queries("x134_hourly_profile")(spark, sf).queryExecution
+    assert(qp.sparkPlan.collect { case w: WindowExec => w }.isEmpty &&
+      !qp.sparkPlan.toString.contains("Join"),
+      s"profile is ONE aggregation:\n${qp.sparkPlan}")
+    val pb = sparkPlan("x135_breach_episodes")
+    assert(!pb.contains("Join"), s"episodes must not join:\n$pb")
+    assert(pb.contains("partial_"),
+      s"episode roll-ups must partially aggregate:\n$pb")
   }
 
   test("similarity queries use native vector expressions, no interpreted lambdas") {

@@ -237,6 +237,38 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       ("c", T0, T0, 1L, 0L, 0L, 0L, 1000L)))
   }
 
+  test("hourlyProfile: UTC hour cells, exact sums, two-op mean") {
+    // T0 is 2024-01-01 00:00 UTC. a's samples sit at 00:00, 00:10,
+    // 00:30 → all hour 0; b's at 00:05 and 00:15 → hour 0. Shift two
+    // extra samples into hour 1 and hour 23 to pin the mod arithmetic.
+    val H = 3600000000000L
+    val more = pts.union(Seq(
+      ("a", T0 + H + 5 * M, 7.0, 10L),
+      ("a", T0 + 23 * H, 1.0, 11L)).toDF("metric", "time", "value", "seq"))
+    val got = TimeSeriesOps.hourlyProfile(more).orderBy("metric", "hour")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", 0L, 3L, 3000L, 10.0),  // 10+16+4 → mean 10.0
+      ("a", 1L, 1L, 700L, 7.0),
+      ("a", 23L, 1L, 100L, 1.0),
+      ("b", 0L, 2L, 500L, 2.5)))
+  }
+
+  test("breachEpisodes: island boundaries, single-sample wall time, longest run") {
+    // threshold 5.00 (500c). m: values 6,7,3,8,9,2,6 at minutes
+    // 0..6 → episodes {6,7} (2 samples, 1 min), {8,9} (2 samples,
+    // 1 min), {6} (1 sample, 0 wall time) → 3 episodes, 5 breaching,
+    // longest 2, breach_ns = 2 min. n: never breaches → NO row.
+    val vals = Seq(6.0, 7.0, 3.0, 8.0, 9.0, 2.0, 6.0)
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      ("m", T0 + i * M, v, i.toLong)
+    } :+ (("n", T0, 1.0, 99L))
+    val got = TimeSeriesOps.breachEpisodes(
+      ev.toDF("metric", "time", "value", "seq"), 500L)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("m", 3L, 5L, 2L, 2 * M)))
+  }
+
   test("valueHeatmap: cell counts, extremes, negative-centivalue banding") {
     // bands of 500c (5 units); 20-min buckets. T0 is 20m-aligned, so
     // a's first two samples share a bucket and land in bands 2 and 3;
