@@ -125,18 +125,23 @@ object Bench {
     */
   def compactLine(results: Map[String, Double], total: Double,
                   sfDir: String): String = {
-    // deciseconds, degrading to whole seconds at ≥ 10 s: full
-    // millisecond precision lives in the layer-1 JSON and the BENCH
-    // lines above; this line exists to survive the tail window whole,
-    // and the adaptive width caps every value at 4 chars ("10.0" from
-    // %.1f rounding just under the cutoff, "1000" for a pathological
-    // 999.999 s query) — inside the 1900-char pin past 150 queries
+    // deciseconds, degrading to whole seconds at ≥ 10 s and SATURATING
+    // at 9999: full millisecond precision lives in the layer-1 JSON
+    // and the BENCH lines above; this line exists to survive the tail
+    // window whole, so every value is HARD-capped at 4 chars ("10.0"
+    // from %.1f rounding just under the cutoff; a ≥ 9999.5 s query —
+    // already a failed round — prints the 9999 ceiling) — inside the
+    // 1900-char pin past 150 queries with no pathological escape
     def fmt1(v: Double): String =
-      if (v >= 10) "%.0f".formatLocal(java.util.Locale.ROOT, v)
+      if (v >= 9999.5) "9999"
+      else if (v >= 10) "%.0f".formatLocal(java.util.Locale.ROOT, v)
       else "%.1f".formatLocal(java.util.Locale.ROOT, v)
     val shortQs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt1(v) }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt1(total)},"unit":"sec","nq":${results.size},"queries":$shortQs,"sf":"$sfDir"}"""
+    // the ONE total field never saturates (it is the headline number
+    // the driver records); a single unbounded value costs ≤ 9 chars
+    val tot = "%.1f".formatLocal(java.util.Locale.ROOT, total)
+    s"""{"metric":"total","value":$tot,"unit":"sec","nq":${results.size},"queries":$shortQs,"sf":"$sfDir"}"""
   }
 }

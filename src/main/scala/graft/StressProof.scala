@@ -424,53 +424,6 @@ object StressProof {
     * the batch banding EXACTLY (the bit-parity the spec pins, held at
     * scale), i.e. state ∝ docs × bands, never pairs.
     */
-  /** Training-shard writer at 1 M docs: the 256-bucket two-phase
-    * running sum must (a) place every doc in exactly one shard,
-    * (b) produce the contiguous shard range the token total implies,
-    * and (c) keep every non-final shard's token total within one
-    * max-doc length of the target — the balance claim that makes the
-    * shards usable as training files. Doc lengths are a pure function
-    * of the id (5–50 words), so the corpus generates distributed and
-    * the expected geometry is arithmetic.
-    */
-  private def shards(spark: SparkSession): Unit = {
-    val n = 1000000L
-    val maxDoc = 50L
-    val shardTokens = 100000L
-    val docs = spark.range(n).select(col("id").as("doc_id"),
-      array_join(
-        transform(
-          sequence(lit(1),
-            (pmod(xxhash64(col("id")), lit(maxDoc - 4)) + lit(5)).cast("int")),
-          j => concat(lit("t"), j.cast("string"))),
-        " ").as("text"))
-    val (rows, t) = timed {
-      graft.operators.TextAnalysis.trainingShards(docs, shardTokens)
-        .groupBy("shard")
-        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("toks"))
-        .collect()
-    }
-    val nDocs = rows.map(_.getLong(1)).sum
-    val total = rows.map(_.getLong(2)).sum
-    val shardIds = rows.map(_.getLong(0)).sorted
-    val nonFinal = rows.filter(_.getLong(0) < shardIds.last)
-    val worst = if (nonFinal.isEmpty) 0L
-      else nonFinal.map(r => math.abs(r.getLong(2) - shardTokens)).max
-    println(f"STRESS shards docs=$n shards=${rows.length} " +
-      f"total_toks=$total worst_dev=$worst t=$t%.1fs")
-    require(nDocs == n, s"placed $nDocs docs, expected $n")
-    // contiguous 0..k: maxDoc < shardTokens means no shard can be
-    // skipped; the count matches the token total's geometry (the last
-    // doc's straddle decides whether total div T rounds up or down)
-    require(shardIds.head == 0L && shardIds.last == shardIds.length - 1,
-      s"shard range not contiguous: 0..${shardIds.last} over " +
-        s"${shardIds.length} ids")
-    require(math.abs(shardIds.length - total / shardTokens) <= 1,
-      s"${shardIds.length} shards for $total tokens at $shardTokens each")
-    require(worst < maxDoc,
-      s"a non-final shard deviates by $worst tokens (max doc $maxDoc)")
-  }
-
   private def nearDupGate(spark: SparkSession): Unit = {
     import org.apache.spark.sql.types._
     val docs = plantedDocs(spark)
@@ -527,6 +480,53 @@ object StressProof {
     require(stateRows == buckets,
       s"state rows $stateRows != distinct band buckets $buckets — " +
         "state must be ∝ docs × bands (the batch banding, bit-exact)")
+  }
+
+  /** Training-shard writer at 1 M docs: the 256-bucket two-phase
+    * running sum must (a) place every doc in exactly one shard,
+    * (b) produce the contiguous shard range the token total implies,
+    * and (c) keep every non-final shard's token total within one
+    * max-doc length of the target — the balance claim that makes the
+    * shards usable as training files. Doc lengths are a pure function
+    * of the id (5–50 words), so the corpus generates distributed and
+    * the expected geometry is arithmetic.
+    */
+  private def shards(spark: SparkSession): Unit = {
+    val n = 1000000L
+    val maxDoc = 50L
+    val shardTokens = 100000L
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      array_join(
+        transform(
+          sequence(lit(1),
+            (pmod(xxhash64(col("id")), lit(maxDoc - 4)) + lit(5)).cast("int")),
+          j => concat(lit("t"), j.cast("string"))),
+        " ").as("text"))
+    val (rows, t) = timed {
+      graft.operators.TextAnalysis.trainingShards(docs, shardTokens)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("toks"))
+        .collect()
+    }
+    val nDocs = rows.map(_.getLong(1)).sum
+    val total = rows.map(_.getLong(2)).sum
+    val shardIds = rows.map(_.getLong(0)).sorted
+    val nonFinal = rows.filter(_.getLong(0) < shardIds.last)
+    val worst = if (nonFinal.isEmpty) 0L
+      else nonFinal.map(r => math.abs(r.getLong(2) - shardTokens)).max
+    println(f"STRESS shards docs=$n shards=${rows.length} " +
+      f"total_toks=$total worst_dev=$worst t=$t%.1fs")
+    require(nDocs == n, s"placed $nDocs docs, expected $n")
+    // contiguous 0..k: maxDoc < shardTokens means no shard can be
+    // skipped; the count matches the token total's geometry (the last
+    // doc's straddle decides whether total div T rounds up or down)
+    require(shardIds.head == 0L && shardIds.last == shardIds.length - 1,
+      s"shard range not contiguous: 0..${shardIds.last} over " +
+        s"${shardIds.length} ids")
+    require(math.abs(shardIds.length - total / shardTokens) <= 1,
+      s"${shardIds.length} shards for $total tokens at $shardTokens each")
+    require(worst < maxDoc,
+      s"a non-final shard deviates by $worst tokens (max doc $maxDoc)")
   }
 
   /** The WHOLE streaming corpus pipe ([[graft.sources.CorpusIO

@@ -970,16 +970,8 @@ object Dedup {
     val outEnc: Encoder[(Long, Boolean, T)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaBoolean, enc)
     val stEnc: Encoder[Seq[Array[Long]]] = implicitly
-    // row-side fan-out: one row per (doc, band); shingle-less docs get
-    // a per-doc key so they flow through (no band ⇒ no candidates ⇒
-    // admitted) WITHOUT creating state
-    val bandRows = ds.flatMap { d =>
-      val (hashes, bands) = localShinglesAndBands(text(d), k, r)
-      val o = ord(d)
-      if (bands.isEmpty) Seq(("e|" + o, o, hashes, d))
-      else bands.toSeq.map(b => (b, o, hashes, d))
-    }(rowEnc)
-    val verdicts = bandRows.groupByKey(_._1)(Encoders.STRING)
+    val verdicts = bandRowsOf(ds, k, r)(text, ord)(enc, rowEnc)
+      .groupByKey(_._1)(Encoders.STRING)
       .flatMapGroupsWithState[Seq[Array[Long]], (Long, Boolean, T)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[(String, Long, Array[Long], T)],
@@ -997,13 +989,45 @@ object Dedup {
           if (prior.length > n0) state.update(prior.toSeq)
           out.iterator
       }(stEnc, outEnc)
+    reduceByOrd(verdicts)(outEnc)
+  }
+
+  /** Shared band-row fan-out of the streaming gates: one row per
+    * (doc, band); shingle-less docs get a per-doc key so they flow
+    * through (no band ⇒ no candidates ⇒ admitted) WITHOUT creating
+    * state. One definition for the unbounded and TTL gates — the
+    * candidate rule cannot drift between the two state machines.
+    */
+  private def bandRowsOf[T](ds: org.apache.spark.sql.Dataset[T],
+                            k: Int, r: Int)(
+      text: T => String, ord: T => Long)(
+      implicit enc: org.apache.spark.sql.Encoder[T],
+      rowEnc: org.apache.spark.sql.Encoder[(String, Long, Array[Long], T)])
+    : org.apache.spark.sql.Dataset[(String, Long, Array[Long], T)] =
+    ds.flatMap { d =>
+      val (hashes, bands) = localShinglesAndBands(text(d), k, r)
+      val o = ord(d)
+      if (bands.isEmpty) Seq(("e|" + o, o, hashes, d))
+      else bands.toSeq.map(b => (b, o, hashes, d))
+    }(rowEnc)
+
+  /** Shared final reduce of the streaming gates: keyed on `ord`, a
+    * STATELESS per-batch fold (state is never written) — a doc is
+    * admitted iff no bucket voted reject, exactly one payload row
+    * emitted. Sound because every band row of a doc is produced
+    * within its own micro-batch. One definition for both gates.
+    */
+  private def reduceByOrd[T](
+      verdicts: org.apache.spark.sql.Dataset[(Long, Boolean, T)])(
+      implicit outEnc: org.apache.spark.sql.Encoder[(Long, Boolean, T)])
+    : org.apache.spark.sql.Dataset[(Long, Boolean, T)] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     verdicts.groupByKey(_._1)(Encoders.scalaLong)
       .flatMapGroupsWithState[Boolean, (Long, Boolean, T)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (o: Long, rows: Iterator[(Long, Boolean, T)],
          _: GroupState[Boolean]) =>
-          // stateless reduce: a doc's band rows all arrive in its own
-          // batch; admitted iff no bucket voted reject
           val rs = rows.toSeq
           Iterator.single((o, !rs.exists(_._2), rs.head._3))
       }(Encoders.scalaBoolean, outEnc)
@@ -1021,8 +1045,9 @@ object Dedup {
     * wider than the corpus the gate ≡ [[streamingNearDupGate]], the
     * drift pin between the two state machines).
     *
-    * `ord` must be event-time MICROSECONDS and arrival must be
-    * ord-ordered across batches (the crawl contract every other
+    * `ord` must be UNIQUE event-time MICROSECONDS (the per-doc reduce
+    * keys on it — both gates emit one row per ord) and arrival must
+    * be ord-ordered across batches (the crawl contract every other
     * streaming op here assumes). Bounded state, mechanically:
     *  - per-touch pruning — a bucket keeps only entries within
     *    `horizonMicros` of its newest ord (older entries can never
@@ -1072,15 +1097,14 @@ object Dedup {
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaBoolean, enc)
     val stEnc: Encoder[Seq[(Long, Array[Long])]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
-    val bandRows = ds.flatMap { d =>
-      val (hashes, bands) = localShinglesAndBands(text(d), k, r)
-      val o = ord(d)
-      if (bands.isEmpty) Seq(("e|" + o, o, hashes, d))
-      else bands.toSeq.map(b => (b, o, hashes, d))
-    }(rowEnc)
-    // the watermark drives EventTimeTimeout; delay 0 is sound because
-    // arrival is ord-ordered (nothing is ever late)
-    // the watermarked timestamp must survive INTO the stateful op's
+    val bandRows = bandRowsOf(ds, k, r)(text, ord)(enc, rowEnc)
+    // the watermark drives EventTimeTimeout. Delay 1 ms, not 0: the
+    // watermark is ms-floored, so under a 0 delay a doc whose lifted
+    // ord lands EXACTLY on the previous batch's watermark (ms-aligned
+    // ords) would be dropped as late and VANISH from the output; 1 ms
+    // of slack makes every non-decreasing arrival survive, and only
+    // delays bucket eviction by that same 1 ms.
+    // The watermarked timestamp must survive INTO the stateful op's
     // child plan (EventTimeTimeout validates its presence), so it
     // rides as tuple slot _5 rather than being projected away
     val rowEnc5: Encoder[(String, Long, Array[Long], T, java.sql.Timestamp)] =
@@ -1092,7 +1116,7 @@ object Dedup {
     val lift = 1000000L
     val withWm = bandRows.toDF() // keeps _1.._4 — the tuple encoder resolves by name
       .withColumn("_5", timestamp_micros(col("_2") + lift))
-      .withWatermark("_5", "0 microseconds")
+      .withWatermark("_5", "1 millisecond")
       .as[(String, Long, Array[Long], T, java.sql.Timestamp)](rowEnc5)
     val verdicts = withWm.groupByKey(_._1)(Encoders.STRING)
       .flatMapGroupsWithState[Seq[(Long, Array[Long])], (Long, Boolean, T)](
@@ -1125,19 +1149,12 @@ object Dedup {
               state.update(kept.toSeq)
               // same +1 s lift as the event-time column, ms-floored
               state.setTimeoutTimestamp(
-                (newest + 1000000L) / 1000L + horizonMicros / 1000L + 1L)
+                (newest + lift) / 1000L + horizonMicros / 1000L + 1L)
             }
             out.iterator
           }
       }(stEnc, outEnc)
-    verdicts.groupByKey(_._1)(Encoders.scalaLong)
-      .flatMapGroupsWithState[Boolean, (Long, Boolean, T)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (o: Long, rows: Iterator[(Long, Boolean, T)],
-         _: GroupState[Boolean]) =>
-          val rs = rows.toSeq
-          Iterator.single((o, !rs.exists(_._2), rs.head._3))
-      }(Encoders.scalaBoolean, outEnc)
+    reduceByOrd(verdicts)(outEnc)
       .filter((v: (Long, Boolean, T)) => v._2)
       .map((v: (Long, Boolean, T)) => v._3)(enc)
   }

@@ -376,10 +376,11 @@ object TimeSeriesOps {
     *
     * Scale posture: one `lag` window per metric over sorted storage,
     * then one partial-agg groupBy(metric) — the q42/q72 shape. All
-    * columns are int64 ns arithmetic; the permille is floor division
-    * ((span − down) · 1000 div span), exact cross-engine up to spans
-    * of ~106 days · 10⁵ metrics... numerically: the product overflows
-    * int64 only past a ~292-year single-metric span.
+    * columns are int64 ns arithmetic; the permille divides in the µs
+    * domain (both operands ns-div-1000 first) so its ·1000 product
+    * overflows int64 only past a ~292-year single-metric uptime — in
+    * the raw ns domain the product would wrap silently (Spark) or
+    * raise (DuckDB) at just ~107 days of span.
     */
   def availabilityReport(sanitized: DataFrame, maxGapNs: Long): DataFrame = {
     require(maxGapNs > 0, s"maxGapNs must be positive, got $maxGapNs")
@@ -394,8 +395,9 @@ object TimeSeriesOps {
           .as("downtime_ns"))
       .withColumn("span_ns", col("last_t") - col("first_t"))
       .withColumn("availability_permille",
-        when(col("span_ns") > 0,
-          expr("(span_ns - downtime_ns) * 1000 div span_ns"))
+        when(expr("span_ns div 1000") > 0,
+          expr("((span_ns - downtime_ns) div 1000) * 1000" +
+            " div (span_ns div 1000)"))
           .otherwise(lit(1000L)))
   }
 

@@ -335,9 +335,10 @@ object OracleSql {
          |)
          |SELECT metric, first_t, last_t, n_points, n_gaps, downtime_ns,
          |       last_t - first_t AS span_ns,
-         |       CASE WHEN last_t - first_t > 0
-         |            THEN CAST((last_t - first_t - downtime_ns) * 1000
-         |                      AS BIGINT) // (last_t - first_t)
+         |       CASE WHEN (last_t - first_t) // 1000 > 0
+         |            THEN CAST(((last_t - first_t - downtime_ns) // 1000)
+         |                      * 1000 AS BIGINT)
+         |                 // ((last_t - first_t) // 1000)
          |            ELSE CAST(1000 AS BIGINT) END AS availability_permille
          |FROM r ORDER BY metric""".stripMargin
 

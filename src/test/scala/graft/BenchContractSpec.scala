@@ -11,12 +11,24 @@ class BenchContractSpec extends AnyFunSuite {
 
   // worst-case values under the adaptive format: 9.999 renders as
   // "10.0" (4 chars — %.1f applies below 10 and rounds up), the
-  // WIDEST a per-query value can print under 1000 s; a pathological
-  // 999.999 drops to whole seconds and prints the SAME width
-  // ("1000"), so pinning at 9.999 pins the true maximum line length
+  // WIDEST a per-query value can EVER print — whole seconds from 10 s
+  // ("1000" for 999.999) and a hard "9999" saturation above 9999.5 s
+  // close every wider escape; the saturation test below proves the cap
   private def line = Bench.compactLine(
     SparkEntry.queries.keys.map(_ -> 9.999).toMap,
     999999.999, "/root/testdata/sf0.1")
+
+  test("per-query values saturate at 4 chars; the total never saturates") {
+    val worst = Bench.compactLine(
+      SparkEntry.queries.keys.map(_ -> 123456789.999).toMap,
+      123456789.999, "/root/testdata/sf0.1")
+    // same length as the 9.999 line except the total field's width
+    assert(worst.length == line.length +
+      ("123456790.0".length - "1000000.0".length),
+      s"a pathological per-query value escaped the 4-char cap:\n$worst")
+    assert(worst.contains("\"value\":123456790.0"),
+      "the headline total must report truthfully, never saturate")
+  }
 
   test("compact bench line fits the 2000-char tail with the sbt success line") {
     // the tail must hold the whole line PLUS sbt's trailing

@@ -1807,6 +1807,38 @@ class ExtensionsSpec extends AnyFunSuite {
       s"event-time timeout must evict every idle bucket: $bandRows -> $afterRows")
   }
 
+  test("gate TTL: an ms-aligned ord equal to the prior batch's max survives the watermark") {
+    import spark.implicits._
+    // the watermark is ms-floored; with a 0 delay a doc whose lifted
+    // ord lands EXACTLY on the previous batch's watermark (every ord
+    // a whole ms — realistic crawl timestamps) was dropped as late
+    // and VANISHED. The 1 ms watermark slack keeps it flowing; a
+    // novel doc must be ADMITTED, not lost.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"unrel$i").mkString(" ")
+    val sec = 1000000L
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](ss)
+    val q = Dedup.streamingNearDupGateTtl(ms.toDS(), 0.5, 100L * sec)(_._2, _._1)
+      .toDF("ord", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gate_ttl_tie").start()
+    ms.addData(Seq((5L * sec, base)))
+    q.processAllAvailable()
+    // same ms-aligned instant, unrelated content → must be admitted
+    ms.addData(Seq((5L * sec, other)))
+    q.processAllAvailable()
+    q.stop()
+    val kept = ss.table("gate_ttl_tie").select("text").as[String]
+      .collect().toSet
+    assert(kept == Set(base, other),
+      s"boundary doc was dropped by the watermark: kept ${kept.size} docs")
+  }
+
   test("gate TTL with a horizon wider than the corpus equals the unbounded gate") {
     import spark.implicits._
     val rows = docs.select("doc_id", "text").as[(Long, String)]
