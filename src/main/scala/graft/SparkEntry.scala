@@ -72,6 +72,13 @@ object SparkEntry {
     */
   val RecallCurveProbes: Seq[Int] = Seq(1, 2, 1000)
 
+  /** x137 Matryoshka curve dims — ONE definition for the query body
+    * and the oracle call. The last value is the fixtures' FULL
+    * embedding dimension, so that curve point searches the identical
+    * space and must read recall = 1.0 (the reachable-ceiling anchor).
+    */
+  val TruncDims: Seq[Int] = Seq(8, 32, 48, 64)
+
   /** x100/x101 epoch cap (percent): 250 ⇒ each source may supply at
     * most 2.5 passes of itself, so the fixture genuinely upsamples
     * (high-weight sources land at n_epochs ≥ 1). ONE definition for
@@ -595,6 +602,14 @@ object SparkEntry {
       Similarity.annRecallCurve(Tables.read(s, dir, "embeddings"),
         Seq(0L, 1L, 2L), 5, RecallCurveProbes)
         .orderBy("nprobe", "q_id")),
+    // X3e Matryoshka-style truncated-dimension recall curve: how much
+    // search quality the first-d-dims index gives up vs full dimension
+    // — ONE corpus scan, dims exploded row-side; the full-dim point
+    // anchors at recall 1.0
+    "x137_trunc_dim_recall" -> ((s, dir) =>
+      Similarity.truncatedDimRecall(Tables.read(s, dir, "embeddings"),
+        Seq(0L, 1L, 2L), 5, TruncDims)
+        .orderBy("dims", "q_id")),
     // X28+X3 composition: relabel the corpus with the Lloyd step's
     // assignment, then IVF-search the LEARNED cells — proves the
     // learn-then-search pipeline end-to-end under one oracle
@@ -1492,6 +1507,12 @@ object SparkEntry {
     "x130_training_shards" -> ((s, dir) =>
       TextAnalysis.trainingShards(Tables.read(s, dir, "documents"), 2048L)
         .orderBy("doc_id")),
+    // Shard manifest: the writer's release datasheet — per-shard
+    // volumes, id extremes, and the lang/source diversity that proves
+    // the hash shuffle mixed the corpus
+    "x136_shard_manifest" -> ((s, dir) =>
+      TextAnalysis.shardManifest(Tables.read(s, dir, "documents"), 2048L)
+        .orderBy("shard")),
     // Out-of-vocabulary rate vs the corpus's own top-16 unigram
     // vocabulary (the fixture vocabulary is ~31 tokens, so 16 leaves
     // a real OOV tail) — the tokenizer-budget quality signal; exact
@@ -1741,6 +1762,12 @@ object SparkEntry {
     "x135_breach_episodes" -> ((s, dir) =>
       graft.operators.TimeSeriesOps.breachEpisodes(sanitized(s, dir), 3500L)
         .orderBy("metric")),
+    // TSDB analytics: seasonal robust outliers — q71's k*MAD rule per
+    // (metric, hour-of-day) cell, the detector that doesn't flag its
+    // own diurnal pattern
+    "x138_seasonal_outliers" -> ((s, dir) =>
+      graft.operators.TimeSeriesOps.seasonalOutliers(sanitized(s, dir))
+        .orderBy("metric", "hour")),
     // TSDB analytics: robust per-metric outlier summary — exact
     // median/MAD over the centivalue domain, count beyond 3·MAD
     "q71_outlier_mad" -> ((s, dir) =>
@@ -1906,6 +1933,7 @@ object SparkEntry {
     "x127_quality_gate" -> OracleSqlExt.qualityGateSql(200),
     "x128_normalized_dedup" -> OracleSqlExt.normalizedDedupSql,
     "x130_training_shards" -> OracleSqlExt.trainingShardsSql(2048L),
+    "x136_shard_manifest" -> OracleSqlExt.shardManifestSql(2048L),
     "x131_oov_rate" -> OracleSqlExt.oovRateSql(16),
     "x112_source_overlap" -> OracleSqlExt.sourceOverlapSql,
     "x106_source_datacard" -> OracleSqlExt.sourceDataCardSql(50L),
@@ -1935,6 +1963,8 @@ object SparkEntry {
     "x95_ivf_multiprobe" -> OracleSqlExt.ivfMultiProbeSql(Seq(0L, 1L, 2L), 5, 2),
     "x99_ann_recall_curve" ->
       OracleSqlExt.annRecallCurveSql(Seq(0L, 1L, 2L), 5, RecallCurveProbes),
+    "x137_trunc_dim_recall" ->
+      OracleSqlExt.truncatedDimRecallSql(Seq(0L, 1L, 2L), 5, TruncDims),
     "x96_cluster_safe_split" ->
       OracleSqlExt.clusterSafeSplitSql(ClusterJaccard, ClusterBand, "graft"),
     "x97_curation_ledger" ->
@@ -2006,6 +2036,7 @@ object SparkEntry {
     "x133_value_heatmap" -> OracleSql.valueHeatmapSql(86400000000000L, 5000L),
     "x134_hourly_profile" -> OracleSql.hourlyProfileSql,
     "x135_breach_episodes" -> OracleSql.breachEpisodesSql(3500L),
+    "x138_seasonal_outliers" -> OracleSql.seasonalOutliersSql(3.0),
     "q71_outlier_mad" -> OracleSql.outliersMadSql(3.0),
     "q51_metric_align" -> OracleSql.alignMetricsSql(Q.IntervalMin, "click", "view"),
     "q52_metric_corr" -> OracleSql.corrMetricsSql(Q.IntervalMin, "click", "view"),

@@ -398,6 +398,52 @@ object Similarity {
     * (k·|queries| rows, times |probes| for the curve), so the join is
     * broadcast-sized regardless of corpus size.
     */
+  /** Truncated-dimension recall curve (the Matryoshka/MRL deployment
+    * audit, Kusupati et al. 2022): recall@k of brute-force search over
+    * only the FIRST `d` embedding dimensions vs the full-dimension
+    * truth, one row per (dims, query) — what a deployment reads before
+    * serving the cheaper d-dim index. A `dims` equal to the full
+    * dimension searches the identical space, so its rows must read
+    * recall = 1.0 (the x99-style reachable-ceiling anchor).
+    *
+    * ONE corpus scan: the dims axis explodes row-side (|dims| quantize
+    * +norm evaluations per vector — the irreducible work), queries
+    * broadcast per dims via an equi-join, and the per-(dims, query)
+    * top-k is the [[topKBrute]] window. Same exact int64 cosine
+    * discipline; truncation happens BEFORE quantization so each curve
+    * point is exactly the d-dim engine a deployment would run.
+    */
+  def truncatedDimRecall(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                         dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ > 0),
+      s"dims must be non-empty positive, got $dims")
+    require(dims.distinct == dims,
+      s"duplicate dims values would duplicate curve rows: $dims")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dimsDf = dims.map(_.toLong).toDF("dims")
+    val corpus = emb.crossJoin(broadcast(dimsDf))
+      .select(col("dims"), col("vec_id"),
+        VecOps.quantize(slice(col("embedding"), lit(1),
+          col("dims").cast("int"))).as("vq"))
+      .withColumn("n2", VecOps.normSq(col("vq")))
+    val q = corpus.filter(col("vec_id").isin(queryIds: _*)).select(
+      col("dims").as("qdims"), col("vec_id").as("q_id"),
+      col("vq").as("qv"), col("n2").as("qn2"))
+    val w = Window.partitionBy("dims", "q_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val truncated = corpus.join(broadcast(q), col("dims") === col("qdims"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosExpr)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("dims", "q_id", "vec_id")
+    val brute = topKBrute(emb, queryIds, k).select("q_id", "vec_id")
+    recallAgainstBrute(brute.crossJoin(broadcast(dimsDf)), truncated,
+      Seq("dims", "q_id"))
+      .select("q_id", "n_brute", "n_hit", "recall", "dims")
+  }
+
   private def recallAgainstBrute(brute: DataFrame, approx: DataFrame,
                                  keys: Seq[String]): DataFrame =
     brute.join(broadcast(approx.withColumn("hit", lit(1L))),

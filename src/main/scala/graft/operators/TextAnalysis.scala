@@ -1482,6 +1482,29 @@ object TextAnalysis {
         expr(s"(cum - n_tokens) div $shardTokens").as("shard"))
   }
 
+  /** Shard manifest — the release datasheet of a [[trainingShards]]
+    * run (the x106 data-card discipline applied to the writer's
+    * output): per shard, doc/token volumes, id extremes, and the
+    * language/source diversity a training run reads to confirm the
+    * hash shuffle actually mixed the corpus (a shard dominated by one
+    * source means the order key is broken). Emitting it from the same
+    * plan that assigns shards keeps manifest ≡ recomputation — the
+    * CorpusIO `_manifest` rule.
+    *
+    * Scale posture: [[trainingShards]]'s two-phase shape plus one
+    * doc_id equi-join back to the metadata columns and ONE partial-agg
+    * groupBy(shard) — output rows = shard count (corpus/shardTokens).
+    */
+  def shardManifest(docs: DataFrame, shardTokens: Long,
+                    bucketChars: Int = 2): DataFrame =
+    trainingShards(docs, shardTokens, bucketChars)
+      .join(docs.select("doc_id", "lang", "source"), "doc_id")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"))
+
   /** Per-document out-of-vocabulary rate against the corpus's own
     * top-`vocabK` unigram vocabulary — the exact-arithmetic sibling of
     * the CCNet perplexity gate ([[corpusFreqScore]] scores by mean

@@ -449,6 +449,39 @@ object TimeSeriesOps {
         sum(col("last_t") - col("first_t")).as("breach_ns"))
   }
 
+  /** Seasonality-aware robust outliers — [[outliersMad]]'s k·MAD rule
+    * applied within each (metric, UTC hour-of-day) cell instead of
+    * globally: a diurnal metric (nightly batch spikes, business-hours
+    * load) makes the global rule flag its own seasonality; comparing
+    * each sample against ITS HOUR's median/MAD is the detector a
+    * monitoring consumer actually wants next to the [[hourlyProfile]]
+    * baseline. Exact centivalue `percentile` per cell (the q57
+    * convention), deviations and the k·MAD rule in the same fixed
+    * IEEE shape as q71.
+    *
+    * Scale posture: two percentile aggregations into ≤ 24·|metrics|
+    * rows (broadcast back), one final partial-agg groupBy — the q71
+    * shape with a bounded extra key.
+    */
+  def seasonalOutliers(sanitized: DataFrame, k: Double = 3.0): DataFrame = {
+    val q = Ingest.quantized(sanitized)
+      .withColumn("hour", expr("(time div 3600000000000) % 24"))
+    val med = q.groupBy("metric", "hour")
+      .agg(expr("percentile(value_c, 0.5D)").as("med_c"))
+    val dev = q.join(broadcast(med), Seq("metric", "hour"))
+      .withColumn("adev", abs(col("value_c").cast("double") - col("med_c")))
+    val mad = dev.groupBy("metric", "hour")
+      .agg(expr("percentile(adev, 0.5D)").as("mad_c"))
+    dev.join(broadcast(mad), Seq("metric", "hour"))
+      .groupBy("metric", "hour")
+      .agg(
+        min("med_c").as("med_c"), // constant per cell; min = the value
+        min("mad_c").as("mad_c"),
+        count(lit(1)).as("n_points"),
+        sum(when(col("adev") > lit(k) * col("mad_c"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** Time × value heatmap — the Grafana-style distribution-over-time
     * panel: sample counts per (metric, tumbling `bucketNs` time
     * bucket, `bandC`-centivalue value band), with each cell's exact

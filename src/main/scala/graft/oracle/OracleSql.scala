@@ -385,6 +385,35 @@ object OracleSql {
          |       CAST(sum(last_t - first_t) AS BIGINT) AS breach_ns
          |FROM eps GROUP BY metric ORDER BY metric""".stripMargin
 
+  /** Seasonal robust outliers — mirror of
+    * `TimeSeriesOps.seasonalOutliers`: `outliersMadSql` keyed by
+    * (metric, hour) with the same exact percentiles and IEEE shape.
+    */
+  def seasonalOutliersSql(k: Double): String =
+    ptsCte +
+      s"""
+         |, ph AS (
+         |  SELECT metric, (t // 3600000000000) % 24 AS hour, value_c
+         |  FROM pts
+         |), med AS (
+         |  SELECT metric, hour, quantile_cont(value_c, 0.5) AS med_c
+         |  FROM ph GROUP BY metric, hour
+         |), dev AS (
+         |  SELECT ph.metric, ph.hour,
+         |         abs(CAST(value_c AS DOUBLE) - med_c) AS adev, med_c
+         |  FROM ph JOIN med ON ph.metric = med.metric AND ph.hour = med.hour
+         |), mad AS (
+         |  SELECT metric, hour, quantile_cont(adev, 0.5) AS mad_c
+         |  FROM dev GROUP BY metric, hour
+         |)
+         |SELECT dev.metric, dev.hour, min(dev.med_c) AS med_c,
+         |       min(mad.mad_c) AS mad_c, count(*) AS n_points,
+         |       CAST(sum(CASE WHEN adev > $k * mad.mad_c THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_outliers
+         |FROM dev JOIN mad ON dev.metric = mad.metric AND dev.hour = mad.hour
+         |GROUP BY dev.metric, dev.hour
+         |ORDER BY dev.metric, dev.hour""".stripMargin
+
   /** Time × value heatmap — mirror of `TimeSeriesOps.valueHeatmap`:
     * same integer-quotient bucketing on the exact ns/centivalue
     * domains, one grouped count with exact cell extremes.

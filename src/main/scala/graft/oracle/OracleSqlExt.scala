@@ -189,6 +189,31 @@ object OracleSqlExt {
        |       CAST((cum - n_tokens) // $shardTokens AS BIGINT) AS shard
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Shard manifest — mirror of `TextAnalysis.shardManifest`: the
+    * naive global-window shard assignment joined back to the doc
+    * metadata, rolled up per shard.
+    */
+  def shardManifestSql(shardTokens: Long): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS h,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, lang, source, n_tokens,
+       |         CAST(sum(n_tokens) OVER (ORDER BY h) AS BIGINT) AS cum
+       |  FROM t
+       |), a AS (
+       |  SELECT doc_id, lang, source, n_tokens,
+       |         CAST((cum - n_tokens) // $shardTokens AS BIGINT) AS shard
+       |  FROM c
+       |)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+       |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+       |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+
   /** Per-doc OOV rate vs the corpus top-k unigram vocabulary — mirror
     * of `TextAnalysis.oovRate`: same total vocabulary order
     * (count desc, token asc), same int64 counts, same single final
@@ -2016,6 +2041,66 @@ object OracleSqlExt {
     * SF's cell count, so its rows must read recall = 1.0 — the x95
     * ≡-brute property as visible data.
     */
+  /** Truncated-dimension recall curve — mirror of
+    * `Similarity.truncatedDimRecall`. Slicing the QUANTIZED vector
+    * equals quantizing the sliced one (quantization is per-element),
+    * so the `n` CTE is shared with every other vector oracle; the
+    * d-dim engine re-derives norms over the slice.
+    */
+  def truncatedDimRecallSql(queryIds: Seq[Long], k: Int,
+                            dims: Seq[Int]): String =
+    cosineCte +
+      s""", dimsv AS (
+         |  SELECT CAST(d AS BIGINT) AS dims
+         |  FROM (VALUES ${dims.map(d => s"($d)").mkString(", ")}) t(d)
+         |), q AS (
+         |  SELECT vec_id AS q_id, vq AS qv, n2 AS qn2
+         |  FROM n WHERE vec_id IN (${queryIds.mkString(",")})
+         |), cb AS (
+         |  SELECT q_id, vec_id,
+         |         ${cosSql("vq", "n2", "qv", "qn2")} AS cosine
+         |  FROM n CROSS JOIN q WHERE vec_id <> q_id
+         |), tb AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |                              ORDER BY cosine DESC, vec_id) AS rn
+         |    FROM cb) WHERE rn <= $k
+         |), n2d AS (
+         |  SELECT dims, vec_id,
+         |         list_slice(vq, 1, CAST(dims AS INTEGER)) AS dvq,
+         |         CAST(list_sum(list_transform(
+         |           list_slice(vq, 1, CAST(dims AS INTEGER)), x -> x*x))
+         |           AS BIGINT) AS dn2
+         |  FROM n CROSS JOIN dimsv
+         |), qd AS (
+         |  SELECT dims AS qdims, vec_id AS q_id, dvq AS qv, dn2 AS qn2
+         |  FROM n2d WHERE vec_id IN (${queryIds.mkString(",")})
+         |), cd AS (
+         |  SELECT a.dims, b.q_id, a.vec_id,
+         |         ${cosSql("a.dvq", "a.dn2", "b.qv", "b.qn2")} AS cosine
+         |  FROM n2d a JOIN qd b ON a.dims = b.qdims
+         |  WHERE a.vec_id <> b.q_id
+         |), td AS (
+         |  SELECT dims, q_id, vec_id FROM (
+         |    SELECT dims, q_id, vec_id,
+         |           row_number() OVER (PARTITION BY dims, q_id
+         |                              ORDER BY cosine DESC, vec_id) AS rn
+         |    FROM cd) WHERE rn <= $k
+         |), agg AS (
+         |  SELECT dv.dims, tb.q_id, CAST(count(*) AS BIGINT) AS n_brute,
+         |         CAST(sum(CASE WHEN td.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_hit
+         |  FROM tb CROSS JOIN dimsv dv
+         |  LEFT JOIN td ON td.dims = dv.dims AND td.q_id = tb.q_id
+         |    AND td.vec_id = tb.vec_id
+         |  GROUP BY dv.dims, tb.q_id
+         |)
+         |SELECT q_id, n_brute, n_hit,
+         |       CAST(n_hit AS DOUBLE) / CAST(n_brute AS DOUBLE) AS recall,
+         |       dims
+         |FROM agg ORDER BY dims, q_id""".stripMargin
+
   def annRecallCurveSql(queryIds: Seq[Long], k: Int,
                         nprobes: Seq[Int]): String =
     cosineCte + centroidCtes +

@@ -1907,6 +1907,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(coarse == got)
   }
 
+  test("shardManifest reconciles with the corpus and the assignment") {
+    import spark.implicits._
+    val man = TextAnalysis.shardManifest(docs, 512L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val nDocs = docs.count()
+    val nToks = docs.select(sum(size(split(col("text"), " ")).cast("long")))
+      .as[Long].head()
+    assert(man.map(_._2).sum == nDocs, "every doc in exactly one shard row")
+    assert(man.map(_._3).sum == nToks, "token totals reconcile")
+    // the hash shuffle mixes: with 500 docs over ~14 shards, every
+    // shard must draw from more than one language and source
+    assert(man.forall(r => r._6 > 1 && r._7 > 1),
+      s"a shard is single-source — the shuffle key is broken: $man")
+  }
+
+  test("truncatedDimRecall: full-dimension point is the recall-1.0 anchor") {
+    import spark.implicits._
+    val got = Similarity.truncatedDimRecall(emb, Seq(0L, 1L, 2L), 5,
+        SparkEntry.TruncDims)
+      .as[(Long, Long, Long, Double, Long)].collect()
+    assert(got.length == SparkEntry.TruncDims.length * 3)
+    val full = got.filter(_._5 == 64L)
+    assert(full.nonEmpty && full.forall(_._4 == 1.0),
+      s"the full-dim curve point must equal brute: ${full.toSeq}")
+    assert(got.forall(r => r._3 <= r._2 && r._2 == 5L))
+  }
+
   test("oovRate: vocabulary cut is total-ordered at ties; counts hand-checked") {
     import spark.implicits._
     // counts: a=4, b=3, c=2, d=2, e=1 → top-3 by (cnt desc, tok asc)

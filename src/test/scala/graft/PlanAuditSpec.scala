@@ -623,6 +623,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"episode roll-ups must partially aggregate:\n$pb")
   }
 
+  test("x136/x137/x138: equi or broadcast joins only, no corpus-side cartesian") {
+    val pm = sparkPlan("x136_shard_manifest")
+    assert(!pm.contains("CartesianProduct") &&
+      !pm.contains("BroadcastNestedLoopJoin"),
+      s"the manifest join-back must be an equi-join:\n$pm")
+    assert(pm.contains("partial_"),
+      s"per-shard roll-up must partially aggregate:\n$pm")
+    val pt = sparkPlan("x137_trunc_dim_recall")
+    assert(!pt.contains("CartesianProduct"))
+    // allowed NLJs: the dims-table explode on the corpus scan (planned
+    // twice — once under the query-side filter branch), the brute
+    // crossJoin(broadcast(q)), and the brute×dims fan-out in the audit
+    // — all broadcast tiny-table scans, never corpus×corpus
+    val nlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(pt).length
+    assert(nlj <= 4, s"unexpected nested loops:\n$pt")
+    assert(pt.contains("BroadcastHashJoin"),
+      s"the per-dims query join must be a broadcast equi-join:\n$pt")
+    val ps = sparkPlan("x138_seasonal_outliers")
+    assert(!ps.contains("CartesianProduct") &&
+      !ps.contains("BroadcastNestedLoopJoin"),
+      s"the med/mad join-backs must be broadcast equi-joins:\n$ps")
+    assert(ps.contains("BroadcastHashJoin"), s"cells must broadcast:\n$ps")
+  }
+
   test("similarity queries use native vector expressions, no interpreted lambdas") {
     // higher-order functions print as lambdafunction(...) and evaluate
     // interpreted per array element — the hot candidate-pair path must

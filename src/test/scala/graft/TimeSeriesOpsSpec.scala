@@ -269,6 +269,24 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(got == Seq(("m", 3L, 5L, 2L, 2 * M)))
   }
 
+  test("seasonalOutliers: flags the planted spike per hour, never the seasonality") {
+    // a strongly diurnal metric: hour 0 sits at 10, hour 1 at 100 —
+    // a GLOBAL median/MAD would flag entire hours; the seasonal rule
+    // must flag exactly the one planted spike in each hour cell
+    // (per-cell MAD is 0, so any deviation from the cell median trips)
+    val H = 3600000000000L
+    val ev = (Seq(10.0, 10.0, 10.0, 10.0, 50.0).zipWithIndex.map {
+      case (v, i) => ("m", T0 + i * M, v, i.toLong)
+    } ++ Seq(100.0, 100.0, 100.0, 100.0, 500.0).zipWithIndex.map {
+      case (v, i) => ("m", T0 + H + i * M, v, 10L + i)
+    }).toDF("metric", "time", "value", "seq")
+    val got = TimeSeriesOps.seasonalOutliers(ev).orderBy("hour")
+      .as[(String, Long, Double, Double, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("m", 0L, 1000.0, 0.0, 5L, 1L),
+      ("m", 1L, 10000.0, 0.0, 5L, 1L)))
+  }
+
   test("valueHeatmap: cell counts, extremes, negative-centivalue banding") {
     // bands of 500c (5 units); 20-min buckets. T0 is 20m-aligned, so
     // a's first two samples share a bucket and land in bands 2 and 3;
