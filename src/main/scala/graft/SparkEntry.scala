@@ -1762,6 +1762,20 @@ object SparkEntry {
     "x135_breach_episodes" -> ((s, dir) =>
       graft.operators.TimeSeriesOps.breachEpisodes(sanitized(s, dir), 3500L)
         .orderBy("metric")),
+    // Event analytics: batch sessionization — per-user sessions at a
+    // 12 h inactivity gap, rolled up to count/volume/duration stats
+    "x140_user_sessions" -> ((s, dir) =>
+      graft.operators.TimeSeriesOps.userSessions(
+        Tables.events(s, dir).withColumn("ts", Tables.eventTimeNs),
+        43200000000000L)
+        .orderBy("user_id")),
+    // Event analytics: conversion-lag distribution — exact p50/p90/max
+    // of first-view -> first-later-purchase time (the funnel's timing
+    // companion)
+    "x141_conversion_lag" -> ((s, dir) =>
+      graft.operators.TimeSeriesOps.conversionLag(
+        Tables.events(s, dir).withColumn("ts", Tables.eventTimeNs),
+        "view", "purchase")),
     // TSDB analytics: seasonal robust outliers — q71's k*MAD rule per
     // (metric, hour-of-day) cell, the detector that doesn't flag its
     // own diurnal pattern
@@ -2037,6 +2051,8 @@ object SparkEntry {
     "x134_hourly_profile" -> OracleSql.hourlyProfileSql,
     "x135_breach_episodes" -> OracleSql.breachEpisodesSql(3500L),
     "x138_seasonal_outliers" -> OracleSql.seasonalOutliersSql(3.0),
+    "x140_user_sessions" -> OracleSql.userSessionsSql(43200000000000L),
+    "x141_conversion_lag" -> OracleSql.conversionLagSql("view", "purchase"),
     "q71_outlier_mad" -> OracleSql.outliersMadSql(3.0),
     "q51_metric_align" -> OracleSql.alignMetricsSql(Q.IntervalMin, "click", "view"),
     "q52_metric_corr" -> OracleSql.corrMetricsSql(Q.IntervalMin, "click", "view"),

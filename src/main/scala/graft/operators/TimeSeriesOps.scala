@@ -401,6 +401,67 @@ object TimeSeriesOps {
           .otherwise(lit(1000L)))
   }
 
+  /** Batch sessionization — per-user gaps-and-islands with an
+    * inactivity timeout (the batch twin of the q34/q49 session
+    * windows, rolled up to the per-user session stats a product
+    * dashboard reads): a new session starts when the gap to the
+    * user's previous event exceeds `gapNs`. Per user: session count,
+    * event count, total and longest session wall-time (single-event
+    * sessions span 0 — the x135 convention).
+    *
+    * Scale posture: two per-user windows over one sort (lag + running
+    * sum — the x135 island construction keyed by user), then two
+    * bounded groupBys. Ties at one instant order by `event_id` so the
+    * island ids are deterministic; a tie never opens a session (gap
+    * 0 ≤ gapNs).
+    */
+  def userSessions(events: DataFrame, gapNs: Long): DataFrame = {
+    require(gapNs > 0, s"gapNs must be positive, got $gapNs")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val runW = w.rowsBetween(Window.unboundedPreceding, 0)
+    val tagged = events.select("user_id", "event_id", "ts")
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("ts") - col("prev") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("session", sum("is_new").over(runW))
+    val sess = tagged.groupBy("user_id", "session")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("s0"), max("ts").as("s1"))
+    sess.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        sum(col("s1") - col("s0")).as("total_session_ns"),
+        max(col("s1") - col("s0")).as("longest_session_ns"))
+  }
+
+  /** Conversion-lag distribution — the funnel's timing companion
+    * (x124 counts WHO converts; this reports HOW LONG first
+    * `from` → first-strictly-after `to` takes): per converting user
+    * the lag is `min ts(to) after t0` − `t0` where `t0 = min
+    * ts(from)`, and the corpus-level row carries the converted-user
+    * count with exact-percentile p50/p90 and max of the lag (the q57
+    * `percentile` ≡ `quantile_cont` convention on the int64 ns
+    * domain).
+    *
+    * Scale posture: two filtered per-user min-aggregations and one
+    * user equi-join — partial aggregation everywhere, no window; the
+    * final percentile reduces \|converted users\| rows.
+    */
+  def conversionLag(events: DataFrame, from: String, to: String): DataFrame = {
+    val t0 = events.filter(col("event_type") === from)
+      .groupBy("user_id").agg(min("ts").as("t0"))
+    val lags = events.filter(col("event_type") === to)
+      .join(t0, "user_id")
+      .filter(col("ts") > col("t0"))
+      .groupBy("user_id")
+      .agg((min("ts") - min("t0")).as("lag_ns"))
+    lags.agg(count(lit(1)).as("n_converted"),
+      expr("percentile(lag_ns, 0.5D)").as("p50_ns"),
+      expr("percentile(lag_ns, 0.9D)").as("p90_ns"),
+      max("lag_ns").as("max_ns"))
+  }
+
   /** Diurnal (hour-of-day) profile — the seasonality baseline an
     * anomaly detector compares against: per (metric, UTC hour-of-day),
     * sample count and mean value. The hour is exact integer arithmetic

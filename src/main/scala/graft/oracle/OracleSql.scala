@@ -342,6 +342,59 @@ object OracleSql {
          |            ELSE CAST(1000 AS BIGINT) END AS availability_permille
          |FROM r ORDER BY metric""".stripMargin
 
+  /** Batch sessionization — mirror of `TimeSeriesOps.userSessions`:
+    * same (t, event_id) ordering, same island construction, same
+    * exact int64 roll-ups (sums CAST back from HUGEINT widening).
+    */
+  def userSessionsSql(gapNs: Long): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, ${tsNs} AS t FROM events
+       |), d AS (
+       |  SELECT user_id, event_id, t,
+       |         lag(t) OVER (PARTITION BY user_id
+       |                      ORDER BY t, event_id) AS prev
+       |  FROM e
+       |), s AS (
+       |  SELECT user_id, t,
+       |         CAST(sum(CASE WHEN prev IS NULL OR t - prev > $gapNs
+       |                       THEN 1 ELSE 0 END)
+       |              OVER (PARTITION BY user_id ORDER BY t, event_id
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |              AS BIGINT) AS session
+       |  FROM d
+       |), sess AS (
+       |  SELECT user_id, session, CAST(count(*) AS BIGINT) AS n_events,
+       |         min(t) AS s0, max(t) AS s1
+       |  FROM s GROUP BY user_id, session
+       |)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       |       CAST(sum(n_events) AS BIGINT) AS n_events,
+       |       CAST(sum(s1 - s0) AS BIGINT) AS total_session_ns,
+       |       max(s1 - s0) AS longest_session_ns
+       |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Conversion-lag distribution — mirror of
+    * `TimeSeriesOps.conversionLag`: same first-touch t0, same
+    * strictly-after rule, `quantile_cont` ≡ `percentile` (q57).
+    */
+  def conversionLagSql(from: String, to: String): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, ${tsNs} AS t FROM events
+       |), v AS (
+       |  SELECT user_id, min(t) AS t0 FROM e
+       |  WHERE event_type = '$from' GROUP BY user_id
+       |), lags AS (
+       |  SELECT e.user_id, min(e.t) - min(v.t0) AS lag_ns
+       |  FROM e JOIN v ON e.user_id = v.user_id
+       |  WHERE e.event_type = '$to' AND e.t > v.t0
+       |  GROUP BY e.user_id
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       |       quantile_cont(lag_ns, 0.5) AS p50_ns,
+       |       quantile_cont(lag_ns, 0.9) AS p90_ns,
+       |       max(lag_ns) AS max_ns
+       |FROM lags""".stripMargin
+
   /** Diurnal profile — mirror of `TimeSeriesOps.hourlyProfile`: exact
     * integer hour-of-day, int64 centivalue sums, the same two IEEE
     * ops (divide then scale) for the mean.

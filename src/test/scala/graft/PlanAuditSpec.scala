@@ -647,6 +647,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(ps.contains("BroadcastHashJoin"), s"cells must broadcast:\n$ps")
   }
 
+  test("x140/x141: session islands join-free; conversion lag equi-join only") {
+    val ps = sparkPlan("x140_user_sessions")
+    assert(!ps.contains("Join"), s"sessionization is windows+groupBys:\n$ps")
+    assert(ps.contains("partial_"),
+      s"session roll-ups must partially aggregate:\n$ps")
+    val pc = sparkPlan("x141_conversion_lag")
+    assert(!pc.contains("CartesianProduct") &&
+      !pc.contains("BroadcastNestedLoopJoin"),
+      s"the user join must be an equi-join:\n$pc")
+    assert(pc.contains("partial_"),
+      s"per-user mins must partially aggregate:\n$pc")
+  }
+
   test("similarity queries use native vector expressions, no interpreted lambdas") {
     // higher-order functions print as lambdafunction(...) and evaluate
     // interpreted per array element — the hot candidate-pair path must

@@ -269,6 +269,39 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(got == Seq(("m", 3L, 5L, 2L, 2 * M)))
   }
 
+  test("userSessions: island boundaries at the gap, ties never open a session") {
+    // gap 10: u1 events at 0,5,7 (one session, span 7), 30,31 (second,
+    // span 1), 60 (third, span 0); u2 has two events AT THE SAME
+    // instant (tie → one session, span 0)
+    val ev = Seq(
+      (1L, 100L, 0L), (1L, 101L, 5L), (1L, 102L, 7L),
+      (1L, 103L, 30L), (1L, 104L, 31L), (1L, 105L, 60L),
+      (2L, 106L, 9L), (2L, 107L, 9L)
+    ).toDF("user_id", "event_id", "ts")
+    val got = TimeSeriesOps.userSessions(ev, 10L).orderBy("user_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 6L, 8L, 7L),
+      (2L, 1L, 2L, 0L, 0L)))
+  }
+
+  test("conversionLag: first-touch t0, strictly-after rule, exact percentiles") {
+    // u1: view@0 purchase@10 → lag 10; u2: view@0 purchase@30 → 30;
+    // u3: view@0 purchase@50 → 50; u4: purchase BEFORE its view →
+    // no conversion; u5: view only. p50 of {10,30,50} = 30,
+    // p90 = 30 + 0.8·20 = 46 (linear interpolation, both engines)
+    val ev = Seq(
+      (1L, "view", 0L), (1L, "purchase", 10L),
+      (2L, "view", 0L), (2L, "purchase", 30L),
+      (3L, "view", 0L), (3L, "purchase", 50L),
+      (4L, "purchase", 5L), (4L, "view", 8L),
+      (5L, "view", 3L)
+    ).toDF("user_id", "event_type", "ts")
+    val got = TimeSeriesOps.conversionLag(ev, "view", "purchase")
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    assert(got == Seq((3L, 30.0, 46.0, 50L)))
+  }
+
   test("seasonalOutliers: flags the planted spike per hour, never the seasonality") {
     // a strongly diurnal metric: hour 0 sits at 10, hour 1 at 100 —
     // a GLOBAL median/MAD would flag entire hours; the seasonal rule
