@@ -548,6 +548,17 @@ object SparkEntry {
     "x115_pq_adc_topk" -> ((s, dir) =>
       Similarity.topKPqAdc(Tables.read(s, dir, "embeddings"), Seq(0L, 1L, 2L), 5)
         .orderBy("q_id", "rank")),
+    // X3f scalar (8-bit) quantization codes: the SQ leg of the
+    // compression family next to PQ — per-dim affine 0..255 codes from
+    // exact int64 extremes, 8x compression with no codebook
+    "x139_sq_codes" -> ((s, dir) =>
+      Similarity.sqCodes(Tables.read(s, dir, "embeddings"))
+        .orderBy("vec_id", "dim")),
+    // X3f+X24 SQ recall audit: SDC (both sides quantized) top-k over
+    // the code vectors vs exact L2 truth — what 8x compression costs
+    "x142_sq_recall" -> ((s, dir) =>
+      Similarity.sqRecall(Tables.read(s, dir, "embeddings"), Seq(0L, 1L, 2L), 5)
+        .orderBy("q_id")),
     // X3: exact squared-euclidean top-k — the L2 ground truth the ADC
     // audit needs (and the metric the reference's range queries use)
     "x116_l2_topk" -> ((s, dir) =>
@@ -1957,6 +1968,8 @@ object SparkEntry {
     "x114_pq_codes" -> OracleSqlExt.pqCodesSql(),
     "x115_pq_adc_topk" -> OracleSqlExt.pqAdcTopKSql(Seq(0L, 1L, 2L), 5),
     "x116_l2_topk" -> OracleSqlExt.l2TopKSql(Seq(0L, 1L, 2L), 5),
+    "x139_sq_codes" -> OracleSqlExt.sqCodesSql,
+    "x142_sq_recall" -> OracleSqlExt.sqRecallSql(Seq(0L, 1L, 2L), 5),
     "x117_pq_recall" -> OracleSqlExt.pqRecallSql(Seq(0L, 1L, 2L), 5),
     "x118_ivf_adc_topk" -> OracleSqlExt.pqIvfAdcTopKSql(Seq(0L, 1L, 2L), 5),
     "x119_pq_distortion" -> OracleSqlExt.pqDistortionSql(),

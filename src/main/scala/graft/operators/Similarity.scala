@@ -398,6 +398,83 @@ object Similarity {
     * (k·|queries| rows, times |probes| for the curve), so the join is
     * broadcast-sized regardless of corpus size.
     */
+  /** Scalar (8-bit) quantization codes — the SQ leg of the index-
+    * compression family next to PQ (x114): each dimension is affinely
+    * mapped to 0..255 by its corpus-wide [min, max] (one code byte per
+    * dimension, 8× compression of the float, no codebook training).
+    * Quantizes from the exact ×10⁴ integer domain (`vq`), so the
+    * per-dim extremes are exact int64 aggregates and the code is ONE
+    * fixed IEEE shape (int sub → double → mul → div → round) — the
+    * non-negative numerator makes Spark HALF_UP and DuckDB
+    * ties-away-from-zero rounding identical. A constant dimension
+    * (dmax = dmin) codes to 0.
+    *
+    * Scale posture: the params table is ≤ dim rows (one partial-agg
+    * groupBy over the exploded (vec, dim) stream) and broadcasts as
+    * two dim-length arrays; coding is then per-row transform — no
+    * second shuffle.
+    */
+  def sqCodes(emb: DataFrame): DataFrame =
+    sqCoded(emb).select(col("vec_id"),
+      posexplode(col("cv")).as(Seq("dim", "code")))
+      .withColumn("dim", col("dim").cast("long"))
+
+  /** `(vec_id, label, cv, cn2)` — corpus with the SQ code vector and
+    * its exact squared norm; shared by [[sqCodes]] and [[topKSq]].
+    */
+  private def sqCoded(emb: DataFrame): DataFrame = {
+    val q = quantized(emb)
+    val dims = q.select(col("vec_id"), posexplode(col("vq")))
+      .toDF("vec_id", "dim", "x")
+    val params = dims.groupBy("dim")
+      .agg(min("x").as("dmin"), max("x").as("dmax"))
+    val paramRow = params
+      .agg(array_sort(collect_list(struct(col("dim"), col("dmin"))))
+             .as("mins0"),
+           array_sort(collect_list(struct(col("dim"), col("dmax"))))
+             .as("maxs0"))
+      .select(transform(col("mins0"), s => s.getField("dmin")).as("dmins"),
+        transform(col("maxs0"), s => s.getField("dmax")).as("dmaxs"))
+    q.crossJoin(broadcast(paramRow))
+      .withColumn("cv", expr(
+        "transform(vq, (x, i) -> IF(element_at(dmaxs, i+1) = element_at(dmins, i+1), 0L, " +
+          "CAST(round(CAST(x - element_at(dmins, i+1) AS DOUBLE) * 255.0D " +
+          "/ CAST(element_at(dmaxs, i+1) - element_at(dmins, i+1) AS DOUBLE)) AS BIGINT)))"))
+      .withColumn("cn2", VecOps.normSq(col("cv")))
+      .select("vec_id", "label", "cv", "cn2")
+  }
+
+  /** SQ top-k by SYMMETRIC distance computation (SDC — both sides
+    * quantized, the FAISS `IndexScalarQuantizer` search mode): exact
+    * int64 L2 over the code vectors, rank asc with the vec_id
+    * tie-break ([[topKBruteL2]] shape — ties are the norm at 8-bit
+    * resolution, so the deterministic break is load-bearing).
+    */
+  def topKSq(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val corpus = sqCoded(emb)
+    val q = corpus.filter(col("vec_id").isin(queryIds: _*)).select(
+      col("vec_id").as("q_id"), col("cv").as("qv"), col("cn2").as("qn2"))
+    val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("vec_id"))
+    corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("d2",
+        col("cn2") - lit(2L) * VecOps.dot(col("cv"), col("qv")) + col("qn2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "rank", "d2")
+  }
+
+  /** SQ recall audit — recall@k of [[topKSq]] vs the exact L2 truth
+    * ([[topKBruteL2]], x116): what the 8× compression costs before a
+    * deployment trusts the SQ index, the x117 discipline applied to
+    * the scalar quantizer.
+    */
+  def sqRecall(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame =
+    recallAgainstBrute(
+      topKBruteL2(emb, queryIds, k).select("q_id", "vec_id"),
+      topKSq(emb, queryIds, k).select("q_id", "vec_id"), Seq("q_id"))
+      .select("q_id", "n_brute", "n_hit", "recall")
+
   /** Truncated-dimension recall curve (the Matryoshka/MRL deployment
     * audit, Kusupati et al. 2022): recall@k of brute-force search over
     * only the FIRST `d` embedding dimensions vs the full-dimension

@@ -31,10 +31,25 @@ object TextAnalysis {
           col("n_tokens").cast("double"))
       .withColumn("stopword_ratio", stopCnt.cast("double") / nTok.cast("double"))
       .withColumn("ttr", distinctCnt.cast("double") / nTok.cast("double"))
-      .withColumn("quality_score",
-        sqrt(col("n_tokens").cast("double")) *
-          (lit(1.0) - abs(col("stopword_ratio") - lit(0.1))) * col("ttr"))
+      .withColumn("quality_score", qualityScore(col("text")))
       .drop("text")
+  }
+
+  /** The composite quality score as ONE per-row Column — the single
+    * definition [[quality]], [[curateWith]]'s gate, and the streaming
+    * corpus pipe's `minQuality` door all evaluate, so the batch and
+    * stream gates cannot drift. Same expression tree as the x26
+    * columns (sqrt(n_tokens) · (1 − |stopword_ratio − 0.1|) · ttr),
+    * bit-identical by construction.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = split(text, " ")
+    val nTok = size(toks).cast("long")
+    val stopCnt = size(filter(toks, t => t.isin(Stopwords.map(lit(_)): _*))).cast("long")
+    val distinctCnt = size(array_distinct(toks)).cast("long")
+    val stopRatio = stopCnt.cast("double") / nTok.cast("double")
+    val ttr = distinctCnt.cast("double") / nTok.cast("double")
+    sqrt(nTok.cast("double")) * (lit(1.0) - abs(stopRatio - lit(0.1))) * ttr
   }
 
   /** Fixed keyword profiles for the n-gram-free language-ID heuristic.

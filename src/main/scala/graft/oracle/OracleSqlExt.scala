@@ -960,6 +960,86 @@ object OracleSqlExt {
     * the full quantized vectors, rank ascending with vec_id
     * tie-break. Needs only the quantization CTE — no PQ machinery.
     */
+  /** Shared SQ CTEs — mirror of `Similarity.sqCoded`: per-dim int64
+    * extremes over the ×10⁴ domain, the same fixed IEEE code shape
+    * (non-negative numerator ⇒ round ties agree), lockstep unnest for
+    * the (vec, dim) grid.
+    */
+  private def sqCtes: String =
+    s""", dgrid AS (
+       |  SELECT vec_id, unnest(range(len(vq))) AS dim0, unnest(vq) AS x
+       |  FROM e
+       |), params AS (
+       |  SELECT CAST(dim0 AS BIGINT) AS dim, min(x) AS dmin, max(x) AS dmax
+       |  FROM dgrid GROUP BY 1
+       |), coderows AS (
+       |  SELECT g.vec_id, CAST(g.dim0 AS BIGINT) AS dim,
+       |         CASE WHEN p.dmax = p.dmin THEN CAST(0 AS BIGINT)
+       |              ELSE CAST(round(CAST(g.x - p.dmin AS DOUBLE) * 255.0
+       |                   / CAST(p.dmax - p.dmin AS DOUBLE)) AS BIGINT)
+       |              END AS code
+       |  FROM dgrid g JOIN params p ON CAST(g.dim0 AS BIGINT) = p.dim
+       |)""".stripMargin
+
+  /** Mirrors `Similarity.sqCodes`: the exploded (vec, dim) code table. */
+  def sqCodesSql: String =
+    embQuantCte + sqCtes +
+      """
+        |SELECT vec_id, dim, code FROM coderows ORDER BY vec_id, dim""".stripMargin
+
+  /** Mirrors `Similarity.sqRecall`: SDC top-k over the code vectors vs
+    * the exact-L2 truth — the pqRecallSql audit spelling with the SQ
+    * codes CTE.
+    */
+  def sqRecallSql(queryIds: Seq[Long], k: Int, dims: Int = 64): String =
+    embQuantCte + sqCtes +
+      s""", codes AS (
+         |  SELECT vec_id, list(code ORDER BY dim) AS cv
+         |  FROM coderows GROUP BY vec_id
+         |), cn AS (
+         |  SELECT vec_id, cv,
+         |         CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS cn2
+         |  FROM codes
+         |), cq AS (
+         |  SELECT vec_id AS q_id, cv AS qv, cn2 AS qn2
+         |  FROM cn WHERE vec_id IN (${queryIds.mkString(",")})
+         |), sd0 AS (
+         |  SELECT cq.q_id, c.vec_id,
+         |         c.cn2 - 2*list_sum(list_transform(range($dims),
+         |           i -> c.cv[i+1]*cq.qv[i+1])) + cq.qn2 AS d2
+         |  FROM cn c CROSS JOIN cq WHERE c.vec_id <> cq.q_id
+         |), ts AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |                              ORDER BY d2, vec_id) AS rn
+         |    FROM sd0) WHERE rn <= $k
+         |), q AS (
+         |  SELECT vec_id AS q_id, vq AS qv, n2 AS qn2
+         |  FROM e WHERE vec_id IN (${queryIds.mkString(",")})
+         |), bl0 AS (
+         |  SELECT q.q_id, c.vec_id,
+         |         c.n2 - 2*list_sum(list_transform(range($dims),
+         |           i -> c.vq[i+1]*q.qv[i+1])) + q.qn2 AS d2
+         |  FROM e c CROSS JOIN q WHERE c.vec_id <> q.q_id
+         |), bl AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |                              ORDER BY d2, vec_id) AS rn
+         |    FROM bl0) WHERE rn <= $k
+         |), agg AS (
+         |  SELECT bl.q_id, CAST(count(*) AS BIGINT) AS n_brute,
+         |         CAST(sum(CASE WHEN ts.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_hit
+         |  FROM bl LEFT JOIN ts
+         |    ON bl.q_id = ts.q_id AND bl.vec_id = ts.vec_id
+         |  GROUP BY bl.q_id
+         |)
+         |SELECT q_id, n_brute, n_hit,
+         |       CAST(n_hit AS DOUBLE) / CAST(n_brute AS DOUBLE) AS recall
+         |FROM agg ORDER BY q_id""".stripMargin
+
   def l2TopKSql(queryIds: Seq[Long], k: Int, dims: Int = 64): String =
     embQuantCte +
       s""", q AS (

@@ -206,11 +206,18 @@ object CorpusIO {
     * same files — the x87/q31 oracle technique, pinned by the x103
     * CORRECTNESS row. Scale shape: one keyed-state exchange per batch
     * + the partitioned append; no batch-over-batch joins.
+    *
+    * `minQuality = Some(m)` puts the batch curation's quality gate at
+    * the door (stateless per-row filter, BEFORE dedup — the
+    * curateWith order, so a cluster's canonical doc is chosen among
+    * gate survivors on both sides), evaluating the SAME
+    * `TextAnalysis.qualityScore` column as the batch gate.
     */
   def streamCurated(raw: DataFrame, outPath: String, checkpointDir: String,
                     buckets: Int = 256,
                     stats: Option[graft.streaming.CorpusIngestStats] = None,
-                    nearDup: Option[Double] = None)
+                    nearDup: Option[Double] = None,
+                    minQuality: Option[Double] = None)
     : org.apache.spark.sql.streaming.StreamingQuery = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = raw.sparkSession
@@ -265,7 +272,15 @@ object CorpusIO {
     // of one boolean per fingerprint — production runs want the
     // RocksDB state-store provider (see SCALE.md §8d) at crawl
     // cardinality either way.
-    val cleanTyped = cleanDocs(observed).as[CuratedDoc]
+    // quality gate at the door (stateless per-row filter): the batch
+    // curation order — gate first, dedup among survivors — via the
+    // SAME TextAnalysis.qualityScore column the batch gate evaluates,
+    // so stream ≡ batch by shared definition, not by parallel formulas
+    val cleanGated = minQuality.fold(cleanDocs(observed)) { m =>
+      cleanDocs(observed)
+        .filter(graft.operators.TextAnalysis.qualityScore(col("text")) >= m)
+    }
+    val cleanTyped = cleanGated.as[CuratedDoc]
     val first = nearDup match {
       case Some(t) =>
         graft.operators.Dedup.streamingNearDupGate(cleanTyped, t)(

@@ -339,6 +339,37 @@ class CorpusIOSpec extends AnyFunSuite {
     assert(t == ((5L, 3L, 2L)), s"gate telemetry did not reconcile: $t")
   }
 
+  test("streamCurated with the quality gate: stream keeps exactly the batch gate's survivors") {
+    val root = tmp("graft-qcorpus")
+    val in = s"$root/in"
+    new java.io.File(in).mkdirs()
+    // rich doc (high TTR, long) passes any modest score; the one-word
+    // docs score sqrt(1)·(1−|0−0.1|)·1 = 0.9 — a 2.0 gate drops them;
+    // a duplicate of the rich doc still dedups AFTER the gate
+    val rich = (1 to 40).map(i => s"tok$i").mkString(" ")
+    def jline(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "src0", "n_chars": ${text.length}}"""
+    Files.write(java.nio.file.Paths.get(in, "f0.json"),
+      Seq(jline(0, rich), jline(1, "tiny"), jline(2, "word"),
+        jline(3, rich)).mkString("\n").getBytes("UTF-8"))
+    val cur = CorpusIO.streamCurated(
+      CorpusIO.readJsonlStream(spark, in), s"$root/out", s"$root/ck",
+      buckets = 4, minQuality = Some(2.0))
+    cur.processAllAvailable()
+    cur.stop()
+    import spark.implicits._
+    val kept = CorpusIO.readCurated(spark, s"$root/out")
+      .select("doc_id").as[Long].collect().toSet
+    // batch reference through the SAME score definition: gate then
+    // min-id-per-text dedup among survivors
+    val batch = CorpusIO.cleanDocs(CorpusIO.readJsonl(spark, in))
+      .filter(graft.operators.TextAnalysis.qualityScore(col("text")) >= 2.0)
+      .groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == batch && kept == Set(0L),
+      s"stream kept $kept, batch gate says $batch")
+  }
+
   test("pre-tag sink upgrade: crashed bare tail converges, foreign bare dirs survive") {
     val root = tmp("graft-upgrade")
     val in = s"$root/in"

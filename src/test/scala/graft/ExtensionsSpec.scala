@@ -1922,6 +1922,30 @@ class ExtensionsSpec extends AnyFunSuite {
       s"a shard is single-source — the shuffle key is broken: $man")
   }
 
+  test("sqCodes: exact affine codes on a planted grid; uniform scale makes SDC ≡ L2") {
+    import spark.implicits._
+    // unit square corners: per-dim extremes are {0, 1.0} → codes land
+    // exactly on 0/255 (the affine map is exact at the endpoints), and
+    // with BOTH dims sharing one scale, SDC distance is a monotone
+    // transform of true L2 — recall must be 1.0
+    val d = Seq(
+      (0L, 0, Array(0.0f, 0.0f)), (1L, 0, Array(1.0f, 0.0f)),
+      (2L, 0, Array(0.0f, 1.0f)), (3L, 0, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val codes = Similarity.sqCodes(d)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(codes == Seq(
+      (0L, 0L, 0L), (0L, 1L, 0L), (1L, 0L, 255L), (1L, 1L, 0L),
+      (2L, 0L, 0L), (2L, 1L, 255L), (3L, 0L, 255L), (3L, 1L, 255L)))
+    val rec = Similarity.sqRecall(d, Seq(0L), 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rec == Seq((0L, 3L, 3L, 1.0)))
+    // corpus sanity on the real fixture: every code is a byte
+    val span = Similarity.sqCodes(emb)
+      .agg(min("code"), max("code")).as[(Long, Long)].head()
+    assert(span._1 >= 0L && span._2 <= 255L)
+  }
+
   test("truncatedDimRecall: full-dimension point is the recall-1.0 anchor") {
     import spark.implicits._
     val got = Similarity.truncatedDimRecall(emb, Seq(0L, 1L, 2L), 5,
