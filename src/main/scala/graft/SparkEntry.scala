@@ -811,6 +811,16 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),
+    // X4f BM25 top-20 retrieval over a fixed query term set (rare +
+    // common terms) — linear idf, the x77 exactness convention
+    "x143_bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(Tables.read(s, dir, "documents"),
+        Seq("dup", "spark", "key"))),
+    // X4g language-ID confusion matrix: the x27 heuristic evaluated
+    // against the labeled lang — the router-quality dashboard
+    "x144_lang_confusion" -> ((s, dir) =>
+      TextAnalysis.langConfusion(Tables.read(s, dir, "documents"))
+        .orderBy("lang", "predicted_lang")),
     // X4: per-doc quality features + composite score
     "x26_text_quality" -> ((s, dir) =>
       TextAnalysis.quality(Tables.read(s, dir, "documents")).orderBy("doc_id")),
@@ -1773,6 +1783,12 @@ object SparkEntry {
     "x135_breach_episodes" -> ((s, dir) =>
       graft.operators.TimeSeriesOps.breachEpisodes(sanitized(s, dir), 3500L)
         .orderBy("metric")),
+    // TSDB analytics: rolling z-score anomalies — each sample vs the
+    // mean/sigma of its own trailing 20 samples (the drift-following
+    // detector next to global q71 and seasonal x138)
+    "x145_rolling_zscore" -> ((s, dir) =>
+      graft.operators.TimeSeriesOps.rollingZScore(sanitized(s, dir), 20)
+        .orderBy("metric", "time")),
     // Event analytics: batch sessionization — per-user sessions at a
     // 12 h inactivity gap, rolled up to count/volume/duration stats
     "x140_user_sessions" -> ((s, dir) =>
@@ -1960,6 +1976,8 @@ object SparkEntry {
     "x130_training_shards" -> OracleSqlExt.trainingShardsSql(2048L),
     "x136_shard_manifest" -> OracleSqlExt.shardManifestSql(2048L),
     "x131_oov_rate" -> OracleSqlExt.oovRateSql(16),
+    "x143_bm25_topk" -> OracleSqlExt.bm25TopKSql(Seq("dup", "spark", "key"), 20),
+    "x144_lang_confusion" -> OracleSqlExt.langConfusionSql,
     "x112_source_overlap" -> OracleSqlExt.sourceOverlapSql,
     "x106_source_datacard" -> OracleSqlExt.sourceDataCardSql(50L),
     "x87_stream_dedup" -> OracleSqlExt.streamDedupSql,
@@ -2065,6 +2083,7 @@ object SparkEntry {
     "x135_breach_episodes" -> OracleSql.breachEpisodesSql(3500L),
     "x138_seasonal_outliers" -> OracleSql.seasonalOutliersSql(3.0),
     "x140_user_sessions" -> OracleSql.userSessionsSql(43200000000000L),
+    "x145_rolling_zscore" -> OracleSql.rollingZScoreSql(20, 3.0),
     "x141_conversion_lag" -> OracleSql.conversionLagSql("view", "purchase"),
     "q71_outlier_mad" -> OracleSql.outliersMadSql(3.0),
     "q51_metric_align" -> OracleSql.alignMetricsSql(Q.IntervalMin, "click", "view"),

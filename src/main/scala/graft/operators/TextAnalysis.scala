@@ -1458,6 +1458,81 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** BM25 top-k retrieval (Robertson/Spärck Jones, the Okapi scoring
+    * every search-based curation loop runs over its corpus) for a
+    * fixed query term set, with the LINEAR idf `(N − df + 0.5)/(df +
+    * 0.5)` — the x77 exactness convention: the standard `ln` wrapper
+    * is only faithfully rounded cross-engine, so the hash-checkable
+    * variant drops it (monotone in the same df, so top-k order per
+    * term is unchanged; multi-term mixes can differ from ln-BM25 —
+    * documented trade, x83's territory).
+    *
+    * Determinism: every operand is an exact int64 (tf, df, N, dl,
+    * Σdl) and the score is ONE fixed IEEE expression per (doc, term);
+    * the per-doc total is a FIXED-ORDER sum over the query terms
+    * (conditional-max pivot, never an order-dependent SUM over rows),
+    * and the top-k order is total (score desc, doc_id).
+    *
+    * Scale posture: the token explode filters to the query terms AT
+    * THE SCAN (|terms| tiny); tf is one partial-agg groupBy; df and
+    * the corpus stats are broadcast scalars; dl joins on doc_id; the
+    * top-k is a TakeOrderedAndProject. No window over the corpus.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      s"terms must be non-empty and distinct, got $terms")
+    require(k > 0, s"k must be positive, got $k")
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val tf = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("tot_tokens"))
+    val scored = tf.join(broadcast(dfT), "tok").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_lin",
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("avgdl",
+        col("tot_tokens").cast("double") / col("n_docs").cast("double"))
+      .withColumn("part",
+        col("idf_lin") * (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(max(when(col("tok") === t, col("part"))), lit(0.0)).as(s"s_$i")
+    }
+    scored.groupBy("doc_id").agg(perTerm.head, perTerm.tail: _*)
+      .withColumn("score",
+        terms.indices.map(i => col(s"s_$i")).reduceLeft(_ + _))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .select("doc_id", "score")
+  }
+
+  /** Language-ID confusion matrix — the corpus-level evaluation of
+    * [[langId]] against the labeled `lang` column: one row per
+    * (true lang, predicted lang) with count and within-language
+    * fraction. On the shared-vocabulary synthetic fixture this
+    * DOCUMENTS the heuristic's honest failure mode (the x27 note made
+    * queryable); on a real corpus it is the router-quality dashboard.
+    * Composes the x27 plan with one ≤ |langs|²-cell partial-agg
+    * groupBy and a broadcast totals join.
+    */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val li = langId(docs)
+    val cells = li.groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = li.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    cells.join(broadcast(totals), "lang")
+      .withColumn("frac",
+        col("cnt").cast("double") / col("n_lang").cast("double"))
+      .select("lang", "predicted_lang", "cnt", "frac")
+  }
+
   /** Deterministic training-shard assignment — the "tokenize → shuffle
     * → shard" writer step of a pretraining pipeline: documents are laid
     * out in a content-addressed pseudo-random order (md5 of the doc id,

@@ -401,6 +401,40 @@ object TimeSeriesOps {
           .otherwise(lit(1000L)))
   }
 
+  /** Rolling z-score anomaly flags — the trailing-window detector
+    * (each sample against the mean/σ of its own last `n` samples,
+    * complementing the global q71 and seasonal x138 rules with a
+    * drift-following baseline). Exact int64 rolling Σx and Σx² over
+    * the centivalue domain feed ONE fixed IEEE shape per row
+    * (μ = Σx/n; σ² = Σx²/n − μ·μ; z = (x − μ)/sqrt(σ²)); a zero-σ
+    * window (all-equal values) reports z = 0 rather than dividing by
+    * zero. Rows before a full window are not scored (NULL-free
+    * output, the q42 lag convention).
+    *
+    * Scale posture: one per-metric window over sorted storage
+    * computing both running sums in a single pass — the q42/q72
+    * shape; no join, no second shuffle.
+    */
+  def rollingZScore(sanitized: DataFrame, n: Int, k: Double = 3.0): DataFrame = {
+    require(n > 1, s"window must have at least 2 samples, got $n")
+    val w = Window.partitionBy("metric").orderBy("time")
+      .rowsBetween(-(n - 1), 0)
+    val cnt = Window.partitionBy("metric").orderBy("time")
+    Ingest.quantized(sanitized)
+      .withColumn("rn", row_number().over(cnt))
+      .withColumn("sx", sum("value_c").over(w))
+      .withColumn("sxx", sum(col("value_c") * col("value_c")).over(w))
+      .filter(col("rn") >= n)
+      .withColumn("mu", col("sx").cast("double") / lit(n.toDouble))
+      .withColumn("var0",
+        col("sxx").cast("double") / lit(n.toDouble) - col("mu") * col("mu"))
+      .withColumn("z",
+        when(col("var0") <= 0.0, lit(0.0)).otherwise(
+          (col("value_c").cast("double") - col("mu")) / sqrt(col("var0"))))
+      .select(col("metric"), col("time"), col("value_c"), col("z"),
+        (abs(col("z")) > k).as("is_anomaly"))
+  }
+
   /** Batch sessionization — per-user gaps-and-islands with an
     * inactivity timeout (the batch twin of the q34/q49 session
     * windows, rolled up to the per-user session stats a product

@@ -342,6 +342,39 @@ object OracleSql {
          |            ELSE CAST(1000 AS BIGINT) END AS availability_permille
          |FROM r ORDER BY metric""".stripMargin
 
+  /** Rolling z-score — mirror of `TimeSeriesOps.rollingZScore`: the
+    * same exact int64 rolling sums and the same IEEE shape per row
+    * (the repeated mu subexpression is deterministic, so recomputing
+    * it equals Spark's column reuse bit-for-bit).
+    */
+  def rollingZScoreSql(n: Int, k: Double): String =
+    ptsCte +
+      s"""
+         |, r AS (
+         |  SELECT metric, t, value_c,
+         |         row_number() OVER (PARTITION BY metric ORDER BY t) AS rn,
+         |         CAST(sum(value_c) OVER w AS BIGINT) AS sx,
+         |         CAST(sum(value_c * value_c) OVER w AS BIGINT) AS sxx
+         |  FROM pts
+         |  WINDOW w AS (PARTITION BY metric ORDER BY t
+         |               ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)
+         |), s AS (
+         |  SELECT metric, t, value_c,
+         |         CAST(sx AS DOUBLE) / $n.0 AS mu,
+         |         CAST(sxx AS DOUBLE) / $n.0
+         |           - (CAST(sx AS DOUBLE) / $n.0)
+         |             * (CAST(sx AS DOUBLE) / $n.0) AS var0
+         |  FROM r WHERE rn >= $n
+         |), z AS (
+         |  SELECT metric, t, value_c,
+         |         CASE WHEN var0 <= 0.0 THEN 0.0
+         |              ELSE (CAST(value_c AS DOUBLE) - mu) / sqrt(var0)
+         |              END AS z
+         |  FROM s
+         |)
+         |SELECT metric, t AS time, value_c, z, abs(z) > $k AS is_anomaly
+         |FROM z ORDER BY metric, time""".stripMargin
+
   /** Batch sessionization — mirror of `TimeSeriesOps.userSessions`:
     * same (t, event_id) ordering, same island construction, same
     * exact int64 roll-ups (sums CAST back from HUGEINT widening).

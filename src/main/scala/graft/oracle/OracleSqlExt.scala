@@ -168,6 +168,74 @@ object OracleSqlExt {
        |SELECT doc_id, lang, n_tokens, cum FROM c
        |WHERE cum - n_tokens < $budget ORDER BY doc_id""".stripMargin
 
+  /** BM25 top-k — mirror of `TextAnalysis.bm25TopK`: same exact int64
+    * operands, the same ONE IEEE expression per (doc, term) with
+    * arithmetic done IN the engine from identical literals (never
+    * pre-folded in Scala — `double(1.2)+1.0` need not equal
+    * `double(2.2)`), the same fixed-order per-doc term sum.
+    */
+  def bm25TopKSql(terms: Seq[String], k: Int,
+                  k1: Double = 1.2, b: Double = 0.75): String = {
+    require(terms.nonEmpty && terms.forall(!_.contains("'")),
+      s"terms are spliced into SQL literals, got $terms")
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      s"coalesce(max(CASE WHEN tok = '$t' THEN part END), 0.0) AS s_$i"
+    }.mkString(",\n         ")
+    val total = terms.indices.map(i => s"s_$i").mkString(" + ")
+    s"""WITH dl AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)
+       |  WHERE tok IN ($inList) GROUP BY doc_id, tok
+       |), dft AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+       |), stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(dl) AS BIGINT) AS tot_tokens
+       |  FROM dl
+       |), scored AS (
+       |  SELECT tf.doc_id, tf.tok,
+       |         ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |            / (CAST(df AS DOUBLE) + 0.5))
+       |         * (CAST(tf AS DOUBLE) * ($k1 + 1.0))
+       |         / (CAST(tf AS DOUBLE) + $k1 * (1.0 - $b + $b
+       |              * CAST(dl AS DOUBLE)
+       |              / (CAST(tot_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+       |           AS part
+       |  FROM tf JOIN dft ON tf.tok = dft.tok
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats
+       |), pt AS (
+       |  SELECT doc_id,
+       |         $perTerm
+       |  FROM scored GROUP BY doc_id
+       |)
+       |SELECT doc_id, $total AS score
+       |FROM pt ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** Language-ID confusion matrix — mirror of
+    * `TextAnalysis.langConfusion`: the langIdSql plan as a subquery,
+    * one grouped count + a totals join.
+    */
+  def langConfusionSql: String =
+    s"""WITH li AS (
+       |${langIdSql}
+       |), tot AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+       |  FROM li GROUP BY lang
+       |)
+       |SELECT li.lang, predicted_lang, CAST(count(*) AS BIGINT) AS cnt,
+       |       CAST(count(*) AS DOUBLE) / CAST(max(n_lang) AS DOUBLE) AS frac
+       |FROM li JOIN tot ON li.lang = tot.lang
+       |GROUP BY li.lang, predicted_lang
+       |ORDER BY li.lang, predicted_lang""".stripMargin
+
   /** Training-shard assignment — mirror of
     * `TextAnalysis.trainingShards`: the oracle recomputes the shuffled
     * running sum as ONE naive global window over md5 order, so the

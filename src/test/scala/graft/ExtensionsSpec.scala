@@ -1907,6 +1907,46 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(coarse == got)
   }
 
+  test("bm25TopK: hand-checked scores, rare term dominates, fixed-order sum") {
+    import spark.implicits._
+    // N=3, avgdl=4: d1 has both terms, d2 one hit of 'rare',
+    // d3 'common' twice. df(rare)=2, df(common)=2 → same idf; what
+    // separates docs is tf saturation and dl normalization.
+    val d = Seq(
+      (1L, "rare common x y"),
+      (2L, "rare a b c"),
+      (3L, "common common z w")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(d, Seq("rare", "common"), k = 3)
+      .as[(Long, Double)].collect().toSeq
+    val k1 = 1.2; val b = 0.75
+    def part(tf: Long, df: Long, dl: Long): Double =
+      ((3.0 - df.toDouble + 0.5) / (df.toDouble + 0.5)) *
+        (tf.toDouble * (k1 + 1.0)) /
+        (tf.toDouble + k1 * (1.0 - b + b * dl.toDouble / 4.0))
+    val exp = Seq(
+      1L -> (part(1, 2, 4) + part(1, 2, 4)),
+      3L -> (0.0 + part(2, 2, 4)),
+      2L -> (part(1, 2, 4) + 0.0)).sortBy { case (id, s) => (-s, id) }
+    assert(got == exp.map { case (id, s) => (id, s) },
+      s"got $got expected $exp")
+  }
+
+  test("langConfusion: cells reconcile to per-language totals, fracs sum to 1") {
+    import spark.implicits._
+    val got = TextAnalysis.langConfusion(docs)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val perLang = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val cellSums = got.groupBy(_._1).map { case (l, rows) =>
+      l -> rows.map(_._3).sum
+    }
+    assert(cellSums == perLang, s"cells $cellSums vs corpus $perLang")
+    got.groupBy(_._1).foreach { case (l, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9,
+        s"$l fracs do not sum to 1: $rows")
+    }
+  }
+
   test("shardManifest reconciles with the corpus and the assignment") {
     import spark.implicits._
     val man = TextAnalysis.shardManifest(docs, 512L)

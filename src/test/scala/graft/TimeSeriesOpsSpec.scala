@@ -269,6 +269,23 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(got == Seq(("m", 3L, 5L, 2L, 2 * M)))
   }
 
+  test("rollingZScore: partial windows dropped, zero-sigma guard, hand-checked z") {
+    // n=3 over values 1,1,7,7,7 (centivalues 100..700): rows 1-2 have
+    // no full window; row 3's window (100,100,700) has mu=300,
+    // var=80000; row 4's (100,700,700) mu=500, var=80000; row 5's is
+    // all-equal → z defined 0. Expected z uses the SAME IEEE ops.
+    val ev = Seq(1.0, 1.0, 7.0, 7.0, 7.0).zipWithIndex.map {
+      case (v, i) => ("m", T0 + i * M, v, i.toLong)
+    }.toDF("metric", "time", "value", "seq")
+    val got = TimeSeriesOps.rollingZScore(ev, 3).orderBy("time")
+      .as[(String, Long, Long, Double, Boolean)].collect().toSeq
+    val s = math.sqrt(80000.0)
+    assert(got == Seq(
+      ("m", T0 + 2 * M, 700L, 400.0 / s, false),
+      ("m", T0 + 3 * M, 700L, 200.0 / s, false),
+      ("m", T0 + 4 * M, 700L, 0.0, false)))
+  }
+
   test("userSessions: island boundaries at the gap, ties never open a session") {
     // gap 10: u1 events at 0,5,7 (one session, span 7), 30,31 (second,
     // span 1), 60 (third, span 0); u2 has two events AT THE SAME
