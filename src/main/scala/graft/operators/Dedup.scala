@@ -970,13 +970,14 @@ object Dedup {
     val outEnc: Encoder[(Long, Boolean, T)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaBoolean, enc)
     val stEnc: Encoder[Seq[Array[Long]]] = implicitly
-    val verdicts = bandRowsOf(ds, k, r)(text, ord)(enc, rowEnc)
+    val verdicts = bandRowsOf(ds, k, r)(text, ord)(rowEnc)
       .groupByKey(_._1)(Encoders.STRING)
       .flatMapGroupsWithState[Seq[Array[Long]], (Long, Boolean, T)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[(String, Long, Array[Long], T)],
          state: GroupState[Seq[Array[Long]]]) =>
           val sorted = rows.toSeq.sortBy(_._2)
+          assertUniqueOrds(sorted.map(_._2))
           val prior = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
           state.getOption.foreach(prior ++= _)
           val n0 = prior.length
@@ -992,6 +993,28 @@ object Dedup {
     reduceByOrd(verdicts)(outEnc)
   }
 
+  /** Loud guard on the gates' documented ord-uniqueness contract: two
+    * DISTINCT docs sharing an ord would merge into one row in
+    * [[reduceByOrd]] — silent data loss plus a verdict contaminated
+    * by the lost doc's band votes. Checked per band bucket per batch
+    * (the realistic collision — the same fetch batch stamping one
+    * ms on two docs — shares buckets via identical/near-identical
+    * content, and shingle-less ties share the per-doc `e\|ord` key);
+    * ties whose docs share NO bucket are the one undetectable
+    * residual, documented on [[reduceByOrd]].
+    */
+  private def assertUniqueOrds(sortedOrds: Seq[Long]): Unit = {
+    var i = 1
+    while (i < sortedOrds.length) {
+      if (sortedOrds(i) == sortedOrds(i - 1))
+        throw new IllegalStateException(
+          s"duplicate ord ${sortedOrds(i)} in one band bucket — ord must " +
+            "uniquely identify a document (the per-doc reduce keys on it; " +
+            "two docs at one event-time µs would silently merge)")
+      i += 1
+    }
+  }
+
   /** Shared band-row fan-out of the streaming gates: one row per
     * (doc, band); shingle-less docs get a per-doc key so they flow
     * through (no band ⇒ no candidates ⇒ admitted) WITHOUT creating
@@ -1001,8 +1024,7 @@ object Dedup {
   private def bandRowsOf[T](ds: org.apache.spark.sql.Dataset[T],
                             k: Int, r: Int)(
       text: T => String, ord: T => Long)(
-      implicit enc: org.apache.spark.sql.Encoder[T],
-      rowEnc: org.apache.spark.sql.Encoder[(String, Long, Array[Long], T)])
+      implicit rowEnc: org.apache.spark.sql.Encoder[(String, Long, Array[Long], T)])
     : org.apache.spark.sql.Dataset[(String, Long, Array[Long], T)] =
     ds.flatMap { d =>
       val (hashes, bands) = localShinglesAndBands(text(d), k, r)
@@ -1016,6 +1038,11 @@ object Dedup {
     * admitted iff no bucket voted reject, exactly one payload row
     * emitted. Sound because every band row of a doc is produced
     * within its own micro-batch. One definition for both gates.
+    * Relies on the documented ord-uniqueness contract: the verify
+    * ops throw loudly on a within-bucket ord tie
+    * ([[assertUniqueOrds]]); a tie between docs sharing NO band
+    * bucket is undetectable here and would merge their rows — keep
+    * ords unique (the x103 pipes key on doc_id, which is).
     */
   private def reduceByOrd[T](
       verdicts: org.apache.spark.sql.Dataset[(Long, Boolean, T)])(
@@ -1097,7 +1124,7 @@ object Dedup {
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaBoolean, enc)
     val stEnc: Encoder[Seq[(Long, Array[Long])]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
-    val bandRows = bandRowsOf(ds, k, r)(text, ord)(enc, rowEnc)
+    val bandRows = bandRowsOf(ds, k, r)(text, ord)(rowEnc)
     // the watermark drives EventTimeTimeout. Delay 1 ms, not 0: the
     // watermark is ms-floored, so under a 0 delay a doc whose lifted
     // ord lands EXACTLY on the previous batch's watermark (ms-aligned
@@ -1131,6 +1158,7 @@ object Dedup {
             Iterator.empty
           } else {
             val sorted = rows.toSeq.sortBy(_._2)
+            assertUniqueOrds(sorted.map(_._2))
             val prior =
               scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
             state.getOption.foreach(prior ++= _)

@@ -1523,10 +1523,11 @@ object TextAnalysis {
     * groupBy and a broadcast totals join.
     */
   def langConfusion(docs: DataFrame): DataFrame = {
-    val li = langId(docs)
-    val cells = li.groupBy("lang", "predicted_lang")
+    val cells = langId(docs).groupBy("lang", "predicted_lang")
       .agg(count(lit(1)).as("cnt"))
-    val totals = li.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    // totals derive from the ≤ |langs|² cell table — re-running the
+    // langId plan for them would scan and score the corpus twice
+    val totals = cells.groupBy("lang").agg(sum("cnt").as("n_lang"))
     cells.join(broadcast(totals), "lang")
       .withColumn("frac",
         col("cnt").cast("double") / col("n_lang").cast("double"))

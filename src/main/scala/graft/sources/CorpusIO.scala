@@ -275,11 +275,15 @@ object CorpusIO {
     // quality gate at the door (stateless per-row filter): the batch
     // curation order — gate first, dedup among survivors — via the
     // SAME TextAnalysis.qualityScore column the batch gate evaluates,
-    // so stream ≡ batch by shared definition, not by parallel formulas
+    // so stream ≡ batch by shared definition, not by parallel formulas.
+    // ALWAYS observed (== n_clean when ungated, zero extra passes) so
+    // the stats table can attribute gate drops separately — without
+    // this counter a quality drop would masquerade as a dup rejection
+    // and fire the wrong dashboard alarm
     val cleanGated = minQuality.fold(cleanDocs(observed)) { m =>
       cleanDocs(observed)
         .filter(graft.operators.TextAnalysis.qualityScore(col("text")) >= m)
-    }
+    }.observe("corpus_gated", count(lit(1)).as("n_gate_pass"))
     val cleanTyped = cleanGated.as[CuratedDoc]
     val first = nearDup match {
       case Some(t) =>

@@ -25,6 +25,7 @@ object CorpusIngestStats {
       nLines: Long,
       nMalformed: Long,
       nIncomplete: Long,
+      nGatePass: Long,
       nAdmitted: Long,
       batchDurationMs: Long)
   /** Driver-side retention cap — the buffer is a ring, not a leak. */
@@ -43,13 +44,17 @@ class CorpusIngestStats
       p.runId.toString, p.batchId, p.timestamp,
       obs(p, "corpus_in", "n_lines"), obs(p, "corpus_in", "n_malformed"),
       obs(p, "corpus_in", "n_incomplete"),
+      obs(p, "corpus_gated", "n_gate_pass"),
       obs(p, "corpus_out", "n_admitted"),
       totalDuration(p))
 
   /** The stats table with the derived dashboard columns:
     * `n_clean = lines − malformed − incomplete` (what passed the
-    * split), `n_dup_dropped = clean − admitted` (first-occurrence
-    * rejections), and the two rates a crawl alerts on.
+    * split), `n_quality_dropped = clean − gate_pass` (the minQuality
+    * door; 0 when ungated since the gate counter is always observed),
+    * `n_dup_dropped = gate_pass − admitted` (dedup rejections ONLY —
+    * attributing gate drops here would fire the re-fetch alarm on a
+    * quality shift), and the two rates a crawl alerts on.
     */
   def toDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -57,7 +62,8 @@ class CorpusIngestStats
     snapshot.toDF()
       .withColumn("n_clean",
         col("nLines") - col("nMalformed") - col("nIncomplete"))
-      .withColumn("n_dup_dropped", col("n_clean") - col("nAdmitted"))
+      .withColumn("n_quality_dropped", col("n_clean") - col("nGatePass"))
+      .withColumn("n_dup_dropped", col("nGatePass") - col("nAdmitted"))
       .withColumn("quarantine_rate",
         when(col("nLines") > 0,
           (col("nMalformed") + col("nIncomplete")).cast("double") /

@@ -352,9 +352,10 @@ class CorpusIOSpec extends AnyFunSuite {
     Files.write(java.nio.file.Paths.get(in, "f0.json"),
       Seq(jline(0, rich), jline(1, "tiny"), jline(2, "word"),
         jline(3, rich)).mkString("\n").getBytes("UTF-8"))
+    val stats = new graft.streaming.CorpusIngestStats
     val cur = CorpusIO.streamCurated(
       CorpusIO.readJsonlStream(spark, in), s"$root/out", s"$root/ck",
-      buckets = 4, minQuality = Some(2.0))
+      buckets = 4, stats = Some(stats), minQuality = Some(2.0))
     cur.processAllAvailable()
     cur.stop()
     import spark.implicits._
@@ -368,6 +369,23 @@ class CorpusIOSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == batch && kept == Set(0L),
       s"stream kept $kept, batch gate says $batch")
+    // telemetry attribution: 2 quality drops and 1 dup drop must land
+    // in SEPARATE counters — folding gate drops into n_dup_dropped
+    // fires the crawler's re-fetch alarm on a quality shift
+    val deadline = System.currentTimeMillis() + 20000
+    def totals() = stats.toDF(spark)
+      .agg(coalesce(sum("n_clean"), lit(0L)),
+        coalesce(sum("n_quality_dropped"), lit(0L)),
+        coalesce(sum("n_dup_dropped"), lit(0L)),
+        coalesce(sum("nAdmitted"), lit(0L)))
+      .as[(Long, Long, Long, Long)].head()
+    var t = totals()
+    while (t._1 < 4L && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200); t = totals()
+    }
+    spark.streams.removeListener(stats)
+    assert(t == ((4L, 2L, 1L, 1L)),
+      s"gate drops misattributed: (clean, quality, dup, admitted) = $t")
   }
 
   test("pre-tag sink upgrade: crashed bare tail converges, foreign bare dirs survive") {

@@ -1807,6 +1807,27 @@ class ExtensionsSpec extends AnyFunSuite {
       s"event-time timeout must evict every idle bucket: $bandRows -> $afterRows")
   }
 
+  test("gate: a duplicate ord fails loudly instead of silently merging docs") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](ss)
+    val q = Dedup.streamingNearDupGate(ms.toDS(), 0.5)(_._2, _._1)
+      .toDF("ord", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gate_dup_ord").start()
+    ms.addData(Seq((5L, base), (5L, base)))
+    val e = intercept[Exception] { q.processAllAvailable() }
+    try q.stop() catch { case _: Throwable => () }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("duplicate ord"))),
+      s"expected the loud ord-uniqueness guard, got: $e")
+  }
+
   test("gate TTL: an ms-aligned ord equal to the prior batch's max survives the watermark") {
     import spark.implicits._
     // the watermark is ms-floored; with a 0 delay a doc whose lifted
