@@ -559,6 +559,12 @@ object SparkEntry {
     "x142_sq_recall" -> ((s, dir) =>
       Similarity.sqRecall(Tables.read(s, dir, "embeddings"), Seq(0L, 1L, 2L), 5)
         .orderBy("q_id")),
+    // X3f+X3 IVF-SQ composed search (FAISS IndexIVFScalarQuantizer):
+    // coarse cell prune x SDC over codes — the scan touches an
+    // 8x-smaller representation of one cell only
+    "x146_ivf_sq_topk" -> ((s, dir) =>
+      Similarity.topKIvfSq(Tables.read(s, dir, "embeddings"), Seq(0L, 1L, 2L), 5)
+        .orderBy("q_id", "rank")),
     // X3: exact squared-euclidean top-k — the L2 ground truth the ADC
     // audit needs (and the metric the reference's range queries use)
     "x116_l2_topk" -> ((s, dir) =>
@@ -1988,6 +1994,7 @@ object SparkEntry {
     "x116_l2_topk" -> OracleSqlExt.l2TopKSql(Seq(0L, 1L, 2L), 5),
     "x139_sq_codes" -> OracleSqlExt.sqCodesSql,
     "x142_sq_recall" -> OracleSqlExt.sqRecallSql(Seq(0L, 1L, 2L), 5),
+    "x146_ivf_sq_topk" -> OracleSqlExt.ivfSqTopKSql(Seq(0L, 1L, 2L), 5),
     "x117_pq_recall" -> OracleSqlExt.pqRecallSql(Seq(0L, 1L, 2L), 5),
     "x118_ivf_adc_topk" -> OracleSqlExt.pqIvfAdcTopKSql(Seq(0L, 1L, 2L), 5),
     "x119_pq_distortion" -> OracleSqlExt.pqDistortionSql(),

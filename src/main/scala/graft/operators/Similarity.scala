@@ -464,6 +464,29 @@ object Similarity {
       .select("q_id", "vec_id", "rank", "d2")
   }
 
+  /** IVF-SQ composed search (the FAISS `IndexIVFScalarQuantizer`
+    * deployment: coarse cell prune × SDC over the codes) — the SQ
+    * sibling of the x118 IVFADC composition: the scan is restricted
+    * to the query's cell AND touches only code vectors, never
+    * original floats. Same SDC distance, rank and tie-break as
+    * [[topKSq]]; at 100 TB a partition-pruned scan of an 8×-smaller
+    * representation.
+    */
+  def topKIvfSq(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val corpus = sqCoded(emb)
+    val q = corpus.filter(col("vec_id").isin(queryIds: _*)).select(
+      col("vec_id").as("q_id"), col("label").as("q_label"),
+      col("cv").as("qv"), col("cn2").as("qn2"))
+    val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("vec_id"))
+    corpus.join(broadcast(q), col("label") === col("q_label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("d2",
+        col("cn2") - lit(2L) * VecOps.dot(col("cv"), col("qv")) + col("qn2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "rank", "d2")
+  }
+
   /** SQ recall audit — recall@k of [[topKSq]] vs the exact L2 truth
     * ([[topKBruteL2]], x116): what the 8× compression costs before a
     * deployment trusts the SQ index, the x117 discipline applied to

@@ -1108,6 +1108,37 @@ object OracleSqlExt {
          |       CAST(n_hit AS DOUBLE) / CAST(n_brute AS DOUBLE) AS recall
          |FROM agg ORDER BY q_id""".stripMargin
 
+  /** Mirrors `Similarity.topKIvfSq`: cell-pruned SDC over the SQ
+    * codes — the sqRecallSql machinery with the label equi-join.
+    */
+  def ivfSqTopKSql(queryIds: Seq[Long], k: Int, dims: Int = 64): String =
+    embQuantCte + sqCtes +
+      s""", codes AS (
+         |  SELECT vec_id, list(code ORDER BY dim) AS cv
+         |  FROM coderows GROUP BY vec_id
+         |), cn AS (
+         |  SELECT e.vec_id, e.label, codes.cv,
+         |         CAST(list_sum(list_transform(codes.cv, x -> x*x))
+         |              AS BIGINT) AS cn2
+         |  FROM codes JOIN e ON codes.vec_id = e.vec_id
+         |), cq AS (
+         |  SELECT vec_id AS q_id, label AS q_label, cv AS qv, cn2 AS qn2
+         |  FROM cn WHERE vec_id IN (${queryIds.mkString(",")})
+         |), sd0 AS (
+         |  SELECT cq.q_id, c.vec_id,
+         |         c.cn2 - 2*list_sum(list_transform(range($dims),
+         |           i -> c.cv[i+1]*cq.qv[i+1])) + cq.qn2 AS d2
+         |  FROM cn c JOIN cq ON c.label = cq.q_label
+         |  WHERE c.vec_id <> cq.q_id
+         |), ranked AS (
+         |  SELECT q_id, vec_id, CAST(d2 AS BIGINT) AS d2,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY d2, vec_id) AS rn
+         |  FROM sd0
+         |)
+         |SELECT q_id, vec_id, CAST(rn AS BIGINT) AS rank, d2
+         |FROM ranked WHERE rn <= $k ORDER BY q_id, rank""".stripMargin
+
   def l2TopKSql(queryIds: Seq[Long], k: Int, dims: Int = 64): String =
     embQuantCte +
       s""", q AS (

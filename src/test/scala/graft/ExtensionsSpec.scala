@@ -2007,6 +2007,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(span._1 >= 0L && span._2 <= 255L)
   }
 
+  test("topKIvfSq over one cell equals topKSq (the x95 degenerate-prune property)") {
+    import spark.implicits._
+    // with every vector in ONE cell the prune is a no-op, so the
+    // composed search must equal plain SDC result-for-result
+    val one = emb.withColumn("label", lit(0))
+    val ivf = Similarity.topKIvfSq(one, Seq(0L, 1L, 2L), 5)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val flat = Similarity.topKSq(one, Seq(0L, 1L, 2L), 5)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(ivf == flat)
+    assert(ivf.nonEmpty)
+  }
+
   test("truncatedDimRecall: full-dimension point is the recall-1.0 anchor") {
     import spark.implicits._
     val got = Similarity.truncatedDimRecall(emb, Seq(0L, 1L, 2L), 5,
