@@ -161,6 +161,25 @@ object SparkEntry {
     out
   }
 
+  /** Run a fixture body that builds under `roots`, deleting the
+    * scratch on the FAILURE path too: the success path hands the roots
+    * to [[materializedWithoutScratch]], but a fixture that throws
+    * mid-construction (a failed streaming batch mid-drain, a store
+    * write error) would otherwise leak its temp tree — the exact /tmp
+    * accumulation across Bench/Verify passes that helper was added to
+    * stop. Deletion failures are suppressed into the original error,
+    * never masking it.
+    */
+  private def guardingScratch[A](roots: String*)(body: => A): A =
+    try body catch { case e: Throwable =>
+      roots.foreach { r =>
+        try new scala.reflect.io.Directory(
+          new java.io.File(r)).deleteRecursively()
+        catch { case d: Throwable => e.addSuppressed(d) }
+      }
+      throw e
+    }
+
   /** Shared construction for the streaming-corpus end-to-end rows
     * (x103 exact dedup, x110 near-dup gate — the `nearDup` param is
     * the only difference): the run-of-5 duplicate synthesis lands as
@@ -192,6 +211,7 @@ object SparkEntry {
       .select("doc_id", "text", "lang", "source", "n_chars")
     val maxId = docs.agg(max("doc_id")).head.getLong(0)
     val root = java.nio.file.Files.createTempDirectory("graft-scorpus")
+    guardingScratch(root.toString) {
     val inDir = s"$root/in"
     new java.io.File(inDir).mkdirs()
     val ss = s.newSession()
@@ -239,6 +259,7 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id"),
       root.toString)
+    }
   }
 
   private def batchStore(s: SparkSession, dir: String): graft.streaming.HtaStore =
@@ -874,6 +895,7 @@ object SparkEntry {
         .as[StreamingIngest.Point].collect().sortBy(_.seq)
       val root = java.nio.file.Files.createTempDirectory("graft-stream").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+      guardingScratch(root, ckpt) {
       val store = new HtaStore(root, Q.IntervalMin)
       // child session: a stateful shuffle creates one state store per
       // partition per micro-batch, and at this metric cardinality 32
@@ -903,6 +925,7 @@ object SparkEntry {
       materializedWithoutScratch(
         Ingest.present(store.level0(s)).orderBy("metric", "bucket_start"),
         root, ckpt)
+      }
     }),
     // T3 extension surface: Spark's native window() tumbling aggregation
     // (vs the engine's own epoch bucket math in q03) — oracle uses
@@ -1158,11 +1181,13 @@ object SparkEntry {
     "q41_backfill_chunked" -> ((s, dir) => {
       import graft.streaming.HtaStore
       val root = java.nio.file.Files.createTempDirectory("graft-backfill").toString
-      val store = new HtaStore(root, Q.IntervalMin)
-      graft.sources.BulkImport.chunkedBackfill(s, Tables.htaPoints(s, dir), store, 4)
-      materializedWithoutScratch(
-        Ingest.present(store.level0(s)).orderBy("metric", "bucket_start"),
-        root)
+      guardingScratch(root) {
+        val store = new HtaStore(root, Q.IntervalMin)
+        graft.sources.BulkImport.chunkedBackfill(s, Tables.htaPoints(s, dir), store, 4)
+        materializedWithoutScratch(
+          Ingest.present(store.level0(s)).orderBy("metric", "bucket_start"),
+          root)
+      }
     }),
     // X2 composition: near-dup pairs → connected components → dedup
     // clusters (min-label propagation; oracle = recursive-CTE closure).

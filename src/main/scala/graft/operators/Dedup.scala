@@ -788,19 +788,32 @@ object Dedup {
     * distinct key, forever.
     */
   def streamingFirstOccurrenceBy[T](ds: org.apache.spark.sql.Dataset[T])(
-      key: T => String, ord: T => Long)(
+      key: T => String, ord: T => Long,
+      bypass: T => Boolean = (_: T) => false)(
       implicit enc: org.apache.spark.sql.Encoder[T])
     : org.apache.spark.sql.Dataset[T] = {
     import ds.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // `bypass` rows ride the SAME keyed-state exchange (the pipe is one
+    // linear streaming plan — a second branch over the source would
+    // re-scan every input file) but are emitted verbatim WITHOUT
+    // reading or writing state: the corpus pipe routes quarantine rows
+    // through here to reach the sink in one input pass, and a boolean
+    // state row per quarantine line would otherwise accumulate forever.
+    // Caller contract: bypass rows' keys must be DISJOINT from real
+    // keys (the pipe uses a "q|" prefix that a 32-hex md5 key can never
+    // produce), so no group ever mixes the two kinds. The existing
+    // state layout (key → true) is untouched — old checkpoints resume.
     ds.groupByKey(key)
       .flatMapGroupsWithState[Boolean, T](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[T], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
+          val rs = rows.toSeq
+          if (bypass(rs.head)) rs.iterator
+          else if (state.exists) Iterator.empty
           else {
             state.update(true)
-            Iterator.single(rows.minBy(ord))
+            Iterator.single(rs.minBy(ord))
           }
       }
   }
@@ -875,7 +888,13 @@ object Dedup {
     }
   }
 
-  /** Jaccard of two sorted distinct long arrays (merge intersect). */
+  /** Jaccard of two sorted distinct long arrays (merge intersect).
+    * Empty ∪ empty is defined as 0.0, not 0/0 = NaN: the gates only
+    * feed non-empty sets (shingle-less docs never enter state), but a
+    * NaN here would silently evaluate `>= threshold` as false for any
+    * future caller comparing two shingle-less docs — make the helper
+    * safe standalone instead of only under its callers' guards.
+    */
   private[graft] def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
     var i = 0; var j = 0; var inter = 0
     while (i < a.length && j < b.length) {
@@ -883,7 +902,8 @@ object Dedup {
       else if (a(i) < b(j)) i += 1
       else j += 1
     }
-    inter.toDouble / (a.length + b.length - inter).toDouble
+    val union = a.length + b.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
 
   /** Streaming near-duplicate admission gate (X33) — the rolling-crawl

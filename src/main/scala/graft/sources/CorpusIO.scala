@@ -188,6 +188,19 @@ object CorpusIO {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(path)
 
+  /** A row of the streaming pipe's internal sum type: a clean document
+    * (`q_reason` null, data fields populated, `ord = doc_id`) or a
+    * quarantine line (`q_reason`/`q_raw` populated, data fields
+    * neutral, `ord` a per-batch-unique NEGATIVE — see
+    * [[streamCurated]]). One typed row for both kinds is what lets the
+    * quarantine sink ride the curated query's single input pass
+    * instead of a second streaming query re-reading every file.
+    */
+  private[graft] case class PipeDoc(ord: Long, doc_id: Long, text: String,
+                                    lang: String, source: String,
+                                    n_chars: Long, q_reason: String,
+                                    q_raw: String)
+
   /** Streaming corpus ingestion (SURVEY §2.10 X26, the documents-side
     * analogue of the S2 metric ingest path): a [[readJsonlStream]]
     * frame flows clean-split → exact first-occurrence dedup
@@ -200,6 +213,20 @@ object CorpusIO {
     * resumes exactly (no re-admitted duplicates, no lost batches) —
     * the ack-after-durable contract the metric side proves in
     * StreamingSpec.
+    *
+    * Quarantine rows (malformed/field-incomplete lines — the
+    * [[quarantine]] classes with reason + evidence) are written to
+    * `<outPath>/quarantine/batch=<key>` from the SAME query: they ride
+    * through the pipe as tagged [[PipeDoc]] rows that every gate
+    * passes through untouched (empty text ⇒ no shingles ⇒ no LSH
+    * state; the exact gate's `bypass` ⇒ no boolean state), then split
+    * from the admitted docs inside `foreachBatch` — ONE scan of the
+    * crawl input serves both sinks, where the retired
+    * `streamQuarantine` query paid a second full pass forever.
+    * Quarantine `ord`s are per-batch-unique negatives minted by a
+    * per-partition counter, so they can never collide with a clean
+    * doc's `ord = doc_id` (doc_ids are non-negative by the pipe's
+    * contract) and never merge rows in the gates' per-ord reduce.
     *
     * Stream ≡ batch: when files arrive in doc_id order, the kept set
     * is exactly batch `cleanDocs` + min-doc_id-per-fingerprint of the
@@ -230,6 +257,23 @@ object CorpusIO {
     // lock from BEFORE .start()
     val lock = sinkLock(outPath)
     lock.assertNotBusy(spark)
+    // quarantine-format guard: a directory written by the retired
+    // streamQuarantine file-sink (flat part files under a
+    // _spark_metadata log; single-column `raw_line` in its oldest
+    // form) must not be resumed into — parquet reads over a
+    // mixed-layout directory sample one footer for the schema, so old
+    // rows would either fail a `reason` projection or silently read it
+    // as null. Fail fast with the archive-aside instruction instead of
+    // leaving the hazard to a scaladoc migration note.
+    val qmeta = new org.apache.hadoop.fs.Path(
+      s"$outPath/quarantine/_spark_metadata")
+    if (qmeta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(qmeta))
+      throw new IllegalStateException(
+        s"$outPath/quarantine was written by the retired streamQuarantine " +
+          "file-sink layout (flat files + _spark_metadata); archive it " +
+          "aside before resuming — this query writes batch-keyed " +
+          "(reason, raw_line) parquet and mixed layouts misread old rows")
     // batch keys carry the checkpoint INCARNATION tag (the metric
     // store's discipline, same helper): an operator who wipes and
     // recreates the checkpoint path restarts batch ids at 0, and a
@@ -263,6 +307,55 @@ object CorpusIO {
       count(lit(1)).as("n_lines"),
       sum(when(isMalformed, 1L).otherwise(0L)).as("n_malformed"),
       sum(when(isIncomplete, 1L).otherwise(0L)).as("n_incomplete"))
+    // ONE pass, both sinks: instead of filtering quarantine rows out
+    // (and re-reading the input in a second query to recover them),
+    // tag every line into the PipeDoc sum type. Quarantine rows get
+    // NEUTRAL data fields — the empty text is load-bearing: no
+    // shingles ⇒ the near-dup gate passes them with zero state — and
+    // carry reason + evidence computed from the ORIGINAL columns
+    // (to_json before the nulling, same spelling as [[quarantine]]).
+    val qCond = isMalformed || isIncomplete
+    val tagged = observed.select(
+      when(qCond, lit(-1L)).otherwise(col("doc_id")).as("ord"),
+      when(qCond, lit(-1L)).otherwise(col("doc_id")).as("doc_id"),
+      when(qCond, lit("")).otherwise(col("text")).as("text"),
+      when(qCond, lit("")).otherwise(col("lang")).as("lang"),
+      when(qCond, lit("")).otherwise(col("source")).as("source"),
+      when(qCond, lit(0L)).otherwise(col("n_chars")).as("n_chars"),
+      when(isMalformed, lit("malformed"))
+        .when(isIncomplete, lit("incomplete")).as("q_reason"),
+      when(qCond, coalesce(col("_corrupt"),
+        to_json(struct(RequiredFields.map(col): _*)))).as("q_raw"))
+    // quality gate at the door (stateless per-row filter): the batch
+    // curation order — gate first, dedup among survivors — via the
+    // SAME TextAnalysis.qualityScore column the batch gate evaluates,
+    // so stream ≡ batch by shared definition, not by parallel formulas.
+    // Quarantine rows pass the door (they are not documents — their
+    // fate was decided by the split). ALWAYS observed, counting CLEAN
+    // survivors only (== n_clean when ungated, zero extra passes) so
+    // the stats table can attribute gate drops separately — without
+    // this counter a quality drop would masquerade as a dup rejection
+    // and fire the wrong dashboard alarm
+    val gated = minQuality.fold(tagged) { m =>
+      tagged.filter(col("q_reason").isNotNull ||
+        graft.operators.TextAnalysis.qualityScore(col("text")) >= m)
+    }.observe("corpus_gated",
+      sum(when(col("q_reason").isNull, 1L).otherwise(0L)).as("n_gate_pass"))
+    // quarantine ords: per-batch-unique negatives from a per-partition
+    // counter (the mapPartitions exists ONLY to hold that counter — a
+    // row-local expression cannot). Uniqueness is what the gates'
+    // per-ord reduce keys on; negativity is what keeps them disjoint
+    // from clean ords (= non-negative doc_ids). Values vary across a
+    // batch replay, which is safe: bypass rows never touch state and
+    // the ord is dropped before either sink.
+    val typed = gated.as[PipeDoc].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      var c = 0L
+      it.map { d =>
+        if (d.q_reason == null) d
+        else { c += 1; d.copy(ord = -((pid << 33) | c)) }
+      }
+    }
     // admission gate: exact first-occurrence by default; with
     // `nearDup = Some(threshold)` the streaming MinHash near-dup gate
     // instead — it subsumes exact dedup for every shingled doc
@@ -271,36 +364,34 @@ object CorpusIO {
     // its batch oracle. State: band-bucket shingle-hash sets instead
     // of one boolean per fingerprint — production runs want the
     // RocksDB state-store provider (see SCALE.md §8d) at crawl
-    // cardinality either way.
-    // quality gate at the door (stateless per-row filter): the batch
-    // curation order — gate first, dedup among survivors — via the
-    // SAME TextAnalysis.qualityScore column the batch gate evaluates,
-    // so stream ≡ batch by shared definition, not by parallel formulas.
-    // ALWAYS observed (== n_clean when ungated, zero extra passes) so
-    // the stats table can attribute gate drops separately — without
-    // this counter a quality drop would masquerade as a dup rejection
-    // and fire the wrong dashboard alarm
-    val cleanGated = minQuality.fold(cleanDocs(observed)) { m =>
-      cleanDocs(observed)
-        .filter(graft.operators.TextAnalysis.qualityScore(col("text")) >= m)
-    }.observe("corpus_gated", count(lit(1)).as("n_gate_pass"))
-    val cleanTyped = cleanGated.as[CuratedDoc]
+    // cardinality either way. Quarantine rows pass both gates without
+    // creating state (no shingles / explicit bypass with a "q|" key a
+    // 32-hex md5 can never produce).
     val first = nearDup match {
       case Some(t) =>
-        graft.operators.Dedup.streamingNearDupGate(cleanTyped, t)(
-          _.text, _.doc_id)
+        graft.operators.Dedup.streamingNearDupGate(typed, t)(_.text, _.ord)
       case None =>
-        graft.operators.Dedup.streamingFirstOccurrenceBy(cleanTyped)(
-          d => graft.operators.Dedup.md5Hex(d.text), _.doc_id)
+        graft.operators.Dedup.streamingFirstOccurrenceBy(typed)(
+          d => if (d.q_reason != null) "q|" + d.ord
+               else graft.operators.Dedup.md5Hex(d.text),
+          _.ord, bypass = _.q_reason != null)
     }
     val q = lock.startGuarded(spark) {
       first.toDF()
-        .observe("corpus_out", count(lit(1)).as("n_admitted"))
+        .observe("corpus_out",
+          sum(when(col("q_reason").isNull, 1L).otherwise(0L))
+            .as("n_admitted"))
         .writeStream.outputMode("append")
         .option("checkpointLocation", checkpointDir)
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[
             org.apache.spark.sql.Row], batchId: Long) =>
-          val out = batch
+          // two sinks consume this batch — pin it so the second action
+          // re-reads the cached rows instead of re-executing the plan
+          // (a re-execution would also re-drive the stateful gates)
+          batch.persist()
+          try {
+          val out = batch.filter(col("q_reason").isNull)
+            .select("doc_id", "text", "lang", "source", "n_chars")
             .withColumn("part", pmod(col("doc_id"), lit(buckets.toLong)))
           // per-batch OVERWRITE directory, not a bare append: a batch
           // that crashes mid-write replays under the SAME batchId with
@@ -336,6 +427,18 @@ object CorpusIO {
           out.repartition(col("lang"), col("part"))
             .write.partitionBy("lang", "part").mode("overwrite")
             .parquet(s"$outPath/data/batch=${ckptTag}_$batchId")
+          // quarantine sink from the SAME batch rows: reason + raw
+          // evidence, per-batch overwrite directories for the same
+          // replay idempotence as the curated side. Empty batches
+          // skip the write — a quarantine tree must not grow one
+          // empty dir per clean micro-batch forever.
+          val quar = batch.filter(col("q_reason").isNotNull)
+            .select(col("q_reason").as("reason"),
+              col("q_raw").as("raw_line"))
+          if (!quar.isEmpty)
+            quar.coalesce(1).write.mode("overwrite")
+              .parquet(s"$outPath/quarantine/batch=${ckptTag}_$batchId")
+          } finally { batch.unpersist(); () }
           ()
         }
         .start()
@@ -344,33 +447,13 @@ object CorpusIO {
     q
   }
 
-  /** Quarantine side of the streaming ingest: malformed and
-    * field-incomplete lines append to `<outPath>/quarantine` with
-    * reason + evidence ([[quarantine]]'s columns). A separate query
-    * over the same (replayable) file source — the curated pipe never
-    * blocks on quarantine I/O. Deliberate trade: the second query
-    * RE-READS every input file, doubling crawl-input scan cost; on a
-    * 100 TB pass either accept it (quarantine triage is usually worth
-    * one extra text scan), or drop this query and recover quarantine
-    * rows batch-wise from the same files ([[readJsonl]] +
-    * [[quarantine]]) on the cadence triage actually needs.
-    *
-    * Migration: [[quarantine]]'s output grew from one column
-    * (`raw_line`) to two (`reason`, `raw_line`); a quarantine
-    * directory written by the single-column format should be archived
-    * aside before resuming into it — parquet reads over a
-    * mixed-format directory sample one footer for the schema, so old
-    * rows would either fail a `reason` projection or read it as null.
+  /** Read the quarantine side of a [[streamCurated]] sink back:
+    * `(reason, raw_line)` rows, the per-batch idempotence key dropped
+    * — the triage table ("which records lost a field this hour, and
+    * what did the upstream actually send").
     */
-  def streamQuarantine(raw: DataFrame, outPath: String,
-                       checkpointDir: String)
-    : org.apache.spark.sql.streaming.StreamingQuery =
-    quarantine(raw)
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .option("path", s"$outPath/quarantine")
-      .format("parquet")
-      .start()
+  def readQuarantine(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/quarantine").drop("batch")
 
   /** The streamed curated tree as a declared schema: the document
     * fields in file order plus the `part` (bucket) and `batch`

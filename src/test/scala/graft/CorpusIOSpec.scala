@@ -128,8 +128,6 @@ class CorpusIOSpec extends AnyFunSuite {
     val cur = CorpusIO.streamCurated(
       CorpusIO.readJsonlStream(spark, in), s"$root/out", s"$root/ck",
       buckets = 4, stats = Some(stats))
-    val qr = CorpusIO.streamQuarantine(
-      CorpusIO.readJsonlStream(spark, in), s"$root/out", s"$root/ckq")
     // batch 0: an in-batch duplicate (ids 0/1 share text — min id wins)
     writeFile("f0.json",
       Seq(jline(0, "aa bb"), jline(1, "aa bb"), jline(2, "cc dd")))
@@ -177,8 +175,6 @@ class CorpusIOSpec extends AnyFunSuite {
       buckets = 4)
     cur2.processAllAvailable()
     cur2.stop()
-    qr.processAllAvailable()
-    qr.stop()
     val kept = CorpusIO.readCurated(spark, s"$root/out")
       .select("doc_id", "text").as[(Long, String)].collect().toSet
     assert(kept == Set((0L, "aa bb"), (2L, "cc dd"), (4L, "ee ff"),
@@ -191,8 +187,14 @@ class CorpusIOSpec extends AnyFunSuite {
     // both malformed lines are quarantined with their raw text
     // intact; the keyed-but-textless line carries the JSON of its
     // parsed fields (doc_id 10 stays attributable) under
-    // reason=incomplete
-    val q = spark.read.parquet(s"$root/out/quarantine")
+    // reason=incomplete. The rows came from the SAME streaming query
+    // as the curated output — no second scan of the input exists — and
+    // only batches that actually rejected lines wrote a quarantine
+    // tree (batch 0 was all-clean)
+    assert(new java.io.File(s"$root/out/quarantine").listFiles()
+      .count(_.getName.startsWith("batch=")) == 1,
+      "clean micro-batches must not grow empty quarantine dirs")
+    val q = CorpusIO.readQuarantine(spark, s"$root/out")
       .select("reason", "raw_line").as[(String, String)].collect().toSeq
     assert(q.length == 3 && q.forall(_._2 != null))
     assert(q.count(_._1 == "malformed") == 2 &&
@@ -313,9 +315,13 @@ class CorpusIOSpec extends AnyFunSuite {
       Seq(jline(0, base), jline(1, base), jline(2, other)))
     cur.processAllAvailable()
     // batch 1: a cross-batch MUTATED copy (near-dup, not exact — the
-    // thing the exact gate cannot catch) and a fresh doc
+    // thing the exact gate cannot catch), a fresh doc, and a malformed
+    // line — quarantine must ride the NEAR-DUP gate path too (empty
+    // text ⇒ no shingles ⇒ no LSH state) and reach its sink from the
+    // same single-query pass
     writeFile("f1.json",
-      Seq(jline(3, base + " tail42"), jline(4, "zz yy xx ww vv")))
+      Seq(jline(3, base + " tail42"), jline(4, "zz yy xx ww vv"),
+        "gate-path junk"))
     cur.processAllAvailable()
     cur.stop()
     import spark.implicits._
@@ -323,20 +329,36 @@ class CorpusIOSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(0L, 2L, 4L),
       s"near-dup gate kept $kept — the mutated copy must be rejected at the door")
+    val quar = CorpusIO.readQuarantine(spark, s"$root/out")
+      .select("reason", "raw_line").as[(String, String)].collect().toSeq
+    assert(quar == Seq(("malformed", "gate-path junk")),
+      s"quarantine must flow through the near-dup gate pipe: $quar")
     // telemetry: the gate path emits one row per ADMITTED doc, so
     // n_admitted (and the derived dup-dropped) stay honest
     val deadline = System.currentTimeMillis() + 20000
     def totals() = stats.toDF(spark)
       .agg(coalesce(sum("nLines"), lit(0L)),
+        coalesce(sum("nMalformed"), lit(0L)),
         coalesce(sum("nAdmitted"), lit(0L)),
         coalesce(sum("n_dup_dropped"), lit(0L)))
-      .as[(Long, Long, Long)].head()
+      .as[(Long, Long, Long, Long)].head()
     var t = totals()
-    while (t._1 < 5L && System.currentTimeMillis() < deadline) {
+    while (t._1 < 6L && System.currentTimeMillis() < deadline) {
       Thread.sleep(200); t = totals()
     }
     spark.streams.removeListener(stats)
-    assert(t == ((5L, 3L, 2L)), s"gate telemetry did not reconcile: $t")
+    assert(t == ((6L, 1L, 3L, 2L)), s"gate telemetry did not reconcile: $t")
+  }
+
+  test("streamCurated refuses a quarantine directory in the retired file-sink layout") {
+    val root = tmp("graft-qguard")
+    new java.io.File(s"$root/out/quarantine/_spark_metadata").mkdirs()
+    new java.io.File(s"$root/in").mkdirs()
+    val e = intercept[IllegalStateException](
+      CorpusIO.streamCurated(CorpusIO.readJsonlStream(spark, s"$root/in"),
+        s"$root/out", s"$root/ck", buckets = 2))
+    assert(e.getMessage.contains("archive it aside"),
+      s"guard must carry the archive-aside instruction: ${e.getMessage}")
   }
 
   test("streamCurated with the quality gate: stream keeps exactly the batch gate's survivors") {
