@@ -468,20 +468,44 @@ object CorpusIO {
       StructField("batch", StringType)))
 
   /** Fold a [[streamCurated]] sink's committed per-batch directory
-    * trees into ONE `batch=compacted` tree ([[writeCurated]]'s
-    * one-file-per-(lang, part) discipline inside it) and refresh the
-    * corpus `_manifest` — the maintenance op that keeps a continuously
-    * ingesting corpus readable. Without it the sink grows one
-    * `batch=<key>` tree per micro-batch forever — ~1,440/day at a
-    * one-minute trigger, each fanning into up to |langs|·buckets leaf
-    * dirs: the exact small-files/listing failure the metric store's
-    * `compact()` exists to prevent. Returns the refreshed manifest.
+    * trees into GENERATION trees `batch=compacted[_g<n>]`
+    * ([[writeCurated]]'s one-file-per-(lang, part) discipline inside
+    * each) and refresh the corpus `_manifest` — the maintenance op
+    * that keeps a continuously ingesting corpus readable. Without it
+    * the sink grows one `batch=<key>` tree per micro-batch forever —
+    * ~1,440/day at a one-minute trigger, each fanning into up to
+    * |langs|·buckets leaf dirs: the exact small-files/listing failure
+    * the metric store's `compact()` exists to prevent. Returns the
+    * refreshed manifest.
     *
-    * OFFLINE maintenance op, like the metric-side compact: it rewrites
-    * the whole `data/` tree via the shared verified double-rename
-    * (`HtaStore.recoverCompact`/`swapCompact` — crash recovery on
-    * entry, backup dir until both renames land), so it must not run
-    * concurrently with the ingest query.
+    * GENERATIONAL (the LSM shape): each run folds the new committed
+    * batches into a FRESH youngest generation — cost ∝ intake since
+    * the last compact, never ∝ corpus — then merges the youngest
+    * generations while the size invariant
+    * `size(older) ≥ mergeRatio × size(younger)` is violated, so
+    * generation count stays ≤ log_ratio(corpus/intake) and total
+    * rewrite cost amortizes geometrically. The previous design
+    * rewrote the WHOLE committed tree every run — a daily compact of
+    * a 100 TB corpus re-paid 100 TB to absorb ~0.1 TB of intake; now
+    * the big old generations are only touched when enough younger
+    * volume has accumulated to justify it. (A deployment can still
+    * prefer a transactional table format — the metric store's same
+    * top-end note, SCALE.md §1 — which subsumes this mechanism.)
+    *
+    * Each fold is crash-safe via a journal, not the whole-tree double
+    * rename: the merged tree is fully written to a side dir, a
+    * `_compact_journal` (target + folded keys) is atomically renamed
+    * into place, the tree moves to its `batch=` key, the folded
+    * source dirs are deleted, and the journal is removed. Recovery on
+    * entry replays an interrupted fold from whichever step it died at
+    * — rows exist ≥ once at every instant, and the only reader-visible
+    * crash window is transient double-counting of the folded tail
+    * until the next compact (the metric-side swap's analogous window
+    * is transient emptiness; both recover on the next maintenance
+    * entry).
+    *
+    * OFFLINE maintenance op: must not run concurrently with the
+    * ingest query (same SinkLock as the writer).
     *
     * `activeCheckpoint` follows `HtaStore.compact`'s contract: if the
     * owning query might have crashed mid-batch (any stop that was not
@@ -495,31 +519,22 @@ object CorpusIO {
     * are always trusted as committed — their checkpoints are gone, so
     * nothing can ever replay them.
     *
-    * The refreshed manifest describes the COMPACTED (committed)
-    * content; a crash after the swap but before the manifest write
-    * leaves a stale manifest that the next compact refreshes —
-    * manifest readers get at-least-as-old statistics, never corrupt
-    * data. Scale shape: one scan of the tree, one
-    * (batch, lang, part)-partitioned rewrite, one manifest scan of
-    * the compacted output; no driver-side data path. Cost stated
-    * honestly: each compact rewrites the WHOLE committed tree
-    * (previous `compacted` content + new batches) — O(corpus), not
-    * O(new batches). The right trade while compaction cadence ≫
-    * ingest cadence (a daily compact's one corpus pass replaces
-    * ~1,440 small trees); a deployment where the compacted corpus
-    * dwarfs daily intake should move the curated sink onto a
-    * transactional table format (the metric store's same top-end
-    * note, SCALE.md §1), which subsumes this mechanism.
+    * The refreshed manifest describes the committed generations; a
+    * crash before the manifest write leaves a stale manifest that the
+    * next compact refreshes — manifest readers get at-least-as-old
+    * statistics, never corrupt data. Scale shape per fold: one
+    * partition-pruned scan of the folded keys, one
+    * (lang, part)-partitioned rewrite, no driver-side data path.
     */
   def compactCurated(spark: SparkSession, path: String,
-                     activeCheckpoint: Option[String]): DataFrame =
-    // single-writer exclusion for the WHOLE fold: a live ingest
-    // query's foreachBatch firing between the swap's two renames
-    // would recreate `data/` under the backup and the success-path
-    // delete(bak) would destroy the only full copy — the exact race
-    // the metric store's lock exists for, same SinkLock
+                     activeCheckpoint: Option[String],
+                     mergeRatio: Long = 4L): DataFrame =
+    // single-writer exclusion for the WHOLE fold sequence: a live
+    // ingest query's foreachBatch firing between a fold's rename and
+    // its source deletes would append next to dirs about to move —
+    // the exact race the metric store's lock exists for, same SinkLock
     sinkLock(path).withCompact(spark) {
-      compactCuratedLocked(spark, path, activeCheckpoint)
+      compactCuratedLocked(spark, path, activeCheckpoint, mergeRatio)
     }
 
   /** The ONE spelling of this sink's lock identity: the writer and
@@ -529,57 +544,206 @@ object CorpusIO {
   private def sinkLock(path: String) =
     new graft.streaming.SinkLock(path, "corpus sink")
 
+  /** Generation keys: the bootstrap `compacted` (generation 0 — also
+    * what pre-generational trees carry, read compatibly) and
+    * `compacted_g<n>`. Numbers only ever increase, and merges always
+    * take the YOUNGEST suffix of generations, so number order is age
+    * order. A writer's batch key can never collide: tagged keys are
+    * `<uuid-or-path>_<id>` and legacy keys are bare digits.
+    */
+  private val GenKey = "^compacted(?:_g([0-9]+))?$".r
+
+  private def genNumOf(key: String): Option[Long] = key match {
+    case GenKey(null) => Some(0L)
+    case GenKey(n) => Some(n.toLong)
+    case _ => None
+  }
+
   private def compactCuratedLocked(spark: SparkSession, path: String,
-                                   activeCheckpoint: Option[String])
-    : DataFrame = {
+                                   activeCheckpoint: Option[String],
+                                   mergeRatio: Long): DataFrame = {
     import graft.streaming.{HtaStore, StreamingIngest}
+    require(mergeRatio >= 2,
+      s"mergeRatio must be >= 2 (got $mergeRatio) — 1 would merge every run")
     val dataPath = s"$path/data"
     val hp = new org.apache.hadoop.fs.Path(dataPath)
     val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = hfs.makeQualified(hp)
-    val bak = new org.apache.hadoop.fs.Path(s"$path/data_old")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/data_compacted")
-    HtaStore.recoverCompact(hfs, cur, bak, tmp)
+    // recovery from the RETIRED whole-tree swap's crash window (a
+    // pre-generational compact that died between its two renames
+    // leaves data_old/data_compacted) — upgrade path, then journal
+    // recovery for this design's own crash windows
+    HtaStore.recoverCompact(hfs, cur,
+      new org.apache.hadoop.fs.Path(s"$path/data_old"),
+      new org.apache.hadoop.fs.Path(s"$path/data_compacted"))
+    recoverFold(spark, hfs, path)
     require(hfs.exists(cur),
       s"no curated tree at $dataPath — nothing to compact")
-    val uncommittedTail: org.apache.spark.sql.Column =
-      activeCheckpoint match {
-        case Some(ckpt) =>
-          val (tag, committedMax, legacy) =
-            StreamingIngest.checkpointIdentityFull(spark, ckpt)
-          // try_cast, not the ANSI cast: the `compacted` key (and any
-          // foreign tag) must evaluate to false, not fail the scan
-          val tagged = col("batch").startsWith(s"${tag}_") &&
-            expr("try_cast(substring_index(batch, '_', -1) AS LONG)") >
-              committedMax
-          // a PRE-TAG checkpoint's own crashed tail sits on disk as a
-          // BARE-id key the tagged predicate can't see — folding it
-          // would double-count when the upgraded query replays it
-          // under the tagged key (the compact-before-restart path of
-          // the upgrade window). Bare keys count as this checkpoint's
-          // tail ONLY when the checkpoint is actually legacy AND the
-          // id is exactly the frontier successor — the one id the
-          // old code can have written without committing; any other
-          // bare key is foreign committed data and folds.
-          if (legacy)
-            tagged || expr("try_cast(batch AS LONG)") ===
-              lit(committedMax + 1)
-          else tagged
-        case None => lit(false)
+    // the uncommitted-tail rule, driver-side over KEY STRINGS (the
+    // generational fold decides per directory, not per row): tagged
+    // keys beyond the commit frontier, plus — on a PRE-TAG (legacy)
+    // checkpoint only — the bare key at exactly the frontier
+    // successor, the one id the old code can have written without
+    // committing; any other bare key is foreign committed data and
+    // folds. Same semantics the row-level Column predicate had.
+    val isUncommitted: String => Boolean = activeCheckpoint match {
+      case Some(ckpt) =>
+        val (tag, committedMax, legacy) =
+          StreamingIngest.checkpointIdentityFull(spark, ckpt)
+        key => {
+          val tagged = key.startsWith(s"${tag}_") &&
+            key.substring(key.lastIndexOf('_') + 1).toLongOption
+              .exists(_ > committedMax)
+          tagged || (legacy && key.toLongOption.contains(committedMax + 1))
+        }
+      case None => _ => false
+    }
+    def listKeys(): Seq[String] = hfs.listStatus(cur).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch="))
+    def gens(): Seq[String] =
+      listKeys().flatMap(k => genNumOf(k).map(n => (k, n)))
+        .sortBy(_._2).map(_._1)
+    def nextGen(): String = {
+      val nums = listKeys().flatMap(genNumOf)
+      if (nums.isEmpty) "compacted" else s"compacted_g${nums.max + 1}"
+    }
+    // 1. fold the new committed batches into a fresh youngest
+    //    generation — the only per-run cost ∝ intake, not corpus
+    val foldable = listKeys()
+      .filter(k => genNumOf(k).isEmpty && !isUncommitted(k))
+    if (foldable.nonEmpty) fold(spark, hfs, path, foldable, nextGen())
+    // 2. geometric merge: while the two youngest generations violate
+    //    size(older) >= ratio × size(younger), merge them into a
+    //    fresh youngest (numbers increase, suffix-merge keeps number
+    //    order == age order); cascades upward as the merged tree grows
+    def sizeOf(key: String): Long =
+      hfs.getContentSummary(
+        new org.apache.hadoop.fs.Path(cur, s"batch=$key")).getLength
+    var merging = true
+    while (merging) {
+      val gs = gens()
+      if (gs.length < 2) merging = false
+      else {
+        val y1 = gs.last
+        val y2 = gs(gs.length - 2)
+        if (sizeOf(y2) < mergeRatio * sizeOf(y1))
+          fold(spark, hfs, path, Seq(y2, y1), nextGen())
+        else merging = false
       }
-    val all = spark.read.schema(StreamedTreeSchema).parquet(dataPath)
-    // committed rows (incl. an existing `compacted` tree — compaction
-    // is idempotent) fold to ONE key; the uncommitted tail passes
-    // through under its original keys for the replay to overwrite
-    all.withColumn("batch",
-        when(uncommittedTail, col("batch")).otherwise(lit("compacted")))
-      .repartition(col("batch"), col("lang"), col("part"))
-      .write.partitionBy("batch", "lang", "part").parquet(tmp.toString)
-    HtaStore.swapCompact(hfs, cur, bak, tmp)
+    }
     writeManifest(
       spark.read.schema(StreamedTreeSchema).parquet(dataPath)
-        .filter(col("batch") === "compacted"),
+        .filter(col("batch").rlike("^compacted(_g[0-9]+)?$")),
       path)
+  }
+
+  /** One crash-safe fold: rewrite the rows of `keys` into a single
+    * `batch=<target>` tree (one file per (lang, part) leaf), then
+    * retire the source dirs. Commit point is the atomic journal
+    * rename — see [[recoverFold]] for how each crash window replays.
+    * The read is partition-pruned to exactly `keys`; nothing outside
+    * them is scanned or rewritten.
+    */
+  private def fold(spark: SparkSession, hfs: org.apache.hadoop.fs.FileSystem,
+                   path: String, keys: Seq[String], target: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/gen_tmp")
+    if (hfs.exists(tmp)) hfs.delete(tmp, true)
+    spark.read.schema(StreamedTreeSchema).parquet(s"$path/data")
+      .filter(col("batch").isin(keys: _*))
+      .drop("batch")
+      .repartition(col("lang"), col("part"))
+      .write.partitionBy("lang", "part").parquet(tmp.toString)
+    val hasRows = hfs.listStatus(tmp).exists(_.isDirectory)
+    if (!hasRows) {
+      // all-empty sources (e.g. batches whose every line quarantined):
+      // no generation to create — just retire the empty dirs (safe
+      // without a journal: there are no rows to lose or double)
+      hfs.delete(tmp, true)
+      keys.foreach(k => hfs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/data/batch=$k"), true))
+      ()
+    } else {
+      writeJournal(hfs, path, target, keys)
+      if (!hfs.rename(tmp, genPath(path, target)))
+        throw new java.io.IOException(
+          s"compact fold: rename $tmp -> ${genPath(path, target)} failed")
+      keys.foreach(k => hfs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/data/batch=$k"), true))
+      hfs.delete(journalPath(path), false)
+      ()
+    }
+  }
+
+  private def genPath(path: String, target: String) =
+    new org.apache.hadoop.fs.Path(s"$path/data/batch=$target")
+  private def journalPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_compact_journal")
+
+  /** Journal = target key + folded keys, written whole to a temp file
+    * and atomically renamed in (the graft-id discipline): its
+    * PRESENCE means "the merged tree is complete — commit by moving
+    * it and retiring the sources".
+    */
+  private def writeJournal(hfs: org.apache.hadoop.fs.FileSystem,
+                           path: String, target: String,
+                           keys: Seq[String]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_compact_journal.tmp")
+    val out = hfs.create(tmp, true)
+    try out.write((target +: keys).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!hfs.rename(tmp, journalPath(path)))
+      throw new java.io.IOException(
+        s"compact fold: journal rename into ${journalPath(path)} failed")
+  }
+
+  /** Replay an interrupted fold from whichever step it died at. The
+    * journal is written only AFTER the merged tree is complete, and
+    * the move is an atomic rename, so exactly one of these holds:
+    *  - no journal: a bare `gen_tmp` is an incomplete build whose rows
+    *    still live in the source keys — discard it;
+    *  - journal + target absent: the tree is still at `gen_tmp` —
+    *    finish the move, then the deletes;
+    *  - journal + target present: the move landed — finish deleting
+    *    whichever source keys remain, then the journal;
+    *  - journal + NEITHER tree (manual tampering): refuse unless every
+    *    source key is still present, in which case the fold never
+    *    committed and the journal is safely dropped.
+    */
+  private def recoverFold(spark: SparkSession,
+                          hfs: org.apache.hadoop.fs.FileSystem,
+                          path: String): Unit = {
+    val jp = journalPath(path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/gen_tmp")
+    if (!hfs.exists(jp)) {
+      if (hfs.exists(tmp)) hfs.delete(tmp, true)
+      return
+    }
+    val in = hfs.open(jp)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    require(lines.nonEmpty, s"corrupt compact journal $jp — empty")
+    val target = lines.head
+    val keys = lines.tail
+    val tgt = genPath(path, target)
+    if (!hfs.exists(tgt)) {
+      if (hfs.exists(tmp)) {
+        if (!hfs.rename(tmp, tgt)) throw new java.io.IOException(
+          s"compact recovery: rename $tmp -> $tgt failed")
+      } else {
+        require(keys.forall(k => hfs.exists(
+          new org.apache.hadoop.fs.Path(s"$path/data/batch=$k"))),
+          s"corrupt compact state: journal $jp names a fold whose " +
+            "merged tree AND some source keys are both missing")
+        hfs.delete(jp, false)
+        return
+      }
+    }
+    keys.foreach(k => hfs.delete(
+      new org.apache.hadoop.fs.Path(s"$path/data/batch=$k"), true))
+    hfs.delete(jp, false)
+    ()
   }
 
   /** Read a curated corpus back — batch-written ([[writeCurated]]),

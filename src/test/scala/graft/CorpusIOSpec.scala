@@ -266,7 +266,11 @@ class CorpusIOSpec extends AnyFunSuite {
     // the foreachBatch overwrite converges the carried tree in place
     drain()
     CorpusIO.compactCurated(spark, out, None)
-    assert(batchDirs() == Seq("batch=compacted"))
+    // every committed tree is now a generation (tiny same-order-of-
+    // magnitude gens may or may not have merged — the ratio decides;
+    // what is pinned is that NO raw batch tree survives a compact)
+    assert(batchDirs().forall(_.matches("batch=compacted(_g\\d+)?")),
+      s"raw batch trees survived the compact: ${batchDirs()}")
     // end state ≡ batch semantics over all files: min doc_id per text
     val batch = CorpusIO.cleanDocs(CorpusIO.readJsonl(spark, in))
       .groupBy("text").agg(min("doc_id").as("doc_id"))
@@ -274,11 +278,11 @@ class CorpusIOSpec extends AnyFunSuite {
     assert(keptSet().size == batch.toInt)
     assert(keptSet() == Set((0L, "aa bb", "en"), (1L, "cc dd", "fr"),
       (3L, "ee ff", "fr"), (5L, "gg hh", "fr")))
-    // one file per leaf partition dir inside the compacted tree
+    // one file per leaf partition dir inside every generation tree
     def parquets(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(parquets)
       else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-    parquets(new java.io.File(s"$out/data/batch=compacted"))
+    parquets(new java.io.File(s"$out/data"))
       .groupBy(_.getParentFile.getPath).foreach { case (d, fs) =>
         assert(fs.size == 1, s"partition dir $d has ${fs.size} files")
       }
@@ -292,6 +296,128 @@ class CorpusIOSpec extends AnyFunSuite {
         min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
       .as[(String, Long, Long, Long, Long, Long)].collect().toSet
     assert(manifest == recomputed)
+  }
+
+  test("compactCurated is generational: compact cost ∝ intake, old generations untouched") {
+    val root = tmp("graft-gens")
+    val in = s"$root/in"
+    val out = s"$root/out"
+    val ck = s"$root/ck"
+    new java.io.File(in).mkdirs()
+    def jline(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "s", "n_chars": ${text.length}}"""
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    def drain(): Unit = {
+      val c = CorpusIO.streamCurated(
+        CorpusIO.readJsonlStream(spark, in), out, ck, buckets = 4)
+      try c.processAllAvailable() finally c.stop()
+    }
+    def batchDirs() = new java.io.File(s"$out/data").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    def parquets(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(parquets)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    def snapshot(d: java.io.File) =
+      parquets(d).map(f => (f.getPath, f.lastModified, f.length)).toSet
+    // a big founding corpus (incompressible per-doc tokens so its
+    // on-disk size dominates the tiny intake gens by far more than
+    // the merge ratio), folded into the bootstrap generation
+    writeFile("f0.json", (0 until 200).map(i =>
+      jline(i, (0 until 40).map(j => s"w${i}x$j").mkString(" "))))
+    drain()
+    CorpusIO.compactCurated(spark, out, None)
+    assert(batchDirs() == Seq("batch=compacted"))
+    val bigGen = new java.io.File(s"$out/data/batch=compacted")
+    val snap0 = snapshot(bigGen)
+    // two tiny intake cycles: each compact must fold ONLY the new
+    // batches — the founding generation's files stay bit-for-bit in
+    // place (same paths, mtimes, lengths), which is the whole point:
+    // compact cost ∝ intake since last compact, never ∝ corpus
+    writeFile("f1.json",
+      Seq(jline(1000, "aa bb cc dd"), jline(1001, "ee ff gg hh")))
+    drain()
+    CorpusIO.compactCurated(spark, out, None)
+    assert(snapshot(bigGen) == snap0,
+      "the founding generation was rewritten to absorb a tiny intake")
+    assert(batchDirs() == Seq("batch=compacted", "batch=compacted_g1"))
+    writeFile("f2.json",
+      Seq(jline(1002, "ii jj kk ll"), jline(1003, "mm nn oo pp")))
+    drain()
+    CorpusIO.compactCurated(spark, out, None)
+    assert(snapshot(bigGen) == snap0,
+      "the founding generation was rewritten on the second cycle")
+    // the two same-sized tiny generations violate the geometric
+    // invariant and merge into a fresh youngest; the founding gen
+    // does not participate
+    assert(batchDirs().size == 2 &&
+      batchDirs().head == "batch=compacted" &&
+      batchDirs().forall(_.matches("batch=compacted(_g\\d+)?")),
+      s"tiny generations failed to merge geometrically: ${batchDirs()}")
+    // nothing lost or doubled across the generational layout, and the
+    // manifest describes exactly the generations
+    import spark.implicits._
+    val ids = CorpusIO.readCurated(spark, out)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == ((0L until 200L) ++ Seq(1000L, 1001L, 1002L, 1003L)),
+      s"generational fold lost/doubled rows: ${ids.length} ids")
+    assert(CorpusIO.readManifest(spark, out)
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).head.getLong(0)
+      == 204L)
+  }
+
+  test("compactCurated fold recovers from every journal crash window") {
+    val root = tmp("graft-genrec")
+    val in = s"$root/in"
+    val out = s"$root/out"
+    new java.io.File(in).mkdirs()
+    Files.write(java.nio.file.Paths.get(in, "f0.json"),
+      Seq(
+        """{"doc_id": 1, "text": "aa bb", "lang": "en", "source": "s", "n_chars": 5}""",
+        """{"doc_id": 2, "text": "cc dd", "lang": "en", "source": "s", "n_chars": 5}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val c = CorpusIO.streamCurated(
+      CorpusIO.readJsonlStream(spark, in), out, s"$root/ck", buckets = 2)
+    try c.processAllAvailable() finally c.stop()
+    CorpusIO.compactCurated(spark, out, None)
+    import spark.implicits._
+    def kept() = CorpusIO.readCurated(spark, out)
+      .select("doc_id").as[Long].collect().toSet
+    val before = kept()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+    // window A: merged tree complete at gen_tmp, journal committed,
+    // crash BEFORE the move — recovery must finish the move
+    assert(new java.io.File(s"$out/data/batch=compacted")
+      .renameTo(new java.io.File(s"$out/gen_tmp")))
+    Files.write(java.nio.file.Paths.get(out, "_compact_journal"),
+      "compacted".getBytes("UTF-8"))
+    CorpusIO.compactCurated(spark, out, None)
+    assert(kept() == before && !new java.io.File(s"$out/gen_tmp").exists()
+      && !new java.io.File(s"$out/_compact_journal").exists(),
+      "crash-before-move recovery failed")
+    // window B: move landed, crash BEFORE the source deletes — the
+    // journaled keys still sit on disk holding the SAME rows; recovery
+    // must retire them (reading now would double-count)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$out/data/batch=compacted"), fs,
+      new org.apache.hadoop.fs.Path(s"$out/data/batch=777"), false, conf)
+    Files.write(java.nio.file.Paths.get(out, "_compact_journal"),
+      "compacted\n777".getBytes("UTF-8"))
+    CorpusIO.compactCurated(spark, out, None)
+    assert(kept() == before &&
+      !new java.io.File(s"$out/data/batch=777").exists() &&
+      !new java.io.File(s"$out/_compact_journal").exists(),
+      "crash-before-delete recovery double-counted or left the journal")
+    // no journal + stale gen_tmp: an incomplete build whose rows still
+    // live in their sources — discarded on entry
+    new java.io.File(s"$out/gen_tmp").mkdirs()
+    Files.write(java.nio.file.Paths.get(out, "gen_tmp", "junk"),
+      "x".getBytes("UTF-8"))
+    CorpusIO.compactCurated(spark, out, None)
+    assert(kept() == before && !new java.io.File(s"$out/gen_tmp").exists(),
+      "stale gen_tmp must be discarded")
   }
 
   test("streamCurated with the near-dup gate: mutated copies rejected at the door, telemetry reconciles") {
