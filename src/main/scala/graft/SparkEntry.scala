@@ -586,6 +586,14 @@ object SparkEntry {
     "x146_ivf_sq_topk" -> ((s, dir) =>
       Similarity.topKIvfSq(Tables.read(s, dir, "embeddings"), Seq(0L, 1L, 2L), 5)
         .orderBy("q_id", "rank")),
+    // X3f+X3 multi-probe IVF-SQ: the recall/cost knob on the composed
+    // index — SDC over each query's 2 nearest coarse cells (nprobe is
+    // THE axis a FAISS-style deployment tunes here; nprobe >= |cells|
+    // degenerates to un-pruned SDC, spec-pinned)
+    "x147_ivf_sq_probed" -> ((s, dir) =>
+      Similarity.topKIvfSqProbed(Tables.read(s, dir, "embeddings"),
+        Seq(0L, 1L, 2L), 5, nprobe = 2)
+        .orderBy("q_id", "rank")),
     // X3: exact squared-euclidean top-k — the L2 ground truth the ADC
     // audit needs (and the metric the reference's range queries use)
     "x116_l2_topk" -> ((s, dir) =>
@@ -599,6 +607,13 @@ object SparkEntry {
     // deployment (partition prune × 32× compression at 100 TB)
     "x118_ivf_adc_topk" -> ((s, dir) =>
       Similarity.topKIvfPqAdc(Tables.read(s, dir, "embeddings"), Seq(0L, 1L, 2L), 5)
+        .orderBy("q_id", "rank")),
+    // X3b multi-probe IVFADC: same knob on the PQ composition — ADC
+    // over each query's 2 nearest coarse cells' code rows, original
+    // floats still never read
+    "x148_ivfadc_probed" -> ((s, dir) =>
+      Similarity.topKIvfPqAdcProbed(Tables.read(s, dir, "embeddings"),
+        Seq(0L, 1L, 2L), 5, nprobe = 2)
         .orderBy("q_id", "rank")),
     // X3b per-subspace distortion dashboard — the codebook-health
     // monitor (stale codebook = rising d2 before recall decays)
@@ -814,18 +829,18 @@ object SparkEntry {
         .as[graft.sources.CorpusIO.CuratedDoc].collect().sortBy(_.doc_id)
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
-      // static-checker opt-out the operator documents: the chained
-      // stateful plan has no dynamic late-row instance
-      ss.conf.set(
-        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[graft.sources.CorpusIO.CuratedDoc](ss)
       val kept = Dedup.streamingNearDupGateTtl(
         ms.toDS(), ClusterJaccard, GateHorizonMicros)(_.text, _.doc_id)
-      val q = kept.toDF()
-        .writeStream.outputMode("append")
-        .format("memory").queryName("graft_neardup_gate_ttl")
-        .start()
+      // static-checker opt-out scoped to this one .start() (the
+      // chained stateful plan has no dynamic late-row instance)
+      val q = Dedup.withChainedStatefulOverride(ss) {
+        kept.toDF()
+          .writeStream.outputMode("append")
+          .format("memory").queryName("graft_neardup_gate_ttl")
+          .start()
+      }
       try rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
         ms.addData(chunk.toSeq)
         q.processAllAvailable()
@@ -2020,6 +2035,10 @@ object SparkEntry {
     "x139_sq_codes" -> OracleSqlExt.sqCodesSql,
     "x142_sq_recall" -> OracleSqlExt.sqRecallSql(Seq(0L, 1L, 2L), 5),
     "x146_ivf_sq_topk" -> OracleSqlExt.ivfSqTopKSql(Seq(0L, 1L, 2L), 5),
+    "x147_ivf_sq_probed" ->
+      OracleSqlExt.ivfSqProbedTopKSql(Seq(0L, 1L, 2L), 5, 2),
+    "x148_ivfadc_probed" ->
+      OracleSqlExt.pqIvfAdcProbedTopKSql(Seq(0L, 1L, 2L), 5, 2),
     "x117_pq_recall" -> OracleSqlExt.pqRecallSql(Seq(0L, 1L, 2L), 5),
     "x118_ivf_adc_topk" -> OracleSqlExt.pqIvfAdcTopKSql(Seq(0L, 1L, 2L), 5),
     "x119_pq_distortion" -> OracleSqlExt.pqDistortionSql(),

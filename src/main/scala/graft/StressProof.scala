@@ -466,11 +466,33 @@ object StressProof {
           md5(concat_ws("|", (0 until 3).map(o => col(s"h${j * 3 + o}")): _*)))
       }: _*)))
       .distinct().count()
+    // measured state PAYLOAD through the state-store source (operator
+    // 1 = the band-verify store): the documented k/r (= 4) duplication
+    // bound held as data at 52.5 k docs, and the bytes/doc constant
+    // SCALE §8d quotes. Irreducible = Σ per-doc distinct 56-bit
+    // shingle hashes (each doc's array stored once per band).
+    val statePayloadLongs = ss.read.format("statestore")
+      .option("path", s"$root/ck").option("operatorId", "1").load()
+      .select(explode(col("value.groupState.value")).as("hashes"))
+      .agg(coalesce(sum(size(col("hashes"))), lit(0)).cast("long"))
+      .head.getLong(0)
+    val irreducibleLongs = Dedup.shingled(docs)
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"),
+        graft.functions.Md5Longs(col("s"), Seq((1, 14))).getItem(0).as("g1"))
+      .distinct().count()
     new scala.reflect.io.Directory(root.toFile).deleteRecursively()
     val rejected = n - kept
+    val bytesPerDoc = statePayloadLongs * 8.0 / n
     println(f"STRESS neardupgate docs=$n rejected=$rejected " +
       f"planted=$NDups state_rows=$stateRows buckets=$buckets " +
+      f"payload_longs=$statePayloadLongs irreducible=$irreducibleLongs " +
+      f"payload_bytes_per_doc=$bytesPerDoc%.1f " +
       s"t_batches=${times.map(t => f"$t%.1f").mkString("/")}s")
+    require(statePayloadLongs == 4L * irreducibleLongs,
+      s"gate state duplication moved off the documented k/r=4 bound: " +
+        s"$statePayloadLongs stored vs $irreducibleLongs irreducible")
     require(rejected <= NDups,
       s"$rejected rejections for $NDups planted near-dups — false rejections on random docs")
     require(rejected >= (NDups * 0.9).toLong,

@@ -1080,6 +1080,37 @@ object Dedup {
       }(Encoders.scalaBoolean, outEnc)
   }
 
+  /** Start a chained-stateful streaming query (the TTL gate) with
+    * Spark's STATIC watermark-correctness checker disabled for exactly
+    * the `.start()` call, restoring the previous session value in a
+    * finally — so the safety net stays on for every OTHER streaming
+    * query in the session instead of being silently disabled
+    * session-wide. The checker runs once at query start
+    * (`UnsupportedOperationChecker.checkForStreaming` inside
+    * `StreamingQueryManager`), so restoring immediately after start is
+    * sound — later micro-batches of the started query do not re-run
+    * it; the drift pin is ExtensionsSpec's "checker back on" test,
+    * which starts a second chained plan WITHOUT the helper and
+    * expects the refusal. Why the override exists at all: the checker
+    * flags every watermark-plus-chained-stateful plan because a first
+    * stateful op COULD emit rows late for the second; the TTL gate's
+    * first op emits only within the arriving micro-batch and its
+    * second op keeps zero state, so the flagged hazard has no dynamic
+    * instance (see [[streamingNearDupGateTtl]]).
+    */
+  def withChainedStatefulOverride[A](
+      spark: org.apache.spark.sql.SparkSession)(start: => A): A = {
+    val key =
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try start
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Horizon-bounded (TTL) variant of [[streamingNearDupGate]] — the
     * state answer for an INFINITE crawl: the unbounded gate's state
     * grows with every distinct band bucket forever, while a rolling
@@ -1114,15 +1145,24 @@ object Dedup {
     * candidate/verify rules, same shingle-less pass-through; state
     * entries additionally carry their ord.
     *
-    * The session running the query must set
-    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`:
-    * Spark's STATIC checker flags every watermark-plus-chained-stateful
-    * plan because a first stateful op COULD emit rows late for the
-    * second. This plan cannot — the verify op emits each row in the
+    * Start the query through [[withChainedStatefulOverride]]: Spark's
+    * STATIC checker flags every watermark-plus-chained-stateful plan
+    * because a first stateful op COULD emit rows late for the second.
+    * This plan cannot — the verify op emits each row in the
     * micro-batch it arrives (never from state), and the reduce keeps
-    * zero state — so the flagged hazard has no dynamic instance;
-    * Spark's own error message names the conf, and the TTL specs pin
-    * the verdicts the chain produces.
+    * zero state — so the flagged hazard has no dynamic instance; the
+    * helper scopes the opt-out to the one `.start()` call instead of
+    * disabling the safety net session-wide, and the TTL specs pin the
+    * verdicts the chain produces.
+    *
+    * Late arrivals: a band row whose (lifted) ord falls at or below
+    * the watermark is dropped by Spark BEFORE the verify op — the doc
+    * silently vanishes from the output, which is the documented
+    * ordered-arrival contract's failure mode. Operators see the
+    * volume instead of inferring it: the drop count rides each
+    * progress event's `stateOperators.numRowsDroppedByWatermark`,
+    * surfaced as `CorpusIngestStats.nLateDropped` (spec-reconciled
+    * with a planted late doc).
     */
   def streamingNearDupGateTtl[T](ds: org.apache.spark.sql.Dataset[T],
                                  threshold: Double, horizonMicros: Long,

@@ -487,6 +487,67 @@ object Similarity {
       .select("q_id", "vec_id", "rank", "d2")
   }
 
+  /** Each query's `nprobe` nearest coarse cells — `(q_id, c_label)`
+    * pairs, ranked by the same exact int64 squared distance (ties to
+    * the lower cell label) as [[topKProbedMulti]]'s `crk`. ONE
+    * definition of the coarse-probe rule for the composed searches
+    * ([[topKIvfSqProbed]], [[topKIvfPqAdcProbed]]), so the cell
+    * selection cannot drift from the plain IVF multi-probe's.
+    * Broadcast-sized by construction: |queries| × k centroid
+    * candidates in, ≤ |queries| × nprobe pairs out.
+    */
+  private def probedCells(emb: DataFrame, queryIds: Seq[Long],
+                          nprobe: Int): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    val corpus = quantized(emb)
+    val cent = centroids(corpus)
+    corpus.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("vq").as("pv"),
+        col("n2").as("pn2"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cd2",
+        col("pn2") - lit(2L) * VecOps.dot(col("pv"), col("cvec")) + col("cn2"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cd2"), col("c_label"))))
+      .filter(col("crk") <= nprobe)
+      .select("q_id", "c_label")
+  }
+
+  /** Multi-probe IVF-SQ (the recall/cost knob on the composed
+    * `IndexIVFScalarQuantizer` deployment): SDC over the code vectors
+    * restricted to each query's `nprobe` nearest coarse cells —
+    * [[topKIvfSq]] is stuck at single-cell recall; this is THE axis a
+    * FAISS-style deployment tunes on exactly this index. Cell ranking
+    * happens in the ORIGINAL quantized space ([[probedCells]] — the
+    * coarse quantizer sees raw vectors, as FAISS's does), scoring in
+    * the code space ([[topKSq]]'s SDC distance, rank and tie-break).
+    *
+    * `nprobe ≥ |cells|` degenerates to the un-pruned [[topKSq]]
+    * exactly (the reachable-ceiling anchor), and the probed cell sets
+    * are PREFIXES of one ranking, so recall against any fixed truth is
+    * non-decreasing in `nprobe` by construction — both pinned in
+    * ExtensionsSpec. Scale shape: one centroid build + one
+    * broadcast-sized probe table; the corpus scan joins codes to the
+    * probed (query, cell) pairs on the cell equi-join, touching
+    * `nprobe/|cells|` of the 8×-compressed representation per query
+    * and never the original floats.
+    */
+  def topKIvfSqProbed(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                      nprobe: Int = 2): DataFrame = {
+    val corpus = sqCoded(emb)
+    val q = corpus.filter(col("vec_id").isin(queryIds: _*)).select(
+      col("vec_id").as("q_id"), col("cv").as("qv"), col("cn2").as("qn2"))
+    val probes = probedCells(emb, queryIds, nprobe).join(q, "q_id")
+    val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("vec_id"))
+    corpus.join(broadcast(probes), col("label") === col("c_label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("d2",
+        col("cn2") - lit(2L) * VecOps.dot(col("cv"), col("qv")) + col("qn2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "rank", "d2")
+  }
+
   /** SQ recall audit — recall@k of [[topKSq]] vs the exact L2 truth
     * ([[topKBruteL2]], x116): what the 8× compression costs before a
     * deployment trusts the SQ index, the x117 discipline applied to
@@ -742,6 +803,40 @@ object Similarity {
       .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
     adcRank(cellCodes.join(broadcast(dtable), Seq("sub", "code"))
       .filter(col("label") === col("q_label") && col("vec_id") =!= col("q_id")),
+      k)
+  }
+
+  /** Multi-probe IVFADC (Jégou et al. 2011 §IV-C tune in the composed
+    * deployment): the [[topKIvfPqAdc]] chain with the cell restriction
+    * widened to each query's `nprobe` nearest coarse cells
+    * ([[probedCells]] — the same ranking the plain IVF multi-probe and
+    * the IVF-SQ probe use, so the knob means the same thing across the
+    * whole index family). Everything else is byte-identical to the
+    * single-cell composition: same codebooks, same broadcast ADC
+    * distance table, same rank/tie-break.
+    *
+    * `nprobe ≥ |cells|` degenerates to the un-pruned [[topKPqAdc]]
+    * exactly; probed cell sets are prefixes of one ranking, so recall
+    * against a fixed truth is non-decreasing in `nprobe` — both
+    * spec-pinned. Scale shape: the probe table is broadcast-sized; the
+    * corpus-side work is the (sub, code) equi-join against the
+    * broadcast distance table plus the (q_id, cell) semi-restriction —
+    * `nprobe/|cells|` of the 32×-compressed code table per query, the
+    * original vectors never read.
+    */
+  def topKIvfPqAdcProbed(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                         nprobe: Int = 2, m: Int = 8,
+                         dims: Int = 64): DataFrame = {
+    val (cb, codes) = pqParts(emb, m, dims)
+    val dtable = adcDistTable(emb, queryIds, m, dims, cb, carryLabel = false)
+    val probes = probedCells(emb, queryIds, nprobe)
+      .withColumnRenamed("q_id", "p_qid")
+    val cellCodes = codes
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+    adcRank(cellCodes.join(broadcast(dtable), Seq("sub", "code"))
+      .join(broadcast(probes),
+        col("q_id") === col("p_qid") && col("label") === col("c_label"))
+      .filter(col("vec_id") =!= col("q_id")),
       k)
   }
 

@@ -971,15 +971,58 @@ object OracleSqlExt {
     * cannot drift apart per variant. The rank cutoff is each caller's
     * `WHERE rn <= k`.
     */
+  /** Each query's `nprobe` nearest coarse cells over the shared
+    * quantized corpus `e` — `pcells(q_id, c_label)`, mirroring
+    * `Similarity.probedCells`: truncated-integer-mean centroids
+    * (the [[centroidCtes]] arithmetic, restated over `e` for the
+    * embQuantCte-based SQ/PQ chains), exact int64 squared distance,
+    * ties to the lower cell label, prefix by rank.
+    */
+  private def probeCtes(queryIds: Seq[Long], nprobe: Int): String =
+    s""", dimse AS (
+       |  SELECT label, unnest(vq) AS v, generate_subscripts(vq, 1) AS dim
+       |  FROM e
+       |), cde AS (
+       |  SELECT label, dim, CAST(sum(v) AS BIGINT) AS s,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM dimse GROUP BY label, dim
+       |), cente AS (
+       |  SELECT label, list(s // cnt ORDER BY dim) AS cvec
+       |  FROM cde GROUP BY label
+       |), centne AS (
+       |  SELECT label AS c_label, cvec,
+       |         CAST(list_sum(list_transform(cvec, x -> x*x)) AS BIGINT)
+       |           AS cn2
+       |  FROM cente
+       |), qce AS (
+       |  SELECT e.vec_id AS q_id, c_label,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |           CAST(n2 - 2*list_sum(list_transform(range(len(vq)),
+       |                  i -> vq[i+1]*cvec[i+1])) + cn2 AS BIGINT),
+       |           c_label) AS crk
+       |  FROM e CROSS JOIN centne
+       |  WHERE e.vec_id IN (${queryIds.mkString(",")})
+       |), pcells AS (
+       |  SELECT q_id, c_label FROM qce WHERE crk <= $nprobe
+       |)""".stripMargin
+
   private def adcCtes(queryIds: Seq[Long], m: Int, dims: Int,
-                      cellRestrict: Boolean = false): String = {
+                      cellRestrict: Boolean = false,
+                      probeRestrict: Boolean = false): String = {
+    require(!(cellRestrict && probeRestrict),
+      "cellRestrict and probeRestrict are alternative prunes")
     val d = dims / m
     val qLabelSel = if (cellRestrict) "label AS q_label, " else ""
     val dtLabelSel = if (cellRestrict) "q.q_label, " else ""
     // after the dt join — the cell predicate references dt.q_label
+    // (stored-cell restriction) or the probeCtes pcells prefix
+    // (multi-probe restriction)
     val cellJoin =
       if (cellRestrict)
         "\n  JOIN e el ON el.vec_id = c.vec_id AND el.label = dt.q_label"
+      else if (probeRestrict)
+        "\n  JOIN e el ON el.vec_id = c.vec_id" +
+          "\n  JOIN pcells pp ON pp.q_id = dt.q_id AND el.label = pp.c_label"
       else ""
     s""", qsub AS (
        |  SELECT vec_id AS q_id, ${qLabelSel}sub, svq AS qsv,
@@ -1020,6 +1063,18 @@ object OracleSqlExt {
   def pqIvfAdcTopKSql(queryIds: Seq[Long], k: Int,
                       m: Int = 8, dims: Int = 64): String =
     pqCte(m, dims) + adcCtes(queryIds, m, dims, cellRestrict = true) +
+      s"""
+         |SELECT q_id, vec_id, CAST(rn AS BIGINT) AS rank, adc_d2
+         |FROM tadc WHERE rn <= $k ORDER BY q_id, rank""".stripMargin
+
+  /** Mirrors `Similarity.topKIvfPqAdcProbed` — the IVFADC chain with
+    * the stored-cell restriction widened to each query's `nprobe`
+    * nearest coarse cells ([[probeCtes]]).
+    */
+  def pqIvfAdcProbedTopKSql(queryIds: Seq[Long], k: Int, nprobe: Int,
+                            m: Int = 8, dims: Int = 64): String =
+    pqCte(m, dims) + probeCtes(queryIds, nprobe) +
+      adcCtes(queryIds, m, dims, probeRestrict = true) +
       s"""
          |SELECT q_id, vec_id, CAST(rn AS BIGINT) AS rank, adc_d2
          |FROM tadc WHERE rn <= $k ORDER BY q_id, rank""".stripMargin
@@ -1129,6 +1184,42 @@ object OracleSqlExt {
          |         c.cn2 - 2*list_sum(list_transform(range($dims),
          |           i -> c.cv[i+1]*cq.qv[i+1])) + cq.qn2 AS d2
          |  FROM cn c JOIN cq ON c.label = cq.q_label
+         |  WHERE c.vec_id <> cq.q_id
+         |), ranked AS (
+         |  SELECT q_id, vec_id, CAST(d2 AS BIGINT) AS d2,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY d2, vec_id) AS rn
+         |  FROM sd0
+         |)
+         |SELECT q_id, vec_id, CAST(rn AS BIGINT) AS rank, d2
+         |FROM ranked WHERE rn <= $k ORDER BY q_id, rank""".stripMargin
+
+  /** Mirrors `Similarity.topKIvfSqProbed`: the ivfSqTopKSql machinery
+    * with the stored-cell equi-join replaced by the [[probeCtes]]
+    * nearest-cells prefix — cell ranking in the original quantized
+    * space, SDC scoring in the code space.
+    */
+  def ivfSqProbedTopKSql(queryIds: Seq[Long], k: Int, nprobe: Int,
+                         dims: Int = 64): String =
+    embQuantCte + sqCtes + probeCtes(queryIds, nprobe) +
+      s""", codes AS (
+         |  SELECT vec_id, list(code ORDER BY dim) AS cv
+         |  FROM coderows GROUP BY vec_id
+         |), cn AS (
+         |  SELECT e.vec_id, e.label, codes.cv,
+         |         CAST(list_sum(list_transform(codes.cv, x -> x*x))
+         |              AS BIGINT) AS cn2
+         |  FROM codes JOIN e ON codes.vec_id = e.vec_id
+         |), cq AS (
+         |  SELECT vec_id AS q_id, cv AS qv, cn2 AS qn2
+         |  FROM cn WHERE vec_id IN (${queryIds.mkString(",")})
+         |), sd0 AS (
+         |  SELECT cq.q_id, c.vec_id,
+         |         c.cn2 - 2*list_sum(list_transform(range($dims),
+         |           i -> c.cv[i+1]*cq.qv[i+1])) + cq.qn2 AS d2
+         |  FROM cn c
+         |  JOIN pcells p ON c.label = p.c_label
+         |  JOIN cq ON cq.q_id = p.q_id
          |  WHERE c.vec_id <> cq.q_id
          |), ranked AS (
          |  SELECT q_id, vec_id, CAST(d2 AS BIGINT) AS d2,

@@ -27,6 +27,7 @@ object CorpusIngestStats {
       nIncomplete: Long,
       nGatePass: Long,
       nAdmitted: Long,
+      nLateDropped: Long,
       batchDurationMs: Long)
   /** Driver-side retention cap — the buffer is a ring, not a leak. */
   val MaxRetained = 10000
@@ -46,6 +47,14 @@ class CorpusIngestStats
       obs(p, "corpus_in", "n_incomplete"),
       obs(p, "corpus_gated", "n_gate_pass"),
       obs(p, "corpus_out", "n_admitted"),
+      // rows Spark's watermark filter dropped as LATE before the
+      // stateful ops this batch — the horizon-gated pipe's silent
+      // vanish mode made visible (the unbounded pipes have no
+      // watermark, so the sum is structurally 0 there). An observe()
+      // cannot count this: the filter sits between two plan points no
+      // user column survives, and a derived in−out metric spanning the
+      // gates would misattribute the drop class (the round-10 lesson)
+      p.stateOperators.map(_.numRowsDroppedByWatermark).sum,
       totalDuration(p))
 
   /** The stats table with the derived dashboard columns:

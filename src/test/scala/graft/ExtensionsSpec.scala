@@ -1383,6 +1383,39 @@ class ExtensionsSpec extends AnyFunSuite {
       "widening the probe set must not lose true neighbors")
   }
 
+  test("probed composed searches: full probe ≡ un-pruned SDC/ADC; hits monotone in nprobe") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L)
+    val nCells = emb.select("label").distinct().count().toInt
+    // over-provisioned probe degenerates to the un-pruned search
+    // EXACTLY — full rows, so ranks and int64 distances are pinned,
+    // not just the neighbor sets (the x95/x99 reachable-ceiling
+    // discipline applied to both composed indexes)
+    def full(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect().toSet
+    assert(full(Similarity.topKIvfSqProbed(emb, ids, 5, nCells)) ==
+      full(Similarity.topKSq(emb, ids, 5)),
+      "nprobe >= |cells| must equal un-pruned SDC bit-for-bit")
+    assert(full(Similarity.topKIvfPqAdcProbed(emb, ids, 5, nCells)) ==
+      full(Similarity.topKPqAdc(emb, ids, 5)),
+      "nprobe >= |cells| must equal un-pruned ADC bit-for-bit")
+    // monotone vs the un-pruned truth IN THE SAME METRIC: probed cell
+    // sets are prefixes of one centroid ranking, so a truth member a
+    // narrow probe found can only be displaced by globally-better
+    // candidates — which are themselves truth members
+    def s(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val sqTruth = s(Similarity.topKSq(emb, ids, 5))
+    assert((s(Similarity.topKIvfSqProbed(emb, ids, 5, 1)) & sqTruth)
+      .subsetOf(s(Similarity.topKIvfSqProbed(emb, ids, 5, 2)) & sqTruth),
+      "widening the SQ probe set must not lose SDC-truth neighbors")
+    val adcTruth = s(Similarity.topKPqAdc(emb, ids, 5))
+    assert((s(Similarity.topKIvfPqAdcProbed(emb, ids, 5, 1)) & adcTruth)
+      .subsetOf(
+        s(Similarity.topKIvfPqAdcProbed(emb, ids, 5, 2)) & adcTruth),
+      "widening the ADC probe set must not lose ADC-truth neighbors")
+  }
+
   test("kmeansConverge reaches a fixed point and reports iterations") {
     import spark.implicits._
     val (assign, iters) = Similarity.kmeansConverge(emb, maxIter = 20)
@@ -1759,6 +1792,64 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L, 10L, 20L, 31L))
   }
 
+  test("gate state is exactly k/r copies of each doc's shingle set — measured, not asserted in prose") {
+    import spark.implicits._
+    // the unbounded gate's documented state cost: every shingled doc's
+    // 56-bit hash array lands once per band bucket = k/r (= 4) copies.
+    // Read the ACTUAL committed state back through the state-store
+    // source and pin the duplication factor as data — the bound SCALE
+    // §8d quotes is then a measured constant, not an estimate
+    val texts = Seq(
+      (1L, (1 to 40).map(i => s"tok$i").mkString(" ")),
+      (2L, (50 to 75).map(i => s"alt$i").mkString(" ")),
+      (3L, "aa bb"), // shingle-less: must create NO state at all
+      (4L, (80 to 130).map(i => s"third$i").mkString(" ")))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-gstate")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](ss)
+    val q = Dedup.streamingNearDupGate(ms.toDS(), 0.5)(_._2, _._1)
+      .toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName("gate_state_bytes").start()
+    ms.addData(texts.take(2)); q.processAllAvailable()
+    ms.addData(texts.drop(2)); q.processAllAvailable()
+    q.stop()
+    // operatorId 1 is the band-verify store (0 is the per-ord reduce,
+    // whose Boolean state is never written — pinned empty below)
+    val state = ss.read.format("statestore")
+      .option("path", ckpt.toString).option("operatorId", "1").load()
+    // stored payload: Σ over band buckets, over docs in the bucket,
+    // of the doc's hash-array length
+    val storedLongs = state
+      .select(explode(col("value.groupState.value")).as("hashes"))
+      .agg(coalesce(sum(size(col("hashes"))), lit(0)).cast("long"))
+      .as[Long].head()
+    val storedRows = state.count()
+    // irreducible: each shingled doc's distinct-hash count, once
+    val perDoc = texts.map { case (_, t) =>
+      Dedup.localShinglesAndBands(t, 12, 3)._1.length.toLong
+    }
+    assert(perDoc(2) == 0L, "fixture: doc 3 must be shingle-less")
+    val irreducible = perDoc.sum
+    assert(storedLongs == 4L * irreducible,
+      s"state holds $storedLongs hash longs for $irreducible distinct " +
+        s"— the k/r duplication factor moved off 4")
+    // and the row shape: one state row per DISTINCT band bucket of the
+    // three shingled docs (no collisions here), none for the tiny doc
+    assert(storedRows == 3L * 4L,
+      s"expected 12 band-bucket rows, got $storedRows")
+    // the per-ord reduce keeps ZERO state — also measured
+    assert(ss.read.format("statestore")
+      .option("path", ckpt.toString).option("operatorId", "0").load()
+      .count() == 0L,
+      "the stateless reduce must never write state")
+    new scala.reflect.io.Directory(ckpt.toFile).deleteRecursively()
+    ()
+  }
+
   test("gate TTL: rejects within horizon, re-admits beyond it, and evicts state") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
@@ -1766,14 +1857,14 @@ class ExtensionsSpec extends AnyFunSuite {
     val horizon = 100L * sec // timeout mechanics in real ms territory
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
-    ss.conf.set(
-      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)](ss)
-    val q = Dedup.streamingNearDupGateTtl(ms.toDS(), 0.5, horizon)(_._2, _._1)
-      .toDF("ord", "text")
-      .writeStream.outputMode("append").format("memory")
-      .queryName("gate_ttl").start()
+    val q = Dedup.withChainedStatefulOverride(ss) {
+      Dedup.streamingNearDupGateTtl(ms.toDS(), 0.5, horizon)(_._2, _._1)
+        .toDF("ord", "text")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("gate_ttl").start()
+    }
     // batch 1: 10s owner admitted, 11s in-batch near-dup rejected
     ms.addData(Seq((10L * sec, base), (11L * sec, base + " tail42")))
     q.processAllAvailable()
@@ -1805,6 +1896,94 @@ class ExtensionsSpec extends AnyFunSuite {
       s"TTL gate verdicts wrong: kept $kept")
     assert(bandRows > 0L && afterRows == 0L,
       s"event-time timeout must evict every idle bucket: $bandRows -> $afterRows")
+  }
+
+  test("withChainedStatefulOverride scopes the checker opt-out to one start") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val before = ss.conf.get(key)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](ss)
+    val q = Dedup.withChainedStatefulOverride(ss) {
+      Dedup.streamingNearDupGateTtl(ms.toDS(), 0.5, 1000000L)(_._2, _._1)
+        .toDF("ord", "text")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("gate_scoped").start()
+    }
+    // the conf is already back to its prior value while the query
+    // still runs — the checker fires at start only, so batches after
+    // the restore must keep flowing
+    assert(ss.conf.get(key) == before,
+      s"override leaked: $key = ${ss.conf.get(key)}")
+    ms.addData(Seq((1000000L, "aa bb cc")))
+    q.processAllAvailable()
+    ms.addData(Seq((2000000L, "dd ee ff")))
+    q.processAllAvailable()
+    // a SECOND chained-stateful plan in the same session, started
+    // WITHOUT the helper, must hit the restored safety net
+    val ms2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](ss)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      val q2 = Dedup.streamingNearDupGateTtl(
+        ms2.toDS(), 0.5, 1000000L)(_._2, _._1)
+        .toDF("ord", "text")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("gate_unscoped").start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    assert(e.getMessage.contains("checkCorrectness") ||
+      e.getMessage.toLowerCase.contains("multiple stateful"),
+      s"expected the static checker's refusal, got: ${e.getMessage}")
+    q.stop()
+    assert(ss.table("gate_scoped").count() == 2L)
+  }
+
+  test("gate TTL: late arrivals surface in nLateDropped instead of vanishing silently") {
+    import spark.implicits._
+    val sec = 1000000L
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val stats = new graft.streaming.CorpusIngestStats
+    ss.streams.removeListener(stats)
+    ss.streams.addListener(stats)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](ss)
+    val q = Dedup.withChainedStatefulOverride(ss) {
+      Dedup.streamingNearDupGateTtl(ms.toDS(), 0.5, 100L * sec)(_._2, _._1)
+        .toDF("ord", "text")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("gate_late").start()
+    }
+    stats.bind(q.runId)
+    // batch 1 advances the watermark to ~200s; batch 2 plants ONE
+    // genuinely-late shingle-less doc (exactly one band row, so the
+    // counter's unit is clean) next to a live one
+    ms.addData(Seq((200L * sec, "live one")))
+    q.processAllAvailable()
+    ms.addData(Seq((5L * sec, "late doc"), (300L * sec, "also live")))
+    q.processAllAvailable()
+    q.stop()
+    // the late doc vanished from the OUTPUT (the documented contract
+    // failure mode)...
+    val kept = ss.table("gate_late").select("ord").as[Long].collect().toSet
+    assert(kept == Set(200L * sec, 300L * sec),
+      s"late doc must be dropped by the watermark, kept: $kept")
+    // ...but the OPERATOR sees the volume: exactly its one band row,
+    // attributed to late-drop, not inferred from an in-out diff
+    val deadline = System.currentTimeMillis() + 20000
+    def lateTotal() = stats.toDF(ss)
+      .agg(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("nLateDropped"),
+        org.apache.spark.sql.functions.lit(0L)))
+      .as[Long].head()
+    var t = lateTotal()
+    while (t < 1L && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200); t = lateTotal()
+    }
+    ss.streams.removeListener(stats)
+    assert(t == 1L, s"late-drop telemetry did not reconcile: $t")
   }
 
   test("gate: a duplicate ord fails loudly instead of silently merging docs") {
@@ -1840,14 +2019,14 @@ class ExtensionsSpec extends AnyFunSuite {
     val sec = 1000000L
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
-    ss.conf.set(
-      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)](ss)
-    val q = Dedup.streamingNearDupGateTtl(ms.toDS(), 0.5, 100L * sec)(_._2, _._1)
-      .toDF("ord", "text")
-      .writeStream.outputMode("append").format("memory")
-      .queryName("gate_ttl_tie").start()
+    val q = Dedup.withChainedStatefulOverride(ss) {
+      Dedup.streamingNearDupGateTtl(ms.toDS(), 0.5, 100L * sec)(_._2, _._1)
+        .toDF("ord", "text")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("gate_ttl_tie").start()
+    }
     ms.addData(Seq((5L * sec, base)))
     q.processAllAvailable()
     // same ms-aligned instant, unrelated content → must be admitted
@@ -1866,15 +2045,15 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().sortBy(_._1)
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
-    ss.conf.set(
-      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)](ss)
-    val q = Dedup.streamingNearDupGateTtl(
-      ms.toDS(), 0.5, Long.MaxValue / 4)(_._2, _._1)
-      .toDF("doc_id", "text")
-      .writeStream.outputMode("append").format("memory")
-      .queryName("gate_ttl_wide").start()
+    val q = Dedup.withChainedStatefulOverride(ss) {
+      Dedup.streamingNearDupGateTtl(
+        ms.toDS(), 0.5, Long.MaxValue / 4)(_._2, _._1)
+        .toDF("doc_id", "text")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("gate_ttl_wide").start()
+    }
     rows.grouped(rows.length / 3 + 1).foreach { c =>
       ms.addData(c.toSeq); q.processAllAvailable()
     }

@@ -367,6 +367,26 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("x147/x148 probed composed searches: only the deliberate broadcast NLJs") {
+    // every allowed nested loop is a broadcast of a ≤ k-row frame: the
+    // |queries| × k centroid candidate fan of probedCells (the same
+    // deliberate crossJoin(broadcast(cent)) as x92's Lloyd assignment),
+    // plus — on the SQ side only — the 1-row quantization-params
+    // broadcast of sqCoded, planned once per corpus/query reference
+    // (the allowed scalar-NLJ class of x82/x120). Every corpus-sized
+    // join — codes, distance table, probed (q, cell) pairs — stays a
+    // broadcast equi-join.
+    for ((q, allowed) <- Seq("x147_ivf_sq_probed" -> 3,
+                             "x148_ivfadc_probed" -> 1)) {
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q cartesians:\n$p")
+      assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).length == allowed,
+        s"$q: expected exactly the $allowed deliberate broadcast NLJs:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: probe table / code joins must broadcast:\n$p")
+    }
+  }
+
   test("x120 temperature mixture: one scalar NLJ; x121 join-free; x123 equi-only") {
     // x120: the |S|-row frame × the 1-row ordered-fold total — the
     // allowed scalar NLJ (the x82-totals pattern)
