@@ -612,7 +612,7 @@ object CorpusIO {
     //    generation — the only per-run cost ∝ intake, not corpus
     val foldable = listKeys()
       .filter(k => genNumOf(k).isEmpty && !isUncommitted(k))
-    if (foldable.nonEmpty) fold(spark, hfs, path, foldable, nextGen())
+    if (foldable.nonEmpty) fold(spark, hfs, path, "data", foldable, nextGen())
     // 2. geometric merge: while the two youngest generations violate
     //    size(older) >= ratio × size(younger), merge them into a
     //    fresh youngest (numbers increase, suffix-merge keeps number
@@ -628,8 +628,33 @@ object CorpusIO {
         val y1 = gs.last
         val y2 = gs(gs.length - 2)
         if (sizeOf(y2) < mergeRatio * sizeOf(y1))
-          fold(spark, hfs, path, Seq(y2, y1), nextGen())
+          fold(spark, hfs, path, "data", Seq(y2, y1), nextGen())
         else merging = false
+      }
+    }
+    // 3. fold the quarantine side's batch trees too — the same
+    //    dir-per-batch listing hazard, at trickle volume. No
+    //    generational ladder needed here: when fresh committed batches
+    //    exist, ALL committed quarantine content (prior generation
+    //    included) folds into one fresh generation key — O(quarantine)
+    //    per run, and quarantine ≪ corpus by nature (a crawl whose
+    //    quarantine rivals its corpus has a bigger problem than
+    //    listing cost). Idempotent: no fresh batches ⇒ no rewrite.
+    //    The uncommitted-tail rule is the SAME predicate — quarantine
+    //    batch keys mirror the curated sink's, so a replayed batch's
+    //    quarantine rows converge by overwrite exactly like its docs.
+    val qRoot = new org.apache.hadoop.fs.Path(s"$path/quarantine")
+    if (hfs.exists(qRoot)) {
+      val qKeys = hfs.listStatus(qRoot).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch="))
+      val fresh = qKeys.filter(k => genNumOf(k).isEmpty && !isUncommitted(k))
+      if (fresh.nonEmpty) {
+        val all = qKeys.filter(k => genNumOf(k).nonEmpty || !isUncommitted(k))
+        val nums = qKeys.flatMap(genNumOf)
+        val target =
+          if (nums.isEmpty) "compacted" else s"compacted_g${nums.max + 1}"
+        fold(spark, hfs, path, "quarantine", all, target)
       }
     }
     writeManifest(
@@ -638,59 +663,77 @@ object CorpusIO {
       path)
   }
 
-  /** One crash-safe fold: rewrite the rows of `keys` into a single
-    * `batch=<target>` tree (one file per (lang, part) leaf), then
+  /** The quarantine tree's declared read schema for folds (`batch` is
+    * the hive partition level, string for the same reason as
+    * [[StreamedTreeSchema]]'s).
+    */
+  private val QuarantineTreeSchema: StructType = StructType(Seq(
+    StructField("reason", StringType),
+    StructField("raw_line", StringType),
+    StructField("batch", StringType)))
+
+  /** One crash-safe fold under `<path>/<root>` (root = `data` or
+    * `quarantine`): rewrite the rows of `keys` into a single
+    * `batch=<target>` tree (one file per (lang, part) leaf on the
+    * data side; one file on the trickle-sized quarantine side), then
     * retire the source dirs. Commit point is the atomic journal
     * rename — see [[recoverFold]] for how each crash window replays.
     * The read is partition-pruned to exactly `keys`; nothing outside
     * them is scanned or rewritten.
     */
   private def fold(spark: SparkSession, hfs: org.apache.hadoop.fs.FileSystem,
-                   path: String, keys: Seq[String], target: String): Unit = {
+                   path: String, root: String, keys: Seq[String],
+                   target: String): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(s"$path/gen_tmp")
     if (hfs.exists(tmp)) hfs.delete(tmp, true)
-    spark.read.schema(StreamedTreeSchema).parquet(s"$path/data")
+    val src = spark.read
+      .schema(if (root == "data") StreamedTreeSchema else QuarantineTreeSchema)
+      .parquet(s"$path/$root")
       .filter(col("batch").isin(keys: _*))
       .drop("batch")
-      .repartition(col("lang"), col("part"))
-      .write.partitionBy("lang", "part").parquet(tmp.toString)
-    val hasRows = hfs.listStatus(tmp).exists(_.isDirectory)
+    if (root == "data")
+      src.repartition(col("lang"), col("part"))
+        .write.partitionBy("lang", "part").parquet(tmp.toString)
+    else
+      src.coalesce(1).write.parquet(tmp.toString)
+    val hasRows = hfs.listStatus(tmp).exists(st =>
+      st.isDirectory || !st.getPath.getName.startsWith("_"))
     if (!hasRows) {
       // all-empty sources (e.g. batches whose every line quarantined):
       // no generation to create — just retire the empty dirs (safe
       // without a journal: there are no rows to lose or double)
       hfs.delete(tmp, true)
       keys.foreach(k => hfs.delete(
-        new org.apache.hadoop.fs.Path(s"$path/data/batch=$k"), true))
+        new org.apache.hadoop.fs.Path(s"$path/$root/batch=$k"), true))
       ()
     } else {
-      writeJournal(hfs, path, target, keys)
-      if (!hfs.rename(tmp, genPath(path, target)))
+      writeJournal(hfs, path, root, target, keys)
+      if (!hfs.rename(tmp, genPath(path, root, target)))
         throw new java.io.IOException(
-          s"compact fold: rename $tmp -> ${genPath(path, target)} failed")
+          s"compact fold: rename $tmp -> ${genPath(path, root, target)} failed")
       keys.foreach(k => hfs.delete(
-        new org.apache.hadoop.fs.Path(s"$path/data/batch=$k"), true))
+        new org.apache.hadoop.fs.Path(s"$path/$root/batch=$k"), true))
       hfs.delete(journalPath(path), false)
       ()
     }
   }
 
-  private def genPath(path: String, target: String) =
-    new org.apache.hadoop.fs.Path(s"$path/data/batch=$target")
+  private def genPath(path: String, root: String, target: String) =
+    new org.apache.hadoop.fs.Path(s"$path/$root/batch=$target")
   private def journalPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_compact_journal")
 
-  /** Journal = target key + folded keys, written whole to a temp file
-    * and atomically renamed in (the graft-id discipline): its
-    * PRESENCE means "the merged tree is complete — commit by moving
-    * it and retiring the sources".
+  /** Journal = tree root + target key + folded keys, written whole to
+    * a temp file and atomically renamed in (the graft-id discipline):
+    * its PRESENCE means "the merged tree is complete — commit by
+    * moving it and retiring the sources".
     */
   private def writeJournal(hfs: org.apache.hadoop.fs.FileSystem,
-                           path: String, target: String,
+                           path: String, root: String, target: String,
                            keys: Seq[String]): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_compact_journal.tmp")
     val out = hfs.create(tmp, true)
-    try out.write((target +: keys).mkString("\n")
+    try out.write((root +: target +: keys).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!hfs.rename(tmp, journalPath(path)))
@@ -710,6 +753,9 @@ object CorpusIO {
     *  - journal + NEITHER tree (manual tampering): refuse unless every
     *    source key is still present, in which case the fold never
     *    committed and the journal is safely dropped.
+    * First journal line is the tree root (`data`/`quarantine`); a
+    * two-field journal without a root marker is the round-11 data-only
+    * format and recovers against `data`.
     */
   private def recoverFold(spark: SparkSession,
                           hfs: org.apache.hadoop.fs.FileSystem,
@@ -721,19 +767,24 @@ object CorpusIO {
       return
     }
     val in = hfs.open(jp)
-    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+    val lines0 = try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().toList finally in.close()
-    require(lines.nonEmpty, s"corrupt compact journal $jp — empty")
+    require(lines0.nonEmpty, s"corrupt compact journal $jp — empty")
+    val (root, lines) =
+      if (lines0.head == "data" || lines0.head == "quarantine")
+        (lines0.head, lines0.tail)
+      else ("data", lines0)
+    require(lines.nonEmpty, s"corrupt compact journal $jp — no target")
     val target = lines.head
     val keys = lines.tail
-    val tgt = genPath(path, target)
+    val tgt = genPath(path, root, target)
     if (!hfs.exists(tgt)) {
       if (hfs.exists(tmp)) {
         if (!hfs.rename(tmp, tgt)) throw new java.io.IOException(
           s"compact recovery: rename $tmp -> $tgt failed")
       } else {
         require(keys.forall(k => hfs.exists(
-          new org.apache.hadoop.fs.Path(s"$path/data/batch=$k"))),
+          new org.apache.hadoop.fs.Path(s"$path/$root/batch=$k"))),
           s"corrupt compact state: journal $jp names a fold whose " +
             "merged tree AND some source keys are both missing")
         hfs.delete(jp, false)
@@ -741,7 +792,7 @@ object CorpusIO {
       }
     }
     keys.foreach(k => hfs.delete(
-      new org.apache.hadoop.fs.Path(s"$path/data/batch=$k"), true))
+      new org.apache.hadoop.fs.Path(s"$path/$root/batch=$k"), true))
     hfs.delete(jp, false)
     ()
   }

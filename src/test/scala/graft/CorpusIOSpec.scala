@@ -367,6 +367,71 @@ class CorpusIOSpec extends AnyFunSuite {
       == 204L)
   }
 
+  test("compactCurated folds the quarantine side with the same tail discipline") {
+    val root = tmp("graft-qfold")
+    val in = s"$root/in"
+    val out = s"$root/out"
+    val ck = s"$root/ck"
+    new java.io.File(in).mkdirs()
+    def jline(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "s", "n_chars": ${text.length}}"""
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    def drain(): Unit = {
+      val c = CorpusIO.streamCurated(
+        CorpusIO.readJsonlStream(spark, in), out, ck, buckets = 2)
+      try c.processAllAvailable() finally c.stop()
+    }
+    def qDirs() = new java.io.File(s"$out/quarantine").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    import spark.implicits._
+    def qRows() = CorpusIO.readQuarantine(spark, out)
+      .select("reason", "raw_line").as[(String, String)].collect().toSet
+    // two micro-batches, each with one malformed line
+    writeFile("f0.json", Seq(jline(0, "aa bb"), "junk zero"))
+    writeFile("f1.json", Seq(jline(1, "cc dd"), "junk one"))
+    drain()
+    assert(qDirs().size == 2)
+    CorpusIO.compactCurated(spark, out, None)
+    assert(qDirs() == Seq("batch=compacted"),
+      s"quarantine batches must fold like the curated side: ${qDirs()}")
+    assert(qRows() == Set(("malformed", "junk zero"),
+      ("malformed", "junk one")))
+    // idempotent: no fresh batches ⇒ the quarantine generation is not
+    // rewritten (same files, mtimes, lengths)
+    def snap() = new java.io.File(s"$out/quarantine/batch=compacted")
+      .listFiles().map(f => (f.getPath, f.lastModified, f.length)).toSet
+    val s0 = snap()
+    CorpusIO.compactCurated(spark, out, None)
+    assert(snap() == s0 && qDirs() == Seq("batch=compacted"),
+      "a fresh-batch-free compact must not rewrite the quarantine gen")
+    // new bait folds prior generation + new batch into ONE fresh gen
+    writeFile("f2.json", Seq(jline(2, "ee ff"), "junk two"))
+    drain()
+    assert(qDirs().size == 2)
+    CorpusIO.compactCurated(spark, out, None)
+    assert(qDirs() == Seq("batch=compacted_g1"), s"got ${qDirs()}")
+    assert(qRows().size == 3)
+    // an uncommitted tail's quarantine tree survives unmerged so the
+    // replay's overwrite converges instead of double-counting
+    writeFile("f3.json", Seq(jline(3, "gg hh"), "junk three"))
+    drain()
+    Files.delete(java.nio.file.Paths.get(s"$ck/commits/3"))
+    Files.deleteIfExists(java.nio.file.Paths.get(s"$ck/commits/.3.crc"))
+    CorpusIO.compactCurated(spark, out, Some(ck))
+    assert(qDirs().size == 2 &&
+      qDirs().count(_ == "batch=compacted_g1") == 1,
+      s"uncommitted quarantine tail must survive unmerged: ${qDirs()}")
+    drain() // replay overwrites the tail tree in place
+    CorpusIO.compactCurated(spark, out, None)
+    assert(qDirs() == Seq("batch=compacted_g2"), s"got ${qDirs()}")
+    assert(qRows() == Set(("malformed", "junk zero"),
+      ("malformed", "junk one"), ("malformed", "junk two"),
+      ("malformed", "junk three")),
+      s"replay + fold double-counted or lost quarantine rows: ${qRows()}")
+  }
+
   test("compactCurated fold recovers from every journal crash window") {
     val root = tmp("graft-genrec")
     val in = s"$root/in"
