@@ -594,6 +594,14 @@ object SparkEntry {
       Similarity.topKIvfSqProbed(Tables.read(s, dir, "embeddings"),
         Seq(0L, 1L, 2L), 5, nprobe = 2)
         .orderBy("q_id", "rank")),
+    // X3f+X24 the tuning curve on the composed SQ index: recall vs
+    // nprobe against the index's OWN un-pruned SDC truth (pruning
+    // cost only — quantization loss is x142's axis); x99's one-plan
+    // crk-prefix discipline, over-provisioned point must read 1.0
+    "x149_sq_probe_curve" -> ((s, dir) =>
+      Similarity.sqProbedRecallCurve(Tables.read(s, dir, "embeddings"),
+        Seq(0L, 1L, 2L), 5, RecallCurveProbes)
+        .orderBy("nprobe", "q_id")),
     // X3: exact squared-euclidean top-k — the L2 ground truth the ADC
     // audit needs (and the metric the reference's range queries use)
     "x116_l2_topk" -> ((s, dir) =>
@@ -615,6 +623,12 @@ object SparkEntry {
       Similarity.topKIvfPqAdcProbed(Tables.read(s, dir, "embeddings"),
         Seq(0L, 1L, 2L), 5, nprobe = 2)
         .orderBy("q_id", "rank")),
+    // X3c+X24 the same tuning curve on IVFADC (truth = un-pruned ADC;
+    // PQ quantization loss stays x117's separate axis)
+    "x150_adc_probe_curve" -> ((s, dir) =>
+      Similarity.adcProbedRecallCurve(Tables.read(s, dir, "embeddings"),
+        Seq(0L, 1L, 2L), 5, RecallCurveProbes)
+        .orderBy("nprobe", "q_id")),
     // X3b per-subspace distortion dashboard — the codebook-health
     // monitor (stale codebook = rising d2 before recall decays)
     "x119_pq_distortion" -> ((s, dir) =>
@@ -2039,6 +2053,10 @@ object SparkEntry {
       OracleSqlExt.ivfSqProbedTopKSql(Seq(0L, 1L, 2L), 5, 2),
     "x148_ivfadc_probed" ->
       OracleSqlExt.pqIvfAdcProbedTopKSql(Seq(0L, 1L, 2L), 5, 2),
+    "x149_sq_probe_curve" ->
+      OracleSqlExt.sqProbedCurveSql(Seq(0L, 1L, 2L), 5, RecallCurveProbes),
+    "x150_adc_probe_curve" ->
+      OracleSqlExt.adcProbedCurveSql(Seq(0L, 1L, 2L), 5, RecallCurveProbes),
     "x117_pq_recall" -> OracleSqlExt.pqRecallSql(Seq(0L, 1L, 2L), 5),
     "x118_ivf_adc_topk" -> OracleSqlExt.pqIvfAdcTopKSql(Seq(0L, 1L, 2L), 5),
     "x119_pq_distortion" -> OracleSqlExt.pqDistortionSql(),

@@ -497,8 +497,25 @@ object Similarity {
     * candidates in, ≤ |queries| × nprobe pairs out.
     */
   private def probedCells(emb: DataFrame, queryIds: Seq[Long],
-                          nprobe: Int): DataFrame = {
-    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+                          nprobe: Int): DataFrame =
+    probedCellsMulti(emb, queryIds, Seq(nprobe)).drop("nprobe")
+
+  /** The probe rule over a WHOLE probe-count dimension in one plan —
+    * `(nprobe, q_id, c_label)`: the query→cell ranking (`crk`) is
+    * computed once and each probe count takes its prefix via the tiny
+    * probes-table cross join, exactly [[topKProbedMulti]]'s trick, so
+    * the composed recall curves cost probed candidates, never extra
+    * centroid builds.
+    */
+  private def probedCellsMulti(emb: DataFrame, queryIds: Seq[Long],
+                               nprobes: Seq[Int]): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(_ > 0),
+      s"nprobes must be non-empty positive, got $nprobes")
+    require(nprobes.distinct == nprobes,
+      s"duplicate nprobe values would duplicate rows: $nprobes")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val probes = nprobes.map(_.toLong).toDF("nprobe")
     val corpus = quantized(emb)
     val cent = centroids(corpus)
     corpus.filter(col("vec_id").isin(queryIds: _*))
@@ -509,8 +526,9 @@ object Similarity {
         col("pn2") - lit(2L) * VecOps.dot(col("pv"), col("cvec")) + col("cn2"))
       .withColumn("crk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cd2"), col("c_label"))))
-      .filter(col("crk") <= nprobe)
-      .select("q_id", "c_label")
+      .crossJoin(broadcast(probes))
+      .filter(col("crk") <= col("nprobe"))
+      .select("nprobe", "q_id", "c_label")
   }
 
   /** Multi-probe IVF-SQ (the recall/cost knob on the composed
@@ -533,19 +551,53 @@ object Similarity {
     * and never the original floats.
     */
   def topKIvfSqProbed(emb: DataFrame, queryIds: Seq[Long], k: Int,
-                      nprobe: Int = 2): DataFrame = {
+                      nprobe: Int = 2): DataFrame =
+    sqProbedMulti(emb, queryIds, k, Seq(nprobe)).drop("nprobe")
+
+  /** The probed SDC search over the whole probe dimension — shared by
+    * [[topKIvfSqProbed]] (single point) and [[sqProbedRecallCurve]],
+    * so the search the curve audits IS the search a deployment runs.
+    */
+  private def sqProbedMulti(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                            nprobes: Seq[Int]): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     val corpus = sqCoded(emb)
     val q = corpus.filter(col("vec_id").isin(queryIds: _*)).select(
       col("vec_id").as("q_id"), col("cv").as("qv"), col("cn2").as("qn2"))
-    val probes = probedCells(emb, queryIds, nprobe).join(q, "q_id")
-    val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("vec_id"))
+    val probes = probedCellsMulti(emb, queryIds, nprobes).join(q, "q_id")
+    val w = Window.partitionBy("nprobe", "q_id")
+      .orderBy(col("d2").asc, col("vec_id"))
     corpus.join(broadcast(probes), col("label") === col("c_label"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("d2",
         col("cn2") - lit(2L) * VecOps.dot(col("cv"), col("qv")) + col("qn2"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select("q_id", "vec_id", "rank", "d2")
+      .select("nprobe", "q_id", "vec_id", "rank", "d2")
+  }
+
+  /** Recall-vs-nprobe tuning curve for the composed IVF-SQ index —
+    * the [[annRecallCurve]] (x99) discipline on [[topKIvfSqProbed]]:
+    * one row per (nprobe, query), ONE plan (truth once, probed search
+    * once over the whole probe dimension). The truth is the index's
+    * OWN un-pruned SDC search ([[topKSq]]): the curve measures what
+    * the CELL PRUNING costs in the metric the index actually serves —
+    * monotone in nprobe by prefix nesting, reaching exactly 1.0 at
+    * the over-provisioned point (probed ≡ un-pruned, spec-pinned).
+    * The quantization loss itself is the separate x142 audit; keeping
+    * the two axes apart is what makes either number actionable.
+    */
+  def sqProbedRecallCurve(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                          nprobes: Seq[Int]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val probes = nprobes.map(_.toLong).toDF("nprobe")
+    val truth = topKSq(emb, queryIds, k).select("q_id", "vec_id")
+    recallAgainstBrute(truth.crossJoin(broadcast(probes)),
+      sqProbedMulti(emb, queryIds, k, nprobes)
+        .select("nprobe", "q_id", "vec_id"),
+      Seq("nprobe", "q_id"))
+      .select("q_id", "n_brute", "n_hit", "recall", "nprobe")
   }
 
   /** SQ recall audit — recall@k of [[topKSq]] vs the exact L2 truth
@@ -772,15 +824,19 @@ object Similarity {
   }
 
   /** Shared ADC ranking tail: sum the m per-subspace lookups and rank
-    * ascending with the vec_id tie-break.
+    * ascending with the vec_id tie-break. `withNprobe` adds the probe
+    * dimension to the grouping/window for the multi-point searches.
     */
-  private def adcRank(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("q_id").orderBy(col("adc_d2").asc, col("vec_id"))
-    scored.groupBy("q_id", "vec_id")
+  private def adcRank(scored: DataFrame, k: Int,
+                      withNprobe: Boolean = false): DataFrame = {
+    val keys = if (withNprobe) Seq("nprobe", "q_id") else Seq("q_id")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("adc_d2").asc, col("vec_id"))
+    scored.groupBy((keys :+ "vec_id").map(col): _*)
       .agg(sum("qd2").as("adc_d2"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select("q_id", "vec_id", "rank", "adc_d2")
+      .select((keys ++ Seq("vec_id", "rank", "adc_d2")).map(col): _*)
   }
 
   /** IVFADC — the composed deployment (Jégou et al. 2011 §IV; the
@@ -826,10 +882,19 @@ object Similarity {
     */
   def topKIvfPqAdcProbed(emb: DataFrame, queryIds: Seq[Long], k: Int,
                          nprobe: Int = 2, m: Int = 8,
-                         dims: Int = 64): DataFrame = {
+                         dims: Int = 64): DataFrame =
+    adcProbedMulti(emb, queryIds, k, Seq(nprobe), m, dims).drop("nprobe")
+
+  /** The probed ADC search over the whole probe dimension — shared by
+    * [[topKIvfPqAdcProbed]] and [[adcProbedRecallCurve]] (the same
+    * no-drift reasoning as [[sqProbedMulti]]).
+    */
+  private def adcProbedMulti(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                             nprobes: Seq[Int], m: Int,
+                             dims: Int): DataFrame = {
     val (cb, codes) = pqParts(emb, m, dims)
     val dtable = adcDistTable(emb, queryIds, m, dims, cb, carryLabel = false)
-    val probes = probedCells(emb, queryIds, nprobe)
+    val probes = probedCellsMulti(emb, queryIds, nprobes)
       .withColumnRenamed("q_id", "p_qid")
     val cellCodes = codes
       .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
@@ -837,7 +902,27 @@ object Similarity {
       .join(broadcast(probes),
         col("q_id") === col("p_qid") && col("label") === col("c_label"))
       .filter(col("vec_id") =!= col("q_id")),
-      k)
+      k, withNprobe = true)
+  }
+
+  /** Recall-vs-nprobe tuning curve for IVFADC — the x99 discipline on
+    * [[topKIvfPqAdcProbed]], truth = the un-pruned ADC search
+    * ([[topKPqAdc]]) for the same pruning-cost-only reasoning as
+    * [[sqProbedRecallCurve]] (PQ quantization loss is x117's audit).
+    * Monotone in nprobe, exactly 1.0 at the over-provisioned point.
+    */
+  def adcProbedRecallCurve(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                           nprobes: Seq[Int], m: Int = 8,
+                           dims: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val probes = nprobes.map(_.toLong).toDF("nprobe")
+    val truth = topKPqAdc(emb, queryIds, k, m, dims).select("q_id", "vec_id")
+    recallAgainstBrute(truth.crossJoin(broadcast(probes)),
+      adcProbedMulti(emb, queryIds, k, nprobes, m, dims)
+        .select("nprobe", "q_id", "vec_id"),
+      Seq("nprobe", "q_id"))
+      .select("q_id", "n_brute", "n_hit", "recall", "nprobe")
   }
 
   /** Brute-force exact squared-euclidean top-k — the ground truth ADC

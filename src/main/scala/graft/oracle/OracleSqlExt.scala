@@ -978,7 +978,7 @@ object OracleSqlExt {
     * embQuantCte-based SQ/PQ chains), exact int64 squared distance,
     * ties to the lower cell label, prefix by rank.
     */
-  private def probeCtes(queryIds: Seq[Long], nprobe: Int): String =
+  private def probeBaseCtes(queryIds: Seq[Long]): String =
     s""", dimse AS (
        |  SELECT label, unnest(vq) AS v, generate_subscripts(vq, 1) AS dim
        |  FROM e
@@ -1002,9 +1002,28 @@ object OracleSqlExt {
        |           c_label) AS crk
        |  FROM e CROSS JOIN centne
        |  WHERE e.vec_id IN (${queryIds.mkString(",")})
-       |), pcells AS (
-       |  SELECT q_id, c_label FROM qce WHERE crk <= $nprobe
        |)""".stripMargin
+
+  private def probeCtes(queryIds: Seq[Long], nprobe: Int): String =
+    probeBaseCtes(queryIds) +
+      s""", pcells AS (
+         |  SELECT q_id, c_label FROM qce WHERE crk <= $nprobe
+         |)""".stripMargin
+
+  /** The probe rule over the whole probe dimension —
+    * `pcellsm(nprobe, q_id, c_label)`, the crk-prefix-per-curve-point
+    * trick of `Similarity.probedCellsMulti` (and annRecallCurveSql).
+    */
+  private def probeCtesMulti(queryIds: Seq[Long],
+                             nprobes: Seq[Int]): String =
+    probeBaseCtes(queryIds) +
+      s""", probesv AS (
+         |  SELECT CAST(np AS BIGINT) AS nprobe
+         |  FROM (VALUES ${nprobes.map(p => s"($p)").mkString(", ")}) t(np)
+         |), pcellsm AS (
+         |  SELECT p.nprobe, qce.q_id, qce.c_label
+         |  FROM qce CROSS JOIN probesv p WHERE qce.crk <= p.nprobe
+         |)""".stripMargin
 
   private def adcCtes(queryIds: Seq[Long], m: Int, dims: Int,
                       cellRestrict: Boolean = false,
@@ -1229,6 +1248,102 @@ object OracleSqlExt {
          |)
          |SELECT q_id, vec_id, CAST(rn AS BIGINT) AS rank, d2
          |FROM ranked WHERE rn <= $k ORDER BY q_id, rank""".stripMargin
+
+  /** Mirrors `Similarity.sqProbedRecallCurve`: un-pruned SDC truth
+    * once, the probed SDC search once over the whole probe dimension
+    * (crk prefixes), recall per (nprobe, query).
+    */
+  def sqProbedCurveSql(queryIds: Seq[Long], k: Int, nprobes: Seq[Int],
+                       dims: Int = 64): String =
+    embQuantCte + sqCtes + probeCtesMulti(queryIds, nprobes) +
+      s""", codes AS (
+         |  SELECT vec_id, list(code ORDER BY dim) AS cv
+         |  FROM coderows GROUP BY vec_id
+         |), cn AS (
+         |  SELECT e.vec_id, e.label, codes.cv,
+         |         CAST(list_sum(list_transform(codes.cv, x -> x*x))
+         |              AS BIGINT) AS cn2
+         |  FROM codes JOIN e ON codes.vec_id = e.vec_id
+         |), cq AS (
+         |  SELECT vec_id AS q_id, cv AS qv, cn2 AS qn2
+         |  FROM cn WHERE vec_id IN (${queryIds.mkString(",")})
+         |), sd0 AS (
+         |  SELECT cq.q_id, c.vec_id,
+         |         c.cn2 - 2*list_sum(list_transform(range($dims),
+         |           i -> c.cv[i+1]*cq.qv[i+1])) + cq.qn2 AS d2
+         |  FROM cn c CROSS JOIN cq WHERE c.vec_id <> cq.q_id
+         |), ts AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |                              ORDER BY d2, vec_id) AS rn
+         |    FROM sd0) WHERE rn <= $k
+         |), pd0 AS (
+         |  SELECT pm.nprobe, cq.q_id, c.vec_id,
+         |         c.cn2 - 2*list_sum(list_transform(range($dims),
+         |           i -> c.cv[i+1]*cq.qv[i+1])) + cq.qn2 AS d2
+         |  FROM cn c
+         |  JOIN pcellsm pm ON c.label = pm.c_label
+         |  JOIN cq ON cq.q_id = pm.q_id
+         |  WHERE c.vec_id <> cq.q_id
+         |), tp AS (
+         |  SELECT nprobe, q_id, vec_id FROM (
+         |    SELECT nprobe, q_id, vec_id,
+         |           row_number() OVER (PARTITION BY nprobe, q_id
+         |                              ORDER BY d2, vec_id) AS rn
+         |    FROM pd0) WHERE rn <= $k
+         |), agg AS (
+         |  SELECT p.nprobe, ts.q_id, CAST(count(*) AS BIGINT) AS n_brute,
+         |         CAST(sum(CASE WHEN tp.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_hit
+         |  FROM ts CROSS JOIN probesv p
+         |  LEFT JOIN tp ON tp.nprobe = p.nprobe AND ts.q_id = tp.q_id
+         |    AND ts.vec_id = tp.vec_id
+         |  GROUP BY p.nprobe, ts.q_id
+         |)
+         |SELECT q_id, n_brute, n_hit,
+         |       CAST(n_hit AS DOUBLE) / CAST(n_brute AS DOUBLE) AS recall,
+         |       nprobe
+         |FROM agg ORDER BY nprobe, q_id""".stripMargin
+
+  /** Mirrors `Similarity.adcProbedRecallCurve`: the adcCtes un-pruned
+    * chain is the truth, the probed scoring joins the pcellsm
+    * prefixes, recall per (nprobe, query).
+    */
+  def adcProbedCurveSql(queryIds: Seq[Long], k: Int, nprobes: Seq[Int],
+                        m: Int = 8, dims: Int = 64): String =
+    pqCte(m, dims) + probeCtesMulti(queryIds, nprobes) +
+      adcCtes(queryIds, m, dims) +
+      s""", scp AS (
+         |  SELECT pm.nprobe, dt.q_id, c.vec_id,
+         |         CAST(sum(dt.qd2) AS BIGINT) AS adc_d2
+         |  FROM codes c
+         |  JOIN dt ON c.sub = dt.sub AND c.code = dt.code
+         |  JOIN e el ON el.vec_id = c.vec_id
+         |  JOIN pcellsm pm ON pm.q_id = dt.q_id AND el.label = pm.c_label
+         |  WHERE c.vec_id <> dt.q_id
+         |  GROUP BY pm.nprobe, dt.q_id, c.vec_id
+         |), tpp AS (
+         |  SELECT nprobe, q_id, vec_id FROM (
+         |    SELECT nprobe, q_id, vec_id,
+         |           row_number() OVER (PARTITION BY nprobe, q_id
+         |                              ORDER BY adc_d2, vec_id) AS rn
+         |    FROM scp) WHERE rn <= $k
+         |), tu AS (
+         |  SELECT q_id, vec_id FROM tadc WHERE rn <= $k
+         |), agg AS (
+         |  SELECT p.nprobe, tu.q_id, CAST(count(*) AS BIGINT) AS n_brute,
+         |         CAST(sum(CASE WHEN tpp.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_hit
+         |  FROM tu CROSS JOIN probesv p
+         |  LEFT JOIN tpp ON tpp.nprobe = p.nprobe AND tu.q_id = tpp.q_id
+         |    AND tu.vec_id = tpp.vec_id
+         |  GROUP BY p.nprobe, tu.q_id
+         |)
+         |SELECT q_id, n_brute, n_hit,
+         |       CAST(n_hit AS DOUBLE) / CAST(n_brute AS DOUBLE) AS recall,
+         |       nprobe
+         |FROM agg ORDER BY nprobe, q_id""".stripMargin
 
   def l2TopKSql(queryIds: Seq[Long], k: Int, dims: Int = 64): String =
     embQuantCte +

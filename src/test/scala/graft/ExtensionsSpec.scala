@@ -1416,6 +1416,32 @@ class ExtensionsSpec extends AnyFunSuite {
       "widening the ADC probe set must not lose ADC-truth neighbors")
   }
 
+  test("composed probe curves: ceiling reads exactly 1.0, recall monotone per query") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L)
+    val nCells = emb.select("label").distinct().count().toInt
+    // single-point equivalence needs no spec: the curve and the
+    // single searches share sqProbedMulti/adcProbedMulti by
+    // construction — what is pinned here is the curve's CONTENT: the
+    // over-provisioned point equals the un-pruned truth (recall 1.0)
+    // and recall never decreases as the probe set widens
+    for (curve <- Seq(
+      Similarity.sqProbedRecallCurve(emb, ids, 5, Seq(1, 2, nCells)),
+      Similarity.adcProbedRecallCurve(emb, ids, 5, Seq(1, 2, nCells)))) {
+      val rows = curve.select("nprobe", "q_id", "recall")
+        .as[(Long, Long, Double)].collect()
+      assert(rows.length == 9)
+      assert(rows.filter(_._1 == nCells.toLong).forall(_._3 == 1.0),
+        s"over-provisioned probe must hit the un-pruned truth exactly: " +
+          rows.filter(_._1 == nCells.toLong).mkString(", "))
+      rows.groupBy(_._2).foreach { case (q, rs) =>
+        val byProbe = rs.sortBy(_._1).map(_._3)
+        assert(byProbe.zip(byProbe.tail).forall { case (a, b) => a <= b },
+          s"recall not monotone for query $q: ${byProbe.mkString(", ")}")
+      }
+    }
+  }
+
   test("kmeansConverge reaches a fixed point and reports iterations") {
     import spark.implicits._
     val (assign, iters) = Similarity.kmeansConverge(emb, maxIter = 20)

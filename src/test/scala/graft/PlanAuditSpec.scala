@@ -369,21 +369,31 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("x147/x148 probed composed searches: only the deliberate broadcast NLJs") {
     // every allowed nested loop is a broadcast of a ≤ k-row frame: the
-    // |queries| × k centroid candidate fan of probedCells (the same
-    // deliberate crossJoin(broadcast(cent)) as x92's Lloyd assignment),
-    // plus — on the SQ side only — the 1-row quantization-params
-    // broadcast of sqCoded, planned once per corpus/query reference
-    // (the allowed scalar-NLJ class of x82/x120). Every corpus-sized
-    // join — codes, distance table, probed (q, cell) pairs — stays a
-    // broadcast equi-join.
-    for ((q, allowed) <- Seq("x147_ivf_sq_probed" -> 3,
-                             "x148_ivfadc_probed" -> 1)) {
+    // |queries| × k centroid candidate fan of probedCellsMulti (the
+    // same deliberate crossJoin(broadcast(cent)) as x92's Lloyd
+    // assignment) and its 1-row probes table, plus — on the SQ side
+    // only — the 1-row quantization-params broadcast of sqCoded,
+    // planned once per corpus/query reference (the allowed scalar-NLJ
+    // class of x82/x120). Every corpus-sized join — codes, distance
+    // table, probed (q, cell) pairs — stays a broadcast equi-join.
+    for ((q, allowed) <- Seq("x147_ivf_sq_probed" -> 4,
+                             "x148_ivfadc_probed" -> 2)) {
       val p = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan.toString
       assert(!p.contains("CartesianProduct"), s"$q cartesians:\n$p")
       assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).length == allowed,
         s"$q: expected exactly the $allowed deliberate broadcast NLJs:\n$p")
       assert(p.contains("BroadcastHashJoin"),
         s"$q: probe table / code joins must broadcast:\n$p")
+    }
+    // the curves compose truth + probed search in one plan: every
+    // nested loop in them is a broadcast of a tiny frame (probes,
+    // centroid candidates, 1-row params, the deliberate truth-side
+    // query fan) — a cartesian on data tables is the regression
+    for (q <- Seq("x149_sq_probe_curve", "x150_adc_probe_curve")) {
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q cartesians:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: audit/probe joins must broadcast:\n$p")
     }
   }
 
