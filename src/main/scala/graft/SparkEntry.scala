@@ -173,9 +173,16 @@ object SparkEntry {
   private def guardingScratch[A](roots: String*)(body: => A): A =
     try body catch { case e: Throwable =>
       roots.foreach { r =>
-        try new scala.reflect.io.Directory(
-          new java.io.File(r)).deleteRecursively()
-        catch { case d: Throwable => e.addSuppressed(d) }
+        // deleteRecursively signals failure by RETURNING false (it
+        // does not throw) — surface an incomplete delete as a
+        // suppressed exception too, or the docstring's "failures are
+        // suppressed into the original error" claim silently fails
+        try {
+          if (!new scala.reflect.io.Directory(
+              new java.io.File(r)).deleteRecursively())
+            e.addSuppressed(new java.io.IOException(
+              s"fixture scratch delete incomplete: $r"))
+        } catch { case d: Throwable => e.addSuppressed(d) }
       }
       throw e
     }
@@ -946,9 +953,19 @@ object SparkEntry {
       val roNoise = pts.take(50).map(p => p.copy(metric = "ro.blocked"))
       val q = StreamingIngest.start(ss, ms.toDS(), store, ckpt,
         catalog = Some(catalog))
-      (pts ++ roNoise).grouped(math.max(1, pts.length / 3 + 1)).foreach { chunk =>
-        ms.addData(chunk.toSeq)
-        q.processAllAvailable()
+      // stop the query BEFORE the scratch guard deletes its store and
+      // checkpoint on the failure path — deleting under a live run
+      // leaves in-flight tasks recreating files (the delete silently
+      // loses the race) and an orphaned handle-less query in the
+      // session (the x103 fixture's same discipline)
+      try (pts ++ roNoise).grouped(math.max(1, pts.length / 3 + 1))
+        .foreach { chunk =>
+          ms.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+      catch { case e: Throwable =>
+        try q.stop() catch { case st: Throwable => e.addSuppressed(st) }
+        throw e
       }
       q.stop()
       materializedWithoutScratch(

@@ -808,12 +808,15 @@ object Dedup {
       .flatMapGroupsWithState[Boolean, T](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[T], state: GroupState[Boolean]) =>
-          val rs = rows.toSeq
-          if (bypass(rs.head)) rs.iterator
+          // buffered head-peek, NOT toSeq: a batch with N copies of a
+          // viral page (one md5 group) must fold through minBy with
+          // O(1) memory, never buffer N full documents on one task
+          val it = rows.buffered
+          if (bypass(it.head)) it
           else if (state.exists) Iterator.empty
           else {
             state.update(true)
-            Iterator.single(rs.minBy(ord))
+            Iterator.single(it.minBy(ord))
           }
       }
   }
@@ -1099,17 +1102,23 @@ object Dedup {
     * instance (see [[streamingNearDupGateTtl]]).
     */
   def withChainedStatefulOverride[A](
-      spark: org.apache.spark.sql.SparkSession)(start: => A): A = {
-    val key =
-      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try start
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+      spark: org.apache.spark.sql.SparkSession)(start: => A): A =
+    // serialized per session: two concurrent helper entries on ONE
+    // session could otherwise save each other's "false" as the
+    // previous value and leave the safety net disabled session-wide —
+    // the exact outcome the helper exists to prevent. Different
+    // sessions hold different monitors and do not serialize.
+    spark.synchronized {
+      val key =
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "false")
+      try start
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
-  }
 
   /** Horizon-bounded (TTL) variant of [[streamingNearDupGate]] — the
     * state answer for an INFINITE crawl: the unbounded gate's state
@@ -1161,7 +1170,7 @@ object Dedup {
     * ordered-arrival contract's failure mode. Operators see the
     * volume instead of inferring it: the drop count rides each
     * progress event's `stateOperators.numRowsDroppedByWatermark`,
-    * surfaced as `CorpusIngestStats.nLateDropped` (spec-reconciled
+    * surfaced as `CorpusIngestStats.nLateDroppedRows` (spec-reconciled
     * with a planted late doc).
     */
   def streamingNearDupGateTtl[T](ds: org.apache.spark.sql.Dataset[T],

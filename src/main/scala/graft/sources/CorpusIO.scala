@@ -215,7 +215,8 @@ object CorpusIO {
     * StreamingSpec.
     *
     * Quarantine rows (malformed/field-incomplete lines — the
-    * [[quarantine]] classes with reason + evidence) are written to
+    * [[quarantine]] classes — plus the stream-only `invalid` class
+    * for negative doc_ids, each with reason + evidence) are written to
     * `<outPath>/quarantine/batch=<key>` from the SAME query: they ride
     * through the pipe as tagged [[PipeDoc]] rows that every gate
     * passes through untouched (empty text ⇒ no shingles ⇒ no LSH
@@ -303,10 +304,22 @@ object CorpusIO {
     // input split counts (the SHARED isMalformed/isIncomplete
     // predicates — the same Columns cleanDocs/quarantine filter on)
     // before cleanDocs, the admitted count after the dedup gate
+    // the third, STREAM-ONLY drop class: a parsed, field-complete row
+    // whose doc_id violates the pipe's non-negative contract. The
+    // gates' whole identity scheme rides on ord = doc_id ≥ 0 (minted
+    // quarantine ords are the negatives); a negative id admitted as
+    // "clean" would collide with a minted ord — a shingle-less tie
+    // throws in the band bucket and wedges the checkpoint on replay,
+    // a shingled one silently merges rows in the per-ord reduce. The
+    // batch path has no ord, so [[cleanDocs]]/[[quarantine]] keep
+    // their two classes; the stream quarantines the contract breach
+    // WITH evidence instead of enforcing it by crash.
+    val isInvalidId = !isMalformed && !isIncomplete && col("doc_id") < 0L
     val observed = raw.observe("corpus_in",
       count(lit(1)).as("n_lines"),
       sum(when(isMalformed, 1L).otherwise(0L)).as("n_malformed"),
-      sum(when(isIncomplete, 1L).otherwise(0L)).as("n_incomplete"))
+      sum(when(isIncomplete, 1L).otherwise(0L)).as("n_incomplete"),
+      sum(when(isInvalidId, 1L).otherwise(0L)).as("n_invalid"))
     // ONE pass, both sinks: instead of filtering quarantine rows out
     // (and re-reading the input in a second query to recover them),
     // tag every line into the PipeDoc sum type. Quarantine rows get
@@ -314,7 +327,7 @@ object CorpusIO {
     // shingles ⇒ the near-dup gate passes them with zero state — and
     // carry reason + evidence computed from the ORIGINAL columns
     // (to_json before the nulling, same spelling as [[quarantine]]).
-    val qCond = isMalformed || isIncomplete
+    val qCond = isMalformed || isIncomplete || isInvalidId
     val tagged = observed.select(
       when(qCond, lit(-1L)).otherwise(col("doc_id")).as("ord"),
       when(qCond, lit(-1L)).otherwise(col("doc_id")).as("doc_id"),
@@ -323,7 +336,8 @@ object CorpusIO {
       when(qCond, lit("")).otherwise(col("source")).as("source"),
       when(qCond, lit(0L)).otherwise(col("n_chars")).as("n_chars"),
       when(isMalformed, lit("malformed"))
-        .when(isIncomplete, lit("incomplete")).as("q_reason"),
+        .when(isIncomplete, lit("incomplete"))
+        .when(isInvalidId, lit("invalid")).as("q_reason"),
       when(qCond, coalesce(col("_corrupt"),
         to_json(struct(RequiredFields.map(col): _*)))).as("q_raw"))
     // quality gate at the door (stateless per-row filter): the batch
@@ -452,8 +466,17 @@ object CorpusIO {
     * — the triage table ("which records lost a field this hour, and
     * what did the upstream actually send").
     */
-  def readQuarantine(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/quarantine").drop("batch")
+  def readQuarantine(spark: SparkSession, path: String): DataFrame = {
+    // a corpus that never quarantined a line has no tree at all
+    // (empty batches skip the write by design) — triage must read an
+    // EMPTY table, not die on PATH_NOT_FOUND for being healthy
+    val p = new org.apache.hadoop.fs.Path(s"$path/quarantine")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(QuarantineTreeSchema.fields.filterNot(_.name == "batch")))
+    else spark.read.parquet(s"$path/quarantine").drop("batch")
+  }
 
   /** The streamed curated tree as a declared schema: the document
     * fields in file order plus the `part` (bucket) and `batch`
@@ -598,16 +621,25 @@ object CorpusIO {
         }
       case None => _ => false
     }
-    def listKeys(): Seq[String] = hfs.listStatus(cur).toSeq
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch="))
+    // ONE spelling of key listing and generation targeting for BOTH
+    // trees — a generation-scheme change that only touched a data-side
+    // copy would silently diverge the quarantine side's targets
+    def keysUnder(root: String): Seq[String] = {
+      val rp = new org.apache.hadoop.fs.Path(s"$path/$root")
+      if (!hfs.exists(rp)) Nil
+      else hfs.listStatus(rp).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch="))
+    }
+    def nextGenFor(keys: Seq[String]): String = {
+      val nums = keys.flatMap(genNumOf)
+      if (nums.isEmpty) "compacted" else s"compacted_g${nums.max + 1}"
+    }
+    def listKeys(): Seq[String] = keysUnder("data")
     def gens(): Seq[String] =
       listKeys().flatMap(k => genNumOf(k).map(n => (k, n)))
         .sortBy(_._2).map(_._1)
-    def nextGen(): String = {
-      val nums = listKeys().flatMap(genNumOf)
-      if (nums.isEmpty) "compacted" else s"compacted_g${nums.max + 1}"
-    }
+    def nextGen(): String = nextGenFor(listKeys())
     // 1. fold the new committed batches into a fresh youngest
     //    generation — the only per-run cost ∝ intake, not corpus
     val foldable = listKeys()
@@ -643,19 +675,11 @@ object CorpusIO {
     //    The uncommitted-tail rule is the SAME predicate — quarantine
     //    batch keys mirror the curated sink's, so a replayed batch's
     //    quarantine rows converge by overwrite exactly like its docs.
-    val qRoot = new org.apache.hadoop.fs.Path(s"$path/quarantine")
-    if (hfs.exists(qRoot)) {
-      val qKeys = hfs.listStatus(qRoot).toSeq
-        .filter(_.isDirectory).map(_.getPath.getName)
-        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch="))
-      val fresh = qKeys.filter(k => genNumOf(k).isEmpty && !isUncommitted(k))
-      if (fresh.nonEmpty) {
-        val all = qKeys.filter(k => genNumOf(k).nonEmpty || !isUncommitted(k))
-        val nums = qKeys.flatMap(genNumOf)
-        val target =
-          if (nums.isEmpty) "compacted" else s"compacted_g${nums.max + 1}"
-        fold(spark, hfs, path, "quarantine", all, target)
-      }
+    val qKeys = keysUnder("quarantine")
+    val qFresh = qKeys.filter(k => genNumOf(k).isEmpty && !isUncommitted(k))
+    if (qFresh.nonEmpty) {
+      val qAll = qKeys.filter(k => genNumOf(k).nonEmpty || !isUncommitted(k))
+      fold(spark, hfs, path, "quarantine", qAll, nextGenFor(qKeys))
     }
     writeManifest(
       spark.read.schema(StreamedTreeSchema).parquet(dataPath)

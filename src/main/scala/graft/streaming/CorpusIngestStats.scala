@@ -27,7 +27,8 @@ object CorpusIngestStats {
       nIncomplete: Long,
       nGatePass: Long,
       nAdmitted: Long,
-      nLateDropped: Long,
+      nInvalid: Long,
+      nLateDroppedRows: Long,
       batchDurationMs: Long)
   /** Driver-side retention cap — the buffer is a ring, not a leak. */
   val MaxRetained = 10000
@@ -47,13 +48,18 @@ class CorpusIngestStats
       obs(p, "corpus_in", "n_incomplete"),
       obs(p, "corpus_gated", "n_gate_pass"),
       obs(p, "corpus_out", "n_admitted"),
-      // rows Spark's watermark filter dropped as LATE before the
+      obs(p, "corpus_in", "n_invalid"),
+      // ROWS Spark's watermark filter dropped as LATE before the
       // stateful ops this batch — the horizon-gated pipe's silent
       // vanish mode made visible (the unbounded pipes have no
-      // watermark, so the sum is structurally 0 there). An observe()
-      // cannot count this: the filter sits between two plan points no
-      // user column survives, and a derived in−out metric spanning the
-      // gates would misattribute the drop class (the round-10 lesson)
+      // watermark, so the sum is structurally 0 there). UNIT IS PLAN
+      // ROWS, not documents: a late shingled doc fans into k/r band
+      // rows before the watermark filter, a shingle-less one is a
+      // single row — the field name says Rows so nobody reconciles it
+      // 1:1 against the line/doc counters. An observe() cannot count
+      // this: the filter sits between two plan points no user column
+      // survives, and a derived in−out metric spanning the gates
+      // would misattribute the drop class (the round-10 lesson)
       p.stateOperators.map(_.numRowsDroppedByWatermark).sum,
       totalDuration(p))
 
@@ -70,12 +76,14 @@ class CorpusIngestStats
     import org.apache.spark.sql.functions.when
     snapshot.toDF()
       .withColumn("n_clean",
-        col("nLines") - col("nMalformed") - col("nIncomplete"))
+        col("nLines") - col("nMalformed") - col("nIncomplete") -
+          col("nInvalid"))
       .withColumn("n_quality_dropped", col("n_clean") - col("nGatePass"))
       .withColumn("n_dup_dropped", col("nGatePass") - col("nAdmitted"))
       .withColumn("quarantine_rate",
         when(col("nLines") > 0,
-          (col("nMalformed") + col("nIncomplete")).cast("double") /
+          (col("nMalformed") + col("nIncomplete") + col("nInvalid"))
+            .cast("double") /
             col("nLines").cast("double")).otherwise(0.0))
       .withColumn("admit_rate",
         when(col("nLines") > 0,

@@ -506,13 +506,15 @@ class CorpusIOSpec extends AnyFunSuite {
       Seq(jline(0, base), jline(1, base), jline(2, other)))
     cur.processAllAvailable()
     // batch 1: a cross-batch MUTATED copy (near-dup, not exact — the
-    // thing the exact gate cannot catch), a fresh doc, and a malformed
-    // line — quarantine must ride the NEAR-DUP gate path too (empty
-    // text ⇒ no shingles ⇒ no LSH state) and reach its sink from the
-    // same single-query pass
+    // thing the exact gate cannot catch), a fresh doc, a malformed
+    // line, AND a parsed-but-contract-breaking negative doc_id —
+    // quarantine must ride the NEAR-DUP gate path too (empty text ⇒
+    // no shingles ⇒ no LSH state), and the negative id must land in
+    // quarantine as `invalid` instead of colliding with a minted
+    // negative quarantine ord inside the gate's state machine
     writeFile("f1.json",
       Seq(jline(3, base + " tail42"), jline(4, "zz yy xx ww vv"),
-        "gate-path junk"))
+        "gate-path junk", jline(-7, "contract breaker")))
     cur.processAllAvailable()
     cur.stop()
     import spark.implicits._
@@ -521,24 +523,29 @@ class CorpusIOSpec extends AnyFunSuite {
     assert(kept == Set(0L, 2L, 4L),
       s"near-dup gate kept $kept — the mutated copy must be rejected at the door")
     val quar = CorpusIO.readQuarantine(spark, s"$root/out")
-      .select("reason", "raw_line").as[(String, String)].collect().toSeq
-    assert(quar == Seq(("malformed", "gate-path junk")),
+      .select("reason", "raw_line").as[(String, String)].collect().toSet
+    assert(quar.size == 2 && quar.contains(("malformed", "gate-path junk")),
       s"quarantine must flow through the near-dup gate pipe: $quar")
+    val invalid = quar.filter(_._1 == "invalid")
+    assert(invalid.size == 1 && invalid.head._2.contains("-7"),
+      s"negative doc_id must quarantine as invalid with evidence: $quar")
     // telemetry: the gate path emits one row per ADMITTED doc, so
     // n_admitted (and the derived dup-dropped) stay honest
     val deadline = System.currentTimeMillis() + 20000
     def totals() = stats.toDF(spark)
       .agg(coalesce(sum("nLines"), lit(0L)),
         coalesce(sum("nMalformed"), lit(0L)),
+        coalesce(sum("nInvalid"), lit(0L)),
         coalesce(sum("nAdmitted"), lit(0L)),
         coalesce(sum("n_dup_dropped"), lit(0L)))
-      .as[(Long, Long, Long, Long)].head()
+      .as[(Long, Long, Long, Long, Long)].head()
     var t = totals()
-    while (t._1 < 6L && System.currentTimeMillis() < deadline) {
+    while (t._1 < 7L && System.currentTimeMillis() < deadline) {
       Thread.sleep(200); t = totals()
     }
     spark.streams.removeListener(stats)
-    assert(t == ((6L, 1L, 3L, 2L)), s"gate telemetry did not reconcile: $t")
+    assert(t == ((7L, 1L, 1L, 3L, 2L)),
+      s"gate telemetry did not reconcile: $t")
   }
 
   test("streamCurated refuses a quarantine directory in the retired file-sink layout") {
@@ -582,6 +589,12 @@ class CorpusIOSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == batch && kept == Set(0L),
       s"stream kept $kept, batch gate says $batch")
+    // a corpus that never quarantined a line reads an EMPTY triage
+    // table, not PATH_NOT_FOUND (empty batches skip the sink write)
+    val q = CorpusIO.readQuarantine(spark, s"$root/out")
+    assert(q.count() == 0L &&
+      q.columns.toSeq == Seq("reason", "raw_line"),
+      "healthy corpus must read an empty quarantine table")
     // telemetry attribution: 2 quality drops and 1 dup drop must land
     // in SEPARATE counters — folding gate drops into n_dup_dropped
     // fires the crawler's re-fetch alarm on a quality shift

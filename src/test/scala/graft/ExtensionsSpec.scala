@@ -1966,7 +1966,7 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ss.table("gate_scoped").count() == 2L)
   }
 
-  test("gate TTL: late arrivals surface in nLateDropped instead of vanishing silently") {
+  test("gate TTL: late arrivals surface in nLateDroppedRows instead of vanishing silently") {
     import spark.implicits._
     val sec = 1000000L
     val ss = spark.newSession()
@@ -2001,7 +2001,7 @@ class ExtensionsSpec extends AnyFunSuite {
     val deadline = System.currentTimeMillis() + 20000
     def lateTotal() = stats.toDF(ss)
       .agg(org.apache.spark.sql.functions.coalesce(
-        org.apache.spark.sql.functions.sum("nLateDropped"),
+        org.apache.spark.sql.functions.sum("nLateDroppedRows"),
         org.apache.spark.sql.functions.lit(0L)))
       .as[Long].head()
     var t = lateTotal()
