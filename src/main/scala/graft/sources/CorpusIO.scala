@@ -240,6 +240,18 @@ object CorpusIO {
     * curateWith order, so a cluster's canonical doc is chosen among
     * gate survivors on both sides), evaluating the SAME
     * `TextAnalysis.qualityScore` column as the batch gate.
+    *
+    * Honest composition limit: the pipe offers the UNBOUNDED gates
+    * only. The TTL gate cannot carry the single-pass quarantine rows
+    * — their minted negative ords would sit forever below any
+    * watermark and Spark would drop them as late before the state op
+    * (and stamping them with processing time instead would drag the
+    * watermark around non-deterministically under replay). A
+    * horizon-bounded deployment therefore runs
+    * `streamingNearDupGateTtl` over clean rows and recovers
+    * quarantine batch-wise from the same files ([[readJsonl]] +
+    * [[quarantine]]) on the cadence triage needs — one extra pass on
+    * the triage schedule, not per ingest pass.
     */
   def streamCurated(raw: DataFrame, outPath: String, checkpointDir: String,
                     buckets: Int = 256,
