@@ -1107,7 +1107,14 @@ object Dedup {
     // session could otherwise save each other's "false" as the
     // previous value and leave the safety net disabled session-wide —
     // the exact outcome the helper exists to prevent. Different
-    // sessions hold different monitors and do not serialize.
+    // sessions hold different monitors and do not serialize. Honest
+    // residual: a session conf is session-GLOBAL, so an unrelated
+    // query started by another thread on this session DURING the
+    // window (plain .start() takes no monitor) still sees the checker
+    // off — irreducible without intercepting every start; a
+    // deployment starting chained-stateful and ordinary streaming
+    // queries from concurrent threads should give the gate its own
+    // `spark.newSession()` (conf is per-session, the specs' pattern).
     spark.synchronized {
       val key =
         "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"

@@ -487,20 +487,15 @@ object Similarity {
       .select("q_id", "vec_id", "rank", "d2")
   }
 
-  /** Each query's `nprobe` nearest coarse cells — `(q_id, c_label)`
-    * pairs, ranked by the same exact int64 squared distance (ties to
-    * the lower cell label) as [[topKProbedMulti]]'s `crk`. ONE
-    * definition of the coarse-probe rule for the composed searches
-    * ([[topKIvfSqProbed]], [[topKIvfPqAdcProbed]]), so the cell
-    * selection cannot drift from the plain IVF multi-probe's.
+  /** The ONE definition of the coarse-probe rule for the composed
+    * searches ([[topKIvfSqProbed]], [[topKIvfPqAdcProbed]] and their
+    * curves, all via the *ProbedMulti cores): each query's nearest
+    * coarse cells ranked by the same exact int64 squared distance
+    * (ties to the lower cell label) as [[topKProbedMulti]]'s `crk`,
+    * so cell selection cannot drift from the plain IVF multi-probe's.
     * Broadcast-sized by construction: |queries| × k centroid
-    * candidates in, ≤ |queries| × nprobe pairs out.
-    */
-  private def probedCells(emb: DataFrame, queryIds: Seq[Long],
-                          nprobe: Int): DataFrame =
-    probedCellsMulti(emb, queryIds, Seq(nprobe)).drop("nprobe")
-
-  /** The probe rule over a WHOLE probe-count dimension in one plan —
+    * candidates in, ≤ |queries| × Σnprobes pairs out, computed over
+    * a WHOLE probe-count dimension in one plan —
     * `(nprobe, q_id, c_label)`: the query→cell ranking (`crk`) is
     * computed once and each probe count takes its prefix via the tiny
     * probes-table cross join, exactly [[topKProbedMulti]]'s trick, so
@@ -536,7 +531,7 @@ object Similarity {
     * restricted to each query's `nprobe` nearest coarse cells —
     * [[topKIvfSq]] is stuck at single-cell recall; this is THE axis a
     * FAISS-style deployment tunes on exactly this index. Cell ranking
-    * happens in the ORIGINAL quantized space ([[probedCells]] — the
+    * happens in the ORIGINAL quantized space ([[probedCellsMulti]] — the
     * coarse quantizer sees raw vectors, as FAISS's does), scoring in
     * the code space ([[topKSq]]'s SDC distance, rank and tie-break).
     *
@@ -865,7 +860,7 @@ object Similarity {
   /** Multi-probe IVFADC (Jégou et al. 2011 §IV-C tune in the composed
     * deployment): the [[topKIvfPqAdc]] chain with the cell restriction
     * widened to each query's `nprobe` nearest coarse cells
-    * ([[probedCells]] — the same ranking the plain IVF multi-probe and
+    * ([[probedCellsMulti]] — the same ranking the plain IVF multi-probe and
     * the IVF-SQ probe use, so the knob means the same thing across the
     * whole index family). Everything else is byte-identical to the
     * single-cell composition: same codebooks, same broadcast ADC
@@ -892,6 +887,7 @@ object Similarity {
   private def adcProbedMulti(emb: DataFrame, queryIds: Seq[Long], k: Int,
                              nprobes: Seq[Int], m: Int,
                              dims: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     val (cb, codes) = pqParts(emb, m, dims)
     val dtable = adcDistTable(emb, queryIds, m, dims, cb, carryLabel = false)
     val probes = probedCellsMulti(emb, queryIds, nprobes)

@@ -7,7 +7,8 @@ import org.apache.spark.sql.streaming.StreamingQueryProgress
 /** X26 operational telemetry — the corpus-side analogue of
   * [[IngestStats]] (S6): per micro-batch, how many JSONL lines
   * arrived, how many would quarantine (malformed vs field-incomplete
-  * — the two evidence classes `CorpusIO.quarantine` separates), and
+  * — `CorpusIO.quarantine`'s two classes — plus the stream-only
+  * `invalid` class for contract-breaking negative doc_ids), and
   * how many documents the first-occurrence dedup gate admitted. This
   * is the dashboard a production crawl actually watches: a malformed
   * spike means the upstream format changed, an incomplete spike means
@@ -64,12 +65,14 @@ class CorpusIngestStats
       totalDuration(p))
 
   /** The stats table with the derived dashboard columns:
-    * `n_clean = lines − malformed − incomplete` (what passed the
-    * split), `n_quality_dropped = clean − gate_pass` (the minQuality
+    * `n_clean = lines − malformed − incomplete − invalid` (what
+    * passed the split — all three quarantine classes excluded),
+    * `n_quality_dropped = clean − gate_pass` (the minQuality
     * door; 0 when ungated since the gate counter is always observed),
     * `n_dup_dropped = gate_pass − admitted` (dedup rejections ONLY —
     * attributing gate drops here would fire the re-fetch alarm on a
-    * quality shift), and the two rates a crawl alerts on.
+    * quality shift), and the two rates a crawl alerts on (the
+    * quarantine rate covers all three classes).
     */
   def toDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
