@@ -614,6 +614,32 @@ class CorpusIOSpec extends AnyFunSuite {
       s"gate drops misattributed: (clean, quality, dup, admitted) = $t")
   }
 
+  test("quality-gated pipe: quarantine rows pass the door regardless of score") {
+    // the split decides a quarantine row's fate BEFORE the quality
+    // door; its neutral empty text scores 0.9 (split("") is one empty
+    // token — no zero division even under ANSI), which a 2.0 gate
+    // would drop — the q_reason disjunct must carry it through to the
+    // quarantine sink anyway
+    val root = tmp("graft-qdoor")
+    val in = s"$root/in"
+    new java.io.File(in).mkdirs()
+    val rich = (1 to 40).map(i => s"tok$i").mkString(" ")
+    Files.write(java.nio.file.Paths.get(in, "f0.json"),
+      Seq(s"""{"doc_id": 0, "text": "$rich", "lang": "en", "source": "s", "n_chars": ${rich.length}}""",
+        "door junk").mkString("\n").getBytes("UTF-8"))
+    val cur = CorpusIO.streamCurated(
+      CorpusIO.readJsonlStream(spark, in), s"$root/out", s"$root/ck",
+      buckets = 2, minQuality = Some(2.0))
+    try cur.processAllAvailable() finally cur.stop()
+    import spark.implicits._
+    assert(CorpusIO.readCurated(spark, s"$root/out")
+      .select("doc_id").as[Long].collect().toSeq == Seq(0L))
+    val quar = CorpusIO.readQuarantine(spark, s"$root/out")
+      .select("reason", "raw_line").as[(String, String)].collect().toSeq
+    assert(quar == Seq(("malformed", "door junk")),
+      s"the quality door must not eat quarantine rows: $quar")
+  }
+
   test("pre-tag sink upgrade: crashed bare tail converges, foreign bare dirs survive") {
     val root = tmp("graft-upgrade")
     val in = s"$root/in"
