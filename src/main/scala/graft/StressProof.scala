@@ -563,8 +563,12 @@ object StressProof {
     * Self-verdicting bounds: admitted == distinct clean texts
     * (computed batch-side from the same files), state rows ==
     * admitted, poison lines (malformed + field-incomplete) never
-    * surface, compacted tree is ONE batch dir with ≤ |langs|·buckets
-    * leaf dirs.
+    * surface, the committed content folds into generations with
+    * bounded leaf dirs — and the GENERATIONAL claim held where it
+    * matters: a 1 000-line follow-up drop folds into its own tiny
+    * generation while the ~500 k-doc founding generation's files stay
+    * bit-for-bit untouched (snapshot-equality `require`d) and the
+    * follow-up compact costs less than the founding fold.
     */
   private def corpusPipe(spark: SparkSession): Unit = {
     val nLines = 1000000L
@@ -615,11 +619,47 @@ object StressProof {
     val clean = graft.sources.CorpusIO.cleanDocs(
       graft.sources.CorpusIO.readJsonl(spark, inDir))
     val expectAdmitted = clean.select(md5(col("text"))).distinct().count()
-    val manifest = graft.sources.CorpusIO
-      .compactCurated(spark, s"$root/out", None)
+    val (_, tCompact1) = timed(graft.sources.CorpusIO
+      .compactCurated(spark, s"$root/out", None))
+    // generational proportionality AT SCALE: a small follow-up drop
+    // (1 000 lines against the ~500 k-doc founding generation) must
+    // fold into a tiny fresh generation while the founding gen's
+    // files stay bit-for-bit in place — the per-run cost ∝ intake
+    // claim, held where it matters, not just at the 6-doc spec scale
+    def parquetSnap(d: java.io.File): Set[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(d).map(f => (f.getPath, f.lastModified, f.length)).toSet
+    }
+    val foundingGen = new java.io.File(s"$root/out/data/batch=compacted")
+    val snap0 = parquetSnap(foundingGen)
+    spark.range(nLines, nLines + 1000L)
+      .select(lineCol.as("value"))
+      .coalesce(1).write.mode("overwrite").text(s"$root/stage")
+    new java.io.File(s"$root/stage").listFiles()
+      .filter(_.getName.startsWith("part-")).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(inDir, "chunk-tail.txt"))
+      }
+    val cur2 = graft.sources.CorpusIO.streamCurated(
+      graft.sources.CorpusIO.readJsonlStream(ss, inDir,
+        maxFilesPerTrigger = 4),
+      s"$root/out", s"$root/ck", buckets = 8)
+    try cur2.processAllAvailable() finally cur2.stop()
+    val (_, tCompact2) = timed(graft.sources.CorpusIO
+      .compactCurated(spark, s"$root/out", None))
+    require(parquetSnap(foundingGen) == snap0,
+      "generational compact rewrote the founding generation to absorb a 1k-line intake")
+    require(tCompact2 < tCompact1,
+      f"small-intake compact ($tCompact2%.1fs) should cost less than the founding fold ($tCompact1%.1fs)")
     val admitted = graft.sources.CorpusIO
       .readCurated(spark, s"$root/out").count()
-    val manifestDocs = manifest.agg(sum("n_docs")).head.getLong(0)
+    val expectAdmitted2 = graft.sources.CorpusIO.cleanDocs(
+      graft.sources.CorpusIO.readJsonl(spark, inDir))
+      .select(md5(col("text"))).distinct().count()
+    val manifestDocs = graft.sources.CorpusIO
+      .readManifest(spark, s"$root/out").agg(sum("n_docs")).head.getLong(0)
     val batchDirs = new java.io.File(s"$root/out/data").listFiles()
       .count(_.getName.startsWith("batch="))
     def leaves(f: java.io.File): Seq[java.io.File] =
@@ -630,17 +670,22 @@ object StressProof {
     val leafDirs = leaves(new java.io.File(s"$root/out/data")).size
     new scala.reflect.io.Directory(root.toFile).deleteRecursively()
     println(f"STRESS corpuspipe lines=$nLines admitted=$admitted " +
-      f"distinct=$expectAdmitted state_rows=$stateRows " +
+      f"distinct=$expectAdmitted2 state_rows=$stateRows " +
       f"batch_dirs=$batchDirs leaf_dirs=$leafDirs " +
+      f"t_compact=$tCompact1%.1f/$tCompact2%.1fs " +
       s"t_batches=${times.map(t => f"$t%.1f").mkString("/")}s")
-    require(admitted == expectAdmitted,
-      s"pipe admitted $admitted != batch-distinct $expectAdmitted")
+    require(admitted == expectAdmitted2,
+      s"pipe admitted $admitted != batch-distinct $expectAdmitted2")
     require(manifestDocs == admitted,
       s"manifest says $manifestDocs docs, tree has $admitted")
     require(stateRows == expectAdmitted,
-      s"state rows $stateRows != distinct keys $expectAdmitted")
-    require(batchDirs == 1, s"compact left $batchDirs batch dirs")
-    require(leafDirs <= 2 * 8, s"$leafDirs leaf dirs for 2 langs × 8 buckets")
+      s"state rows $stateRows != distinct keys before the tail drop " +
+        s"$expectAdmitted")
+    // founding generation + the tail's tiny generation (their size
+    // ratio is ~500:1 — far outside the merge trigger)
+    require(batchDirs == 2, s"expected two generations, got $batchDirs")
+    require(leafDirs <= 2 * 2 * 8,
+      s"$leafDirs leaf dirs for 2 gens × 2 langs × 8 buckets")
     require(times.last < 5.0 * math.max(times.head, 1.0),
       s"per-batch latency degraded: ${times.mkString(", ")}")
   }
