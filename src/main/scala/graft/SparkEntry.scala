@@ -636,6 +636,42 @@ object SparkEntry {
       Similarity.adcProbedRecallCurve(Tables.read(s, dir, "embeddings"),
         Seq(0L, 1L, 2L), 5, RecallCurveProbes)
         .orderBy("nprobe", "q_id")),
+    // X3f build-once/search-many: the IVF-SQ index persisted to
+    // tables (centroids, params, cell-partitioned codes), then
+    // searched FROM the tables — the deployment's steady state, where
+    // per-query cost is the probed cells' code rows, not a fresh
+    // index build. Hash-matches the inline x147 search (same oracle):
+    // the searcher runs the inline path's own shared cores against
+    // the persisted tables
+    "x151_ivf_sq_index" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-sqidx")
+      guardingScratch(root.toString) {
+        val emb = Tables.read(s, dir, "embeddings")
+        Similarity.buildIvfSqIndex(emb, root.toString)
+        materializedWithoutScratch(
+          Similarity.searchIvfSq(s, root.toString,
+            emb.filter(col("vec_id").isin(0L, 1L, 2L))
+              .select("vec_id", "embedding"),
+            5, nprobe = 2).orderBy("q_id", "rank"),
+          root.toString)
+      }
+    }),
+    // X3b build-once/search-many on the IVFADC composition: persisted
+    // centroids + codebook + cell-partitioned codes + geometry meta,
+    // searched from tables; hash-matches the inline x148 search
+    "x152_ivfadc_index" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-pqidx")
+      guardingScratch(root.toString) {
+        val emb = Tables.read(s, dir, "embeddings")
+        Similarity.buildIvfPqIndex(emb, root.toString)
+        materializedWithoutScratch(
+          Similarity.searchIvfPqAdc(s, root.toString,
+            emb.filter(col("vec_id").isin(0L, 1L, 2L))
+              .select("vec_id", "embedding"),
+            5, nprobe = 2).orderBy("q_id", "rank"),
+          root.toString)
+      }
+    }),
     // X3b per-subspace distortion dashboard — the codebook-health
     // monitor (stale codebook = rising d2 before recall decays)
     "x119_pq_distortion" -> ((s, dir) =>
@@ -2069,6 +2105,12 @@ object SparkEntry {
     "x147_ivf_sq_probed" ->
       OracleSqlExt.ivfSqProbedTopKSql(Seq(0L, 1L, 2L), 5, 2),
     "x148_ivfadc_probed" ->
+      OracleSqlExt.pqIvfAdcProbedTopKSql(Seq(0L, 1L, 2L), 5, 2),
+    // the index-backed searches promise row-identity with the inline
+    // x147/x148 searches — the SAME oracle SQL states that contract
+    "x151_ivf_sq_index" ->
+      OracleSqlExt.ivfSqProbedTopKSql(Seq(0L, 1L, 2L), 5, 2),
+    "x152_ivfadc_index" ->
       OracleSqlExt.pqIvfAdcProbedTopKSql(Seq(0L, 1L, 2L), 5, 2),
     "x149_sq_probe_curve" ->
       OracleSqlExt.sqProbedCurveSql(Seq(0L, 1L, 2L), 5, RecallCurveProbes),

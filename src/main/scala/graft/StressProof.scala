@@ -651,8 +651,13 @@ object StressProof {
       .compactCurated(spark, s"$root/out", None))
     require(parquetSnap(foundingGen) == snap0,
       "generational compact rewrote the founding generation to absorb a 1k-line intake")
-    require(tCompact2 < tCompact1,
-      f"small-intake compact ($tCompact2%.1fs) should cost less than the founding fold ($tCompact1%.1fs)")
+    // proportionality with HEADROOM: the real signal is ~500:1, so a
+    // 2x bound still proves cost ∝ intake while GC/IO noise on a
+    // loaded host can no longer invert a raw a<b comparison and flake
+    // the run for the wrong reason (the bit-for-bit snapshot above is
+    // the untouched-files proof; this is the cost-shape proof)
+    require(tCompact2 < 0.5 * tCompact1,
+      f"small-intake compact ($tCompact2%.1fs) should cost a small fraction of the founding fold ($tCompact1%.1fs)")
     val admitted = graft.sources.CorpusIO
       .readCurated(spark, s"$root/out").count()
     val expectAdmitted2 = graft.sources.CorpusIO.cleanDocs(
@@ -684,8 +689,8 @@ object StressProof {
     // founding generation + the tail's tiny generation (their size
     // ratio is ~500:1 — far outside the merge trigger)
     require(batchDirs == 2, s"expected two generations, got $batchDirs")
-    require(leafDirs <= 2 * 2 * 8,
-      s"$leafDirs leaf dirs for 2 gens × 2 langs × 8 buckets")
+    require(leafDirs <= 2 * (2 * 8 + 1),
+      s"$leafDirs leaf dirs for 2 gens × (2 langs × 8 buckets + 1 manifest)")
     require(times.last < 5.0 * math.max(times.head, 1.0),
       s"per-batch latency degraded: ${times.mkString(", ")}")
   }

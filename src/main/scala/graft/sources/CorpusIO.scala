@@ -57,13 +57,15 @@ object CorpusIO {
   private val RequiredFields: Seq[String] =
     DocSchema.fieldNames.toSeq.filterNot(_ == "_corrupt")
 
-  /** The two quarantine evidence classes, as the ONE spelling shared
+  /** The three quarantine evidence classes, as the ONE spelling shared
     * by [[cleanDocs]], [[quarantine]] and [[streamCurated]]'s observe
     * counters — a change to the split rule that missed the telemetry
     * would silently misattribute drops (an uncounted drop class lands
     * in the derived dup-dropped column, corrupting exactly the signal
-    * the dashboard alerts on). Both expressions are null-free
-    * booleans (isNull/isNotNull never return NULL).
+    * the dashboard alerts on). All three expressions are null-free
+    * booleans (isNull/isNotNull never return NULL; `doc_id < 0` can
+    * only be NULL when doc_id is null, and then `!isIncomplete` is
+    * already false — `false AND NULL` is false).
     */
   private def isMalformed: org.apache.spark.sql.Column =
     col("_corrupt").isNotNull
@@ -71,38 +73,54 @@ object CorpusIO {
     col("_corrupt").isNull &&
       RequiredFields.map(col(_).isNull).reduce(_ || _)
 
+  /** A parsed, field-complete row whose doc_id breaks the pipe's
+    * non-negative contract. Shared by BOTH paths: the streaming gates'
+    * whole identity scheme rides on `ord = doc_id ≥ 0` (minted
+    * quarantine ords are the negatives), and the batch split must
+    * partition the input the SAME way or the pinned stream ≡ batch
+    * kept-set equivalence (the x103 oracle technique) silently fails
+    * on any corpus containing a negative id.
+    */
+  private def isInvalidId: org.apache.spark.sql.Column =
+    !isMalformed && !isIncomplete && col("doc_id") < 0L
+
   /** Well-formed rows of a [[readJsonl]] frame: every declared field
-    * PRESENT, not just parseable — a syntactically valid line missing
+    * PRESENT (not just parseable — a syntactically valid line missing
     * its key, its text, or any other declared field is quarantine
-    * material. The all-fields rule is load-bearing for the streaming
-    * pipe: [[streamCurated]] deserializes into the typed
-    * [[CuratedDoc]] and keys dedup state on the text, so a single
-    * admitted null would crash the batch, and a streaming checkpoint
-    * REPLAYS the poison line on every restart — a permanently wedged
-    * ingest, the exact failure mode this module exists to prevent.
+    * material) AND a non-negative doc_id (the pipe contract
+    * [[isInvalidId]] documents). The all-fields rule is load-bearing
+    * for the streaming pipe: [[streamCurated]] deserializes into the
+    * typed [[CuratedDoc]] and keys dedup state on the text, so a
+    * single admitted null would crash the batch, and a streaming
+    * checkpoint REPLAYS the poison line on every restart — a
+    * permanently wedged ingest, the exact failure mode this module
+    * exists to prevent.
     */
   def cleanDocs(raw: DataFrame): DataFrame =
-    raw.filter(!isMalformed && !isIncomplete)
+    raw.filter(!isMalformed && !isIncomplete && !isInvalidId)
       .drop("_corrupt")
 
   /** Quarantined rows, each carrying its drop class and evidence:
-    * `reason` is `malformed` (unparseable line) or `incomplete`
-    * (parsed but missing a declared field), `raw_line` is the whole
-    * captured line for malformed rows and the JSON of the fields that
-    * DID parse for incomplete ones — previously that class quarantined
-    * as an all-null row, which named the class but discarded the
-    * doc_id/source/lang that were present and made triage ("which
-    * record lost a field?") impossible. `to_json` omits null fields,
-    * so the fallback is exactly the present evidence, at zero extra
-    * passes (it rides the same projection). The classes come from the
-    * SAME shared predicates the telemetry counts, so the split can
-    * never drift from [[streamCurated]]'s observe counters.
+    * `reason` is `malformed` (unparseable line), `incomplete` (parsed
+    * but missing a declared field) or `invalid` (parsed and complete
+    * but a negative doc_id — the pipe-contract breach), `raw_line` is
+    * the whole captured line for malformed rows and the JSON of the
+    * fields that DID parse for the other two — previously the
+    * incomplete class quarantined as an all-null row, which named the
+    * class but discarded the doc_id/source/lang that were present and
+    * made triage ("which record lost a field?") impossible. `to_json`
+    * omits null fields, so the fallback is exactly the present
+    * evidence, at zero extra passes (it rides the same projection).
+    * The classes come from the SAME shared predicates the telemetry
+    * counts, so the split can never drift from [[streamCurated]]'s
+    * observe counters.
     */
   def quarantine(raw: DataFrame): DataFrame =
-    raw.filter(isMalformed || isIncomplete)
+    raw.filter(isMalformed || isIncomplete || isInvalidId)
       .select(
-        when(isMalformed, lit("malformed")).otherwise(lit("incomplete"))
-          .as("reason"),
+        when(isMalformed, lit("malformed"))
+          .when(isIncomplete, lit("incomplete"))
+          .otherwise(lit("invalid")).as("reason"),
         coalesce(col("_corrupt"),
           to_json(struct(RequiredFields.map(col): _*))).as("raw_line"))
 
@@ -149,17 +167,37 @@ object CorpusIO {
   }
 
   /** The ONE manifest aggregation (per-partition doc count, token sum,
-    * doc_id range) — shared by [[writeCurated]] and [[compactCurated]]
-    * so a streamed-then-compacted corpus and a batch-written one carry
-    * the same integrity/statistics contract.
+    * doc_id range) — shared by [[writeCurated]], the per-generation
+    * manifests [[fold]] writes, and the upgrade path in
+    * [[writeMergedManifest]], so every manifest row in the system is
+    * the same statement computed the same way.
     */
-  private def writeManifest(curated: DataFrame, path: String): DataFrame = {
-    val manifest = curated
-      .groupBy("lang", "part")
+  private def manifestAgg(curated: DataFrame): DataFrame =
+    curated.groupBy("lang", "part")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
         min("doc_id").as("min_doc_id"),
         max("doc_id").as("max_doc_id"))
+
+  /** The manifest row schema, declared once: the empty-corpus manifest
+    * and the per-generation manifest reads must agree with what
+    * [[manifestAgg]] produces, bit for bit.
+    */
+  private val ManifestSchema: StructType = StructType(Seq(
+    StructField("lang", StringType),
+    StructField("part", LongType),
+    StructField("n_docs", LongType),
+    StructField("n_tokens", LongType),
+    StructField("min_doc_id", LongType),
+    StructField("max_doc_id", LongType)))
+
+  /** [[writeCurated]]'s manifest write: one aggregation of the frame
+    * just written (∝ what the write produced — the batch writer always
+    * rewrites the whole corpus, so this is not an O(corpus) residual
+    * the way the compactor's old full-tree refresh was).
+    */
+  private def writeManifest(curated: DataFrame, path: String): DataFrame = {
+    val manifest = manifestAgg(curated)
     manifest.coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
     manifest
   }
@@ -214,9 +252,9 @@ object CorpusIO {
     * the ack-after-durable contract the metric side proves in
     * StreamingSpec.
     *
-    * Quarantine rows (malformed/field-incomplete lines — the
-    * [[quarantine]] classes — plus the stream-only `invalid` class
-    * for negative doc_ids, each with reason + evidence) are written to
+    * Quarantine rows (malformed/field-incomplete/invalid-id lines —
+    * the three shared [[quarantine]] classes, each with reason +
+    * evidence) are written to
     * `<outPath>/quarantine/batch=<key>` from the SAME query: they ride
     * through the pipe as tagged [[PipeDoc]] rows that every gate
     * passes through untouched (empty text ⇒ no shingles ⇒ no LSH
@@ -316,17 +354,16 @@ object CorpusIO {
     // input split counts (the SHARED isMalformed/isIncomplete
     // predicates — the same Columns cleanDocs/quarantine filter on)
     // before cleanDocs, the admitted count after the dedup gate
-    // the third, STREAM-ONLY drop class: a parsed, field-complete row
-    // whose doc_id violates the pipe's non-negative contract. The
-    // gates' whole identity scheme rides on ord = doc_id ≥ 0 (minted
-    // quarantine ords are the negatives); a negative id admitted as
-    // "clean" would collide with a minted ord — a shingle-less tie
-    // throws in the band bucket and wedges the checkpoint on replay,
-    // a shingled one silently merges rows in the per-ord reduce. The
-    // batch path has no ord, so [[cleanDocs]]/[[quarantine]] keep
-    // their two classes; the stream quarantines the contract breach
-    // WITH evidence instead of enforcing it by crash.
-    val isInvalidId = !isMalformed && !isIncomplete && col("doc_id") < 0L
+    // the third drop class, the SHARED [[isInvalidId]]: a parsed,
+    // field-complete row whose doc_id violates the pipe's non-negative
+    // contract. The gates' whole identity scheme rides on
+    // ord = doc_id ≥ 0 (minted quarantine ords are the negatives); a
+    // negative id admitted as "clean" would collide with a minted ord
+    // — a shingle-less tie throws in the band bucket and wedges the
+    // checkpoint on replay, a shingled one silently merges rows in the
+    // per-ord reduce. Both paths quarantine the breach WITH evidence
+    // (the batch split shares the predicate), so stream ≡ batch holds
+    // on contract-breaking corpora too.
     val observed = raw.observe("corpus_in",
       count(lit(1)).as("n_lines"),
       sum(when(isMalformed, 1L).otherwise(0L)).as("n_malformed"),
@@ -457,12 +494,24 @@ object CorpusIO {
           // evidence, per-batch overwrite directories for the same
           // replay idempotence as the curated side. Empty batches
           // skip the write — a quarantine tree must not grow one
-          // empty dir per clean micro-batch forever.
+          // empty dir per clean micro-batch forever. Fan-out is
+          // SIZED, not forced to one: the ordinary trickle batch
+          // stays one file, but under a malformed-line spike (the
+          // upstream-format-change scenario this telemetry exists to
+          // catch) an unconditional coalesce(1) would funnel the
+          // whole micro-batch through a single task exactly when the
+          // pipe is under stress — so large quarantine batches write
+          // through a bounded handful of tasks instead, with
+          // maxRecordsPerFile capping any one file. The count is a
+          // cached-scan over the persisted batch, not a new pass.
           val quar = batch.filter(col("q_reason").isNotNull)
             .select(col("q_reason").as("reason"),
               col("q_raw").as("raw_line"))
-          if (!quar.isEmpty)
-            quar.coalesce(1).write.mode("overwrite")
+          val nQuar = quar.count()
+          if (nQuar > 0L)
+            quar.coalesce(if (nQuar <= 100000L) 1 else 8)
+              .write.option("maxRecordsPerFile", 131072)
+              .mode("overwrite")
               .parquet(s"$outPath/quarantine/batch=${ckptTag}_$batchId")
           } finally { batch.unpersist(); () }
           ()
@@ -554,12 +603,17 @@ object CorpusIO {
     * are always trusted as committed — their checkpoints are gone, so
     * nothing can ever replay them.
     *
-    * The refreshed manifest describes the committed generations; a
-    * crash before the manifest write leaves a stale manifest that the
-    * next compact refreshes — manifest readers get at-least-as-old
-    * statistics, never corrupt data. Scale shape per fold: one
-    * partition-pruned scan of the folded keys, one
-    * (lang, part)-partitioned rewrite, no driver-side data path.
+    * The refreshed manifest describes the committed generations and is
+    * INCREMENTAL: each fold writes its generation's manifest inside the
+    * generation tree (committed by the same atomic rename), and the
+    * corpus `_manifest` is the monoid merge of the ≤ log-many
+    * per-generation manifests — no step of a compact run ever reads a
+    * previously committed generation's rows. A crash before the merge
+    * leaves a stale corpus manifest that the next compact refreshes —
+    * manifest readers get at-least-as-old statistics, never corrupt
+    * data. Scale shape per fold: one partition-pruned scan of the
+    * folded keys, one (lang, part)-partitioned rewrite, no driver-side
+    * data path.
     */
   def compactCurated(spark: SparkSession, path: String,
                      activeCheckpoint: Option[String],
@@ -693,10 +747,67 @@ object CorpusIO {
       val qAll = qKeys.filter(k => genNumOf(k).nonEmpty || !isUncommitted(k))
       fold(spark, hfs, path, "quarantine", qAll, nextGenFor(qKeys))
     }
-    writeManifest(
-      spark.read.schema(StreamedTreeSchema).parquet(dataPath)
-        .filter(col("batch").rlike("^compacted(_g[0-9]+)?$")),
-      path)
+    // 4. refresh the corpus _manifest INCREMENTALLY: merge the ≤
+    //    log-many per-generation manifests (each written by the fold
+    //    that created its generation) instead of re-aggregating every
+    //    committed generation's rows — the old full-tree refresh was
+    //    the last O(corpus) term in an otherwise intake-proportional
+    //    design (at 100 TB it re-paid a full corpus scan per compact)
+    writeMergedManifest(spark, hfs, path, gens())
+  }
+
+  /** Per-generation manifest location: INSIDE the generation tree, so
+    * the fold's one atomic journal-then-rename commits a generation
+    * and its manifest together, a merge's source deletes retire both,
+    * and data readers never see it (underscore-prefixed paths are
+    * invisible to Spark's file listing).
+    */
+  private def genManifestPath(path: String, key: String) =
+    new org.apache.hadoop.fs.Path(s"$path/data/batch=$key/_manifest")
+
+  /** Corpus `_manifest` = the monoid merge (sum counts/tokens,
+    * min/max ids, per (lang, part)) of the per-generation manifests.
+    * Cost ∝ |generations| × |langs| × buckets rows — never ∝ corpus.
+    *
+    * Upgrade path: a generation written before per-generation
+    * manifests existed carries none — compute it ONCE from its rows
+    * (one partition-pruned scan of that generation, never repeated)
+    * through a temp-dir + atomic-rename so a crash can never leave a
+    * half-written manifest that a later merge would read as truncated
+    * statistics.
+    */
+  private def writeMergedManifest(spark: SparkSession,
+                                  hfs: org.apache.hadoop.fs.FileSystem,
+                                  path: String,
+                                  genKeys: Seq[String]): DataFrame = {
+    genKeys.foreach { k =>
+      val mp = genManifestPath(path, k)
+      if (!hfs.exists(mp)) {
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$path/data/batch=$k/_manifest_tmp")
+        if (hfs.exists(tmp)) hfs.delete(tmp, true)
+        manifestAgg(spark.read.schema(GenTreeSchema)
+            .parquet(s"$path/data/batch=$k"))
+          .coalesce(1).write.parquet(tmp.toString)
+        if (!hfs.rename(tmp, mp)) throw new java.io.IOException(
+          s"compact manifest upgrade: rename $tmp -> $mp failed")
+      }
+    }
+    val merged =
+      if (genKeys.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          ManifestSchema)
+      else
+        spark.read.schema(ManifestSchema)
+          .parquet(genKeys.map(k => genManifestPath(path, k).toString): _*)
+          .groupBy("lang", "part")
+          .agg(sum("n_docs").as("n_docs"),
+            sum("n_tokens").as("n_tokens"),
+            min("min_doc_id").as("min_doc_id"),
+            max("max_doc_id").as("max_doc_id"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
+    merged
   }
 
   /** The quarantine tree's declared read schema for folds (`batch` is
@@ -707,6 +818,30 @@ object CorpusIO {
     StructField("reason", StringType),
     StructField("raw_line", StringType),
     StructField("batch", StringType)))
+
+  /** One generation tree's declared read schema — [[StreamedTreeSchema]]
+    * without the `batch` level (a generation is read at its own root).
+    */
+  private val GenTreeSchema: StructType =
+    StructType(StreamedTreeSchema.fields.filterNot(_.name == "batch"))
+
+  /** Retire a directory and VERIFY it is gone: `FileSystem.delete`
+    * reports failure by boolean, and a silently failed delete of a
+    * folded source key would leave its rows on disk with no journal —
+    * the next compact would treat them as fresh committed data and
+    * fold them AGAIN, permanent row duplication (unlike the journaled
+    * crash windows, which all recover). Throwing keeps the journal in
+    * place so recovery retries the retirement. `delete` also returns
+    * false when the path never existed (a recovery replay re-deleting
+    * an already-retired key), so the verdict is existence, not the
+    * boolean alone.
+    */
+  private def deleteVerified(hfs: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path): Unit =
+    if (!hfs.delete(p, true) && hfs.exists(p))
+      throw new java.io.IOException(
+        s"compact fold: failed to retire $p — rows would double-count " +
+          "if the journal were dropped now")
 
   /** One crash-safe fold under `<path>/<root>` (root = `data` or
     * `quarantine`): rewrite the rows of `keys` into a single
@@ -739,16 +874,27 @@ object CorpusIO {
       // no generation to create — just retire the empty dirs (safe
       // without a journal: there are no rows to lose or double)
       hfs.delete(tmp, true)
-      keys.foreach(k => hfs.delete(
-        new org.apache.hadoop.fs.Path(s"$path/$root/batch=$k"), true))
+      keys.foreach(k => deleteVerified(hfs,
+        new org.apache.hadoop.fs.Path(s"$path/$root/batch=$k")))
       ()
     } else {
+      // the generation's own manifest rides INSIDE the tree (underscore
+      // dir — invisible to data readers), so the journal rename below
+      // commits data + statistics in one atomic step and the corpus
+      // _manifest can be refreshed by merging per-generation manifests
+      // instead of re-scanning every generation's rows. One extra scan
+      // of the just-written intake — ∝ this fold, never ∝ corpus —
+      // and it describes what LANDED, not what the lineage computed.
+      if (root == "data")
+        manifestAgg(spark.read.schema(GenTreeSchema).parquet(tmp.toString))
+          .coalesce(1).write
+          .parquet(new org.apache.hadoop.fs.Path(tmp, "_manifest").toString)
       writeJournal(hfs, path, root, target, keys)
       if (!hfs.rename(tmp, genPath(path, root, target)))
         throw new java.io.IOException(
           s"compact fold: rename $tmp -> ${genPath(path, root, target)} failed")
-      keys.foreach(k => hfs.delete(
-        new org.apache.hadoop.fs.Path(s"$path/$root/batch=$k"), true))
+      keys.foreach(k => deleteVerified(hfs,
+        new org.apache.hadoop.fs.Path(s"$path/$root/batch=$k")))
       hfs.delete(journalPath(path), false)
       ()
     }
@@ -827,8 +973,8 @@ object CorpusIO {
         return
       }
     }
-    keys.foreach(k => hfs.delete(
-      new org.apache.hadoop.fs.Path(s"$path/$root/batch=$k"), true))
+    keys.foreach(k => deleteVerified(hfs,
+      new org.apache.hadoop.fs.Path(s"$path/$root/batch=$k")))
     hfs.delete(jp, false)
     ()
   }
@@ -841,14 +987,16 @@ object CorpusIO {
     */
   def readCurated(spark: SparkSession, path: String,
                   lang: Option[String] = None): DataFrame = {
-    // hive partition-directory inference types `part` as INT; pin it
-    // back to the LongType it was written from so the round-trip (and
-    // the manifest-vs-files comparison) is schema-stable
-    // the streamed sink's `batch` partition level is its idempotence
-    // ledger, not data — drop it (a no-op on batch-written layouts)
-    // so all corpora read back identically
-    val df = spark.read.parquet(s"$path/data").drop("batch")
-      .withColumn("part", col("part").cast("long"))
+    // DECLARED schema, the fold paths' discipline on the read path
+    // too: partition types must not depend on directory-name luck
+    // (inference types `part` INT, and a `batch` tag that happens to
+    // be all digits would flip to numeric), and declaring the schema
+    // skips the footer-sampling inference pass. The streamed sink's
+    // `batch` partition level is its idempotence ledger, not data —
+    // drop it; on batch-written layouts (no `batch` directory level)
+    // the declared column simply reads back null and drops the same.
+    val df = spark.read.schema(StreamedTreeSchema)
+      .parquet(s"$path/data").drop("batch")
     lang.fold(df)(l => df.filter(col("lang") === l))
   }
 

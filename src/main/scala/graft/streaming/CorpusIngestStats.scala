@@ -7,8 +7,8 @@ import org.apache.spark.sql.streaming.StreamingQueryProgress
 /** X26 operational telemetry — the corpus-side analogue of
   * [[IngestStats]] (S6): per micro-batch, how many JSONL lines
   * arrived, how many would quarantine (malformed vs field-incomplete
-  * — `CorpusIO.quarantine`'s two classes — plus the stream-only
-  * `invalid` class for contract-breaking negative doc_ids), and
+  * vs contract-breaking negative-id `invalid` —
+  * `CorpusIO.quarantine`'s three shared classes), and
   * how many documents the first-occurrence dedup gate admitted. This
   * is the dashboard a production crawl actually watches: a malformed
   * spike means the upstream format changed, an incomplete spike means

@@ -56,6 +56,30 @@ class CorpusIOSpec extends AnyFunSuite {
     assert(clean.length + quarantined.length == lines.length)
   }
 
+  test("batch split shares the stream's invalid-id contract: negative doc_id quarantines, never admits") {
+    // the pinned stream ≡ batch kept-set equivalence (the x103 oracle
+    // technique) requires the SAME three-way split on both paths — a
+    // batch path that admitted negative ids would diverge from the
+    // stream (which must quarantine them: its gates' identity scheme
+    // reserves negative ords for minted quarantine rows)
+    val dir = tmp("graft-negid")
+    val lines = Seq(
+      """{"doc_id": 1, "text": "keep me", "lang": "en", "source": "s", "n_chars": 7}""",
+      """{"doc_id": -5, "text": "contract breaker", "lang": "en", "source": "s", "n_chars": 16}""")
+    Files.write(java.nio.file.Paths.get(dir, "part0.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val raw = CorpusIO.readJsonl(spark, dir)
+    val clean = CorpusIO.cleanDocs(raw).select("doc_id")
+      .as[Long].collect().toSeq
+    assert(clean == Seq(1L),
+      s"batch cleanDocs must reject the negative id: $clean")
+    val quar = CorpusIO.quarantine(raw)
+      .as[(String, String)].collect().toSeq
+    assert(quar.length == 1 && quar.head._1 == "invalid" &&
+      quar.head._2.contains("-5"),
+      s"negative id must quarantine as invalid with evidence: $quar")
+  }
+
   test("writeCurated round-trips; files-derived manifest equals source-side recomputation") {
     val docs = Tables.read(spark, sf, "documents")
     val dir = tmp("graft-curated")
@@ -365,6 +389,108 @@ class CorpusIOSpec extends AnyFunSuite {
     assert(CorpusIO.readManifest(spark, out)
       .agg(org.apache.spark.sql.functions.sum("n_docs")).head.getLong(0)
       == 204L)
+  }
+
+  test("compact's manifest refresh is incremental: committed generation rows are never re-read") {
+    val root = tmp("graft-incman")
+    val in = s"$root/in"
+    val out = s"$root/out"
+    val ck = s"$root/ck"
+    new java.io.File(in).mkdirs()
+    def jline(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "s", "n_chars": ${text.length}}"""
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    def drain(): Unit = {
+      val c = CorpusIO.streamCurated(
+        CorpusIO.readJsonlStream(spark, in), out, ck, buckets = 4)
+      try c.processAllAvailable() finally c.stop()
+    }
+    // founding corpus (incompressible tokens — its size dwarfs the
+    // intake, so the geometric merge never touches it), compacted
+    writeFile("f0.json", (0 until 100).map(i =>
+      jline(i, (0 until 40).map(j => s"w${i}x$j").mkString(" "))))
+    drain()
+    CorpusIO.compactCurated(spark, out, None)
+    val m0 = CorpusIO.readManifest(spark, out)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    // corrupt EVERY data parquet file in the founding generation —
+    // same length, garbage bytes — leaving only its per-generation
+    // _manifest readable. If ANY step of the next compact (fold,
+    // merge-sizing, manifest refresh) read a founding-generation row,
+    // the corrupt footer would throw and fail this test; succeeding
+    // is the direct proof that a compact run reads no parquet outside
+    // the keys it folds plus the tiny per-generation manifests.
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    val founding = new java.io.File(s"$out/data/batch=compacted")
+    val dataFiles = walk(founding)
+      .filterNot(_.getPath.contains("/_manifest"))
+    assert(dataFiles.nonEmpty, "fixture must have founding data files")
+    dataFiles.foreach { f =>
+      Files.write(f.toPath, Array.fill(f.length.toInt)('X'.toByte))
+    }
+    // tiny intake → compact: folds ONLY the fresh batch, merges the
+    // corpus manifest from per-generation manifests
+    writeFile("f1.json",
+      Seq(jline(1000, "aa bb cc dd"), jline(1001, "ee ff gg hh")))
+    drain()
+    CorpusIO.compactCurated(spark, out, None)
+    // the refreshed manifest is exactly the monoid merge of the
+    // founding manifest and the intake's rows (buckets=4: ids 1000 →
+    // part 0, 1001 → part 1; 4 tokens each)
+    val intake = Seq(("en", 0L, 1L, 4L, 1000L, 1000L),
+      ("en", 1L, 1L, 4L, 1001L, 1001L))
+    val expected = (m0.toSeq ++ intake)
+      .groupBy(r => (r._1, r._2)).map { case ((lang, part), rs) =>
+        (lang, part, rs.map(_._3).sum, rs.map(_._4).sum,
+          rs.map(_._5).min, rs.map(_._6).max)
+      }.toSet
+    val m1 = CorpusIO.readManifest(spark, out)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(m1 == expected,
+      s"merged manifest diverged from the monoid merge:\n$m1\nvs\n$expected")
+    // every generation carries its own manifest
+    new java.io.File(s"$out/data").listFiles()
+      .filter(_.getName.startsWith("batch=")).foreach { g =>
+        assert(new java.io.File(g, "_manifest").isDirectory,
+          s"generation ${g.getName} is missing its per-gen manifest")
+      }
+  }
+
+  test("compact upgrades a manifest-less (pre-incremental) generation once") {
+    val root = tmp("graft-manup")
+    val in = s"$root/in"
+    val out = s"$root/out"
+    new java.io.File(in).mkdirs()
+    Files.write(java.nio.file.Paths.get(in, "f0.json"),
+      (0 until 20).map(i =>
+        s"""{"doc_id": $i, "text": "tok$i aa bb", "lang": "${if (i % 2 == 0) "en" else "fr"}", "source": "s", "n_chars": 10}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val c = CorpusIO.streamCurated(
+      CorpusIO.readJsonlStream(spark, in), out, s"$root/ck", buckets = 4)
+    try c.processAllAvailable() finally c.stop()
+    CorpusIO.compactCurated(spark, out, None)
+    // simulate a tree written before per-generation manifests existed
+    val genManifest = new java.io.File(s"$out/data/batch=compacted/_manifest")
+    assert(genManifest.isDirectory, "fold must write the per-gen manifest")
+    assert(new scala.reflect.io.Directory(genManifest).deleteRecursively())
+    // a fresh-batch-free compact recomputes it once (the documented
+    // one-time upgrade scan) and the corpus manifest still equals a
+    // full recomputation from the kept rows
+    CorpusIO.compactCurated(spark, out, None)
+    assert(genManifest.isDirectory, "upgrade must materialize the manifest")
+    val manifest = CorpusIO.readManifest(spark, out)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val recomputed = CorpusIO.readCurated(spark, out)
+      .groupBy("lang", "part")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(manifest == recomputed && manifest.nonEmpty)
   }
 
   test("compactCurated folds the quarantine side with the same tail discipline") {

@@ -2252,4 +2252,42 @@ class ExtensionsSpec extends AnyFunSuite {
       (2L, 5L, 2L, 2.0 / 5.0),   // d, e
       (3L, 2L, 0L, 0.0)))
   }
+
+  test("persisted ANN indexes: search-from-tables ≡ inline probed search, bit for bit") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L)
+    val root = java.nio.file.Files.createTempDirectory("graft-annidx")
+    try {
+      val queries = emb.filter(col("vec_id").isin(ids: _*))
+        .select("vec_id", "embedding")
+      // full rows — ranks AND int64 distances pinned, not just the
+      // neighbor sets: the searcher runs the inline path's own shared
+      // cores against the persisted tables, so nothing may drift
+      def full(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Long, Long)].collect().toSet
+      Similarity.buildIvfSqIndex(emb, s"$root/sq")
+      assert(full(Similarity.searchIvfSq(spark, s"$root/sq", queries, 5,
+          nprobe = 2)) ==
+        full(Similarity.topKIvfSqProbed(emb, ids, 5, nprobe = 2)),
+        "IVF-SQ search-from-tables must equal the inline probed search")
+      Similarity.buildIvfPqIndex(emb, s"$root/pq")
+      assert(full(Similarity.searchIvfPqAdc(spark, s"$root/pq", queries, 5,
+          nprobe = 2)) ==
+        full(Similarity.topKIvfPqAdcProbed(emb, ids, 5, nprobe = 2)),
+        "IVFADC search-from-tables must equal the inline probed search")
+      // the persisted code tables are cell-partitioned on disk — the
+      // layout that makes the probed-cell restriction a partition
+      // prune over the compressed representation at 100 TB
+      val nCells = emb.select("label").distinct().count().toInt
+      for (idx <- Seq("sq", "pq")) {
+        val dirs = new java.io.File(s"$root/$idx/codes").listFiles()
+          .filter(_.isDirectory).map(_.getName)
+          .count(_.startsWith("label="))
+        assert(dirs == nCells,
+          s"$idx codes must be partitioned by cell: $dirs dirs, $nCells cells")
+      }
+    } finally {
+      val _ = new scala.reflect.io.Directory(root.toFile).deleteRecursively()
+    }
+  }
 }

@@ -701,4 +701,51 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(p.contains("vec_quantize"), s"$q missing native vec_quantize:\n$p")
     }
   }
+
+  test("index-backed ANN searches: no corpus aggregation, scans read only index tables + filtered queries") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-planidx")
+    try {
+      val emb = graft.sources.Tables.read(spark, sf, "embeddings")
+      val queries = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select("vec_id", "embedding")
+      graft.operators.Similarity.buildIvfSqIndex(emb, s"$root/sq")
+      graft.operators.Similarity.buildIvfPqIndex(emb, s"$root/pq")
+      val sq = graft.operators.Similarity
+        .searchIvfSq(spark, s"$root/sq", queries, 5, nprobe = 2)
+      val pq = graft.operators.Similarity
+        .searchIvfPqAdc(spark, s"$root/pq", queries, 5, nprobe = 2)
+      // the build/search split's whole point, enforced: every
+      // aggregation in the inline searches was index-BUILD work
+      // (centroids, SQ params, PQ codebook) — the searchers must plan
+      // NONE of it. SDC scoring is pure expressions + windows (zero
+      // aggregates); ADC keeps exactly the one irreducible
+      // m-lookup-sum aggregate per (query, vector)
+      def nAgg(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan
+          .collect { case a: Aggregate => a }.length
+      assert(nAgg(sq) == 0,
+        s"searchIvfSq must not aggregate anything:\n${sq.queryExecution.optimizedPlan}")
+      assert(nAgg(pq) == 1,
+        s"searchIvfPqAdc must keep only the ADC sum:\n${pq.queryExecution.optimizedPlan}")
+      // every file scan reads an index table or the vec_id-filtered
+      // query rows — a scan of the raw corpus (un-filtered
+      // embeddings) would mean the searcher is rebuilding something
+      for ((df, name) <- Seq((sq, "searchIvfSq"), (pq, "searchIvfPqAdc"))) {
+        val p = df.queryExecution.sparkPlan.toString
+        assert(!p.contains("CartesianProduct"), s"$name cartesians:\n$p")
+        val leaves = df.queryExecution.sparkPlan.collectLeaves()
+          .map(_.toString).filter(_.contains("FileScan"))
+        assert(leaves.nonEmpty)
+        leaves.foreach { l =>
+          assert(l.contains(root.toString) ||
+            (l.contains("embeddings") && l.contains("vec_id")),
+            s"$name scans outside the index/query tables:\n$l")
+        }
+      }
+    } finally {
+      val _ = new scala.reflect.io.Directory(root.toFile).deleteRecursively()
+    }
+  }
 }
