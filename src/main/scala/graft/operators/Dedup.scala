@@ -937,25 +937,48 @@ object Dedup {
     * [[streamingFirstOccurrenceBy]] upstream if tiny-doc exact dedup
     * matters.
     *
-    * Shape: two chained append-mode keyed-state ops (Spark supports
-    * multiple flatMapGroupsWithState when all are append):
-    *  1. keyed on band bucket — state holds the shingle-hash set of
-    *     every seen doc in the bucket (≈ |bands| × |shingles| × 8 B
-    *     per doc, RocksDB-backed at crawl scale); in-batch rows are
-    *     processed in `ord` order against state ∪ earlier in-batch
-    *     rows, and each doc's per-bucket verdict rides out with its
-    *     payload;
-    *  2. keyed on `ord` — a STATELESS per-batch reduce (state is never
-    *     written): a doc is admitted iff no bucket voted reject, and
-    *     exactly one payload row is emitted. All of a doc's band rows
-    *     are produced within its own micro-batch, so the reduce never
-    *     waits.
-    * Per batch: one exchange on bucket + one on ord; output rows =
+    * Shape: three chained append-mode keyed-state ops (Spark supports
+    * multiple flatMapGroupsWithState when all are append), laid out so
+    * each doc's shingle set is STORED EXACTLY ONCE (the round-11
+    * design stored it once per band bucket — k/r = 4 copies; at crawl
+    * cardinality the 4× was the difference between a RocksDB instance
+    * that fits and one that doesn't):
+    *  1. keyed on band bucket — state holds only the ORDS of seen
+    *     docs in the bucket (8 B per doc per band, ~32 B/doc total);
+    *     in-batch rows are processed in `ord` order against state ∪
+    *     earlier in-batch rows, emitting one CANDIDATE-PAIR probe row
+    *     `(prior_ord, ord, shingles, doc)` per (prior, new) bucket
+    *     cohabitation, plus — from the band-0 bucket only (every
+    *     shingled doc has one; shingle-less docs' per-doc `e\|` key
+    *     stands in) — exactly one SELF row per doc;
+    *  2. keyed on `ord` — the doc-keyed shingle store: a doc's SELF
+    *     row stores its shingle set once and passes the payload
+    *     through; a probe row `(e, f, sh_f, doc_f)` arriving at group
+    *     `e` verifies exact Jaccard(state(e), sh_f) and emits a
+    *     reject vote for `f` on a hit. A doc's shingles are in state
+    *     (earlier batch) or on its self row (this batch) — never
+    *     absent, because band state only ever holds shingled docs'
+    *     ords, written in the same batch their shingles reach this
+    *     store;
+    *  3. keyed on `ord` — the STATELESS per-batch reduce (state never
+    *     written): admitted iff no vote, exactly one payload row out.
+    *     Sound because a doc's probes/votes are all produced within
+    *     its own micro-batch (band rows never cross batches).
+    * Per batch: one exchange on bucket + two on ord; output rows =
     * admitted docs. No batch-over-batch joins, no driver-side data.
-    * Heavy-hitter buckets (boilerplate bands) concentrate state the
-    * same way they concentrate [[lshCandidatePairs]]'s bucket join —
-    * the shared hazard of the construction, bounded by the same
-    * banding choices.
+    * vs the 2-op layout this trades one extra (small) exchange and
+    * per-candidate probe shuffle rows for 4× less state AND a lighter
+    * steady-state shuffle (a non-colliding doc ships 1 self row, not
+    * k/r verdict rows). Heavy-hitter buckets (boilerplate bands)
+    * concentrate probe fan-out the same way they concentrate
+    * [[lshCandidatePairs]]'s bucket join — the shared hazard of the
+    * construction, bounded by the same banding choices.
+    *
+    * Checkpoint compatibility: the operator chain changed in round 12
+    * (2 → 3 stateful ops, new state schemas) — a checkpoint written by
+    * the old gate cannot resume into this one (Spark fails loudly on
+    * the operator mismatch); drain-and-restart with a fresh checkpoint,
+    * or replay the crawl window.
     */
   def streamingNearDupGate[T](ds: org.apache.spark.sql.Dataset[T],
                               threshold: Double, k: Int = 12, r: Int = 3)(
@@ -992,27 +1015,78 @@ object Dedup {
         implicitly[Encoder[Array[Long]]], enc)
     val outEnc: Encoder[(Long, Boolean, T)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaBoolean, enc)
-    val stEnc: Encoder[Seq[Array[Long]]] = implicitly
-    val verdicts = bandRowsOf(ds, k, r)(text, ord)(rowEnc)
+    // probe/self rows: (group ord, doc ord, isSelf, shingles, doc)
+    val probeEnc: Encoder[(Long, Long, Boolean, Array[Long], T)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaBoolean, implicitly[Encoder[Array[Long]]], enc)
+    val ordsEnc: Encoder[Seq[Long]] = implicitly
+    val shinglesEnc: Encoder[Array[Long]] = implicitly
+    // op 1: band buckets hold ORDS only, emitting candidate probes
+    // (and the one self row per doc, from its band-0 / per-doc bucket)
+    val candidates = bandRowsOf(ds, k, r)(text, ord)(rowEnc)
       .groupByKey(_._1)(Encoders.STRING)
-      .flatMapGroupsWithState[Seq[Array[Long]], (Long, Boolean, T)](
+      .flatMapGroupsWithState[Seq[Long], (Long, Long, Boolean, Array[Long], T)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[(String, Long, Array[Long], T)],
-         state: GroupState[Seq[Array[Long]]]) =>
+        (bucket: String, rows: Iterator[(String, Long, Array[Long], T)],
+         state: GroupState[Seq[Long]]) =>
           val sorted = rows.toSeq.sortBy(_._2)
           assertUniqueOrds(sorted.map(_._2))
-          val prior = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+          val emitSelf = bucket.startsWith("0|") || bucket.startsWith("e|")
+          val prior = scala.collection.mutable.ArrayBuffer.empty[Long]
           state.getOption.foreach(prior ++= _)
           val n0 = prior.length
-          val out = sorted.map { case (_, o, sh, doc) =>
-            val hit = sh.nonEmpty &&
-              prior.exists(p => jaccardSorted(p, sh) >= threshold)
-            if (sh.nonEmpty) prior += sh
-            (o, hit, doc)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Boolean, Array[Long], T)]
+          sorted.foreach { case (_, o, sh, doc) =>
+            if (sh.nonEmpty) {
+              prior.foreach(e => out += ((e, o, false, sh, doc)))
+              prior += o
+            }
+            if (emitSelf) out += ((o, o, true, sh, doc))
           }
           if (prior.length > n0) state.update(prior.toSeq)
           out.iterator
-      }(stEnc, outEnc)
+      }(ordsEnc, probeEnc)
+    // op 2: the doc-keyed shingle store — each set stored ONCE; probes
+    // verify against it and emit reject votes for their new doc
+    val verdicts = candidates.groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[Array[Long], (Long, Boolean, T)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: Long, rows: Iterator[(Long, Long, Boolean, Array[Long], T)],
+         state: GroupState[Array[Long]]) =>
+          val rs = rows.toSeq
+          val (selfRows, probes) = rs.partition(_._3)
+          // exactly one self row per doc by construction — a second
+          // one means two DISTINCT docs share an ord, which would
+          // merge their rows downstream: the previously-undetectable
+          // cross-bucket ord tie, now loud
+          if (selfRows.length > 1)
+            throw new IllegalStateException(
+              s"duplicate ord $g across documents — ord must uniquely " +
+                "identify a document (two docs' rows would merge in the " +
+                "per-doc reduce)")
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Boolean, T)]
+          selfRows.foreach { case (_, o, _, sh, doc) =>
+            // !exists guards batch REPLAY (state is the pre-batch
+            // snapshot on replay, so a first write is re-applied
+            // idempotently); shingle-less docs create no state
+            if (sh.nonEmpty && !state.exists) state.update(sh)
+            out += ((o, false, doc))
+          }
+          if (probes.nonEmpty) {
+            val mine = state.getOption
+              .orElse(selfRows.headOption.map(_._4))
+              .getOrElse(throw new IllegalStateException(
+                s"probe for ord $g found neither stored shingles nor a " +
+                  "self row — band state and the doc store have diverged"))
+            probes.foreach { case (_, f, _, sh, doc) =>
+              if (jaccardSorted(mine, sh) >= threshold)
+                out += ((f, true, doc))
+            }
+          }
+          out.iterator
+      }(shinglesEnc, outEnc)
     reduceByOrd(verdicts)(outEnc)
   }
 
@@ -1063,9 +1137,12 @@ object Dedup {
     * within its own micro-batch. One definition for both gates.
     * Relies on the documented ord-uniqueness contract: the verify
     * ops throw loudly on a within-bucket ord tie
-    * ([[assertUniqueOrds]]); a tie between docs sharing NO band
-    * bucket is undetectable here and would merge their rows — keep
-    * ords unique (the x103 pipes key on doc_id, which is).
+    * ([[assertUniqueOrds]]), and the unbounded gate's doc-keyed store
+    * additionally detects ANY cross-bucket tie (two self rows on one
+    * ord). The one residual: in the TTL gate a tie between docs
+    * sharing NO band bucket is undetectable here and would merge
+    * their rows — keep ords unique (the x103 pipes key on doc_id,
+    * which is).
     */
   private def reduceByOrd[T](
       verdicts: org.apache.spark.sql.Dataset[(Long, Boolean, T)])(
@@ -1156,10 +1233,14 @@ object Dedup {
     * timed-out entry is beyond the horizon of every non-late future
     * doc by construction.
     *
-    * Same two chained append-mode keyed-state ops as the unbounded
-    * gate (band-bucket verify → stateless per-doc reduce), same
-    * candidate/verify rules, same shingle-less pass-through; state
-    * entries additionally carry their ord.
+    * Two chained append-mode keyed-state ops (band-bucket verify →
+    * stateless per-doc reduce; the round-11 unbounded gate's shape —
+    * the unbounded gate has since moved to the 1× doc-keyed store,
+    * but HERE the per-bucket shingle copies are horizon-BOUNDED, so
+    * the k/r duplication is a bounded constant, not unbounded
+    * growth), same candidate/verify rules, same shingle-less
+    * pass-through as the unbounded gate; state entries additionally
+    * carry their ord.
     *
     * Start the query through [[withChainedStatefulOverride]]: Spark's
     * STATIC checker flags every watermark-plus-chained-stateful plan
