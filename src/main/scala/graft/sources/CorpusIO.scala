@@ -279,24 +279,42 @@ object CorpusIO {
     * gate survivors on both sides), evaluating the SAME
     * `TextAnalysis.qualityScore` column as the batch gate.
     *
-    * Honest composition limit: the pipe offers the UNBOUNDED gates
-    * only. The TTL gate cannot carry the single-pass quarantine rows
-    * — their minted negative ords would sit forever below any
-    * watermark and Spark would drop them as late before the state op
-    * (and stamping them with processing time instead would drag the
-    * watermark around non-deterministically under replay). A
-    * horizon-bounded deployment therefore runs
-    * `streamingNearDupGateTtl` over clean rows and recovers
-    * quarantine batch-wise from the same files ([[readJsonl]] +
-    * [[quarantine]]) on the cadence triage needs — one extra pass on
-    * the triage schedule, not per ingest pass.
+    * `nearDupTtlMicros = Some(h)` (requires `nearDup`) swaps the
+    * unbounded near-dup gate for the horizon-bounded
+    * [[graft.operators.Dedup.streamingNearDupGateTtl]] — the state
+    * answer for an INFINITE crawl. Quarantine rows cannot ride
+    * THROUGH a watermarked gate (their minted negative ords would sit
+    * forever below any watermark and Spark would drop them as late
+    * before the state op; stamping them with processing time instead
+    * would drag the watermark around non-deterministically under
+    * replay), so the TTL mode routes them AROUND it: the typed stream
+    * splits after the ord minting, only the clean branch is
+    * watermarked and gated, and the quarantine branch unions back
+    * before the sink — one QUERY, one checkpoint/offset ledger, the
+    * same batch-keyed two-sink idempotence. Honest cost: the union
+    * plans the source subtree twice, so each micro-batch's files are
+    * parsed twice (still one query and one offset ledger — cheaper
+    * than the retired second-query design, but not the unbounded
+    * modes' true single parse). Observability moves with the split:
+    * the TTL layout carries per-branch observe counters (no observe
+    * may sit above the split — a union would duplicate the
+    * CollectMetrics node and double-count), and
+    * [[graft.streaming.CorpusIngestStats]] reads both layouts. The
+    * TTL gate's contract applies: doc_ids are unique event-time µs
+    * and files must arrive in doc_id order; a near-dup beyond the
+    * horizon is ADMITTED again (re-admission is the semantic point),
+    * and late arrivals vanish from the output but surface in
+    * `nLateDroppedRows`.
     */
   def streamCurated(raw: DataFrame, outPath: String, checkpointDir: String,
                     buckets: Int = 256,
                     stats: Option[graft.streaming.CorpusIngestStats] = None,
                     nearDup: Option[Double] = None,
-                    minQuality: Option[Double] = None)
+                    minQuality: Option[Double] = None,
+                    nearDupTtlMicros: Option[Long] = None)
     : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(nearDupTtlMicros.isEmpty || nearDup.isDefined,
+      "nearDupTtlMicros needs nearDup (the verify threshold) set too")
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = raw.sparkSession
     import spark.implicits._
@@ -364,11 +382,6 @@ object CorpusIO {
     // per-ord reduce. Both paths quarantine the breach WITH evidence
     // (the batch split shares the predicate), so stream ≡ batch holds
     // on contract-breaking corpora too.
-    val observed = raw.observe("corpus_in",
-      count(lit(1)).as("n_lines"),
-      sum(when(isMalformed, 1L).otherwise(0L)).as("n_malformed"),
-      sum(when(isIncomplete, 1L).otherwise(0L)).as("n_incomplete"),
-      sum(when(isInvalidId, 1L).otherwise(0L)).as("n_invalid"))
     // ONE pass, both sinks: instead of filtering quarantine rows out
     // (and re-reading the input in a second query to recover them),
     // tag every line into the PipeDoc sum type. Quarantine rows get
@@ -377,7 +390,7 @@ object CorpusIO {
     // carry reason + evidence computed from the ORIGINAL columns
     // (to_json before the nulling, same spelling as [[quarantine]]).
     val qCond = isMalformed || isIncomplete || isInvalidId
-    val tagged = observed.select(
+    def taggedOf(src: DataFrame): DataFrame = src.select(
       when(qCond, lit(-1L)).otherwise(col("doc_id")).as("ord"),
       when(qCond, lit(-1L)).otherwise(col("doc_id")).as("doc_id"),
       when(qCond, lit("")).otherwise(col("text")).as("text"),
@@ -389,21 +402,6 @@ object CorpusIO {
         .when(isInvalidId, lit("invalid")).as("q_reason"),
       when(qCond, coalesce(col("_corrupt"),
         to_json(struct(RequiredFields.map(col): _*)))).as("q_raw"))
-    // quality gate at the door (stateless per-row filter): the batch
-    // curation order — gate first, dedup among survivors — via the
-    // SAME TextAnalysis.qualityScore column the batch gate evaluates,
-    // so stream ≡ batch by shared definition, not by parallel formulas.
-    // Quarantine rows pass the door (they are not documents — their
-    // fate was decided by the split). ALWAYS observed, counting CLEAN
-    // survivors only (== n_clean when ungated, zero extra passes) so
-    // the stats table can attribute gate drops separately — without
-    // this counter a quality drop would masquerade as a dup rejection
-    // and fire the wrong dashboard alarm
-    val gated = minQuality.fold(tagged) { m =>
-      tagged.filter(col("q_reason").isNotNull ||
-        graft.operators.TextAnalysis.qualityScore(col("text")) >= m)
-    }.observe("corpus_gated",
-      sum(when(col("q_reason").isNull, 1L).otherwise(0L)).as("n_gate_pass"))
     // quarantine ords: per-batch-unique negatives from a per-partition
     // counter (the mapPartitions exists ONLY to hold that counter — a
     // row-local expression cannot). Uniqueness is what the gates'
@@ -411,7 +409,8 @@ object CorpusIO {
     // from clean ords (= non-negative doc_ids). Values vary across a
     // batch replay, which is safe: bypass rows never touch state and
     // the ord is dropped before either sink.
-    val typed = gated.as[PipeDoc].mapPartitions { it =>
+    def mintOrds(ds0: org.apache.spark.sql.Dataset[PipeDoc])
+      : org.apache.spark.sql.Dataset[PipeDoc] = ds0.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId().toLong
       var c = 0L
       it.map { d =>
@@ -419,27 +418,92 @@ object CorpusIO {
         else { c += 1; d.copy(ord = -((pid << 33) | c)) }
       }
     }
-    // admission gate: exact first-occurrence by default; with
-    // `nearDup = Some(threshold)` the streaming MinHash near-dup gate
-    // instead — it subsumes exact dedup for every shingled doc
-    // (identical text ⇒ identical bands ⇒ Jaccard 1), while
-    // shingle-less docs (< 3 words) pass ungated on both the gate and
-    // its batch oracle. State: band-bucket shingle-hash sets instead
-    // of one boolean per fingerprint — production runs want the
-    // RocksDB state-store provider (see SCALE.md §8d) at crawl
-    // cardinality either way. Quarantine rows pass both gates without
-    // creating state (no shingles / explicit bypass with a "q|" key a
-    // 32-hex md5 can never produce).
-    val first = nearDup match {
-      case Some(t) =>
-        graft.operators.Dedup.streamingNearDupGate(typed, t)(_.text, _.ord)
+    val first: org.apache.spark.sql.Dataset[PipeDoc] = nearDupTtlMicros match {
+      case Some(horizon) =>
+        // TTL layout: the quarantine rows go AROUND the watermarked
+        // gate (split after the ord minting, union before the sink) —
+        // inside it their minted negative ords are forever-late. NO
+        // observe may sit above the split: the union duplicates every
+        // upstream plan node, and a duplicated CollectMetrics would
+        // double-count — so every counter lives on exactly one branch
+        // and the input totals are derived (n_lines = clean_in + the
+        // three quarantine classes, the CorpusIngestStats spelling).
+        val typed = mintOrds(taggedOf(raw).as[PipeDoc])
+        val clean0 = typed.filter(col("q_reason").isNull)
+          .observe("corpus_cin", count(lit(1)).as("n_clean_in"))
+        // quality gate at the door, clean branch only — equivalent to
+        // the linear layout's disjunctive filter (quarantine passes
+        // the door by construction: it is not on this branch)
+        val cleanGated = minQuality.fold(clean0)(m =>
+          clean0.filter(
+            graft.operators.TextAnalysis.qualityScore(col("text")) >= m))
+          .observe("corpus_gated", count(lit(1)).as("n_gate_pass"))
+        val admitted = graft.operators.Dedup.streamingNearDupGateTtl(
+          cleanGated, nearDup.get, horizon)(_.text, _.ord)
+        val quar = typed.filter(col("q_reason").isNotNull)
+          .observe("corpus_quar",
+            sum(when(col("q_reason") === "malformed", 1L).otherwise(0L))
+              .as("n_malformed"),
+            sum(when(col("q_reason") === "incomplete", 1L).otherwise(0L))
+              .as("n_incomplete"),
+            sum(when(col("q_reason") === "invalid", 1L).otherwise(0L))
+              .as("n_invalid"))
+        admitted.union(quar)
       case None =>
-        graft.operators.Dedup.streamingFirstOccurrenceBy(typed)(
-          d => if (d.q_reason != null) "q|" + d.ord
-               else graft.operators.Dedup.md5Hex(d.text),
-          _.ord, bypass = _.q_reason != null)
+        val observed = raw.observe("corpus_in",
+          count(lit(1)).as("n_lines"),
+          sum(when(isMalformed, 1L).otherwise(0L)).as("n_malformed"),
+          sum(when(isIncomplete, 1L).otherwise(0L)).as("n_incomplete"),
+          sum(when(isInvalidId, 1L).otherwise(0L)).as("n_invalid"))
+        // quality gate at the door (stateless per-row filter): the
+        // batch curation order — gate first, dedup among survivors —
+        // via the SAME TextAnalysis.qualityScore column the batch gate
+        // evaluates, so stream ≡ batch by shared definition, not by
+        // parallel formulas. Quarantine rows pass the door (they are
+        // not documents — their fate was decided by the split). ALWAYS
+        // observed, counting CLEAN survivors only (== n_clean when
+        // ungated, zero extra passes) so the stats table can attribute
+        // gate drops separately — without this counter a quality drop
+        // would masquerade as a dup rejection and fire the wrong
+        // dashboard alarm
+        val tagged = taggedOf(observed)
+        val gated = minQuality.fold(tagged) { m =>
+          tagged.filter(col("q_reason").isNotNull ||
+            graft.operators.TextAnalysis.qualityScore(col("text")) >= m)
+        }.observe("corpus_gated",
+          sum(when(col("q_reason").isNull, 1L).otherwise(0L))
+            .as("n_gate_pass"))
+        val typed = mintOrds(gated.as[PipeDoc])
+        // admission gate: exact first-occurrence by default; with
+        // `nearDup = Some(threshold)` the streaming MinHash near-dup
+        // gate instead — it subsumes exact dedup for every shingled
+        // doc (identical text ⇒ identical bands ⇒ Jaccard 1), while
+        // shingle-less docs (< 3 words) pass ungated on both the gate
+        // and its batch oracle. State: the 1× doc-keyed shingle store
+        // instead of one boolean per fingerprint — production runs
+        // want the RocksDB state-store provider (see SCALE.md §8d) at
+        // crawl cardinality either way. Quarantine rows pass both
+        // gates without creating state (no shingles / explicit bypass
+        // with a "q|" key a 32-hex md5 can never produce).
+        nearDup match {
+          case Some(t) =>
+            graft.operators.Dedup.streamingNearDupGate(typed, t)(
+              _.text, _.ord)
+          case None =>
+            graft.operators.Dedup.streamingFirstOccurrenceBy(typed)(
+              d => if (d.q_reason != null) "q|" + d.ord
+                   else graft.operators.Dedup.md5Hex(d.text),
+              _.ord, bypass = _.q_reason != null)
+        }
     }
-    val q = lock.startGuarded(spark) {
+    // the TTL plan is watermark + chained stateful — the static
+    // checker's flagged hazard has no dynamic instance here (see
+    // streamingNearDupGateTtl); scope the opt-out to this one start
+    def maybeOverride[A](start: => A): A =
+      if (nearDupTtlMicros.isDefined)
+        graft.operators.Dedup.withChainedStatefulOverride(spark)(start)
+      else start
+    val q = lock.startGuarded(spark) { maybeOverride {
       first.toDF()
         .observe("corpus_out",
           sum(when(col("q_reason").isNull, 1L).otherwise(0L))
@@ -517,7 +581,7 @@ object CorpusIO {
           ()
         }
         .start()
-    }
+    } }
     stats.foreach(_.bind(q.runId))
     q
   }

@@ -43,13 +43,27 @@ class CorpusIngestStats
   override protected def runIdOf(row: BatchStats): String = row.runId
 
   override protected def rowOf(p: StreamingQueryProgress): BatchStats =
+    // TWO counter layouts, read additively (a query emits exactly one,
+    // so every sum has one non-zero side): the linear pipes observe
+    // input totals up front ("corpus_in"); the TTL pipe splits
+    // quarantine around its watermarked gate and may not observe above
+    // the split (a union would duplicate the CollectMetrics node and
+    // double-count), so it carries per-branch counters instead —
+    // "corpus_cin" (clean lines in) and "corpus_quar" (the three
+    // quarantine classes) — and n_lines is their sum.
     BatchStats(
       p.runId.toString, p.batchId, p.timestamp,
-      obs(p, "corpus_in", "n_lines"), obs(p, "corpus_in", "n_malformed"),
-      obs(p, "corpus_in", "n_incomplete"),
+      obs(p, "corpus_in", "n_lines") + obs(p, "corpus_cin", "n_clean_in") +
+        obs(p, "corpus_quar", "n_malformed") +
+        obs(p, "corpus_quar", "n_incomplete") +
+        obs(p, "corpus_quar", "n_invalid"),
+      obs(p, "corpus_in", "n_malformed") +
+        obs(p, "corpus_quar", "n_malformed"),
+      obs(p, "corpus_in", "n_incomplete") +
+        obs(p, "corpus_quar", "n_incomplete"),
       obs(p, "corpus_gated", "n_gate_pass"),
       obs(p, "corpus_out", "n_admitted"),
-      obs(p, "corpus_in", "n_invalid"),
+      obs(p, "corpus_in", "n_invalid") + obs(p, "corpus_quar", "n_invalid"),
       // ROWS Spark's watermark filter dropped as LATE before the
       // stateful ops this batch — the horizon-gated pipe's silent
       // vanish mode made visible (the unbounded pipes have no
@@ -71,7 +85,10 @@ class CorpusIngestStats
     * door; 0 when ungated since the gate counter is always observed),
     * `n_dup_dropped = gate_pass − admitted` (dedup rejections ONLY —
     * attributing gate drops here would fire the re-fetch alarm on a
-    * quality shift), and the two rates a crawl alerts on (the
+    * quality shift; in the TTL pipe a WATERMARK-dropped late doc also
+    * lands here, since it passed the door and was not admitted — the
+    * separate `nLateDroppedRows` plan-row counter is the
+    * disambiguator), and the two rates a crawl alerts on (the
     * quarantine rate covers all three classes).
     */
   def toDF(spark: SparkSession): DataFrame = {

@@ -674,6 +674,71 @@ class CorpusIOSpec extends AnyFunSuite {
       s"gate telemetry did not reconcile: $t")
   }
 
+  test("streamCurated with the TTL gate: horizon rejection + re-admission, quarantine rides the union, telemetry reconciles") {
+    val root = tmp("graft-ttlcorpus")
+    val in = s"$root/in"
+    new java.io.File(in).mkdirs()
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"tok$i").mkString(" ")
+    def jline(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "src0", "n_chars": ${text.length}}"""
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    val stats = new graft.streaming.CorpusIngestStats
+    val cur = CorpusIO.streamCurated(
+      CorpusIO.readJsonlStream(spark, in), s"$root/out", s"$root/ck",
+      buckets = 4, stats = Some(stats), nearDup = Some(0.5),
+      nearDupTtlMicros = Some(5L))
+    // batch 0: base + an exact copy at gap 1 (inside the horizon —
+    // rejected) + an unrelated doc
+    writeFile("f0.json",
+      Seq(jline(0, base), jline(1, base), jline(2, other)))
+    cur.processAllAvailable()
+    // batch 1: a mutated copy at gap 4 from the base (inside —
+    // rejected), a malformed line AND a negative-id line (both must
+    // ride the union around the watermarked gate: their minted
+    // negative ords would be forever-late INSIDE it), and a re-crawl
+    // of the base text at gap ≥ 16 from every seen near-dup — beyond
+    // the horizon, so it is ADMITTED again (the TTL semantics, inside
+    // the full pipe)
+    writeFile("f1.json",
+      Seq(jline(4, base + " tail42"), "ttl junk",
+        jline(-3, "contract breaker"), jline(20, base)))
+    cur.processAllAvailable()
+    cur.stop()
+    import spark.implicits._
+    val kept = CorpusIO.readCurated(spark, s"$root/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 20L),
+      s"TTL pipe kept $kept — expected within-horizon rejection of 1/4 " +
+        "and beyond-horizon re-admission of 20")
+    val quar = CorpusIO.readQuarantine(spark, s"$root/out")
+      .select("reason", "raw_line").as[(String, String)].collect().toSet
+    assert(quar.size == 2 && quar.contains(("malformed", "ttl junk")) &&
+      quar.exists(q => q._1 == "invalid" && q._2.contains("-3")),
+      s"quarantine must ride the union around the watermarked gate: $quar")
+    // telemetry through the TTL layout's per-branch counters: 7 lines
+    // (5 clean in + 1 malformed + 1 invalid), 5 gate passes (no
+    // quality door), 3 admitted, 2 dup-dropped
+    val deadline = System.currentTimeMillis() + 20000
+    def totals() = stats.toDF(spark)
+      .agg(coalesce(sum("nLines"), lit(0L)),
+        coalesce(sum("nMalformed"), lit(0L)),
+        coalesce(sum("nInvalid"), lit(0L)),
+        coalesce(sum("nGatePass"), lit(0L)),
+        coalesce(sum("nAdmitted"), lit(0L)),
+        coalesce(sum("n_dup_dropped"), lit(0L)))
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    var t = totals()
+    while (t._1 < 7L && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200); t = totals()
+    }
+    spark.streams.removeListener(stats)
+    assert(t == ((7L, 1L, 1L, 5L, 3L, 2L)),
+      s"TTL-pipe telemetry did not reconcile: $t")
+  }
+
   test("streamCurated refuses a quarantine directory in the retired file-sink layout") {
     val root = tmp("graft-qguard")
     new java.io.File(s"$root/out/quarantine/_spark_metadata").mkdirs()
