@@ -119,9 +119,15 @@ object Bench {
 
   /** The layer-3 compact summary line (see ordering comment above).
     * Exposed for BenchContractSpec, which pins its length under the
-    * driver's 2000-char tail window for the FULL current query set —
-    * the line grows ~13 bytes per registered query, and an overflow
-    * would silently return the durable bench evidence to parsed:null.
+    * driver's 2000-char tail window at ANY query count: the line grows
+    * ~12 bytes per registered query, and past the budget it keeps the
+    * SLOWEST entries and drops the fastest — the informative tail of a
+    * bench is its slow movers, and an overflow would silently return
+    * the durable bench evidence to parsed:null, which is worse than a
+    * visibly partial dict. `nq` always reports the TRUE query count,
+    * so a dict smaller than nq is the no-silent-caps marker (and full
+    * per-query precision still lives in the layer-1 JSON and the
+    * BENCH lines above).
     */
   def compactLine(results: Map[String, Double], total: Double,
                   sfDir: String): String = {
@@ -130,18 +136,44 @@ object Bench {
     // and the BENCH lines above; this line exists to survive the tail
     // window whole, so every value is HARD-capped at 4 chars ("10.0"
     // from %.1f rounding just under the cutoff; a ≥ 9999.5 s query —
-    // already a failed round — prints the 9999 ceiling) — inside the
-    // 1900-char pin past 150 queries with no pathological escape
+    // already a failed round — prints the 9999 ceiling)
     def fmt1(v: Double): String =
       if (v >= 9999.5) "9999"
       else if (v >= 10) "%.0f".formatLocal(java.util.Locale.ROOT, v)
       else "%.1f".formatLocal(java.util.Locale.ROOT, v)
-    val shortQs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt1(v) }
-      .mkString("{", ",", "}")
     // the ONE total field never saturates (it is the headline number
     // the driver records); a single unbounded value costs ≤ 9 chars
     val tot = "%.1f".formatLocal(java.util.Locale.ROOT, total)
-    s"""{"metric":"total","value":$tot,"unit":"sec","nq":${results.size},"queries":$shortQs,"sf":"$sfDir"}"""
+    def render(entries: Seq[(String, String)]): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$tot,"unit":"sec","nq":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    }
+    val all = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => (k.takeWhile(_ != '_'), fmt1(v), v) }
+    val full = render(all.map(e => (e._1, e._2)))
+    if (full.length <= TailBudget) full
+    else {
+      // over budget: greedily keep the slowest entries that fit (the
+      // +4 covers quotes, colon and comma — over-counts the comma by
+      // one across the dict, a safe under-budget bias), then re-sort
+      // the kept set by key so the emitted order stays stable.
+      // sortBy is stable, so equal values keep key order — the drop
+      // set is deterministic
+      val base = render(Nil).length
+      var used = base
+      val kept = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Double)]
+      all.sortBy(-_._3).foreach { e =>
+        val cost = e._1.length + e._2.length + 4
+        if (used + cost <= TailBudget) { kept += e; used += cost }
+      }
+      render(kept.sortBy(_._1).toSeq.map(e => (e._1, e._2)))
+    }
   }
+
+  /** The hard line budget: the driver's MEASURED 2000-char stdout tail
+    * minus sbt's trailing "[success] Total time: …" line and newlines.
+    */
+  private val TailBudget = 1900
 }

@@ -195,10 +195,20 @@ object SparkEntry {
     * compacted, and the curated layout is read back.
     */
   private def streamCorpusFixture(s: SparkSession, dir: String,
-                                  nearDup: Option[Double]): DataFrame = {
+                                  nearDup: Option[Double],
+                                  nearDupTtl: Option[Long] = None)
+    : DataFrame = {
     val docs = Tables.read(s, dir, "documents")
     val canon = docs.select(col("doc_id").as("c_id"), col("text"))
-    val rows = docs.select(col("doc_id"), col("lang"), col("source"),
+    // the TTL row (x153) streams the RAW documents: their natural
+    // near-dup pairs straddle the horizon at both SFs (the x129
+    // fixture property), so within-horizon rejection AND
+    // beyond-horizon re-admission are both visible in one kept set —
+    // the run-of-5 synthesis's CONSECUTIVE ids would chain every run
+    // inside any horizon ≥ 1 and hide re-admission entirely
+    val rows = if (nearDupTtl.isDefined)
+      docs.select("doc_id", "text", "lang", "source", "n_chars")
+    else docs.select(col("doc_id"), col("lang"), col("source"),
         (col("doc_id") - col("doc_id") % 5).as("c_id"))
       .join(canon, "c_id")
       // gate fixture only: each run's ≡1-member is a MUTATED copy
@@ -229,7 +239,8 @@ object SparkEntry {
     // partition dirs — pure small-files listing cost in a query
     // whose point is the pipe, not the layout width
     val cur = graft.sources.CorpusIO.streamCurated(raw, s"$root/out",
-      s"$root/ck", buckets = 8, nearDup = nearDup)
+      s"$root/ck", buckets = 8, nearDup = nearDup,
+      nearDupTtlMicros = nearDupTtl)
     // three id-RANGE files delivered and drained one at a time:
     // range order makes each fingerprint's global-min id arrive in
     // the group's first batch, which is what lets the batch oracle
@@ -672,6 +683,46 @@ object SparkEntry {
           root.toString)
       }
     }),
+    // X3f incremental maintenance: build the index over 80 % of the
+    // corpus, APPEND the rest with the FROZEN quantizer (FAISS add vs
+    // train — the daily-crawl reality), then search the appended
+    // index. The oracle restates the whole lifecycle from the raw
+    // table: params + centroids from the base subset, codes + search
+    // over everything
+    "x154_ivf_sq_append" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-sqapp")
+      guardingScratch(root.toString) {
+        val emb = Tables.read(s, dir, "embeddings")
+        Similarity.buildIvfSqIndex(
+          emb.filter(pmod(col("vec_id"), lit(5L)) =!= 4L), root.toString)
+        Similarity.appendToIvfSqIndex(
+          emb.filter(pmod(col("vec_id"), lit(5L)) === 4L), root.toString)
+        materializedWithoutScratch(
+          Similarity.searchIvfSq(s, root.toString,
+            emb.filter(col("vec_id").isin(0L, 1L, 2L))
+              .select("vec_id", "embedding"),
+            5, nprobe = 2).orderBy("q_id", "rank"),
+          root.toString)
+      }
+    }),
+    // X3b the same lifecycle on IVFADC: frozen codebook + centroids,
+    // appended code rows, search over the grown index
+    "x155_ivfadc_append" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-pqapp")
+      guardingScratch(root.toString) {
+        val emb = Tables.read(s, dir, "embeddings")
+        Similarity.buildIvfPqIndex(
+          emb.filter(pmod(col("vec_id"), lit(5L)) =!= 4L), root.toString)
+        Similarity.appendToIvfPqIndex(
+          emb.filter(pmod(col("vec_id"), lit(5L)) === 4L), root.toString)
+        materializedWithoutScratch(
+          Similarity.searchIvfPqAdc(s, root.toString,
+            emb.filter(col("vec_id").isin(0L, 1L, 2L))
+              .select("vec_id", "embedding"),
+            5, nprobe = 2).orderBy("q_id", "rank"),
+          root.toString)
+      }
+    }),
     // X3b per-subspace distortion dashboard — the codebook-health
     // monitor (stale codebook = rising d2 before recall decays)
     "x119_pq_distortion" -> ((s, dir) =>
@@ -798,6 +849,16 @@ object SparkEntry {
     // sink → compaction, end to end
     "x110_stream_gate_corpus" -> ((s, dir) =>
       streamCorpusFixture(s, dir, Some(ClusterJaccard))),
+    // X26e+X33c: the TTL gate inside the FULL file pipe — the
+    // horizon-bounded deployment shape, with quarantine bait riding
+    // the union AROUND the watermarked gate (single query, one
+    // checkpoint). Raw documents, not the run-of-5 synthesis: their
+    // natural near-dup gaps straddle the horizon, so rejection AND
+    // re-admission both land in the kept set; oracle = x129's closed
+    // form over the same table
+    "x153_stream_gate_ttl_corpus" -> ((s, dir) =>
+      streamCorpusFixture(s, dir, Some(ClusterJaccard),
+        Some(GateHorizonMicros))),
     // X33 streaming near-dup admission gate: the documents table
     // arrives as three id-RANGE chunks through the chained keyed-state
     // gate (band-bucket verify → per-doc reduce); a doc is admitted
@@ -2112,6 +2173,14 @@ object SparkEntry {
       OracleSqlExt.ivfSqProbedTopKSql(Seq(0L, 1L, 2L), 5, 2),
     "x152_ivfadc_index" ->
       OracleSqlExt.pqIvfAdcProbedTopKSql(Seq(0L, 1L, 2L), 5, 2),
+    // the append rows: quantizer frozen on the 80 % base, codes and
+    // search over everything — stated from the raw table
+    "x154_ivf_sq_append" ->
+      OracleSqlExt.ivfSqAppendTopKSql(Seq(0L, 1L, 2L), 5, 2,
+        "vec_id % 5 <> 4"),
+    "x155_ivfadc_append" ->
+      OracleSqlExt.pqIvfAdcAppendTopKSql(Seq(0L, 1L, 2L), 5, 2,
+        "vec_id % 5 <> 4"),
     "x149_sq_probe_curve" ->
       OracleSqlExt.sqProbedCurveSql(Seq(0L, 1L, 2L), 5, RecallCurveProbes),
     "x150_adc_probe_curve" ->
@@ -2150,6 +2219,12 @@ object SparkEntry {
     "x109_stream_gate_audit" ->
       OracleSqlExt.streamGateAuditSql(ClusterJaccard),
     "x129_stream_gate_ttl" ->
+      OracleSqlExt.streamNearDupGateTtlSql(ClusterJaccard, GateHorizonMicros),
+    // the TTL pipe promises the kept set of the TTL gate over the raw
+    // documents — the SAME closed form as x129 states that contract
+    // (the pipe adds JSONL round-trip, quarantine bait that must not
+    // surface, compaction, and the curated read-back on top)
+    "x153_stream_gate_ttl_corpus" ->
       OracleSqlExt.streamNearDupGateTtlSql(ClusterJaccard, GateHorizonMicros),
     "x110_stream_gate_corpus" ->
       OracleSqlExt.streamGateCorpusSql(ClusterJaccard),

@@ -760,12 +760,7 @@ object Similarity {
     * cost, no window wider than nothing (there is no window at all).
     */
   private def pqParts(emb: DataFrame, m: Int, dims: Int): (DataFrame, DataFrame) = {
-    require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
-    val d = dims / m
-    val q = quantized(emb)
-    val subs = q.select(col("vec_id"), col("label"),
-      posexplode(array((0 until m).map(s => slice(col("vq"), s * d + 1, d)): _*))
-        .as(Seq("sub", "svq")))
+    val subs = pqSubs(quantized(emb), m, dims)
     val cb = subs
       .select(col("label"), col("sub"), posexplode(col("svq")).as(Seq("dim", "v")))
       .groupBy("label", "sub", "dim")
@@ -776,7 +771,28 @@ object Similarity {
         .as("cvec"))
       .select(col("label").cast("long").as("code"), col("sub"), col("cvec"),
         VecOps.normSq(col("cvec")).as("cn2"))
-    val codes = subs.withColumn("sn2", VecOps.normSq(col("svq")))
+    (cb, pqAssignWith(subs, cb))
+  }
+
+  /** One row per (vector, subspace) of a quantized frame — the fan
+    * the codebook learning and the code assignment both consume.
+    */
+  private def pqSubs(q: DataFrame, m: Int, dims: Int): DataFrame = {
+    require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val d = dims / m
+    q.select(col("vec_id"), col("label"),
+      posexplode(array((0 until m).map(s => slice(col("vq"), s * d + 1, d)): _*))
+        .as(Seq("sub", "svq")))
+  }
+
+  /** Assign each (vector, subspace) row its nearest codeword from an
+    * EXPLICIT codebook — the piece [[pqParts]] (codebook just learned)
+    * and [[appendToIvfPqIndex]] (codebook read frozen from the index)
+    * share, so code assignment can never drift between build time and
+    * append time.
+    */
+  private def pqAssignWith(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.withColumn("sn2", VecOps.normSq(col("svq")))
       .join(broadcast(cb), Seq("sub"))
       .withColumn("d2",
         col("sn2") - lit(2L) * VecOps.dot(col("svq"), col("cvec")) + col("cn2"))
@@ -784,8 +800,6 @@ object Similarity {
       .agg(min(struct(col("d2"), col("code"))).as("mn"))
       .select(col("vec_id"), col("sub").cast("long").as("sub"),
         col("mn.code").as("code"), col("mn.d2").as("d2"))
-    (cb, codes)
-  }
 
   /** PQ code assignment: one row per (vector, subspace) with the
     * assigned codeword and the exact int64 quantization error `d2` —
@@ -1112,6 +1126,53 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("cv").as("qv"),
         col("cn2").as("qn2"))
     sdcProbedRank(codes, probed.join(qcodes, "q_id"), k).drop("nprobe")
+  }
+
+  /** Append new vectors to a persisted IVF-SQ index WITHOUT
+    * retraining — the FAISS `add` vs `train` split, and the
+    * deployment's daily reality: a crawl adds vectors continuously,
+    * the quantizer retrains on a drift schedule. The new vectors are
+    * coded with the STORED params (the frozen quantizer —
+    * `params`/`centroids` are not touched, spec-pinned by snapshot)
+    * and their code rows append into the cell-partitioned `codes`
+    * tree; every later [[searchIvfSq]] sees them. The x154 oracle row
+    * states the whole contract from the raw table: params + centroids
+    * from the base subset, codes + search over everything.
+    *
+    * Honest limits, both inherent to frozen-quantizer appends:
+    * delivery is the caller's (a retried append writes its rows
+    * twice — wrap in the caller's ledger for exactly-once); and a new
+    * vector whose `label` cell has no stored centroid is never probed
+    * (cells are born at build time — drift monitoring via
+    * [[kmeansInertia]] says when to rebuild).
+    */
+  def appendToIvfSqIndex(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    val params = spark.read.schema(SqParamsSchema).parquet(s"$path/params")
+    sqCodeWith(quantized(emb), params)
+      .select("vec_id", "cv", "cn2", "label")
+      .repartition(col("label"))
+      .write.partitionBy("label").mode("append").parquet(s"$path/codes")
+  }
+
+  /** The IVFADC sibling of [[appendToIvfSqIndex]]: new vectors are
+    * assigned codes against the STORED codebook ([[pqAssignWith]] —
+    * the build path's own assignment core) under the stored (m, dims)
+    * geometry, and append into the cell-partitioned code tree;
+    * centroids/codebook/meta are not touched. Same delivery and
+    * unborn-cell caveats.
+    */
+  def appendToIvfPqIndex(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    val meta = spark.read.schema(PqMetaSchema).parquet(s"$path/meta").head()
+    val (m, dims) = (meta.getInt(0), meta.getInt(1))
+    val cb = spark.read.schema(CodebookSchema).parquet(s"$path/codebook")
+    val q = quantized(emb)
+    pqAssignWith(pqSubs(q, m, dims), cb)
+      .select("vec_id", "sub", "code")
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .repartition(col("label"))
+      .write.partitionBy("label").mode("append").parquet(s"$path/codes")
   }
 
   /** Build and persist an IVFADC index under `path`: coarse centroids,

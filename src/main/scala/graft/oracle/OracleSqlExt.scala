@@ -720,6 +720,7 @@ object OracleSqlExt {
          |  WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= $threshold)
          |ORDER BY s.doc_id""".stripMargin
 
+
   def simhashPairsSql(maxDist: Int, band: Long, bits: Int = 60): String = {
     val sums = (0 until bits).map(b =>
       s"sum(CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
@@ -886,7 +887,8 @@ object OracleSqlExt {
       |  FROM e0
       |)""".stripMargin
 
-  private def pqCte(m: Int, dims: Int): String = {
+  private def pqCte(m: Int, dims: Int,
+                    basePred: String = "TRUE"): String = {
     val d = dims / m
     embQuantCte +
     s""", sub AS (
@@ -897,6 +899,7 @@ object OracleSqlExt {
        |  SELECT label, sub, di.dim AS dim,
        |         CAST(sum(svq[di.dim+1]) // count(*) AS BIGINT) AS c
        |  FROM sub CROSS JOIN (SELECT unnest(range($d)) AS dim) di
+       |  WHERE $basePred
        |  GROUP BY label, sub, di.dim
        |), cb0 AS (
        |  SELECT label AS code, sub, list(c ORDER BY dim) AS cvec
@@ -978,10 +981,11 @@ object OracleSqlExt {
     * embQuantCte-based SQ/PQ chains), exact int64 squared distance,
     * ties to the lower cell label, prefix by rank.
     */
-  private def probeBaseCtes(queryIds: Seq[Long]): String =
+  private def probeBaseCtes(queryIds: Seq[Long],
+                            basePred: String = "TRUE"): String =
     s""", dimse AS (
        |  SELECT label, unnest(vq) AS v, generate_subscripts(vq, 1) AS dim
-       |  FROM e
+       |  FROM e WHERE $basePred
        |), cde AS (
        |  SELECT label, dim, CAST(sum(v) AS BIGINT) AS s,
        |         CAST(count(*) AS BIGINT) AS cnt
@@ -1004,8 +1008,9 @@ object OracleSqlExt {
        |  WHERE e.vec_id IN (${queryIds.mkString(",")})
        |)""".stripMargin
 
-  private def probeCtes(queryIds: Seq[Long], nprobe: Int): String =
-    probeBaseCtes(queryIds) +
+  private def probeCtes(queryIds: Seq[Long], nprobe: Int,
+                        basePred: String = "TRUE"): String =
+    probeBaseCtes(queryIds, basePred) +
       s""", pcells AS (
          |  SELECT q_id, c_label FROM qce WHERE crk <= $nprobe
          |)""".stripMargin
@@ -1098,6 +1103,21 @@ object OracleSqlExt {
          |SELECT q_id, vec_id, CAST(rn AS BIGINT) AS rank, adc_d2
          |FROM tadc WHERE rn <= $k ORDER BY q_id, rank""".stripMargin
 
+  /** Mirrors `Similarity.searchIvfPqAdc` over an APPENDED index
+    * (x155): PQ codebook and coarse centroids learned from the BASE
+    * subset only (`basePred` — the frozen quantizer
+    * `buildIvfPqIndex` persisted), code assignment and search over
+    * ALL vectors.
+    */
+  def pqIvfAdcAppendTopKSql(queryIds: Seq[Long], k: Int, nprobe: Int,
+                            basePred: String, m: Int = 8,
+                            dims: Int = 64): String =
+    pqCte(m, dims, basePred) + probeCtes(queryIds, nprobe, basePred) +
+      adcCtes(queryIds, m, dims, probeRestrict = true) +
+      s"""
+         |SELECT q_id, vec_id, CAST(rn AS BIGINT) AS rank, adc_d2
+         |FROM tadc WHERE rn <= $k ORDER BY q_id, rank""".stripMargin
+
   /** Mirrors `Similarity.topKBruteL2` — exact squared-euclidean over
     * the full quantized vectors, rank ascending with vec_id
     * tie-break. Needs only the quantization CTE — no PQ machinery.
@@ -1107,13 +1127,13 @@ object OracleSqlExt {
     * (non-negative numerator ⇒ round ties agree), lockstep unnest for
     * the (vec, dim) grid.
     */
-  private def sqCtes: String =
+  private def sqCtes(basePred: String = "TRUE"): String =
     s""", dgrid AS (
        |  SELECT vec_id, unnest(range(len(vq))) AS dim0, unnest(vq) AS x
        |  FROM e
        |), params AS (
        |  SELECT CAST(dim0 AS BIGINT) AS dim, min(x) AS dmin, max(x) AS dmax
-       |  FROM dgrid GROUP BY 1
+       |  FROM dgrid WHERE $basePred GROUP BY 1
        |), coderows AS (
        |  SELECT g.vec_id, CAST(g.dim0 AS BIGINT) AS dim,
        |         CASE WHEN p.dmax = p.dmin THEN CAST(0 AS BIGINT)
@@ -1125,7 +1145,7 @@ object OracleSqlExt {
 
   /** Mirrors `Similarity.sqCodes`: the exploded (vec, dim) code table. */
   def sqCodesSql: String =
-    embQuantCte + sqCtes +
+    embQuantCte + sqCtes() +
       """
         |SELECT vec_id, dim, code FROM coderows ORDER BY vec_id, dim""".stripMargin
 
@@ -1134,7 +1154,7 @@ object OracleSqlExt {
     * codes CTE.
     */
   def sqRecallSql(queryIds: Seq[Long], k: Int, dims: Int = 64): String =
-    embQuantCte + sqCtes +
+    embQuantCte + sqCtes() +
       s""", codes AS (
          |  SELECT vec_id, list(code ORDER BY dim) AS cv
          |  FROM coderows GROUP BY vec_id
@@ -1186,7 +1206,7 @@ object OracleSqlExt {
     * codes — the sqRecallSql machinery with the label equi-join.
     */
   def ivfSqTopKSql(queryIds: Seq[Long], k: Int, dims: Int = 64): String =
-    embQuantCte + sqCtes +
+    embQuantCte + sqCtes() +
       s""", codes AS (
          |  SELECT vec_id, list(code ORDER BY dim) AS cv
          |  FROM coderows GROUP BY vec_id
@@ -1220,7 +1240,23 @@ object OracleSqlExt {
     */
   def ivfSqProbedTopKSql(queryIds: Seq[Long], k: Int, nprobe: Int,
                          dims: Int = 64): String =
-    embQuantCte + sqCtes + probeCtes(queryIds, nprobe) +
+    embQuantCte + sqCtes() + probeCtes(queryIds, nprobe) +
+      sqProbedTail(queryIds, k, dims)
+
+  /** Mirrors `Similarity.searchIvfSq` over an APPENDED index (x154):
+    * SQ params and coarse centroids learned from the BASE subset only
+    * (`basePred` — the frozen quantizer `buildIvfSqIndex` persisted),
+    * codes and search over ALL vectors — exactly what build + append
+    * + search computes, restated from the raw table.
+    */
+  def ivfSqAppendTopKSql(queryIds: Seq[Long], k: Int, nprobe: Int,
+                         basePred: String, dims: Int = 64): String =
+    embQuantCte + sqCtes(basePred) + probeCtes(queryIds, nprobe, basePred) +
+      sqProbedTail(queryIds, k, dims)
+
+  /** The shared scoring/ranking tail of the probed SDC oracles. */
+  private def sqProbedTail(queryIds: Seq[Long], k: Int,
+                           dims: Int): String =
       s""", codes AS (
          |  SELECT vec_id, list(code ORDER BY dim) AS cv
          |  FROM coderows GROUP BY vec_id
@@ -1255,7 +1291,7 @@ object OracleSqlExt {
     */
   def sqProbedCurveSql(queryIds: Seq[Long], k: Int, nprobes: Seq[Int],
                        dims: Int = 64): String =
-    embQuantCte + sqCtes + probeCtesMulti(queryIds, nprobes) +
+    embQuantCte + sqCtes() + probeCtesMulti(queryIds, nprobes) +
       s""", codes AS (
          |  SELECT vec_id, list(code ORDER BY dim) AS cv
          |  FROM coderows GROUP BY vec_id

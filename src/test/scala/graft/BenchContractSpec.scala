@@ -5,9 +5,14 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Pins the durable bench-output contract against the driver's
   * measured 2000-character stdout tail window (BENCH_r05–r07 tail
   * fields). No Spark session needed — the contract is pure string
-  * shape.
+  * shape. Since round 12 the line keeps itself under budget at ANY
+  * query count by dropping the FASTEST entries when it must (`nq`
+  * reports the true count, so the omission is visible) — the horizon
+  * tests below hold the contract well past the next rounds' growth.
   */
 class BenchContractSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.1"
 
   // worst-case values under the adaptive format: 9.999 renders as
   // "10.0" (4 chars — %.1f applies below 10 and rounds up), the
@@ -15,27 +20,30 @@ class BenchContractSpec extends AnyFunSuite {
   // ("1000" for 999.999) and a hard "9999" saturation above 9999.5 s
   // close every wider escape; the saturation test below proves the cap
   private def line = Bench.compactLine(
-    SparkEntry.queries.keys.map(_ -> 9.999).toMap,
-    999999.999, "/root/testdata/sf0.1")
+    SparkEntry.queries.keys.map(_ -> 9.999).toMap, 999999.999, sf)
 
   test("per-query values saturate at 4 chars; the total never saturates") {
     val worst = Bench.compactLine(
       SparkEntry.queries.keys.map(_ -> 123456789.999).toMap,
-      123456789.999, "/root/testdata/sf0.1")
-    // same length as the 9.999 line except the total field's width
-    assert(worst.length == line.length +
-      ("123456790.0".length - "1000000.0".length),
-      s"a pathological per-query value escaped the 4-char cap:\n$worst")
+      123456789.999, sf)
     assert(worst.contains("\"value\":123456790.0"),
       "the headline total must report truthfully, never saturate")
+    // every EMITTED per-query value is the 4-char "9999" ceiling —
+    // no pathological width escapes into the dict
+    val dict = worst.substring(worst.indexOf("\"queries\":"))
+    assert("\\d{5,}".r.findFirstIn(
+      dict.replace("123456790.0", "")).isEmpty,
+      s"a per-query value escaped the 4-char cap:\n$worst")
+    assert(worst.length <= 1900)
   }
 
   test("compact bench line fits the 2000-char tail with the sbt success line") {
     // the tail must hold the whole line PLUS sbt's trailing
-    // "[success] Total time: …" (~80 chars) and two newlines
+    // "[success] Total time: …" (~80 chars) and two newlines — and
+    // the budget must hold even at all-worst-case per-query widths
     assert(line.length <= 1900,
       s"compact bench line is ${line.length} chars — the driver's " +
-        "2000-char tail capture will truncate it; shorten keys or values")
+        "2000-char tail capture will truncate it")
   }
 
   test("query-id prefixes are unique, so short keys lose nothing") {
@@ -44,15 +52,42 @@ class BenchContractSpec extends AnyFunSuite {
       s"duplicate query-id prefixes: ${ids.diff(ids.distinct).distinct}")
   }
 
-  test("compact line parses as JSON with every query present") {
-    // minimal structural check without a JSON library: balanced braces,
-    // one entry per query, marker present exactly once
-    assert(line.startsWith("""{"metric":"total""""))
-    assert(line.count(_ == '{') == 2 && line.count(_ == '}') == 2)
-    assert(line.count(_ == ':') >= SparkEntry.queries.size)
+  test("compact line parses as JSON; realistic timings carry every query") {
+    // realistic per-query values (sub-second) — the full registry must
+    // fit the budget whole, so the driver's per-query record stays
+    // complete in the steady state; the worst-case width tests above
+    // cover the degraded mode
+    val real = Bench.compactLine(
+      SparkEntry.queries.keys.map(_ -> 0.123).toMap, 42.0, sf)
+    assert(real.startsWith("""{"metric":"total""""))
+    assert(real.count(_ == '{') == 2 && real.count(_ == '}') == 2)
+    assert(real.contains(s""""nq":${SparkEntry.queries.size}"""))
     SparkEntry.queries.keys.foreach { k =>
       val short = "\"" + k.takeWhile(_ != '_') + "\":"
-      assert(line.contains(short), s"missing $k as $short")
+      assert(real.contains(short), s"missing $k as $short")
     }
+    assert(real.length <= 1900)
+  }
+
+  test("contract holds past 200 queries: slowest entries kept, omission visible in nq") {
+    // the growth horizon the next rounds walk into: 220 synthetic
+    // queries at distinct timings. The line must stay parseable and
+    // under budget, keep the SLOWEST (most informative) entries, and
+    // say how many queries really ran so the partial dict can never
+    // read as "covered everything"
+    val vals = (1 to 220)
+      .map(i => (f"x$i%03d_synthetic_growth_padding", i.toDouble)).toMap
+    val synth = Bench.compactLine(vals, vals.values.sum, sf)
+    assert(synth.length <= 1900,
+      s"synthetic 220-query line is ${synth.length} chars")
+    assert(synth.startsWith("""{"metric":"total"""") &&
+      synth.count(_ == '{') == 2 && synth.count(_ == '}') == 2,
+      s"not a single JSON object:\n$synth")
+    assert(synth.contains("\"nq\":220"),
+      "nq must report the TRUE query count — the no-silent-caps marker")
+    assert(synth.contains("\"x220\":220"),
+      "the slowest query must survive the cut")
+    assert(!synth.contains("\"x001\":"),
+      "the fastest query is the one that yields under budget pressure")
   }
 }
