@@ -1057,9 +1057,9 @@ object Dedup {
           val rs = rows.toSeq
           val (selfRows, probes) = rs.partition(_._3)
           // exactly one self row per doc by construction — a second
-          // one means two DISTINCT docs share an ord, which would
-          // merge their rows downstream: the previously-undetectable
-          // cross-bucket ord tie, now loud
+          // one means two DISTINCT docs share an ord within this
+          // batch, which would merge their rows downstream: the
+          // previously-undetectable cross-bucket ord tie, now loud
           if (selfRows.length > 1)
             throw new IllegalStateException(
               s"duplicate ord $g across documents — ord must uniquely " +
@@ -1068,10 +1068,27 @@ object Dedup {
           val out = scala.collection.mutable.ArrayBuffer
             .empty[(Long, Boolean, T)]
           selfRows.foreach { case (_, o, _, sh, doc) =>
-            // !exists guards batch REPLAY (state is the pre-batch
-            // snapshot on replay, so a first write is re-applied
-            // idempotently); shingle-less docs create no state
-            if (sh.nonEmpty && !state.exists) state.update(sh)
+            // shingle-less docs create no state. An existing entry is
+            // EITHER a batch replay (state is the pre-batch snapshot
+            // on replay, so the same doc's write re-arrives — the
+            // arrays match and the write is skipped idempotently) OR
+            // a CROSS-BATCH ord tie between two distinct docs — the
+            // arrays differ, and admitting the second doc under the
+            // first's shingles would corrupt every later verdict on
+            // this ord, so it fails loudly instead. A tie between
+            // docs with IDENTICAL shingle sets is indistinguishable
+            // from a replay and flows through — harmless by
+            // construction: identical sets produce identical
+            // verdicts, and the payload emitted is this row's own.
+            if (sh.nonEmpty) state.getOption match {
+              case None => state.update(sh)
+              case Some(prev) =>
+                if (!java.util.Arrays.equals(prev, sh))
+                  throw new IllegalStateException(
+                    s"ord $g re-arrived with a DIFFERENT shingle set — " +
+                      "two distinct documents share an ord across " +
+                      "batches; ord must uniquely identify a document")
+            }
             out += ((o, false, doc))
           }
           if (probes.nonEmpty) {
@@ -1138,11 +1155,14 @@ object Dedup {
     * Relies on the documented ord-uniqueness contract: the verify
     * ops throw loudly on a within-bucket ord tie
     * ([[assertUniqueOrds]]), and the unbounded gate's doc-keyed store
-    * additionally detects ANY cross-bucket tie (two self rows on one
-    * ord). The one residual: in the TTL gate a tie between docs
-    * sharing NO band bucket is undetectable here and would merge
-    * their rows — keep ords unique (the x103 pipes key on doc_id,
-    * which is).
+    * additionally detects cross-bucket ties — same-batch (two self
+    * rows on one ord) and cross-batch (an ord re-arriving with a
+    * different shingle set). The residuals: a cross-batch tie between
+    * docs with IDENTICAL shingle sets flows through (harmless —
+    * identical sets produce identical verdicts), and in the TTL gate
+    * a tie between docs sharing NO band bucket is undetectable here
+    * and would merge their rows — keep ords unique (the x103 pipes
+    * key on doc_id, which is).
     */
   private def reduceByOrd[T](
       verdicts: org.apache.spark.sql.Dataset[(Long, Boolean, T)])(

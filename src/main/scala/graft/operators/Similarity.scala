@@ -439,16 +439,30 @@ object Similarity {
 
   /** Code a quantized frame (any frame carrying `vq`) against an SQ
     * params row — appends `cv`/`cn2`. ONE spelling for the corpus
-    * coding ([[sqCoded]], [[buildIvfSqIndex]]) and the query-side
-    * coding ([[searchIvfSq]]), so the affine map can never drift
-    * between build time and search time.
+    * coding ([[sqCoded]], [[buildIvfSqIndex]]), the query-side coding
+    * ([[searchIvfSq]]) and the frozen-params append
+    * ([[appendToIvfSqIndex]]), so the affine map can never drift
+    * between build time and search/append time.
+    *
+    * Codes CLAMP to 0..255 (the FAISS scalar-quantizer rule): at
+    * build time every value sits inside the trained [dmin, dmax] and
+    * the clamp is a no-op, but the frozen-params paths code vectors
+    * the params never saw — without the clamp a drifted dimension
+    * would silently produce codes outside the byte range (breaking
+    * the 8-bit/8× compression invariant and, for values below dmin,
+    * putting a NEGATIVE numerator under `round`, where Spark and
+    * DuckDB tie-rounding parity is unproven). With the clamp every
+    * out-of-range value lands on 0 or 255 REGARDLESS of how the tie
+    * rounds, so the oracle hash stays engine-exact on drifted data
+    * too.
     */
   private def sqCodeWith(q: DataFrame, params: DataFrame): DataFrame =
     q.crossJoin(broadcast(params))
       .withColumn("cv", expr(
         "transform(vq, (x, i) -> IF(element_at(dmaxs, i+1) = element_at(dmins, i+1), 0L, " +
+          "LEAST(255L, GREATEST(0L, " +
           "CAST(round(CAST(x - element_at(dmins, i+1) AS DOUBLE) * 255.0D " +
-          "/ CAST(element_at(dmaxs, i+1) - element_at(dmins, i+1) AS DOUBLE)) AS BIGINT)))"))
+          "/ CAST(element_at(dmaxs, i+1) - element_at(dmins, i+1) AS DOUBLE)) AS BIGINT)))))"))
       .withColumn("cn2", VecOps.normSq(col("cv")))
       .drop("dmins", "dmaxs")
 
@@ -1109,12 +1123,23 @@ object Similarity {
     * rows — nprobe/|cells| of the 8×-compressed corpus, no index
     * rebuild, no aggregation over corpus-sized data anywhere in the
     * plan.
+    *
+    * Query-id contract (both searchers): `vec_id` lives in the CORPUS
+    * id space — a corpus row whose id equals the query's is excluded
+    * from its results (the inline searches' rule, which keeps
+    * corpus-drawn queries from returning themselves; the x151/x152
+    * oracles state exactly that). A caller with an EXTERNAL query-id
+    * space must use ids no corpus vector carries (e.g. negatives) or
+    * the colliding corpus vector is silently unretrievable for that
+    * one query.
     */
   def searchIvfSq(spark: org.apache.spark.sql.SparkSession, path: String,
                   queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
     val cent = spark.read.schema(CentroidsSchema).parquet(s"$path/centroids")
     val params = spark.read.schema(SqParamsSchema).parquet(s"$path/params")
     val codes = spark.read.schema(SqCodesSchema).parquet(s"$path/codes")
+    requireDim(queries, "embedding", paramsDim(params),
+      "searchIvfSq: query")
     val qq = queries
       .select(col("vec_id"), VecOps.quantize(col("embedding")).as("vq"))
       .withColumn("n2", VecOps.normSq(col("vq")))
@@ -1149,11 +1174,34 @@ object Similarity {
   def appendToIvfSqIndex(emb: DataFrame, path: String): Unit = {
     val spark = emb.sparkSession
     val params = spark.read.schema(SqParamsSchema).parquet(s"$path/params")
+    requireDim(emb, "embedding", paramsDim(params),
+      "appendToIvfSqIndex: new vectors")
     sqCodeWith(quantized(emb), params)
       .select("vec_id", "cv", "cn2", "label")
       .repartition(col("label"))
       .write.partitionBy("label").mode("append").parquet(s"$path/codes")
   }
+
+  /** The trained dimensionality of a persisted SQ params row — the
+    * params array length IS the index geometry (the SQ sibling of the
+    * PQ meta table).
+    */
+  private def paramsDim(params: DataFrame): Int =
+    params.head().getSeq[Long](0).size
+
+  /** Loud geometry check for the index searchers/appenders: a
+    * wrong-dimension vector would otherwise code/slice SILENTLY into
+    * truncated arrays and wrong distances — the one failure an index
+    * API must never make quiet. Checked on one row (embedding width
+    * is a per-table constant; an empty frame is a no-op).
+    */
+  private def requireDim(df: DataFrame, c: String, expected: Int,
+                         ctx: String): Unit =
+    df.select(size(col(c)).as("d")).limit(1).collect()
+      .headOption.foreach { r =>
+        require(r.getInt(0) == expected,
+          s"$ctx embedding dim ${r.getInt(0)} != index dim $expected")
+      }
 
   /** The IVFADC sibling of [[appendToIvfSqIndex]]: new vectors are
     * assigned codes against the STORED codebook ([[pqAssignWith]] —
@@ -1167,6 +1215,7 @@ object Similarity {
     val meta = spark.read.schema(PqMetaSchema).parquet(s"$path/meta").head()
     val (m, dims) = (meta.getInt(0), meta.getInt(1))
     val cb = spark.read.schema(CodebookSchema).parquet(s"$path/codebook")
+    requireDim(emb, "embedding", dims, "appendToIvfPqIndex: new vectors")
     val q = quantized(emb)
     pqAssignWith(pqSubs(q, m, dims), cb)
       .select("vec_id", "sub", "code")
@@ -1209,7 +1258,8 @@ object Similarity {
     * row-identical to the inline search (the x152 oracle row). The
     * original float vectors are read for the QUERIES only; the corpus
     * side touches nothing but nprobe/|cells| of the 32×-compressed
-    * code table.
+    * code table. [[searchIvfSq]]'s query-id contract applies here
+    * verbatim (corpus id space; external ids must not collide).
     */
   def searchIvfPqAdc(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, k: Int,
@@ -1219,6 +1269,7 @@ object Similarity {
     val cent = spark.read.schema(CentroidsSchema).parquet(s"$path/centroids")
     val cb = spark.read.schema(CodebookSchema).parquet(s"$path/codebook")
     val codes = spark.read.schema(PqCodesSchema).parquet(s"$path/codes")
+    requireDim(queries, "embedding", dims, "searchIvfPqAdc: query")
     val qq = queries
       .select(col("vec_id"), VecOps.quantize(col("embedding")).as("vq"))
       .withColumn("n2", VecOps.normSq(col("vq")))

@@ -1137,8 +1137,9 @@ object OracleSqlExt {
        |), coderows AS (
        |  SELECT g.vec_id, CAST(g.dim0 AS BIGINT) AS dim,
        |         CASE WHEN p.dmax = p.dmin THEN CAST(0 AS BIGINT)
-       |              ELSE CAST(round(CAST(g.x - p.dmin AS DOUBLE) * 255.0
-       |                   / CAST(p.dmax - p.dmin AS DOUBLE)) AS BIGINT)
+       |              ELSE LEAST(CAST(255 AS BIGINT), GREATEST(CAST(0 AS BIGINT),
+       |                   CAST(round(CAST(g.x - p.dmin AS DOUBLE) * 255.0
+       |                   / CAST(p.dmax - p.dmin AS DOUBLE)) AS BIGINT)))
        |              END AS code
        |  FROM dgrid g JOIN params p ON CAST(g.dim0 AS BIGINT) = p.dim
        |)""".stripMargin

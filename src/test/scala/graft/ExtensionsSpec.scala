@@ -2033,6 +2033,58 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(causes(e).exists(c =>
       Option(c.getMessage).exists(_.contains("duplicate ord"))),
       s"expected the loud ord-uniqueness guard, got: $e")
+    // CROSS-BATCH tie between two DISTINCT docs: the doc store finds
+    // ord 9 re-arriving with a different shingle set — admitting the
+    // second doc under the first's stored shingles would corrupt
+    // every later verdict on that ord, so it must fail loudly too
+    // (an identical-set re-arrival is indistinguishable from a batch
+    // replay and flows through, which is harmless by construction)
+    val other = (100 to 140).map(i => s"alt$i").mkString(" ")
+    val ms2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](ss)
+    val q2 = Dedup.streamingNearDupGate(ms2.toDS(), 0.5)(_._2, _._1)
+      .toDF("ord", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gate_dup_ord_xbatch").start()
+    ms2.addData(Seq((9L, base)))
+    q2.processAllAvailable()
+    ms2.addData(Seq((9L, other)))
+    val e2 = intercept[Exception] { q2.processAllAvailable() }
+    try q2.stop() catch { case _: Throwable => () }
+    assert(causes(e2).exists(c =>
+      Option(c.getMessage).exists(_.contains("DIFFERENT shingle set"))),
+      s"expected the cross-batch ord-tie guard, got: $e2")
+  }
+
+  test("index geometry is validated loudly: wrong-dimension vectors are refused") {
+    val root = java.nio.file.Files.createTempDirectory("graft-anndim")
+    try {
+      Similarity.buildIvfSqIndex(emb, s"$root/sq")
+      Similarity.buildIvfPqIndex(emb, s"$root/pq")
+      // a 32-dim frame against the 64-dim index: without the check
+      // the SQ transform would code truncated vectors and the PQ
+      // slice would fan short subvectors — silently wrong distances,
+      // the one failure an index API must never make quiet
+      val shortEmb = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 32).as("embedding"), col("label"))
+      for ((name, op) <- Seq[(String, () => Any)](
+        ("appendToIvfSqIndex", () =>
+          Similarity.appendToIvfSqIndex(shortEmb, s"$root/sq")),
+        ("appendToIvfPqIndex", () =>
+          Similarity.appendToIvfPqIndex(shortEmb, s"$root/pq")),
+        ("searchIvfSq", () =>
+          Similarity.searchIvfSq(spark, s"$root/sq",
+            shortEmb.select("vec_id", "embedding"), 5)),
+        ("searchIvfPqAdc", () =>
+          Similarity.searchIvfPqAdc(spark, s"$root/pq",
+            shortEmb.select("vec_id", "embedding"), 5)))) {
+        val e = intercept[IllegalArgumentException] { op(); () }
+        assert(e.getMessage.contains("dim 32 != index dim 64"),
+          s"$name must refuse the geometry mismatch: ${e.getMessage}")
+      }
+    } finally {
+      val _ = new scala.reflect.io.Directory(root.toFile).deleteRecursively()
+    }
   }
 
   test("gate TTL: an ms-aligned ord equal to the prior batch's max survives the watermark") {
