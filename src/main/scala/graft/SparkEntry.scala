@@ -723,6 +723,44 @@ object SparkEntry {
           root.toString)
       }
     }),
+    // X3h index compaction closes the loop appends open: fold the
+    // fragmented code tree back to one file per cell, then search —
+    // content invariant by the SAME oracle as the uncompacted x154
+    "x156_sq_index_compact" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-sqcpt")
+      guardingScratch(root.toString) {
+        val emb = Tables.read(s, dir, "embeddings")
+        Similarity.buildIvfSqIndex(
+          emb.filter(pmod(col("vec_id"), lit(5L)) =!= 4L), root.toString)
+        Similarity.appendToIvfSqIndex(
+          emb.filter(pmod(col("vec_id"), lit(5L)) === 4L), root.toString)
+        Similarity.compactIvfIndex(s, root.toString)
+        materializedWithoutScratch(
+          Similarity.searchIvfSq(s, root.toString,
+            emb.filter(col("vec_id").isin(0L, 1L, 2L))
+              .select("vec_id", "embedding"),
+            5, nprobe = 2).orderBy("q_id", "rank"),
+          root.toString)
+      }
+    }),
+    // ... and on the PQ side (same oracle as x155)
+    "x157_pq_index_compact" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-pqcpt")
+      guardingScratch(root.toString) {
+        val emb = Tables.read(s, dir, "embeddings")
+        Similarity.buildIvfPqIndex(
+          emb.filter(pmod(col("vec_id"), lit(5L)) =!= 4L), root.toString)
+        Similarity.appendToIvfPqIndex(
+          emb.filter(pmod(col("vec_id"), lit(5L)) === 4L), root.toString)
+        Similarity.compactIvfIndex(s, root.toString)
+        materializedWithoutScratch(
+          Similarity.searchIvfPqAdc(s, root.toString,
+            emb.filter(col("vec_id").isin(0L, 1L, 2L))
+              .select("vec_id", "embedding"),
+            5, nprobe = 2).orderBy("q_id", "rank"),
+          root.toString)
+      }
+    }),
     // X3b per-subspace distortion dashboard — the codebook-health
     // monitor (stale codebook = rising d2 before recall decays)
     "x119_pq_distortion" -> ((s, dir) =>
@@ -2179,6 +2217,14 @@ object SparkEntry {
       OracleSqlExt.ivfSqAppendTopKSql(Seq(0L, 1L, 2L), 5, 2,
         "vec_id % 5 <> 4"),
     "x155_ivfadc_append" ->
+      OracleSqlExt.pqIvfAdcAppendTopKSql(Seq(0L, 1L, 2L), 5, 2,
+        "vec_id % 5 <> 4"),
+    // index compaction is content-invisible: the compacted rows carry
+    // the SAME oracle as their uncompacted siblings
+    "x156_sq_index_compact" ->
+      OracleSqlExt.ivfSqAppendTopKSql(Seq(0L, 1L, 2L), 5, 2,
+        "vec_id % 5 <> 4"),
+    "x157_pq_index_compact" ->
       OracleSqlExt.pqIvfAdcAppendTopKSql(Seq(0L, 1L, 2L), 5, 2,
         "vec_id % 5 <> 4"),
     "x149_sq_probe_curve" ->

@@ -1189,6 +1189,40 @@ object Similarity {
   private def paramsDim(params: DataFrame): Int =
     params.head().getSeq[Long](0).size
 
+  /** Fold an index's code tree back to one file per cell — the
+    * maintenance op the appends make necessary: every
+    * [[appendToIvfSqIndex]]/[[appendToIvfPqIndex]] adds files to the
+    * touched cell partitions (~N files per cell after N appends — the
+    * small-files/listing hazard the corpus sink's compaction exists
+    * for, on the index side). Works on both index kinds (the meta
+    * table is the PQ discriminator); rewrites ONLY the code tree —
+    * the learned tables stay bit-untouched — and content is invariant
+    * (the x156/x157 rows search a compacted appended index against
+    * the SAME oracles as the uncompacted x154/x155). Crash-safe via
+    * the metric store's double-rename discipline with recovery on
+    * entry ([[graft.streaming.HtaStore.recoverCompact]] — the shared
+    * helpers, the discipline exists once): a crash between the two
+    * renames leaves the data in `codes_old`, restored on the next
+    * call. OFFLINE maintenance: must not run concurrently with an
+    * append or a search (searches read the tree being swapped).
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = hfs.makeQualified(hp)
+    val bak = new org.apache.hadoop.fs.Path(s"$path/codes_old")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/codes_compacted")
+    graft.streaming.HtaStore.recoverCompact(hfs, cur, bak, tmp)
+    require(hfs.exists(cur), s"no code tree at $cur — nothing to compact")
+    val isPq = hfs.exists(new org.apache.hadoop.fs.Path(s"$path/meta"))
+    val schema = if (isPq) PqCodesSchema else SqCodesSchema
+    spark.read.schema(schema).parquet(cur.toString)
+      .repartition(col("label"))
+      .write.partitionBy("label").parquet(tmp.toString)
+    graft.streaming.HtaStore.swapCompact(hfs, cur, bak, tmp)
+  }
+
   /** Loud geometry check for the index searchers/appenders: a
     * wrong-dimension vector would otherwise code/slice SILENTLY into
     * truncated arrays and wrong distances — the one failure an index

@@ -2056,6 +2056,62 @@ class ExtensionsSpec extends AnyFunSuite {
       s"expected the cross-batch ord-tie guard, got: $e2")
   }
 
+  test("compactIvfIndex: appends' file fan-in folds to one file per cell; learned tables untouched; crash recovers") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-anncpt")
+    try {
+      def parquets(d: java.io.File): Seq[java.io.File] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+          else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+        walk(d)
+      }
+      def snapshot(dir: String) = parquets(new java.io.File(dir))
+        .map(f => (f.getPath, f.lastModified, f.length)).toSet
+      Similarity.buildIvfSqIndex(emb, s"$root/sq")
+      // two appends fragment the touched cells (one extra file each)
+      val extra1 = emb.filter(col("vec_id") < 50L)
+        .select((col("vec_id") + 200000L).as("vec_id"),
+          col("embedding"), col("label"))
+      val extra2 = emb.filter(col("vec_id") < 50L)
+        .select((col("vec_id") + 300000L).as("vec_id"),
+          col("embedding"), col("label"))
+      Similarity.appendToIvfSqIndex(extra1, s"$root/sq")
+      Similarity.appendToIvfSqIndex(extra2, s"$root/sq")
+      assert(parquets(new java.io.File(s"$root/sq/codes"))
+        .groupBy(_.getParentFile.getPath).exists(_._2.size > 1),
+        "fixture must actually fragment a cell before compacting")
+      val queries = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select("vec_id", "embedding")
+      def hits() = Similarity.searchIvfSq(spark, s"$root/sq", queries, 5,
+          nprobe = 2)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val before = hits()
+      val learned0 = snapshot(s"$root/sq/params") ++
+        snapshot(s"$root/sq/centroids")
+      Similarity.compactIvfIndex(spark, s"$root/sq")
+      // one file per cell dir, learned tables bit-untouched, content
+      // (full rows: ranks and distances) invariant
+      parquets(new java.io.File(s"$root/sq/codes"))
+        .groupBy(_.getParentFile.getPath).foreach { case (d, fs) =>
+          assert(fs.size == 1, s"cell dir $d has ${fs.size} files")
+        }
+      assert(snapshot(s"$root/sq/params") ++ snapshot(s"$root/sq/centroids")
+        == learned0, "compact must not touch the learned tables")
+      assert(hits() == before, "compaction must be content-invisible")
+      // crash window: data moved to codes_old, new tree absent —
+      // recovery on the next entry restores it, content unchanged
+      assert(new java.io.File(s"$root/sq/codes")
+        .renameTo(new java.io.File(s"$root/sq/codes_old")))
+      Similarity.compactIvfIndex(spark, s"$root/sq")
+      assert(hits() == before,
+        "crash-window recovery must restore the code tree")
+      assert(!new java.io.File(s"$root/sq/codes_old").exists())
+    } finally {
+      val _ = new scala.reflect.io.Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("index geometry is validated loudly: wrong-dimension vectors are refused") {
     val root = java.nio.file.Files.createTempDirectory("graft-anndim")
     try {
