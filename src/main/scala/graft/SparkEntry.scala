@@ -723,7 +723,7 @@ object SparkEntry {
           root.toString)
       }
     }),
-    // X3h index compaction closes the loop appends open: fold the
+    // X3i index compaction closes the loop appends open: fold the
     // fragmented code tree back to one file per cell, then search —
     // content invariant by the SAME oracle as the uncompacted x154
     "x156_sq_index_compact" -> ((s, dir) => {

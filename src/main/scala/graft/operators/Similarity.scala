@@ -1100,17 +1100,18 @@ object Similarity {
     * is one corpus pass into |cells| partition dirs — the one-time
     * cost every later search stops paying.
     */
-  def buildIvfSqIndex(emb: DataFrame, path: String): Unit = {
-    val spark = emb.sparkSession
-    val q = quantized(emb)
-    centroids(q).coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/centroids")
-    sqParams(q).coalesce(1).write.mode("overwrite").parquet(s"$path/params")
-    sqCodeWith(q, spark.read.schema(SqParamsSchema).parquet(s"$path/params"))
-      .select("vec_id", "cv", "cn2", "label")
-      .repartition(col("label"))
-      .write.partitionBy("label").mode("overwrite").parquet(s"$path/codes")
-  }
+  def buildIvfSqIndex(emb: DataFrame, path: String): Unit =
+    indexLock(path).withCompact(emb.sparkSession) {
+      val spark = emb.sparkSession
+      val q = quantized(emb)
+      centroids(q).coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/centroids")
+      sqParams(q).coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+      sqCodeWith(q, spark.read.schema(SqParamsSchema).parquet(s"$path/params"))
+        .select("vec_id", "cv", "cn2", "label")
+        .repartition(col("label"))
+        .write.partitionBy("label").mode("overwrite").parquet(s"$path/codes")
+    }
 
   /** Search a persisted IVF-SQ index: `queries` supplies
     * `(vec_id, embedding)` rows; the coarse ranking
@@ -1171,16 +1172,17 @@ object Similarity {
     * (cells are born at build time — drift monitoring via
     * [[kmeansInertia]] says when to rebuild).
     */
-  def appendToIvfSqIndex(emb: DataFrame, path: String): Unit = {
-    val spark = emb.sparkSession
-    val params = spark.read.schema(SqParamsSchema).parquet(s"$path/params")
-    requireDim(emb, "embedding", paramsDim(params),
-      "appendToIvfSqIndex: new vectors")
-    sqCodeWith(quantized(emb), params)
-      .select("vec_id", "cv", "cn2", "label")
-      .repartition(col("label"))
-      .write.partitionBy("label").mode("append").parquet(s"$path/codes")
-  }
+  def appendToIvfSqIndex(emb: DataFrame, path: String): Unit =
+    indexLock(path).withCompact(emb.sparkSession) {
+      val spark = emb.sparkSession
+      val params = spark.read.schema(SqParamsSchema).parquet(s"$path/params")
+      requireDim(emb, "embedding", paramsDim(params),
+        "appendToIvfSqIndex: new vectors")
+      sqCodeWith(quantized(emb), params)
+        .select("vec_id", "cv", "cn2", "label")
+        .repartition(col("label"))
+        .write.partitionBy("label").mode("append").parquet(s"$path/codes")
+    }
 
   /** The trained dimensionality of a persisted SQ params row — the
     * params array length IS the index geometry (the SQ sibling of the
@@ -1189,39 +1191,120 @@ object Similarity {
   private def paramsDim(params: DataFrame): Int =
     params.head().getSeq[Long](0).size
 
-  /** Fold an index's code tree back to one file per cell — the
+  /** The index maintenance lock — the same [[graft.streaming
+    * .SinkLock]] mutual exclusion the metric store and corpus sink
+    * compactions use (the discipline exists once): every index WRITER
+    * (build, append, compact) takes the compact-token scope, so a
+    * compact can never rename a cell out from under a concurrent
+    * append's commit — the exact destroyed-appended-rows race the
+    * metric store's lock comment names. Searches are read-only and
+    * unlocked; a search concurrent with a compact can transiently
+    * miss a mid-swap cell — schedule maintenance off the query path
+    * (the metric side's same caveat).
+    */
+  private def indexLock(path: String) =
+    new graft.streaming.SinkLock(path, "ann index")
+
+  /** Fold an index's FRAGMENTED cells back to one file each — the
     * maintenance op the appends make necessary: every
     * [[appendToIvfSqIndex]]/[[appendToIvfPqIndex]] adds files to the
     * touched cell partitions (~N files per cell after N appends — the
     * small-files/listing hazard the corpus sink's compaction exists
-    * for, on the index side). Works on both index kinds (the meta
-    * table is the PQ discriminator); rewrites ONLY the code tree —
-    * the learned tables stay bit-untouched — and content is invariant
-    * (the x156/x157 rows search a compacted appended index against
-    * the SAME oracles as the uncompacted x154/x155). Crash-safe via
-    * the metric store's double-rename discipline with recovery on
-    * entry ([[graft.streaming.HtaStore.recoverCompact]] — the shared
-    * helpers, the discipline exists once): a crash between the two
-    * renames leaves the data in `codes_old`, restored on the next
-    * call. OFFLINE maintenance: must not run concurrently with an
-    * append or a search (searches read the tree being swapped).
+    * for, on the index side). Cost ∝ FRAGMENTED cells, never corpus:
+    * single-file cells are detected by listing and not read, not
+    * rewritten, not moved (the incremental-manifest lesson applied on
+    * day one — a daily maintenance op must not re-pay the whole index
+    * to absorb one day's appends); the one rewrite job's scan is
+    * partition-pruned to exactly the fragmented cells. Works on both
+    * index kinds — the meta table discriminates AND the code tree's
+    * actual footer schema is verified against the expectation before
+    * any rewrite (a stray/missing meta would otherwise rewrite a PQ
+    * tree through the SQ schema and null the payload columns —
+    * silent, irrecoverable, exactly what an index API must never do).
+    * Learned tables stay bit-untouched and content is invariant (the
+    * x156/x157 rows search a compacted appended index against the
+    * SAME oracles as the uncompacted x154/x155).
+    *
+    * Crash-safe per cell: the rewritten cells land complete under
+    * `codes_compacted/` first, then each cell swaps via its own
+    * O(1) double rename through `codes_old/`; recovery on entry
+    * replays whichever window a crash left (bak without cur →
+    * restore; bak with cur → stale duplicate, drop; any
+    * `codes_compacted` remnant → incomplete or stale build whose
+    * sources are intact, drop and rebuild). A crash mid-loop leaves
+    * some cells folded and the rest fragmented — the next run folds
+    * the remainder.
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-                      path: String): Unit = {
-    val hp = new org.apache.hadoop.fs.Path(s"$path/codes")
-    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cur = hfs.makeQualified(hp)
-    val bak = new org.apache.hadoop.fs.Path(s"$path/codes_old")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/codes_compacted")
-    graft.streaming.HtaStore.recoverCompact(hfs, cur, bak, tmp)
-    require(hfs.exists(cur), s"no code tree at $cur — nothing to compact")
-    val isPq = hfs.exists(new org.apache.hadoop.fs.Path(s"$path/meta"))
-    val schema = if (isPq) PqCodesSchema else SqCodesSchema
-    spark.read.schema(schema).parquet(cur.toString)
-      .repartition(col("label"))
-      .write.partitionBy("label").parquet(tmp.toString)
-    graft.streaming.HtaStore.swapCompact(hfs, cur, bak, tmp)
-  }
+                      path: String): Unit =
+    indexLock(path).withCompact(spark) {
+      val hp = new org.apache.hadoop.fs.Path(s"$path/codes")
+      val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cur = hfs.makeQualified(hp)
+      val bakRoot = new org.apache.hadoop.fs.Path(s"$path/codes_old")
+      val tmpRoot = new org.apache.hadoop.fs.Path(s"$path/codes_compacted")
+      // recovery: restore every cell a crashed run left in codes_old
+      // (cur missing → the swap died between its two renames; cur
+      // present → a stale duplicate), then discard any compacted-tree
+      // remnant — its source cells are intact by construction
+      if (hfs.exists(bakRoot)) {
+        hfs.mkdirs(cur)
+        hfs.listStatus(bakRoot).filter(_.isDirectory).foreach { st =>
+          val cell = new org.apache.hadoop.fs.Path(cur, st.getPath.getName)
+          if (!hfs.exists(cell)) {
+            if (!hfs.rename(st.getPath, cell))
+              throw new java.io.IOException(
+                s"index compact recovery: rename ${st.getPath} -> $cell failed")
+          } else hfs.delete(st.getPath, true)
+        }
+        hfs.delete(bakRoot, true)
+      }
+      if (hfs.exists(tmpRoot)) hfs.delete(tmpRoot, true)
+      require(hfs.exists(cur), s"no code tree at $cur — nothing to compact")
+      def isData(f: org.apache.hadoop.fs.FileStatus) = f.isFile &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")
+      val frag = hfs.listStatus(cur).filter(_.isDirectory)
+        .filter(d => hfs.listStatus(d.getPath).count(isData) > 1)
+        .map(_.getPath)
+      if (frag.nonEmpty) {
+        val isPq = hfs.exists(new org.apache.hadoop.fs.Path(s"$path/meta"))
+        val schema = if (isPq) PqCodesSchema else SqCodesSchema
+        // loud kind check BEFORE any rewrite: the declared read schema
+        // must agree with what the files actually carry
+        val actual = spark.read.parquet(cur.toString).schema.fieldNames.toSet
+        val payload = schema.fieldNames.toSet - "label"
+        require(payload.subsetOf(actual),
+          s"code tree at $cur carries columns $actual but the " +
+            s"${if (isPq) "PQ" else "SQ"} schema expects $payload — " +
+            "index kind/meta and code tree disagree; refusing to rewrite")
+        val labels = frag.map(_.getName.stripPrefix("label=").toInt).toSeq
+        spark.read.schema(schema).parquet(cur.toString)
+          .filter(col("label").isin(labels: _*))
+          .repartition(col("label"))
+          .write.partitionBy("label").parquet(tmpRoot.toString)
+        hfs.mkdirs(bakRoot)
+        frag.foreach { cellDir =>
+          val tmpCell = new org.apache.hadoop.fs.Path(tmpRoot,
+            cellDir.getName)
+          require(hfs.exists(tmpCell),
+            s"compacted rewrite produced no $tmpCell for a non-empty cell")
+          val bakCell = new org.apache.hadoop.fs.Path(bakRoot,
+            cellDir.getName)
+          if (!hfs.rename(cellDir, bakCell))
+            throw new java.io.IOException(
+              s"index compact: rename $cellDir -> $bakCell failed")
+          if (!hfs.rename(tmpCell, cellDir)) {
+            hfs.rename(bakCell, cellDir) // restore; next compact retries
+            throw new java.io.IOException(
+              s"index compact: rename $tmpCell -> $cellDir failed")
+          }
+          hfs.delete(bakCell, true)
+        }
+        hfs.delete(bakRoot, true)
+        hfs.delete(tmpRoot, true)
+        ()
+      }
+    }
 
   /** Loud geometry check for the index searchers/appenders: a
     * wrong-dimension vector would otherwise code/slice SILENTLY into
@@ -1244,19 +1327,20 @@ object Similarity {
     * centroids/codebook/meta are not touched. Same delivery and
     * unborn-cell caveats.
     */
-  def appendToIvfPqIndex(emb: DataFrame, path: String): Unit = {
-    val spark = emb.sparkSession
-    val meta = spark.read.schema(PqMetaSchema).parquet(s"$path/meta").head()
-    val (m, dims) = (meta.getInt(0), meta.getInt(1))
-    val cb = spark.read.schema(CodebookSchema).parquet(s"$path/codebook")
-    requireDim(emb, "embedding", dims, "appendToIvfPqIndex: new vectors")
-    val q = quantized(emb)
-    pqAssignWith(pqSubs(q, m, dims), cb)
-      .select("vec_id", "sub", "code")
-      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
-      .repartition(col("label"))
-      .write.partitionBy("label").mode("append").parquet(s"$path/codes")
-  }
+  def appendToIvfPqIndex(emb: DataFrame, path: String): Unit =
+    indexLock(path).withCompact(emb.sparkSession) {
+      val spark = emb.sparkSession
+      val meta = spark.read.schema(PqMetaSchema).parquet(s"$path/meta").head()
+      val (m, dims) = (meta.getInt(0), meta.getInt(1))
+      val cb = spark.read.schema(CodebookSchema).parquet(s"$path/codebook")
+      requireDim(emb, "embedding", dims, "appendToIvfPqIndex: new vectors")
+      val q = quantized(emb)
+      pqAssignWith(pqSubs(q, m, dims), cb)
+        .select("vec_id", "sub", "code")
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .repartition(col("label"))
+        .write.partitionBy("label").mode("append").parquet(s"$path/codes")
+    }
 
   /** Build and persist an IVFADC index under `path`: coarse centroids,
     * the per-subspace PQ codebook, the PQ code table partitioned by
@@ -1267,21 +1351,27 @@ object Similarity {
     * a caller argument to get wrong.
     */
   def buildIvfPqIndex(emb: DataFrame, path: String, m: Int = 8,
-                      dims: Int = 64): Unit = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val q = quantized(emb)
-    centroids(q).coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/centroids")
-    val (cb, codes) = pqParts(emb, m, dims)
-    cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-    codes.select("vec_id", "sub", "code")
-      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
-      .repartition(col("label"))
-      .write.partitionBy("label").mode("overwrite").parquet(s"$path/codes")
-    Seq((m, dims)).toDF("m", "dims").coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/meta")
-  }
+                      dims: Int = 64): Unit =
+    indexLock(path).withCompact(emb.sparkSession) {
+      val spark = emb.sparkSession
+      import spark.implicits._
+      val q = quantized(emb)
+      centroids(q).coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/centroids")
+      val (cb, codes) = pqParts(emb, m, dims)
+      cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+      // meta BEFORE codes: a build crashing between the two writes
+      // must never leave a PQ code tree without its kind marker — a
+      // later compact would misread it through the SQ schema (the
+      // footer check there is the second line of defense; this order
+      // removes the window entirely)
+      Seq((m, dims)).toDF("m", "dims").coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/meta")
+      codes.select("vec_id", "sub", "code")
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .repartition(col("label"))
+        .write.partitionBy("label").mode("overwrite").parquet(s"$path/codes")
+    }
 
   /** Search a persisted IVFADC index — the composed deployment's
     * steady state: coarse ranking against the stored centroids, the

@@ -2069,11 +2069,13 @@ class ExtensionsSpec extends AnyFunSuite {
       def snapshot(dir: String) = parquets(new java.io.File(dir))
         .map(f => (f.getPath, f.lastModified, f.length)).toSet
       Similarity.buildIvfSqIndex(emb, s"$root/sq")
-      // two appends fragment the touched cells (one extra file each)
-      val extra1 = emb.filter(col("vec_id") < 50L)
+      // two appends fragment ONLY the touched cell (label 0) — the
+      // other cells must stay single-file so the cost-∝-fragmentation
+      // pin below has untouched cells to watch
+      val extra1 = emb.filter(col("vec_id") < 50L && col("label") === 0)
         .select((col("vec_id") + 200000L).as("vec_id"),
           col("embedding"), col("label"))
-      val extra2 = emb.filter(col("vec_id") < 50L)
+      val extra2 = emb.filter(col("vec_id") < 50L && col("label") === 0)
         .select((col("vec_id") + 300000L).as("vec_id"),
           col("embedding"), col("label"))
       Similarity.appendToIvfSqIndex(extra1, s"$root/sq")
@@ -2089,6 +2091,14 @@ class ExtensionsSpec extends AnyFunSuite {
       val before = hits()
       val learned0 = snapshot(s"$root/sq/params") ++
         snapshot(s"$root/sq/centroids")
+      // single-file cells must not be read, rewritten or moved —
+      // compact cost ∝ fragmented cells, never corpus (snapshot the
+      // untouched cells' files before, compare bit-for-bit after)
+      val untouched0 = parquets(new java.io.File(s"$root/sq/codes"))
+        .groupBy(_.getParentFile.getPath).filter(_._2.size == 1)
+        .flatMap(_._2).map(f => (f.getPath, f.lastModified, f.length))
+        .toSet
+      assert(untouched0.nonEmpty, "fixture must have single-file cells")
       Similarity.compactIvfIndex(spark, s"$root/sq")
       // one file per cell dir, learned tables bit-untouched, content
       // (full rows: ranks and distances) invariant
@@ -2096,6 +2106,10 @@ class ExtensionsSpec extends AnyFunSuite {
         .groupBy(_.getParentFile.getPath).foreach { case (d, fs) =>
           assert(fs.size == 1, s"cell dir $d has ${fs.size} files")
         }
+      assert(untouched0.subsetOf(
+        parquets(new java.io.File(s"$root/sq/codes"))
+          .map(f => (f.getPath, f.lastModified, f.length)).toSet),
+        "compact rewrote single-file cells — cost must be ∝ fragmentation")
       assert(snapshot(s"$root/sq/params") ++ snapshot(s"$root/sq/centroids")
         == learned0, "compact must not touch the learned tables")
       assert(hits() == before, "compaction must be content-invisible")
@@ -2107,6 +2121,18 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(hits() == before,
         "crash-window recovery must restore the code tree")
       assert(!new java.io.File(s"$root/sq/codes_old").exists())
+      // kind/schema disagreement refuses LOUDLY before any rewrite: a
+      // PQ tree whose meta is missing would read as SQ — rewriting it
+      // through the wrong declared schema would null the payload
+      // columns, silent and irrecoverable
+      Similarity.buildIvfPqIndex(emb, s"$root/pq")
+      Similarity.appendToIvfPqIndex(extra1, s"$root/pq")
+      assert(new scala.reflect.io.Directory(
+        new java.io.File(s"$root/pq/meta")).deleteRecursively())
+      val e = intercept[IllegalArgumentException](
+        Similarity.compactIvfIndex(spark, s"$root/pq"))
+      assert(e.getMessage.contains("refusing to rewrite"),
+        s"kind mismatch must refuse the rewrite: ${e.getMessage}")
     } finally {
       val _ = new scala.reflect.io.Directory(root.toFile).deleteRecursively()
     }
