@@ -743,6 +743,16 @@ class PlanAuditSpec extends AnyFunSuite {
             (l.contains("embeddings") && l.contains("vec_id")),
             s"$name scans outside the index/query tables:\n$l")
         }
+        // the cell-partitioned code layout pays off at RUNTIME too:
+        // Spark inserts a dynamic-partition-pruning filter on the
+        // codes scan from the broadcast probe side, so only the
+        // probed cells' partition directories are read — the
+        // nprobe/|cells| scan fraction enforced by the planner, not
+        // just by the join
+        assert(df.queryExecution.executedPlan.toString
+          .contains("dynamicpruning"),
+          s"$name: the probed-cell restriction must reach the codes " +
+            "scan as a dynamic partition prune")
       }
     } finally {
       val _ = new scala.reflect.io.Directory(root.toFile).deleteRecursively()
