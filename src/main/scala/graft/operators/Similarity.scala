@@ -1103,12 +1103,15 @@ object Similarity {
   def buildIvfSqIndex(emb: DataFrame, path: String): Unit =
     indexLock(path).withCompact(emb.sparkSession) {
       val spark = emb.sparkSession
+      val (hfs, cur, bakRoot, tmpRoot) = indexPaths(spark, path)
+      recoverIndexCompact(hfs, cur, bakRoot, tmpRoot)
       val q = quantized(emb)
       centroids(q).coalesce(1).write.mode("overwrite")
         .parquet(s"$path/centroids")
       sqParams(q).coalesce(1).write.mode("overwrite").parquet(s"$path/params")
       sqCodeWith(q, spark.read.schema(SqParamsSchema).parquet(s"$path/params"))
-        .select("vec_id", "cv", "cn2", "label")
+        .select(col("vec_id"), col("cv"), col("cn2"),
+          requireCellLabel(col("label")))
         .repartition(col("label"))
         .write.partitionBy("label").mode("overwrite").parquet(s"$path/codes")
     }
@@ -1136,6 +1139,8 @@ object Similarity {
     */
   def searchIvfSq(spark: org.apache.spark.sql.SparkSession, path: String,
                   queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    val (hfs0, _, bakRoot0, _) = indexPaths(spark, path)
+    requireNotMidCompact(hfs0, bakRoot0, path)
     val cent = spark.read.schema(CentroidsSchema).parquet(s"$path/centroids")
     val params = spark.read.schema(SqParamsSchema).parquet(s"$path/params")
     val codes = spark.read.schema(SqCodesSchema).parquet(s"$path/codes")
@@ -1175,11 +1180,14 @@ object Similarity {
   def appendToIvfSqIndex(emb: DataFrame, path: String): Unit =
     indexLock(path).withCompact(emb.sparkSession) {
       val spark = emb.sparkSession
+      val (hfs, cur, bakRoot, tmpRoot) = indexPaths(spark, path)
+      recoverIndexCompact(hfs, cur, bakRoot, tmpRoot)
       val params = spark.read.schema(SqParamsSchema).parquet(s"$path/params")
       requireDim(emb, "embedding", paramsDim(params),
         "appendToIvfSqIndex: new vectors")
       sqCodeWith(quantized(emb), params)
-        .select("vec_id", "cv", "cn2", "label")
+        .select(col("vec_id"), col("cv"), col("cn2"),
+          requireCellLabel(col("label")))
         .repartition(col("label"))
         .write.partitionBy("label").mode("append").parquet(s"$path/codes")
     }
@@ -1232,34 +1240,18 @@ object Similarity {
     * restore; bak with cur → stale duplicate, drop; any
     * `codes_compacted` remnant → incomplete or stale build whose
     * sources are intact, drop and rebuild). A crash mid-loop leaves
-    * some cells folded and the rest fragmented — the next run folds
-    * the remainder.
+    * some cells folded, the rest fragmented, and possibly ONE cell
+    * mid-swap (renamed out, not yet replaced) — that cell is
+    * invisible until the next writer entry heals it, so the searchers
+    * REFUSE loudly while a `codes_old` remnant exists instead of
+    * returning silently-incomplete top-k; recovery runs on entry of
+    * every writer (build/append/compact), not just the compactor.
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String): Unit =
     indexLock(path).withCompact(spark) {
-      val hp = new org.apache.hadoop.fs.Path(s"$path/codes")
-      val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val cur = hfs.makeQualified(hp)
-      val bakRoot = new org.apache.hadoop.fs.Path(s"$path/codes_old")
-      val tmpRoot = new org.apache.hadoop.fs.Path(s"$path/codes_compacted")
-      // recovery: restore every cell a crashed run left in codes_old
-      // (cur missing → the swap died between its two renames; cur
-      // present → a stale duplicate), then discard any compacted-tree
-      // remnant — its source cells are intact by construction
-      if (hfs.exists(bakRoot)) {
-        hfs.mkdirs(cur)
-        hfs.listStatus(bakRoot).filter(_.isDirectory).foreach { st =>
-          val cell = new org.apache.hadoop.fs.Path(cur, st.getPath.getName)
-          if (!hfs.exists(cell)) {
-            if (!hfs.rename(st.getPath, cell))
-              throw new java.io.IOException(
-                s"index compact recovery: rename ${st.getPath} -> $cell failed")
-          } else hfs.delete(st.getPath, true)
-        }
-        hfs.delete(bakRoot, true)
-      }
-      if (hfs.exists(tmpRoot)) hfs.delete(tmpRoot, true)
+      val (hfs, cur, bakRoot, tmpRoot) = indexPaths(spark, path)
+      recoverIndexCompact(hfs, cur, bakRoot, tmpRoot)
       require(hfs.exists(cur), s"no code tree at $cur — nothing to compact")
       def isData(f: org.apache.hadoop.fs.FileStatus) = f.isFile &&
         !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")
@@ -1270,14 +1262,26 @@ object Similarity {
         val isPq = hfs.exists(new org.apache.hadoop.fs.Path(s"$path/meta"))
         val schema = if (isPq) PqCodesSchema else SqCodesSchema
         // loud kind check BEFORE any rewrite: the declared read schema
-        // must agree with what the files actually carry
-        val actual = spark.read.parquet(cur.toString).schema.fieldNames.toSet
+        // must agree with what the files actually carry — probed on
+        // ONE fragmented cell's footers (label comes from the dir), so
+        // the check costs O(one cell), never a full-tree listing
+        val actual = spark.read.parquet(frag.head.toString)
+          .schema.fieldNames.toSet
         val payload = schema.fieldNames.toSet - "label"
         require(payload.subsetOf(actual),
           s"code tree at $cur carries columns $actual but the " +
             s"${if (isPq) "PQ" else "SQ"} schema expects $payload — " +
             "index kind/meta and code tree disagree; refusing to rewrite")
-        val labels = frag.map(_.getName.stripPrefix("label=").toInt).toSeq
+        val labels = frag.map(_.getName.stripPrefix("label=")).map { v =>
+          // a clear diagnosis beats a NumberFormatException wedge: the
+          // write-time null-label guard should make this unreachable,
+          // but a hand-built tree must still fail with instructions
+          require(v.forall(c => c.isDigit || c == '-'),
+            s"non-numeric cell partition 'label=$v' under $cur (a null " +
+              "or malformed label) — every index vector needs a real " +
+              "cell; remove the directory and fix the append input")
+          v.toInt
+        }.toSeq
         spark.read.schema(schema).parquet(cur.toString)
           .filter(col("label").isin(labels: _*))
           .repartition(col("label"))
@@ -1288,23 +1292,86 @@ object Similarity {
             cellDir.getName)
           require(hfs.exists(tmpCell),
             s"compacted rewrite produced no $tmpCell for a non-empty cell")
-          val bakCell = new org.apache.hadoop.fs.Path(bakRoot,
-            cellDir.getName)
-          if (!hfs.rename(cellDir, bakCell))
-            throw new java.io.IOException(
-              s"index compact: rename $cellDir -> $bakCell failed")
-          if (!hfs.rename(tmpCell, cellDir)) {
-            hfs.rename(bakCell, cellDir) // restore; next compact retries
-            throw new java.io.IOException(
-              s"index compact: rename $tmpCell -> $cellDir failed")
-          }
-          hfs.delete(bakCell, true)
+          // the metric store's verified per-target double rename — the
+          // discipline exists once, reused per cell
+          graft.streaming.HtaStore.swapCompact(hfs, cellDir,
+            new org.apache.hadoop.fs.Path(bakRoot, cellDir.getName), tmpCell)
         }
         hfs.delete(bakRoot, true)
         hfs.delete(tmpRoot, true)
         ()
       }
     }
+
+  private def indexPaths(spark: org.apache.spark.sql.SparkSession,
+                         path: String) = {
+    val hp = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (hfs, hfs.makeQualified(hp),
+      new org.apache.hadoop.fs.Path(s"$path/codes_old"),
+      new org.apache.hadoop.fs.Path(s"$path/codes_compacted"))
+  }
+
+  /** Replay a crashed compaction's per-cell windows: restore every
+    * cell left in `codes_old` (cur missing → the swap died between
+    * its two renames; cur present → a stale duplicate, drop), then
+    * discard any compacted-tree remnant — its source cells are intact
+    * by construction. Runs on entry of EVERY index writer (build,
+    * append, compact), not just the compactor: an append that ran
+    * against a tree missing a renamed-out cell would recreate the
+    * cell dir with only its new rows, and the next recovery's
+    * stale-duplicate inference would then delete the only copy of the
+    * pre-crash rows — the exact cross-subsystem porting trap (the
+    * metric store's ingest writes NEW batch dirs, so it never needed
+    * writer-side recovery; the index appends write INTO existing cell
+    * dirs, so it does).
+    */
+  private def recoverIndexCompact(hfs: org.apache.hadoop.fs.FileSystem,
+                                  cur: org.apache.hadoop.fs.Path,
+                                  bakRoot: org.apache.hadoop.fs.Path,
+                                  tmpRoot: org.apache.hadoop.fs.Path): Unit = {
+    if (hfs.exists(bakRoot)) {
+      hfs.mkdirs(cur)
+      hfs.listStatus(bakRoot).filter(_.isDirectory).foreach { st =>
+        val cell = new org.apache.hadoop.fs.Path(cur, st.getPath.getName)
+        if (!hfs.exists(cell)) {
+          if (!hfs.rename(st.getPath, cell))
+            throw new java.io.IOException(
+              s"index compact recovery: rename ${st.getPath} -> $cell failed")
+        } else hfs.delete(st.getPath, true)
+      }
+      hfs.delete(bakRoot, true)
+    }
+    if (hfs.exists(tmpRoot)) hfs.delete(tmpRoot, true)
+    ()
+  }
+
+  /** Loud guard for the read-only searchers: a `codes_old` remnant
+    * means a compaction crashed mid-swap and a cell may be invisible
+    * — returning silently-incomplete top-k would be the quiet failure
+    * an index API must never make. Searches stay unlocked; the fix is
+    * one `compactIvfIndex` call (its entry recovery heals the tree).
+    */
+  private def requireNotMidCompact(
+      hfs: org.apache.hadoop.fs.FileSystem,
+      bakRoot: org.apache.hadoop.fs.Path, path: String): Unit =
+    require(!hfs.exists(bakRoot),
+      s"index at $path has a crashed compaction to recover ($bakRoot " +
+        "exists — a cell may be mid-swap and invisible); run " +
+        "compactIvfIndex to heal before searching")
+
+  /** Write-time null-label guard on the code writers: a null label
+    * would land as the hive default partition — an unreachable cell
+    * (no centroid ranks it) that later wedges compaction's label
+    * parsing. The guard rides the write's own projection (zero extra
+    * passes): any null label raises at write time with the contract
+    * spelled out. The when/otherwise keeps the column's type, so the
+    * partitionBy is unchanged for every valid row.
+    */
+  private def requireCellLabel(c: Column): Column =
+    when(c.isNotNull, c).otherwise(raise_error(lit(
+      "null label: every index vector needs a cell — the label IS the " +
+        "index's partition key"))).as("label")
 
   /** Loud geometry check for the index searchers/appenders: a
     * wrong-dimension vector would otherwise code/slice SILENTLY into
@@ -1330,6 +1397,8 @@ object Similarity {
   def appendToIvfPqIndex(emb: DataFrame, path: String): Unit =
     indexLock(path).withCompact(emb.sparkSession) {
       val spark = emb.sparkSession
+      val (hfs, cur, bakRoot, tmpRoot) = indexPaths(spark, path)
+      recoverIndexCompact(hfs, cur, bakRoot, tmpRoot)
       val meta = spark.read.schema(PqMetaSchema).parquet(s"$path/meta").head()
       val (m, dims) = (meta.getInt(0), meta.getInt(1))
       val cb = spark.read.schema(CodebookSchema).parquet(s"$path/codebook")
@@ -1337,7 +1406,8 @@ object Similarity {
       val q = quantized(emb)
       pqAssignWith(pqSubs(q, m, dims), cb)
         .select("vec_id", "sub", "code")
-        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .join(emb.select(col("vec_id"),
+          requireCellLabel(col("label"))), Seq("vec_id"))
         .repartition(col("label"))
         .write.partitionBy("label").mode("append").parquet(s"$path/codes")
     }
@@ -1355,6 +1425,8 @@ object Similarity {
     indexLock(path).withCompact(emb.sparkSession) {
       val spark = emb.sparkSession
       import spark.implicits._
+      val (hfs, cur, bakRoot, tmpRoot) = indexPaths(spark, path)
+      recoverIndexCompact(hfs, cur, bakRoot, tmpRoot)
       val q = quantized(emb)
       centroids(q).coalesce(1).write.mode("overwrite")
         .parquet(s"$path/centroids")
@@ -1368,7 +1440,8 @@ object Similarity {
       Seq((m, dims)).toDF("m", "dims").coalesce(1).write.mode("overwrite")
         .parquet(s"$path/meta")
       codes.select("vec_id", "sub", "code")
-        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .join(emb.select(col("vec_id"),
+          requireCellLabel(col("label"))), Seq("vec_id"))
         .repartition(col("label"))
         .write.partitionBy("label").mode("overwrite").parquet(s"$path/codes")
     }
@@ -1388,6 +1461,8 @@ object Similarity {
   def searchIvfPqAdc(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, k: Int,
                      nprobe: Int = 2): DataFrame = {
+    val (hfs0, _, bakRoot0, _) = indexPaths(spark, path)
+    requireNotMidCompact(hfs0, bakRoot0, path)
     val meta = spark.read.schema(PqMetaSchema).parquet(s"$path/meta").head()
     val (m, dims) = (meta.getInt(0), meta.getInt(1))
     val cent = spark.read.schema(CentroidsSchema).parquet(s"$path/centroids")

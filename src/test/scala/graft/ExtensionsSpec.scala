@@ -2113,14 +2113,57 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(snapshot(s"$root/sq/params") ++ snapshot(s"$root/sq/centroids")
         == learned0, "compact must not touch the learned tables")
       assert(hits() == before, "compaction must be content-invisible")
-      // crash window: data moved to codes_old, new tree absent —
-      // recovery on the next entry restores it, content unchanged
+      // crash window: data moved to codes_old, new tree absent. A
+      // SEARCH against this state must refuse loudly (a cell may be
+      // invisible — silently-incomplete top-k is the quiet failure an
+      // index API must never make) ...
       assert(new java.io.File(s"$root/sq/codes")
         .renameTo(new java.io.File(s"$root/sq/codes_old")))
+      val eMid = intercept[IllegalArgumentException](hits())
+      assert(eMid.getMessage.contains("crashed compaction"),
+        s"mid-compact search must refuse: ${eMid.getMessage}")
+      // ... and recovery on the next entry restores it, content
+      // unchanged
       Similarity.compactIvfIndex(spark, s"$root/sq")
       assert(hits() == before,
         "crash-window recovery must restore the code tree")
       assert(!new java.io.File(s"$root/sq/codes_old").exists())
+      // the porting trap, pinned: an APPEND entering after a crashed
+      // compact must heal the tree FIRST — appending into a tree
+      // missing a renamed-out cell would recreate the cell dir with
+      // only the new rows, and a later recovery's stale-duplicate
+      // inference would delete the only copy of the pre-crash rows
+      val cell0 = new java.io.File(s"$root/sq/codes/label=0")
+      assert(cell0.isDirectory)
+      new java.io.File(s"$root/sq/codes_old").mkdirs()
+      assert(cell0.renameTo(
+        new java.io.File(s"$root/sq/codes_old/label=0")),
+        "fixture: simulate a compact crashed between cell renames")
+      Similarity.appendToIvfSqIndex(
+        emb.filter(col("vec_id") === 1L && col("label") === 0)
+          .select((col("vec_id") + 400000L).as("vec_id"),
+            col("embedding"), col("label")),
+        s"$root/sq")
+      assert(!new java.io.File(s"$root/sq/codes_old").exists(),
+        "append entry must run recovery before writing")
+      Similarity.compactIvfIndex(spark, s"$root/sq")
+      val healed = hits()
+      assert(healed.map(_._2) == before.map(_._2),
+        s"pre-crash rows lost through the append-after-crash window: " +
+          s"$healed vs $before")
+      // null-label rows are refused AT WRITE TIME with the contract
+      // spelled out — a hive-default partition dir would be an
+      // unreachable cell that wedges later maintenance
+      val eNull = intercept[Exception](
+        Similarity.appendToIvfSqIndex(
+          emb.filter(col("vec_id") === 1L)
+            .select(lit(500000L).as("vec_id"), col("embedding"),
+              lit(null).cast("int").as("label")),
+          s"$root/sq"))
+      def msgs(t: Throwable): String =
+        if (t == null) "" else t.toString + msgs(t.getCause)
+      assert(msgs(eNull).contains("null label"),
+        s"null-label append must raise with the contract: $eNull")
       // kind/schema disagreement refuses LOUDLY before any rewrite: a
       // PQ tree whose meta is missing would read as SQ — rewriting it
       // through the wrong declared schema would null the payload
