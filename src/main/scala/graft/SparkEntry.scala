@@ -233,6 +233,10 @@ object SparkEntry {
     new java.io.File(inDir).mkdirs()
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
+    // the near-dup gate's band op is transformWithState (ListState) —
+    // RocksDB is its required provider (and the 100 TB one regardless)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val raw = graft.sources.CorpusIO.readJsonlStream(ss, inDir)
     // buckets sized to the fixture: the default 256 is a 100 TB
     // setting and would scatter a few thousand docs over ~1300
@@ -696,7 +700,8 @@ object SparkEntry {
         Similarity.buildIvfSqIndex(
           emb.filter(pmod(col("vec_id"), lit(5L)) =!= 4L), root.toString)
         Similarity.appendToIvfSqIndex(
-          emb.filter(pmod(col("vec_id"), lit(5L)) === 4L), root.toString)
+          emb.filter(pmod(col("vec_id"), lit(5L)) === 4L), root.toString,
+          tag = "day2")
         materializedWithoutScratch(
           Similarity.searchIvfSq(s, root.toString,
             emb.filter(col("vec_id").isin(0L, 1L, 2L))
@@ -714,7 +719,8 @@ object SparkEntry {
         Similarity.buildIvfPqIndex(
           emb.filter(pmod(col("vec_id"), lit(5L)) =!= 4L), root.toString)
         Similarity.appendToIvfPqIndex(
-          emb.filter(pmod(col("vec_id"), lit(5L)) === 4L), root.toString)
+          emb.filter(pmod(col("vec_id"), lit(5L)) === 4L), root.toString,
+          tag = "day2")
         materializedWithoutScratch(
           Similarity.searchIvfPqAdc(s, root.toString,
             emb.filter(col("vec_id").isin(0L, 1L, 2L))
@@ -733,7 +739,8 @@ object SparkEntry {
         Similarity.buildIvfSqIndex(
           emb.filter(pmod(col("vec_id"), lit(5L)) =!= 4L), root.toString)
         Similarity.appendToIvfSqIndex(
-          emb.filter(pmod(col("vec_id"), lit(5L)) === 4L), root.toString)
+          emb.filter(pmod(col("vec_id"), lit(5L)) === 4L), root.toString,
+          tag = "day2")
         Similarity.compactIvfIndex(s, root.toString)
         materializedWithoutScratch(
           Similarity.searchIvfSq(s, root.toString,
@@ -751,7 +758,8 @@ object SparkEntry {
         Similarity.buildIvfPqIndex(
           emb.filter(pmod(col("vec_id"), lit(5L)) =!= 4L), root.toString)
         Similarity.appendToIvfPqIndex(
-          emb.filter(pmod(col("vec_id"), lit(5L)) === 4L), root.toString)
+          emb.filter(pmod(col("vec_id"), lit(5L)) === 4L), root.toString,
+          tag = "day2")
         Similarity.compactIvfIndex(s, root.toString)
         materializedWithoutScratch(
           Similarity.searchIvfPqAdc(s, root.toString,
@@ -913,6 +921,8 @@ object SparkEntry {
         .as[graft.sources.CorpusIO.CuratedDoc].collect().sortBy(_.doc_id)
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[graft.sources.CorpusIO.CuratedDoc](ss)
       val kept = Dedup.streamingNearDupGate(ms.toDS(), ClusterJaccard)(
@@ -950,6 +960,8 @@ object SparkEntry {
         .as[graft.sources.CorpusIO.CuratedDoc].collect().sortBy(_.doc_id)
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[graft.sources.CorpusIO.CuratedDoc](ss)
       val verdicts = Dedup.streamingNearDupVerdicts(

@@ -48,18 +48,22 @@ object StressProof {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      lsh(spark)
-      ppjoin(spark)
-      simhashBlocks(spark)
-      contraction(spark)
-      ivf(spark)
-      kmeans(spark)
-      pq(spark)
-      streamDedup(spark)
-      nearDupGate(spark)
-      corpusPipe(spark)
-      shards(spark)
-      println("STRESS all bounds hold")
+      // optional block selector: `runMain graft.StressProof lsh pq`
+      // runs just those blocks (unknown names fail loudly) — the full
+      // sweep stays the no-arg default
+      val blocks: Seq[(String, SparkSession => Unit)] = Seq(
+        ("lsh", lsh), ("ppjoin", ppjoin), ("simhash", simhashBlocks),
+        ("contraction", contraction), ("ivf", ivf), ("kmeans", kmeans),
+        ("pq", pq), ("streamdedup", streamDedup),
+        ("neardupgate", nearDupGate), ("hotbucket", hotBucketGate),
+        ("corpuspipe", corpusPipe), ("shards", shards))
+      val unknown = args.toSet -- blocks.map(_._1).toSet
+      require(unknown.isEmpty, s"unknown stress blocks: $unknown " +
+        s"(known: ${blocks.map(_._1).mkString(", ")})")
+      blocks.filter(b => args.isEmpty || args.contains(b._1))
+        .foreach(_._2(spark))
+      println(if (args.isEmpty) "STRESS all bounds hold"
+        else s"STRESS selected bounds hold: ${args.mkString(", ")}")
     } finally spark.stop()
   }
 
@@ -442,6 +446,23 @@ object StressProof {
     import ss.implicits._
     val raw = ss.readStream.schema(schema).parquet(inDir).as[(String, Long)]
     var kept = 0L
+    // measured shuffle weight of the whole drain (all three exchanges):
+    // the round-13 payload-on-one-row layout ships each doc's text
+    // once, not once per band row plus once per probe/vote — the
+    // recorded bytes pin the drop against the round-12 measurement
+    // (SCALE §8d) and hold the regression line
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val shuffleListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(shuffleListener)
     val q = Dedup.streamingNearDupGate(raw, 0.8)(_._1, _._2)
       .toDF("text", "doc_id")
       .writeStream.outputMode("append")
@@ -461,6 +482,12 @@ object StressProof {
     }
     val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
     q.stop()
+    // listener events post asynchronously — give the bus a beat before
+    // reading the total, then detach so the diagnostics below (their
+    // own shuffles) stay out of the measurement
+    Thread.sleep(1500)
+    spark.sparkContext.removeSparkListener(shuffleListener)
+    val drainShuffleBytes = shuffleBytes.get()
     // the batch banding's distinct bucket count — band-op rows must
     // equal it
     val buckets = Dedup.withMinhashSignature(
@@ -481,12 +508,19 @@ object StressProof {
     val shingledDocs = Dedup.shingled(docs)
       .filter(size(col("sh")) > 0).count()
     def storeShape(opId: Int): (Long, Long) = {
-      val st = ss.read.format("statestore")
+      def base = ss.read.format("statestore")
         .option("path", s"$root/ck").option("operatorId", opId.toString)
-        .load()
-      (st.count(), st.select(coalesce(
-        sum(size(col("value.groupState.value"))), lit(0)).cast("long"))
-        .head.getLong(0))
+      scala.util.Try {
+        val st = base.load()
+        (st.count(), st.select(coalesce(
+          sum(size(col("value.groupState.value"))), lit(0)).cast("long"))
+          .head.getLong(0))
+      }.orElse(scala.util.Try {
+        // the transformWithState band op: named ListState, flattened —
+        // buckets = distinct keys, ord-long payload = element count
+        val st = base.option("stateVarName", "ords").load()
+        (st.select(col("key")).distinct().count(), st.count())
+      }).getOrElse((0L, 0L))
     }
     val shapes = (0 to 2).map(i =>
       scala.util.Try(storeShape(i)).getOrElse((0L, 0L)))
@@ -507,6 +541,7 @@ object StressProof {
       f"doc_store_longs=$docStoreLongs band_ord_longs=$bandLongs " +
       f"irreducible=$irreducibleLongs " +
       f"payload_bytes_per_doc=$bytesPerDoc%.1f " +
+      f"drain_shuffle_mb=${drainShuffleBytes / 1048576.0}%.1f " +
       s"t_batches=${times.map(t => f"$t%.1f").mkString("/")}s")
     require(docStoreLongs == irreducibleLongs,
       s"doc store must hold each shingle set exactly once: " +
@@ -523,6 +558,78 @@ object StressProof {
     require(stateRows == buckets + shingledDocs,
       s"state rows $stateRows != buckets $buckets + shingled docs " +
         s"$shingledDocs — rows must be ∝ docs × bands + docs")
+    // the payload-on-one-row regression line: this drain measured
+    // 153.5 MB on the round-12 layout (text on every band row, probe
+    // and vote) and 122.2 MB on the round-13 layout (text on exactly
+    // one row end-to-end), same 50 091 kept docs — both measured with
+    // this harness on this corpus (SCALE §8d). Shuffle-write bytes
+    // are compressed row bytes, not timing, so the line is stable;
+    // drifting back above 140 MB means payload fan-out crept back in.
+    require(drainShuffleBytes < 140L * 1024 * 1024,
+      f"gate drain shuffled ${drainShuffleBytes / 1048576.0}%.1f MB — " +
+        "above the 140 MB payload-slimming regression line " +
+        "(round-13 measured 122.2 MB; round-12's fan-out was 153.5 MB)")
+  }
+
+  /** The hot-bucket write-amplification pin (round 13): op 1's band
+    * state is a ListState, so absorbing a batch WRITES O(new ords) —
+    * an appendValue per new ord — where the retired layout called
+    * `state.update(seq)` and re-serialized the WHOLE bucket on any
+    * growth (8 MB per touched batch at a million-ord boilerplate
+    * bucket). Plant one boilerplate bucket (identical docs share all
+    * k/r = 4 band buckets) at two sizes, then drive an identical
+    * 10-doc tail batch at each: the band op's per-batch state-write
+    * accounting must be identical at BOTH bucket sizes — the write
+    * cost tracks the new ords, never the bucket. Probe emission stays
+    * O(bucket × new) per batch (the inherent candidate cost, the
+    * hazard the banding choices bound); what this pin holds is that
+    * state writes no longer amplify it.
+    */
+  private def hotBucketGate(spark: SparkSession): Unit = {
+    val text = (1 to 40).map(i => s"hot$i").mkString(" ")
+    def tailUpdateRows(b: Int): Long = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import ss.implicits._
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long)](ss)
+      val q = Dedup.streamingNearDupGate(ms.toDS(), 0.8)(_._1, _._2)
+        .toDF("text", "doc_id")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val _ = b.count(); ()
+        }.start()
+      ms.addData((0 until b).map(i => (text, i.toLong)))
+      q.processAllAvailable()
+      ms.addData((0 until 10).map(i => (text, (b + i).toLong)))
+      q.processAllAvailable()
+      // the band op is the only transformWithState operator in the
+      // chain — its tail-batch updated-row count IS the state-write
+      // accounting (one updated row per appended ord element)
+      val ops = q.lastProgress.stateOperators
+      val band = ops.find(_.operatorName.toLowerCase
+          .contains("transformwithstate"))
+        .getOrElse(throw new IllegalStateException(
+          "band transformWithState operator missing from progress: " +
+            ops.map(_.operatorName).mkString(", ")))
+      val updated = band.numRowsUpdated
+      q.stop()
+      updated
+    }
+    val small = tailUpdateRows(300)
+    val big = tailUpdateRows(600)
+    println(s"STRESS hotbucket tail_updates_at_300=$small " +
+      s"tail_updates_at_600=$big")
+    require(small == big,
+      s"hot-bucket tail-batch state writes scale with the bucket " +
+        s"($small at 300 ords vs $big at 600) — the O(new) ListState " +
+        "append has regressed to a bucket rewrite")
+    require(small <= 40L,
+      s"tail batch of 10 docs × 4 bands wrote $small state rows — " +
+        "more than one write per appended ord")
   }
 
   /** Training-shard writer at 1 M docs: the 256-bucket two-phase

@@ -947,29 +947,38 @@ object Dedup {
     *     docs in the bucket (8 B per doc per band, ~32 B/doc total);
     *     in-batch rows are processed in `ord` order against state ∪
     *     earlier in-batch rows, emitting one CANDIDATE-PAIR probe row
-    *     `(prior_ord, ord, shingles, doc)` per (prior, new) bucket
+    *     `(prior_ord, ord, shingles)` per (prior, new) bucket
     *     cohabitation, plus — from the band-0 bucket only (every
     *     shingled doc has one; shingle-less docs' per-doc `e\|` key
-    *     stands in) — exactly one SELF row per doc;
+    *     stands in) — exactly one SELF row per doc, the ONLY row that
+    *     carries the doc payload;
     *  2. keyed on `ord` — the doc-keyed shingle store: a doc's SELF
     *     row stores its shingle set once and passes the payload
-    *     through; a probe row `(e, f, sh_f, doc_f)` arriving at group
+    *     through; a probe row `(e, f, sh_f)` arriving at group
     *     `e` verifies exact Jaccard(state(e), sh_f) and emits a
-    *     reject vote for `f` on a hit. A doc's shingles are in state
-    *     (earlier batch) or on its self row (this batch) — never
-    *     absent, because band state only ever holds shingled docs'
-    *     ords, written in the same batch their shingles reach this
-    *     store;
+    *     payload-free reject vote for `f` on a hit. A doc's shingles
+    *     are in state (earlier batch) or on its self row (this
+    *     batch) — never absent, because band state only ever holds
+    *     shingled docs' ords, written in the same batch their
+    *     shingles reach this store;
     *  3. keyed on `ord` — the STATELESS per-batch reduce (state never
-    *     written): admitted iff no vote, exactly one payload row out.
+    *     written): admitted iff no vote, exactly one payload row out,
+    *     the payload taken from the doc's self row (guaranteed to
+    *     arrive — it throws otherwise).
     *     Sound because a doc's probes/votes are all produced within
     *     its own micro-batch (band rows never cross batches).
     * Per batch: one exchange on bucket + two on ord; output rows =
     * admitted docs. No batch-over-batch joins, no driver-side data.
     * vs the 2-op layout this trades one extra (small) exchange and
     * per-candidate probe shuffle rows for 4× less state AND a lighter
-    * steady-state shuffle (a non-colliding doc ships 1 self row, not
-    * k/r verdict rows). Heavy-hitter buckets (boilerplate bands)
+    * steady-state shuffle (a non-colliding doc ships its payload on 1
+    * band row + 1 self row, not k/r verdict rows). The payload rides
+    * EXACTLY ONE row through every exchange (band fan-out, probes,
+    * votes are all payload-free — round 13): a doc colliding with n
+    * priors ships its shingles n times but its text ONCE, so a
+    * boilerplate-band heavy hitter costs O(pairs · shingles), not
+    * O(pairs · document) — StressProof measures the shuffle-bytes
+    * drop at stress cardinality. Heavy-hitter buckets still
     * concentrate probe fan-out the same way they concentrate
     * [[lshCandidatePairs]]'s bucket join — the shared hazard of the
     * construction, bounded by the same banding choices.
@@ -978,7 +987,15 @@ object Dedup {
     * (2 → 3 stateful ops, new state schemas) — a checkpoint written by
     * the old gate cannot resume into this one (Spark fails loudly on
     * the operator mismatch); drain-and-restart with a fresh checkpoint,
-    * or replay the crawl window.
+    * or replay the crawl window. Round 13 changed op 1's operator
+    * type (flatMapGroupsWithState → transformWithState ListState), so
+    * round-12 checkpoints do not resume into this chain either —
+    * Spark refuses the operator mismatch loudly; same remedy.
+    * Requires the RocksDB state-store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — transformWithState
+    * supports no other, and it is the only provider that fits at
+    * crawl cardinality regardless (SCALE §8d).
     */
   def streamingNearDupGate[T](ds: org.apache.spark.sql.Dataset[T],
                               threshold: Double, k: Int = 12, r: Int = 3)(
@@ -1010,49 +1027,44 @@ object Dedup {
     import org.apache.spark.sql.{Encoder, Encoders}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import ds.sparkSession.implicits.{newLongArrayEncoder, newSequenceEncoder}
-    val rowEnc: Encoder[(String, Long, Array[Long], T)] =
+    val optEnc: Encoder[Option[T]] = optionEncoderOf(enc)
+    val rowEnc: Encoder[(String, Long, Array[Long], Option[T])] =
       Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
-        implicitly[Encoder[Array[Long]]], enc)
+        implicitly[Encoder[Array[Long]]], optEnc)
     val outEnc: Encoder[(Long, Boolean, T)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaBoolean, enc)
-    // probe/self rows: (group ord, doc ord, isSelf, shingles, doc)
-    val probeEnc: Encoder[(Long, Long, Boolean, Array[Long], T)] =
+    // probe/self rows: (group ord, doc ord, isSelf, shingles,
+    // payload) — the payload slot is Some on exactly one row per doc
+    // (its self row); probes and votes ship None, so a doc colliding
+    // with n priors no longer fans n copies of its text through the
+    // exchanges (round 13; the band-0 payload rule lives in
+    // [[bandRowsOf]])
+    val probeEnc: Encoder[(Long, Long, Boolean, Array[Long], Option[T])] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
-        Encoders.scalaBoolean, implicitly[Encoder[Array[Long]]], enc)
-    val ordsEnc: Encoder[Seq[Long]] = implicitly
+        Encoders.scalaBoolean, implicitly[Encoder[Array[Long]]], optEnc)
+    val voteEnc: Encoder[(Long, Boolean, Option[T])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaBoolean, optEnc)
     val shinglesEnc: Encoder[Array[Long]] = implicitly
-    // op 1: band buckets hold ORDS only, emitting candidate probes
-    // (and the one self row per doc, from its band-0 / per-doc bucket)
+    // op 1: band buckets hold ORDS only, in a ListState — absorbing a
+    // batch APPENDS the new ords (O(new) state write) instead of
+    // re-serializing the whole bucket (the round-12 Seq[Long] rewrite:
+    // O(bucket) per touched batch, which a million-ord boilerplate
+    // bucket turns into MBs of write amplification per batch).
+    // transformWithState requires the RocksDB state-store provider —
+    // the only provider that fits at crawl cardinality anyway
+    // (SCALE §8d), so the gate inherits that requirement explicitly.
     val candidates = bandRowsOf(ds, k, r)(text, ord)(rowEnc)
       .groupByKey(_._1)(Encoders.STRING)
-      .flatMapGroupsWithState[Seq[Long], (Long, Long, Boolean, Array[Long], T)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (bucket: String, rows: Iterator[(String, Long, Array[Long], T)],
-         state: GroupState[Seq[Long]]) =>
-          val sorted = rows.toSeq.sortBy(_._2)
-          assertUniqueOrds(sorted.map(_._2))
-          val emitSelf = bucket.startsWith("0|") || bucket.startsWith("e|")
-          val prior = scala.collection.mutable.ArrayBuffer.empty[Long]
-          state.getOption.foreach(prior ++= _)
-          val n0 = prior.length
-          val out = scala.collection.mutable.ArrayBuffer
-            .empty[(Long, Long, Boolean, Array[Long], T)]
-          sorted.foreach { case (_, o, sh, doc) =>
-            if (sh.nonEmpty) {
-              prior.foreach(e => out += ((e, o, false, sh, doc)))
-              prior += o
-            }
-            if (emitSelf) out += ((o, o, true, sh, doc))
-          }
-          if (prior.length > n0) state.update(prior.toSeq)
-          out.iterator
-      }(ordsEnc, probeEnc)
+      .transformWithState(new BandOrdsProcessor[T],
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())(probeEnc)
     // op 2: the doc-keyed shingle store — each set stored ONCE; probes
     // verify against it and emit reject votes for their new doc
     val verdicts = candidates.groupByKey(_._1)(Encoders.scalaLong)
-      .flatMapGroupsWithState[Array[Long], (Long, Boolean, T)](
+      .flatMapGroupsWithState[Array[Long], (Long, Boolean, Option[T])](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (g: Long, rows: Iterator[(Long, Long, Boolean, Array[Long], T)],
+        (g: Long,
+         rows: Iterator[(Long, Long, Boolean, Array[Long], Option[T])],
          state: GroupState[Array[Long]]) =>
           val rs = rows.toSeq
           val (selfRows, probes) = rs.partition(_._3)
@@ -1066,8 +1078,8 @@ object Dedup {
                 "identify a document (two docs' rows would merge in the " +
                 "per-doc reduce)")
           val out = scala.collection.mutable.ArrayBuffer
-            .empty[(Long, Boolean, T)]
-          selfRows.foreach { case (_, o, _, sh, doc) =>
+            .empty[(Long, Boolean, Option[T])]
+          selfRows.foreach { case (_, o, _, sh, docOpt) =>
             // shingle-less docs create no state. An existing entry is
             // EITHER a batch replay (state is the pre-batch snapshot
             // on replay, so the same doc's write re-arrives — the
@@ -1089,7 +1101,7 @@ object Dedup {
                       "two distinct documents share an ord across " +
                       "batches; ord must uniquely identify a document")
             }
-            out += ((o, false, doc))
+            out += ((o, false, docOpt))
           }
           if (probes.nonEmpty) {
             val mine = state.getOption
@@ -1097,13 +1109,13 @@ object Dedup {
               .getOrElse(throw new IllegalStateException(
                 s"probe for ord $g found neither stored shingles nor a " +
                   "self row — band state and the doc store have diverged"))
-            probes.foreach { case (_, f, _, sh, doc) =>
+            probes.foreach { case (_, f, _, sh, _) =>
               if (jaccardSorted(mine, sh) >= threshold)
-                out += ((f, true, doc))
+                out += ((f, true, None))
             }
           }
           out.iterator
-      }(shinglesEnc, outEnc)
+      }(shinglesEnc, voteEnc)
     reduceByOrd(verdicts)(outEnc)
   }
 
@@ -1129,23 +1141,108 @@ object Dedup {
     }
   }
 
+  /** Op 1 of [[streamingNearDupVerdicts]] as a Spark 4
+    * StatefulProcessor: the band bucket's seen-ord set lives in a
+    * ListState, so absorbing a batch WRITES O(new ords) — an
+    * appendValue per new ord — where the retired
+    * flatMapGroupsWithState layout called `state.update(seq)` and
+    * re-serialized the WHOLE bucket on any growth. Probes stay
+    * O(priors) per new doc (the inherent candidate cost of bucket
+    * cohabitation); what this removes is the write amplification on
+    * hot buckets — StressProof plants one and measures the per-batch
+    * state-write bytes staying ∝ new ords. Emission rules are the
+    * round-12 op's, verbatim: one payload-free probe per (prior, new)
+    * cohabitation, one payload-carrying self row per doc from its
+    * band-0 / `e\|` bucket. Replay-safe like any stateful op: state
+    * is versioned per batch, so a replayed batch re-appends onto the
+    * pre-batch snapshot.
+    */
+  private final class BandOrdsProcessor[T]
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Long, Array[Long], Option[T]),
+      (Long, Long, Boolean, Array[Long], Option[T])] {
+    @transient private var ords: org.apache.spark.sql.streaming.ListState[Long] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode)
+      : Unit = {
+      ords = getHandle.getListState[Long]("ords",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(
+        bucket: String,
+        rows: Iterator[(String, Long, Array[Long], Option[T])],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Boolean, Array[Long], Option[T])] = {
+      val sorted = rows.toSeq.sortBy(_._2)
+      assertUniqueOrds(sorted.map(_._2))
+      val emitSelf = bucket.startsWith("0|") || bucket.startsWith("e|")
+      val prior = scala.collection.mutable.ArrayBuffer.empty[Long]
+      prior ++= ords.get()
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Boolean, Array[Long], Option[T])]
+      sorted.foreach { case (_, o, sh, docOpt) =>
+        if (sh.nonEmpty) {
+          prior.foreach(e => out += ((e, o, false, sh, None)))
+          ords.appendValue(o) // O(new): append, never a bucket rewrite
+          prior += o
+        }
+        if (emitSelf) {
+          if (docOpt.isEmpty) throw new IllegalStateException(
+            s"band-0 row for ord $o arrived without its payload — " +
+              "bandRowsOf's payload rule and the self-row rule " +
+              "have drifted")
+          out += ((o, o, true, sh, docOpt))
+        }
+      }
+      out.iterator
+    }
+  }
+
   /** Shared band-row fan-out of the streaming gates: one row per
     * (doc, band); shingle-less docs get a per-doc key so they flow
     * through (no band ⇒ no candidates ⇒ admitted) WITHOUT creating
     * state. One definition for the unbounded and TTL gates — the
     * candidate rule cannot drift between the two state machines.
+    *
+    * The doc payload rides EXACTLY ONE of a doc's rows — the band-0
+    * row (every shingled doc has one; a shingle-less doc's single
+    * `e\|` row stands in) — and the other k/r − 1 rows ship None:
+    * the verify ops only ever need the payload once (to emit it on
+    * the self/verdict path), so fanning a copy per band was pure
+    * shuffle weight — the dominant per-doc exchange term once the
+    * probe rows stopped carrying payloads too (round 13). Safe
+    * against partial arrival: all of a doc's band rows carry the
+    * same ord, so a watermark drops all of them or none.
     */
   private def bandRowsOf[T](ds: org.apache.spark.sql.Dataset[T],
                             k: Int, r: Int)(
       text: T => String, ord: T => Long)(
-      implicit rowEnc: org.apache.spark.sql.Encoder[(String, Long, Array[Long], T)])
-    : org.apache.spark.sql.Dataset[(String, Long, Array[Long], T)] =
+      implicit rowEnc: org.apache.spark.sql.Encoder[(String, Long, Array[Long], Option[T])])
+    : org.apache.spark.sql.Dataset[(String, Long, Array[Long], Option[T])] =
     ds.flatMap { d =>
       val (hashes, bands) = localShinglesAndBands(text(d), k, r)
       val o = ord(d)
-      if (bands.isEmpty) Seq(("e|" + o, o, hashes, d))
-      else bands.toSeq.map(b => (b, o, hashes, d))
+      if (bands.isEmpty) Seq(("e|" + o, o, hashes, Option(d)))
+      else bands.toSeq.map(b =>
+        (b, o, hashes, if (b.startsWith("0|")) Option(d) else None))
     }(rowEnc)
+
+  /** Encoder[Option[T]] derived from the caller's Encoder[T] — the
+    * gates' payload-on-one-row layout needs an optional payload slot,
+    * and Spark's public implicits cannot compose Option around an
+    * abstract T, so this reaches one level into Catalyst: every
+    * session-derived encoder is an ExpressionEncoder wrapping an
+    * AgnosticEncoder, and OptionEncoder is the agnostic composition
+    * Spark itself uses for Option fields.
+    */
+  private def optionEncoderOf[T](
+      enc: org.apache.spark.sql.Encoder[T])
+    : org.apache.spark.sql.Encoder[Option[T]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.catalyst.encoders.AgnosticEncoders.OptionEncoder(
+        org.apache.spark.sql.catalyst.encoders.AgnosticEncoders
+          .agnosticEncoderFor(enc)))
 
   /** Shared final reduce of the streaming gates: keyed on `ord`, a
     * STATELESS per-batch fold (state is never written) — a doc is
@@ -1165,7 +1262,7 @@ object Dedup {
     * key on doc_id, which is).
     */
   private def reduceByOrd[T](
-      verdicts: org.apache.spark.sql.Dataset[(Long, Boolean, T)])(
+      verdicts: org.apache.spark.sql.Dataset[(Long, Boolean, Option[T])])(
       implicit outEnc: org.apache.spark.sql.Encoder[(Long, Boolean, T)])
     : org.apache.spark.sql.Dataset[(Long, Boolean, T)] = {
     import org.apache.spark.sql.Encoders
@@ -1173,10 +1270,17 @@ object Dedup {
     verdicts.groupByKey(_._1)(Encoders.scalaLong)
       .flatMapGroupsWithState[Boolean, (Long, Boolean, T)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (o: Long, rows: Iterator[(Long, Boolean, T)],
+        (o: Long, rows: Iterator[(Long, Boolean, Option[T])],
          _: GroupState[Boolean]) =>
           val rs = rows.toSeq
-          Iterator.single((o, !rs.exists(_._2), rs.head._3))
+          // the payload arrives on exactly one row per doc (the
+          // self/band-0 path); votes ship None — a missing payload
+          // means the one-payload-row construction drifted
+          val payload = rs.collectFirst { case (_, _, Some(d)) => d }
+            .getOrElse(throw new IllegalStateException(
+              s"ord $o produced verdict rows but no payload row — " +
+                "every doc must emit exactly one payload-bearing row"))
+          Iterator.single((o, !rs.exists(_._2), payload))
       }(Encoders.scalaBoolean, outEnc)
   }
 
@@ -1294,11 +1398,18 @@ object Dedup {
     import org.apache.spark.sql.functions.{col, timestamp_micros}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import ds.sparkSession.implicits.newLongArrayEncoder
-    val rowEnc: Encoder[(String, Long, Array[Long], T)] =
+    val optEnc: Encoder[Option[T]] = optionEncoderOf(enc)
+    val rowEnc: Encoder[(String, Long, Array[Long], Option[T])] =
       Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
-        implicitly[Encoder[Array[Long]]], enc)
+        implicitly[Encoder[Array[Long]]], optEnc)
     val outEnc: Encoder[(Long, Boolean, T)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaBoolean, enc)
+    // verdict rows carry the payload on exactly one of a doc's band
+    // rows (the band-0 rule on [[bandRowsOf]]): the per-bucket verify
+    // only forwards it, so the k/r payload copies the round-12 layout
+    // shuffled per doc are now one
+    val voteEnc: Encoder[(Long, Boolean, Option[T])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaBoolean, optEnc)
     val stEnc: Encoder[Seq[(Long, Array[Long])]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     val bandRows = bandRowsOf(ds, k, r)(text, ord)(rowEnc)
@@ -1311,9 +1422,9 @@ object Dedup {
     // The watermarked timestamp must survive INTO the stateful op's
     // child plan (EventTimeTimeout validates its presence), so it
     // rides as tuple slot _5 rather than being projected away
-    val rowEnc5: Encoder[(String, Long, Array[Long], T, java.sql.Timestamp)] =
+    val rowEnc5: Encoder[(String, Long, Array[Long], Option[T], java.sql.Timestamp)] =
       Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
-        implicitly[Encoder[Array[Long]]], enc, Encoders.TIMESTAMP)
+        implicitly[Encoder[Array[Long]]], optEnc, Encoders.TIMESTAMP)
     // constant +1 s lift: ord 0 would sit exactly on the INITIAL
     // watermark (epoch 0) and be dropped as late; a uniform shift
     // preserves every gap, so horizon semantics are untouched
@@ -1321,12 +1432,12 @@ object Dedup {
     val withWm = bandRows.toDF() // keeps _1.._4 — the tuple encoder resolves by name
       .withColumn("_5", timestamp_micros(col("_2") + lift))
       .withWatermark("_5", "1 millisecond")
-      .as[(String, Long, Array[Long], T, java.sql.Timestamp)](rowEnc5)
+      .as[(String, Long, Array[Long], Option[T], java.sql.Timestamp)](rowEnc5)
     val verdicts = withWm.groupByKey(_._1)(Encoders.STRING)
-      .flatMapGroupsWithState[Seq[(Long, Array[Long])], (Long, Boolean, T)](
+      .flatMapGroupsWithState[Seq[(Long, Array[Long])], (Long, Boolean, Option[T])](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: String,
-         rows: Iterator[(String, Long, Array[Long], T, java.sql.Timestamp)],
+         rows: Iterator[(String, Long, Array[Long], Option[T], java.sql.Timestamp)],
          state: GroupState[Seq[(Long, Array[Long])]]) =>
           if (state.hasTimedOut) {
             // silent past newest ord + horizon: nothing here can match
@@ -1339,12 +1450,12 @@ object Dedup {
             val prior =
               scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
             state.getOption.foreach(prior ++= _)
-            val out = sorted.map { case (_, o, sh, doc, _) =>
+            val out = sorted.map { case (_, o, sh, docOpt, _) =>
               val hit = sh.nonEmpty && prior.exists { case (po, p) =>
                 o - po <= horizonMicros && jaccardSorted(p, sh) >= threshold
               }
               if (sh.nonEmpty) prior += ((o, sh))
-              (o, hit, doc)
+              (o, hit, docOpt)
             }
             if (prior.nonEmpty) {
               val newest = prior.last._1
@@ -1358,7 +1469,7 @@ object Dedup {
             }
             out.iterator
           }
-      }(stEnc, outEnc)
+      }(stEnc, voteEnc)
     reduceByOrd(verdicts)(outEnc)
       .filter((v: (Long, Boolean, T)) => v._2)
       .map((v: (Long, Boolean, T)) => v._3)(enc)

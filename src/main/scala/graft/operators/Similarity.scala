@@ -1044,6 +1044,7 @@ object Similarity {
       Seq("q_id"))
       .select("q_id", "n_brute", "n_hit", "recall")
 
+
   // ----- build-once / search-many persisted indexes ------------------
   //
   // The inline searches above derive the coarse quantizer, SQ params
@@ -1060,6 +1061,44 @@ object Similarity {
   // sdcProbedRank, adcDistTableFrom, adcProbedRank), so
   // search-from-tables hash-matches the inline search — the x151/x152
   // CORRECTNESS rows state exactly that against the x147/x148 oracles.
+  //
+  // Publication protocol (the round-13 redesign): every write is
+  // IMMUTABLE and every publish is ATOMIC — the snapshot discipline
+  // Iceberg and Lucene use, hand-sized to one small text file:
+  //
+  //   <path>/learned_v<n>/…            learned tables (build-time only)
+  //   <path>/gens/gen=<g>/label=<l>/…  immutable code generations
+  //   <path>/manifest_v<n>             the published snapshot
+  //
+  // A manifest names the index kind, its learned-table dir, the append
+  // tags it has absorbed, and the exact cell DIRECTORIES a reader may
+  // scan. Writers (build/append/compact — serialized by the SinkLock,
+  // the one discipline shared with the metric store and corpus sink)
+  // stage a fresh generation under gens/, then publish manifest_v<n+1>
+  // by writing a temp file and renaming it into place: one atomic
+  // metadata op, so a crash at ANY point leaves either the old
+  // manifest (staged generation invisible, retired at the next
+  // writer's entry) or the new one (complete by construction) — never
+  // a half-index, never a mid-swap window. Readers resolve the newest
+  // manifest once per query and scan exactly its cell dirs (partition
+  // discovery under basePath=gens/ recovers the `label` column, so the
+  // probed-cell DYNAMIC partition prune is unchanged — PlanAuditSpec
+  // re-pins it). What the protocol buys over the round-12 single
+  // mutable tree:
+  //  - lock-free CONSISTENT reads: a search planned against v<n> keeps
+  //    returning the complete v<n> answer while a compact or even a
+  //    full retrain publishes v<n+1> — retirement protects the newest
+  //    TWO manifests' trees, so a reader's pinned snapshot survives one
+  //    full maintenance cycle (ExtensionsSpec collects a pre-compact
+  //    plan after the publish and gets the bit-identical result);
+  //  - zero-downtime retrain: a rebuild stages learned_v<m> plus its
+  //    generation and flips the manifest like any other writer — no
+  //    search outage, closing the frozen-quantizer drift story;
+  //  - exactly-once append: a caller-tagged append stages into a
+  //    tag-derived generation dir (a crashed retry overwrites its own
+  //    staging) and publishes a manifest carrying the tag — replaying
+  //    a tag that is already published is a no-op, so the delivery
+  //    ledger lives in the index itself, not the caller.
 
   /** Declared read schemas for the persisted index tables — partition
     * and array types must never depend on directory-name or footer
@@ -1091,6 +1130,206 @@ object Similarity {
     StructField("m", IntegerType),
     StructField("dims", IntegerType)))
 
+  /** One published snapshot of an index: its kind, learned-table dir,
+    * absorbed append tags, and the exact cell directories (relative to
+    * `gens/`) a reader may scan. The manifest file IS the index — a
+    * generation no manifest references does not exist to readers.
+    */
+  private case class IndexManifest(version: Int, kind: String,
+                                   learned: String, tags: Set[String],
+                                   cells: Seq[String])
+
+  private val ManifestNameRe = "manifest_v([0-9]+)".r
+
+  private def indexFs(spark: org.apache.spark.sql.SparkSession,
+                      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** All published manifests at `path`, oldest first. */
+  private def publishedManifests(hfs: org.apache.hadoop.fs.FileSystem,
+                                 path: String)
+    : Seq[(Int, org.apache.hadoop.fs.Path)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!hfs.exists(root)) Seq.empty
+    else hfs.listStatus(root).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestNameRe(n) if st.isFile => Seq((n.toInt, st.getPath))
+        case _ => Seq.empty
+      }
+    }.sortBy(_._1)
+  }
+
+  /** The newest published snapshot — the one metadata read every
+    * search pays (one small file). Loud when none exists: an index
+    * that was never built (or whose build crashed before its atomic
+    * publish) has nothing consistent to read.
+    */
+  private def resolveManifest(hfs: org.apache.hadoop.fs.FileSystem,
+                              path: String): IndexManifest = {
+    val ms = publishedManifests(hfs, path)
+    require(ms.nonEmpty,
+      s"no published index at $path — build one first " +
+        "(buildIvfSqIndex / buildIvfPqIndex); a crash before the " +
+        "manifest publish leaves nothing readable by design")
+    readManifest(hfs, ms.last._2, ms.last._1)
+  }
+
+  private def readManifest(hfs: org.apache.hadoop.fs.FileSystem,
+                           p: org.apache.hadoop.fs.Path,
+                           version: Int): IndexManifest = {
+    val in = hfs.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = txt.split('\n').toSeq.filter(_.nonEmpty)
+    require(lines.headOption.contains("graft-ann-index v1"),
+      s"$p is not a graft ANN index manifest")
+    def vals(k: String): Seq[String] =
+      lines.tail.collect { case l if l.startsWith(k + " ") =>
+        l.substring(k.length + 1) }
+    def one(k: String): String = vals(k) match {
+      case Seq(v) => v
+      case other => throw new IllegalArgumentException(
+        s"manifest $p must carry exactly one '$k' line, found ${other.length}")
+    }
+    val kind = one("kind")
+    require(kind == "sq" || kind == "pq",
+      s"manifest $p carries unknown index kind '$kind'")
+    IndexManifest(version, kind, one("learned"),
+      vals("tag").toSet, vals("cell"))
+  }
+
+  /** Atomic publish: stage the manifest text under a temp name, then
+    * rename into `manifest_v<n>` — the one metadata operation that
+    * makes a staged generation visible. The target must not exist
+    * (versions are minted under the writer lock), so the rename is a
+    * create, atomic on every Hadoop filesystem.
+    */
+  private def writeManifestFile(hfs: org.apache.hadoop.fs.FileSystem,
+                                path: String, m: IndexManifest): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_manifest_tmp")
+    if (hfs.exists(tmp)) hfs.delete(tmp, true)
+    val out = hfs.create(tmp, true)
+    try {
+      val sb = new StringBuilder("graft-ann-index v1\n")
+      sb ++= s"kind ${m.kind}\n"
+      sb ++= s"learned ${m.learned}\n"
+      m.tags.toSeq.sorted.foreach(t => sb ++= s"tag $t\n")
+      m.cells.sorted.foreach(c => sb ++= s"cell $c\n")
+      out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(s"$path/manifest_v${m.version}")
+    require(!hfs.exists(dst),
+      s"manifest $dst already exists — index writers must be serialized " +
+        "by the index lock")
+    if (!hfs.rename(tmp, dst)) throw new java.io.IOException(
+      s"index publish: rename $tmp -> $dst failed")
+  }
+
+  /** Retire everything the newest TWO manifests do not reference:
+    * older manifest files, learned-table dirs, and cell dirs (then
+    * gen dirs left empty). Runs at every writer's entry (reclaiming a
+    * crashed writer's invisible staging) and after every publish.
+    * Keeping the previous manifest's tree alive is the read-grace
+    * window — a search pinned to v<n> stays complete until a SECOND
+    * writer publishes v<n+2>, i.e. one full maintenance cycle; at
+    * crawl cadence that is hours against queries that run in seconds.
+    * Cost: one listing of the manifest files, learned dirs and cell
+    * dirs — O(cells), the same order as compaction's own listing,
+    * never O(corpus rows).
+    */
+  private def retireUnreferenced(hfs: org.apache.hadoop.fs.FileSystem,
+                                 path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!hfs.exists(root)) return
+    val ms = publishedManifests(hfs, path)
+    ms.dropRight(2).foreach(m => hfs.delete(m._2, false))
+    val kept = ms.takeRight(2).map(m => readManifest(hfs, m._2, m._1))
+    val cellsKept = kept.flatMap(_.cells).toSet
+    val learnedKept = kept.map(_.learned).toSet
+    hfs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("learned_v") &&
+          !learnedKept.contains(n))
+        hfs.delete(st.getPath, true)
+      if (n == "_manifest_tmp") hfs.delete(st.getPath, true)
+    }
+    val gensRoot = new org.apache.hadoop.fs.Path(s"$path/gens")
+    if (hfs.exists(gensRoot)) {
+      hfs.listStatus(gensRoot).filter(_.isDirectory).foreach { g =>
+        hfs.listStatus(g.getPath).filter(_.isDirectory).foreach { c =>
+          val rel = s"${g.getPath.getName}/${c.getPath.getName}"
+          if (!cellsKept.contains(rel)) hfs.delete(c.getPath, true)
+        }
+        if (!hfs.listStatus(g.getPath).exists(_.isDirectory))
+          hfs.delete(g.getPath, true)
+      }
+    }
+    ()
+  }
+
+  private def nextVersion(hfs: org.apache.hadoop.fs.FileSystem,
+                          path: String): Int =
+    publishedManifests(hfs, path).lastOption.map(_._1 + 1).getOrElse(1)
+
+  /** The cell dirs a freshly staged generation produced (relative to
+    * `gens/`) — what the publishing manifest will reference.
+    */
+  private def stagedCells(hfs: org.apache.hadoop.fs.FileSystem,
+                          path: String, gen: String): Seq[String] = {
+    val gd = new org.apache.hadoop.fs.Path(s"$path/gens/$gen")
+    if (!hfs.exists(gd)) Seq.empty
+    else hfs.listStatus(gd).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("label="))
+      .map(c => s"$gen/$c").toSeq.sorted
+  }
+
+  /** Read a snapshot's code rows: exactly the manifest's cell dirs,
+    * under `basePath=gens/` so partition discovery recovers `label`
+    * (the dynamic-partition-prune key) and the generation level as a
+    * transient `gen` column, dropped here. The read lists ONLY the
+    * referenced dirs — an unpublished staging or a retiring older
+    * generation is invisible without any filter.
+    */
+  private def readCodes(spark: org.apache.spark.sql.SparkSession,
+                        path: String, m: IndexManifest): DataFrame = {
+    require(m.cells.nonEmpty,
+      s"index at $path (manifest v${m.version}) references no code cells")
+    val schema = if (m.kind == "pq") PqCodesSchema else SqCodesSchema
+    spark.read.option("basePath", s"$path/gens").schema(schema)
+      .parquet(m.cells.map(c => s"$path/gens/$c"): _*)
+      .drop("gen")
+  }
+
+  /** Spec/debug view of the current snapshot's code rows (and the
+    * manifest version they came from) — the exactly-once append specs
+    * count rows through this instead of trusting the writer.
+    */
+  private[graft] def readIndexCodes(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    readCodes(spark, path, resolveManifest(indexFs(spark, path), path))
+
+  private[graft] def currentIndexVersion(
+      spark: org.apache.spark.sql.SparkSession, path: String): Int =
+    resolveManifest(indexFs(spark, path), path).version
+
+  /** Append tags name staging directories and manifest lines — keep
+    * them path- and line-safe. An empty tag (the default) mints a
+    * unique one: delivery then degrades to at-least-once on caller
+    * retry, exactly the pre-tag behavior; callers wanting exactly-once
+    * supply a stable tag per logical append (e.g. the crawl day).
+    */
+  private def effectiveTag(tag: String): String =
+    if (tag.isEmpty) "u" + java.util.UUID.randomUUID().toString
+    else {
+      require(tag.forall(c => c.isLetterOrDigit || c == '.' || c == '_' ||
+          c == '-'),
+        s"append tag '$tag' must match [A-Za-z0-9._-]+ — it names the " +
+          "staging directory and the manifest's delivery record")
+      tag
+    }
+
   /** Build and persist an IVF-SQ index under `path`: the coarse
     * centroid table (k rows), the SQ params row, and the SQ-coded
     * corpus partitioned by cell. The coding reads the params BACK from
@@ -1098,22 +1337,35 @@ object Similarity {
     * pair a later [[searchIvfSq]] will combine. Scale shape: the two
     * learned tables are broadcast-sized aggregations; the code write
     * is one corpus pass into |cells| partition dirs — the one-time
-    * cost every later search stops paying.
+    * cost every later search stops paying. On an EXISTING index this
+    * is the zero-downtime retrain: the new learned tables and code
+    * generation stage invisibly and flip in with the manifest publish;
+    * searches pinned to the old snapshot finish against it (the
+    * read-grace window on [[retireUnreferenced]]).
     */
   def buildIvfSqIndex(emb: DataFrame, path: String): Unit =
     indexLock(path).withCompact(emb.sparkSession) {
       val spark = emb.sparkSession
-      val (hfs, cur, bakRoot, tmpRoot) = indexPaths(spark, path)
-      recoverIndexCompact(hfs, cur, bakRoot, tmpRoot)
+      val hfs = indexFs(spark, path)
+      retireUnreferenced(hfs, path)
+      val n = nextVersion(hfs, path)
+      val learned = s"learned_v$n"
+      val gen = s"gen=b$n"
       val q = quantized(emb)
       centroids(q).coalesce(1).write.mode("overwrite")
-        .parquet(s"$path/centroids")
-      sqParams(q).coalesce(1).write.mode("overwrite").parquet(s"$path/params")
-      sqCodeWith(q, spark.read.schema(SqParamsSchema).parquet(s"$path/params"))
+        .parquet(s"$path/$learned/centroids")
+      sqParams(q).coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/$learned/params")
+      sqCodeWith(q,
+          spark.read.schema(SqParamsSchema).parquet(s"$path/$learned/params"))
         .select(col("vec_id"), col("cv"), col("cn2"),
           requireCellLabel(col("label")))
         .repartition(col("label"))
-        .write.partitionBy("label").mode("overwrite").parquet(s"$path/codes")
+        .write.partitionBy("label").mode("overwrite")
+        .parquet(s"$path/gens/$gen")
+      writeManifestFile(hfs, path, IndexManifest(n, "sq", learned,
+        Set.empty, stagedCells(hfs, path, gen)))
+      retireUnreferenced(hfs, path)
     }
 
   /** Search a persisted IVF-SQ index: `queries` supplies
@@ -1126,7 +1378,10 @@ object Similarity {
     * cost: |queries|·k coarse candidates + the probed cells' code
     * rows — nprobe/|cells| of the 8×-compressed corpus, no index
     * rebuild, no aggregation over corpus-sized data anywhere in the
-    * plan.
+    * plan. Reads are lock-free AND consistent: the search resolves the
+    * newest manifest once and scans exactly that snapshot's cell dirs,
+    * complete even while a concurrent compact or retrain publishes the
+    * next version (see the publication-protocol note above).
     *
     * Query-id contract (both searchers): `vec_id` lives in the CORPUS
     * id space — a corpus row whose id equals the query's is excluded
@@ -1139,11 +1394,15 @@ object Similarity {
     */
   def searchIvfSq(spark: org.apache.spark.sql.SparkSession, path: String,
                   queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
-    val (hfs0, _, bakRoot0, _) = indexPaths(spark, path)
-    requireNotMidCompact(hfs0, bakRoot0, path)
-    val cent = spark.read.schema(CentroidsSchema).parquet(s"$path/centroids")
-    val params = spark.read.schema(SqParamsSchema).parquet(s"$path/params")
-    val codes = spark.read.schema(SqCodesSchema).parquet(s"$path/codes")
+    val m = resolveManifest(indexFs(spark, path), path)
+    require(m.kind == "sq",
+      s"index at $path is kind '${m.kind}' — searchIvfSq reads SQ indexes" +
+        " (use searchIvfPqAdc)")
+    val cent = spark.read.schema(CentroidsSchema)
+      .parquet(s"$path/${m.learned}/centroids")
+    val params = spark.read.schema(SqParamsSchema)
+      .parquet(s"$path/${m.learned}/params")
+    val codes = readCodes(spark, path, m)
     requireDim(queries, "embedding", paramsDim(params),
       "searchIvfSq: query")
     val qq = queries
@@ -1164,32 +1423,47 @@ object Similarity {
     * deployment's daily reality: a crawl adds vectors continuously,
     * the quantizer retrains on a drift schedule. The new vectors are
     * coded with the STORED params (the frozen quantizer —
-    * `params`/`centroids` are not touched, spec-pinned by snapshot)
-    * and their code rows append into the cell-partitioned `codes`
-    * tree; every later [[searchIvfSq]] sees them. The x154 oracle row
-    * states the whole contract from the raw table: params + centroids
-    * from the base subset, codes + search over everything.
+    * `learned_v*` is not touched, spec-pinned by snapshot) into a
+    * fresh immutable generation, made visible by the manifest publish;
+    * every later [[searchIvfSq]] sees them.
     *
-    * Honest limits, both inherent to frozen-quantizer appends:
-    * delivery is the caller's (a retried append writes its rows
-    * twice — wrap in the caller's ledger for exactly-once); and a new
-    * vector whose `label` cell has no stored centroid is never probed
-    * (cells are born at build time — drift monitoring via
-    * [[kmeansInertia]] says when to rebuild).
+    * Delivery is EXACTLY-ONCE under a caller-supplied `tag`: the
+    * staging dir is tag-derived (a crashed retry overwrites its own
+    * partial staging) and the publish records the tag, so replaying an
+    * already-published tag is a no-op — the ledger lives in the index.
+    * The default empty tag mints a unique one (at-least-once on
+    * retry). Inherent frozen-quantizer caveat: a new vector whose
+    * `label` cell has no stored centroid is never probed (cells are
+    * born at build time — drift monitoring via [[kmeansInertia]] says
+    * when to rebuild, and the rebuild is zero-downtime).
     */
-  def appendToIvfSqIndex(emb: DataFrame, path: String): Unit =
+  def appendToIvfSqIndex(emb: DataFrame, path: String,
+                         tag: String = ""): Unit =
     indexLock(path).withCompact(emb.sparkSession) {
       val spark = emb.sparkSession
-      val (hfs, cur, bakRoot, tmpRoot) = indexPaths(spark, path)
-      recoverIndexCompact(hfs, cur, bakRoot, tmpRoot)
-      val params = spark.read.schema(SqParamsSchema).parquet(s"$path/params")
-      requireDim(emb, "embedding", paramsDim(params),
-        "appendToIvfSqIndex: new vectors")
-      sqCodeWith(quantized(emb), params)
-        .select(col("vec_id"), col("cv"), col("cn2"),
-          requireCellLabel(col("label")))
-        .repartition(col("label"))
-        .write.partitionBy("label").mode("append").parquet(s"$path/codes")
+      val hfs = indexFs(spark, path)
+      val m = resolveManifest(hfs, path)
+      require(m.kind == "sq",
+        s"index at $path is kind '${m.kind}' — use appendToIvfPqIndex")
+      val t = effectiveTag(tag)
+      if (!m.tags.contains(t)) {
+        retireUnreferenced(hfs, path)
+        val params = spark.read.schema(SqParamsSchema)
+          .parquet(s"$path/${m.learned}/params")
+        requireDim(emb, "embedding", paramsDim(params),
+          "appendToIvfSqIndex: new vectors")
+        val n = m.version + 1
+        val gen = s"gen=a$n-$t"
+        sqCodeWith(quantized(emb), params)
+          .select(col("vec_id"), col("cv"), col("cn2"),
+            requireCellLabel(col("label")))
+          .repartition(col("label"))
+          .write.partitionBy("label").mode("overwrite")
+          .parquet(s"$path/gens/$gen")
+        writeManifestFile(hfs, path, m.copy(version = n, tags = m.tags + t,
+          cells = (m.cells ++ stagedCells(hfs, path, gen)).sorted))
+        retireUnreferenced(hfs, path)
+      }
     }
 
   /** The trained dimensionality of a persisted SQ params row — the
@@ -1202,163 +1476,88 @@ object Similarity {
   /** The index maintenance lock — the same [[graft.streaming
     * .SinkLock]] mutual exclusion the metric store and corpus sink
     * compactions use (the discipline exists once): every index WRITER
-    * (build, append, compact) takes the compact-token scope, so a
-    * compact can never rename a cell out from under a concurrent
-    * append's commit — the exact destroyed-appended-rows race the
-    * metric store's lock comment names. Searches are read-only and
-    * unlocked; a search concurrent with a compact can transiently
-    * miss a mid-swap cell — schedule maintenance off the query path
-    * (the metric side's same caveat).
+    * (build, append, compact) takes the compact-token scope, so two
+    * writers can never race a version number or a staging dir.
+    * Searches are read-only, unlocked AND consistent — they pin the
+    * newest published manifest, whose tree survives one full
+    * maintenance cycle past its successor's publish.
     */
   private def indexLock(path: String) =
     new graft.streaming.SinkLock(path, "ann index")
 
   /** Fold an index's FRAGMENTED cells back to one file each — the
-    * maintenance op the appends make necessary: every
-    * [[appendToIvfSqIndex]]/[[appendToIvfPqIndex]] adds files to the
-    * touched cell partitions (~N files per cell after N appends — the
-    * small-files/listing hazard the corpus sink's compaction exists
-    * for, on the index side). Cost ∝ FRAGMENTED cells, never corpus:
-    * single-file cells are detected by listing and not read, not
-    * rewritten, not moved (the incremental-manifest lesson applied on
-    * day one — a daily maintenance op must not re-pay the whole index
-    * to absorb one day's appends); the one rewrite job's scan is
-    * partition-pruned to exactly the fragmented cells. Works on both
-    * index kinds — the meta table discriminates AND the code tree's
-    * actual footer schema is verified against the expectation before
-    * any rewrite (a stray/missing meta would otherwise rewrite a PQ
-    * tree through the SQ schema and null the payload columns —
+    * maintenance op the appends make necessary: every append stages a
+    * generation with its own files per touched cell (~N dirs per cell
+    * after N appends — the small-files/listing hazard the corpus
+    * sink's compaction exists for, on the index side). Cost ∝
+    * FRAGMENTED cells, never corpus: a label is fragmented when the
+    * manifest references >1 dir for it or its one dir carries >1 data
+    * file; only those dirs are read (the read lists exactly them — no
+    * full-tree scan to prune), rewritten into a fresh generation, and
+    * swapped in by the manifest publish. Single-file cells are not
+    * read, not rewritten, not moved — their manifest lines carry over
+    * verbatim (the incremental-manifest lesson applied on day one: a
+    * daily maintenance op must not re-pay the whole index to absorb
+    * one day's appends). Learned tables stay bit-untouched and content
+    * is invariant (the x156/x157 rows search a compacted appended
+    * index against the SAME oracles as the uncompacted x154/x155).
+    * Before any rewrite, EVERY fragmented cell's actual footer schema
+    * is verified against the manifest's declared kind — a hand-damaged
+    * or mixed-kind tree refuses loudly instead of being rewritten
+    * through the wrong schema (which would null payload columns:
     * silent, irrecoverable, exactly what an index API must never do).
-    * Learned tables stay bit-untouched and content is invariant (the
-    * x156/x157 rows search a compacted appended index against the
-    * SAME oracles as the uncompacted x154/x155).
-    *
-    * Crash-safe per cell: the rewritten cells land complete under
-    * `codes_compacted/` first, then each cell swaps via its own
-    * O(1) double rename through `codes_old/`; recovery on entry
-    * replays whichever window a crash left (bak without cur →
-    * restore; bak with cur → stale duplicate, drop; any
-    * `codes_compacted` remnant → incomplete or stale build whose
-    * sources are intact, drop and rebuild). A crash mid-loop leaves
-    * some cells folded, the rest fragmented, and possibly ONE cell
-    * mid-swap (renamed out, not yet replaced) — that cell is
-    * invisible until the next writer entry heals it, so the searchers
-    * REFUSE loudly while a `codes_old` remnant exists instead of
-    * returning silently-incomplete top-k; recovery runs on entry of
-    * every writer (build/append/compact), not just the compactor.
+    * Crash-safe by the publication protocol: the rewrite stages
+    * invisibly; a crash before the publish changes nothing a reader
+    * can see, and the next writer's entry retires the partial staging.
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String): Unit =
     indexLock(path).withCompact(spark) {
-      val (hfs, cur, bakRoot, tmpRoot) = indexPaths(spark, path)
-      recoverIndexCompact(hfs, cur, bakRoot, tmpRoot)
-      require(hfs.exists(cur), s"no code tree at $cur — nothing to compact")
+      val hfs = indexFs(spark, path)
+      val m = resolveManifest(hfs, path)
+      retireUnreferenced(hfs, path)
+      def labelOf(cell: String): Int = {
+        val v = cell.substring(cell.lastIndexOf("label=") + "label=".length)
+        v.toIntOption.getOrElse(throw new IllegalArgumentException(
+          s"non-numeric cell partition 'label=$v' in manifest " +
+            s"v${m.version} at $path (a null or malformed label) — every " +
+            "index vector needs a real cell; fix the append input"))
+      }
       def isData(f: org.apache.hadoop.fs.FileStatus) = f.isFile &&
-        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")
-      val frag = hfs.listStatus(cur).filter(_.isDirectory)
-        .filter(d => hfs.listStatus(d.getPath).count(isData) > 1)
-        .map(_.getPath)
+        !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith(".")
+      val frag = m.cells.groupBy(labelOf).values.filter { dirs =>
+        dirs.length > 1 || hfs.listStatus(new org.apache.hadoop.fs.Path(
+          s"$path/gens/${dirs.head}")).count(isData) > 1
+      }.flatten.toSeq.sorted
       if (frag.nonEmpty) {
-        val isPq = hfs.exists(new org.apache.hadoop.fs.Path(s"$path/meta"))
-        val schema = if (isPq) PqCodesSchema else SqCodesSchema
-        // loud kind check BEFORE any rewrite: the declared read schema
-        // must agree with what the files actually carry — probed on
-        // ONE fragmented cell's footers (label comes from the dir), so
-        // the check costs O(one cell), never a full-tree listing
-        val actual = spark.read.parquet(frag.head.toString)
-          .schema.fieldNames.toSet
+        val schema = if (m.kind == "pq") PqCodesSchema else SqCodesSchema
+        // loud kind check BEFORE any rewrite, on EVERY fragmented
+        // cell's own footers (label comes from the dir) — still
+        // O(fragmented cells), never O(corpus)
         val payload = schema.fieldNames.toSet - "label"
-        require(payload.subsetOf(actual),
-          s"code tree at $cur carries columns $actual but the " +
-            s"${if (isPq) "PQ" else "SQ"} schema expects $payload — " +
-            "index kind/meta and code tree disagree; refusing to rewrite")
-        val labels = frag.map(_.getName.stripPrefix("label=")).map { v =>
-          // a clear diagnosis beats a NumberFormatException wedge: the
-          // write-time null-label guard should make this unreachable,
-          // but a hand-built tree must still fail with instructions
-          require(v.forall(c => c.isDigit || c == '-'),
-            s"non-numeric cell partition 'label=$v' under $cur (a null " +
-              "or malformed label) — every index vector needs a real " +
-              "cell; remove the directory and fix the append input")
-          v.toInt
-        }.toSeq
-        spark.read.schema(schema).parquet(cur.toString)
-          .filter(col("label").isin(labels: _*))
-          .repartition(col("label"))
-          .write.partitionBy("label").parquet(tmpRoot.toString)
-        hfs.mkdirs(bakRoot)
-        frag.foreach { cellDir =>
-          val tmpCell = new org.apache.hadoop.fs.Path(tmpRoot,
-            cellDir.getName)
-          require(hfs.exists(tmpCell),
-            s"compacted rewrite produced no $tmpCell for a non-empty cell")
-          // the metric store's verified per-target double rename — the
-          // discipline exists once, reused per cell
-          graft.streaming.HtaStore.swapCompact(hfs, cellDir,
-            new org.apache.hadoop.fs.Path(bakRoot, cellDir.getName), tmpCell)
+        frag.foreach { cell =>
+          val actual = spark.read.parquet(s"$path/gens/$cell")
+            .schema.fieldNames.toSet
+          require(payload.subsetOf(actual),
+            s"cell $cell carries columns $actual but the " +
+              s"${m.kind.toUpperCase} schema expects $payload — index " +
+              "kind/manifest and code tree disagree; refusing to rewrite")
         }
-        hfs.delete(bakRoot, true)
-        hfs.delete(tmpRoot, true)
-        ()
+        val n = m.version + 1
+        val gen = s"gen=c$n"
+        spark.read.option("basePath", s"$path/gens").schema(schema)
+          .parquet(frag.map(c => s"$path/gens/$c"): _*)
+          .drop("gen")
+          .repartition(col("label"))
+          .write.partitionBy("label").mode("overwrite")
+          .parquet(s"$path/gens/$gen")
+        val untouched = m.cells.filterNot(frag.toSet)
+        writeManifestFile(hfs, path, m.copy(version = n,
+          cells = (untouched ++ stagedCells(hfs, path, gen)).sorted))
+        retireUnreferenced(hfs, path)
       }
     }
-
-  private def indexPaths(spark: org.apache.spark.sql.SparkSession,
-                         path: String) = {
-    val hp = new org.apache.hadoop.fs.Path(s"$path/codes")
-    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (hfs, hfs.makeQualified(hp),
-      new org.apache.hadoop.fs.Path(s"$path/codes_old"),
-      new org.apache.hadoop.fs.Path(s"$path/codes_compacted"))
-  }
-
-  /** Replay a crashed compaction's per-cell windows: restore every
-    * cell left in `codes_old` (cur missing → the swap died between
-    * its two renames; cur present → a stale duplicate, drop), then
-    * discard any compacted-tree remnant — its source cells are intact
-    * by construction. Runs on entry of EVERY index writer (build,
-    * append, compact), not just the compactor: an append that ran
-    * against a tree missing a renamed-out cell would recreate the
-    * cell dir with only its new rows, and the next recovery's
-    * stale-duplicate inference would then delete the only copy of the
-    * pre-crash rows — the exact cross-subsystem porting trap (the
-    * metric store's ingest writes NEW batch dirs, so it never needed
-    * writer-side recovery; the index appends write INTO existing cell
-    * dirs, so it does).
-    */
-  private def recoverIndexCompact(hfs: org.apache.hadoop.fs.FileSystem,
-                                  cur: org.apache.hadoop.fs.Path,
-                                  bakRoot: org.apache.hadoop.fs.Path,
-                                  tmpRoot: org.apache.hadoop.fs.Path): Unit = {
-    if (hfs.exists(bakRoot)) {
-      hfs.mkdirs(cur)
-      hfs.listStatus(bakRoot).filter(_.isDirectory).foreach { st =>
-        val cell = new org.apache.hadoop.fs.Path(cur, st.getPath.getName)
-        if (!hfs.exists(cell)) {
-          if (!hfs.rename(st.getPath, cell))
-            throw new java.io.IOException(
-              s"index compact recovery: rename ${st.getPath} -> $cell failed")
-        } else hfs.delete(st.getPath, true)
-      }
-      hfs.delete(bakRoot, true)
-    }
-    if (hfs.exists(tmpRoot)) hfs.delete(tmpRoot, true)
-    ()
-  }
-
-  /** Loud guard for the read-only searchers: a `codes_old` remnant
-    * means a compaction crashed mid-swap and a cell may be invisible
-    * — returning silently-incomplete top-k would be the quiet failure
-    * an index API must never make. Searches stay unlocked; the fix is
-    * one `compactIvfIndex` call (its entry recovery heals the tree).
-    */
-  private def requireNotMidCompact(
-      hfs: org.apache.hadoop.fs.FileSystem,
-      bakRoot: org.apache.hadoop.fs.Path, path: String): Unit =
-    require(!hfs.exists(bakRoot),
-      s"index at $path has a crashed compaction to recover ($bakRoot " +
-        "exists — a cell may be mid-swap and invisible); run " +
-        "compactIvfIndex to heal before searching")
 
   /** Write-time null-label guard on the code writers: a null label
     * would land as the hive default partition — an unreachable cell
@@ -1376,40 +1575,62 @@ object Similarity {
   /** Loud geometry check for the index searchers/appenders: a
     * wrong-dimension vector would otherwise code/slice SILENTLY into
     * truncated arrays and wrong distances — the one failure an index
-    * API must never make quiet. Checked on one row (embedding width
-    * is a per-table constant; an empty frame is a no-op).
+    * API must never make quiet. Aggregates min/max width over the
+    * whole frame (one cheap pass — queries are small, and an append
+    * batch is one day's adds), so a MIXED-width frame is refused too,
+    * not just a uniformly wrong one; an empty frame is a no-op.
     */
   private def requireDim(df: DataFrame, c: String, expected: Int,
-                         ctx: String): Unit =
-    df.select(size(col(c)).as("d")).limit(1).collect()
-      .headOption.foreach { r =>
-        require(r.getInt(0) == expected,
-          s"$ctx embedding dim ${r.getInt(0)} != index dim $expected")
-      }
+                         ctx: String): Unit = {
+    val r = df.agg(min(size(col(c))).as("mn"), max(size(col(c))).as("mx"))
+      .head()
+    if (!r.isNullAt(0)) {
+      val (mn, mx) = (r.getInt(0), r.getInt(1))
+      require(mn == expected && mx == expected,
+        s"$ctx embedding dim ${if (mn == mx) mn.toString else s"$mn..$mx"}" +
+          s" != index dim $expected")
+    }
+  }
 
   /** The IVFADC sibling of [[appendToIvfSqIndex]]: new vectors are
     * assigned codes against the STORED codebook ([[pqAssignWith]] —
     * the build path's own assignment core) under the stored (m, dims)
-    * geometry, and append into the cell-partitioned code tree;
-    * centroids/codebook/meta are not touched. Same delivery and
-    * unborn-cell caveats.
+    * geometry, staged into a fresh generation and published;
+    * centroids/codebook/meta are not touched. Same exactly-once tag
+    * and unborn-cell semantics.
     */
-  def appendToIvfPqIndex(emb: DataFrame, path: String): Unit =
+  def appendToIvfPqIndex(emb: DataFrame, path: String,
+                         tag: String = ""): Unit =
     indexLock(path).withCompact(emb.sparkSession) {
       val spark = emb.sparkSession
-      val (hfs, cur, bakRoot, tmpRoot) = indexPaths(spark, path)
-      recoverIndexCompact(hfs, cur, bakRoot, tmpRoot)
-      val meta = spark.read.schema(PqMetaSchema).parquet(s"$path/meta").head()
-      val (m, dims) = (meta.getInt(0), meta.getInt(1))
-      val cb = spark.read.schema(CodebookSchema).parquet(s"$path/codebook")
-      requireDim(emb, "embedding", dims, "appendToIvfPqIndex: new vectors")
-      val q = quantized(emb)
-      pqAssignWith(pqSubs(q, m, dims), cb)
-        .select("vec_id", "sub", "code")
-        .join(emb.select(col("vec_id"),
-          requireCellLabel(col("label"))), Seq("vec_id"))
-        .repartition(col("label"))
-        .write.partitionBy("label").mode("append").parquet(s"$path/codes")
+      val hfs = indexFs(spark, path)
+      val mf = resolveManifest(hfs, path)
+      require(mf.kind == "pq",
+        s"index at $path is kind '${mf.kind}' — use appendToIvfSqIndex")
+      val t = effectiveTag(tag)
+      if (!mf.tags.contains(t)) {
+        retireUnreferenced(hfs, path)
+        val meta = spark.read.schema(PqMetaSchema)
+          .parquet(s"$path/${mf.learned}/meta").head()
+        val (m, dims) = (meta.getInt(0), meta.getInt(1))
+        val cb = spark.read.schema(CodebookSchema)
+          .parquet(s"$path/${mf.learned}/codebook")
+        requireDim(emb, "embedding", dims, "appendToIvfPqIndex: new vectors")
+        val n = mf.version + 1
+        val gen = s"gen=a$n-$t"
+        val q = quantized(emb)
+        pqAssignWith(pqSubs(q, m, dims), cb)
+          .select("vec_id", "sub", "code")
+          .join(emb.select(col("vec_id"),
+            requireCellLabel(col("label"))), Seq("vec_id"))
+          .repartition(col("label"))
+          .write.partitionBy("label").mode("overwrite")
+          .parquet(s"$path/gens/$gen")
+        writeManifestFile(hfs, path, mf.copy(version = n,
+          tags = mf.tags + t,
+          cells = (mf.cells ++ stagedCells(hfs, path, gen)).sorted))
+        retireUnreferenced(hfs, path)
+      }
     }
 
   /** Build and persist an IVFADC index under `path`: coarse centroids,
@@ -1418,32 +1639,38 @@ object Similarity {
     * search never re-joins to recover it), and a one-row meta table
     * carrying (m, dims) — search must slice query vectors exactly as
     * the codebook was trained, so the geometry is index metadata, not
-    * a caller argument to get wrong.
+    * a caller argument to get wrong. The index kind rides the
+    * manifest, published atomically WITH the tree it describes — a
+    * crash can never leave a PQ code tree whose kind marker is
+    * missing (the round-12 meta-before-codes ordering, made structural).
     */
   def buildIvfPqIndex(emb: DataFrame, path: String, m: Int = 8,
                       dims: Int = 64): Unit =
     indexLock(path).withCompact(emb.sparkSession) {
       val spark = emb.sparkSession
       import spark.implicits._
-      val (hfs, cur, bakRoot, tmpRoot) = indexPaths(spark, path)
-      recoverIndexCompact(hfs, cur, bakRoot, tmpRoot)
+      val hfs = indexFs(spark, path)
+      retireUnreferenced(hfs, path)
+      val n = nextVersion(hfs, path)
+      val learned = s"learned_v$n"
+      val gen = s"gen=b$n"
       val q = quantized(emb)
       centroids(q).coalesce(1).write.mode("overwrite")
-        .parquet(s"$path/centroids")
+        .parquet(s"$path/$learned/centroids")
       val (cb, codes) = pqParts(emb, m, dims)
-      cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-      // meta BEFORE codes: a build crashing between the two writes
-      // must never leave a PQ code tree without its kind marker — a
-      // later compact would misread it through the SQ schema (the
-      // footer check there is the second line of defense; this order
-      // removes the window entirely)
+      cb.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/$learned/codebook")
       Seq((m, dims)).toDF("m", "dims").coalesce(1).write.mode("overwrite")
-        .parquet(s"$path/meta")
+        .parquet(s"$path/$learned/meta")
       codes.select("vec_id", "sub", "code")
         .join(emb.select(col("vec_id"),
           requireCellLabel(col("label"))), Seq("vec_id"))
         .repartition(col("label"))
-        .write.partitionBy("label").mode("overwrite").parquet(s"$path/codes")
+        .write.partitionBy("label").mode("overwrite")
+        .parquet(s"$path/gens/$gen")
+      writeManifestFile(hfs, path, IndexManifest(n, "pq", learned,
+        Set.empty, stagedCells(hfs, path, gen)))
+      retireUnreferenced(hfs, path)
     }
 
   /** Search a persisted IVFADC index — the composed deployment's
@@ -1455,19 +1682,24 @@ object Similarity {
     * row-identical to the inline search (the x152 oracle row). The
     * original float vectors are read for the QUERIES only; the corpus
     * side touches nothing but nprobe/|cells| of the 32×-compressed
-    * code table. [[searchIvfSq]]'s query-id contract applies here
-    * verbatim (corpus id space; external ids must not collide).
+    * code table. [[searchIvfSq]]'s query-id contract and lock-free
+    * consistent-snapshot semantics apply here verbatim.
     */
   def searchIvfPqAdc(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, k: Int,
                      nprobe: Int = 2): DataFrame = {
-    val (hfs0, _, bakRoot0, _) = indexPaths(spark, path)
-    requireNotMidCompact(hfs0, bakRoot0, path)
-    val meta = spark.read.schema(PqMetaSchema).parquet(s"$path/meta").head()
+    val mf = resolveManifest(indexFs(spark, path), path)
+    require(mf.kind == "pq",
+      s"index at $path is kind '${mf.kind}' — searchIvfPqAdc reads PQ " +
+        "indexes (use searchIvfSq)")
+    val meta = spark.read.schema(PqMetaSchema)
+      .parquet(s"$path/${mf.learned}/meta").head()
     val (m, dims) = (meta.getInt(0), meta.getInt(1))
-    val cent = spark.read.schema(CentroidsSchema).parquet(s"$path/centroids")
-    val cb = spark.read.schema(CodebookSchema).parquet(s"$path/codebook")
-    val codes = spark.read.schema(PqCodesSchema).parquet(s"$path/codes")
+    val cent = spark.read.schema(CentroidsSchema)
+      .parquet(s"$path/${mf.learned}/centroids")
+    val cb = spark.read.schema(CodebookSchema)
+      .parquet(s"$path/${mf.learned}/codebook")
+    val codes = readCodes(spark, path, mf)
     requireDim(queries, "embedding", dims, "searchIvfPqAdc: query")
     val qq = queries
       .select(col("vec_id"), VecOps.quantize(col("embedding")).as("vq"))

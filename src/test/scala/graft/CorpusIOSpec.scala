@@ -623,8 +623,13 @@ class CorpusIOSpec extends AnyFunSuite {
       Files.write(java.nio.file.Paths.get(in, name),
         lines.mkString("\n").getBytes("UTF-8"))
     val stats = new graft.streaming.CorpusIngestStats
+    // the unbounded gate's band op is transformWithState — RocksDB is
+    // its required state-store provider
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val cur = CorpusIO.streamCurated(
-      CorpusIO.readJsonlStream(spark, in), s"$root/out", s"$root/ck",
+      CorpusIO.readJsonlStream(ss, in), s"$root/out", s"$root/ck",
       buckets = 4, stats = Some(stats), nearDup = Some(0.5))
     // batch 0: base doc + an in-batch EXACT copy (the gate subsumes
     // exact dedup) + an unrelated doc

@@ -35,6 +35,30 @@ class DocsSyncSpec extends AnyFunSuite {
         s"stale waivers: ${noOracleWaivers -- (q -- o)}")
   }
 
+  test("every registry key has a row in SURVEY §2 (the driver's inventory bar)") {
+    val survey = Files.readString(Paths.get("SURVEY.md"))
+    val s2 = {
+      val b = survey.indexOf("## 2. Operator inventory")
+      val e = survey.indexOf("## 3. Query lifecycle")
+      assert(b >= 0 && e > b, "SURVEY §2/§3 headers moved")
+      survey.substring(b, e)
+    }
+    val missing = SparkEntry.queries.keySet.filterNot(s2.contains)
+    assert(missing.isEmpty,
+      s"registry keys missing from SURVEY §2 (run tools/refresh_docs.py " +
+        s"to regenerate the id index): ${missing.toSeq.sorted}")
+    // the index is generated — a stale key lingering there would make
+    // the inventory claim more than the registry delivers
+    val idxB = s2.indexOf("<!-- registry-index:begin -->")
+    val idxE = s2.indexOf("<!-- registry-index:end -->")
+    assert(idxB >= 0 && idxE > idxB, "registry-index markers missing")
+    val indexed = "[qx]\\w+".r
+      .findAllIn(s2.substring(idxB, idxE)).toSet
+    val stale = indexed -- SparkEntry.queries.keySet
+    assert(stale.isEmpty,
+      s"stale keys in SURVEY's registry index: ${stale.toSeq.sorted}")
+  }
+
   test("README headline counts equal the registry and the spec tree") {
     val readme = Files.readString(Paths.get("README.md"))
     val counts = "(\\d+) queries \\((\\d+) DuckDB-oracle-checked".r

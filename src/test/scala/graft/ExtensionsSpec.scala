@@ -1738,6 +1738,8 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().sortBy(_._1)
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)](ss)
     val q = Dedup.streamingNearDupGate(ms.toDS(), 0.5)(_._2, _._1)
@@ -1802,6 +1804,8 @@ class ExtensionsSpec extends AnyFunSuite {
     val b1 = Seq((30L, base + " tail43"), (31L, "x y"))
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)](ss)
     val q = Dedup.streamingNearDupGate(ms.toDS(), 0.5)(_._2, _._1)
@@ -1836,6 +1840,8 @@ class ExtensionsSpec extends AnyFunSuite {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-gstate")
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)](ss)
     val q = Dedup.streamingNearDupGate(ms.toDS(), 0.5)(_._2, _._1)
@@ -1850,12 +1856,20 @@ class ExtensionsSpec extends AnyFunSuite {
     // all three stores and classify by their measured shape (both
     // array-state stores share the value schema, so shape IS the id)
     def store(opId: Int) = {
-      val st = ss.read.format("statestore")
+      def base = ss.read.format("statestore")
         .option("path", ckpt.toString).option("operatorId", opId.toString)
-        .load()
-      (st.count(),
-        st.select(coalesce(sum(size(col("value.groupState.value"))),
-          lit(0)).cast("long")).as[Long].head())
+      scala.util.Try {
+        val st = base.load()
+        (st.count(),
+          st.select(coalesce(sum(size(col("value.groupState.value"))),
+            lit(0)).cast("long")).as[Long].head())
+      }.orElse(scala.util.Try {
+        // the transformWithState band op: a named ListState read back
+        // flattened — one row per (bucket, ord) element, so buckets =
+        // distinct keys and the ord-long payload = element count
+        val st = base.option("stateVarName", "ords").load()
+        (st.select(col("key")).distinct().count(), st.count())
+      }).getOrElse((0L, 0L))
     }
     val shapes = (0 to 2).map(i =>
       scala.util.Try(store(i)).getOrElse((0L, 0L))).sorted
@@ -1885,6 +1899,8 @@ class ExtensionsSpec extends AnyFunSuite {
     val horizon = 100L * sec // timeout mechanics in real ms territory
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)](ss)
     val q = Dedup.withChainedStatefulOverride(ss) {
@@ -1931,6 +1947,8 @@ class ExtensionsSpec extends AnyFunSuite {
     val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val before = ss.conf.get(key)
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)](ss)
@@ -1973,6 +1991,8 @@ class ExtensionsSpec extends AnyFunSuite {
     val sec = 1000000L
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val stats = new graft.streaming.CorpusIngestStats
     ss.streams.removeListener(stats)
     ss.streams.addListener(stats)
@@ -2019,6 +2039,8 @@ class ExtensionsSpec extends AnyFunSuite {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)](ss)
     val q = Dedup.streamingNearDupGate(ms.toDS(), 0.5)(_._2, _._1)
@@ -2056,7 +2078,7 @@ class ExtensionsSpec extends AnyFunSuite {
       s"expected the cross-batch ord-tie guard, got: $e2")
   }
 
-  test("compactIvfIndex: appends' file fan-in folds to one file per cell; learned tables untouched; crash recovers") {
+  test("compactIvfIndex: fragmented cells fold into a fresh generation; untouched cells' files carry over verbatim") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-anncpt")
     try {
@@ -2069,113 +2091,213 @@ class ExtensionsSpec extends AnyFunSuite {
       def snapshot(dir: String) = parquets(new java.io.File(dir))
         .map(f => (f.getPath, f.lastModified, f.length)).toSet
       Similarity.buildIvfSqIndex(emb, s"$root/sq")
-      // two appends fragment ONLY the touched cell (label 0) — the
-      // other cells must stay single-file so the cost-∝-fragmentation
-      // pin below has untouched cells to watch
+      // two tagged appends fragment ONLY the touched cell (label 0) —
+      // the other cells must stay single-dir so the
+      // cost-∝-fragmentation pin below has untouched cells to watch
       val extra1 = emb.filter(col("vec_id") < 50L && col("label") === 0)
         .select((col("vec_id") + 200000L).as("vec_id"),
           col("embedding"), col("label"))
       val extra2 = emb.filter(col("vec_id") < 50L && col("label") === 0)
         .select((col("vec_id") + 300000L).as("vec_id"),
           col("embedding"), col("label"))
-      Similarity.appendToIvfSqIndex(extra1, s"$root/sq")
-      Similarity.appendToIvfSqIndex(extra2, s"$root/sq")
-      assert(parquets(new java.io.File(s"$root/sq/codes"))
-        .groupBy(_.getParentFile.getPath).exists(_._2.size > 1),
-        "fixture must actually fragment a cell before compacting")
+      Similarity.appendToIvfSqIndex(extra1, s"$root/sq", tag = "d1")
+      Similarity.appendToIvfSqIndex(extra2, s"$root/sq", tag = "d2")
+      assert(new java.io.File(s"$root/sq/gens").listFiles()
+        .count(_.getName.startsWith("gen=")) == 3,
+        "fixture must stage three generations (build + two appends)")
       val queries = emb.filter(col("vec_id").isin(0L, 1L, 2L))
         .select("vec_id", "embedding")
       def hits() = Similarity.searchIvfSq(spark, s"$root/sq", queries, 5,
           nprobe = 2)
         .as[(Long, Long, Long, Long)].collect().toSet
       val before = hits()
-      val learned0 = snapshot(s"$root/sq/params") ++
-        snapshot(s"$root/sq/centroids")
-      // single-file cells must not be read, rewritten or moved —
-      // compact cost ∝ fragmented cells, never corpus (snapshot the
-      // untouched cells' files before, compare bit-for-bit after)
-      val untouched0 = parquets(new java.io.File(s"$root/sq/codes"))
-        .groupBy(_.getParentFile.getPath).filter(_._2.size == 1)
-        .flatMap(_._2).map(f => (f.getPath, f.lastModified, f.length))
-        .toSet
-      assert(untouched0.nonEmpty, "fixture must have single-file cells")
+      val learned0 = snapshot(s"$root/sq/learned_v1")
+      // untouched cells (every label but 0 lives only in gen=b1) must
+      // not be read, rewritten or moved — compact cost ∝ fragmented
+      // cells, never corpus (snapshot their files bit-for-bit)
+      val untouched0 = parquets(new java.io.File(s"$root/sq/gens/gen=b1"))
+        .filter(_.getParentFile.getName != "label=0")
+        .map(f => (f.getPath, f.lastModified, f.length)).toSet
+      assert(untouched0.nonEmpty, "fixture must have untouched cells")
       Similarity.compactIvfIndex(spark, s"$root/sq")
-      // one file per cell dir, learned tables bit-untouched, content
-      // (full rows: ranks and distances) invariant
-      parquets(new java.io.File(s"$root/sq/codes"))
-        .groupBy(_.getParentFile.getPath).foreach { case (d, fs) =>
-          assert(fs.size == 1, s"cell dir $d has ${fs.size} files")
-        }
-      assert(untouched0.subsetOf(
-        parquets(new java.io.File(s"$root/sq/codes"))
-          .map(f => (f.getPath, f.lastModified, f.length)).toSet),
-        "compact rewrote single-file cells — cost must be ∝ fragmentation")
-      assert(snapshot(s"$root/sq/params") ++ snapshot(s"$root/sq/centroids")
-        == learned0, "compact must not touch the learned tables")
+      // the published snapshot resolves each label to exactly one dir
+      // with exactly one file; untouched cells' files carried over
+      // VERBATIM (same path, mtime, length); learned tables
+      // bit-untouched; content invariant
+      val filesNow = Similarity.readIndexCodes(spark, s"$root/sq")
+        .inputFiles.toSeq.map(_.stripPrefix("file:"))
+      filesNow.groupBy(f => f.split('/').reverse.find(_.startsWith("label="))
+          .get).foreach { case (l, fs) =>
+        assert(fs.size == 1, s"cell $l still fragmented after compact: $fs")
+      }
+      assert(untouched0.subsetOf(filesNow.map { f =>
+        val jf = new java.io.File(f)
+        (jf.getPath, jf.lastModified, jf.length)
+      }.toSet), "compact rewrote untouched cells — cost must be " +
+        "∝ fragmentation, and carried-over files must be bit-identical")
+      assert(snapshot(s"$root/sq/learned_v1") == learned0,
+        "compact must not touch the learned tables")
       assert(hits() == before, "compaction must be content-invisible")
-      // crash window: data moved to codes_old, new tree absent. A
-      // SEARCH against this state must refuse loudly (a cell may be
-      // invisible — silently-incomplete top-k is the quiet failure an
-      // index API must never make) ...
-      assert(new java.io.File(s"$root/sq/codes")
-        .renameTo(new java.io.File(s"$root/sq/codes_old")))
-      val eMid = intercept[IllegalArgumentException](hits())
-      assert(eMid.getMessage.contains("crashed compaction"),
-        s"mid-compact search must refuse: ${eMid.getMessage}")
-      // ... and recovery on the next entry restores it, content
-      // unchanged
+      // a second compact on the already-folded tree is a no-op: no
+      // fragmented cells → no rewrite, no new version
+      val v = Similarity.currentIndexVersion(spark, s"$root/sq")
       Similarity.compactIvfIndex(spark, s"$root/sq")
-      assert(hits() == before,
-        "crash-window recovery must restore the code tree")
-      assert(!new java.io.File(s"$root/sq/codes_old").exists())
-      // the porting trap, pinned: an APPEND entering after a crashed
-      // compact must heal the tree FIRST — appending into a tree
-      // missing a renamed-out cell would recreate the cell dir with
-      // only the new rows, and a later recovery's stale-duplicate
-      // inference would delete the only copy of the pre-crash rows
-      val cell0 = new java.io.File(s"$root/sq/codes/label=0")
-      assert(cell0.isDirectory)
-      new java.io.File(s"$root/sq/codes_old").mkdirs()
-      assert(cell0.renameTo(
-        new java.io.File(s"$root/sq/codes_old/label=0")),
-        "fixture: simulate a compact crashed between cell renames")
-      Similarity.appendToIvfSqIndex(
-        emb.filter(col("vec_id") === 1L && col("label") === 0)
-          .select((col("vec_id") + 400000L).as("vec_id"),
-            col("embedding"), col("label")),
-        s"$root/sq")
-      assert(!new java.io.File(s"$root/sq/codes_old").exists(),
-        "append entry must run recovery before writing")
-      Similarity.compactIvfIndex(spark, s"$root/sq")
-      val healed = hits()
-      assert(healed.map(_._2) == before.map(_._2),
-        s"pre-crash rows lost through the append-after-crash window: " +
-          s"$healed vs $before")
+      assert(Similarity.currentIndexVersion(spark, s"$root/sq") == v,
+        "compact of an unfragmented index must publish nothing")
       // null-label rows are refused AT WRITE TIME with the contract
-      // spelled out — a hive-default partition dir would be an
-      // unreachable cell that wedges later maintenance
+      // spelled out — and because the failed staging was never
+      // published, the index is untouched (snapshot isolation also
+      // isolates failures)
       val eNull = intercept[Exception](
         Similarity.appendToIvfSqIndex(
           emb.filter(col("vec_id") === 1L)
             .select(lit(500000L).as("vec_id"), col("embedding"),
               lit(null).cast("int").as("label")),
-          s"$root/sq"))
+          s"$root/sq", tag = "dnull"))
       def msgs(t: Throwable): String =
         if (t == null) "" else t.toString + msgs(t.getCause)
       assert(msgs(eNull).contains("null label"),
         s"null-label append must raise with the contract: $eNull")
-      // kind/schema disagreement refuses LOUDLY before any rewrite: a
-      // PQ tree whose meta is missing would read as SQ — rewriting it
-      // through the wrong declared schema would null the payload
-      // columns, silent and irrecoverable
-      Similarity.buildIvfPqIndex(emb, s"$root/pq")
-      Similarity.appendToIvfPqIndex(extra1, s"$root/pq")
-      assert(new scala.reflect.io.Directory(
-        new java.io.File(s"$root/pq/meta")).deleteRecursively())
+      assert(hits() == before,
+        "a failed append staged but never published — readers must " +
+          "see the untouched snapshot")
+    } finally {
+      val _ = new scala.reflect.io.Directory(root.toFile).deleteRecursively()
+    }
+  }
+
+  test("index reads are lock-free consistent snapshots: searches pinned before compact and retrain survive the publish") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-annsnap")
+    try {
+      val base = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 4L)
+      val rest = emb.filter(pmod(col("vec_id"), lit(5L)) === 4L)
+      val queries = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select("vec_id", "embedding")
+      def search() = Similarity.searchIvfSq(spark, s"$root/sq", queries, 5,
+        nprobe = 2)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Long, Long)].collect().toSet
+      Similarity.buildIvfSqIndex(base, s"$root/sq")                  // v1
+      Similarity.appendToIvfSqIndex(rest, s"$root/sq", tag = "d1")   // v2
+      val expected = rows(search())
+      // pin a search against v2, THEN let a compact publish v3: the
+      // pinned plan's file list must stay complete and consistent —
+      // retirement protects the newest TWO manifests' trees
+      val pinned = search()
+      Similarity.compactIvfIndex(spark, s"$root/sq")                 // v3
+      assert(Similarity.currentIndexVersion(spark, s"$root/sq") == 3)
+      assert(rows(pinned) == expected,
+        "a search pinned before the compact must return the complete " +
+          "pre-compact snapshot")
+      assert(rows(search()) == expected, "compaction is content-invisible")
+      // zero-downtime retrain: pin v3, REBUILD (new quantizer, new
+      // learned tables) as v4 — the pinned search still completes
+      // against v3's tree, new searches see the retrained index
+      val pinned3 = search()
+      Similarity.buildIvfSqIndex(emb, s"$root/sq")                   // v4
+      assert(Similarity.currentIndexVersion(spark, s"$root/sq") == 4)
+      assert(rows(pinned3) == expected,
+        "a search pinned before the retrain must return the complete " +
+          "pre-retrain snapshot")
+      assert(rows(search()) ==
+        rows(Similarity.topKIvfSqProbed(emb, Seq(0L, 1L, 2L), 5,
+          nprobe = 2)),
+        "post-retrain searches must serve the retrained index")
+      // ... and the grace window is exactly one cycle: the NEXT writer
+      // retires everything v4/v5 do not reference — the pre-retrain
+      // generations and learned tables are reclaimed, not leaked
+      val extra = emb.filter(col("vec_id") === 0L)
+        .select(lit(700000L).as("vec_id"), col("embedding"), col("label"))
+      Similarity.appendToIvfSqIndex(extra, s"$root/sq", tag = "d2")  // v5
+      val top = new java.io.File(s"$root/sq").listFiles().map(_.getName)
+      assert(top.count(_.startsWith("manifest_v")) == 2,
+        s"only the newest two manifests may remain: ${top.toSeq}")
+      assert(!top.contains("learned_v1"),
+        "the retired quantizer's learned tables must be reclaimed")
+      assert(top.contains("learned_v4"))
+      val gens = new java.io.File(s"$root/sq/gens").listFiles()
+        .map(_.getName).toSet
+      assert(gens == Set("gen=b4", "gen=a5-d2"),
+        s"pre-retrain generations must be reclaimed, got $gens")
+    } finally {
+      val _ = new scala.reflect.io.Directory(root.toFile).deleteRecursively()
+    }
+  }
+
+  test("index append is exactly-once under a caller tag: replay and crash-replay converge") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-annxo")
+    try {
+      val base = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 4L)
+      def codeCount() = Similarity.readIndexCodes(spark, s"$root/sq").count()
+      def version() = Similarity.currentIndexVersion(spark, s"$root/sq")
+      Similarity.buildIvfSqIndex(base, s"$root/sq")                  // v1
+      val n0 = codeCount()
+      val day1 = emb.filter(col("vec_id") < 50L)
+        .select((col("vec_id") + 200000L).as("vec_id"),
+          col("embedding"), col("label"))
+      Similarity.appendToIvfSqIndex(day1, s"$root/sq", tag = "d1")   // v2
+      assert(codeCount() == n0 + 50 && version() == 2)
+      // verbatim replay of a published tag: a no-op — no duplicate
+      // rows, no version bump (the delivery ledger IS the manifest)
+      Similarity.appendToIvfSqIndex(day1, s"$root/sq", tag = "d1")
+      assert(codeCount() == n0 + 50 && version() == 2,
+        "replaying a published append tag must be a no-op")
+      // crash-replay: the publish is the LAST step of an append, so a
+      // crash leaves exactly this state — a staged generation and the
+      // OLD manifest. Simulate by appending d2 and deleting its
+      // manifest; the staged rows must be invisible, and replaying d2
+      // must converge to exactly-once
+      val day2 = emb.filter(col("vec_id") < 30L)
+        .select((col("vec_id") + 300000L).as("vec_id"),
+          col("embedding"), col("label"))
+      Similarity.appendToIvfSqIndex(day2, s"$root/sq", tag = "d2")   // v3
+      assert(new java.io.File(s"$root/sq/manifest_v3").delete(),
+        "fixture: simulate a crash between staging and publish")
+      assert(codeCount() == n0 + 50 && version() == 2,
+        "an unpublished staging must be invisible to readers")
+      Similarity.appendToIvfSqIndex(day2, s"$root/sq", tag = "d2")   // v3
+      assert(codeCount() == n0 + 50 + 30 && version() == 3,
+        "replaying the crashed append must converge to exactly-once")
+    } finally {
+      val _ = new scala.reflect.io.Directory(root.toFile).deleteRecursively()
+    }
+  }
+
+  test("compactIvfIndex refuses loudly when the manifest kind and code footers disagree") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-annkind")
+    try {
+      Similarity.buildIvfSqIndex(emb, s"$root/sq")
+      val extra = emb.filter(col("vec_id") < 50L && col("label") === 0)
+        .select((col("vec_id") + 200000L).as("vec_id"),
+          col("embedding"), col("label"))
+      Similarity.appendToIvfSqIndex(extra, s"$root/sq", tag = "d1")
+      // hand-tamper the published manifest: flip its kind line — the
+      // rewrite would then read SQ files through the PQ schema and
+      // null the payload columns, silent and irrecoverable, so the
+      // footer check must refuse BEFORE any rewrite
+      val mf = new java.io.File(s"$root/sq/manifest_v2")
+      assert(mf.isFile)
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+      java.nio.file.Files.write(mf.toPath,
+        txt.replace("kind sq", "kind pq").getBytes("UTF-8"))
+      // drop the local FS's checksum sidecar — the tamper is the test
+      val _ = new java.io.File(s"$root/sq/.manifest_v2.crc").delete()
       val e = intercept[IllegalArgumentException](
-        Similarity.compactIvfIndex(spark, s"$root/pq"))
+        Similarity.compactIvfIndex(spark, s"$root/sq"))
       assert(e.getMessage.contains("refusing to rewrite"),
         s"kind mismatch must refuse the rewrite: ${e.getMessage}")
+      // the kind gate guards searches too — a PQ-claiming manifest
+      // routes searchIvfSq callers away before any wrong-schema read
+      val eS = intercept[IllegalArgumentException](
+        Similarity.searchIvfSq(spark, s"$root/sq",
+          emb.filter(col("vec_id") === 0L).select("vec_id", "embedding"),
+          5))
+      assert(eS.getMessage.contains("searchIvfSq reads SQ indexes"),
+        s"kind mismatch must refuse the search: ${eS.getMessage}")
     } finally {
       val _ = new scala.reflect.io.Directory(root.toFile).deleteRecursively()
     }
@@ -2194,9 +2316,9 @@ class ExtensionsSpec extends AnyFunSuite {
         slice(col("embedding"), 1, 32).as("embedding"), col("label"))
       for ((name, op) <- Seq[(String, () => Any)](
         ("appendToIvfSqIndex", () =>
-          Similarity.appendToIvfSqIndex(shortEmb, s"$root/sq")),
+          Similarity.appendToIvfSqIndex(shortEmb, s"$root/sq", tag = "g1")),
         ("appendToIvfPqIndex", () =>
-          Similarity.appendToIvfPqIndex(shortEmb, s"$root/pq")),
+          Similarity.appendToIvfPqIndex(shortEmb, s"$root/pq", tag = "g2")),
         ("searchIvfSq", () =>
           Similarity.searchIvfSq(spark, s"$root/sq",
             shortEmb.select("vec_id", "embedding"), 5)),
@@ -2207,6 +2329,16 @@ class ExtensionsSpec extends AnyFunSuite {
         assert(e.getMessage.contains("dim 32 != index dim 64"),
           s"$name must refuse the geometry mismatch: ${e.getMessage}")
       }
+      // a MIXED-width frame must be refused too — the old one-row
+      // sample would pass it and code the wrong-width rows into
+      // truncated arrays with silently wrong distances
+      val mixed = emb.filter(col("vec_id") < 10L)
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .union(shortEmb.filter(col("vec_id") >= 10L && col("vec_id") < 20L))
+      val eMx = intercept[IllegalArgumentException](
+        Similarity.appendToIvfSqIndex(mixed, s"$root/sq", tag = "g3"))
+      assert(eMx.getMessage.contains("dim 32..64 != index dim 64"),
+        s"mixed-width frame must be refused: ${eMx.getMessage}")
     } finally {
       val _ = new scala.reflect.io.Directory(root.toFile).deleteRecursively()
     }
@@ -2224,6 +2356,8 @@ class ExtensionsSpec extends AnyFunSuite {
     val sec = 1000000L
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)](ss)
     val q = Dedup.withChainedStatefulOverride(ss) {
@@ -2250,6 +2384,8 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().sortBy(_._1)
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)](ss)
     val q = Dedup.withChainedStatefulOverride(ss) {
@@ -2459,7 +2595,7 @@ class ExtensionsSpec extends AnyFunSuite {
       // prune over the compressed representation at 100 TB
       val nCells = emb.select("label").distinct().count().toInt
       for (idx <- Seq("sq", "pq")) {
-        val dirs = new java.io.File(s"$root/$idx/codes").listFiles()
+        val dirs = new java.io.File(s"$root/$idx/gens/gen=b1").listFiles()
           .filter(_.isDirectory).map(_.getName)
           .count(_.startsWith("label="))
         assert(dirs == nCells,
@@ -2489,11 +2625,10 @@ class ExtensionsSpec extends AnyFunSuite {
         .select("vec_id", "embedding")
       Similarity.buildIvfSqIndex(emb, s"$root/sq")
       Similarity.buildIvfPqIndex(emb, s"$root/pq")
-      val frozen = Seq(s"$root/sq/params", s"$root/sq/centroids",
-        s"$root/pq/codebook", s"$root/pq/centroids", s"$root/pq/meta")
+      val frozen = Seq(s"$root/sq/learned_v1", s"$root/pq/learned_v1")
       val before = frozen.map(d => d -> snapshot(d)).toMap
-      Similarity.appendToIvfSqIndex(clone, s"$root/sq")
-      Similarity.appendToIvfPqIndex(clone, s"$root/pq")
+      Similarity.appendToIvfSqIndex(clone, s"$root/sq", tag = "d1")
+      Similarity.appendToIvfPqIndex(clone, s"$root/pq", tag = "d1")
       // the frozen-quantizer proof: not one learned-table byte moved
       frozen.foreach { d =>
         assert(snapshot(d) == before(d),

@@ -31,4 +31,19 @@ readme, n1 = re.subn(
 readme, n2 = re.subn(r"# \d+ specs", f"# {tests} specs", readme)
 assert n1 == 1 and n2 == 1, f"README markers missing (found {n1}/{n2})"
 readme_path.write_text(readme)
-print(f"queries={queries} oracle={oracle} specs={tests} -> README.md")
+
+# SURVEY §2.10's registry id index: every SparkEntry.queries key,
+# 3 per line, between the registry-index markers. DocsSyncSpec pins
+# that each key appears in SURVEY §2 — this block is what makes the
+# pin mechanically satisfiable without hand-editing the tables.
+keys = sorted(set(re.findall(r'"([qx]\w+)" -> \(\(s, dir\)', entry)))
+assert len(keys) == queries, f"key scrape {len(keys)} != query count {queries}"
+lines = ["    " + "  ".join(keys[i:i + 3]) for i in range(0, len(keys), 3)]
+survey_path = root / "SURVEY.md"
+survey = survey_path.read_text()
+begin, end = "<!-- registry-index:begin -->", "<!-- registry-index:end -->"
+b, e = survey.index(begin), survey.index(end)
+survey = survey[:b + len(begin)] + "\n\n" + "\n".join(lines) + "\n\n" + survey[e:]
+survey_path.write_text(survey)
+print(f"queries={queries} oracle={oracle} specs={tests} "
+      f"-> README.md, SURVEY.md index ({len(keys)} keys)")
