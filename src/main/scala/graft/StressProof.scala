@@ -56,7 +56,8 @@ object StressProof {
         ("contraction", contraction), ("ivf", ivf), ("kmeans", kmeans),
         ("pq", pq), ("streamdedup", streamDedup),
         ("neardupgate", nearDupGate), ("hotbucket", hotBucketGate),
-        ("corpuspipe", corpusPipe), ("shards", shards))
+        ("corpuspipe", corpusPipe), ("ttlpipe", ttlPipe),
+        ("shards", shards))
       val unknown = args.toSet -- blocks.map(_._1).toSet
       require(unknown.isEmpty, s"unknown stress blocks: $unknown " +
         s"(known: ${blocks.map(_._1).mkString(", ")})")
@@ -571,6 +572,107 @@ object StressProof {
         "(round-13 measured 122.2 MB; round-12's fan-out was 153.5 MB)")
   }
 
+  /** The TTL-gated corpus pipe at 1 M lines — the x153 deployment
+    * shape at three orders above its fixture, measuring the layout's
+    * one documented honest cost: the quarantine union plans the JSONL
+    * source subtree twice, so each micro-batch's files are PARSED
+    * twice. A task-metrics listener sums `inputMetrics.recordsRead`
+    * over the drain; the factor vs lines fed is the measured price
+    * (≈ 2.0×, recorded in SCALE §5g as a number, not an adjective) and
+    * the `require` holds the ceiling — if a Spark version ever merges
+    * the duplicated subtree, the printed factor says so. Correctness
+    * rides along: with run-of-2 duplicates at ord gap 1 and horizon
+    * 1 µs, the admitted count must equal the closed-form rule (clean
+    * docs minus both-clean identical-text gap-1 pairs; the texts'
+    * shared suffix keeps DISTINCT neighbors at Jaccard 0.5, under the
+    * 0.8 threshold).
+    */
+  private def ttlPipe(spark: SparkSession): Unit = {
+    // 400 k default (20× the x153 fixture): the 1 µs horizon makes
+    // EVERY band bucket expire every batch — deliberate worst-case
+    // eviction churn, which also makes the block's wall-clock scale
+    // with bucket count (1 M lines ≈ 15 min; override via env)
+    val nLines = sys.env.getOrElse("SPARK_GRAFT_TTL_LINES", "400000").toLong
+    val root = java.nio.file.Files.createTempDirectory("graft-sttl")
+    val inDir = s"$root/in"
+    new java.io.File(inDir).mkdirs()
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "32")
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          recordsRead.addAndGet(m.inputMetrics.recordsRead)
+          ()
+        }
+      }
+    }
+    val cur = graft.sources.CorpusIO.streamCurated(
+      graft.sources.CorpusIO.readJsonlStream(ss, inDir,
+        maxFilesPerTrigger = 4),
+      s"$root/out", s"$root/ck", buckets = 8,
+      nearDup = Some(0.8), nearDupTtlMicros = Some(1L))
+    val perBatch = nLines / 4
+    val times = (0 until 4).map { i =>
+      // ONE file per drop, moved atomically: the TTL gate's contract
+      // is ord-ordered arrival, and a multi-file drop under a
+      // free-running trigger can interleave (listFiles order × task
+      // mtimes × mid-move triggers delivered a drop's files out of
+      // id order at this scale — the reordering that motivated the
+      // gate's eviction-watermark clamp)
+      spark.range(i * perBatch, (i + 1) * perBatch)
+        .select(pipeLineCol.as("value"))
+        .coalesce(1).write.mode("overwrite").text(s"$root/stage")
+      val staged = new java.io.File(s"$root/stage").listFiles()
+        .filter(_.getName.startsWith("part-"))
+      staged.zipWithIndex.foreach { case (f, fi) =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(inDir, f"chunk-$i%02d-$fi%02d.txt"))
+      }
+      // listener scoped to the drain: the staging range→text write
+      // above ALSO reports input records (RangeExec counts as an
+      // input source), and would inflate the parse factor by exactly
+      // 1.0 if measured
+      spark.sparkContext.addSparkListener(listener)
+      val t = timed(cur.processAllAvailable())._2
+      Thread.sleep(1200)
+      spark.sparkContext.removeSparkListener(listener)
+      t
+    }
+    cur.stop()
+    // the staging writes run on the shared context while the listener
+    // is attached, but they READ no source rows (range → text write),
+    // so recordsRead is the drain's own: JSONL text-source rows
+    val parseFactor = recordsRead.get().toDouble / nLines
+    // closed-form oracle: clean docs minus the second member of every
+    // both-clean identical-text gap-1 pair (ids 2k, 2k+1)
+    val clean = graft.sources.CorpusIO.cleanDocs(
+      graft.sources.CorpusIO.readJsonl(spark, inDir))
+    val cleanIds = clean.select(col("doc_id"))
+    val rejected = cleanIds.as("a")
+      .join(cleanIds.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 1L &&
+          pmod(col("a.doc_id"), lit(2L)) === 0L)
+      .count()
+    val expectAdmitted = clean.count() - rejected
+    val admitted = graft.sources.CorpusIO
+      .readCurated(spark, s"$root/out").count()
+    new scala.reflect.io.Directory(root.toFile).deleteRecursively()
+    println(f"STRESS ttlpipe lines=$nLines admitted=$admitted " +
+      f"expected=$expectAdmitted records_read=${recordsRead.get()} " +
+      f"parse_factor=$parseFactor%.2f " +
+      s"t_batches=${times.map(t => f"$t%.1f").mkString("/")}s")
+    require(admitted == expectAdmitted,
+      s"TTL pipe admitted $admitted, closed form expects $expectAdmitted")
+    require(parseFactor <= 2.1,
+      f"TTL pipe parsed $parseFactor%.2f× the input — above the " +
+        "documented two-subtree ceiling; the union layout regressed")
+  }
+
   /** The hot-bucket write-amplification pin (round 13): op 1's band
     * state is a ListState, so absorbing a batch WRITES O(new ords) —
     * an appendValue per new ord — where the retired layout called
@@ -698,8 +800,27 @@ object StressProof {
     * bit-for-bit untouched (snapshot-equality `require`d); both
     * compact times print for eyes (the follow-up is ~fixed overhead).
     */
+  /** Shared 1 M-line JSONL synthesis of the pipe stress blocks — pure
+    * function of the id: run-of-2 duplicate texts (≈ 500 k distinct
+    * keys), every 97th line malformed JSON, every 101st (non-malformed)
+    * parses but drops its text field.
+    */
+  private def pipeLineCol: Column = {
+    val txt = concat(lit("t"), expr("id div 2"), lit(" aa bb cc dd"))
+    val lang = when(pmod(col("id"), lit(2L)) === 0, "en").otherwise("de")
+    when(pmod(col("id"), lit(97L)) === 0, concat(lit("{broken "), col("id")))
+      .when(pmod(col("id"), lit(101L)) === 0,
+        concat(lit("{\"doc_id\": "), col("id"),
+          lit(", \"lang\": \""), lang,
+          lit("\", \"source\": \"s\", \"n_chars\": 1}")))
+      .otherwise(concat(lit("{\"doc_id\": "), col("id"),
+        lit(", \"text\": \""), txt,
+        lit("\", \"lang\": \""), lang,
+        lit("\", \"source\": \"s\", \"n_chars\": "), length(txt), lit("}")))
+  }
+
   private def corpusPipe(spark: SparkSession): Unit = {
-    val nLines = 1000000L
+    val nLines = sys.env.getOrElse("SPARK_GRAFT_PIPE_LINES", "1000000").toLong
     val root = java.nio.file.Files.createTempDirectory("graft-spipe")
     val inDir = s"$root/in"
     new java.io.File(inDir).mkdirs()
@@ -707,21 +828,16 @@ object StressProof {
     ss.conf.set("spark.sql.shuffle.partitions", "32")
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // line synthesis, pure function of the id: run-of-2 duplicate
-    // texts (≈ 500 k distinct keys), every 97th line malformed JSON,
-    // every 101st (non-malformed) parses but drops its text field
-    def lineCol: Column = {
-      val txt = concat(lit("t"), expr("id div 2"), lit(" aa bb cc dd"))
-      val lang = when(pmod(col("id"), lit(2L)) === 0, "en").otherwise("de")
-      when(pmod(col("id"), lit(97L)) === 0, concat(lit("{broken "), col("id")))
-        .when(pmod(col("id"), lit(101L)) === 0,
-          concat(lit("{\"doc_id\": "), col("id"),
-            lit(", \"lang\": \""), lang,
-            lit("\", \"source\": \"s\", \"n_chars\": 1}")))
-        .otherwise(concat(lit("{\"doc_id\": "), col("id"),
-          lit(", \"text\": \""), txt,
-          lit("\", \"lang\": \""), lang,
-          lit("\", \"source\": \"s\", \"n_chars\": "), length(txt), lit("}")))
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          recordsRead.addAndGet(m.inputMetrics.recordsRead)
+          ()
+        }
+      }
     }
     val cur = graft.sources.CorpusIO.streamCurated(
       graft.sources.CorpusIO.readJsonlStream(ss, inDir,
@@ -730,7 +846,7 @@ object StressProof {
     val perBatch = nLines / 4
     val times = (0 until 4).map { i =>
       spark.range(i * perBatch, (i + 1) * perBatch)
-        .select(lineCol.as("value"))
+        .select(pipeLineCol.as("value"))
         .coalesce(4).write.mode("overwrite").text(s"$root/stage")
       // one logical drop per batch: move the staged text files in
       val staged = new java.io.File(s"$root/stage").listFiles()
@@ -739,10 +855,17 @@ object StressProof {
         java.nio.file.Files.move(f.toPath,
           java.nio.file.Paths.get(inDir, f"chunk-$i%02d-$fi%02d.txt"))
       }
-      timed(cur.processAllAvailable())._2
+      // listener scoped to the drain (the staging range→text write
+      // also reports input records and would inflate the factor)
+      spark.sparkContext.addSparkListener(listener)
+      val t = timed(cur.processAllAvailable())._2
+      Thread.sleep(1200)
+      spark.sparkContext.removeSparkListener(listener)
+      t
     }
     val stateRows = cur.lastProgress.stateOperators.map(_.numRowsTotal).sum
     cur.stop()
+    val parseFactor = recordsRead.get().toDouble / nLines
     // batch oracle over the same files
     val clean = graft.sources.CorpusIO.cleanDocs(
       graft.sources.CorpusIO.readJsonl(spark, inDir))
@@ -763,7 +886,7 @@ object StressProof {
     val foundingGen = new java.io.File(s"$root/out/data/batch=compacted")
     val snap0 = parquetSnap(foundingGen)
     spark.range(nLines, nLines + 1000L)
-      .select(lineCol.as("value"))
+      .select(pipeLineCol.as("value"))
       .coalesce(1).write.mode("overwrite").text(s"$root/stage")
     new java.io.File(s"$root/stage").listFiles()
       .filter(_.getName.startsWith("part-")).foreach { f =>
@@ -804,6 +927,7 @@ object StressProof {
     new scala.reflect.io.Directory(root.toFile).deleteRecursively()
     println(f"STRESS corpuspipe lines=$nLines admitted=$admitted " +
       f"distinct=$expectAdmitted2 state_rows=$stateRows " +
+      f"parse_factor=$parseFactor%.2f " +
       f"batch_dirs=$batchDirs leaf_dirs=$leafDirs " +
       f"t_compact=$tCompact1%.1f/$tCompact2%.1fs " +
       s"t_batches=${times.map(t => f"$t%.1f").mkString("/")}s")

@@ -1463,9 +1463,21 @@ object Dedup {
                 newest - po <= horizonMicros
               }
               state.update(kept.toSeq)
-              // same +1 s lift as the event-time column, ms-floored
-              state.setTimeoutTimestamp(
-                (newest + lift) / 1000L + horizonMicros / 1000L + 1L)
+              // same +1 s lift as the event-time column, ms-floored.
+              // Clamped to the eviction watermark: Spark admits rows
+              // in the gap between its late-filter watermark (the
+              // PREVIOUS batch's) and its eviction watermark (the
+              // current one), so a slightly-reordered arrival can
+              // carry a horizon cutoff already BEHIND the eviction
+              // watermark — setting that timestamp verbatim kills the
+              // query (measured at the 1 M-line ttlpipe stress, where
+              // free-running triggers interleaved a drop's files).
+              // Clamping schedules the bucket for the next available
+              // tick instead: eviction timing is an optimization; the
+              // per-touch prune above already bounds the content.
+              state.setTimeoutTimestamp(math.max(
+                (newest + lift) / 1000L + horizonMicros / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
             }
             out.iterator
           }

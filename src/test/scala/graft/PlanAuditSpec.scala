@@ -712,6 +712,17 @@ class PlanAuditSpec extends AnyFunSuite {
         .select("vec_id", "embedding")
       graft.operators.Similarity.buildIvfSqIndex(emb, s"$root/sq")
       graft.operators.Similarity.buildIvfPqIndex(emb, s"$root/pq")
+      // append a second generation on each side: the plan pins below
+      // (and the DPP pin especially) must hold on the MULTI-generation
+      // cell layout a deployed index always has, not just a fresh
+      // build's single-generation tree
+      val extra = emb.filter(col("vec_id") < 20L)
+        .select((col("vec_id") + 900000L).as("vec_id"),
+          col("embedding"), col("label"))
+      graft.operators.Similarity.appendToIvfSqIndex(extra, s"$root/sq",
+        tag = "p1")
+      graft.operators.Similarity.appendToIvfPqIndex(extra, s"$root/pq",
+        tag = "p1")
       val sq = graft.operators.Similarity
         .searchIvfSq(spark, s"$root/sq", queries, 5, nprobe = 2)
       val pq = graft.operators.Similarity
