@@ -417,6 +417,33 @@ object StressProof {
       s"per-batch latency degraded: ${times.mkString(", ")}")
   }
 
+  /** One task-metrics accumulator for the measurement blocks: sums
+    * `f(metrics)` over every task end while attached. Listener events
+    * post asynchronously — detach via [[detachListener]], which gives
+    * the bus a beat first (best-effort; the measured quantities are
+    * MB-scale against KB-scale stragglers).
+    */
+  private def metricsListener(f: org.apache.spark.executor.TaskMetrics => Long)
+    : (java.util.concurrent.atomic.AtomicLong,
+       org.apache.spark.scheduler.SparkListener) = {
+    val acc = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) { acc.addAndGet(f(m)); () }
+      }
+    }
+    (acc, l)
+  }
+
+  private def detachListener(spark: SparkSession,
+                             l: org.apache.spark.scheduler.SparkListener,
+                             ms: Long = 1200L): Unit = {
+    Thread.sleep(ms)
+    spark.sparkContext.removeSparkListener(l)
+  }
+
   /** The streaming near-dup gate ([[Dedup.streamingNearDupGate]], x108)
     * over the SAME planted corpus as the lsh block, two orders of
     * magnitude above its 500-doc correctness fixture: 52 500 docs in 4
@@ -452,17 +479,8 @@ object StressProof {
     // once, not once per band row plus once per probe/vote — the
     // recorded bytes pin the drop against the round-12 measurement
     // (SCALE §8d) and hold the regression line
-    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
-    val shuffleListener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(
-          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val m = te.taskMetrics
-        if (m != null) {
-          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-          ()
-        }
-      }
-    }
+    val (shuffleBytes, shuffleListener) =
+      metricsListener(_.shuffleWriteMetrics.bytesWritten)
     spark.sparkContext.addSparkListener(shuffleListener)
     val q = Dedup.streamingNearDupGate(raw, 0.8)(_._1, _._2)
       .toDF("text", "doc_id")
@@ -483,11 +501,9 @@ object StressProof {
     }
     val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
     q.stop()
-    // listener events post asynchronously — give the bus a beat before
-    // reading the total, then detach so the diagnostics below (their
-    // own shuffles) stay out of the measurement
-    Thread.sleep(1500)
-    spark.sparkContext.removeSparkListener(shuffleListener)
+    // detach before the diagnostics below so their own shuffles stay
+    // out of the measurement
+    detachListener(spark, shuffleListener, 1500L)
     val drainShuffleBytes = shuffleBytes.get()
     // the batch banding's distinct bucket count — band-op rows must
     // equal it
@@ -600,22 +616,18 @@ object StressProof {
     ss.conf.set("spark.sql.shuffle.partitions", "32")
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val recordsRead = new java.util.concurrent.atomic.AtomicLong
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(
-          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val m = te.taskMetrics
-        if (m != null) {
-          recordsRead.addAndGet(m.inputMetrics.recordsRead)
-          ()
-        }
-      }
-    }
+    val (recordsRead, listener) = metricsListener(_.inputMetrics.recordsRead)
     val cur = graft.sources.CorpusIO.streamCurated(
       graft.sources.CorpusIO.readJsonlStream(ss, inDir,
         maxFilesPerTrigger = 4),
       s"$root/out", s"$root/ck", buckets = 8,
       nearDup = Some(0.8), nearDupTtlMicros = Some(1L))
+    // attached for the whole drive (attaching only around the drain
+    // would miss tasks the free-running trigger starts the moment a
+    // file lands, BEFORE an attach could run); the staging range→text
+    // writes land inside the window and RangeExec reports its rows as
+    // input records, so the factor subtracts exactly nLines of them
+    spark.sparkContext.addSparkListener(listener)
     val perBatch = nLines / 4
     val times = (0 until 4).map { i =>
       // ONE file per drop, moved atomically: the TTL gate's contract
@@ -633,21 +645,14 @@ object StressProof {
         java.nio.file.Files.move(f.toPath,
           java.nio.file.Paths.get(inDir, f"chunk-$i%02d-$fi%02d.txt"))
       }
-      // listener scoped to the drain: the staging range→text write
-      // above ALSO reports input records (RangeExec counts as an
-      // input source), and would inflate the parse factor by exactly
-      // 1.0 if measured
-      spark.sparkContext.addSparkListener(listener)
-      val t = timed(cur.processAllAvailable())._2
-      Thread.sleep(1200)
-      spark.sparkContext.removeSparkListener(listener)
-      t
+      timed(cur.processAllAvailable())._2
     }
     cur.stop()
+    detachListener(spark, listener)
     // the staging writes run on the shared context while the listener
     // is attached, but they READ no source rows (range → text write),
     // so recordsRead is the drain's own: JSONL text-source rows
-    val parseFactor = recordsRead.get().toDouble / nLines
+    val parseFactor = (recordsRead.get() - nLines).toDouble / nLines
     // closed-form oracle: clean docs minus the second member of every
     // both-clean identical-text gap-1 pair (ids 2k, 2k+1)
     val clean = graft.sources.CorpusIO.cleanDocs(
@@ -828,21 +833,16 @@ object StressProof {
     ss.conf.set("spark.sql.shuffle.partitions", "32")
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val recordsRead = new java.util.concurrent.atomic.AtomicLong
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(
-          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val m = te.taskMetrics
-        if (m != null) {
-          recordsRead.addAndGet(m.inputMetrics.recordsRead)
-          ()
-        }
-      }
-    }
+    val (recordsRead, listener) = metricsListener(_.inputMetrics.recordsRead)
     val cur = graft.sources.CorpusIO.streamCurated(
       graft.sources.CorpusIO.readJsonlStream(ss, inDir,
         maxFilesPerTrigger = 4),
       s"$root/out", s"$root/ck", buckets = 8)
+    // attached for the whole drive (see ttlPipe — attaching around
+    // the drain alone misses tasks the free-running trigger starts
+    // the moment a file lands); the staging range rows land in the
+    // window and are subtracted from the factor
+    spark.sparkContext.addSparkListener(listener)
     val perBatch = nLines / 4
     val times = (0 until 4).map { i =>
       spark.range(i * perBatch, (i + 1) * perBatch)
@@ -855,17 +855,12 @@ object StressProof {
         java.nio.file.Files.move(f.toPath,
           java.nio.file.Paths.get(inDir, f"chunk-$i%02d-$fi%02d.txt"))
       }
-      // listener scoped to the drain (the staging range→text write
-      // also reports input records and would inflate the factor)
-      spark.sparkContext.addSparkListener(listener)
-      val t = timed(cur.processAllAvailable())._2
-      Thread.sleep(1200)
-      spark.sparkContext.removeSparkListener(listener)
-      t
+      timed(cur.processAllAvailable())._2
     }
     val stateRows = cur.lastProgress.stateOperators.map(_.numRowsTotal).sum
     cur.stop()
-    val parseFactor = recordsRead.get().toDouble / nLines
+    detachListener(spark, listener)
+    val parseFactor = (recordsRead.get() - nLines).toDouble / nLines
     // batch oracle over the same files
     val clean = graft.sources.CorpusIO.cleanDocs(
       graft.sources.CorpusIO.readJsonl(spark, inDir))

@@ -1024,6 +1024,18 @@ object Dedup {
     : org.apache.spark.sql.Dataset[(Long, Boolean, T)] = {
     require(r > 0 && k % r == 0,
       s"band width $r must divide signature size $k (else hashes are silently dropped)")
+    // fail at construction, not deep inside a micro-batch: the band
+    // op is transformWithState, which Spark only runs on the RocksDB
+    // state-store provider (the provider a crawl-cardinality gate
+    // needs regardless — SCALE §8d)
+    require(ds.sparkSession.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", "")
+      .contains("RocksDB"),
+      "streamingNearDupGate/Verdicts needs the RocksDB state-store " +
+        "provider: set spark.sql.streaming.stateStore.providerClass " +
+        "to org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider on the gate's session before " +
+        "building the stream (transformWithState supports no other)")
     import org.apache.spark.sql.{Encoder, Encoders}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import ds.sparkSession.implicits.{newLongArrayEncoder, newSequenceEncoder}

@@ -1168,11 +1168,37 @@ object Similarity {
   private def resolveManifest(hfs: org.apache.hadoop.fs.FileSystem,
                               path: String): IndexManifest = {
     val ms = publishedManifests(hfs, path)
-    require(ms.nonEmpty,
-      s"no published index at $path — build one first " +
-        "(buildIvfSqIndex / buildIvfPqIndex); a crash before the " +
-        "manifest publish leaves nothing readable by design")
+    if (ms.isEmpty) {
+      // a pre-manifest (round-12 flat) tree is an intact index in a
+      // retired format, not a crashed build — say so, with the remedy
+      require(!hfs.exists(new org.apache.hadoop.fs.Path(s"$path/codes")),
+        s"index at $path uses the retired flat layout (codes/ tree, " +
+          "no manifest) — rebuild it with buildIvfSqIndex / " +
+          "buildIvfPqIndex (a rebuild is zero-downtime under the " +
+          "manifest protocol, but this first one has no old snapshot " +
+          "to serve)")
+      throw new IllegalArgumentException(
+        s"no published index at $path — build one first " +
+          "(buildIvfSqIndex / buildIvfPqIndex); a crash before the " +
+          "manifest publish leaves nothing readable by design")
+    }
     readManifest(hfs, ms.last._2, ms.last._1)
+  }
+
+  /** The append-tag ledger a REBUILD must carry forward: the rebuild
+    * reads a corpus that already contains every delivered append's
+    * vectors, so a queued replay of a pre-rebuild tag must stay a
+    * no-op — wiping the ledger would re-admit it as a double
+    * delivery. Growth is one ~40-byte line per tagged append between
+    * rebuilds and across them — decades of daily appends fit in a
+    * few hundred KB of manifest; default-tag (minted) appends add a
+    * line each too, which is the price of their at-least-once mode.
+    */
+  private def carriedTags(hfs: org.apache.hadoop.fs.FileSystem,
+                          path: String): Set[String] = {
+    val ms = publishedManifests(hfs, path)
+    ms.lastOption.map(m => readManifest(hfs, m._2, m._1).tags)
+      .getOrElse(Set.empty)
   }
 
   private def readManifest(hfs: org.apache.hadoop.fs.FileSystem,
@@ -1348,6 +1374,7 @@ object Similarity {
       val spark = emb.sparkSession
       val hfs = indexFs(spark, path)
       retireUnreferenced(hfs, path)
+      val priorTags = carriedTags(hfs, path)
       val n = nextVersion(hfs, path)
       val learned = s"learned_v$n"
       val gen = s"gen=b$n"
@@ -1364,7 +1391,7 @@ object Similarity {
         .write.partitionBy("label").mode("overwrite")
         .parquet(s"$path/gens/$gen")
       writeManifestFile(hfs, path, IndexManifest(n, "sq", learned,
-        Set.empty, stagedCells(hfs, path, gen)))
+        priorTags, stagedCells(hfs, path, gen)))
       retireUnreferenced(hfs, path)
     }
 
@@ -1651,6 +1678,7 @@ object Similarity {
       import spark.implicits._
       val hfs = indexFs(spark, path)
       retireUnreferenced(hfs, path)
+      val priorTags = carriedTags(hfs, path)
       val n = nextVersion(hfs, path)
       val learned = s"learned_v$n"
       val gen = s"gen=b$n"
@@ -1669,7 +1697,7 @@ object Similarity {
         .write.partitionBy("label").mode("overwrite")
         .parquet(s"$path/gens/$gen")
       writeManifestFile(hfs, path, IndexManifest(n, "pq", learned,
-        Set.empty, stagedCells(hfs, path, gen)))
+        priorTags, stagedCells(hfs, path, gen)))
       retireUnreferenced(hfs, path)
     }
 

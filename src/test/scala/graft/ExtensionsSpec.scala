@@ -2260,6 +2260,19 @@ class ExtensionsSpec extends AnyFunSuite {
       Similarity.appendToIvfSqIndex(day2, s"$root/sq", tag = "d2")   // v3
       assert(codeCount() == n0 + 50 + 30 && version() == 3,
         "replaying the crashed append must converge to exactly-once")
+      // a REBUILD carries the tag ledger forward: the retrain reads a
+      // corpus that already contains every delivered append's vectors,
+      // so a queued replay of a pre-rebuild tag must stay a no-op —
+      // wiping the ledger would re-admit it as a double delivery
+      Similarity.buildIvfSqIndex(
+        base.select("vec_id", "embedding", "label")
+          .union(day1).union(day2), s"$root/sq")                      // v4
+      val n4 = codeCount()
+      assert(version() == 4 && n4 == n0 + 50 + 30)
+      Similarity.appendToIvfSqIndex(day1, s"$root/sq", tag = "d1")
+      assert(codeCount() == n4 && version() == 4,
+        "a rebuild must carry the append-tag ledger — replaying a " +
+          "pre-rebuild tag re-delivered its rows")
     } finally {
       val _ = new scala.reflect.io.Directory(root.toFile).deleteRecursively()
     }
