@@ -2278,6 +2278,31 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("a pre-manifest flat index tree is diagnosed by name, not as a crashed build") {
+    val root = java.nio.file.Files.createTempDirectory("graft-annleg")
+    try {
+      // the round-12 layout: a codes/ tree at the root, no manifest —
+      // an intact index in a retired format; the resolver must name
+      // the format and the remedy instead of claiming nothing exists
+      assert(new java.io.File(s"$root/sq/codes/label=0").mkdirs())
+      val e = intercept[IllegalArgumentException](
+        Similarity.searchIvfSq(spark, s"$root/sq",
+          emb.filter(col("vec_id") === 0L).select("vec_id", "embedding"),
+          5))
+      assert(e.getMessage.contains("retired flat layout"),
+        s"legacy tree must be diagnosed by name: ${e.getMessage}")
+      // a genuinely absent index keeps the never-built message
+      val e2 = intercept[IllegalArgumentException](
+        Similarity.searchIvfSq(spark, s"$root/nothing",
+          emb.filter(col("vec_id") === 0L).select("vec_id", "embedding"),
+          5))
+      assert(e2.getMessage.contains("no published index"),
+        s"absent index must say never-built: ${e2.getMessage}")
+    } finally {
+      val _ = new scala.reflect.io.Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("compactIvfIndex refuses loudly when the manifest kind and code footers disagree") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-annkind")
