@@ -978,7 +978,11 @@ object Dedup {
     * priors ships its shingles n times but its text ONCE, so a
     * boilerplate-band heavy hitter costs O(pairs · shingles), not
     * O(pairs · document) — StressProof measures the shuffle-bytes
-    * drop at stress cardinality. Heavy-hitter buckets still
+    * drop at stress cardinality. A pair cohabiting in several bands
+    * emits one probe per shared band — at most k/r duplicates, each
+    * re-verified cheaply in op 2 (deduplicating them would need an
+    * extra (prior, new)-keyed exchange, a worse trade than ≤ k/r
+    * spare Jaccards on ~40-long arrays). Heavy-hitter buckets still
     * concentrate probe fan-out the same way they concentrate
     * [[lshCandidatePairs]]'s bucket join — the shared hazard of the
     * construction, bounded by the same banding choices.
@@ -1038,7 +1042,7 @@ object Dedup {
         "building the stream (transformWithState supports no other)")
     import org.apache.spark.sql.{Encoder, Encoders}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    import ds.sparkSession.implicits.{newLongArrayEncoder, newSequenceEncoder}
+    import ds.sparkSession.implicits.newLongArrayEncoder
     val optEnc: Encoder[Option[T]] = optionEncoderOf(enc)
     val rowEnc: Encoder[(String, Long, Array[Long], Option[T])] =
       Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
