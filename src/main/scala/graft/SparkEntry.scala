@@ -235,8 +235,7 @@ object SparkEntry {
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     // the near-dup gate's band op is transformWithState (ListState) —
     // RocksDB is its required provider (and the 100 TB one regardless)
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    Dedup.useRocksDbStateStore(ss)
     val raw = graft.sources.CorpusIO.readJsonlStream(ss, inDir)
     // buckets sized to the fixture: the default 256 is a 100 TB
     // setting and would scatter a few thousand docs over ~1300
@@ -921,8 +920,7 @@ object SparkEntry {
         .as[graft.sources.CorpusIO.CuratedDoc].collect().sortBy(_.doc_id)
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
-      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      Dedup.useRocksDbStateStore(ss)
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[graft.sources.CorpusIO.CuratedDoc](ss)
       val kept = Dedup.streamingNearDupGate(ms.toDS(), ClusterJaccard)(
@@ -960,8 +958,7 @@ object SparkEntry {
         .as[graft.sources.CorpusIO.CuratedDoc].collect().sortBy(_.doc_id)
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
-      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      Dedup.useRocksDbStateStore(ss)
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[graft.sources.CorpusIO.CuratedDoc](ss)
       val verdicts = Dedup.streamingNearDupVerdicts(

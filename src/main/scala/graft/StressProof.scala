@@ -371,8 +371,7 @@ object StressProof {
     new java.io.File(inDir).mkdirs()
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "32")
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    Dedup.useRocksDbStateStore(ss)
     val schema = StructType(Seq(
       StructField("_1", StringType), StructField("_2", LongType)))
     import ss.implicits._
@@ -467,8 +466,7 @@ object StressProof {
     new java.io.File(inDir).mkdirs()
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "32")
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    Dedup.useRocksDbStateStore(ss)
     val schema = StructType(Seq(
       StructField("_1", StringType), StructField("_2", LongType)))
     import ss.implicits._
@@ -614,8 +612,7 @@ object StressProof {
     new java.io.File(inDir).mkdirs()
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "32")
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    Dedup.useRocksDbStateStore(ss)
     val (recordsRead, listener) = metricsListener(_.inputMetrics.recordsRead)
     val cur = graft.sources.CorpusIO.streamCurated(
       graft.sources.CorpusIO.readJsonlStream(ss, inDir,
@@ -697,8 +694,7 @@ object StressProof {
     def tailUpdateRows(b: Int): Long = {
       val ss = spark.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
-      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      Dedup.useRocksDbStateStore(ss)
       import ss.implicits._
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(String, Long)](ss)
@@ -831,8 +827,7 @@ object StressProof {
     new java.io.File(inDir).mkdirs()
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "32")
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    Dedup.useRocksDbStateStore(ss)
     val (recordsRead, listener) = metricsListener(_.inputMetrics.recordsRead)
     val cur = graft.sources.CorpusIO.streamCurated(
       graft.sources.CorpusIO.readJsonlStream(ss, inDir,

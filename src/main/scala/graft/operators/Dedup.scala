@@ -1036,9 +1036,7 @@ object Dedup {
         "spark.sql.streaming.stateStore.providerClass", "")
       .contains("RocksDB"),
       "streamingNearDupGate/Verdicts needs the RocksDB state-store " +
-        "provider: set spark.sql.streaming.stateStore.providerClass " +
-        "to org.apache.spark.sql.execution.streaming.state." +
-        "RocksDBStateStoreProvider on the gate's session before " +
+        "provider: call Dedup.useRocksDbStateStore(session) before " +
         "building the stream (transformWithState supports no other)")
     import org.apache.spark.sql.{Encoder, Encoders}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -1133,6 +1131,23 @@ object Dedup {
           out.iterator
       }(shinglesEnc, voteEnc)
     reduceByOrd(verdicts)(outEnc)
+  }
+
+  /** Configure `session` for the streaming gates' required state
+    * store: the RocksDB provider (the band op is transformWithState,
+    * which supports no other — and it is the only provider that fits
+    * at crawl cardinality regardless, SCALE §8d). One definition so
+    * the provider FQCN cannot drift across fixtures and specs; the
+    * gate constructors check the conf and point here. Returns the
+    * session for chaining.
+    */
+  def useRocksDbStateStore(
+      session: org.apache.spark.sql.SparkSession)
+    : org.apache.spark.sql.SparkSession = {
+    session.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    session
   }
 
   /** Loud guard on the gates' documented ord-uniqueness contract: two

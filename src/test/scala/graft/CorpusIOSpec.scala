@@ -625,9 +625,7 @@ class CorpusIOSpec extends AnyFunSuite {
     val stats = new graft.streaming.CorpusIngestStats
     // the unbounded gate's band op is transformWithState — RocksDB is
     // its required state-store provider
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ss = graft.operators.Dedup.useRocksDbStateStore(spark.newSession())
     val cur = CorpusIO.streamCurated(
       CorpusIO.readJsonlStream(ss, in), s"$root/out", s"$root/ck",
       buckets = 4, stats = Some(stats), nearDup = Some(0.5))

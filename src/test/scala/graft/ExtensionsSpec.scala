@@ -1738,8 +1738,7 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().sortBy(_._1)
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    Dedup.useRocksDbStateStore(ss)
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)](ss)
     val q = Dedup.streamingNearDupGate(ms.toDS(), 0.5)(_._2, _._1)
@@ -1804,8 +1803,7 @@ class ExtensionsSpec extends AnyFunSuite {
     val b1 = Seq((30L, base + " tail43"), (31L, "x y"))
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    Dedup.useRocksDbStateStore(ss)
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)](ss)
     val q = Dedup.streamingNearDupGate(ms.toDS(), 0.5)(_._2, _._1)
@@ -1840,8 +1838,7 @@ class ExtensionsSpec extends AnyFunSuite {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-gstate")
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    Dedup.useRocksDbStateStore(ss)
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)](ss)
     val q = Dedup.streamingNearDupGate(ms.toDS(), 0.5)(_._2, _._1)
@@ -1899,8 +1896,7 @@ class ExtensionsSpec extends AnyFunSuite {
     val horizon = 100L * sec // timeout mechanics in real ms territory
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    Dedup.useRocksDbStateStore(ss)
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)](ss)
     val q = Dedup.withChainedStatefulOverride(ss) {
@@ -1947,8 +1943,7 @@ class ExtensionsSpec extends AnyFunSuite {
     val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    Dedup.useRocksDbStateStore(ss)
     val before = ss.conf.get(key)
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)](ss)
@@ -1991,8 +1986,7 @@ class ExtensionsSpec extends AnyFunSuite {
     val sec = 1000000L
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    Dedup.useRocksDbStateStore(ss)
     val stats = new graft.streaming.CorpusIngestStats
     ss.streams.removeListener(stats)
     ss.streams.addListener(stats)
@@ -2039,8 +2033,7 @@ class ExtensionsSpec extends AnyFunSuite {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    Dedup.useRocksDbStateStore(ss)
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)](ss)
     val q = Dedup.streamingNearDupGate(ms.toDS(), 0.5)(_._2, _._1)
@@ -2394,8 +2387,7 @@ class ExtensionsSpec extends AnyFunSuite {
     val sec = 1000000L
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    Dedup.useRocksDbStateStore(ss)
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)](ss)
     val q = Dedup.withChainedStatefulOverride(ss) {
@@ -2422,8 +2414,7 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().sortBy(_._1)
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    Dedup.useRocksDbStateStore(ss)
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)](ss)
     val q = Dedup.withChainedStatefulOverride(ss) {
