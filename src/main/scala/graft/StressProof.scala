@@ -607,6 +607,9 @@ object StressProof {
     // eviction churn, which also makes the block's wall-clock scale
     // with bucket count (1 M lines ≈ 15 min; override via env)
     val nLines = sys.env.getOrElse("SPARK_GRAFT_TTL_LINES", "400000").toLong
+    require(nLines >= 400 && nLines % 4 == 0,
+      s"SPARK_GRAFT_TTL_LINES=$nLines must be a positive multiple of 4 " +
+        "(four equal drops) and large enough to measure anything")
     val root = java.nio.file.Files.createTempDirectory("graft-sttl")
     val inDir = s"$root/in"
     new java.io.File(inDir).mkdirs()
@@ -646,10 +649,12 @@ object StressProof {
     }
     cur.stop()
     detachListener(spark, listener)
-    // the staging writes run on the shared context while the listener
-    // is attached, but they READ no source rows (range → text write),
-    // so recordsRead is the drain's own: JSONL text-source rows
-    val parseFactor = (recordsRead.get() - nLines).toDouble / nLines
+    // the staging range→text writes run inside the listener window
+    // and RangeExec DOES report its rows as input records — exactly
+    // nLines of them across the four drops — so the drain's own
+    // JSONL-parse row count is the total minus that staging term
+    val drainRecords = recordsRead.get() - nLines
+    val parseFactor = drainRecords.toDouble / nLines
     // closed-form oracle: clean docs minus the second member of every
     // both-clean identical-text gap-1 pair (ids 2k, 2k+1)
     val clean = graft.sources.CorpusIO.cleanDocs(
@@ -665,7 +670,7 @@ object StressProof {
       .readCurated(spark, s"$root/out").count()
     new scala.reflect.io.Directory(root.toFile).deleteRecursively()
     println(f"STRESS ttlpipe lines=$nLines admitted=$admitted " +
-      f"expected=$expectAdmitted records_read=${recordsRead.get()} " +
+      f"expected=$expectAdmitted drain_records=$drainRecords " +
       f"parse_factor=$parseFactor%.2f " +
       s"t_batches=${times.map(t => f"$t%.1f").mkString("/")}s")
     require(admitted == expectAdmitted,
@@ -782,25 +787,6 @@ object StressProof {
       s"a non-final shard deviates by $worst tokens (max doc $maxDoc)")
   }
 
-  /** The WHOLE streaming corpus pipe ([[graft.sources.CorpusIO
-    * .streamCurated]]: JSONL parse → clean/quarantine split →
-    * keyed-state dedup → partitioned curated sink) at ~1 M lines with
-    * a planted quarantine fraction, on the RocksDB provider — the
-    * production state-store setting for crawl-cardinality corpus
-    * ingest (the x103 correctness fixture runs hundreds of rows on
-    * the default provider). Then [[graft.sources.CorpusIO
-    * .compactCurated]] folds the 4 batch trees and the read-back must
-    * still equal the batch oracle — the full lifecycle at scale.
-    * Self-verdicting bounds: admitted == distinct clean texts
-    * (computed batch-side from the same files), state rows ==
-    * admitted, poison lines (malformed + field-incomplete) never
-    * surface, the committed content folds into generations with
-    * bounded leaf dirs — and the GENERATIONAL claim held where it
-    * matters: a 1 000-line follow-up drop folds into its own tiny
-    * generation while the ~500 k-doc founding generation's files stay
-    * bit-for-bit untouched (snapshot-equality `require`d); both
-    * compact times print for eyes (the follow-up is ~fixed overhead).
-    */
   /** Shared 1 M-line JSONL synthesis of the pipe stress blocks — pure
     * function of the id: run-of-2 duplicate texts (≈ 500 k distinct
     * keys), every 97th line malformed JSON, every 101st (non-malformed)
@@ -820,8 +806,30 @@ object StressProof {
         lit("\", \"source\": \"s\", \"n_chars\": "), length(txt), lit("}")))
   }
 
+  /** The WHOLE streaming corpus pipe ([[graft.sources.CorpusIO
+    * .streamCurated]]: JSONL parse → clean/quarantine split →
+    * keyed-state dedup → partitioned curated sink) at ~1 M lines with
+    * a planted quarantine fraction, on the RocksDB provider — the
+    * production state-store setting for crawl-cardinality corpus
+    * ingest (the x103 correctness fixture runs hundreds of rows on
+    * the default provider). Then [[graft.sources.CorpusIO
+    * .compactCurated]] folds the 4 batch trees and the read-back must
+    * still equal the batch oracle — the full lifecycle at scale.
+    * Self-verdicting bounds: admitted == distinct clean texts
+    * (computed batch-side from the same files), state rows ==
+    * admitted, poison lines (malformed + field-incomplete) never
+    * surface, the committed content folds into generations with
+    * bounded leaf dirs — and the GENERATIONAL claim held where it
+    * matters: a 1 000-line follow-up drop folds into its own tiny
+    * generation while the ~500 k-doc founding generation's files stay
+    * bit-for-bit untouched (snapshot-equality `require`d); both
+    * compact times print for eyes (the follow-up is ~fixed overhead).
+    */
   private def corpusPipe(spark: SparkSession): Unit = {
     val nLines = sys.env.getOrElse("SPARK_GRAFT_PIPE_LINES", "1000000").toLong
+    require(nLines >= 400 && nLines % 4 == 0,
+      s"SPARK_GRAFT_PIPE_LINES=$nLines must be a positive multiple of 4 " +
+        "(four equal drops) and large enough to measure anything")
     val root = java.nio.file.Files.createTempDirectory("graft-spipe")
     val inDir = s"$root/in"
     new java.io.File(inDir).mkdirs()

@@ -1185,22 +1185,6 @@ object Similarity {
     readManifest(hfs, ms.last._2, ms.last._1)
   }
 
-  /** The append-tag ledger a REBUILD must carry forward: the rebuild
-    * reads a corpus that already contains every delivered append's
-    * vectors, so a queued replay of a pre-rebuild tag must stay a
-    * no-op — wiping the ledger would re-admit it as a double
-    * delivery. Growth is one ~40-byte line per tagged append between
-    * rebuilds and across them — decades of daily appends fit in a
-    * few hundred KB of manifest; default-tag (minted) appends add a
-    * line each too, which is the price of their at-least-once mode.
-    */
-  private def carriedTags(hfs: org.apache.hadoop.fs.FileSystem,
-                          path: String): Set[String] = {
-    val ms = publishedManifests(hfs, path)
-    ms.lastOption.map(m => readManifest(hfs, m._2, m._1).tags)
-      .getOrElse(Set.empty)
-  }
-
   private def readManifest(hfs: org.apache.hadoop.fs.FileSystem,
                            p: org.apache.hadoop.fs.Path,
                            version: Int): IndexManifest = {
@@ -1270,6 +1254,18 @@ object Similarity {
     val root = new org.apache.hadoop.fs.Path(path)
     if (!hfs.exists(root)) return
     val ms = publishedManifests(hfs, path)
+    if (ms.nonEmpty) {
+      // a published manifest means the index lives in THIS layout —
+      // any retired-flat-layout remnants at the root (the round-12
+      // codes/ tree and its flat learned tables, corpus-sized at
+      // crawl scale) are reclaimable now, not a permanent leak after
+      // the rebuild the legacy diagnosis instructs
+      Seq("codes", "centroids", "params", "codebook", "meta").foreach {
+        d =>
+          val lp = new org.apache.hadoop.fs.Path(s"$path/$d")
+          if (hfs.exists(lp)) hfs.delete(lp, true)
+      }
+    }
     ms.dropRight(2).foreach(m => hfs.delete(m._2, false))
     val kept = ms.takeRight(2).map(m => readManifest(hfs, m._2, m._1))
     val cellsKept = kept.flatMap(_.cells).toSet
@@ -1295,9 +1291,24 @@ object Similarity {
     ()
   }
 
-  private def nextVersion(hfs: org.apache.hadoop.fs.FileSystem,
-                          path: String): Int =
-    publishedManifests(hfs, path).lastOption.map(_._1 + 1).getOrElse(1)
+  /** A build's entry snapshot — (next version, carried tag ledger) —
+    * from ONE listing and at most one manifest read (on an
+    * object-store FS every listing is a remote metadata round-trip
+    * under the writer lock, so the entry path does not re-list per
+    * question). The ledger carries forward because the rebuild reads
+    * a corpus that already contains every delivered append's vectors:
+    * a queued pre-rebuild replay must stay a no-op (growth is one
+    * ~40-byte line per tagged append — decades of daily appends fit
+    * in a few hundred KB of manifest; minted default tags add a line
+    * each too, the price of their at-least-once mode).
+    */
+  private def buildEntry(hfs: org.apache.hadoop.fs.FileSystem,
+                         path: String): (Int, Set[String]) = {
+    val ms = publishedManifests(hfs, path)
+    (ms.lastOption.map(_._1 + 1).getOrElse(1),
+      ms.lastOption.map(m => readManifest(hfs, m._2, m._1).tags)
+        .getOrElse(Set.empty))
+  }
 
   /** The cell dirs a freshly staged generation produced (relative to
     * `gens/`) — what the publishing manifest will reference.
@@ -1374,8 +1385,7 @@ object Similarity {
       val spark = emb.sparkSession
       val hfs = indexFs(spark, path)
       retireUnreferenced(hfs, path)
-      val priorTags = carriedTags(hfs, path)
-      val n = nextVersion(hfs, path)
+      val (n, priorTags) = buildEntry(hfs, path)
       val learned = s"learned_v$n"
       val gen = s"gen=b$n"
       val q = quantized(emb)
@@ -1678,8 +1688,7 @@ object Similarity {
       import spark.implicits._
       val hfs = indexFs(spark, path)
       retireUnreferenced(hfs, path)
-      val priorTags = carriedTags(hfs, path)
-      val n = nextVersion(hfs, path)
+      val (n, priorTags) = buildEntry(hfs, path)
       val learned = s"learned_v$n"
       val gen = s"gen=b$n"
       val q = quantized(emb)

@@ -2291,6 +2291,14 @@ class ExtensionsSpec extends AnyFunSuite {
           5))
       assert(e2.getMessage.contains("no published index"),
         s"absent index must say never-built: ${e2.getMessage}")
+      // ... and the instructed rebuild RECLAIMS the flat tree instead
+      // of leaving a corpus-sized copy at the root forever
+      Similarity.buildIvfSqIndex(emb, s"$root/sq")
+      assert(!new java.io.File(s"$root/sq/codes").exists(),
+        "rebuild must reclaim the retired flat codes/ tree")
+      assert(Similarity.searchIvfSq(spark, s"$root/sq",
+        emb.filter(col("vec_id") === 0L).select("vec_id", "embedding"),
+        5).count() == 5L)
     } finally {
       val _ = new scala.reflect.io.Directory(root.toFile).deleteRecursively()
     }
