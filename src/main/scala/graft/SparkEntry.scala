@@ -994,18 +994,17 @@ object SparkEntry {
         .as[graft.sources.CorpusIO.CuratedDoc].collect().sortBy(_.doc_id)
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
+      Dedup.useRocksDbStateStore(ss)
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[graft.sources.CorpusIO.CuratedDoc](ss)
       val kept = Dedup.streamingNearDupGateTtl(
         ms.toDS(), ClusterJaccard, GateHorizonMicros)(_.text, _.doc_id)
       // static-checker opt-out scoped to this one .start() (the
       // chained stateful plan has no dynamic late-row instance)
-      val q = Dedup.withChainedStatefulOverride(ss) {
-        kept.toDF()
-          .writeStream.outputMode("append")
-          .format("memory").queryName("graft_neardup_gate_ttl")
-          .start()
-      }
+      val q = kept.toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("graft_neardup_gate_ttl")
+        .start()
       try rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
         ms.addData(chunk.toSeq)
         q.processAllAvailable()

@@ -1002,11 +1002,12 @@ object Dedup {
     * crawl cardinality regardless (SCALE §8d).
     */
   def streamingNearDupGate[T](ds: org.apache.spark.sql.Dataset[T],
-                              threshold: Double, k: Int = 12, r: Int = 3)(
+                              threshold: Double, k: Int = 12, r: Int = 3,
+                              hotBucketCap: Int = Int.MaxValue)(
       text: T => String, ord: T => Long)(
       implicit enc: org.apache.spark.sql.Encoder[T])
     : org.apache.spark.sql.Dataset[T] = {
-    streamingNearDupVerdicts(ds, threshold, k, r)(text, ord)
+    streamingNearDupVerdicts(ds, threshold, k, r, hotBucketCap)(text, ord)
       .filter((v: (Long, Boolean, T)) => v._2)
       .map((v: (Long, Boolean, T)) => v._3)(enc)
   }
@@ -1019,15 +1020,42 @@ object Dedup {
     * not just the survivors. Same state, same two-exchange shape,
     * exactly one output row per input doc; the gate is this stream
     * filtered to admitted (one definition — they cannot drift).
+    *
+    * `hotBucketCap` is the heavy-hitter circuit breaker (FAISS's
+    * max-list-length, applied to LSH band buckets): probe emission
+    * per arrival is O(bucket) — inherent to bucket cohabitation — so
+    * one boilerplate band bucket concentrates unbounded per-arrival
+    * work. With a cap, a doc landing in a band bucket already holding
+    * ≥ cap ords is auto-REJECTED (a bucket that large is boilerplate
+    * by construction) at O(1): no probes are emitted, and the
+    * bucket's ord list stops growing (frozen at the cap — every later
+    * lander auto-rejects too). The rejection is an ordinary reject
+    * verdict, so the audit stream carries the dropped doc with its
+    * identity like any other rejection (the x97/x109 drop-reason
+    * discipline: bucket ≥ cap ⇒ boilerplate auto-reject is the
+    * documented, deterministic reason). The default cap = MaxValue is
+    * bit-identical to the uncapped gate (x108/x109/x110's
+    * configuration); StressProof plants a megabucket and measures the
+    * tail-batch row emission dropping from O(bucket) to O(cap).
+    * Honest residual: a capped doc's SELF row still stores its
+    * shingles in the doc store (the payload path and the store share
+    * the row, and band buckets freeze independently — op 2 cannot
+    * know whether every bucket capped), so a boilerplate storm still
+    * grows the doc store O(storm docs) at ~336 B each; the breaker
+    * bounds the band lists and the per-arrival probe work, which are
+    * the terms that scale with bucket × arrival, not doc count.
     */
   def streamingNearDupVerdicts[T](ds: org.apache.spark.sql.Dataset[T],
                                   threshold: Double, k: Int = 12,
-                                  r: Int = 3)(
+                                  r: Int = 3,
+                                  hotBucketCap: Int = Int.MaxValue)(
       text: T => String, ord: T => Long)(
       implicit enc: org.apache.spark.sql.Encoder[T])
     : org.apache.spark.sql.Dataset[(Long, Boolean, T)] = {
     require(r > 0 && k % r == 0,
       s"band width $r must divide signature size $k (else hashes are silently dropped)")
+    require(hotBucketCap > 0,
+      s"hotBucketCap must be positive, got $hotBucketCap")
     // fail at construction, not deep inside a micro-batch: the band
     // op is transformWithState, which Spark only runs on the RocksDB
     // state-store provider (the provider a crawl-cardinality gate
@@ -1069,7 +1097,7 @@ object Dedup {
     // (SCALE §8d), so the gate inherits that requirement explicitly.
     val candidates = bandRowsOf(ds, k, r)(text, ord)(rowEnc)
       .groupByKey(_._1)(Encoders.STRING)
-      .transformWithState(new BandOrdsProcessor[T],
+      .transformWithState(new BandOrdsProcessor[T](hotBucketCap),
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Append())(probeEnc)
     // op 2: the doc-keyed shingle store — each set stored ONCE; probes
@@ -1187,8 +1215,19 @@ object Dedup {
     * band-0 / `e\|` bucket. Replay-safe like any stateful op: state
     * is versioned per batch, so a replayed batch re-appends onto the
     * pre-batch snapshot.
+    *
+    * `cap` is the heavy-hitter circuit breaker (see
+    * [[streamingNearDupVerdicts]]): a shingled doc landing in a
+    * bucket already holding ≥ cap ords emits ONE self-probe —
+    * `(o, o, isSelf = false, sh, None)` — instead of O(bucket)
+    * probes; the doc store verifies it against the doc's own
+    * shingles (Jaccard 1 ≥ any threshold), producing the auto-reject
+    * vote through the ordinary verify path with no second code path
+    * to drift. The bucket's list is frozen at the cap (no append) —
+    * state stops growing exactly where the work stops being paid.
+    * Replay-safe: frozen means the replayed batch re-freezes.
     */
-  private final class BandOrdsProcessor[T]
+  private final class BandOrdsProcessor[T](cap: Int = Int.MaxValue)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       String, (String, Long, Array[Long], Option[T]),
       (Long, Long, Boolean, Array[Long], Option[T])] {
@@ -1214,9 +1253,16 @@ object Dedup {
         .empty[(Long, Long, Boolean, Array[Long], Option[T])]
       sorted.foreach { case (_, o, sh, docOpt) =>
         if (sh.nonEmpty) {
-          prior.foreach(e => out += ((e, o, false, sh, None)))
-          ords.appendValue(o) // O(new): append, never a bucket rewrite
-          prior += o
+          if (prior.length >= cap) {
+            // circuit breaker: boilerplate bucket — one self-probe
+            // (verifies trivially in the doc store) instead of
+            // O(bucket) probes; the frozen list is not appended
+            out += ((o, o, false, sh, None))
+          } else {
+            prior.foreach(e => out += ((e, o, false, sh, None)))
+            ords.appendValue(o) // O(new): append, never a bucket rewrite
+            prior += o
+          }
         }
         if (emitSelf) {
           if (docOpt.isEmpty) throw new IllegalStateException(
@@ -1282,15 +1328,17 @@ object Dedup {
     * within its own micro-batch. One definition for both gates.
     * Relies on the documented ord-uniqueness contract: the verify
     * ops throw loudly on a within-bucket ord tie
-    * ([[assertUniqueOrds]]), and the unbounded gate's doc-keyed store
-    * additionally detects cross-bucket ties — same-batch (two self
+    * ([[assertUniqueOrds]]), and BOTH gates' doc-keyed stores
+    * additionally detect cross-bucket ties — same-batch (two self
     * rows on one ord) and cross-batch (an ord re-arriving with a
-    * different shingle set). The residuals: a cross-batch tie between
-    * docs with IDENTICAL shingle sets flows through (harmless —
-    * identical sets produce identical verdicts), and in the TTL gate
-    * a tie between docs sharing NO band bucket is undetectable here
-    * and would merge their rows — keep ords unique (the x103 pipes
-    * key on doc_id, which is).
+    * different shingle set; in the TTL gate only within the horizon —
+    * beyond it the first doc's store entry is evicted, and a
+    * beyond-horizon tie collides with nothing). The residuals, all
+    * harmless: a cross-batch tie between docs with IDENTICAL shingle
+    * sets flows through (identical sets produce identical verdicts),
+    * and a cross-batch tie involving a SHINGLE-LESS doc flows through
+    * (no state on either side; the rows sit in different batches, so
+    * this per-batch reduce never merges them).
     */
   private def reduceByOrd[T](
       verdicts: org.apache.spark.sql.Dataset[(Long, Boolean, Option[T])])(
@@ -1314,50 +1362,6 @@ object Dedup {
           Iterator.single((o, !rs.exists(_._2), payload))
       }(Encoders.scalaBoolean, outEnc)
   }
-
-  /** Start a chained-stateful streaming query (the TTL gate) with
-    * Spark's STATIC watermark-correctness checker disabled for exactly
-    * the `.start()` call, restoring the previous session value in a
-    * finally — so the safety net stays on for every OTHER streaming
-    * query in the session instead of being silently disabled
-    * session-wide. The checker runs once at query start
-    * (`UnsupportedOperationChecker.checkForStreaming` inside
-    * `StreamingQueryManager`), so restoring immediately after start is
-    * sound — later micro-batches of the started query do not re-run
-    * it; the drift pin is ExtensionsSpec's "checker back on" test,
-    * which starts a second chained plan WITHOUT the helper and
-    * expects the refusal. Why the override exists at all: the checker
-    * flags every watermark-plus-chained-stateful plan because a first
-    * stateful op COULD emit rows late for the second; the TTL gate's
-    * first op emits only within the arriving micro-batch and its
-    * second op keeps zero state, so the flagged hazard has no dynamic
-    * instance (see [[streamingNearDupGateTtl]]).
-    */
-  def withChainedStatefulOverride[A](
-      spark: org.apache.spark.sql.SparkSession)(start: => A): A =
-    // serialized per session: two concurrent helper entries on ONE
-    // session could otherwise save each other's "false" as the
-    // previous value and leave the safety net disabled session-wide —
-    // the exact outcome the helper exists to prevent. Different
-    // sessions hold different monitors and do not serialize. Honest
-    // residual: a session conf is session-GLOBAL, so an unrelated
-    // query started by another thread on this session DURING the
-    // window (plain .start() takes no monitor) still sees the checker
-    // off — irreducible without intercepting every start; a
-    // deployment starting chained-stateful and ordinary streaming
-    // queries from concurrent threads should give the gate its own
-    // `spark.newSession()` (conf is per-session, the specs' pattern).
-    spark.synchronized {
-      val key =
-        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "false")
-      try start
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-    }
 
   /** Horizon-bounded (TTL) variant of [[streamingNearDupGate]] — the
     * state answer for an INFINITE crawl: the unbounded gate's state
@@ -1388,24 +1392,61 @@ object Dedup {
     * timed-out entry is beyond the horizon of every non-late future
     * doc by construction.
     *
-    * Two chained append-mode keyed-state ops (band-bucket verify →
-    * stateless per-doc reduce; the round-11 unbounded gate's shape —
-    * the unbounded gate has since moved to the 1× doc-keyed store,
-    * but HERE the per-bucket shingle copies are horizon-BOUNDED, so
-    * the k/r duplication is a bounded constant, not unbounded
-    * growth), same candidate/verify rules, same shingle-less
-    * pass-through as the unbounded gate; state entries additionally
-    * carry their ord.
+    * Shape (round 14): the SAME three chained append-mode keyed-state
+    * ops as [[streamingNearDupGate]] — band buckets holding ORDS only
+    * (ListState, O(new) appends), the doc-keyed shingle store (each
+    * set stored EXACTLY ONCE), the stateless per-doc reduce — so the
+    * TTL gate now pays the unbounded gate's state constant
+    * (~336 B/doc) instead of the retired per-bucket-copy layout's
+    * k/r = 4×, plus horizon eviction. The horizon predicate
+    * `ord(f) − ord(e) ≤ horizonMicros` is evaluated on ORDS at probe
+    * time (op 1), so verdicts are a pure function of the data and
+    * NEVER depend on eviction timing; eviction is purely a state-size
+    * mechanism, in two paths per store:
+    *  - per-touch pruning (band op) — entries older than the bucket's
+    *    newest ord by more than the horizon can never match again
+    *    under ordered arrival. ListState has no partial delete, so
+    *    the prune rewrites the bucket only when stale entries are at
+    *    least HALF of it (each rewrite is charged to at least as many
+    *    dropped entries — amortized O(1) writes per ord, O(new) per
+    *    ordinary batch, the hotbucket discipline);
+    *  - event-time timers (both ops) — a bucket or doc silent past
+    *    `ord + horizon` is reclaimed by `handleExpiredTimer` once the
+    *    watermark passes its conservative ms-ceiling expiry, so idle
+    *    state doesn't outlive the horizon either. Timer expiries are
+    *    clamped to watermark + 1 (the round-13 reordered-arrival
+    *    lesson: Spark admits rows between its late-events watermark
+    *    and its eviction watermark, so an unclamped expiry can land
+    *    behind the clock).
+    * Neither path can change a verdict: an evicted entry is beyond
+    * the horizon of every row that can still pass the late filter
+    * (watermark monotonicity + the probe-time ord check — the
+    * eviction spec pins re-admission and the empty post-sweep store).
+    * The watermark rides INTO op 2 via `transformWithState`'s
+    * event-time-column output contract (op 1 re-stamps each output
+    * row with its new doc's lifted ord, always ≥ the late-events
+    * watermark that row just passed), which is what lets the doc
+    * store run its own timers. Same candidate/verify rules and
+    * shingle-less pass-through as the unbounded gate.
     *
-    * Start the query through [[withChainedStatefulOverride]]: Spark's
-    * STATIC checker flags every watermark-plus-chained-stateful plan
-    * because a first stateful op COULD emit rows late for the second.
-    * This plan cannot — the verify op emits each row in the
-    * micro-batch it arrives (never from state), and the reduce keeps
-    * zero state — so the flagged hazard has no dynamic instance; the
-    * helper scopes the opt-out to the one `.start()` call instead of
-    * disabling the safety net session-wide, and the TTL specs pin the
-    * verdicts the chain produces.
+    * The chain starts under Spark's DEFAULT static correctness
+    * checker — no opt-out: the retired flatMapGroupsWithState layout
+    * tripped the watermark-plus-chained-stateful rule (the round-13
+    * `withChainedStatefulOverride` helper existed solely to scope
+    * that opt-out), but transformWithState chains declare their
+    * event-time flow explicitly (the "_5" output-column contract) and
+    * pass the checker as-is, so the helper is retired with the
+    * layout. A spec pins the property (a plain `.start()` with the
+    * checker at its default) so a future Spark version re-flagging
+    * the chain fails loudly, not silently.
+    *
+    * Checkpoint compatibility: round 14 changed the chain (2 → 3
+    * stateful ops, flatMapGroupsWithState → transformWithState, new
+    * state schemas) — a checkpoint written by the round-13 TTL gate
+    * cannot resume into this one; Spark refuses the operator mismatch
+    * loudly. Drain-and-restart with a fresh checkpoint, or replay the
+    * crawl window. Requires the RocksDB state-store provider, checked
+    * at construction ([[useRocksDbStateStore]]).
     *
     * Late arrivals: a band row whose (lifted) ord falls at or below
     * the watermark is dropped by Spark BEFORE the verify op — the doc
@@ -1418,16 +1459,25 @@ object Dedup {
     */
   def streamingNearDupGateTtl[T](ds: org.apache.spark.sql.Dataset[T],
                                  threshold: Double, horizonMicros: Long,
-                                 k: Int = 12, r: Int = 3)(
+                                 k: Int = 12, r: Int = 3,
+                                 hotBucketCap: Int = Int.MaxValue)(
       text: T => String, ord: T => Long)(
       implicit enc: org.apache.spark.sql.Encoder[T])
     : org.apache.spark.sql.Dataset[T] = {
     require(r > 0 && k % r == 0,
       s"band width $r must divide signature size $k (else hashes are silently dropped)")
     require(horizonMicros > 0, s"horizonMicros must be positive, got $horizonMicros")
+    require(hotBucketCap > 0,
+      s"hotBucketCap must be positive, got $hotBucketCap")
+    require(ds.sparkSession.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", "")
+      .contains("RocksDB"),
+      "streamingNearDupGateTtl needs the RocksDB state-store " +
+        "provider: call Dedup.useRocksDbStateStore(session) before " +
+        "building the stream (transformWithState supports no other)")
     import org.apache.spark.sql.{Encoder, Encoders}
     import org.apache.spark.sql.functions.{col, timestamp_micros}
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import ds.sparkSession.implicits.newLongArrayEncoder
     val optEnc: Encoder[Option[T]] = optionEncoderOf(enc)
     val rowEnc: Encoder[(String, Long, Array[Long], Option[T])] =
@@ -1435,87 +1485,296 @@ object Dedup {
         implicitly[Encoder[Array[Long]]], optEnc)
     val outEnc: Encoder[(Long, Boolean, T)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaBoolean, enc)
-    // verdict rows carry the payload on exactly one of a doc's band
-    // rows (the band-0 rule on [[bandRowsOf]]): the per-bucket verify
-    // only forwards it, so the k/r payload copies the round-12 layout
-    // shuffled per doc are now one
     val voteEnc: Encoder[(Long, Boolean, Option[T])] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaBoolean, optEnc)
-    val stEnc: Encoder[Seq[(Long, Array[Long])]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     val bandRows = bandRowsOf(ds, k, r)(text, ord)(rowEnc)
-    // the watermark drives EventTimeTimeout. Delay 1 ms, not 0: the
+    // the watermark drives the eviction timers. Delay 1 ms, not 0: the
     // watermark is ms-floored, so under a 0 delay a doc whose lifted
     // ord lands EXACTLY on the previous batch's watermark (ms-aligned
     // ords) would be dropped as late and VANISH from the output; 1 ms
     // of slack makes every non-decreasing arrival survive, and only
-    // delays bucket eviction by that same 1 ms.
-    // The watermarked timestamp must survive INTO the stateful op's
-    // child plan (EventTimeTimeout validates its presence), so it
-    // rides as tuple slot _5 rather than being projected away
+    // delays eviction by that same 1 ms.
+    // The watermarked timestamp must survive INTO the stateful ops
+    // (event-time timers validate its presence), so it rides as tuple
+    // slot _5 rather than being projected away
     val rowEnc5: Encoder[(String, Long, Array[Long], Option[T], java.sql.Timestamp)] =
       Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+        implicitly[Encoder[Array[Long]]], optEnc, Encoders.TIMESTAMP)
+    // probe/self rows between op 1 and op 2: (group ord, doc ord,
+    // shingles, payload, event time). A self row is `group == ord`
+    // (probes always have group < ord — priors are strictly earlier),
+    // so no separate flag is needed and the tuple stays within
+    // Encoders.tuple's 5-slot arity. The payload slot is Some on
+    // exactly one row per doc (its self row) — the unbounded gate's
+    // payload-on-one-row rule; the event-time slot carries the NEW
+    // doc's lifted ord so the watermark chain survives into op 2
+    // (each emitted row's stamp is the one its inputs just passed the
+    // late filter with, so the update-column check cannot fire).
+    val probeEnc: Encoder[(Long, Long, Array[Long], Option[T], java.sql.Timestamp)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
         implicitly[Encoder[Array[Long]]], optEnc, Encoders.TIMESTAMP)
     // constant +1 s lift: ord 0 would sit exactly on the INITIAL
     // watermark (epoch 0) and be dropped as late; a uniform shift
     // preserves every gap, so horizon semantics are untouched
-    val lift = 1000000L
+    val lift = TtlOrdLiftMicros
     val withWm = bandRows.toDF() // keeps _1.._4 — the tuple encoder resolves by name
       .withColumn("_5", timestamp_micros(col("_2") + lift))
       .withWatermark("_5", "1 millisecond")
       .as[(String, Long, Array[Long], Option[T], java.sql.Timestamp)](rowEnc5)
-    val verdicts = withWm.groupByKey(_._1)(Encoders.STRING)
-      .flatMapGroupsWithState[Seq[(Long, Array[Long])], (Long, Boolean, Option[T])](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: String,
-         rows: Iterator[(String, Long, Array[Long], Option[T], java.sql.Timestamp)],
-         state: GroupState[Seq[(Long, Array[Long])]]) =>
-          if (state.hasTimedOut) {
-            // silent past newest ord + horizon: nothing here can match
-            // a future non-late doc — reclaim the whole bucket
-            state.remove()
-            Iterator.empty
-          } else {
-            val sorted = rows.toSeq.sortBy(_._2)
-            assertUniqueOrds(sorted.map(_._2))
-            val prior =
-              scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
-            state.getOption.foreach(prior ++= _)
-            val out = sorted.map { case (_, o, sh, docOpt, _) =>
-              val hit = sh.nonEmpty && prior.exists { case (po, p) =>
-                o - po <= horizonMicros && jaccardSorted(p, sh) >= threshold
-              }
-              if (sh.nonEmpty) prior += ((o, sh))
-              (o, hit, docOpt)
-            }
-            if (prior.nonEmpty) {
-              val newest = prior.last._1
-              val kept = prior.filter { case (po, _) =>
-                newest - po <= horizonMicros
-              }
-              state.update(kept.toSeq)
-              // same +1 s lift as the event-time column, ms-floored.
-              // Clamped to the eviction watermark: Spark admits rows
-              // in the gap between its late-filter watermark (the
-              // PREVIOUS batch's) and its eviction watermark (the
-              // current one), so a slightly-reordered arrival can
-              // carry a horizon cutoff already BEHIND the eviction
-              // watermark — setting that timestamp verbatim kills the
-              // query (measured at the 1 M-line ttlpipe stress, where
-              // free-running triggers interleaved a drop's files).
-              // Clamping schedules the bucket for the next available
-              // tick instead: eviction timing is an optimization; the
-              // per-touch prune above already bounds the content.
-              state.setTimeoutTimestamp(math.max(
-                (newest + lift) / 1000L + horizonMicros / 1000L + 1L,
-                state.getCurrentWatermarkMs() + 1L))
-            }
-            out.iterator
-          }
-      }(stEnc, voteEnc)
+    // op 1: band buckets hold ORDS only (ListState, O(new) appends +
+    // the amortized half-stale prune); probes are emitted ONLY for
+    // priors within the horizon — the one verdict-bearing predicate,
+    // on ords alone. The "_5" event-time-column declaration is what
+    // re-watermarks op 1's output for op 2's timers.
+    val candidates = withWm.groupByKey(_._1)(Encoders.STRING)
+      .transformWithState(
+        new BandOrdsTtlProcessor[T](horizonMicros, lift, hotBucketCap),
+        "_5", OutputMode.Append())(probeEnc)
+    // op 2: the doc-keyed shingle store (each set stored ONCE, a
+    // ValueState per doc) with a one-shot eviction timer at
+    // ord + horizon; probes verify exact Jaccard and emit
+    // payload-free reject votes
+    val verdicts = candidates.groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(
+        new DocShinglesTtlProcessor[T](threshold, horizonMicros, lift,
+          implicitly[Encoder[Array[Long]]]),
+        TimeMode.EventTime(), OutputMode.Append())(voteEnc)
     reduceByOrd(verdicts)(outEnc)
       .filter((v: (Long, Boolean, T)) => v._2)
       .map((v: (Long, Boolean, T)) => v._3)(enc)
+  }
+
+  /** The TTL gate's uniform ord → event-time lift (µs): ord 0 would
+    * sit exactly on the INITIAL watermark (epoch 0) and be dropped as
+    * late; a constant shift preserves every gap. One definition —
+    * the event-time column, both processors' expiry math and the
+    * specs' state reads all derive from it.
+    */
+  private[graft] val TtlOrdLiftMicros = 1000000L
+
+  /** Conservative ms-ceiling expiry of an ord under the TTL gate's
+    * horizon: strictly greater than the µs instant `ord + lift +
+    * horizon`, so state evicted at a fired timer (watermark ≥ expiry)
+    * satisfies `watermarkMs · 1000 > ord + lift + horizon` — and any
+    * row still able to pass the late filter (`eventTime >
+    * watermarkMs`, watermarks monotone) has `ord' + lift >
+    * watermarkMs · 1000`, hence `ord' − ord > horizon`: beyond the
+    * horizon of everything evicted, so eviction can never change a
+    * verdict.
+    */
+  private def ttlExpiryMs(ordMicros: Long, liftMicros: Long,
+                          horizonMicros: Long): Long =
+    (ordMicros + liftMicros + horizonMicros) / 1000L + 1L
+
+  /** Op 1 of [[streamingNearDupGateTtl]]: the band bucket's seen-ord
+    * set as a ListState (the unbounded gate's O(new)-write layout)
+    * plus horizon eviction. Probe emission applies the horizon
+    * predicate on ords — the verdict-bearing check, independent of
+    * any eviction timing. Eviction:
+    *  - per-touch: entries older than the bucket's newest ord by more
+    *    than the horizon are unreachable under ordered arrival;
+    *    ListState has no partial delete, so the bucket is REWRITTEN
+    *    only when such entries are at least half of it (amortized
+    *    O(1) writes per ord — each rewrite is charged to at least as
+    *    many dropped entries), else the batch appends O(new);
+    *  - timer: one pending event-time timer per bucket at the newest
+    *    entry's [[ttlExpiryMs]] (re-armed per touch; pending timers
+    *    from earlier touches are deleted first so exactly one is
+    *    live). On fire, entries whose expiry has passed the watermark
+    *    are dropped — the whole bucket in the idle case — and the
+    *    timer re-arms only if live entries remain.
+    * Timer expiries are clamped to watermark + 1: Spark admits rows
+    * between its late-events watermark and its eviction watermark, so
+    * an unclamped expiry can land at or behind the clock (the
+    * round-13 setTimeoutTimestamp crash, same mechanics).
+    *
+    * `cap` is the heavy-hitter circuit breaker (see
+    * [[streamingNearDupVerdicts]]): a doc landing in a bucket
+    * already RETAINING ≥ cap ords auto-rejects at O(1) and the list
+    * freezes. The TTL probe tuple has no self flag (`group == ord`
+    * IS the self row), so the auto-reject rides a NEGATIVE sentinel
+    * group `-ord - 1` the doc store turns into a reject vote — sound
+    * because TTL ords are event-time µs (non-negative, asserted on
+    * the capped path). Horizon interplay: the freeze is per retained
+    * list, and eviction (per-touch prune or timer) shrinking the list
+    * below the cap un-freezes the bucket — a boilerplate STORM
+    * auto-rejects while it lasts and the bucket resumes normal
+    * verification once the storm ages out of the horizon.
+    */
+  private final class BandOrdsTtlProcessor[T](horizonMicros: Long,
+                                              liftMicros: Long,
+                                              cap: Int = Int.MaxValue)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Long, Array[Long], Option[T], java.sql.Timestamp),
+      (Long, Long, Array[Long], Option[T], java.sql.Timestamp)] {
+    @transient private var ords: org.apache.spark.sql.streaming.ListState[Long] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode)
+      : Unit = {
+      ords = getHandle.getListState[Long]("ords",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(
+        bucket: String,
+        rows: Iterator[(String, Long, Array[Long], Option[T], java.sql.Timestamp)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Array[Long], Option[T], java.sql.Timestamp)] = {
+      val sorted = rows.toSeq.sortBy(_._2)
+      assertUniqueOrds(sorted.map(_._2))
+      val emitSelf = bucket.startsWith("0|") || bucket.startsWith("e|")
+      val prior = scala.collection.mutable.ArrayBuffer.empty[Long]
+      prior ++= ords.get()
+      val preExisting = prior.length
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Array[Long], Option[T], java.sql.Timestamp)]
+      sorted.foreach { case (_, o, sh, docOpt, ts) =>
+        if (sh.nonEmpty) {
+          if (prior.length >= cap) {
+            // circuit breaker: boilerplate bucket — one sentinel row
+            // (the doc store's g < 0 vote path) instead of O(bucket)
+            // probes; the frozen list is not appended
+            if (o < 0L) throw new IllegalStateException(
+              s"hotBucketCap needs non-negative ords (event-time µs), " +
+                s"got $o — the reject sentinel encodes as -ord - 1")
+            out += ((-o - 1L, o, sh, None, ts))
+          } else {
+            // the horizon predicate lives HERE, on ords — retained
+            // beyond-horizon entries (eviction lag) emit nothing
+            prior.foreach { e =>
+              if (o - e <= horizonMicros) out += ((e, o, sh, None, ts))
+            }
+            prior += o
+          }
+        }
+        if (emitSelf) {
+          if (docOpt.isEmpty) throw new IllegalStateException(
+            s"band-0 row for ord $o arrived without its payload — " +
+              "bandRowsOf's payload rule and the self-row rule " +
+              "have drifted")
+          out += ((o, o, sh, docOpt, ts))
+        }
+      }
+      if (prior.length > preExisting) { // some shingled doc arrived
+        val newest = prior.last // ord-ordered arrival: append order is ascending
+        val live = prior.filter(e => newest - e <= horizonMicros)
+        val stale = prior.length - live.length
+        if (stale * 2 >= prior.length)
+          ords.put(live.toArray) // amortized: drops ≥ half the bucket
+        else
+          prior.view.drop(preExisting).foreach(ords.appendValue)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(math.max(
+          ttlExpiryMs(newest, liftMicros, horizonMicros),
+          timerValues.getCurrentWatermarkInMs() + 1L))
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(
+        bucket: String,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[(Long, Long, Array[Long], Option[T], java.sql.Timestamp)] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val live = ords.get()
+        .filter(e => ttlExpiryMs(e, liftMicros, horizonMicros) > wm)
+        .toArray
+      if (live.isEmpty) ords.clear()
+      else {
+        // a clamped timer can fire before the bucket's true expiry —
+        // keep the still-live entries and re-arm at the real one
+        ords.put(live)
+        getHandle.registerTimer(math.max(
+          ttlExpiryMs(live.last, liftMicros, horizonMicros), wm + 1L))
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Op 2 of [[streamingNearDupGateTtl]]: the doc-keyed shingle store
+    * — each shingle set stored EXACTLY ONCE (a ValueState per doc,
+    * the unbounded gate's 1× discipline) — with a one-shot event-time
+    * eviction timer at the doc's [[ttlExpiryMs]]. A probe for a doc
+    * whose state was evicted is impossible by the expiry inequality
+    * (see [[ttlExpiryMs]]): the probing doc would have to be beyond
+    * the horizon, and op 1 checks the horizon on ords before
+    * emitting. Same self-row idempotence/ord-tie detection as the
+    * unbounded gate's doc store.
+    */
+  private final class DocShinglesTtlProcessor[T](threshold: Double,
+                                                 horizonMicros: Long,
+                                                 liftMicros: Long,
+                                                 shEnc: org.apache.spark.sql.Encoder[Array[Long]])
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Array[Long], Option[T], java.sql.Timestamp),
+      (Long, Boolean, Option[T])] {
+    @transient private var sh: org.apache.spark.sql.streaming.ValueState[Array[Long]] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode)
+      : Unit = {
+      sh = getHandle.getValueState[Array[Long]]("sh", shEnc,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(
+        g: Long,
+        rows: Iterator[(Long, Long, Array[Long], Option[T], java.sql.Timestamp)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Boolean, Option[T])] = {
+      // negative group = the band op's hot-bucket reject sentinel
+      // (-ord - 1): a pre-verified boilerplate rejection — emit the
+      // vote, touch no state (stateless key, nothing to evict)
+      if (g < 0L) return rows.map(r => (r._2, true, None))
+      val rs = rows.toSeq
+      val (selfRows, probes) = rs.partition(r => r._1 == r._2)
+      if (selfRows.length > 1)
+        throw new IllegalStateException(
+          s"duplicate ord $g across documents — ord must uniquely " +
+            "identify a document (two docs' rows would merge in the " +
+            "per-doc reduce)")
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Boolean, Option[T])]
+      selfRows.foreach { case (_, o, shArr, docOpt, _) =>
+        // shingle-less docs create no state (and need no timer). An
+        // existing entry is a batch replay (same array — skipped
+        // idempotently) or a cross-batch ord tie between distinct
+        // docs (different arrays — loud), as in the unbounded store.
+        if (shArr.nonEmpty) {
+          if (!sh.exists()) {
+            sh.update(shArr)
+            getHandle.registerTimer(math.max(
+              ttlExpiryMs(o, liftMicros, horizonMicros),
+              timerValues.getCurrentWatermarkInMs() + 1L))
+          } else if (!java.util.Arrays.equals(sh.get(), shArr))
+            throw new IllegalStateException(
+              s"ord $g re-arrived with a DIFFERENT shingle set — " +
+                "two distinct documents share an ord across " +
+                "batches; ord must uniquely identify a document")
+        }
+        out += ((o, false, docOpt))
+      }
+      if (probes.nonEmpty) {
+        val mine = (if (sh.exists()) Option(sh.get()) else None)
+          .orElse(selfRows.headOption.map(_._3))
+          .getOrElse(throw new IllegalStateException(
+            s"probe for ord $g found neither stored shingles nor a " +
+              "self row — band state and the doc store have diverged"))
+        probes.foreach { case (_, f, shF, _, _) =>
+          if (jaccardSorted(mine, shF) >= threshold)
+            out += ((f, true, None))
+        }
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(
+        g: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[(Long, Boolean, Option[T])] = {
+      // past the horizon of every row the late filter can still
+      // admit — reclaim the doc's one stored copy
+      sh.clear()
+      Iterator.empty
+    }
   }
 
   /** md5 hex digest of a string's UTF-8 bytes — the streaming dedup

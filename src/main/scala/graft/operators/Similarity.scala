@@ -1146,27 +1146,74 @@ object Similarity {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** All published manifests at `path`, oldest first. */
+  /** All published manifests at `path` as (version, file, mtime),
+    * oldest version first. Every call is one directory LIST — on an
+    * object store a remote metadata round-trip, which is why the
+    * read path prefers the version-hint walk in [[resolveManifest]];
+    * the counter lets specs pin that steady-state searches stop
+    * paying it.
+    */
+  private[graft] val manifestListCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
   private def publishedManifests(hfs: org.apache.hadoop.fs.FileSystem,
                                  path: String)
-    : Seq[(Int, org.apache.hadoop.fs.Path)] = {
+    : Seq[(Int, org.apache.hadoop.fs.Path, Long)] = {
+    manifestListCount.incrementAndGet()
     val root = new org.apache.hadoop.fs.Path(path)
     if (!hfs.exists(root)) Seq.empty
     else hfs.listStatus(root).toSeq.flatMap { st =>
       st.getPath.getName match {
-        case ManifestNameRe(n) if st.isFile => Seq((n.toInt, st.getPath))
+        case ManifestNameRe(n) if st.isFile =>
+          Seq((n.toInt, st.getPath, st.getModificationTime))
         case _ => Seq.empty
       }
     }.sortBy(_._1)
   }
 
+  /** JVM-scoped newest-version hints per index path — the read-path
+    * listing cache: a repeat search probes `manifest_v<hint+1>`
+    * instead of LISTing the root. Sound because versions are minted
+    * +1 under the writer lock and retirement only ever removes a
+    * PREFIX of the version sequence (older manifests; the newest two
+    * plus the grace window always survive), so "v exists and v+1
+    * does not" identifies the newest version without a listing.
+    */
+  private val manifestVersionHints =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   /** The newest published snapshot — the one metadata read every
-    * search pays (one small file). Loud when none exists: an index
+    * search pays. Steady state (a previously-resolved index): one or
+    * two existence probes from the cached version hint + one small
+    * file read, no directory LIST; first contact or a fully-retired
+    * hint falls back to the listing. Loud when none exists: an index
     * that was never built (or whose build crashed before its atomic
     * publish) has nothing consistent to read.
     */
   private def resolveManifest(hfs: org.apache.hadoop.fs.FileSystem,
                               path: String): IndexManifest = {
+    def mPath(v: Int) =
+      new org.apache.hadoop.fs.Path(s"$path/manifest_v$v")
+    val hinted = Option(manifestVersionHints.get(path)).flatMap { h =>
+      if (!hfs.exists(mPath(h.intValue))) None // retired/wiped — re-list
+      else {
+        var v = h.intValue
+        while (hfs.exists(mPath(v + 1))) v += 1
+        // a concurrent retire can delete an OLD version between the
+        // probe and the read (never the newest) — fall back to the
+        // listing rather than failing a read the list would serve
+        scala.util.Try(readManifest(hfs, mPath(v), v)).toOption
+      }
+    }
+    hinted match {
+      case Some(m) =>
+        manifestVersionHints.put(path, Integer.valueOf(m.version))
+        m
+      case None => resolveManifestListed(hfs, path)
+    }
+  }
+
+  private def resolveManifestListed(hfs: org.apache.hadoop.fs.FileSystem,
+                                    path: String): IndexManifest = {
     val ms = publishedManifests(hfs, path)
     if (ms.isEmpty) {
       // a pre-manifest (round-12 flat) tree is an intact index in a
@@ -1182,7 +1229,9 @@ object Similarity {
           "(buildIvfSqIndex / buildIvfPqIndex); a crash before the " +
           "manifest publish leaves nothing readable by design")
     }
-    readManifest(hfs, ms.last._2, ms.last._1)
+    val m = readManifest(hfs, ms.last._2, ms.last._1)
+    manifestVersionHints.put(path, Integer.valueOf(m.version))
+    m
   }
 
   private def readManifest(hfs: org.apache.hadoop.fs.FileSystem,
@@ -1210,11 +1259,19 @@ object Similarity {
       vals("tag").toSet, vals("cell"))
   }
 
-  /** Atomic publish: stage the manifest text under a temp name, then
-    * rename into `manifest_v<n>` — the one metadata operation that
-    * makes a staged generation visible. The target must not exist
-    * (versions are minted under the writer lock), so the rename is a
-    * create, atomic on every Hadoop filesystem.
+  /** Publish: stage the manifest text under a temp name, then rename
+    * into `manifest_v<n>` — the one metadata operation that makes a
+    * staged generation visible. Atomicity scope, honestly: versions
+    * are minted and the exists-then-rename is serialized by the index
+    * [[SinkLock]], whose exclusion is ONE JVM (SinkLock's own
+    * documented scope — multi-driver deployments need an external
+    * coordinator, and on S3A the rename itself is copy+delete, not
+    * atomic). A second DRIVER racing this version therefore isn't
+    * prevented — it is DETECTED: the destination check below refuses
+    * by name (re-run the operation; it re-enters against the winner's
+    * snapshot), and [[retireUnreferenced]] never touches staging
+    * newer than the published tip, so the loser's staged generation
+    * is not deleted out from under it.
     */
   private def writeManifestFile(hfs: org.apache.hadoop.fs.FileSystem,
                                 path: String, m: IndexManifest): Unit = {
@@ -1230,27 +1287,59 @@ object Similarity {
       out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally out.close()
     val dst = new org.apache.hadoop.fs.Path(s"$path/manifest_v${m.version}")
-    require(!hfs.exists(dst),
-      s"manifest $dst already exists — index writers must be serialized " +
-        "by the index lock")
+    if (hfs.exists(dst)) throw new java.util.ConcurrentModificationException(
+      s"manifest $dst already exists — a concurrent writer published " +
+        "this version first (index writer exclusion is one JVM: " +
+        "SinkLock's documented scope). This writer's staging is left " +
+        "intact; re-run the operation to re-enter against the new " +
+        "snapshot")
     if (!hfs.rename(tmp, dst)) throw new java.io.IOException(
       s"index publish: rename $tmp -> $dst failed")
+    manifestVersionHints.put(path, Integer.valueOf(m.version))
   }
 
-  /** Retire everything the newest TWO manifests do not reference:
+  /** The manifest retention age floor (ms): manifests younger than
+    * this survive retirement even beyond the newest-two rule, read
+    * from `spark.graft.index.manifestGraceMs` (default 15 min). Why:
+    * the newest-two rule alone protects a pinned search for exactly
+    * one maintenance cycle, and two RAPID publishes (an append
+    * immediately followed by its compaction — the natural daily-cron
+    * pairing) would retire a still-running search's snapshot
+    * mid-scan. The age floor makes the guarantee TEMPORAL — any
+    * search shorter than the grace window survives any publish
+    * cadence — for a few hundred bytes of extra manifest retention
+    * (retained trees share unchanged cell dirs, so the floor's cost
+    * is manifests + the churned cells of the grace window, not index
+    * copies). Versions being minted monotonically, the retained set
+    * is always a SUFFIX of the version sequence — what the read
+    * path's version-hint walk relies on.
+    */
+  private def manifestGraceMs(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("spark.graft.index.manifestGraceMs", "900000").toLong
+
+  private val GenVersionRe = "gen=[bac]([0-9]+).*".r
+
+  /** Retire everything the RETAINED manifests do not reference:
     * older manifest files, learned-table dirs, and cell dirs (then
-    * gen dirs left empty). Runs at every writer's entry (reclaiming a
-    * crashed writer's invisible staging) and after every publish.
-    * Keeping the previous manifest's tree alive is the read-grace
-    * window — a search pinned to v<n> stays complete until a SECOND
-    * writer publishes v<n+2>, i.e. one full maintenance cycle; at
-    * crawl cadence that is hours against queries that run in seconds.
+    * gen dirs left empty). Retained = the newest two manifests plus
+    * any younger than the [[manifestGraceMs]] age floor. Runs at
+    * every writer's entry and after every publish. Keeping the
+    * previous manifests' trees alive is the read-grace window — a
+    * search pinned to v<n> stays complete for one full maintenance
+    * cycle AND at least the grace age, whichever is longer. Staging
+    * SAFETY: a gens dir whose encoded version is NEWER than the
+    * published tip is a writer's in-flight (or crashed) staging —
+    * never deleted here, so a concurrent writer in another JVM
+    * (outside SinkLock's exclusion scope) cannot have its staging
+    * reclaimed out from under it; a crashed writer's staging is
+    * reclaimed one publish later, once the tip passes its version.
     * Cost: one listing of the manifest files, learned dirs and cell
     * dirs — O(cells), the same order as compaction's own listing,
     * never O(corpus rows).
     */
   private def retireUnreferenced(hfs: org.apache.hadoop.fs.FileSystem,
-                                 path: String): Unit = {
+                                 path: String, graceMs: Long): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     if (!hfs.exists(root)) return
     val ms = publishedManifests(hfs, path)
@@ -1266,26 +1355,41 @@ object Similarity {
           if (hfs.exists(lp)) hfs.delete(lp, true)
       }
     }
-    ms.dropRight(2).foreach(m => hfs.delete(m._2, false))
-    val kept = ms.takeRight(2).map(m => readManifest(hfs, m._2, m._1))
+    val tip = ms.lastOption.map(_._1).getOrElse(0)
+    val ageFloor = System.currentTimeMillis() - graceMs
+    val (retain, retire) = ms.zipWithIndex.partition { case (m, i) =>
+      i >= ms.length - 2 || m._3 >= ageFloor
+    }
+    retire.foreach { case (m, _) => hfs.delete(m._2, false) }
+    val kept = retain.map { case (m, _) => readManifest(hfs, m._2, m._1) }
     val cellsKept = kept.flatMap(_.cells).toSet
     val learnedKept = kept.map(_.learned).toSet
     hfs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith("learned_v") &&
-          !learnedKept.contains(n))
-        hfs.delete(st.getPath, true)
+          !learnedKept.contains(n)) {
+        // learned tables carry their minting version too — the same
+        // in-flight-staging protection as the gens tree
+        val v = n.substring("learned_v".length).toIntOption.getOrElse(0)
+        if (v <= tip) hfs.delete(st.getPath, true)
+      }
       if (n == "_manifest_tmp") hfs.delete(st.getPath, true)
     }
     val gensRoot = new org.apache.hadoop.fs.Path(s"$path/gens")
     if (hfs.exists(gensRoot)) {
       hfs.listStatus(gensRoot).filter(_.isDirectory).foreach { g =>
-        hfs.listStatus(g.getPath).filter(_.isDirectory).foreach { c =>
-          val rel = s"${g.getPath.getName}/${c.getPath.getName}"
-          if (!cellsKept.contains(rel)) hfs.delete(c.getPath, true)
+        val genVer = g.getPath.getName match {
+          case GenVersionRe(v) => v.toInt
+          case _ => 0 // pre-protocol junk: reclaimable when unreferenced
         }
-        if (!hfs.listStatus(g.getPath).exists(_.isDirectory))
-          hfs.delete(g.getPath, true)
+        if (genVer <= tip) {
+          hfs.listStatus(g.getPath).filter(_.isDirectory).foreach { c =>
+            val rel = s"${g.getPath.getName}/${c.getPath.getName}"
+            if (!cellsKept.contains(rel)) hfs.delete(c.getPath, true)
+          }
+          if (!hfs.listStatus(g.getPath).exists(_.isDirectory))
+            hfs.delete(g.getPath, true)
+        }
       }
     }
     ()
@@ -1298,9 +1402,9 @@ object Similarity {
     * question). The ledger carries forward because the rebuild reads
     * a corpus that already contains every delivered append's vectors:
     * a queued pre-rebuild replay must stay a no-op (growth is one
-    * ~40-byte line per tagged append — decades of daily appends fit
-    * in a few hundred KB of manifest; minted default tags add a line
-    * each too, the price of their at-least-once mode).
+    * ~40-byte line per CALLER-tagged append — decades of daily
+    * appends fit in a few hundred KB of manifest; minted default tags
+    * never enter the ledger, see [[effectiveTag]]).
     */
   private def buildEntry(hfs: org.apache.hadoop.fs.FileSystem,
                          path: String): (Int, Set[String]) = {
@@ -1333,6 +1437,17 @@ object Similarity {
                         path: String, m: IndexManifest): DataFrame = {
     require(m.cells.nonEmpty,
       s"index at $path (manifest v${m.version}) references no code cells")
+    // the read-grace window is finite: a snapshot pinned longer than
+    // the grace + two publishes scans retired cell dirs. That must be
+    // a LOUD FileNotFoundException (re-resolve and re-run), never a
+    // silently-partial top-k — which is exactly what
+    // ignoreMissingFiles=true would turn it into, so refuse the
+    // combination at plan-build time.
+    require(!spark.conf.get("spark.sql.files.ignoreMissingFiles", "false")
+        .toBoolean,
+      "index reads require spark.sql.files.ignoreMissingFiles=false: " +
+        "with it set, a search pinned to a retired snapshot would " +
+        "silently return an incomplete top-k instead of failing loudly")
     val schema = if (m.kind == "pq") PqCodesSchema else SqCodesSchema
     spark.read.option("basePath", s"$path/gens").schema(schema)
       .parquet(m.cells.map(c => s"$path/gens/$c"): _*)
@@ -1351,11 +1466,38 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String): Int =
     resolveManifest(indexFs(spark, path), path).version
 
+  /** Spec-only: force the JVM version hint for `path` back to an
+    * older value — simulates a reader JVM whose hint lags the
+    * writers' publishes, which same-JVM specs cannot produce (the
+    * publish path refreshes the local hint).
+    */
+  private[graft] def resetManifestHintForSpec(path: String, v: Int): Unit = {
+    manifestVersionHints.put(path, Integer.valueOf(v))
+    ()
+  }
+
+  /** Spec-only hook into the publish path: re-publish the CURRENT
+    * manifest's content under an explicit version — drives exactly
+    * the destination-collision check a racing second driver would
+    * hit, which the public writers only reach mid-call.
+    */
+  private[graft] def publishManifestForSpec(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      version: Int): Unit = {
+    val hfs = indexFs(spark, path)
+    val m = resolveManifest(hfs, path)
+    writeManifestFile(hfs, path, m.copy(version = version))
+  }
+
   /** Append tags name staging directories and manifest lines — keep
     * them path- and line-safe. An empty tag (the default) mints a
     * unique one: delivery then degrades to at-least-once on caller
     * retry, exactly the pre-tag behavior; callers wanting exactly-once
     * supply a stable tag per logical append (e.g. the crawl day).
+    * Minted tags name their staging dir but are NOT recorded in the
+    * manifest's delivery ledger: a fresh UUID can never be replayed,
+    * so a ledger line for it would be unbounded manifest growth with
+    * zero dedup value — only caller-supplied tags enter the ledger.
     */
   private def effectiveTag(tag: String): String =
     if (tag.isEmpty) "u" + java.util.UUID.randomUUID().toString
@@ -1366,6 +1508,14 @@ object Similarity {
           "staging directory and the manifest's delivery record")
       tag
     }
+
+  /** The delivery-ledger update for an append under caller tag `tag`
+    * (pre-[[effectiveTag]]): caller-supplied tags are recorded so a
+    * replay is a no-op; minted default tags are not (see
+    * [[effectiveTag]]).
+    */
+  private def ledgerTags(prior: Set[String], tag: String): Set[String] =
+    if (tag.isEmpty) prior else prior + tag
 
   /** Build and persist an IVF-SQ index under `path`: the coarse
     * centroid table (k rows), the SQ params row, and the SQ-coded
@@ -1384,7 +1534,7 @@ object Similarity {
     indexLock(path).withCompact(emb.sparkSession) {
       val spark = emb.sparkSession
       val hfs = indexFs(spark, path)
-      retireUnreferenced(hfs, path)
+      retireUnreferenced(hfs, path, manifestGraceMs(spark))
       val (n, priorTags) = buildEntry(hfs, path)
       val learned = s"learned_v$n"
       val gen = s"gen=b$n"
@@ -1402,7 +1552,7 @@ object Similarity {
         .parquet(s"$path/gens/$gen")
       writeManifestFile(hfs, path, IndexManifest(n, "sq", learned,
         priorTags, stagedCells(hfs, path, gen)))
-      retireUnreferenced(hfs, path)
+      retireUnreferenced(hfs, path, manifestGraceMs(spark))
     }
 
   /** Search a persisted IVF-SQ index: `queries` supplies
@@ -1484,7 +1634,7 @@ object Similarity {
         s"index at $path is kind '${m.kind}' — use appendToIvfPqIndex")
       val t = effectiveTag(tag)
       if (!m.tags.contains(t)) {
-        retireUnreferenced(hfs, path)
+        retireUnreferenced(hfs, path, manifestGraceMs(spark))
         val params = spark.read.schema(SqParamsSchema)
           .parquet(s"$path/${m.learned}/params")
         requireDim(emb, "embedding", paramsDim(params),
@@ -1497,9 +1647,10 @@ object Similarity {
           .repartition(col("label"))
           .write.partitionBy("label").mode("overwrite")
           .parquet(s"$path/gens/$gen")
-        writeManifestFile(hfs, path, m.copy(version = n, tags = m.tags + t,
+        writeManifestFile(hfs, path, m.copy(version = n,
+          tags = ledgerTags(m.tags, tag),
           cells = (m.cells ++ stagedCells(hfs, path, gen)).sorted))
-        retireUnreferenced(hfs, path)
+        retireUnreferenced(hfs, path, manifestGraceMs(spark))
       }
     }
 
@@ -1552,7 +1703,7 @@ object Similarity {
     indexLock(path).withCompact(spark) {
       val hfs = indexFs(spark, path)
       val m = resolveManifest(hfs, path)
-      retireUnreferenced(hfs, path)
+      retireUnreferenced(hfs, path, manifestGraceMs(spark))
       def labelOf(cell: String): Int = {
         val v = cell.substring(cell.lastIndexOf("label=") + "label=".length)
         v.toIntOption.getOrElse(throw new IllegalArgumentException(
@@ -1592,7 +1743,7 @@ object Similarity {
         val untouched = m.cells.filterNot(frag.toSet)
         writeManifestFile(hfs, path, m.copy(version = n,
           cells = (untouched ++ stagedCells(hfs, path, gen)).sorted))
-        retireUnreferenced(hfs, path)
+        retireUnreferenced(hfs, path, manifestGraceMs(spark))
       }
     }
 
@@ -1612,15 +1763,23 @@ object Similarity {
   /** Loud geometry check for the index searchers/appenders: a
     * wrong-dimension vector would otherwise code/slice SILENTLY into
     * truncated arrays and wrong distances — the one failure an index
-    * API must never make quiet. Aggregates min/max width over the
-    * whole frame (one cheap pass — queries are small, and an append
-    * batch is one day's adds), so a MIXED-width frame is refused too,
-    * not just a uniformly wrong one; an empty frame is a no-op.
+    * API must never make quiet. Aggregates min/max width AND the
+    * null count over the whole frame in one cheap pass (queries are
+    * small, and an append batch is one day's adds), so a MIXED-width
+    * frame is refused too, and so are NULL embeddings — min/max
+    * ignore nulls, so without the explicit count a frame null on
+    * some rows would pass on its non-null rows alone, against the
+    * guard's refuse-bad-geometry-loudly contract. An empty frame is
+    * a no-op.
     */
   private def requireDim(df: DataFrame, c: String, expected: Int,
                          ctx: String): Unit = {
-    val r = df.agg(min(size(col(c))).as("mn"), max(size(col(c))).as("mx"))
-      .head()
+    val r = df.agg(min(size(col(c))).as("mn"), max(size(col(c))).as("mx"),
+      count(lit(1)).as("all"), count(col(c)).as("nonnull")).head()
+    val nulls = r.getLong(2) - r.getLong(3)
+    require(nulls == 0L,
+      s"$ctx embedding is NULL on $nulls of ${r.getLong(2)} rows — " +
+        "every vector needs real geometry")
     if (!r.isNullAt(0)) {
       val (mn, mx) = (r.getInt(0), r.getInt(1))
       require(mn == expected && mx == expected,
@@ -1646,7 +1805,7 @@ object Similarity {
         s"index at $path is kind '${mf.kind}' — use appendToIvfSqIndex")
       val t = effectiveTag(tag)
       if (!mf.tags.contains(t)) {
-        retireUnreferenced(hfs, path)
+        retireUnreferenced(hfs, path, manifestGraceMs(spark))
         val meta = spark.read.schema(PqMetaSchema)
           .parquet(s"$path/${mf.learned}/meta").head()
         val (m, dims) = (meta.getInt(0), meta.getInt(1))
@@ -1664,9 +1823,9 @@ object Similarity {
           .write.partitionBy("label").mode("overwrite")
           .parquet(s"$path/gens/$gen")
         writeManifestFile(hfs, path, mf.copy(version = n,
-          tags = mf.tags + t,
+          tags = ledgerTags(mf.tags, tag),
           cells = (mf.cells ++ stagedCells(hfs, path, gen)).sorted))
-        retireUnreferenced(hfs, path)
+        retireUnreferenced(hfs, path, manifestGraceMs(spark))
       }
     }
 
@@ -1687,7 +1846,7 @@ object Similarity {
       val spark = emb.sparkSession
       import spark.implicits._
       val hfs = indexFs(spark, path)
-      retireUnreferenced(hfs, path)
+      retireUnreferenced(hfs, path, manifestGraceMs(spark))
       val (n, priorTags) = buildEntry(hfs, path)
       val learned = s"learned_v$n"
       val gen = s"gen=b$n"
@@ -1707,7 +1866,7 @@ object Similarity {
         .parquet(s"$path/gens/$gen")
       writeManifestFile(hfs, path, IndexManifest(n, "pq", learned,
         priorTags, stagedCells(hfs, path, gen)))
-      retireUnreferenced(hfs, path)
+      retireUnreferenced(hfs, path, manifestGraceMs(spark))
     }
 
   /** Search a persisted IVFADC index — the composed deployment's

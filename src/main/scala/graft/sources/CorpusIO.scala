@@ -291,11 +291,14 @@ object CorpusIO {
     * splits after the ord minting, only the clean branch is
     * watermarked and gated, and the quarantine branch unions back
     * before the sink — one QUERY, one checkpoint/offset ledger, the
-    * same batch-keyed two-sink idempotence. Honest cost: the union
-    * plans the source subtree twice, so each micro-batch's files are
-    * parsed twice (still one query and one offset ledger — cheaper
-    * than the retired second-query design, but not the unbounded
-    * modes' true single parse). Observability moves with the split:
+    * same batch-keyed two-sink idempotence. The parse runs ONCE
+    * (round 14): a hash repartition above the split gives both union
+    * branches a canonically identical exchange, which the planner's
+    * exchange-reuse rule executes once (the round-13 layout planned
+    * the source subtree twice — parse_factor measured 2.00×, now
+    * 1.00× at the same stress; the price is one shuffle of the
+    * batch's rows, bytes the gate's own keyed exchange was already
+    * paying downstream). Observability moves with the split:
     * the TTL layout carries per-branch observe counters (no observe
     * may sit above the split — a union would duplicate the
     * CollectMetrics node and double-count), and
@@ -428,7 +431,30 @@ object CorpusIO {
         // double-count — so every counter lives on exactly one branch
         // and the input totals are derived (n_lines = clean_in + the
         // three quarantine classes, the CorpusIngestStats spelling).
-        val typed = mintOrds(taggedOf(raw).as[PipeDoc])
+        // The parse runs ONCE despite the split (round 14): the
+        // repartition plants a canonically identical exchange in both
+        // union branches, and the planner's ReuseExchangeAndSubquery
+        // (part of every micro-batch's physical preparation —
+        // IncrementalExecution keeps the base rules) executes the
+        // parse subtree once and feeds the second branch from the
+        // first's shuffle output. The exchange must sit BELOW the
+        // mapPartitions ord-minting: a typed object operator is a
+        // predicate-pushdown barrier, and without one Catalyst pushes
+        // each branch's q_reason filter through the repartition into
+        // the shared subtree — two DIFFERENT children, no reuse (the
+        // measured round-13 2.00×). Shuffle key: doc_id spreads clean
+        // rows, q_raw spreads a malformed spike (doc_id is the -1
+        // constant there). Price: one hash shuffle of the batch's
+        // rows replaces a second full JSONL parse of the batch's
+        // files — measured at the 400 k-line ttlpipe stress
+        // (parse_factor 2.00 → 1.00), which also holds the ceiling.
+        // The duplicated mint above the exchange may assign the two
+        // branches differing negative ords for one quarantine row —
+        // harmless by construction: minted ords never touch state and
+        // are dropped before either sink (the replay note above).
+        val typed = mintOrds(taggedOf(raw)
+          .repartition(col("doc_id"), col("q_raw"))
+          .as[PipeDoc])
         val clean0 = typed.filter(col("q_reason").isNull)
           .observe("corpus_cin", count(lit(1)).as("n_clean_in"))
         // quality gate at the door, clean branch only — equivalent to
@@ -496,14 +522,10 @@ object CorpusIO {
               _.ord, bypass = _.q_reason != null)
         }
     }
-    // the TTL plan is watermark + chained stateful — the static
-    // checker's flagged hazard has no dynamic instance here (see
-    // streamingNearDupGateTtl); scope the opt-out to this one start
-    def maybeOverride[A](start: => A): A =
-      if (nearDupTtlMicros.isDefined)
-        graft.operators.Dedup.withChainedStatefulOverride(spark)(start)
-      else start
-    val q = lock.startGuarded(spark) { maybeOverride {
+    // the TTL plan (watermark + chained transformWithState) passes
+    // Spark's static correctness checker as-is — no opt-out needed
+    // since the round-14 gate layout (see streamingNearDupGateTtl)
+    val q = lock.startGuarded(spark) {
       first.toDF()
         .observe("corpus_out",
           sum(when(col("q_reason").isNull, 1L).otherwise(0L))
@@ -581,7 +603,7 @@ object CorpusIO {
           ()
         }
         .start()
-    } }
+    }
     stats.foreach(_.bind(q.runId))
     q
   }

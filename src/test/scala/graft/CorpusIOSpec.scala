@@ -689,8 +689,11 @@ class CorpusIOSpec extends AnyFunSuite {
       Files.write(java.nio.file.Paths.get(in, name),
         lines.mkString("\n").getBytes("UTF-8"))
     val stats = new graft.streaming.CorpusIngestStats
+    // the TTL gate's ops are transformWithState (round 14) — RocksDB
+    // is its required state-store provider, as on the unbounded pipe
+    val ss = graft.operators.Dedup.useRocksDbStateStore(spark.newSession())
     val cur = CorpusIO.streamCurated(
-      CorpusIO.readJsonlStream(spark, in), s"$root/out", s"$root/ck",
+      CorpusIO.readJsonlStream(ss, in), s"$root/out", s"$root/ck",
       buckets = 4, stats = Some(stats), nearDup = Some(0.5),
       nearDupTtlMicros = Some(5L))
     // batch 0: base + an exact copy at gap 1 (inside the horizon —
@@ -737,7 +740,7 @@ class CorpusIOSpec extends AnyFunSuite {
     while (t._1 < 7L && System.currentTimeMillis() < deadline) {
       Thread.sleep(200); t = totals()
     }
-    spark.streams.removeListener(stats)
+    ss.streams.removeListener(stats)
     assert(t == ((7L, 1L, 1L, 5L, 3L, 2L)),
       s"TTL-pipe telemetry did not reconcile: $t")
   }

@@ -1889,6 +1889,78 @@ class ExtensionsSpec extends AnyFunSuite {
     ()
   }
 
+  test("gate TTL state is the unbounded gate's 1×-shingles + ords-only layout — measured") {
+    import spark.implicits._
+    // the round-14 port: the TTL gate runs the SAME 3-op state layout
+    // as the unbounded gate (band buckets hold only ords, the
+    // doc-keyed store holds each shingle set exactly once, the reduce
+    // holds nothing) — k/r = 4× less state than the retired
+    // per-bucket-copy design. Horizon wider than the fixture so
+    // nothing evicts during the measurement; the eviction spec below
+    // pins the other half (state → 0 past the horizon).
+    val texts = Seq(
+      (1L, (1 to 40).map(i => s"tok$i").mkString(" ")),
+      (2L, (50 to 75).map(i => s"alt$i").mkString(" ")),
+      (3L, "aa bb"), // shingle-less: must create NO state at all
+      (4L, (80 to 130).map(i => s"third$i").mkString(" ")))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tstate")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    Dedup.useRocksDbStateStore(ss)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](ss)
+    val q = Dedup.streamingNearDupGateTtl(
+        ms.toDS(), 0.5, 1000000000L * 1000000L)(_._2, _._1)
+      .toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName("gate_ttl_state_bytes").start()
+    ms.addData(texts.take(2)); q.processAllAvailable()
+    ms.addData(texts.drop(2)); q.processAllAvailable()
+    q.stop()
+    // operator ids are planner-assigned — classify the three stores
+    // by measured shape, reading each through the spelling its
+    // operator type supports (Try cascade, as the unbounded spec)
+    def store(opId: Int): (Long, Long) = {
+      def base = ss.read.format("statestore")
+        .option("path", ckpt.toString).option("operatorId", opId.toString)
+      scala.util.Try {
+        // the stateless reduce (flatMapGroupsWithState, never writes)
+        val st = base.load()
+        (st.count(),
+          st.select(coalesce(sum(size(col("value.groupState.value"))),
+            lit(0)).cast("long")).as[Long].head())
+      }.orElse(scala.util.Try {
+        // the band op: named ListState, flattened one row per element
+        val st = base.option("stateVarName", "ords").load()
+        (st.select(col("key")).distinct().count(), st.count())
+      }).orElse(scala.util.Try {
+        // the doc store: named ValueState holding the hash array
+        val st = base.option("stateVarName", "sh").load()
+        val longs = scala.util.Try(
+          st.select(coalesce(sum(size(col("value.value"))), lit(0))
+            .cast("long")).as[Long].head())
+          .getOrElse(st.select(coalesce(sum(size(col("value"))), lit(0))
+            .cast("long")).as[Long].head())
+        (st.count(), longs)
+      }).getOrElse((0L, 0L))
+    }
+    val shapes = (0 to 2).map(i =>
+      scala.util.Try(store(i)).getOrElse((0L, 0L))).sorted
+    val perDoc = texts.map { case (_, t) =>
+      Dedup.localShinglesAndBands(t, 12, 3)._1.length.toLong
+    }
+    assert(perDoc(2) == 0L, "fixture: doc 3 must be shingle-less")
+    val irreducible = perDoc.sum
+    // same expected shapes as the unbounded spec: reduce 0, doc store
+    // 3 rows / irreducible longs (the 1×), band 12 rows / 12 ords
+    assert(shapes == Seq((0L, 0L), (3L, irreducible), (12L, 12L)),
+      s"TTL gate state moved off the 1×-shingles + ords-only layout: " +
+        s"$shapes (irreducible=$irreducible)")
+    new scala.reflect.io.Directory(ckpt.toFile).deleteRecursively()
+    ()
+  }
+
   test("gate TTL: rejects within horizon, re-admits beyond it, and evicts state") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
@@ -1899,12 +1971,10 @@ class ExtensionsSpec extends AnyFunSuite {
     Dedup.useRocksDbStateStore(ss)
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)](ss)
-    val q = Dedup.withChainedStatefulOverride(ss) {
-      Dedup.streamingNearDupGateTtl(ms.toDS(), 0.5, horizon)(_._2, _._1)
-        .toDF("ord", "text")
-        .writeStream.outputMode("append").format("memory")
-        .queryName("gate_ttl").start()
-    }
+    val q = Dedup.streamingNearDupGateTtl(ms.toDS(), 0.5, horizon)(_._2, _._1)
+      .toDF("ord", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gate_ttl").start()
     // batch 1: 10s owner admitted, 11s in-batch near-dup rejected
     ms.addData(Seq((10L * sec, base), (11L * sec, base + " tail42")))
     q.processAllAvailable()
@@ -1938,47 +2008,33 @@ class ExtensionsSpec extends AnyFunSuite {
       s"event-time timeout must evict every idle bucket: $bandRows -> $afterRows")
   }
 
-  test("withChainedStatefulOverride scopes the checker opt-out to one start") {
+  test("the TTL chain starts under Spark's DEFAULT static correctness checker — no opt-out") {
     import spark.implicits._
+    // the retired flatMapGroupsWithState layout tripped the
+    // watermark-plus-chained-stateful rule and needed the (now
+    // retired) withChainedStatefulOverride scope; the round-14
+    // transformWithState chain declares its event-time flow
+    // explicitly and must pass the checker AT ITS DEFAULT — this pin
+    // fails loudly if a future Spark version re-flags the chain (the
+    // remedy then is a scoped opt-out, not a silent session-wide one)
     val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     Dedup.useRocksDbStateStore(ss)
-    val before = ss.conf.get(key)
+    assert(ss.conf.get(key) == "true",
+      s"fixture: the checker must be at its default, got ${ss.conf.get(key)}")
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)](ss)
-    val q = Dedup.withChainedStatefulOverride(ss) {
-      Dedup.streamingNearDupGateTtl(ms.toDS(), 0.5, 1000000L)(_._2, _._1)
-        .toDF("ord", "text")
-        .writeStream.outputMode("append").format("memory")
-        .queryName("gate_scoped").start()
-    }
-    // the conf is already back to its prior value while the query
-    // still runs — the checker fires at start only, so batches after
-    // the restore must keep flowing
-    assert(ss.conf.get(key) == before,
-      s"override leaked: $key = ${ss.conf.get(key)}")
+    val q = Dedup.streamingNearDupGateTtl(ms.toDS(), 0.5, 1000000L)(_._2, _._1)
+      .toDF("ord", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gate_default_checker").start()
     ms.addData(Seq((1000000L, "aa bb cc")))
     q.processAllAvailable()
     ms.addData(Seq((2000000L, "dd ee ff")))
     q.processAllAvailable()
-    // a SECOND chained-stateful plan in the same session, started
-    // WITHOUT the helper, must hit the restored safety net
-    val ms2 = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, String)](ss)
-    val e = intercept[org.apache.spark.sql.AnalysisException] {
-      val q2 = Dedup.streamingNearDupGateTtl(
-        ms2.toDS(), 0.5, 1000000L)(_._2, _._1)
-        .toDF("ord", "text")
-        .writeStream.outputMode("append").format("memory")
-        .queryName("gate_unscoped").start()
-      try q2.processAllAvailable() finally q2.stop()
-    }
-    assert(e.getMessage.contains("checkCorrectness") ||
-      e.getMessage.toLowerCase.contains("multiple stateful"),
-      s"expected the static checker's refusal, got: ${e.getMessage}")
     q.stop()
-    assert(ss.table("gate_scoped").count() == 2L)
+    assert(ss.table("gate_default_checker").count() == 2L)
   }
 
   test("gate TTL: late arrivals surface in nLateDroppedRows instead of vanishing silently") {
@@ -1992,12 +2048,10 @@ class ExtensionsSpec extends AnyFunSuite {
     ss.streams.addListener(stats)
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)](ss)
-    val q = Dedup.withChainedStatefulOverride(ss) {
-      Dedup.streamingNearDupGateTtl(ms.toDS(), 0.5, 100L * sec)(_._2, _._1)
-        .toDF("ord", "text")
-        .writeStream.outputMode("append").format("memory")
-        .queryName("gate_late").start()
-    }
+    val q = Dedup.streamingNearDupGateTtl(ms.toDS(), 0.5, 100L * sec)(_._2, _._1)
+      .toDF("ord", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gate_late").start()
     stats.bind(q.runId)
     // batch 1 advances the watermark to ~200s; batch 2 plants ONE
     // genuinely-late shingle-less doc (exactly one band row, so the
@@ -2026,6 +2080,65 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     ss.streams.removeListener(stats)
     assert(t == 1L, s"late-drop telemetry did not reconcile: $t")
+  }
+
+  test("gate hot-bucket circuit breaker: the bucket freezes at the cap, verdicts on non-hot docs unchanged") {
+    import spark.implicits._
+    val hot = (1 to 40).map(i => s"hot$i").mkString(" ")
+    val cold = (100 to 140).map(i => s"cold$i").mkString(" ")
+    // drive each gate over one boilerplate storm (10 identical docs —
+    // they share all 4 band buckets) plus one unrelated doc, at
+    // cap = 3: the first doc owns the buckets, docs 2-3 reject by
+    // ordinary verification while the buckets grow to the cap, docs
+    // 4+ reject through the breaker with the buckets FROZEN at 3
+    // ords each — measured through the band op's state rows — and
+    // the unrelated doc's admission is untouched. On this corpus the
+    // VERDICTS are identical to the uncapped gate (identical text
+    // rejects either way), which is the point: the breaker changes
+    // the cost, 12 stored ords instead of 40 and O(1) emission per
+    // storm arrival instead of O(bucket).
+    def drive(ttl: Boolean): (Set[Long], Long) = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      Dedup.useRocksDbStateStore(ss)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](ss)
+      val gated =
+        if (ttl) Dedup.streamingNearDupGateTtl(ms.toDS(), 0.5,
+          1000000000L * 1000000L, hotBucketCap = 3)(_._2, _._1)
+        else Dedup.streamingNearDupGate(ms.toDS(), 0.5,
+          hotBucketCap = 3)(_._2, _._1)
+      val q = gated.toDF("ord", "text")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("gate_breaker").start()
+      ms.addData((0 until 10).map(i => (i.toLong, hot)) :+ (10L, cold))
+      q.processAllAvailable()
+      // a SECOND storm batch: every arrival hits the frozen buckets —
+      // band state must not grow past the cap
+      ms.addData((20 until 25).map(i => (i.toLong, hot)))
+      q.processAllAvailable()
+      val bandOrds = q.lastProgress.stateOperators
+        .map(_.numRowsTotal).max
+      q.stop()
+      val kept = ss.table("gate_breaker").select("ord").as[Long]
+        .collect().toSet
+      (kept, bandOrds)
+    }
+    Seq(false, true).foreach { ttl =>
+      val (kept, bandOrds) = drive(ttl)
+      assert(kept == Set(0L, 10L),
+        s"breaker (ttl=$ttl) verdicts wrong: kept $kept — the storm " +
+          "owner and the unrelated doc must be admitted, nothing else")
+      // 4 hot buckets frozen at 3 ords + the cold doc's 4 buckets ×
+      // 1 ord = 16 band ords; the doc-keyed store adds one row per
+      // stored doc (4 hot before freeze... exactly: docs 0,1,2 and
+      // cold and (ttl) their four rows) — bound loosely: without the
+      // breaker the two storms alone would store 15 docs × 4 = 60
+      // band ords, so anything ≤ 30 proves the freeze
+      assert(bandOrds <= 30L,
+        s"breaker (ttl=$ttl) band state grew past the frozen cap: " +
+          s"$bandOrds rows")
+    }
   }
 
   test("gate: a duplicate ord fails loudly instead of silently merging docs") {
@@ -2162,6 +2275,9 @@ class ExtensionsSpec extends AnyFunSuite {
   test("index reads are lock-free consistent snapshots: searches pinned before compact and retrain survive the publish") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-annsnap")
+    // grace 0 pins the STRUCTURAL newest-two guarantee (the round-13
+    // semantics) — the age floor on top of it has its own spec below
+    spark.conf.set("spark.graft.index.manifestGraceMs", "0")
     try {
       val base = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 4L)
       val rest = emb.filter(pmod(col("vec_id"), lit(5L)) === 4L)
@@ -2213,6 +2329,140 @@ class ExtensionsSpec extends AnyFunSuite {
         .map(_.getName).toSet
       assert(gens == Set("gen=b4", "gen=a5-d2"),
         s"pre-retrain generations must be reclaimed, got $gens")
+    } finally {
+      spark.conf.unset("spark.graft.index.manifestGraceMs")
+      val _ = new scala.reflect.io.Directory(root.toFile).deleteRecursively()
+    }
+  }
+
+  test("manifest retention has an age floor: back-to-back publishes cannot retire a young pinned snapshot") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-anngrace")
+    try {
+      val base = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 4L)
+      val queries = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select("vec_id", "embedding")
+      def search() = Similarity.searchIvfSq(spark, s"$root/sq", queries, 5,
+        nprobe = 2)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Long, Long)].collect().toSet
+      Similarity.buildIvfSqIndex(base, s"$root/sq")                  // v1
+      val expected = rows(search())
+      // pin a plan against v1, then publish THREE more versions in
+      // quick succession — append + compact + retrain, the worst-case
+      // daily-cron pairing squeezed into one instant. Under the
+      // newest-two rule alone v1's tree would be retired at the third
+      // publish; the default 15-minute age floor must keep every one
+      // of these seconds-old snapshots alive, so the pinned plan
+      // still collects bit-identically.
+      val pinned = search()
+      val extra = emb.filter(col("vec_id") === 0L)
+        .select(lit(900000L).as("vec_id"), col("embedding"), col("label"))
+      Similarity.appendToIvfSqIndex(extra, s"$root/sq", tag = "g1") // v2
+      Similarity.compactIvfIndex(spark, s"$root/sq")                // v3
+      Similarity.buildIvfSqIndex(base, s"$root/sq")                 // v4
+      assert(Similarity.currentIndexVersion(spark, s"$root/sq") == 4)
+      assert(rows(pinned) == expected,
+        "a pinned search younger than the grace window must survive " +
+          "any number of rapid publishes")
+      // retention growth is bounded by the window: all four young
+      // manifests are retained now (grace), and a writer entering
+      // after the window expires retires everything the newest two
+      // don't reference — proven at grace 0 by the snapshot spec
+      val top = new java.io.File(s"$root/sq").listFiles().map(_.getName)
+      assert(top.count(_.startsWith("manifest_v")) == 4,
+        s"all in-grace manifests must be retained: ${top.toSeq}")
+    } finally {
+      val _ = new scala.reflect.io.Directory(root.toFile).deleteRecursively()
+    }
+  }
+
+  test("a two-writer version race refuses by name and leaves the loser's staging intact") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-annrace")
+    try {
+      val base = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 4L)
+      Similarity.buildIvfSqIndex(base, s"$root/sq")                  // v1
+      // a SECOND driver's in-flight staging (version ahead of the
+      // published tip) — SinkLock cannot see across JVMs, so
+      // retirement must not reclaim it
+      val foreign = new java.io.File(s"$root/sq/gens/gen=a2-foreign/label=0")
+      assert(foreign.mkdirs())
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(foreign.getPath, "part-foreign.parquet"),
+        Array[Byte](1, 2, 3))
+      // this writer's own maintenance entry (compact on an
+      // unfragmented index runs retirement and nothing else)
+      Similarity.compactIvfIndex(spark, s"$root/sq")
+      assert(foreign.exists(),
+        "retirement reclaimed another writer's in-flight staging — " +
+          "gens newer than the published tip must be left alone")
+      // the race itself: the other driver publishes v2 first; this
+      // writer's publish of v2 must refuse by name, not overwrite
+      val v1txt = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/sq/manifest_v1"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/sq/manifest_v2"), v1txt)
+      val day = emb.filter(col("vec_id") < 10L)
+        .select((col("vec_id") + 910000L).as("vec_id"),
+          col("embedding"), col("label"))
+      // the appender resolves the (hand-published) v2 and mints v3 —
+      // so to force the collision, publish v3 out from under it too,
+      // through the same hand-placement, and drive the private
+      // publish path directly at the colliding version
+      val e = intercept[java.util.ConcurrentModificationException] {
+        Similarity.publishManifestForSpec(spark, s"$root/sq", 2)
+      }
+      assert(e.getMessage.contains("concurrent writer"),
+        s"expected the named race refusal, got: ${e.getMessage}")
+      // ...and the ordinary writer path simply lands AFTER the
+      // winner: the append re-enters against v2 and publishes v3
+      Similarity.appendToIvfSqIndex(day, s"$root/sq", tag = "r1")
+      assert(Similarity.currentIndexVersion(spark, s"$root/sq") == 3)
+      // once the tip passes the foreign staging's version, it is a
+      // crashed writer's remnant and IS reclaimed (one publish later)
+      Similarity.compactIvfIndex(spark, s"$root/sq")
+      assert(!foreign.exists(),
+        "a staging older than the published tip is a crashed writer's " +
+          "remnant and must be reclaimed")
+    } finally {
+      val _ = new scala.reflect.io.Directory(root.toFile).deleteRecursively()
+    }
+  }
+
+  test("steady-state searches resolve the manifest without a directory listing") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-annhint")
+    try {
+      val base = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 4L)
+      val queries = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select("vec_id", "embedding")
+      def search() = Similarity.searchIvfSq(spark, s"$root/sq", queries, 5,
+        nprobe = 2).collect().length
+      Similarity.buildIvfSqIndex(base, s"$root/sq")                  // v1
+      assert(search() > 0)
+      // repeat searches ride the version hint: existence probes plus
+      // one manifest read, zero LISTs of the index root (on an object
+      // store a LIST is a remote metadata round-trip per query)
+      val lists0 = Similarity.manifestListCount.get()
+      assert(search() > 0)
+      assert(Similarity.manifestListCount.get() == lists0,
+        "a repeat search paid a directory listing — the version-hint " +
+          "fast path regressed")
+      // a publish advances the hint by existence-walk, still no LIST
+      val extra = emb.filter(col("vec_id") === 0L)
+        .select(lit(920000L).as("vec_id"), col("embedding"), col("label"))
+      Similarity.appendToIvfSqIndex(extra, s"$root/sq", tag = "h1") // v2
+      // simulate a reader JVM whose hint lags the publish (same-JVM
+      // publishes refresh the local hint, so force it back)
+      Similarity.resetManifestHintForSpec(s"$root/sq", 1)
+      val lists1 = Similarity.manifestListCount.get()
+      assert(Similarity.readIndexCodes(spark, s"$root/sq")
+        .filter(col("vec_id") === 920000L).count() == 1L,
+        "the post-publish search must see the new version")
+      assert(Similarity.manifestListCount.get() == lists1,
+        "resolving a NEWER version from a stale hint must walk " +
+          "forward by existence probes, not re-list")
     } finally {
       val _ = new scala.reflect.io.Directory(root.toFile).deleteRecursively()
     }
@@ -2398,22 +2648,56 @@ class ExtensionsSpec extends AnyFunSuite {
     Dedup.useRocksDbStateStore(ss)
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)](ss)
-    val q = Dedup.withChainedStatefulOverride(ss) {
-      Dedup.streamingNearDupGateTtl(ms.toDS(), 0.5, 100L * sec)(_._2, _._1)
-        .toDF("ord", "text")
-        .writeStream.outputMode("append").format("memory")
-        .queryName("gate_ttl_tie").start()
-    }
+    val q = Dedup.streamingNearDupGateTtl(ms.toDS(), 0.5, 100L * sec)(_._2, _._1)
+      .toDF("ord", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gate_ttl_tie").start()
     ms.addData(Seq((5L * sec, base)))
     q.processAllAvailable()
-    // same ms-aligned instant, unrelated content → must be admitted
-    ms.addData(Seq((5L * sec, other)))
+    // one µs inside the watermark's floored ms (lifted 5999.999 ms vs
+    // the 5999 ms watermark), unrelated content → must be admitted.
+    // Under a 0 ms delay this row sits at or below the watermark and
+    // vanished; it is also the slightly-reordered arrival (ord below
+    // the prior batch's max, above the watermark) the eviction-clamp
+    // protects. Distinct ord: a cross-batch ord TIE now fails loudly
+    // in the doc store (its own spec below).
+    ms.addData(Seq((5L * sec - 1L, other)))
     q.processAllAvailable()
     q.stop()
     val kept = ss.table("gate_ttl_tie").select("text").as[String]
       .collect().toSet
     assert(kept == Set(base, other),
       s"boundary doc was dropped by the watermark: kept ${kept.size} docs")
+  }
+
+  test("gate TTL: a cross-batch ord tie between distinct docs fails loudly") {
+    import spark.implicits._
+    // the round-14 doc-keyed store gives the TTL gate the unbounded
+    // gate's tie detection: an ord re-arriving with a DIFFERENT
+    // shingle set is two documents sharing an identity — corrupted
+    // verdicts if admitted — so it must kill the query by name
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"unrel$i").mkString(" ")
+    val sec = 1000000L
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    Dedup.useRocksDbStateStore(ss)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](ss)
+    val q = Dedup.streamingNearDupGateTtl(ms.toDS(), 0.5, 100L * sec)(_._2, _._1)
+      .toDF("ord", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gate_ttl_dup_ord").start()
+    ms.addData(Seq((5L * sec, base)))
+    q.processAllAvailable()
+    ms.addData(Seq((5L * sec, other)))
+    val e = intercept[Exception] { q.processAllAvailable() }
+    try q.stop() catch { case _: Throwable => () }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage)
+        .exists(_.contains("DIFFERENT shingle set"))),
+      s"expected the ord-tie refusal, got: ${e.getMessage}")
   }
 
   test("gate TTL with a horizon wider than the corpus equals the unbounded gate") {
@@ -2425,13 +2709,11 @@ class ExtensionsSpec extends AnyFunSuite {
     Dedup.useRocksDbStateStore(ss)
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)](ss)
-    val q = Dedup.withChainedStatefulOverride(ss) {
-      Dedup.streamingNearDupGateTtl(
-        ms.toDS(), 0.5, Long.MaxValue / 4)(_._2, _._1)
-        .toDF("doc_id", "text")
-        .writeStream.outputMode("append").format("memory")
-        .queryName("gate_ttl_wide").start()
-    }
+    val q = Dedup.streamingNearDupGateTtl(
+      ms.toDS(), 0.5, Long.MaxValue / 4)(_._2, _._1)
+      .toDF("doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gate_ttl_wide").start()
     rows.grouped(rows.length / 3 + 1).foreach { c =>
       ms.addData(c.toSeq); q.processAllAvailable()
     }
