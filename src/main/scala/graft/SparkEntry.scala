@@ -1017,6 +1017,46 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),
+    // X33h breaker end-to-end: x108's gate under hotBucketCap=3,
+    // against the CAPPED semantics' own closed form — bucket
+    // membership is the first cap arrivals per band signature
+    // (freezing is per bucket, so the form is non-recursive:
+    // row_number over (band, bsig)), a doc auto-rejects when it
+    // lands in a frozen bucket and otherwise verifies against the
+    // members of the buckets it entered. At cap=3 the breaker
+    // genuinely fires on this corpus (dup families beyond the cap
+    // auto-reject their tail), so the row pins the breaker's exact
+    // semantics, not just its default-∞ transparency (x108 pins
+    // that). The cost side (probe rows ≤ cap, frozen state) lives
+    // in the spec and StressProof's planted megabucket.
+    "x158_gate_hot_bucket_cap" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Tables.read(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .as[graft.sources.CorpusIO.CuratedDoc].collect().sortBy(_.doc_id)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      Dedup.useRocksDbStateStore(ss)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.sources.CorpusIO.CuratedDoc](ss)
+      val kept = Dedup.streamingNearDupGate(ms.toDS(), ClusterJaccard,
+        hotBucketCap = 3)(_.text, _.doc_id)
+      val q = kept.toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("graft_gate_capped")
+        .start()
+      try rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      } catch { case e: Throwable =>
+        try q.stop() catch { case s: Throwable => e.addSuppressed(s) }
+        throw e
+      }
+      q.stop()
+      ss.table("graft_gate_capped")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
     // X4f BM25 top-20 retrieval over a fixed query term set (rare +
     // common terms) — linear idf, the x77 exactness convention
     "x143_bm25_topk" -> ((s, dir) =>
@@ -2270,6 +2310,13 @@ object SparkEntry {
       OracleSqlExt.ledgerDriftSql(3.0, 4.0, ClusterJaccard, ClusterBand),
     "x108_stream_neardup_gate" ->
       OracleSqlExt.streamNearDupGateSql(ClusterJaccard),
+    // the capped gate's OWN closed form (first-cap-per-bucket
+    // membership + frozen auto-reject), not x108's — at cap=3 the
+    // breaker genuinely changes verdicts on this corpus (dup
+    // families larger than the cap auto-reject their tail), and the
+    // oracle states exactly that semantics
+    "x158_gate_hot_bucket_cap" ->
+      OracleSqlExt.streamGateCappedSql(ClusterJaccard, 3),
     "x109_stream_gate_audit" ->
       OracleSqlExt.streamGateAuditSql(ClusterJaccard),
     "x129_stream_gate_ttl" ->

@@ -640,6 +640,51 @@ object OracleSqlExt {
          |  WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= $threshold)
          |ORDER BY d.doc_id""".stripMargin
 
+  /** Mirrors the x158 capped gate (`hotBucketCap = cap`): the breaker
+    * freezes each band bucket at its first `cap` arrivals, so the
+    * capped gate has its own exact closed form — non-recursive
+    * because freezing is PER BUCKET (a capped doc still enters its
+    * other, unfrozen buckets): with
+    * `rn = row_number() over (partition by band, bsig order by
+    * doc_id)`, a doc is rejected iff it lands in any bucket with
+    * `rn > cap` (the auto-reject — the bucket already held `cap`
+    * members at its arrival) OR it verifies at Jaccard ≥ `threshold`
+    * against an earlier doc in a bucket it ENTERED (`rn ≤ cap` — a
+    * doc appended to a bucket probes every earlier member, and all
+    * earlier same-sig docs are members exactly when rn ≤ cap).
+    * Reuses [[minhashCandCtes]]'s `bands`/`nz` CTEs (its uncapped
+    * `cand`/`j` CTEs go unused — DuckDB tolerates that).
+    */
+  def streamGateCappedSql(threshold: Double, cap: Int, k: Int = 12,
+                          r: Int = 3): String =
+    minhashCandCtes(k, r) +
+      s""", br AS (
+         |  SELECT doc_id, band, bsig,
+         |         row_number() OVER (PARTITION BY band, bsig
+         |                            ORDER BY doc_id) AS rn
+         |  FROM bands
+         |), frozen AS (
+         |  SELECT DISTINCT doc_id FROM br WHERE rn > $cap
+         |), candc AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM br a JOIN br b
+         |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+         |   AND b.rn <= $cap
+         |), jc AS (
+         |  SELECT doc_a, doc_b,
+         |         len(list_intersect(sa.s, sb.s)) AS inter,
+         |         len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS uni
+         |  FROM candc
+         |  JOIN nz sa ON sa.doc_id = doc_a
+         |  JOIN nz sb ON sb.doc_id = doc_b
+         |)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM frozen)
+         |  AND d.doc_id NOT IN (
+         |  SELECT doc_b FROM jc
+         |  WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= $threshold)
+         |ORDER BY d.doc_id""".stripMargin
+
   /** Mirrors the x109 gate AUDIT stream: every doc with its verdict —
     * admitted iff no smaller-id verified LSH pair rejects it (the
     * x108 rule as a flag instead of a filter).

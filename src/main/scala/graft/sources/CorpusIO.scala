@@ -308,16 +308,28 @@ object CorpusIO {
     * horizon is ADMITTED again (re-admission is the semantic point),
     * and late arrivals vanish from the output but surface in
     * `nLateDroppedRows`.
+    *
+    * `nearDupHotBucketCap = Some(n)` (requires `nearDup`) arms the
+    * gates' heavy-hitter circuit breaker: a doc landing in a band
+    * bucket already holding ≥ n entries auto-rejects at O(1) and the
+    * bucket freezes — the boilerplate-storm bound a production crawl
+    * wants at the pipe level (semantics and closed form on
+    * [[graft.operators.Dedup.streamingNearDupVerdicts]]; the x158 row
+    * oracle-pins them). Unset = uncapped, today's behavior.
     */
   def streamCurated(raw: DataFrame, outPath: String, checkpointDir: String,
                     buckets: Int = 256,
                     stats: Option[graft.streaming.CorpusIngestStats] = None,
                     nearDup: Option[Double] = None,
                     minQuality: Option[Double] = None,
-                    nearDupTtlMicros: Option[Long] = None)
+                    nearDupTtlMicros: Option[Long] = None,
+                    nearDupHotBucketCap: Option[Int] = None)
     : org.apache.spark.sql.streaming.StreamingQuery = {
     require(nearDupTtlMicros.isEmpty || nearDup.isDefined,
       "nearDupTtlMicros needs nearDup (the verify threshold) set too")
+    require(nearDupHotBucketCap.isEmpty || nearDup.isDefined,
+      "nearDupHotBucketCap needs nearDup (it caps the near-dup gate's " +
+        "band buckets — see Dedup.streamingNearDupVerdicts)")
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = raw.sparkSession
     import spark.implicits._
@@ -465,7 +477,9 @@ object CorpusIO {
             graft.operators.TextAnalysis.qualityScore(col("text")) >= m))
           .observe("corpus_gated", count(lit(1)).as("n_gate_pass"))
         val admitted = graft.operators.Dedup.streamingNearDupGateTtl(
-          cleanGated, nearDup.get, horizon)(_.text, _.ord)
+          cleanGated, nearDup.get, horizon,
+          hotBucketCap = nearDupHotBucketCap.getOrElse(Int.MaxValue))(
+          _.text, _.ord)
         val quar = typed.filter(col("q_reason").isNotNull)
           .observe("corpus_quar",
             sum(when(col("q_reason") === "malformed", 1L).otherwise(0L))
@@ -513,7 +527,8 @@ object CorpusIO {
         // with a "q|" key a 32-hex md5 can never produce).
         nearDup match {
           case Some(t) =>
-            graft.operators.Dedup.streamingNearDupGate(typed, t)(
+            graft.operators.Dedup.streamingNearDupGate(typed, t,
+              hotBucketCap = nearDupHotBucketCap.getOrElse(Int.MaxValue))(
               _.text, _.ord)
           case None =>
             graft.operators.Dedup.streamingFirstOccurrenceBy(typed)(

@@ -611,6 +611,42 @@ class CorpusIOSpec extends AnyFunSuite {
       "stale gen_tmp must be discarded")
   }
 
+  test("streamCurated with nearDupHotBucketCap: a boilerplate storm freezes the buckets, kept set unchanged") {
+    val root = tmp("graft-capcorpus")
+    val in = s"$root/in"
+    new java.io.File(in).mkdirs()
+    val hot = (1 to 40).map(i => s"hot$i").mkString(" ")
+    val cold = (100 to 140).map(i => s"cold$i").mkString(" ")
+    def jline(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "src0", "n_chars": ${text.length}}"""
+    val ss = graft.operators.Dedup.useRocksDbStateStore(spark.newSession())
+    val cur = CorpusIO.streamCurated(
+      CorpusIO.readJsonlStream(ss, in), s"$root/out", s"$root/ck",
+      buckets = 4, nearDup = Some(0.5), nearDupHotBucketCap = Some(3))
+    // a 10-doc identical-text storm + one unrelated doc: docs past
+    // the cap auto-reject through the frozen buckets; the kept set is
+    // what the uncapped gate would keep (identical text rejects
+    // either way), the unrelated doc is untouched, and the band state
+    // is FROZEN at the cap instead of growing with the storm
+    Files.write(java.nio.file.Paths.get(in, "f0.json"),
+      ((0 until 10).map(i => jline(i.toLong, hot)) :+ jline(10, cold))
+        .mkString("\n").getBytes("UTF-8"))
+    cur.processAllAvailable()
+    val bandRows = cur.lastProgress.stateOperators.map(_.numRowsTotal).max
+    cur.stop()
+    import spark.implicits._
+    val kept = CorpusIO.readCurated(spark, s"$root/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 10L),
+      s"capped pipe kept $kept — expected the storm owner and the " +
+        "unrelated doc only")
+    // 4 hot buckets frozen at 3 + 4 cold-doc buckets + the doc store
+    // (one row per stored doc) — far below the 11 docs × 4 bands an
+    // unfrozen layout would hold
+    assert(bandRows <= 30L,
+      s"band state grew past the frozen cap through the pipe: $bandRows")
+  }
+
   test("streamCurated with the near-dup gate: mutated copies rejected at the door, telemetry reconciles") {
     val root = tmp("graft-ndcorpus")
     val in = s"$root/in"
