@@ -1663,10 +1663,16 @@ object Dedup {
           ords.put(live.toArray) // amortized: drops ≥ half the bucket
         else
           prior.view.drop(preExisting).foreach(ords.appendValue)
-        getHandle.listTimers().foreach(getHandle.deleteTimer)
-        getHandle.registerTimer(math.max(
-          ttlExpiryMs(newest, liftMicros, horizonMicros),
-          timerValues.getCurrentWatermarkInMs() + 1L))
+        // one PENDING timer per bucket, armed lazily: re-arming on
+        // every touch (delete + register per batch) was pure RocksDB
+        // churn on hot buckets — an EARLY pending timer is just as
+        // correct, because the expiry handler keeps still-live
+        // entries and re-arms at their real expiry, converging to
+        // the empty bucket in a bounded number of fires
+        if (!getHandle.listTimers().hasNext)
+          getHandle.registerTimer(math.max(
+            ttlExpiryMs(newest, liftMicros, horizonMicros),
+            timerValues.getCurrentWatermarkInMs() + 1L))
       }
       out.iterator
     }
