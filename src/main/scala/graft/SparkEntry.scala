@@ -709,6 +709,46 @@ object SparkEntry {
           root.toString)
       }
     }),
+    // X3k the serving loop's last edge: the SAME 20 % appended by a
+    // STREAMING query (foreachBatch + incarnation-scoped tags → the
+    // manifest ledger makes replays no-ops), in two micro-batches —
+    // the search result must equal x154's one-shot append, so the
+    // oracle is shared deliberately (streamed absorption ≡ batch
+    // absorption; the exactly-once/replay machinery is spec-pinned)
+    "x159_ivf_stream_append" -> ((s, dir) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-sqstr")
+      guardingScratch(root.toString) {
+        val emb = Tables.read(s, dir, "embeddings")
+        Similarity.buildIvfSqIndex(
+          emb.filter(pmod(col("vec_id"), lit(5L)) =!= 4L), root.toString)
+        val rest =
+          emb.filter(pmod(col("vec_id"), lit(5L)) === 4L)
+            .select("vec_id", "embedding", "label")
+            .as[(Long, Array[Float], Int)].collect().sortBy(_._1)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Array[Float], Int)](ss)
+        val q = Similarity.streamAppendToIvfIndex(
+          ms.toDS().toDF("vec_id", "embedding", "label"),
+          root.toString, s"$root/ck")
+        try rest.grouped(rest.length / 2 + 1).foreach { chunk =>
+          ms.addData(chunk.toSeq)
+          q.processAllAvailable()
+        } catch { case e: Throwable =>
+          try q.stop() catch { case st: Throwable => e.addSuppressed(st) }
+          throw e
+        }
+        q.stop()
+        materializedWithoutScratch(
+          Similarity.searchIvfSq(s, root.toString,
+            emb.filter(col("vec_id").isin(0L, 1L, 2L))
+              .select("vec_id", "embedding"),
+            5, nprobe = 2).orderBy("q_id", "rank"),
+          root.toString)
+      }
+    }),
     // X3b the same lifecycle on IVFADC: frozen codebook + centroids,
     // appended code rows, search over the grown index
     "x155_ivfadc_append" -> ((s, dir) => {
@@ -2262,6 +2302,13 @@ object SparkEntry {
     // the append rows: quantizer frozen on the 80 % base, codes and
     // search over everything — stated from the raw table
     "x154_ivf_sq_append" ->
+      OracleSqlExt.ivfSqAppendTopKSql(Seq(0L, 1L, 2L), 5, 2,
+        "vec_id % 5 <> 4"),
+    // shared with x154 on purpose: streamed absorption must be
+    // CONTENT-IDENTICAL to the one-shot batch append it decomposes
+    // into (two micro-batches, exactly-once tags) — the same
+    // deliberate-reuse contract as x151/x152/x153
+    "x159_ivf_stream_append" ->
       OracleSqlExt.ivfSqAppendTopKSql(Seq(0L, 1L, 2L), 5, 2,
         "vec_id % 5 <> 4"),
     "x155_ivfadc_append" ->

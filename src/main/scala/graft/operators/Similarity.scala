@@ -1271,7 +1271,12 @@ object Similarity {
     * by name (re-run the operation; it re-enters against the winner's
     * snapshot), and [[retireUnreferenced]] never touches staging
     * newer than the published tip, so the loser's staged generation
-    * is not deleted out from under it.
+    * is not deleted out from under it. Detection is a tripwire, not
+    * a lock: the probe-to-rename pair is itself not atomic, and on
+    * filesystems whose rename overwrites (POSIX local) a perfectly
+    * simultaneous pair could still clobber — multi-driver writers
+    * remain UNSUPPORTED; the check turns realistic races into loud
+    * refusals.
     */
   private def writeManifestFile(hfs: org.apache.hadoop.fs.FileSystem,
                                 path: String, m: IndexManifest): Unit = {
@@ -1653,6 +1658,53 @@ object Similarity {
         retireUnreferenced(hfs, path, manifestGraceMs(spark))
       }
     }
+
+  /** Stream embeddings INTO a persisted IVF index — the serving
+    * loop's last edge: a crawl's embedder emits `(vec_id, embedding,
+    * label)` rows continuously and the index absorbs each micro-batch
+    * EXACTLY ONCE. Composition, not new machinery: `foreachBatch`
+    * replays at-least-once, and each batch appends under a
+    * checkpoint-incarnation-scoped tag (`s<incarnation12>_<batchId>`
+    * — the corpus sinks' batch-key discipline), so a crashed or
+    * replayed batch re-enters as a published tag and the manifest's
+    * delivery ledger makes it a no-op. The incarnation scope matters
+    * for the same reason it does on the sinks: a wiped-and-recreated
+    * checkpoint restarts batch ids at 0, and a bare-id tag would make
+    * the new incarnation's batch 0 silently alias the old one's.
+    * Kind-dispatched from the manifest (SQ/PQ) per batch; empty
+    * batches publish nothing. Each appended batch is one immutable
+    * generation — run [[compactIvfIndex]] on the cadence you would
+    * for daily appends (writers serialize on the index SinkLock, and
+    * searches are lock-free-consistent throughout, so maintenance
+    * never blocks reads). Ledger growth: one ~40-byte manifest line
+    * per micro-batch — size triggers accordingly (a trigger per few
+    * minutes, not per second; an ANN index wants batched absorption
+    * anyway).
+    */
+  def streamAppendToIvfIndex(emb: DataFrame, path: String,
+                             checkpointDir: String)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = emb.sparkSession
+    require(emb.isStreaming,
+      "streamAppendToIvfIndex takes a STREAMING frame — for a batch " +
+        "append call appendToIvfSqIndex/appendToIvfPqIndex directly")
+    val (ckptTag, _, _) = graft.streaming.StreamingIngest
+      .checkpointIdentityFull(spark, checkpointDir)
+    emb.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        if (!b.isEmpty) {
+          val batch = b.toDF()
+          val tag = s"s${ckptTag}_$batchId"
+          val kind = resolveManifest(indexFs(spark, path), path).kind
+          if (kind == "sq") appendToIvfSqIndex(batch, path, tag = tag)
+          else appendToIvfPqIndex(batch, path, tag = tag)
+        }
+        ()
+      }
+      .start()
+  }
 
   /** The trained dimensionality of a persisted SQ params row — the
     * params array length IS the index geometry (the SQ sibling of the

@@ -2521,6 +2521,79 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming index append is exactly-once per micro-batch and survives a checkpoint restart") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-annstr")
+    try {
+      val base = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 4L)
+      def codeCount() = Similarity.readIndexCodes(spark, s"$root/sq").count()
+      def version() = Similarity.currentIndexVersion(spark, s"$root/sq")
+      Similarity.buildIvfSqIndex(base, s"$root/sq")                  // v1
+      val n0 = codeCount()
+      def chunk(lo: Long, hi: Long) = emb
+        .filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .select((col("vec_id") + 400000L).as("vec_id"),
+          col("embedding"), col("label"))
+      // file source, not MemoryStream: the restart leg resumes the
+      // CHECKPOINT, which a per-instance MemoryStream cannot serve
+      val inDir = s"$root/in"
+      new java.io.File(inDir).mkdirs()
+      def drop(name: String, lo: Long, hi: Long): Unit = {
+        // stage then move atomically into the source dir (the file
+        // source must never list a half-written part file)
+        chunk(lo, hi).coalesce(1).write.mode("overwrite")
+          .parquet(s"$root/stage")
+        new java.io.File(s"$root/stage").listFiles()
+          .filter(_.getName.startsWith("part-")).zipWithIndex
+          .foreach { case (f, i) =>
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(inDir, s"$name-$i.parquet"))
+          }
+      }
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.IntegerType)))
+      def startStream() = Similarity.streamAppendToIvfIndex(
+        ss.readStream.schema(schema).parquet(inDir),
+        s"$root/sq", s"$root/ck")
+      val q = startStream()
+      drop("c0", 0L, 20L); q.processAllAvailable()  // batch 0
+      drop("c1", 20L, 30L); q.processAllAvailable() // batch 1
+      // an EMPTY trigger publishes nothing
+      q.processAllAvailable()
+      q.stop()
+      assert(codeCount() == n0 + 30 && version() == 3,
+        s"two streamed micro-batches must append exactly once each: " +
+          s"${codeCount() - n0} rows, v${version()}")
+      // a REPLAYED batch is a no-op: re-enter batch 1's rows under its
+      // derived tag (incarnation-scoped, read from the checkpoint the
+      // same way the stream derives it)
+      val tag = graft.streaming.StreamingIngest
+        .checkpointIdentityFull(spark, s"$root/ck")._1
+      Similarity.appendToIvfSqIndex(chunk(20L, 30L), s"$root/sq",
+        tag = s"s${tag}_1")
+      assert(codeCount() == n0 + 30 && version() == 3,
+        "replaying a streamed batch's tag must be a no-op — the " +
+          "manifest ledger is the exactly-once mechanism")
+      // a RESTARTED query on the same checkpoint resumes batch ids
+      // (no aliasing with the committed 0/1) and keeps absorbing
+      val q2 = startStream()
+      drop("c2", 30L, 35L); q2.processAllAvailable()
+      q2.stop()
+      assert(codeCount() == n0 + 35 && version() == 4,
+        s"the restarted stream must keep absorbing: ${codeCount() - n0}")
+    } finally {
+      val _ = new scala.reflect.io.Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("a pre-manifest flat index tree is diagnosed by name, not as a crashed build") {
     val root = java.nio.file.Files.createTempDirectory("graft-annleg")
     try {
