@@ -611,6 +611,63 @@ class CorpusIOSpec extends AnyFunSuite {
       "stale gen_tmp must be discarded")
   }
 
+  test("the TTL pipe's union reuses ONE parse: the quarantine branch is a ReusedExchange in the executed plan") {
+    // the single-parse contract's drift pin: the shared repartition
+    // must sit BELOW the mapPartitions pushdown barrier or Catalyst
+    // pushes each branch's filter into the shared subtree and the
+    // planner silently plans the JSONL source twice (the measured
+    // round-13 2.00×). The heavy parse_factor measurement lives in
+    // StressProof; this reads the executed micro-batch plan directly.
+    val root = tmp("graft-reuse")
+    val in = s"$root/in"
+    new java.io.File(in).mkdirs()
+    def jline(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "src0", "n_chars": ${text.length}}"""
+    Files.write(java.nio.file.Paths.get(in, "f0.json"),
+      ((0 until 20).map(i => jline(i.toLong, s"alpha beta gamma $i")) :+
+        "junk line").mkString("\n").getBytes("UTF-8"))
+    // capture every micro-batch's executed-plan description: the
+    // query's LAST execution is the trailing no-data watermark batch
+    // (whose empty-folded branches have nothing to reuse), so the pin
+    // must read the DATA batch's plan
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val pl = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          plans.synchronized { plans += s.physicalPlanDescription }; ()
+        case _ => ()
+      }
+    }
+    spark.sparkContext.addSparkListener(pl)
+    val ss = graft.operators.Dedup.useRocksDbStateStore(spark.newSession())
+    val cur = CorpusIO.streamCurated(
+      CorpusIO.readJsonlStream(ss, in), s"$root/out", s"$root/ck",
+      buckets = 2, nearDup = Some(0.5), nearDupTtlMicros = Some(5L))
+    cur.processAllAvailable()
+    cur.stop()
+    val deadline = System.currentTimeMillis() + 15000
+    def dataPlans() = plans.synchronized {
+      plans.filter(p => p.contains("TransformWithState") &&
+        p.contains("json")).toSeq
+    }
+    while (dataPlans().isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    spark.sparkContext.removeSparkListener(pl)
+    val dp = dataPlans()
+    assert(dp.nonEmpty, "no data-batch plan captured")
+    assert(dp.exists(_.contains("ReusedExchange")),
+      "the quarantine branch must reuse the clean branch's parse " +
+        "exchange — the single-parse layout regressed to two source " +
+        "subtrees")
+    dp.filter(_.contains("ReusedExchange")).foreach { p =>
+      val scans = "FileScan json".r.findAllIn(p).length
+      assert(scans <= 1,
+        s"a data batch's executed plan carries $scans JSONL scans — " +
+          "expected one (the union's second subtree must be reused)")
+    }
+  }
+
   test("streamCurated with nearDupHotBucketCap: a boilerplate storm freezes the buckets, kept set unchanged") {
     val root = tmp("graft-capcorpus")
     val in = s"$root/in"
