@@ -2589,6 +2589,19 @@ class ExtensionsSpec extends AnyFunSuite {
       q2.stop()
       assert(codeCount() == n0 + 35 && version() == 4,
         s"the restarted stream must keep absorbing: ${codeCount() - n0}")
+      // the PQ dispatch leg: the same stream absorbed into an IVFADC
+      // index (kind read from the manifest per batch)
+      Similarity.buildIvfPqIndex(base, s"$root/pq")
+      val p0 = Similarity.readIndexCodes(spark, s"$root/pq").count()
+      val q3 = Similarity.streamAppendToIvfIndex(
+        ss.readStream.schema(schema).parquet(inDir),
+        s"$root/pq", s"$root/ckpq")
+      q3.processAllAvailable() // absorbs all three dropped files
+      q3.stop()
+      // PQ codes are one row per (vec_id, sub): 8 subspaces per vector
+      assert(Similarity.readIndexCodes(spark, s"$root/pq").count() ==
+        p0 + 35 * 8,
+        "the PQ dispatch leg must absorb the streamed vectors")
     } finally {
       val _ = new scala.reflect.io.Directory(root.toFile).deleteRecursively()
     }
