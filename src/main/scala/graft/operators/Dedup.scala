@@ -1422,6 +1422,13 @@ object Dedup {
     * the horizon of every row that can still pass the late filter
     * (watermark monotonicity + the probe-time ord check — the
     * eviction spec pins re-admission and the empty post-sweep store).
+    * One carve-out: with `hotBucketCap` ARMED, the auto-reject
+    * triggers on the RETAINED bucket size, which includes
+    * beyond-horizon entries awaiting eviction — so at the cap margin
+    * a verdict can depend on eviction lag. That is load-shedding
+    * semantics by design (a bucket that large is boilerplate whether
+    * or not its tail has aged out); the default ∞ keeps the exact
+    * eviction-independent contract.
     * The watermark rides INTO op 2 via `transformWithState`'s
     * event-time-column output contract (op 1 re-stamps each output
     * row with its new doc's lifted ord, always ≥ the late-events
