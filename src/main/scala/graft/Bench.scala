@@ -30,9 +30,14 @@ object Bench {
         // a typo'd name must fail fast, not "measure" an empty set
         require(unknown.isEmpty,
           s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
-        SparkEntry.queries.keys.toSeq.filter(want)
-      case None => SparkEntry.queries.keys.toSeq
+        SparkEntry.queries.keys.toSeq.filter(want).sorted
+      case None => SparkEntry.queries.keys.toSeq.sorted
     }
+    // sorted: the map's hash order reshuffles whenever a query is
+    // added, which redistributes JVM/codegen warmup across rounds and
+    // wobbles round-over-round totals by tens of seconds for no plan
+    // reason; a fixed alphabetical order makes cross-round per-query
+    // deltas measure the CODE, not the iteration order
     val warmDir = "/root/testdata/sf0.001"
     // prepare BEFORE the first release snapshot at each SF: the shared
     // memoized views persist lazily on first use, and the per-query
