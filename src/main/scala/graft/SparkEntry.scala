@@ -556,6 +556,14 @@ object SparkEntry {
     "x22_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashNearDups(Tables.read(s, dir, "documents"), 0.5)
         .orderBy("doc_a", "doc_b")),
+    // X2 batch circuit breaker: pairs from ≤ cap band buckets only —
+    // the symmetric closed form of the streaming breaker (x158); on
+    // this corpus cap=3 genuinely drops oversized dup-family buckets,
+    // so the row pins the cap rule itself, not a no-op configuration
+    "x160_lsh_bucket_cap" -> ((s, dir) =>
+      Dedup.minhashNearDups(Tables.read(s, dir, "documents"), 0.5,
+        bucketCap = 3)
+        .orderBy("doc_a", "doc_b")),
     // X2: SimHash near-dup pairs (hamming ≤ 16 over 60-bit fingerprints)
     "x23_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.read(s, dir, "documents"), 6, 50)
@@ -2233,6 +2241,7 @@ object SparkEntry {
     "x20_dedup_exact" -> OracleSqlExt.dedupExactSql,
     "x21_ngram_jaccard" -> OracleSqlExt.ngramJaccardSql(0.5, 10),
     "x22_minhash_lsh" -> OracleSqlExt.minhashLshSql(0.5),
+    "x160_lsh_bucket_cap" -> OracleSqlExt.minhashLshCappedSql(0.5, 3),
     "x113_lsh_audit" -> OracleSqlExt.lshAuditSql(Seq(0.5, 0.7, 0.9), band = 10),
     "x23_simhash" -> OracleSqlExt.simhashPairsSql(6, 50),
     "x24_cosine_topk" -> OracleSqlExt.cosineTopKSql(Seq(0L, 1L, 2L), 5),

@@ -196,33 +196,87 @@ object Dedup {
     * md5(h_{jr} | … | h_{jr+r−1}). Docs sharing ANY band signature are
     * candidates. One shuffle on (band, sig); bucket self-join.
     */
-  def lshCandidatePairs(docs: DataFrame, k: Int = 12, r: Int = 3): DataFrame = {
+  /** `bucketCap` is the batch sibling of the streaming gates'
+    * hot-bucket circuit breaker: a band bucket holding more than
+    * `bucketCap` docs contributes NO candidate pairs — an
+    * intra-bucket join there is O(bucket²), and a bucket that large
+    * is boilerplate by construction (FAISS's max-list-length
+    * semantics; a one-in-millions MinHash collision does not put
+    * thousands of docs in one 3-row band). Unlike the sequential
+    * gates the batch form is symmetric, so the capped output has a
+    * simple closed form (pairs from ≤ cap buckets only — the x160
+    * oracle) and [[lshOversizedBuckets]] surfaces exactly what was
+    * skipped, member by member, for the boilerplate report the skip
+    * implies (the x97 drop-reason discipline). Default ∞ = today's
+    * exhaustive behavior, plan-unchanged.
+    */
+  def lshCandidatePairs(docs: DataFrame, k: Int = 12, r: Int = 3,
+                        bucketCap: Int = Int.MaxValue): DataFrame = {
     require(r > 0 && k % r == 0,
       s"band width $r must divide signature size $k (else hashes are silently dropped)")
+    require(bucketCap > 0, s"bucketCap must be positive, got $bucketCap")
+    val bands = bandRowsTable(docs, k, r)
+    val bounded =
+      if (bucketCap == Int.MaxValue) bands
+      else {
+        // one count over the join's own shuffle key — the filter adds
+        // an aggregation on (band, sig), not a new join dimension
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("sig"))
+        bands.withColumn("__bn", count(lit(1)).over(w))
+          .filter(col("__bn") <= bucketCap).drop("__bn")
+      }
+    val l = bounded.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val rr = bounded.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    l.join(rr, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** The (band, sig) rows of every shingled doc — the shared band
+    * fan-out of [[lshCandidatePairs]] and [[lshOversizedBuckets]]
+    * (one definition, the bucket rule cannot drift between the
+    * candidate path and its skip report).
+    */
+  private def bandRowsTable(docs: DataFrame, k: Int, r: Int): DataFrame = {
     // empty-shingle docs have no signature (NULL min) — drop them here so
     // they can't cluster into one degenerate bucket
     val sig = withMinhashSignature(shingled(docs).filter(size(col("sh")) > 0), k)
     val nBands = k / r
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       explode(array((0 until nBands).map { j =>
         struct(lit(j).as("band"),
           md5(concat_ws("|", (0 until r).map(o => col(s"h${j * r + o}")): _*)).as("sig"))
       }: _*)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.sig"))
       .filter(col("sig").isNotNull)
-    val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-    val rr = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
-    l.join(rr, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** The members of every band bucket LARGER than `bucketCap` — what
+    * a capped [[lshCandidatePairs]] skipped, surfaced with identity
+    * (doc, band, bucket signature, bucket size) so the skip is a
+    * boilerplate REPORT, not a silent hole: at crawl scale these
+    * buckets ARE the template/boilerplate clusters, and the natural
+    * follow-up is exact dedup or removal over exactly these docs.
+    */
+  def lshOversizedBuckets(docs: DataFrame, bucketCap: Int,
+                          k: Int = 12, r: Int = 3): DataFrame = {
+    require(bucketCap > 0, s"bucketCap must be positive, got $bucketCap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("sig"))
+    bandRowsTable(docs, k, r)
+      .withColumn("bucket_size", count(lit(1)).over(w))
+      .filter(col("bucket_size") > bucketCap)
   }
 
   /** LSH candidates verified by exact Jaccard — the scalable near-dup
     * pipeline (candidate gen O(n·bands), verification O(|candidates|)).
     */
   def minhashNearDups(docs: DataFrame, threshold: Double,
-                      k: Int = 12, r: Int = 3): DataFrame =
-    verifyJaccard(lshCandidatePairs(docs, k, r), shingled(docs), threshold)
+                      k: Int = 12, r: Int = 3,
+                      bucketCap: Int = Int.MaxValue): DataFrame =
+    verifyJaccard(lshCandidatePairs(docs, k, r, bucketCap),
+      shingled(docs), threshold)
 
   /** LSH quality audit — precision and recall of the banded-MinHash
     * candidate generator against the EXACT prefix-postings ground

@@ -569,6 +569,36 @@ object OracleSqlExt {
          |FROM j WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= $threshold
          |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Mirrors the x160 bucket-capped batch LSH: candidate pairs come
+    * only from band buckets holding ≤ `cap` docs (the batch circuit
+    * breaker — symmetric, so the closed form is a per-bucket count
+    * filter, no sequential rank), verified at exact Jaccard ≥
+    * `threshold` as usual.
+    */
+  def minhashLshCappedSql(threshold: Double, cap: Int, k: Int = 12,
+                          r: Int = 3): String =
+    minhashCandCtes(k, r) +
+      s""", bsz AS (
+         |  SELECT band, bsig, count(*) AS n FROM bands GROUP BY band, bsig
+         |), candk AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a
+         |  JOIN bsz s ON s.band = a.band AND s.bsig = a.bsig AND s.n <= $cap
+         |  JOIN bands b
+         |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+         |), jk AS (
+         |  SELECT doc_a, doc_b,
+         |         len(list_intersect(sa.s, sb.s)) AS inter,
+         |         len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS uni
+         |  FROM candk
+         |  JOIN nz sa ON sa.doc_id = doc_a
+         |  JOIN nz sb ON sb.doc_id = doc_b
+         |)
+         |SELECT doc_a, doc_b,
+         |       CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) AS jaccard
+         |FROM jk WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= $threshold
+         |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Mirrors `Dedup.lshAudit`: the LSH candidate pairs with their
     * exact Jaccard (the `j` CTE, unfiltered), the exhaustive banded
     * ground truth at min(thresholds) (the x21 naive spelling), a

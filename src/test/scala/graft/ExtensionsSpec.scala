@@ -69,6 +69,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(s(Dedup.minhashNearDups(docs, 0.9)) == s(Dedup.jaccardPairs(docs, 0.9, 50)))
   }
 
+  test("batch bucketCap: a planted megabucket contributes no pairs and is surfaced member-by-member") {
+    import spark.implicits._
+    // 8 identical docs (one 8-member bucket per band) + one mutated
+    // near-dup pair: at cap=5 the megabucket's 28 intra-pairs vanish,
+    // the small pair's bucket (2 ≤ 5) is untouched, and the skip
+    // report carries exactly the 8 members × 4 bands
+    val hot = (1 to 40).map(i => s"bat$i").mkString(" ")
+    val base = (100 to 140).map(i => s"pair$i").mkString(" ")
+    val d = ((0 until 8).map(i => (i.toLong, hot)) ++
+      Seq((20L, base), (21L, base + " tail42")))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    def pairs(cap: Int) = Dedup.minhashNearDups(d, 0.5, bucketCap = cap)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val uncapped = pairs(Int.MaxValue)
+    assert(uncapped.size == 28 + 1, s"fixture: ${uncapped.size} pairs")
+    assert(pairs(5) == Set((20L, 21L)),
+      "cap=5 must drop exactly the megabucket's pairs")
+    val report = Dedup.lshOversizedBuckets(d, 5)
+      .select("doc_id", "bucket_size").as[(Long, Long)].collect()
+    assert(report.length == 8 * 4 && report.forall(_._2 == 8L) &&
+      report.map(_._1).toSet == (0L until 8L).toSet,
+      s"skip report must carry the 8 members x 4 bands: ${report.length}")
+    // cap above every bucket ≡ uncapped (the default's drift pin)
+    assert(pairs(8) == uncapped)
+  }
+
   test("exactDedup keeps one row per group; group sizes sum to total") {
     import spark.implicits._
     val d = Dedup.exactDedup(docs.select("lang", "source", "doc_id", "n_chars"),
