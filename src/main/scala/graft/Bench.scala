@@ -114,11 +114,16 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the measurement protocol rides the durable output so a recorded
+    // round states HOW its numbers were taken (SCALE §8l documents a
+    // multi-second host-drift band on single passes; min-of-N
+    // interleaved is what rejects it)
+    val protocol = s"min-of-$passes-interleaved"
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","protocol":"$protocol","queries":$qs,"sf":"$sfDir"}""")
     results.toSeq.sortBy(_._1).foreach { case (n, t) =>
       println(s"BENCH $n ${fmt(t)}")
     }
-    println(compactLine(results, total, sfDir))
+    println(compactLine(results, total, sfDir, protocol))
     spark.stop()
   }
 
@@ -135,7 +140,7 @@ object Bench {
     * BENCH lines above).
     */
   def compactLine(results: Map[String, Double], total: Double,
-                  sfDir: String): String = {
+                  sfDir: String, protocol: String = ""): String = {
     // deciseconds, degrading to whole seconds at ≥ 10 s and SATURATING
     // at 9999: full millisecond precision lives in the layer-1 JSON
     // and the BENCH lines above; this line exists to survive the tail
@@ -152,7 +157,9 @@ object Bench {
     def render(entries: Seq[(String, String)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$tot,"unit":"sec","nq":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      val proto =
+        if (protocol.isEmpty) "" else s""","protocol":"$protocol""""
+      s"""{"metric":"total","value":$tot,"unit":"sec","nq":${results.size}$proto,"queries":$qs,"sf":"$sfDir"}"""
     }
     val all = results.toSeq.sortBy(_._1)
       .map { case (k, v) => (k.takeWhile(_ != '_'), fmt1(v), v) }

@@ -1105,6 +1105,40 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),
+    // X33i reason-tagged audit: x109's audit stream with the verdict
+    // bit widened to WHY — admitted | near_dup (of_ord = smallest
+    // verified prior) | hot_bucket — under the same armed cap as
+    // x158, where both reject reasons genuinely occur on this corpus.
+    // Oracle: the composition of x108's smaller-id verified-pair rule
+    // (restricted to entered buckets) and x158's row_number freeze
+    // rule, verified-reason precedence as documented on the gate
+    "x161_gate_audit_reasons" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Tables.read(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .as[graft.sources.CorpusIO.CuratedDoc].collect().sortBy(_.doc_id)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      Dedup.useRocksDbStateStore(ss)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.sources.CorpusIO.CuratedDoc](ss)
+      val tagged = Dedup.streamingNearDupVerdictsTagged(
+          ms.toDS(), ClusterJaccard, hotBucketCap = 3)(_.text, _.doc_id)
+        .map(v => (v._1, v._2, v._3))
+      val q = tagged.toDF("doc_id", "reason", "of_ord")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("graft_gate_reasons")
+        .start()
+      try rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      } catch { case e: Throwable =>
+        try q.stop() catch { case s2: Throwable => e.addSuppressed(s2) }
+        throw e
+      }
+      q.stop()
+      ss.table("graft_gate_reasons").orderBy("doc_id")
+    }),
     // X4f BM25 top-20 retrieval over a fixed query term set (rare +
     // common terms) — linear idf, the x77 exactness convention
     "x143_bm25_topk" -> ((s, dir) =>
@@ -2375,6 +2409,11 @@ object SparkEntry {
       OracleSqlExt.streamGateCappedSql(ClusterJaccard, 3),
     "x109_stream_gate_audit" ->
       OracleSqlExt.streamGateAuditSql(ClusterJaccard),
+    // the two reject closed forms composed (entered-bucket verified
+    // pairs name near_dup + its smallest prior; the freeze rule names
+    // hot_bucket; verified wins when both apply)
+    "x161_gate_audit_reasons" ->
+      OracleSqlExt.streamGateAuditReasonsSql(ClusterJaccard, 3),
     "x129_stream_gate_ttl" ->
       OracleSqlExt.streamNearDupGateTtlSql(ClusterJaccard, GateHorizonMicros),
     // the TTL pipe promises the kept set of the TTL gate over the raw

@@ -58,7 +58,7 @@ object StressProof {
         ("neardupgate", nearDupGate), ("hotbucket", hotBucketGate),
         ("ttlgate", ttlGate),
         ("corpuspipe", corpusPipe), ("ttlpipe", ttlPipe),
-        ("shards", shards))
+        ("shards", shards), ("absorber", absorber))
       val unknown = args.toSet -- blocks.map(_._1).toSet
       require(unknown.isEmpty, s"unknown stress blocks: $unknown " +
         s"(known: ${blocks.map(_._1).mkString(", ")})")
@@ -905,6 +905,81 @@ object StressProof {
       s"hot-bucket circuit breaker did not bound probe emission: " +
         s"$capped tail rows at cap=50 vs $uncapped uncapped — " +
         "expected at least a 10× drop on a 600-ord megabucket")
+  }
+
+  /** The streaming index absorber with size-ratio auto-compaction
+    * ARMED (ratio 4) at 16 000 base vectors + 8 × 2 000-vector
+    * micro-batches — the maintenance loop's COST side, measured (the
+    * content-invariance side is the spec's job):
+    *  - amortization: total bytes rewritten by compaction stay within
+    *    (ratio + 2) × the bytes appended — the geometric trigger's
+    *    write-amplification argument as a number, not an adjective;
+    *  - bounded fragmentation: the manifest's referenced generation
+    *    count stays ≤ 6 after EVERY batch (the small-dirs listing
+    *    hazard the trigger exists for — without it, one generation
+    *    per batch forever);
+    *  - the trigger genuinely fires (≥ 1 compaction) at this
+    *    batch/corpus ratio.
+    * The default 15-min retention grace keeps every generation this
+    * short run creates on disk, so the end-of-run `gens/` census sees
+    * the full write history (nothing silently deleted mid-run).
+    */
+  private def absorber(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val dim = 16
+    val nBase = 16000L
+    val batches = 8
+    val per = 2000L
+    val ratio = 4L
+    val root = java.nio.file.Files.createTempDirectory("graft-sabsorb")
+    val path = s"$root/sq"
+    val emb = plantedEmb(spark, nBase + batches * per, dim)
+      .withColumn("label",
+        pmod(col("vec_id") * 13L + 5L, lit(8L)).cast("int"))
+    Similarity.buildIvfSqIndex(emb.filter(col("vec_id") < nBase), path)
+    val rest = emb.filter(col("vec_id") >= nBase)
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)].collect().sortBy(_._1)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float], Int)](ss)
+    val q = Similarity.streamAppendToIvfIndex(
+      ms.toDS().toDF("vec_id", "embedding", "label"),
+      path, s"$root/ck", compactRatio = ratio)
+    var maxGens = 0
+    val times = rest.grouped(per.toInt).map { chunk =>
+      ms.addData(chunk.toSeq)
+      val (_, dt) = timed(q.processAllAvailable())
+      maxGens = math.max(maxGens,
+        Similarity.referencedGens(spark, path).size)
+      dt
+    }.toSeq
+    q.stop()
+    val hfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sizes = hfs.listStatus(new org.apache.hadoop.fs.Path(s"$path/gens"))
+      .filter(_.isDirectory)
+      .map(d => (d.getPath.getName, hfs.getContentSummary(d.getPath).getLength))
+    val aBytes = sizes.filter(_._1.startsWith("gen=a")).map(_._2).sum
+    val cBytes = sizes.filter(_._1.startsWith("gen=c")).map(_._2).sum
+    val nCompacts = sizes.count(_._1.startsWith("gen=c"))
+    new scala.reflect.io.Directory(root.toFile).deleteRecursively()
+    val amp = cBytes.toDouble / math.max(1L, aBytes)
+    println(f"STRESS absorber base=$nBase batches=$batches per=$per " +
+      f"ratio=$ratio compactions=$nCompacts max_ref_gens=$maxGens " +
+      f"appended_bytes=$aBytes rewritten_bytes=$cBytes amp=$amp%.2f " +
+      s"t_batches=${times.map(t => f"$t%.1f").mkString("/")}s")
+    require(nCompacts >= 1,
+      "the size-ratio trigger never fired across 8 batches at 8:1 " +
+        "corpus/batch — the auto-compaction loop is dead")
+    require(maxGens <= 6,
+      s"referenced generations reached $maxGens — the trigger is not " +
+        "bounding fragmentation (one gen per batch is the hazard)")
+    require(amp <= (ratio + 2).toDouble,
+      f"compaction rewrote $amp%.2f× the appended bytes — the " +
+        f"geometric trigger's amortization (≤ ratio + 2 = ${ratio + 2}) " +
+        "has regressed")
   }
 
   /** Training-shard writer at 1 M docs: the 256-bucket two-phase

@@ -215,22 +215,73 @@ object Dedup {
     require(r > 0 && k % r == 0,
       s"band width $r must divide signature size $k (else hashes are silently dropped)")
     require(bucketCap > 0, s"bucketCap must be positive, got $bucketCap")
-    val bands = bandRowsTable(docs, k, r)
     val bounded =
-      if (bucketCap == Int.MaxValue) bands
-      else {
-        // one count over the join's own shuffle key — the filter adds
-        // an aggregation on (band, sig), not a new join dimension
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("sig"))
-        bands.withColumn("__bn", count(lit(1)).over(w))
-          .filter(col("__bn") <= bucketCap).drop("__bn")
-      }
+      if (bucketCap == Int.MaxValue) bandRowsTable(docs, k, r)
+      else sizedBandRows(docs, k, r)
+        .filter(col("bucket_size") <= bucketCap).drop("bucket_size")
+    pairsFromBandRows(bounded)
+  }
+
+  /** The bucket self-join of [[lshCandidatePairs]] over an
+    * already-bounded band-row table — split out so the one-scan
+    * cap+report combo builds pairs from the SAME rows its report
+    * reads (one definition of the join).
+    */
+  private def pairsFromBandRows(bounded: DataFrame): DataFrame = {
     val l = bounded.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val rr = bounded.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
     l.join(rr, Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+  }
+
+  /** [[bandRowsTable]] plus each row's bucket occupancy — one count
+    * over the bucket join's own (band, sig) shuffle key, an
+    * aggregation, not a new join dimension. The ONE spelling of the
+    * bucket-size rule shared by the capped candidate path, the skip
+    * report and the one-scan combo.
+    */
+  private def sizedBandRows(docs: DataFrame, k: Int, r: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("sig"))
+    bandRowsTable(docs, k, r)
+      .withColumn("bucket_size", count(lit(1)).over(w))
+  }
+
+  /** The capped candidate pairs AND their boilerplate skip report
+    * from ONE shingle→minhash→band computation — calling
+    * [[lshCandidatePairs]] and [[lshOversizedBuckets]] separately
+    * re-runs the full corpus pipeline twice, which at crawl scale is
+    * a second corpus scan for the report the cap implies you want.
+    * The shared sized band-row table is cached (memory-and-disk —
+    * it is O(docs · k/r) small rows, not the corpus text); `pairs`
+    * and `oversized` are exactly the two functions' outputs, derived
+    * from the SAME rows. Call [[CappedLsh.unpersist]] once both are
+    * consumed.
+    */
+  def lshCandidatePairsWithReport(docs: DataFrame, bucketCap: Int,
+                                  k: Int = 12, r: Int = 3): CappedLsh = {
+    require(r > 0 && k % r == 0,
+      s"band width $r must divide signature size $k (else hashes are silently dropped)")
+    require(bucketCap > 0, s"bucketCap must be positive, got $bucketCap")
+    val sized = sizedBandRows(docs, k, r)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CappedLsh(
+      pairsFromBandRows(
+        sized.filter(col("bucket_size") <= bucketCap).drop("bucket_size")),
+      sized.filter(col("bucket_size") > bucketCap),
+      sized)
+  }
+
+  /** One-scan cap+report handle (see
+    * [[lshCandidatePairsWithReport]]): `pairs` ≡ the capped
+    * [[lshCandidatePairs]], `oversized` ≡ [[lshOversizedBuckets]];
+    * both read the one cached band table — [[unpersist]] it when
+    * done.
+    */
+  final case class CappedLsh(pairs: DataFrame, oversized: DataFrame,
+                             private val bands: DataFrame) {
+    def unpersist(): Unit = { bands.unpersist(); () }
   }
 
   /** The (band, sig) rows of every shingled doc — the shared band
@@ -261,12 +312,10 @@ object Dedup {
     */
   def lshOversizedBuckets(docs: DataFrame, bucketCap: Int,
                           k: Int = 12, r: Int = 3): DataFrame = {
+    require(r > 0 && k % r == 0,
+      s"band width $r must divide signature size $k (else hashes are silently dropped)")
     require(bucketCap > 0, s"bucketCap must be positive, got $bucketCap")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("sig"))
-    bandRowsTable(docs, k, r)
-      .withColumn("bucket_size", count(lit(1)).over(w))
-      .filter(col("bucket_size") > bucketCap)
+    sizedBandRows(docs, k, r).filter(col("bucket_size") > bucketCap)
   }
 
   /** LSH candidates verified by exact Jaccard — the scalable near-dup
@@ -1106,6 +1155,51 @@ object Dedup {
       text: T => String, ord: T => Long)(
       implicit enc: org.apache.spark.sql.Encoder[T])
     : org.apache.spark.sql.Dataset[(Long, Boolean, T)] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val outEnc: Encoder[(Long, Boolean, T)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaBoolean, enc)
+    streamingNearDupVerdictsTagged(ds, threshold, k, r, hotBucketCap)(
+        text, ord)
+      .map(v => (v._1, v._2 == ReasonAdmitted, v._4))(outEnc)
+  }
+
+  /** The audit reason labels — one definition so the gate verdicts,
+    * the fixtures and the specs cannot drift on spelling. A doc's
+    * reason is `near_dup` when some prior verified against it at
+    * exact Jaccard ≥ threshold in a band bucket it entered (`of_ord`
+    * = the SMALLEST such prior — deterministic, and the batch-closed
+    * composition the oracle states), `hot_bucket` when its only
+    * rejections were the circuit breaker's auto-rejects (no verified
+    * prior; `of_ord` is empty — naming one bucket member would be
+    * arbitrary), and `admitted` otherwise. A doc can hit both (frozen
+    * in one bucket, verified in another it entered): the VERIFIED
+    * reason wins — it names an actual near-duplicate, which is what
+    * an audit reader acts on.
+    */
+  val ReasonAdmitted = "admitted"
+  val ReasonNearDup = "near_dup"
+  val ReasonHotBucket = "hot_bucket"
+
+  /** Reason-tagged audit variant of [[streamingNearDupVerdicts]]:
+    * `(ord, reason, of_ord, doc)` — the x97 batch drop-reason
+    * discipline on the streaming gate. With the breaker armed, an
+    * admitted/rejected bit cannot say WHY intake dropped; operators
+    * triaging a drop spike need `near_dup(of_ord)` vs `hot_bucket`
+    * (boilerplate storm) spelled out per doc (see the reason-label
+    * contract above). Same state machine and exchanges as the plain
+    * verdicts — which ARE this stream with the reason collapsed to a
+    * bit (one definition, they cannot drift); both reject reasons
+    * have closed batch forms (the smaller-id verified pair rule and
+    * the row_number-per-band-signature freeze rule), so the whole
+    * stream is oracle-checkable at full scale.
+    */
+  def streamingNearDupVerdictsTagged[T](
+      ds: org.apache.spark.sql.Dataset[T],
+      threshold: Double, k: Int = 12, r: Int = 3,
+      hotBucketCap: Int = Int.MaxValue)(
+      text: T => String, ord: T => Long)(
+      implicit enc: org.apache.spark.sql.Encoder[T])
+    : org.apache.spark.sql.Dataset[(Long, String, Option[Long], T)] = {
     require(r > 0 && k % r == 0,
       s"band width $r must divide signature size $k (else hashes are silently dropped)")
     require(hotBucketCap > 0,
@@ -1127,8 +1221,9 @@ object Dedup {
     val rowEnc: Encoder[(String, Long, Array[Long], Option[T])] =
       Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
         implicitly[Encoder[Array[Long]]], optEnc)
-    val outEnc: Encoder[(Long, Boolean, T)] =
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaBoolean, enc)
+    val outEnc: Encoder[(Long, String, Option[Long], T)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
+        optionEncoderOf(Encoders.scalaLong), enc)
     // probe/self rows: (group ord, doc ord, isSelf, shingles,
     // payload) — the payload slot is Some on exactly one row per doc
     // (its self row); probes and votes ship None, so a doc colliding
@@ -1138,8 +1233,9 @@ object Dedup {
     val probeEnc: Encoder[(Long, Long, Boolean, Array[Long], Option[T])] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
         Encoders.scalaBoolean, implicitly[Encoder[Array[Long]]], optEnc)
-    val voteEnc: Encoder[(Long, Boolean, Option[T])] =
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaBoolean, optEnc)
+    val voteEnc: Encoder[(Long, Option[Long], Boolean, Option[T])] =
+      Encoders.tuple(Encoders.scalaLong,
+        optionEncoderOf(Encoders.scalaLong), Encoders.scalaBoolean, optEnc)
     val shinglesEnc: Encoder[Array[Long]] = implicitly
     // op 1: band buckets hold ORDS only, in a ListState — absorbing a
     // batch APPENDS the new ords (O(new) state write) instead of
@@ -1155,9 +1251,11 @@ object Dedup {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Append())(probeEnc)
     // op 2: the doc-keyed shingle store — each set stored ONCE; probes
-    // verify against it and emit reject votes for their new doc
+    // verify against it and emit reject votes for their new doc (a
+    // vote carries the verified prior's ord, or the hot-bucket flag
+    // for the breaker's pre-verified sentinel probes)
     val verdicts = candidates.groupByKey(_._1)(Encoders.scalaLong)
-      .flatMapGroupsWithState[Array[Long], (Long, Boolean, Option[T])](
+      .flatMapGroupsWithState[Array[Long], (Long, Option[Long], Boolean, Option[T])](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (g: Long,
          rows: Iterator[(Long, Long, Boolean, Array[Long], Option[T])],
@@ -1174,7 +1272,7 @@ object Dedup {
                 "identify a document (two docs' rows would merge in the " +
                 "per-doc reduce)")
           val out = scala.collection.mutable.ArrayBuffer
-            .empty[(Long, Boolean, Option[T])]
+            .empty[(Long, Option[Long], Boolean, Option[T])]
           selfRows.foreach { case (_, o, _, sh, docOpt) =>
             // shingle-less docs create no state. An existing entry is
             // EITHER a batch replay (state is the pre-batch snapshot
@@ -1197,7 +1295,7 @@ object Dedup {
                       "two distinct documents share an ord across " +
                       "batches; ord must uniquely identify a document")
             }
-            out += ((o, false, docOpt))
+            out += ((o, None, false, docOpt))
           }
           if (probes.nonEmpty) {
             val mine = state.getOption
@@ -1206,13 +1304,18 @@ object Dedup {
                 s"probe for ord $g found neither stored shingles nor a " +
                   "self row — band state and the doc store have diverged"))
             probes.foreach { case (_, f, _, sh, _) =>
-              if (jaccardSorted(mine, sh) >= threshold)
-                out += ((f, true, None))
+              // a probe against the doc's own group is the breaker's
+              // pre-verified sentinel (ordinary probes carry a PRIOR
+              // group — a same-ord prior is the guarded ord tie):
+              // hot-bucket vote, no Jaccard needed
+              if (f == g) out += ((f, None, true, None))
+              else if (jaccardSorted(mine, sh) >= threshold)
+                out += ((f, Some(g), false, None))
             }
           }
           out.iterator
       }(shinglesEnc, voteEnc)
-    reduceByOrd(verdicts)(outEnc)
+    reduceByOrdTagged(verdicts)(outEnc)
   }
 
   /** Configure `session` for the streaming gates' required state
@@ -1378,7 +1481,8 @@ object Dedup {
   /** Shared final reduce of the streaming gates: keyed on `ord`, a
     * STATELESS per-batch fold (state is never written) — a doc is
     * admitted iff no bucket voted reject, exactly one payload row
-    * emitted. Sound because every band row of a doc is produced
+    * emitted, reason-tagged per the label contract on
+    * [[ReasonAdmitted]]. Sound because every band row of a doc is produced
     * within its own micro-batch. One definition for both gates.
     * Relies on the documented ord-uniqueness contract: the verify
     * ops throw loudly on a within-bucket ord tie
@@ -1394,26 +1498,35 @@ object Dedup {
     * (no state on either side; the rows sit in different batches, so
     * this per-batch reduce never merges them).
     */
-  private def reduceByOrd[T](
-      verdicts: org.apache.spark.sql.Dataset[(Long, Boolean, Option[T])])(
-      implicit outEnc: org.apache.spark.sql.Encoder[(Long, Boolean, T)])
-    : org.apache.spark.sql.Dataset[(Long, Boolean, T)] = {
+  private def reduceByOrdTagged[T](
+      verdicts: org.apache.spark.sql.Dataset[(Long, Option[Long], Boolean, Option[T])])(
+      implicit outEnc: org.apache.spark.sql.Encoder[(Long, String, Option[Long], T)])
+    : org.apache.spark.sql.Dataset[(Long, String, Option[Long], T)] = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     verdicts.groupByKey(_._1)(Encoders.scalaLong)
-      .flatMapGroupsWithState[Boolean, (Long, Boolean, T)](
+      .flatMapGroupsWithState[Boolean, (Long, String, Option[Long], T)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (o: Long, rows: Iterator[(Long, Boolean, Option[T])],
+        (o: Long, rows: Iterator[(Long, Option[Long], Boolean, Option[T])],
          _: GroupState[Boolean]) =>
           val rs = rows.toSeq
           // the payload arrives on exactly one row per doc (the
           // self/band-0 path); votes ship None — a missing payload
           // means the one-payload-row construction drifted
-          val payload = rs.collectFirst { case (_, _, Some(d)) => d }
+          val payload = rs.collectFirst { case (_, _, _, Some(d)) => d }
             .getOrElse(throw new IllegalStateException(
               s"ord $o produced verdict rows but no payload row — " +
                 "every doc must emit exactly one payload-bearing row"))
-          Iterator.single((o, !rs.exists(_._2), payload))
+          // the reason-label contract (see the constants' doc): a
+          // verified near-dup vote beats the breaker's auto-reject,
+          // of_ord = the smallest verified prior
+          val nearDups = rs.flatMap(_._2)
+          val reason =
+            if (nearDups.nonEmpty) ReasonNearDup
+            else if (rs.exists(_._3)) ReasonHotBucket
+            else ReasonAdmitted
+          Iterator.single((o, reason,
+            if (nearDups.nonEmpty) Some(nearDups.min) else None, payload))
       }(Encoders.scalaBoolean, outEnc)
   }
 
@@ -1433,9 +1546,10 @@ object Dedup {
     * keys on it — both gates emit one row per ord) and arrival must
     * be ord-ordered across batches (the crawl contract every other
     * streaming op here assumes). Bounded state, mechanically:
-    *  - per-touch pruning — a bucket keeps only entries within
-    *    `horizonMicros` of its newest ord (older entries can never
-    *    match again under ordered arrival);
+    *  - per-touch pruning — a bucket keeps only entries whose
+    *    [[ttlExpiryMs]] is still ahead of the watermark (an entry
+    *    behind it can never match any row the late filter still
+    *    admits);
     *  - whole-bucket eviction — a watermark on the ord timestamp
     *    drives `EventTimeTimeout`: a bucket silent past its newest
     *    ord + horizon is REMOVED by the state store, so idle buckets
@@ -1457,11 +1571,16 @@ object Dedup {
     * time (op 1), so verdicts are a pure function of the data and
     * NEVER depend on eviction timing; eviction is purely a state-size
     * mechanism, in two paths per store:
-    *  - per-touch pruning (band op) — entries older than the bucket's
-    *    newest ord by more than the horizon can never match again
-    *    under ordered arrival. ListState has no partial delete, so
-    *    the prune rewrites the bucket only when stale entries are at
-    *    least HALF of it (each rewrite is charged to at least as many
+    *  - per-touch pruning (band op) — entries whose [[ttlExpiryMs]]
+    *    the watermark has passed: the SAME inequality the timers
+    *    evict on, so pruned entries are provably beyond the horizon
+    *    of every row that can still pass the late filter (a
+    *    newest-ord cutoff would not be — Spark admits slightly-
+    *    reordered rows above the previous batch's watermark, and a
+    *    doc in that ms-wide gap could still match a newest-pruned
+    *    entry). ListState has no partial delete, so the prune
+    *    rewrites the bucket only when stale entries are at least
+    *    HALF of it (each rewrite is charged to at least as many
     *    dropped entries — amortized O(1) writes per ord, O(new) per
     *    ordinary batch, the hotbucket discipline);
     *  - event-time timers (both ops) — a bucket or doc silent past
@@ -1476,13 +1595,12 @@ object Dedup {
     * the horizon of every row that can still pass the late filter
     * (watermark monotonicity + the probe-time ord check — the
     * eviction spec pins re-admission and the empty post-sweep store).
-    * One carve-out: with `hotBucketCap` ARMED, the auto-reject
-    * triggers on the RETAINED bucket size, which includes
-    * beyond-horizon entries awaiting eviction — so at the cap margin
-    * a verdict can depend on eviction lag. That is load-shedding
-    * semantics by design (a bucket that large is boilerplate whether
-    * or not its tail has aged out); the default ∞ keeps the exact
-    * eviction-independent contract.
+    * With `hotBucketCap` ARMED the same property holds: the
+    * auto-reject triggers on the bucket's HORIZON-LIVE occupancy at
+    * the arriving doc's ord (beyond-horizon entries awaiting
+    * eviction do not count), so the armed verdict too is a pure
+    * function of the ords — a spec drives the cap margin under three
+    * eviction-lag schedules and pins identical verdicts.
     * The watermark rides INTO op 2 via `transformWithState`'s
     * event-time-column output contract (op 1 re-stamps each output
     * row with its new doc's lifted ord, always ≥ the late-events
@@ -1544,10 +1662,12 @@ object Dedup {
     val rowEnc: Encoder[(String, Long, Array[Long], Option[T])] =
       Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
         implicitly[Encoder[Array[Long]]], optEnc)
-    val outEnc: Encoder[(Long, Boolean, T)] =
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaBoolean, enc)
-    val voteEnc: Encoder[(Long, Boolean, Option[T])] =
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaBoolean, optEnc)
+    val outEnc: Encoder[(Long, String, Option[Long], T)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
+        optionEncoderOf(Encoders.scalaLong), enc)
+    val voteEnc: Encoder[(Long, Option[Long], Boolean, Option[T])] =
+      Encoders.tuple(Encoders.scalaLong,
+        optionEncoderOf(Encoders.scalaLong), Encoders.scalaBoolean, optEnc)
     val bandRows = bandRowsOf(ds, k, r)(text, ord)(rowEnc)
     // the watermark drives the eviction timers. Delay 1 ms, not 0: the
     // watermark is ms-floored, so under a 0 delay a doc whose lifted
@@ -1600,9 +1720,9 @@ object Dedup {
         new DocShinglesTtlProcessor[T](threshold, horizonMicros, lift,
           implicitly[Encoder[Array[Long]]]),
         TimeMode.EventTime(), OutputMode.Append())(voteEnc)
-    reduceByOrd(verdicts)(outEnc)
-      .filter((v: (Long, Boolean, T)) => v._2)
-      .map((v: (Long, Boolean, T)) => v._3)(enc)
+    reduceByOrdTagged(verdicts)(outEnc)
+      .filter((v: (Long, String, Option[Long], T)) => v._2 == ReasonAdmitted)
+      .map((v: (Long, String, Option[Long], T)) => v._4)(enc)
   }
 
   /** The TTL gate's uniform ord → event-time lift (µs): ord 0 would
@@ -1632,35 +1752,47 @@ object Dedup {
     * plus horizon eviction. Probe emission applies the horizon
     * predicate on ords — the verdict-bearing check, independent of
     * any eviction timing. Eviction:
-    *  - per-touch: entries older than the bucket's newest ord by more
-    *    than the horizon are unreachable under ordered arrival;
-    *    ListState has no partial delete, so the bucket is REWRITTEN
-    *    only when such entries are at least half of it (amortized
-    *    O(1) writes per ord — each rewrite is charged to at least as
-    *    many dropped entries), else the batch appends O(new);
-    *  - timer: one pending event-time timer per bucket at the newest
-    *    entry's [[ttlExpiryMs]] (re-armed per touch; pending timers
-    *    from earlier touches are deleted first so exactly one is
-    *    live). On fire, entries whose expiry has passed the watermark
-    *    are dropped — the whole bucket in the idle case — and the
-    *    timer re-arms only if live entries remain.
+    *  - per-touch: entries whose [[ttlExpiryMs]] has passed the
+    *    current watermark — the SAME inequality the timer path
+    *    evicts on, so a pruned entry is provably beyond the horizon
+    *    of every row that can still pass the late filter (a
+    *    newest-ord cutoff would not be: Spark admits slightly-
+    *    reordered rows above the previous batch's watermark, and a
+    *    doc in that ms-wide gap could still match a newest-pruned
+    *    entry). ListState has no partial delete, so the bucket is
+    *    REWRITTEN only when prunable entries are at least half of it
+    *    (amortized O(1) writes per ord — each rewrite is charged to
+    *    at least as many dropped entries), else the batch appends
+    *    O(new);
+    *  - timer: one pending event-time timer per bucket, armed LAZILY
+    *    — registered only when none is pending (re-arming per touch
+    *    was pure RocksDB churn on hot buckets). An early pending
+    *    timer is just as correct: on fire, entries whose expiry has
+    *    passed the watermark are dropped — the whole bucket in the
+    *    idle case — and the timer re-arms at the survivors' real
+    *    expiry, converging to the empty bucket in a bounded number
+    *    of fires.
     * Timer expiries are clamped to watermark + 1: Spark admits rows
     * between its late-events watermark and its eviction watermark, so
     * an unclamped expiry can land at or behind the clock (the
     * round-13 setTimeoutTimestamp crash, same mechanics).
     *
     * `cap` is the heavy-hitter circuit breaker (see
-    * [[streamingNearDupVerdicts]]): a doc landing in a bucket
-    * already RETAINING ≥ cap ords auto-rejects at O(1) and the list
-    * freezes. The TTL probe tuple has no self flag (`group == ord`
-    * IS the self row), so the auto-reject rides a NEGATIVE sentinel
-    * group `-ord - 1` the doc store turns into a reject vote — sound
+    * [[streamingNearDupVerdicts]]): a doc whose bucket holds ≥ cap
+    * HORIZON-LIVE ords (entries within `horizonMicros` of the doc's
+    * own ord — retained beyond-horizon entries awaiting eviction do
+    * not count, so the armed verdict is as eviction-independent as
+    * the unarmed one) auto-rejects at O(1) and is not appended. The
+    * TTL probe tuple has no self flag (`group == ord` IS the self
+    * row), so the auto-reject rides a NEGATIVE sentinel group
+    * `-ord - 1` the doc store turns into a reject vote — sound
     * because TTL ords are event-time µs (non-negative, asserted on
-    * the capped path). Horizon interplay: the freeze is per retained
-    * list, and eviction (per-touch prune or timer) shrinking the list
-    * below the cap un-freezes the bucket — a boilerplate STORM
-    * auto-rejects while it lasts and the bucket resumes normal
-    * verification once the storm ages out of the horizon.
+    * the capped path). Horizon interplay: the live count falling
+    * below the cap — entries aging out of the horizon — un-freezes
+    * the bucket, so a boilerplate STORM auto-rejects while it lasts
+    * and the bucket resumes normal verification afterwards, with no
+    * dependence on when eviction physically reclaims the aged
+    * entries.
     */
   private final class BandOrdsTtlProcessor[T](horizonMicros: Long,
                                               liftMicros: Long,
@@ -1691,10 +1823,20 @@ object Dedup {
         .empty[(Long, Long, Array[Long], Option[T], java.sql.Timestamp)]
       sorted.foreach { case (_, o, sh, docOpt, ts) =>
         if (sh.nonEmpty) {
-          if (prior.length >= cap) {
+          // the cap compares the HORIZON-LIVE occupancy at this doc's
+          // ord — retained beyond-horizon entries awaiting eviction
+          // do not count — so the armed verdict is a pure function of
+          // the ords, independent of eviction lag, exactly like the
+          // unarmed gate (with the default ∞ the filter is skipped
+          // and `live` aliases the retained list)
+          val live =
+            if (cap == Int.MaxValue) prior
+            else prior.filter(e => o - e <= horizonMicros)
+          if (live.length >= cap) {
             // circuit breaker: boilerplate bucket — one sentinel row
             // (the doc store's g < 0 vote path) instead of O(bucket)
-            // probes; the frozen list is not appended
+            // probes; the capped doc is not appended, and entries
+            // aging out of the horizon un-freeze the bucket
             if (o < 0L) throw new IllegalStateException(
               s"hotBucketCap needs non-negative ords (event-time µs), " +
                 s"got $o — the reject sentinel encodes as -ord - 1")
@@ -1702,7 +1844,7 @@ object Dedup {
           } else {
             // the horizon predicate lives HERE, on ords — retained
             // beyond-horizon entries (eviction lag) emit nothing
-            prior.foreach { e =>
+            live.foreach { e =>
               if (o - e <= horizonMicros) out += ((e, o, sh, None, ts))
             }
             prior += o
@@ -1717,8 +1859,17 @@ object Dedup {
         }
       }
       if (prior.length > preExisting) { // some shingled doc arrived
-        val newest = prior.last // ord-ordered arrival: append order is ascending
-        val live = prior.filter(e => newest - e <= horizonMicros)
+        // prune on the SAME watermark inequality as the timer path
+        // (see [[ttlExpiryMs]]): an entry is dropped only when every
+        // row that can still pass the late filter is provably beyond
+        // its horizon. A newest-ord cutoff is NOT that proof — Spark
+        // admits slightly-reordered rows above the previous batch's
+        // watermark (ms flooring + the 1 ms delay), and a reordered
+        // doc in that gap could still match an entry a newest-based
+        // prune had just dropped, silently ADMITTING a true near-dup.
+        val wm = timerValues.getCurrentWatermarkInMs()
+        val live = prior.filter(e =>
+          ttlExpiryMs(e, liftMicros, horizonMicros) > wm)
         val stale = prior.length - live.length
         if (stale * 2 >= prior.length)
           ords.put(live.toArray) // amortized: drops ≥ half the bucket
@@ -1732,8 +1883,8 @@ object Dedup {
         // the empty bucket in a bounded number of fires
         if (!getHandle.listTimers().hasNext)
           getHandle.registerTimer(math.max(
-            ttlExpiryMs(newest, liftMicros, horizonMicros),
-            timerValues.getCurrentWatermarkInMs() + 1L))
+            ttlExpiryMs(prior.last, liftMicros, horizonMicros),
+            wm + 1L))
       }
       out.iterator
     }
@@ -1774,7 +1925,7 @@ object Dedup {
                                                  shEnc: org.apache.spark.sql.Encoder[Array[Long]])
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, (Long, Long, Array[Long], Option[T], java.sql.Timestamp),
-      (Long, Boolean, Option[T])] {
+      (Long, Option[Long], Boolean, Option[T])] {
     @transient private var sh: org.apache.spark.sql.streaming.ValueState[Array[Long]] = _
     override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode)
@@ -1786,11 +1937,12 @@ object Dedup {
         g: Long,
         rows: Iterator[(Long, Long, Array[Long], Option[T], java.sql.Timestamp)],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
-      : Iterator[(Long, Boolean, Option[T])] = {
+      : Iterator[(Long, Option[Long], Boolean, Option[T])] = {
       // negative group = the band op's hot-bucket reject sentinel
       // (-ord - 1): a pre-verified boilerplate rejection — emit the
-      // vote, touch no state (stateless key, nothing to evict)
-      if (g < 0L) return rows.map(r => (r._2, true, None))
+      // hot-bucket vote, touch no state (stateless key, nothing to
+      // evict)
+      if (g < 0L) return rows.map(r => (r._2, None, true, None))
       val rs = rows.toSeq
       val (selfRows, probes) = rs.partition(r => r._1 == r._2)
       if (selfRows.length > 1)
@@ -1799,7 +1951,7 @@ object Dedup {
             "identify a document (two docs' rows would merge in the " +
             "per-doc reduce)")
       val out = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, Boolean, Option[T])]
+        .empty[(Long, Option[Long], Boolean, Option[T])]
       selfRows.foreach { case (_, o, shArr, docOpt, _) =>
         // shingle-less docs create no state (and need no timer). An
         // existing entry is a batch replay (same array — skipped
@@ -1817,7 +1969,7 @@ object Dedup {
                 "two distinct documents share an ord across " +
                 "batches; ord must uniquely identify a document")
         }
-        out += ((o, false, docOpt))
+        out += ((o, None, false, docOpt))
       }
       if (probes.nonEmpty) {
         val mine = (if (sh.exists()) Option(sh.get()) else None)
@@ -1827,7 +1979,7 @@ object Dedup {
               "self row — band state and the doc store have diverged"))
         probes.foreach { case (_, f, shF, _, _) =>
           if (jaccardSorted(mine, shF) >= threshold)
-            out += ((f, true, None))
+            out += ((f, Some(g), false, None))
         }
       }
       out.iterator
@@ -1836,7 +1988,7 @@ object Dedup {
         g: Long,
         timerValues: org.apache.spark.sql.streaming.TimerValues,
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
-      : Iterator[(Long, Boolean, Option[T])] = {
+      : Iterator[(Long, Option[Long], Boolean, Option[T])] = {
       // past the horizon of every row the late filter can still
       // admit — reclaim the doc's one stored copy
       sh.clear()

@@ -1259,29 +1259,58 @@ object Similarity {
       vals("tag").toSet, vals("cell"))
   }
 
-  /** Publish: stage the manifest text under a temp name, then rename
-    * into `manifest_v<n>` — the one metadata operation that makes a
-    * staged generation visible. Atomicity scope, honestly: versions
-    * are minted and the exists-then-rename is serialized by the index
-    * [[SinkLock]], whose exclusion is ONE JVM (SinkLock's own
-    * documented scope — multi-driver deployments need an external
-    * coordinator, and on S3A the rename itself is copy+delete, not
-    * atomic). A second DRIVER racing this version therefore isn't
-    * prevented — it is DETECTED: the destination check below refuses
-    * by name (re-run the operation; it re-enters against the winner's
-    * snapshot), and [[retireUnreferenced]] never touches staging
-    * newer than the published tip, so the loser's staged generation
-    * is not deleted out from under it. Detection is a tripwire, not
-    * a lock: the probe-to-rename pair is itself not atomic, and on
-    * filesystems whose rename overwrites (POSIX local) a perfectly
-    * simultaneous pair could still clobber — multi-driver writers
-    * remain UNSUPPORTED; the check turns realistic races into loud
-    * refusals.
+  /** A mint-marker claim older than this (ms) with no published
+    * manifest is a crashed claimant and may be healed (see
+    * [[writeManifestFile]]); younger, it is a live concurrent writer
+    * mid-publish and the claim refusal stands. The marker is held
+    * only from claim to rename — writing a few KB of manifest text —
+    * so 60 s is generous slack over any live holder, and a writer
+    * that crashed inside that window blocks its version for at most
+    * a minute. Spec-visible so the crash-heal path can be driven by
+    * backdating a marker.
+    */
+  private[graft] val MintStaleMs = 60000L
+
+  /** Publish: claim the version with a CREATE-EXCLUSIVE mint marker,
+    * stage the manifest text under a unique temp name, then rename
+    * into `manifest_v<n>`. Two layers solving two problems:
+    *  - the rename gives READERS an all-or-nothing manifest — a torn
+    *    read is impossible, and a crash before the rename publishes
+    *    nothing;
+    *  - the marker (`_mint_v<n>`, written with
+    *    `create(overwrite = false)`) gives WRITERS a single winner
+    *    per version: the create refuses an existing path atomically
+    *    on HDFS (namenode-serialized) and at create time on the
+    *    local FS, so the retired probe→rename tripwire's residual —
+    *    two perfectly simultaneous probes both passing, then POSIX
+    *    rename clobbering — is PREVENTED, not just detected: the
+    *    loser's claim throws [[java.util.ConcurrentModificationException]]
+    *    before its staging can reach the rename, and re-running
+    *    re-enters against the winner's snapshot.
+    * In-JVM writers still serialize on the index [[SinkLock]]; the
+    * marker is the cross-JVM line of defense. A crashed claimant
+    * (marker without a manifest, older than [[MintStaleMs]]) cannot
+    * poison its version: the next writer heals it through a
+    * rename-arbitrated reclaim — rename-off-the-marker has exactly
+    * one winner on every FS — and claims fresh. The marker is
+    * RELEASED right after a successful rename: a post-publish
+    * claimant of the same version then claims the (free) marker and
+    * hits the destination-exists check below — race-free, because a
+    * manifest can only be CREATED by the version's marker holder, so
+    * while this writer holds the marker no one else can make `dst`
+    * appear between that check and the rename. (A crash between
+    * rename and release leaves a junk marker next to its published
+    * manifest; same-version claims then refuse at the claim instead
+    * of the check — equally loud — and [[retireUnreferenced]]
+    * reclaims any marker at or below the published tip.)
     */
   private def writeManifestFile(hfs: org.apache.hadoop.fs.FileSystem,
                                 path: String, m: IndexManifest): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/_manifest_tmp")
-    if (hfs.exists(tmp)) hfs.delete(tmp, true)
+    val dst = new org.apache.hadoop.fs.Path(s"$path/manifest_v${m.version}")
+    claimMintMarker(hfs, path, m.version, dst)
+    // unique temp name: two drivers' stagings must never collide
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/_manifest_tmp_${java.util.UUID.randomUUID()}")
     val out = hfs.create(tmp, true)
     try {
       val sb = new StringBuilder("graft-ann-index v1\n")
@@ -1291,16 +1320,82 @@ object Similarity {
       m.cells.sorted.foreach(c => sb ++= s"cell $c\n")
       out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally out.close()
-    val dst = new org.apache.hadoop.fs.Path(s"$path/manifest_v${m.version}")
-    if (hfs.exists(dst)) throw new java.util.ConcurrentModificationException(
-      s"manifest $dst already exists — a concurrent writer published " +
-        "this version first (index writer exclusion is one JVM: " +
-        "SinkLock's documented scope). This writer's staging is left " +
-        "intact; re-run the operation to re-enter against the new " +
-        "snapshot")
+    if (hfs.exists(dst)) {
+      hfs.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"manifest $dst already exists — a concurrent writer published " +
+          "this version first (its mint marker was removed " +
+          "out-of-protocol, or the publish predates the marker " +
+          "discipline). Re-run the operation to re-enter against the " +
+          "new snapshot")
+    }
     if (!hfs.rename(tmp, dst)) throw new java.io.IOException(
       s"index publish: rename $tmp -> $dst failed")
+    hfs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/_mint_v${m.version}"), false)
     manifestVersionHints.put(path, Integer.valueOf(m.version))
+  }
+
+  /** The single-winner version claim of [[writeManifestFile]]:
+    * create-exclusive `_mint_v<version>`. Throws
+    * [[java.util.ConcurrentModificationException]] when the version
+    * is already claimed (published manifest, live concurrent minter,
+    * or a lost heal race — each named in the message); heals a
+    * STALE claim (no manifest, marker older than [[MintStaleMs]])
+    * via rename-arbitration so a crashed claimant cannot poison the
+    * version forever.
+    */
+  private def claimMintMarker(hfs: org.apache.hadoop.fs.FileSystem,
+                              path: String, version: Int,
+                              dst: org.apache.hadoop.fs.Path): Unit = {
+    val mint = new org.apache.hadoop.fs.Path(s"$path/_mint_v$version")
+    def tryClaim(): Boolean =
+      try {
+        val out = hfs.create(mint, false) // overwrite=false: refuses an existing path
+        try out.write(java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getName
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException => if (hfs.exists(mint)) false else throw e
+      }
+    def lose(why: String): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"index version $version at $path: $why — a concurrent writer " +
+          "holds this version (index writer exclusion is one JVM: " +
+          "SinkLock's documented scope; the mint marker is the " +
+          "cross-JVM guard). This writer's staging is left intact; " +
+          "re-run the operation to re-enter against the new snapshot")
+    if (tryClaim()) {
+      if (hfs.exists(dst)) { // claimed a version that already published
+        hfs.delete(mint, false) // (its marker was reclaimed long ago)
+        lose(s"manifest $dst already exists")
+      }
+      return
+    }
+    if (hfs.exists(dst)) lose(s"manifest $dst already exists")
+    // marker held, manifest absent: a live racer mid-publish, or a
+    // crashed claimant — marker age decides
+    val age = try {
+      System.currentTimeMillis() - hfs.getFileStatus(mint).getModificationTime
+    } catch { // the racer renamed its manifest in this instant
+      case _: java.io.FileNotFoundException => -1L
+    }
+    if (age == -1L) lose("the version was minted concurrently")
+    if (age < MintStaleMs) lose("the version is being minted right now")
+    // stale crashed claim: heal with rename arbitration (exactly one
+    // healer's rename succeeds on any FS), then claim fresh
+    val reclaimed = new org.apache.hadoop.fs.Path(
+      s"$path/_mint_v${version}_reclaimed_${java.util.UUID.randomUUID()}")
+    val healed =
+      try hfs.rename(mint, reclaimed)
+      catch { case _: java.io.IOException => false }
+    if (healed) hfs.delete(reclaimed, false)
+    if (!healed || !tryClaim()) lose("lost the stale-claim heal race")
+    if (hfs.exists(dst)) { hfs.delete(mint, false)
+      lose(s"manifest $dst already exists") }
   }
 
   /** The manifest retention age floor (ms): manifests younger than
@@ -1315,9 +1410,12 @@ object Similarity {
     * cadence — for a few hundred bytes of extra manifest retention
     * (retained trees share unchanged cell dirs, so the floor's cost
     * is manifests + the churned cells of the grace window, not index
-    * copies). Versions being minted monotonically, the retained set
-    * is always a SUFFIX of the version sequence — what the read
-    * path's version-hint walk relies on.
+    * copies). The retained set is a SUFFIX of the version sequence
+    * BY CONSTRUCTION — retirement keeps everything at or above the
+    * lowest version either rule selects, so the property the read
+    * path's version-hint walk relies on holds even when clock skew
+    * or object-store mtime anomalies put an old mtime on a middle
+    * version.
     */
   private def manifestGraceMs(
       spark: org.apache.spark.sql.SparkSession): Long =
@@ -1327,8 +1425,10 @@ object Similarity {
 
   /** Retire everything the RETAINED manifests do not reference:
     * older manifest files, learned-table dirs, and cell dirs (then
-    * gen dirs left empty). Retained = the newest two manifests plus
-    * any younger than the [[manifestGraceMs]] age floor. Runs at
+    * gen dirs left empty). Retained = every manifest at or above the
+    * lowest version selected by either rule — the newest two, or
+    * younger than the [[manifestGraceMs]] age floor — so the
+    * retained set is structurally a version suffix. Runs at
     * every writer's entry and after every publish. Keeping the
     * previous manifests' trees alive is the read-grace window — a
     * search pinned to v<n> stays complete for one full maintenance
@@ -1362,11 +1462,19 @@ object Similarity {
     }
     val tip = ms.lastOption.map(_._1).getOrElse(0)
     val ageFloor = System.currentTimeMillis() - graceMs
-    val (retain, retire) = ms.zipWithIndex.partition { case (m, i) =>
-      i >= ms.length - 2 || m._3 >= ageFloor
-    }
-    retire.foreach { case (m, _) => hfs.delete(m._2, false) }
-    val kept = retain.map { case (m, _) => readManifest(hfs, m._2, m._1) }
+    // the retained set must be a version SUFFIX — the read path's
+    // hint walk ("v exists, v+1 does not ⇒ newest") depends on it.
+    // The two rules (newest two, younger than the age floor) only
+    // yield a suffix if manifest mtimes are monotone with version,
+    // which clock skew or object-store mtime anomalies can break —
+    // so make the property STRUCTURAL: retain everything at or above
+    // the lowest version either rule selects.
+    val keepFloor = ms.zipWithIndex.collect {
+      case ((v, _, mtime), i) if i >= ms.length - 2 || mtime >= ageFloor => v
+    }.minOption.getOrElse(0)
+    val (retain, retire) = ms.partition(_._1 >= keepFloor)
+    retire.foreach(m => hfs.delete(m._2, false))
+    val kept = retain.map(m => readManifest(hfs, m._2, m._1))
     val cellsKept = kept.flatMap(_.cells).toSet
     val learnedKept = kept.map(_.learned).toSet
     hfs.listStatus(root).foreach { st =>
@@ -1378,7 +1486,18 @@ object Similarity {
         val v = n.substring("learned_v".length).toIntOption.getOrElse(0)
         if (v <= tip) hfs.delete(st.getPath, true)
       }
-      if (n == "_manifest_tmp") hfs.delete(st.getPath, true)
+      if (st.isFile && n.startsWith("_mint_v")) {
+        // heal-reclaim junk is always deletable; a claim marker at or
+        // below the published tip is a crashed writer's remnant (the
+        // publish path releases its marker right after the rename) —
+        // reclaimable. Markers ABOVE the tip are another writer's
+        // in-flight claim: never touched (the staging-safety rule)
+        if (n.contains("_reclaimed_")) hfs.delete(st.getPath, false)
+        else n.substring("_mint_v".length).toIntOption.foreach { v =>
+          if (v <= tip) hfs.delete(st.getPath, false)
+        }
+      }
+      if (n.startsWith("_manifest_tmp")) hfs.delete(st.getPath, true)
     }
     val gensRoot = new org.apache.hadoop.fs.Path(s"$path/gens")
     if (hfs.exists(gensRoot)) {
@@ -1466,6 +1585,15 @@ object Similarity {
   private[graft] def readIndexCodes(
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     readCodes(spark, path, resolveManifest(indexFs(spark, path), path))
+
+  /** Spec/debug: the generation dirs the CURRENT manifest references —
+    * the auto-compaction spec pins that this stays bounded across a
+    * stream of absorbed micro-batches.
+    */
+  private[graft] def referencedGens(
+      spark: org.apache.spark.sql.SparkSession, path: String): Set[String] =
+    resolveManifest(indexFs(spark, path), path)
+      .cells.map(_.takeWhile(_ != '/')).toSet
 
   private[graft] def currentIndexVersion(
       spark: org.apache.spark.sql.SparkSession, path: String): Int =
@@ -1680,14 +1808,28 @@ object Similarity {
     * per micro-batch — size triggers accordingly (a trigger per few
     * minutes, not per second; an ANN index wants batched absorption
     * anyway).
+    *
+    * `compactRatio` is the built-in maintenance loop: after each
+    * absorbed batch, [[maybeCompactIvfIndex]] folds the fragmented
+    * cells iff the generation ledger violates the size-ratio
+    * invariant (the corpus sink's X26f discipline — see the trigger's
+    * doc for the amortization argument). Free of new coordination:
+    * the compaction is an ordinary index writer serializing on the
+    * same [[SinkLock]] AFTER the append releases it, and searches are
+    * manifest-pinned throughout. `0` disables (the exactly-once specs
+    * isolate the delivery machinery that way — version numbers then
+    * advance one per absorbed batch, deterministically).
     */
   def streamAppendToIvfIndex(emb: DataFrame, path: String,
-                             checkpointDir: String)
+                             checkpointDir: String,
+                             compactRatio: Long = 4L)
     : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = emb.sparkSession
     require(emb.isStreaming,
       "streamAppendToIvfIndex takes a STREAMING frame — for a batch " +
         "append call appendToIvfSqIndex/appendToIvfPqIndex directly")
+    require(compactRatio == 0L || compactRatio >= 2L,
+      s"compactRatio must be 0 (off) or >= 2, got $compactRatio")
     val (ckptTag, _, _) = graft.streaming.StreamingIngest
       .checkpointIdentityFull(spark, checkpointDir)
     emb.writeStream.outputMode("append")
@@ -1700,6 +1842,10 @@ object Similarity {
           val kind = resolveManifest(indexFs(spark, path), path).kind
           if (kind == "sq") appendToIvfSqIndex(batch, path, tag = tag)
           else appendToIvfPqIndex(batch, path, tag = tag)
+          if (compactRatio >= 2L) {
+            maybeCompactIvfIndex(spark, path, compactRatio)
+            ()
+          }
         }
         ()
       }
@@ -1724,6 +1870,41 @@ object Similarity {
     */
   private def indexLock(path: String) =
     new graft.streaming.SinkLock(path, "ann index")
+
+  /** Size-ratio compaction trigger — the corpus sink's geometric
+    * discipline (X26f: merge while `size(older) < ratio ×
+    * size(younger)`) applied to the index's generation ledger:
+    * compact iff the largest referenced generation is smaller than
+    * `ratio ×` the rest combined. Steady state therefore keeps
+    * `base ≥ ratio × appends-since-compact`, so each full fold is
+    * charged to at least `base/ratio` bytes of fresh appends —
+    * amortized write amplification ≤ ratio + 1, and the referenced
+    * generation count stays small (bounded by the batch/corpus size
+    * ratio, spec- and StressProof-pinned) instead of growing one per
+    * append forever. Cost of the CHECK itself: one content summary
+    * per referenced cell dir — O(cells), the same order as
+    * compaction's own listing, never O(corpus rows). Returns whether
+    * a compaction ran.
+    */
+  def maybeCompactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String, ratio: Long = 4L): Boolean = {
+    require(ratio >= 2,
+      s"compaction ratio must be >= 2 (got $ratio) — 1 would compact " +
+        "after every append")
+    val hfs = indexFs(spark, path)
+    val m = resolveManifest(hfs, path)
+    val byGen = m.cells.groupBy(_.takeWhile(_ != '/'))
+    if (byGen.size < 2) return false
+    def bytesOf(cells: Seq[String]): Long = cells.map { c =>
+      hfs.getContentSummary(
+        new org.apache.hadoop.fs.Path(s"$path/gens/$c")).getLength
+    }.sum
+    val sizes = byGen.values.map(bytesOf(_)).toSeq.sorted
+    val base = sizes.last
+    val rest = sizes.init.sum
+    if (base < ratio * rest) { compactIvfIndex(spark, path); true }
+    else false
+  }
 
   /** Fold an index's FRAGMENTED cells back to one file each — the
     * maintenance op the appends make necessary: every append stages a

@@ -730,6 +730,52 @@ object OracleSqlExt {
          |         AS admitted
          |FROM documents d ORDER BY d.doc_id""".stripMargin
 
+  /** Mirrors the x161 reason-tagged gate audit under `hotBucketCap =
+    * cap`: the composition of the two reject closed forms — the
+    * smaller-id verified pair rule restricted to ENTERED buckets
+    * (x158's `rn ≤ cap` membership) names the near-dup reason and its
+    * smallest verified prior, the `rn > cap` freeze rule names the
+    * hot-bucket reason, and a doc hitting both reports the VERIFIED
+    * one (the gate's documented precedence: an actual near-duplicate
+    * beats a boilerplate heuristic).
+    */
+  def streamGateAuditReasonsSql(threshold: Double, cap: Int, k: Int = 12,
+                                r: Int = 3): String =
+    minhashCandCtes(k, r) +
+      s""", br AS (
+         |  SELECT doc_id, band, bsig,
+         |         row_number() OVER (PARTITION BY band, bsig
+         |                            ORDER BY doc_id) AS rn
+         |  FROM bands
+         |), frozen AS (
+         |  SELECT DISTINCT doc_id FROM br WHERE rn > $cap
+         |), candc AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM br a JOIN br b
+         |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+         |   AND b.rn <= $cap
+         |), jc AS (
+         |  SELECT doc_a, doc_b,
+         |         len(list_intersect(sa.s, sb.s)) AS inter,
+         |         len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS uni
+         |  FROM candc
+         |  JOIN nz sa ON sa.doc_id = doc_a
+         |  JOIN nz sb ON sb.doc_id = doc_b
+         |), nd AS (
+         |  SELECT doc_b, min(doc_a) AS of_ord FROM jc
+         |  WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= $threshold
+         |  GROUP BY doc_b
+         |)
+         |SELECT d.doc_id,
+         |       CASE WHEN nd.of_ord IS NOT NULL THEN 'near_dup'
+         |            WHEN fz.doc_id IS NOT NULL THEN 'hot_bucket'
+         |            ELSE 'admitted' END AS reason,
+         |       nd.of_ord AS of_ord
+         |FROM documents d
+         |LEFT JOIN nd ON nd.doc_b = d.doc_id
+         |LEFT JOIN frozen fz ON fz.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+
   /** Mirrors the x129 horizon-bounded gate: the x108 closed form plus
     * the horizon predicate — a doc is rejected only by a verified
     * band-sharing pair whose id gap (≡ event-time µs gap) is within

@@ -96,6 +96,41 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(pairs(8) == uncapped)
   }
 
+  test("one-scan cap+report: pairs and skip report agree with the standalone ops and share one cached band table") {
+    import spark.implicits._
+    val hot = (1 to 40).map(i => s"bat$i").mkString(" ")
+    val base = (100 to 140).map(i => s"pair$i").mkString(" ")
+    val d = ((0 until 8).map(i => (i.toLong, hot)) ++
+      Seq((20L, base), (21L, base + " tail42")))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val combo = Dedup.lshCandidatePairsWithReport(d, 5)
+    try {
+      val gotPairs = combo.pairs.as[(Long, Long)].collect().toSet
+      val refPairs = Dedup.lshCandidatePairs(d, bucketCap = 5)
+        .as[(Long, Long)].collect().toSet
+      assert(gotPairs == refPairs,
+        s"combo pairs drifted from lshCandidatePairs: $gotPairs vs $refPairs")
+      val gotRep = combo.oversized.select("doc_id", "band", "bucket_size")
+        .as[(Long, Int, Long)].collect().sorted
+      val refRep = Dedup.lshOversizedBuckets(d, 5)
+        .select("doc_id", "band", "bucket_size")
+        .as[(Long, Int, Long)].collect().sorted
+      assert(gotRep.sameElements(refRep),
+        "combo report drifted from lshOversizedBuckets")
+      // the single-scan contract: BOTH outputs read the one cached
+      // band table — the shingle→minhash→band pipeline runs once,
+      // not once per output (at crawl scale the second run is a
+      // second corpus scan)
+      def usesCache(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+        }.nonEmpty
+      assert(usesCache(combo.pairs) && usesCache(combo.oversized),
+        "both combo outputs must resolve to the cached band table")
+    } finally combo.unpersist()
+  }
+
   test("exactDedup keeps one row per group; group sizes sum to total") {
     import spark.implicits._
     val d = Dedup.exactDedup(docs.select("lang", "source", "doc_id", "n_chars"),
@@ -2168,6 +2203,108 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("TTL gate prune is watermark-sound: a reordered doc still rejects against an entry a newest-ord prune would have dropped") {
+    import spark.implicits._
+    // the round-14 prune dropped bucket entries by `newest − e >
+    // horizon`, but Spark admits slightly-reordered rows above the
+    // PREVIOUS batch's watermark — a doc in that ms-wide gap could
+    // still be within horizon of a just-pruned entry, silently
+    // ADMITTING a true near-dup. Construct exactly that arrival:
+    //   e = (0, A)      owner
+    //   f = (5500, B)   shares A's single k=3/r=3 band bucket at
+    //                   exact jaccard < threshold (advances the
+    //                   bucket's newest past e's horizon — the
+    //                   newest-based prune would drop e here)
+    //   o = (4800, A)   reordered but above the watermark; within
+    //                   horizon of e → MUST reject
+    // the (A, B) pair is found by search over a pool of texts that
+    // share a 24-token prefix and differ in their 16-token tails:
+    // every pair sits at exact jaccard 22/54 ≈ 0.41 < 0.5, and the
+    // single k=3/r=3 band collides for a deterministic-but-sparse
+    // subset of pairs — take the first one LSH itself reports.
+    val base = (1 to 40).map(i => s"base$i")
+    val cands = (1 to 300).map { i =>
+      (i.toLong, (base.take(24) ++ (25 to 40).map(j => s"alt${i}_$j"))
+        .mkString(" "))
+    }
+    val pool = cands.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val (pa, pb) = Dedup.lshCandidatePairs(pool, k = 3, r = 3)
+      .orderBy("doc_a", "doc_b").as[(Long, Long)].head()
+    val textA = cands(pa.toInt - 1)._2
+    val textB = cands(pb.toInt - 1)._2
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    Dedup.useRocksDbStateStore(ss)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](ss)
+    val q = Dedup.streamingNearDupGateTtl(ms.toDS(), 0.5, 5000L,
+        k = 3, r = 3)(_._2, _._1)
+      .toDF("ord", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gate_ttl_reorder").start()
+    ms.addData(Seq((0L, textA)))
+    q.processAllAvailable() // watermark -> 999 ms
+    ms.addData(Seq((5500L, textB))) // B admitted (gap 5500 > 5000);
+    q.processAllAvailable() // watermark -> 1004 ms; e's expiry is
+    // 1006 ms — still retained under the watermark inequality (a
+    // newest-based prune would have rewritten [0, 5500] -> [5500])
+    ms.addData(Seq((4800L, textA))) // event time 1004.8 ms > 1004 ms:
+    q.processAllAvailable() // admitted by the late filter, within
+    q.stop() // horizon of e (gap 4800) -> must probe e and reject
+    val kept = ss.table("gate_ttl_reorder").select("ord").as[Long]
+      .collect().toSet
+    assert(kept == Set(0L, 5500L),
+      s"kept $kept — the reordered near-dup at 4800 must reject " +
+        "against the retained owner at 0 (jaccard(A,B) < threshold, " +
+        "so only a pruned owner could explain an admission)")
+  }
+
+  test("armed breaker on the TTL gate is eviction-independent: identical verdicts under three eviction-lag schedules") {
+    import spark.implicits._
+    val hot = (1 to 40).map(i => s"hot$i").mkString(" ")
+    val other = (100 to 140).map(i => s"spc$i").mkString(" ")
+    val h = 1000000L // 1 s horizon (ords are event-time µs)
+    // the cap margin: e1..e3 fill the bucket, o4 lands at live
+    // occupancy 3 = cap (hot-reject fires), o5 arrives with every
+    // earlier entry beyond its horizon — live occupancy 0, so o5
+    // must be ADMITTED no matter how much aged state is still
+    // RETAINED (the round-14 carve-out rejected it when eviction
+    // lagged). Three drives vary only the batching, i.e. how far
+    // eviction lags behind the data at o5's probe:
+    //   A: everything in one batch (nothing evicted yet)
+    //   B: o5 alone in a second batch (still nothing evicted)
+    //   C: a spacer batch advances the watermark past e1..e3's
+    //      expiry first (bucket fully evicted before o5)
+    def drive(batches: Seq[Seq[(Long, String)]]): Set[Long] = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      Dedup.useRocksDbStateStore(ss)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](ss)
+      val q = Dedup.streamingNearDupGateTtl(ms.toDS(), 0.5, h,
+          hotBucketCap = 3)(_._2, _._1)
+        .toDF("ord", "text")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("gate_ttl_cap_lag").start()
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      q.stop()
+      ss.table("gate_ttl_cap_lag").select("ord").as[Long].collect().toSet
+    }
+    val storm = Seq((0L, hot), (10L, hot), (20L, hot), (30L, hot))
+    val o5 = (6000000L, hot)
+    val spacer = (3000000L, other)
+    val a = drive(Seq(storm :+ o5))
+    val b = drive(Seq(storm, Seq(o5)))
+    val c = drive(Seq(storm, Seq(spacer), Seq(o5)))
+    assert(a == Set(0L, 6000000L),
+      s"drive A verdicts wrong: $a — owner admitted, 10/20 verified " +
+        "rejects, 30 hot-rejected at the margin, 6000000 re-admitted")
+    assert(b == a, s"verdicts depend on batching alone: $b vs $a")
+    assert(c == a + spacer._1,
+      s"verdicts depend on eviction lag: $c vs ${a + spacer._1}")
+  }
+
   test("gate: a duplicate ord fails loudly instead of silently merging docs") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
@@ -2404,6 +2541,47 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest minting is create-exclusive: a held version refuses cleanly, a crashed claim heals by age") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-annmint")
+    try {
+      val base = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 4L)
+      Similarity.buildIvfSqIndex(base, s"$root/sq") // v1
+      // another JVM's LIVE claim on v2: fresh mint marker, no
+      // manifest — on the POSIX local FS the retired probe→rename
+      // tripwire was weakest exactly here (rename overwrites), so
+      // this is the prevention upgrade's home turf
+      val mint = java.nio.file.Paths.get(s"$root/sq/_mint_v2")
+      java.nio.file.Files.write(mint,
+        "other-driver".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val day = emb.filter(col("vec_id") < 10L)
+        .select((col("vec_id") + 910000L).as("vec_id"),
+          col("embedding"), col("label"))
+      val e = intercept[java.util.ConcurrentModificationException] {
+        Similarity.appendToIvfSqIndex(day, s"$root/sq", tag = "mint1")
+      }
+      assert(e.getMessage.contains("minted right now"), e.getMessage)
+      assert(Similarity.currentIndexVersion(spark, s"$root/sq") == 1,
+        "the loser must publish nothing — one winner per version")
+      // the claimant CRASHED: its marker ages past MintStaleMs with
+      // no manifest — the same operation re-run heals the claim and
+      // publishes (a crash cannot poison the version)
+      assert(mint.toFile.setLastModified(
+        System.currentTimeMillis() - Similarity.MintStaleMs - 60000L))
+      Similarity.appendToIvfSqIndex(day, s"$root/sq", tag = "mint1")
+      assert(Similarity.currentIndexVersion(spark, s"$root/sq") == 2)
+      // the winner's marker now guards the published v2: a late
+      // same-version minter refuses at the CLAIM, before any rename
+      // could reach the published file
+      val e2 = intercept[java.util.ConcurrentModificationException] {
+        Similarity.publishManifestForSpec(spark, s"$root/sq", 2)
+      }
+      assert(e2.getMessage.contains("concurrent writer"), e2.getMessage)
+    } finally {
+      val _ = new scala.reflect.io.Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("a two-writer version race refuses by name and leaves the loser's staging intact") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-annrace")
@@ -2587,9 +2765,13 @@ class ExtensionsSpec extends AnyFunSuite {
             org.apache.spark.sql.types.FloatType)),
         org.apache.spark.sql.types.StructField("label",
           org.apache.spark.sql.types.IntegerType)))
+      // compactRatio = 0: this spec isolates the exactly-once
+      // delivery machinery, whose version arithmetic (one publish per
+      // absorbed batch) the assertions below pin; auto-compaction has
+      // its own spec
       def startStream() = Similarity.streamAppendToIvfIndex(
         ss.readStream.schema(schema).parquet(inDir),
-        s"$root/sq", s"$root/ck")
+        s"$root/sq", s"$root/ck", compactRatio = 0L)
       val q = startStream()
       drop("c0", 0L, 20L); q.processAllAvailable()  // batch 0
       drop("c1", 20L, 30L); q.processAllAvailable() // batch 1
@@ -2622,13 +2804,70 @@ class ExtensionsSpec extends AnyFunSuite {
       val p0 = Similarity.readIndexCodes(spark, s"$root/pq").count()
       val q3 = Similarity.streamAppendToIvfIndex(
         ss.readStream.schema(schema).parquet(inDir),
-        s"$root/pq", s"$root/ckpq")
+        s"$root/pq", s"$root/ckpq", compactRatio = 0L)
       q3.processAllAvailable() // absorbs all three dropped files
       q3.stop()
       // PQ codes are one row per (vec_id, sub): 8 subspaces per vector
       assert(Similarity.readIndexCodes(spark, s"$root/pq").count() ==
         p0 + 35 * 8,
         "the PQ dispatch leg must absorb the streamed vectors")
+    } finally {
+      val _ = new scala.reflect.io.Directory(root.toFile).deleteRecursively()
+    }
+  }
+
+  test("absorber auto-compaction: the size-ratio trigger bounds referenced generations, content identical to the uncompacted run") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-annauto")
+    try {
+      val base = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 4L)
+      val rest = emb.filter(pmod(col("vec_id"), lit(5L)) === 4L)
+        .select("vec_id", "embedding", "label")
+        .as[(Long, Array[Float], Int)].collect().sortBy(_._1)
+      val chunks = rest.grouped(math.max(1, rest.length / 8)).toSeq
+      def drive(path: String, ratio: Long): Seq[Int] = {
+        Similarity.buildIvfSqIndex(base, path)
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Array[Float], Int)](ss)
+        val q = Similarity.streamAppendToIvfIndex(
+          ms.toDS().toDF("vec_id", "embedding", "label"),
+          path, s"$path-ck", compactRatio = ratio)
+        val gensPerBatch =
+          try chunks.map { c =>
+            ms.addData(c.toSeq); q.processAllAvailable()
+            Similarity.referencedGens(spark, path).size
+          } catch { case e: Throwable =>
+            try q.stop() catch { case st: Throwable => e.addSuppressed(st) }
+            throw e
+          }
+        q.stop()
+        gensPerBatch
+      }
+      val auto = drive(s"$root/auto", 4L)
+      val off = drive(s"$root/off", 0L)
+      // off: one new generation per absorbed batch, forever — the
+      // listing hazard the trigger exists for
+      assert(off.last == chunks.length + 1, s"off-run gens: $off")
+      // auto: the ratio invariant keeps the referenced set BOUNDED
+      // at every point of the stream, and a compaction genuinely ran
+      assert(auto.forall(_ <= 6),
+        s"auto-compaction must bound referenced generations: $auto")
+      assert(auto.last < off.last,
+        s"no compaction ever fired: $auto vs $off")
+      // content is invariant under the maintenance: same code rows,
+      // same search results as the uncompacted twin
+      assert(Similarity.readIndexCodes(spark, s"$root/auto").count() ==
+        Similarity.readIndexCodes(spark, s"$root/off").count())
+      val queries = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select("vec_id", "embedding")
+      def top(path: String) = Similarity.searchIvfSq(spark, path,
+          queries, 5, nprobe = 2)
+        .select("q_id", "rank", "vec_id").as[(Long, Long, Long)]
+        .collect().sortBy(r => (r._1, r._2))
+      assert(top(s"$root/auto").sameElements(top(s"$root/off")),
+        "auto-compaction changed search content")
     } finally {
       val _ = new scala.reflect.io.Directory(root.toFile).deleteRecursively()
     }
