@@ -1139,6 +1139,40 @@ object SparkEntry {
       q.stop()
       ss.table("graft_gate_reasons").orderBy("doc_id")
     }),
+    // X33i TTL sibling: the horizon-bounded audit — a near-dup of
+    // something beyond the horizon reads `admitted` (the re-admission
+    // contract made visible per doc), within it `near_dup` with the
+    // smallest verified in-horizon prior. Default cap ∞ on purpose:
+    // that is where the TTL stream has a closed batch form (armed TTL
+    // bucket membership is a sequential recurrence — spec-verified
+    // instead, see the operator doc)
+    "x162_gate_ttl_audit_reasons" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Tables.read(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .as[graft.sources.CorpusIO.CuratedDoc].collect().sortBy(_.doc_id)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      Dedup.useRocksDbStateStore(ss)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.sources.CorpusIO.CuratedDoc](ss)
+      val tagged = Dedup.streamingNearDupVerdictsTaggedTtl(
+          ms.toDS(), ClusterJaccard, GateHorizonMicros)(_.text, _.doc_id)
+        .map(v => (v._1, v._2, v._3))
+      val q = tagged.toDF("doc_id", "reason", "of_ord")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("graft_gate_ttl_reasons")
+        .start()
+      try rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      } catch { case e: Throwable =>
+        try q.stop() catch { case s2: Throwable => e.addSuppressed(s2) }
+        throw e
+      }
+      q.stop()
+      ss.table("graft_gate_ttl_reasons").orderBy("doc_id")
+    }),
     // X4f BM25 top-20 retrieval over a fixed query term set (rare +
     // common terms) — linear idf, the x77 exactness convention
     "x143_bm25_topk" -> ((s, dir) =>
@@ -2414,6 +2448,12 @@ object SparkEntry {
     // hot_bucket; verified wins when both apply)
     "x161_gate_audit_reasons" ->
       OracleSqlExt.streamGateAuditReasonsSql(ClusterJaccard, 3),
+    // the TTL audit at the default ∞ cap: x129's closed form widened
+    // with the min-in-horizon-prior projection (armed TTL bucket
+    // membership is a sequential recurrence — spec territory)
+    "x162_gate_ttl_audit_reasons" ->
+      OracleSqlExt.streamGateTtlAuditReasonsSql(ClusterJaccard,
+        GateHorizonMicros),
     "x129_stream_gate_ttl" ->
       OracleSqlExt.streamNearDupGateTtlSql(ClusterJaccard, GateHorizonMicros),
     // the TTL pipe promises the kept set of the TTL gate over the raw

@@ -1642,7 +1642,36 @@ object Dedup {
                                  hotBucketCap: Int = Int.MaxValue)(
       text: T => String, ord: T => Long)(
       implicit enc: org.apache.spark.sql.Encoder[T])
-    : org.apache.spark.sql.Dataset[T] = {
+    : org.apache.spark.sql.Dataset[T] =
+    streamingNearDupVerdictsTaggedTtl(ds, threshold, horizonMicros, k, r,
+        hotBucketCap)(text, ord)
+      .filter((v: (Long, String, Option[Long], T)) => v._2 == ReasonAdmitted)
+      .map((v: (Long, String, Option[Long], T)) => v._4)(enc)
+
+  /** Reason-tagged audit variant of [[streamingNearDupGateTtl]] —
+    * the TTL sibling of [[streamingNearDupVerdictsTagged]]: every doc
+    * flows out as `(ord, reason, of_ord, doc)` under the horizon
+    * semantics (a near-dup of something BEYOND the horizon is
+    * `admitted`, the re-admission contract; within it, `near_dup`
+    * with the smallest verified in-horizon prior). The gate is this
+    * stream filtered to admitted — one state machine, two views. At
+    * the default cap = ∞ the whole stream has a closed batch form
+    * (x129's rule widened with the min-prior projection — the x162
+    * oracle); with the breaker ARMED the `hot_bucket` reason appears
+    * and the kept set stays deterministic (eviction-independent,
+    * spec-pinned), but bucket membership becomes a sequential
+    * recurrence (a capped doc is not appended, and entries age out),
+    * which plain SQL does not express — armed TTL runs are therefore
+    * spec-verified rather than oracle-hashed.
+    */
+  def streamingNearDupVerdictsTaggedTtl[T](
+      ds: org.apache.spark.sql.Dataset[T],
+      threshold: Double, horizonMicros: Long,
+      k: Int = 12, r: Int = 3,
+      hotBucketCap: Int = Int.MaxValue)(
+      text: T => String, ord: T => Long)(
+      implicit enc: org.apache.spark.sql.Encoder[T])
+    : org.apache.spark.sql.Dataset[(Long, String, Option[Long], T)] = {
     require(r > 0 && k % r == 0,
       s"band width $r must divide signature size $k (else hashes are silently dropped)")
     require(horizonMicros > 0, s"horizonMicros must be positive, got $horizonMicros")
@@ -1651,9 +1680,9 @@ object Dedup {
     require(ds.sparkSession.conf.get(
         "spark.sql.streaming.stateStore.providerClass", "")
       .contains("RocksDB"),
-      "streamingNearDupGateTtl needs the RocksDB state-store " +
-        "provider: call Dedup.useRocksDbStateStore(session) before " +
-        "building the stream (transformWithState supports no other)")
+      "streamingNearDupGateTtl/VerdictsTaggedTtl needs the RocksDB " +
+        "state-store provider: call Dedup.useRocksDbStateStore(session) " +
+        "before building the stream (transformWithState supports no other)")
     import org.apache.spark.sql.{Encoder, Encoders}
     import org.apache.spark.sql.functions.{col, timestamp_micros}
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
@@ -1721,8 +1750,6 @@ object Dedup {
           implicitly[Encoder[Array[Long]]]),
         TimeMode.EventTime(), OutputMode.Append())(voteEnc)
     reduceByOrdTagged(verdicts)(outEnc)
-      .filter((v: (Long, String, Option[Long], T)) => v._2 == ReasonAdmitted)
-      .map((v: (Long, String, Option[Long], T)) => v._4)(enc)
   }
 
   /** The TTL gate's uniform ord → event-time lift (µs): ord 0 would

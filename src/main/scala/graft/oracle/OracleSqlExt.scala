@@ -776,6 +776,29 @@ object OracleSqlExt {
          |LEFT JOIN frozen fz ON fz.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
 
+  /** Mirrors the x162 TTL gate audit at the default (∞) cap: every
+    * doc with its reason under the horizon semantics — `near_dup`
+    * with the SMALLEST verified prior within `horizon`, else
+    * `admitted` (a verified pair beyond the horizon re-admits, and
+    * `of_ord` stays NULL for it — the re-admission contract per doc).
+    */
+  def streamGateTtlAuditReasonsSql(threshold: Double, horizon: Long,
+                                   k: Int = 12, r: Int = 3): String =
+    minhashCandCtes(k, r) +
+      s""", nd AS (
+         |  SELECT doc_b, min(doc_a) AS of_ord FROM j
+         |  WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= $threshold
+         |    AND doc_b - doc_a <= $horizon
+         |  GROUP BY doc_b
+         |)
+         |SELECT d.doc_id,
+         |       CASE WHEN nd.of_ord IS NOT NULL THEN 'near_dup'
+         |            ELSE 'admitted' END AS reason,
+         |       nd.of_ord AS of_ord
+         |FROM documents d
+         |LEFT JOIN nd ON nd.doc_b = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+
   /** Mirrors the x129 horizon-bounded gate: the x108 closed form plus
     * the horizon predicate — a doc is rejected only by a verified
     * band-sharing pair whose id gap (≡ event-time µs gap) is within
