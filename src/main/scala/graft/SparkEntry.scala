@@ -196,7 +196,8 @@ object SparkEntry {
     */
   private def streamCorpusFixture(s: SparkSession, dir: String,
                                   nearDup: Option[Double],
-                                  nearDupTtl: Option[Long] = None)
+                                  nearDupTtl: Option[Long] = None,
+                                  auditRejects: Boolean = false)
     : DataFrame = {
     val docs = Tables.read(s, dir, "documents")
     val canon = docs.select(col("doc_id").as("c_id"), col("text"))
@@ -243,7 +244,7 @@ object SparkEntry {
     // whose point is the pipe, not the layout width
     val cur = graft.sources.CorpusIO.streamCurated(raw, s"$root/out",
       s"$root/ck", buckets = 8, nearDup = nearDup,
-      nearDupTtlMicros = nearDupTtl)
+      nearDupTtlMicros = nearDupTtl, auditGateRejects = auditRejects)
     // three id-RANGE files delivered and drained one at a time:
     // range order makes each fingerprint's global-min id arrive in
     // the group's first batch, which is what lets the batch oracle
@@ -275,11 +276,27 @@ object SparkEntry {
     // reading back (clean stop above ⇒ no uncommitted tail): the
     // oracle hash unchanged proves compaction is content-invisible
     graft.sources.CorpusIO.compactCurated(s, s"$root/out", None)
-    materializedWithoutScratch(
-      graft.sources.CorpusIO.readCurated(s, s"$root/out")
-        .select("doc_id", "lang", "source", "n_chars")
-        .orderBy("doc_id"),
-      root.toString)
+    if (auditRejects)
+      // the audit row's deliverable is the QUARANTINE side: every
+      // gate reject with its reason and duplicate-of, parsed back
+      // out of the evidence JSON (the bait rows' parse-failure lines
+      // stay behind the reason filter)
+      materializedWithoutScratch(
+        s.read.parquet(s"$root/out/quarantine")
+          .filter(col("reason").isin("near_dup", "hot_bucket"))
+          .select(col("reason"),
+            get_json_object(col("raw_line"), "$.doc_id")
+              .cast("long").as("doc_id"),
+            get_json_object(col("raw_line"), "$.of_ord")
+              .cast("long").as("of_ord"))
+          .orderBy("doc_id"),
+        root.toString)
+    else
+      materializedWithoutScratch(
+        graft.sources.CorpusIO.readCurated(s, s"$root/out")
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id"),
+        root.toString)
     }
   }
 
@@ -940,6 +957,14 @@ object SparkEntry {
     // pair) over the synthesized corpus, so the hash match proves the
     // gate through parse → split → chained keyed state → partitioned
     // sink → compaction, end to end
+    // X26m the audited pipe: same synthesis and gate as x110, but
+    // the DELIVERABLE is the quarantine side — every near-dup reject
+    // with its duplicate-of, proving the pipe drops nothing without
+    // a reasoned record (cap stays ∞ here; hot_bucket rows are the
+    // x161/x158 territory and the TTL-armed form is spec-verified)
+    "x163_pipe_gate_audit" -> ((s, dir) =>
+      streamCorpusFixture(s, dir, nearDup = Some(ClusterJaccard),
+        auditRejects = true)),
     "x110_stream_gate_corpus" -> ((s, dir) =>
       streamCorpusFixture(s, dir, Some(ClusterJaccard))),
     // X26e+X33c: the TTL gate inside the FULL file pipe — the
@@ -2464,6 +2489,10 @@ object SparkEntry {
       OracleSqlExt.streamNearDupGateTtlSql(ClusterJaccard, GateHorizonMicros),
     "x110_stream_gate_corpus" ->
       OracleSqlExt.streamGateCorpusSql(ClusterJaccard),
+    // the reject side of x110's composition: reason + smallest
+    // verified prior per rejected doc
+    "x163_pipe_gate_audit" ->
+      OracleSqlExt.streamGateCorpusAuditSql(ClusterJaccard),
     "x102_incremental_curate" ->
       OracleSqlExt.incrementalCurateLedgerSql(3.0, ClusterJaccard, ClusterBand),
     // same oracle as x46 on purpose: the Bloom pre-filter must be

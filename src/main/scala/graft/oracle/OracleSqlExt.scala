@@ -865,6 +865,26 @@ object OracleSqlExt {
          |ORDER BY s.doc_id""".stripMargin
 
 
+  /** Mirrors the x163 audited pipe: the REJECT side of
+    * [[streamGateCorpusSql]]'s composition — every synthesized doc
+    * with a smaller-id verified LSH pair, tagged `near_dup` with the
+    * smallest such prior (the gate's of_ord rule). `hot_bucket`
+    * cannot occur at the fixture's ∞ cap, so the reason column is
+    * the constant it should be.
+    */
+  def streamGateCorpusAuditSql(threshold: Double, k: Int = 12,
+                               r: Int = 3): String =
+    minhashCandCtes(k, r, rel = "synth",
+      prelude = corpusSynthCtes(mutate = true)) +
+      s""", nd AS (
+         |  SELECT doc_b, min(doc_a) AS of_ord FROM j
+         |  WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= $threshold
+         |  GROUP BY doc_b
+         |)
+         |SELECT CAST('near_dup' AS VARCHAR) AS reason,
+         |       doc_b AS doc_id, of_ord
+         |FROM nd ORDER BY doc_id""".stripMargin
+
   def simhashPairsSql(maxDist: Int, band: Long, bits: Int = 60): String = {
     val sums = (0 until bits).map(b =>
       s"sum(CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")

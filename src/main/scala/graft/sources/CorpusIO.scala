@@ -309,6 +309,16 @@ object CorpusIO {
     * and late arrivals vanish from the output but surface in
     * `nLateDroppedRows`.
     *
+    * `auditGateRejects = true` (requires `nearDup`) upgrades the
+    * admission gate to its reason-tagged variant and routes every
+    * REJECTED doc into the quarantine sink as a
+    * `(reason, {"doc_id":…,"of_ord":…})` line — reason `near_dup`
+    * (with the smallest verified prior) or `hot_bucket` — so the
+    * pipe never drops a document without a quarantine record (the
+    * x97 batch-ledger discipline at pipe level; x163 oracle-pins the
+    * audit rows through the full file pipe). Default off: the
+    * quarantine tree then stays parse-failures-only, today's shape.
+    *
     * `nearDupHotBucketCap = Some(n)` (requires `nearDup`) arms the
     * gates' heavy-hitter circuit breaker: a doc landing in a band
     * bucket already holding ≥ n entries auto-rejects at O(1) and the
@@ -323,10 +333,14 @@ object CorpusIO {
                     nearDup: Option[Double] = None,
                     minQuality: Option[Double] = None,
                     nearDupTtlMicros: Option[Long] = None,
-                    nearDupHotBucketCap: Option[Int] = None)
+                    nearDupHotBucketCap: Option[Int] = None,
+                    auditGateRejects: Boolean = false)
     : org.apache.spark.sql.streaming.StreamingQuery = {
     require(nearDupTtlMicros.isEmpty || nearDup.isDefined,
       "nearDupTtlMicros needs nearDup (the verify threshold) set too")
+    require(!auditGateRejects || nearDup.isDefined,
+      "auditGateRejects needs nearDup — it routes the near-dup gate's " +
+        "rejects into the quarantine sink with their reason")
     require(nearDupHotBucketCap.isEmpty || nearDup.isDefined,
       "nearDupHotBucketCap needs nearDup (it caps the near-dup gate's " +
         "band buckets — see Dedup.streamingNearDupVerdicts)")
@@ -433,6 +447,22 @@ object CorpusIO {
         else { c += 1; d.copy(ord = -((pid << 33) | c)) }
       }
     }
+    // audited gate: a REJECTED doc becomes a quarantine-tagged
+    // PipeDoc — reason `near_dup` (evidence carries the smallest
+    // verified prior) or `hot_bucket` — and rides the EXISTING
+    // two-sink split, so the pipe never drops a document without a
+    // quarantine line (the x97 batch-ledger discipline at pipe
+    // level). Data fields go neutral like every quarantine row; the
+    // evidence names what an operator acts on (the doc id and its
+    // duplicate-of), not the text, which lives on the admitted
+    // duplicate-of anyway.
+    def rejectToQuarantine(
+        v: (Long, String, Option[Long], PipeDoc)): PipeDoc =
+      if (v._2 == graft.operators.Dedup.ReasonAdmitted) v._4
+      else v._4.copy(text = "", lang = "", source = "", n_chars = 0L,
+        q_reason = v._2,
+        q_raw = s"""{"doc_id":${v._4.doc_id}""" +
+          v._3.fold("")(e => s""","of_ord":$e""") + "}")
     val first: org.apache.spark.sql.Dataset[PipeDoc] = nearDupTtlMicros match {
       case Some(horizon) =>
         // TTL layout: the quarantine rows go AROUND the watermarked
@@ -476,10 +506,17 @@ object CorpusIO {
           clean0.filter(
             graft.operators.TextAnalysis.qualityScore(col("text")) >= m))
           .observe("corpus_gated", count(lit(1)).as("n_gate_pass"))
-        val admitted = graft.operators.Dedup.streamingNearDupGateTtl(
-          cleanGated, nearDup.get, horizon,
-          hotBucketCap = nearDupHotBucketCap.getOrElse(Int.MaxValue))(
-          _.text, _.ord)
+        val admitted =
+          if (auditGateRejects)
+            graft.operators.Dedup.streamingNearDupVerdictsTaggedTtl(
+              cleanGated, nearDup.get, horizon,
+              hotBucketCap = nearDupHotBucketCap.getOrElse(Int.MaxValue))(
+              _.text, _.ord)
+              .map(rejectToQuarantine _)
+          else graft.operators.Dedup.streamingNearDupGateTtl(
+            cleanGated, nearDup.get, horizon,
+            hotBucketCap = nearDupHotBucketCap.getOrElse(Int.MaxValue))(
+            _.text, _.ord)
         val quar = typed.filter(col("q_reason").isNotNull)
           .observe("corpus_quar",
             sum(when(col("q_reason") === "malformed", 1L).otherwise(0L))
@@ -526,6 +563,11 @@ object CorpusIO {
         // gates without creating state (no shingles / explicit bypass
         // with a "q|" key a 32-hex md5 can never produce).
         nearDup match {
+          case Some(t) if auditGateRejects =>
+            graft.operators.Dedup.streamingNearDupVerdictsTagged(typed, t,
+              hotBucketCap = nearDupHotBucketCap.getOrElse(Int.MaxValue))(
+              _.text, _.ord)
+              .map(rejectToQuarantine _)
           case Some(t) =>
             graft.operators.Dedup.streamingNearDupGate(typed, t,
               hotBucketCap = nearDupHotBucketCap.getOrElse(Int.MaxValue))(
