@@ -197,7 +197,8 @@ object SparkEntry {
   private def streamCorpusFixture(s: SparkSession, dir: String,
                                   nearDup: Option[Double],
                                   nearDupTtl: Option[Long] = None,
-                                  auditRejects: Boolean = false)
+                                  auditRejects: Boolean = false,
+                                  minQuality: Option[Double] = None)
     : DataFrame = {
     val docs = Tables.read(s, dir, "documents")
     val canon = docs.select(col("doc_id").as("c_id"), col("text"))
@@ -244,7 +245,8 @@ object SparkEntry {
     // whose point is the pipe, not the layout width
     val cur = graft.sources.CorpusIO.streamCurated(raw, s"$root/out",
       s"$root/ck", buckets = 8, nearDup = nearDup,
-      nearDupTtlMicros = nearDupTtl, auditGateRejects = auditRejects)
+      nearDupTtlMicros = nearDupTtl, auditGateRejects = auditRejects,
+      minQuality = minQuality)
     // three id-RANGE files delivered and drained one at a time:
     // range order makes each fingerprint's global-min id arrive in
     // the group's first batch, which is what lets the batch oracle
@@ -276,21 +278,28 @@ object SparkEntry {
     // reading back (clean stop above ⇒ no uncommitted tail): the
     // oracle hash unchanged proves compaction is content-invisible
     graft.sources.CorpusIO.compactCurated(s, s"$root/out", None)
-    if (auditRejects)
+    if (auditRejects) {
       // the audit row's deliverable is the QUARANTINE side: every
-      // gate reject with its reason and duplicate-of, parsed back
-      // out of the evidence JSON (the bait rows' parse-failure lines
-      // stay behind the reason filter)
+      // gate reject with its reason and evidence, parsed back out of
+      // the evidence JSON (the bait rows' parse-failure lines stay
+      // behind the reason filter); with the quality door armed, its
+      // drops and their scores are part of the ledger too
+      val qcols = Seq(col("reason"),
+        get_json_object(col("raw_line"), "$.doc_id")
+          .cast("long").as("doc_id"),
+        get_json_object(col("raw_line"), "$.of_ord")
+          .cast("long").as("of_ord")) ++
+        (if (minQuality.isDefined)
+           Seq(get_json_object(col("raw_line"), "$.quality_score")
+             .cast("double").as("quality_score"))
+         else Seq.empty)
       materializedWithoutScratch(
         s.read.parquet(s"$root/out/quarantine")
-          .filter(col("reason").isin("near_dup", "hot_bucket"))
-          .select(col("reason"),
-            get_json_object(col("raw_line"), "$.doc_id")
-              .cast("long").as("doc_id"),
-            get_json_object(col("raw_line"), "$.of_ord")
-              .cast("long").as("of_ord"))
+          .filter(col("reason").isin("near_dup", "hot_bucket", "low_quality"))
+          .select(qcols: _*)
           .orderBy("doc_id"),
         root.toString)
+    }
     else
       materializedWithoutScratch(
         graft.sources.CorpusIO.readCurated(s, s"$root/out")
@@ -965,6 +974,15 @@ object SparkEntry {
     "x163_pipe_gate_audit" -> ((s, dir) =>
       streamCorpusFixture(s, dir, nearDup = Some(ClusterJaccard),
         auditRejects = true)),
+    // X26n the COMPLETE pipe ledger: quality door + near-dup gate
+    // both audited — every drop class the pipe has (parse failures
+    // aside, which always ledgered) now leaves a reasoned record;
+    // near-dup rejection applies among quality SURVIVORS (the
+    // curateWith order), which the oracle states by running the LSH
+    // closed form over the surviving subset only
+    "x164_pipe_quality_audit" -> ((s, dir) =>
+      streamCorpusFixture(s, dir, nearDup = Some(ClusterJaccard),
+        auditRejects = true, minQuality = Some(3.0))),
     "x110_stream_gate_corpus" -> ((s, dir) =>
       streamCorpusFixture(s, dir, Some(ClusterJaccard))),
     // X26e+X33c: the TTL gate inside the FULL file pipe — the
@@ -2493,6 +2511,11 @@ object SparkEntry {
     // verified prior per rejected doc
     "x163_pipe_gate_audit" ->
       OracleSqlExt.streamGateCorpusAuditSql(ClusterJaccard),
+    // the composed ledger: quality-door drops (with scores) +
+    // near-dup rejects among quality SURVIVORS — the pipe's
+    // gate-before-dedup order stated in SQL
+    "x164_pipe_quality_audit" ->
+      OracleSqlExt.streamGateCorpusQualityAuditSql(ClusterJaccard, 3.0),
     "x102_incremental_curate" ->
       OracleSqlExt.incrementalCurateLedgerSql(3.0, ClusterJaccard, ClusterBand),
     // same oracle as x46 on purpose: the Bloom pre-filter must be

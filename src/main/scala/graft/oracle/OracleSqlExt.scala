@@ -885,6 +885,44 @@ object OracleSqlExt {
          |       doc_b AS doc_id, of_ord
          |FROM nd ORDER BY doc_id""".stripMargin
 
+  /** Mirrors the x164 fully audited pipe: the quality door's drops
+    * (reason `low_quality`, with the score as evidence) plus the
+    * near-dup rejects among quality SURVIVORS — the pipe's
+    * gate-before-dedup order stated in SQL by running the LSH closed
+    * form over the surviving subset only. Shares [[qualityScoreExpr]]
+    * with the x26/x97 mirrors (one spelling of the score).
+    */
+  def streamGateCorpusQualityAuditSql(threshold: Double, minScore: Double,
+                                      k: Int = 12, r: Int = 3): String = {
+    val prelude = corpusSynthCtes(mutate = true) +
+      s"""qual AS (
+         |  SELECT doc_id,
+         |         CAST(len(toks2) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter(toks2, x -> x IN ('the', 'a'))) AS BIGINT) AS stop_cnt,
+         |         CAST(len(list_distinct(toks2)) AS BIGINT) AS distinct_cnt
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks2 FROM synth)
+         |), qscore AS (
+         |  SELECT doc_id, $qualityScoreExpr AS quality_score FROM qual
+         |), surv AS (
+         |  SELECT s.* FROM synth s JOIN qscore q USING (doc_id)
+         |  WHERE q.quality_score >= $minScore
+         |), """.stripMargin
+    minhashCandCtes(k, r, rel = "surv", prelude = prelude) +
+      s""", nd AS (
+         |  SELECT doc_b, min(doc_a) AS of_ord FROM j
+         |  WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= $threshold
+         |  GROUP BY doc_b
+         |)
+         |SELECT CAST('low_quality' AS VARCHAR) AS reason, q.doc_id,
+         |       CAST(NULL AS BIGINT) AS of_ord, q.quality_score
+         |FROM qscore q WHERE q.quality_score < $minScore
+         |UNION ALL
+         |SELECT CAST('near_dup' AS VARCHAR) AS reason, doc_b AS doc_id,
+         |       of_ord, CAST(NULL AS DOUBLE) AS quality_score
+         |FROM nd
+         |ORDER BY doc_id""".stripMargin
+  }
+
   def simhashPairsSql(maxDist: Int, band: Long, bits: Int = 60): String = {
     val sums = (0 until bits).map(b =>
       s"sum(CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")

@@ -316,8 +316,15 @@ object CorpusIO {
     * (with the smallest verified prior) or `hot_bucket` — so the
     * pipe never drops a document without a quarantine record (the
     * x97 batch-ledger discipline at pipe level; x163 oracle-pins the
-    * audit rows through the full file pipe). Default off: the
-    * quarantine tree then stays parse-failures-only, today's shape.
+    * audit rows through the full file pipe). With `minQuality` also
+    * set, the quality door's drops are ledgered too — reason
+    * `low_quality` (the batch ledger's spelling) with
+    * `{"doc_id":…,"quality_score":…}` evidence, neutral-fielded like
+    * every quarantine row so a dropped doc influences no dedup
+    * decision (x164 oracle-pins the composed quality+near-dup audit).
+    * Default off: the quarantine tree then stays parse-failures-only
+    * and quality drops stay counter-only (`n_gate_pass`), today's
+    * shape.
     *
     * `nearDupHotBucketCap = Some(n)` (requires `nearDup`) arms the
     * gates' heavy-hitter circuit breaker: a doc landing in a band
@@ -456,6 +463,27 @@ object CorpusIO {
     // evidence names what an operator acts on (the doc id and its
     // duplicate-of), not the text, which lives on the admitted
     // duplicate-of anyway.
+    // audited quality gate: a door drop becomes a quarantine-tagged
+    // row — reason `low_quality`, the batch ledger's spelling (x97)
+    // — with {"doc_id","quality_score"} evidence, instead of
+    // vanishing behind the n_gate_pass counter. Same neutral-fields
+    // discipline as taggedOf: the emptied text means the dropped doc
+    // influences NO downstream dedup decision (gate-before-dedup,
+    // the curateWith order, exactly like the filtering gate).
+    def qualityAudited(df: DataFrame, m: Double): DataFrame = {
+      val score = graft.operators.TextAnalysis.qualityScore(col("text"))
+      val fail = col("q_reason").isNull && score < m
+      df.select(
+        col("ord"), col("doc_id"),
+        when(fail, lit("")).otherwise(col("text")).as("text"),
+        when(fail, lit("")).otherwise(col("lang")).as("lang"),
+        when(fail, lit("")).otherwise(col("source")).as("source"),
+        when(fail, lit(0L)).otherwise(col("n_chars")).as("n_chars"),
+        when(fail, lit("low_quality")).otherwise(col("q_reason"))
+          .as("q_reason"),
+        when(fail, to_json(struct(col("doc_id"),
+          score.as("quality_score")))).otherwise(col("q_raw")).as("q_raw"))
+    }
     def rejectToQuarantine(
         v: (Long, String, Option[Long], PipeDoc)): PipeDoc =
       if (v._2 == graft.operators.Dedup.ReasonAdmitted) v._4
@@ -502,10 +530,17 @@ object CorpusIO {
         // quality gate at the door, clean branch only — equivalent to
         // the linear layout's disjunctive filter (quarantine passes
         // the door by construction: it is not on this branch)
-        val cleanGated = minQuality.fold(clean0)(m =>
-          clean0.filter(
-            graft.operators.TextAnalysis.qualityScore(col("text")) >= m))
-          .observe("corpus_gated", count(lit(1)).as("n_gate_pass"))
+        // audited low-quality rows stay ON the clean branch (their
+        // ords are real non-negative doc_ids, watermark-compatible)
+        // and pass the gate statelessly via the emptied text — only
+        // MINTED negative ords need the around-the-gate route
+        val cleanGated = minQuality.fold(clean0) { m =>
+          if (auditGateRejects) qualityAudited(clean0.toDF(), m).as[PipeDoc]
+          else clean0.filter(
+            graft.operators.TextAnalysis.qualityScore(col("text")) >= m)
+        }.observe("corpus_gated",
+          sum(when(col("q_reason").isNull, 1L).otherwise(0L))
+            .as("n_gate_pass"))
         val admitted =
           if (auditGateRejects)
             graft.operators.Dedup.streamingNearDupVerdictsTaggedTtl(
@@ -545,7 +580,8 @@ object CorpusIO {
         // dashboard alarm
         val tagged = taggedOf(observed)
         val gated = minQuality.fold(tagged) { m =>
-          tagged.filter(col("q_reason").isNotNull ||
+          if (auditGateRejects) qualityAudited(tagged, m)
+          else tagged.filter(col("q_reason").isNotNull ||
             graft.operators.TextAnalysis.qualityScore(col("text")) >= m)
         }.observe("corpus_gated",
           sum(when(col("q_reason").isNull, 1L).otherwise(0L))
