@@ -620,9 +620,18 @@ object CorpusIO {
     // since the round-14 gate layout (see streamingNearDupGateTtl)
     val q = lock.startGuarded(spark) {
       first.toDF()
+        // the reject-reason counters ride the SAME observe node as
+        // n_admitted (zero extra passes); without the audit they are
+        // structurally 0 — no such reason ever reaches the sink
         .observe("corpus_out",
           sum(when(col("q_reason").isNull, 1L).otherwise(0L))
-            .as("n_admitted"))
+            .as("n_admitted"),
+          sum(when(col("q_reason") === "near_dup", 1L).otherwise(0L))
+            .as("n_neardup_dropped"),
+          sum(when(col("q_reason") === "hot_bucket", 1L).otherwise(0L))
+            .as("n_hotbucket_dropped"),
+          sum(when(col("q_reason") === "low_quality", 1L).otherwise(0L))
+            .as("n_lowq_dropped"))
         .writeStream.outputMode("append")
         .option("checkpointLocation", checkpointDir)
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[

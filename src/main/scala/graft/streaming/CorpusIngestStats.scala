@@ -30,7 +30,10 @@ object CorpusIngestStats {
       nAdmitted: Long,
       nInvalid: Long,
       nLateDroppedRows: Long,
-      batchDurationMs: Long)
+      batchDurationMs: Long,
+      nNearDupDropped: Long,
+      nHotBucketDropped: Long,
+      nLowQualityDropped: Long)
   /** Driver-side retention cap — the buffer is a ring, not a leak. */
   val MaxRetained = 10000
 }
@@ -76,7 +79,13 @@ class CorpusIngestStats
       // survives, and a derived in−out metric spanning the gates
       // would misattribute the drop class (the round-10 lesson)
       p.stateOperators.map(_.numRowsDroppedByWatermark).sum,
-      totalDuration(p))
+      totalDuration(p),
+      // the audited pipe's per-reason reject ledger counters
+      // (structurally 0 when auditGateRejects is off — see
+      // CorpusIO.streamCurated's corpus_out observe)
+      obs(p, "corpus_out", "n_neardup_dropped"),
+      obs(p, "corpus_out", "n_hotbucket_dropped"),
+      obs(p, "corpus_out", "n_lowq_dropped"))
 
   /** The stats table with the derived dashboard columns:
     * `n_clean = lines − malformed − incomplete − invalid` (what
@@ -89,7 +98,12 @@ class CorpusIngestStats
     * lands here, since it passed the door and was not admitted — the
     * separate `nLateDroppedRows` plan-row counter is the
     * disambiguator), and the two rates a crawl alerts on (the
-    * quarantine rate covers all three classes).
+    * quarantine rate covers all three classes). With the audited
+    * pipe (`auditGateRejects`), the per-reason columns
+    * `nNearDupDropped` / `nHotBucketDropped` / `nLowQualityDropped`
+    * split the conflated derived drops by their ACTUAL ledgered
+    * reason — the dashboard stops inferring what the quarantine
+    * records now state.
     */
   def toDF(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -770,6 +770,84 @@ class CorpusIOSpec extends AnyFunSuite {
       s"gate telemetry did not reconcile: $t")
   }
 
+  test("audited pipe: every drop class leaves a reasoned record, per-reason counters reconcile, both layouts") {
+    // near-dup rejects, a quality-door drop and a parse failure all
+    // land in quarantine with their reason + evidence; the corpus_out
+    // per-reason counters match the ledgered rows. Driven through
+    // BOTH gate layouts — the unbounded one (quality drops take
+    // minted negative ords around nothing) and the TTL one (they
+    // ride the clean branch through the watermarked gate on their
+    // real ords) — with a horizon wider than the corpus so the kept
+    // sets must agree.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val lowq = Seq.fill(40)("aa").mkString(" ") // ttr 1/40 → score ≈ 0.14
+    def jline(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "src0", "n_chars": ${text.length}}"""
+    Seq(false, true).foreach { ttl =>
+      val root = tmp(s"graft-auditpipe$ttl")
+      val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      def writeFile(name: String, lines: Seq[String]): Unit =
+        Files.write(java.nio.file.Paths.get(in, name),
+          lines.mkString("\n").getBytes("UTF-8"))
+      val stats = new graft.streaming.CorpusIngestStats
+      val ss = graft.operators.Dedup.useRocksDbStateStore(spark.newSession())
+      val cur = CorpusIO.streamCurated(
+        CorpusIO.readJsonlStream(ss, in), s"$root/out", s"$root/ck",
+        buckets = 4, stats = Some(stats), nearDup = Some(0.5),
+        minQuality = Some(3.0),
+        nearDupTtlMicros = if (ttl) Some(1000000000L * 1000000L) else None,
+        auditGateRejects = true)
+      writeFile("f0.json",
+        Seq(jline(0, base), jline(1, base), jline(2, lowq),
+          "audit junk line"))
+      cur.processAllAvailable()
+      writeFile("f1.json",
+        Seq(jline(3, base + " tail42"), jline(4, other)))
+      cur.processAllAvailable()
+      cur.stop()
+      import spark.implicits._
+      val kept = CorpusIO.readCurated(spark, s"$root/out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(0L, 4L),
+        s"audited pipe (ttl=$ttl) kept $kept — expected the owner and " +
+          "the unrelated doc only")
+      val quar = CorpusIO.readQuarantine(spark, s"$root/out")
+        .select(col("reason"),
+          get_json_object(col("raw_line"), "$.doc_id").cast("long"),
+          get_json_object(col("raw_line"), "$.of_ord").cast("long"))
+        .as[(String, Option[Long], Option[Long])].collect()
+      val nd = quar.filter(_._1 == "near_dup").sortBy(_._2)
+      assert(nd.toSeq == Seq(("near_dup", Some(1L), Some(0L)),
+          ("near_dup", Some(3L), Some(0L))),
+        s"(ttl=$ttl) near-dup ledger wrong: ${nd.toSeq}")
+      val lq = quar.filter(_._1 == "low_quality")
+      assert(lq.length == 1 && lq.head._2 == Some(2L),
+        s"(ttl=$ttl) quality ledger wrong: ${lq.toSeq}")
+      assert(quar.count(_._1 == "malformed") == 1,
+        s"(ttl=$ttl) parse failure must stay ledgered")
+      // per-reason counters == the ledgered rows; the derived
+      // dup-dropped column equals the near-dup ledger exactly
+      val deadline = System.currentTimeMillis() + 20000
+      def totals() = stats.toDF(spark)
+        .agg(coalesce(sum("nNearDupDropped"), lit(0L)),
+          coalesce(sum("nHotBucketDropped"), lit(0L)),
+          coalesce(sum("nLowQualityDropped"), lit(0L)),
+          coalesce(sum("nAdmitted"), lit(0L)),
+          coalesce(sum("n_dup_dropped"), lit(0L)),
+          coalesce(sum("n_quality_dropped"), lit(0L)))
+        .as[(Long, Long, Long, Long, Long, Long)].head()
+      var t = totals()
+      while (t._4 < 2L && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); t = totals()
+      }
+      spark.streams.removeListener(stats)
+      assert(t == ((2L, 0L, 1L, 2L, 2L, 1L)),
+        s"(ttl=$ttl) per-reason counters did not reconcile: $t")
+    }
+  }
+
   test("streamCurated with the TTL gate: horizon rejection + re-admission, quarantine rides the union, telemetry reconciles") {
     val root = tmp("graft-ttlcorpus")
     val in = s"$root/in"
