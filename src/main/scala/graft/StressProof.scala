@@ -948,13 +948,20 @@ object StressProof {
       ms.toDS().toDF("vec_id", "embedding", "label"),
       path, s"$root/ck", compactRatio = ratio)
     var maxGens = 0
-    val times = rest.grouped(per.toInt).map { chunk =>
+    // a throw mid-drive (processAllAvailable or the gens census) must
+    // stop the query — a failed stress run would otherwise leak a live
+    // streaming query and its checkpoint threads for the rest of the
+    // JVM (the ExtensionsSpec drive-helper discipline)
+    val times = try rest.grouped(per.toInt).map { chunk =>
       ms.addData(chunk.toSeq)
       val (_, dt) = timed(q.processAllAvailable())
       maxGens = math.max(maxGens,
         Similarity.referencedGens(spark, path).size)
       dt
-    }.toSeq
+    }.toSeq catch { case e: Throwable =>
+      try q.stop() catch { case s: Throwable => e.addSuppressed(s) }
+      throw e
+    }
     q.stop()
     val hfs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -1774,6 +1774,21 @@ object Dedup {
                           horizonMicros: Long): Long =
     (ordMicros + liftMicros + horizonMicros) / 1000L + 1L
 
+  /** First index in ascending `xs` whose value is ≥ `cut` (`xs.length`
+    * when none) — locates the horizon-live suffix of a TTL band
+    * bucket's retained ord list in O(log bucket).
+    */
+  private def lowerBound(xs: scala.collection.mutable.ArrayBuffer[Long],
+                         cut: Long): Int = {
+    var lo = 0
+    var hi = xs.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (xs(mid) < cut) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
   /** Op 1 of [[streamingNearDupGateTtl]]: the band bucket's seen-ord
     * set as a ListState (the unbounded gate's O(new)-write layout)
     * plus horizon eviction. Probe emission applies the horizon
@@ -1809,17 +1824,23 @@ object Dedup {
     * HORIZON-LIVE ords (entries within `horizonMicros` of the doc's
     * own ord — retained beyond-horizon entries awaiting eviction do
     * not count, so the armed verdict is as eviction-independent as
-    * the unarmed one) auto-rejects at O(1) and is not appended. The
-    * TTL probe tuple has no self flag (`group == ord` IS the self
-    * row), so the auto-reject rides a NEGATIVE sentinel group
-    * `-ord - 1` the doc store turns into a reject vote — sound
-    * because TTL ords are event-time µs (non-negative, asserted on
-    * the capped path). Horizon interplay: the live count falling
-    * below the cap — entries aging out of the horizon — un-freezes
-    * the bucket, so a boilerplate STORM auto-rejects while it lasts
-    * and the bucket resumes normal verification afterwards, with no
-    * dependence on when eviction physically reclaims the aged
-    * entries.
+    * the unarmed one) auto-rejects WITHOUT probing the bucket and is
+    * not appended. Cost of the occupancy check: the retained list is
+    * kept ASCENDING (ords arrive ordered; the rare ms-gap reordered
+    * admission is re-inserted in place — see the handler), so the
+    * horizon-live slice is a suffix and one binary search yields its
+    * size — O(log bucket) per storm doc, not a full scan of the
+    * retained bucket, which is exactly the workload the breaker
+    * exists for. The TTL probe tuple has no self flag
+    * (`group == ord` IS the self row), so the auto-reject rides a
+    * NEGATIVE sentinel group `-ord - 1` the doc store turns into a
+    * reject vote — sound because TTL ords are event-time µs
+    * (non-negative, asserted on the capped path). Horizon interplay:
+    * the live count falling below the cap — entries aging out of the
+    * horizon — un-freezes the bucket, so a boilerplate STORM
+    * auto-rejects while it lasts and the bucket resumes normal
+    * verification afterwards, with no dependence on when eviction
+    * physically reclaims the aged entries.
     */
   private final class BandOrdsTtlProcessor[T](horizonMicros: Long,
                                               liftMicros: Long,
@@ -1846,6 +1867,15 @@ object Dedup {
       val prior = scala.collection.mutable.ArrayBuffer.empty[Long]
       prior ++= ords.get()
       val preExisting = prior.length
+      // the ASCENDING invariant (maintained by the insert below and
+      // by append-in-ord-order everywhere else) is what makes the
+      // horizon-live slice a SUFFIX: `o - e <= horizonMicros` is
+      // `e >= o - horizonMicros`, so one binary search locates the
+      // slice for both the armed breaker's occupancy and the probe
+      // emission — O(log bucket + live) per doc, never a scan of the
+      // whole retained bucket (the boilerplate-storm workload the
+      // breaker exists for would otherwise pay O(bucket) per storm doc)
+      var reordered = false
       val out = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long, Array[Long], Option[T], java.sql.Timestamp)]
       sorted.foreach { case (_, o, sh, docOpt, ts) =>
@@ -1854,12 +1884,9 @@ object Dedup {
           // ord — retained beyond-horizon entries awaiting eviction
           // do not count — so the armed verdict is a pure function of
           // the ords, independent of eviction lag, exactly like the
-          // unarmed gate (with the default ∞ the filter is skipped
-          // and `live` aliases the retained list)
-          val live =
-            if (cap == Int.MaxValue) prior
-            else prior.filter(e => o - e <= horizonMicros)
-          if (live.length >= cap) {
+          // unarmed gate
+          val from = lowerBound(prior, o - horizonMicros)
+          if (cap != Int.MaxValue && prior.length - from >= cap) {
             // circuit breaker: boilerplate bucket — one sentinel row
             // (the doc store's g < 0 vote path) instead of O(bucket)
             // probes; the capped doc is not appended, and entries
@@ -1870,11 +1897,21 @@ object Dedup {
             out += ((-o - 1L, o, sh, None, ts))
           } else {
             // the horizon predicate lives HERE, on ords — retained
-            // beyond-horizon entries (eviction lag) emit nothing
-            live.foreach { e =>
-              if (o - e <= horizonMicros) out += ((e, o, sh, None, ts))
+            // beyond-horizon entries (eviction lag, the prefix below
+            // `from`) emit nothing
+            var i = from
+            while (i < prior.length) {
+              out += ((prior(i), o, sh, None, ts)); i += 1
             }
-            prior += o
+            if (prior.nonEmpty && o < prior.last) {
+              // an ms-gap reordered admission (above the previous
+              // batch's watermark, below an already-seen ord): insert
+              // in place so the ascending invariant holds; rare by
+              // the ordered-arrival contract, and the storage rewrite
+              // below repairs the persisted order too
+              prior.insert(lowerBound(prior, o), o)
+              reordered = true
+            } else prior += o
           }
         }
         if (emitSelf) {
@@ -1898,8 +1935,14 @@ object Dedup {
         val live = prior.filter(e =>
           ttlExpiryMs(e, liftMicros, horizonMicros) > wm)
         val stale = prior.length - live.length
-        if (stale * 2 >= prior.length)
-          ords.put(live.toArray) // amortized: drops ≥ half the bucket
+        if (reordered || stale * 2 >= prior.length)
+          // full rewrite when the prune amortizes it (drops ≥ half the
+          // bucket) OR when a reordered insert changed the list's
+          // interior — appendValue would persist the new ord at the
+          // END and break the ascending invariant the binary search
+          // needs on the next read (reorders are rare by the arrival
+          // contract, so this rewrite is not a steady-state cost)
+          ords.put(live.toArray)
         else
           prior.view.drop(preExisting).foreach(ords.appendValue)
         // one PENDING timer per bucket, armed lazily: re-arming on

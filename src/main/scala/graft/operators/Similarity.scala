@@ -1271,6 +1271,15 @@ object Similarity {
     */
   private[graft] val MintStaleMs = 60000L
 
+  /** Spec-only seam, None in production: runs between the mint claim
+    * and the staging+rename of [[writeManifestFile]]. The lease-fence
+    * spec uses it to simulate a writer paused past [[MintStaleMs]]
+    * (heal its claim away mid-publish); the failure-release spec
+    * throws from it to prove a failed writer frees its marker for
+    * immediate retry. A real pause cannot be scheduled in-process.
+    */
+  @volatile private[graft] var mintPauseForSpec: Option[() => Unit] = None
+
   /** Publish: claim the version with a CREATE-EXCLUSIVE mint marker,
     * stage the manifest text under a unique temp name, then rename
     * into `manifest_v<n>`. Two layers solving two problems:
@@ -1292,52 +1301,116 @@ object Similarity {
     * (marker without a manifest, older than [[MintStaleMs]]) cannot
     * poison its version: the next writer heals it through a
     * rename-arbitrated reclaim — rename-off-the-marker has exactly
-    * one winner on every FS — and claims fresh. The marker is
-    * RELEASED right after a successful rename: a post-publish
-    * claimant of the same version then claims the (free) marker and
-    * hits the destination-exists check below — race-free, because a
-    * manifest can only be CREATED by the version's marker holder, so
-    * while this writer holds the marker no one else can make `dst`
-    * appear between that check and the rename. (A crash between
-    * rename and release leaves a junk marker next to its published
-    * manifest; same-version claims then refuse at the claim instead
-    * of the check — equally loud — and [[retireUnreferenced]]
-    * reclaims any marker at or below the published tip.)
+    * one winner on every FS — and claims fresh. The heal makes the
+    * claim a LEASE, and the lease is FENCED: each claim writes a
+    * unique token into the marker, and ownership is re-verified
+    * immediately before the rename — a claimant paused past
+    * [[MintStaleMs]] between claim and publish finds a successor's
+    * token (or no marker) at the fence and aborts with its staging
+    * deleted, instead of clobbering the successor's published
+    * manifest with a second rename. Residual window, stated honestly:
+    * a pause landing BETWEEN the fence read and the rename itself,
+    * combined with a heal + full re-publish inside that same instant,
+    * is not excluded — that needs a filesystem with compare-and-swap
+    * publish (the transactional-table-format story); the fence
+    * shrinks the exposure from the whole staging to one syscall gap.
+    * The marker is RELEASED right after a successful rename AND on
+    * every failure exit (staging error, destination-exists, fence
+    * failure, failed rename) — ownership-checked, so a failed writer
+    * frees the version for immediate retry (including its own) and
+    * never deletes a successor's claim. A crash between rename and
+    * release leaves a junk marker next to its published manifest;
+    * same-version claims then refuse at the claim instead of the
+    * check — equally loud — and [[retireUnreferenced]] reclaims any
+    * marker at or below the published tip.
     */
   private def writeManifestFile(hfs: org.apache.hadoop.fs.FileSystem,
                                 path: String, m: IndexManifest): Unit = {
     val dst = new org.apache.hadoop.fs.Path(s"$path/manifest_v${m.version}")
-    claimMintMarker(hfs, path, m.version, dst)
+    val mint = new org.apache.hadoop.fs.Path(s"$path/_mint_v${m.version}")
+    val claim = claimMintMarker(hfs, path, m.version, dst)
+    // lease-fence probe: does the marker still carry OUR claim token?
+    // False means a healer decided this writer was dead (paused past
+    // MintStaleMs) and took the version over — every marker touch
+    // below is conditioned on it, so a healed-away writer can neither
+    // publish over the successor nor delete the successor's claim
+    def ownsMarker: Boolean =
+      try {
+        val in = hfs.open(mint)
+        val held =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        held == claim
+      } catch {
+        // absent OR unreadable (torn write, checksum mismatch): either
+        // way the marker provably isn't the clean token this writer
+        // wrote, so "not owned" — abort at the fence / skip the
+        // release — is the safe reading on both call sites
+        case _: java.io.IOException => false
+      }
+    def releaseMarkerIfOwned(): Unit =
+      if (ownsMarker) hfs.delete(mint, false)
     // unique temp name: two drivers' stagings must never collide
     val tmp = new org.apache.hadoop.fs.Path(
       s"$path/_manifest_tmp_${java.util.UUID.randomUUID()}")
-    val out = hfs.create(tmp, true)
     try {
-      val sb = new StringBuilder("graft-ann-index v1\n")
-      sb ++= s"kind ${m.kind}\n"
-      sb ++= s"learned ${m.learned}\n"
-      m.tags.toSeq.sorted.foreach(t => sb ++= s"tag $t\n")
-      m.cells.sorted.foreach(c => sb ++= s"cell $c\n")
-      out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } finally out.close()
-    if (hfs.exists(dst)) {
-      hfs.delete(tmp, false)
-      throw new java.util.ConcurrentModificationException(
-        s"manifest $dst already exists — a concurrent writer published " +
-          "this version first (its mint marker was removed " +
-          "out-of-protocol, or the publish predates the marker " +
-          "discipline). Re-run the operation to re-enter against the " +
-          "new snapshot")
+      // spec seam: a real claim-to-publish pause cannot be scheduled
+      // in-process, so the fence and failure-release specs inject one
+      // here (None in production, see [[mintPauseForSpec]])
+      mintPauseForSpec.foreach(_.apply())
+      val out = hfs.create(tmp, true)
+      try {
+        val sb = new StringBuilder("graft-ann-index v1\n")
+        sb ++= s"kind ${m.kind}\n"
+        sb ++= s"learned ${m.learned}\n"
+        m.tags.toSeq.sorted.foreach(t => sb ++= s"tag $t\n")
+        m.cells.sorted.foreach(c => sb ++= s"cell $c\n")
+        out.write(
+          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } finally out.close()
+      if (hfs.exists(dst)) {
+        hfs.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"manifest $dst already exists — a concurrent writer published " +
+            "this version first (its mint marker was removed " +
+            "out-of-protocol, or the publish predates the marker " +
+            "discipline). Re-run the operation to re-enter against the " +
+            "new snapshot")
+      }
+      // the lease fence (see the scaladoc): re-verify marker ownership
+      // immediately before the rename — a claim healed away mid-pause
+      // must abort here, not overwrite the successor's publish
+      if (!ownsMarker) {
+        hfs.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"index version ${m.version} at $path: this writer's mint claim " +
+            s"was healed away (paused longer than ${MintStaleMs} ms " +
+            "between claim and publish) — a successor owns the version " +
+            "now. Re-run the operation to re-enter against the new " +
+            "snapshot")
+      }
+      if (!hfs.rename(tmp, dst)) throw new java.io.IOException(
+        s"index publish: rename $tmp -> $dst failed")
+    } catch { case t: Throwable =>
+      // a failed (non-crashed) writer releases its claim before
+      // rethrowing: a leaked marker would block every retry of this
+      // version — including this same process — behind "being minted
+      // right now" for up to MintStaleMs, a robustness regression the
+      // old detect-only tripwire never had
+      try releaseMarkerIfOwned()
+      catch { case r: Throwable => t.addSuppressed(r) }
+      throw t
     }
-    if (!hfs.rename(tmp, dst)) throw new java.io.IOException(
-      s"index publish: rename $tmp -> $dst failed")
-    hfs.delete(new org.apache.hadoop.fs.Path(
-      s"$path/_mint_v${m.version}"), false)
+    releaseMarkerIfOwned()
     manifestVersionHints.put(path, Integer.valueOf(m.version))
   }
 
   /** The single-winner version claim of [[writeManifestFile]]:
-    * create-exclusive `_mint_v<version>`. Throws
+    * create-exclusive `_mint_v<version>`. Returns the unique claim
+    * token written into the marker — the caller's lease identity,
+    * re-verified at the pre-rename fence and on every release (a
+    * bare runtime name would collide between two claims from one
+    * process lifetime; the UUID cannot). Throws
     * [[java.util.ConcurrentModificationException]] when the version
     * is already claimed (published manifest, live concurrent minter,
     * or a lost heal race — each named in the message); heals a
@@ -1347,14 +1420,15 @@ object Similarity {
     */
   private def claimMintMarker(hfs: org.apache.hadoop.fs.FileSystem,
                               path: String, version: Int,
-                              dst: org.apache.hadoop.fs.Path): Unit = {
+                              dst: org.apache.hadoop.fs.Path): String = {
     val mint = new org.apache.hadoop.fs.Path(s"$path/_mint_v$version")
+    val claim = java.util.UUID.randomUUID().toString + "@" +
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getName
     def tryClaim(): Boolean =
       try {
         val out = hfs.create(mint, false) // overwrite=false: refuses an existing path
-        try out.write(java.lang.management.ManagementFactory
-          .getRuntimeMXBean.getName
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        try out.write(
+          claim.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
         true
       } catch {
@@ -1373,7 +1447,7 @@ object Similarity {
         hfs.delete(mint, false) // (its marker was reclaimed long ago)
         lose(s"manifest $dst already exists")
       }
-      return
+      return claim
     }
     if (hfs.exists(dst)) lose(s"manifest $dst already exists")
     // marker held, manifest absent: a live racer mid-publish, or a
@@ -1396,6 +1470,7 @@ object Similarity {
     if (!healed || !tryClaim()) lose("lost the stale-claim heal race")
     if (hfs.exists(dst)) { hfs.delete(mint, false)
       lose(s"manifest $dst already exists") }
+    claim
   }
 
   /** The manifest retention age floor (ms): manifests younger than

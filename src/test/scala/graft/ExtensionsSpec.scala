@@ -2582,6 +2582,81 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("the mint lease is fenced: a claim healed away mid-publish aborts, staging deleted, successor untouched") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-annfence")
+    try {
+      val base = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 4L)
+      Similarity.buildIvfSqIndex(base, s"$root/sq") // v1
+      val mint = java.nio.file.Paths.get(s"$root/sq/_mint_v2")
+      // simulate the unfenced-lease hazard: this writer pauses past
+      // MintStaleMs between claim and rename; a successor heals the
+      // claim away and owns the version when the pause ends. Without
+      // the pre-rename ownership fence, the paused writer's rename
+      // would silently overwrite whatever the successor publishes.
+      // (Written through the Hadoop FS, as a real successor would —
+      // a direct NIO overwrite would orphan the CRC sidecar.)
+      val hfs = new org.apache.hadoop.fs.Path(s"$root/sq")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Similarity.mintPauseForSpec = Some(() => {
+        val out = hfs.create(
+          new org.apache.hadoop.fs.Path(s"$root/sq/_mint_v2"), true)
+        try out.write("successor-claim".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      })
+      try {
+        val e = intercept[java.util.ConcurrentModificationException] {
+          Similarity.publishManifestForSpec(spark, s"$root/sq", 2)
+        }
+        assert(e.getMessage.contains("healed away"), e.getMessage)
+      } finally Similarity.mintPauseForSpec = None
+      // the fenced-away writer published nothing, deleted its staging,
+      // and did NOT release the SUCCESSOR's marker (release is
+      // ownership-checked)
+      assert(Similarity.currentIndexVersion(spark, s"$root/sq") == 1,
+        "the fenced-away writer must publish nothing")
+      val top = new java.io.File(s"$root/sq").listFiles().map(_.getName)
+      assert(!top.exists(_.startsWith("_manifest_tmp_")),
+        s"the fenced-away writer must delete its staging: ${top.toSeq}")
+      assert(new String(java.nio.file.Files.readAllBytes(mint),
+        java.nio.charset.StandardCharsets.UTF_8) == "successor-claim",
+        "the loser must not delete the successor's claim")
+    } finally {
+      val _ = new scala.reflect.io.Directory(root.toFile).deleteRecursively()
+    }
+  }
+
+  test("a failed publish releases its mint claim: the same version retries immediately") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-annrelease")
+    try {
+      val base = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 4L)
+      Similarity.buildIvfSqIndex(base, s"$root/sq") // v1
+      // a transient failure between claim and rename (a staging write
+      // error in the wild) — the old code released the marker only
+      // after a successful rename, so the failure leaked the claim and
+      // every retry of the version hit "being minted right now" for
+      // MintStaleMs: a robustness regression vs the detect-only
+      // tripwire, fixed by the catch-path release
+      Similarity.mintPauseForSpec = Some(() =>
+        throw new java.io.IOException("simulated staging failure"))
+      try {
+        val e = intercept[java.io.IOException] {
+          Similarity.publishManifestForSpec(spark, s"$root/sq", 2)
+        }
+        assert(e.getMessage.contains("simulated staging failure"))
+      } finally Similarity.mintPauseForSpec = None
+      assert(!new java.io.File(s"$root/sq/_mint_v2").exists(),
+        "a failed (non-crashed) writer must release its claim")
+      // immediate same-process retry succeeds — no MintStaleMs wait
+      Similarity.publishManifestForSpec(spark, s"$root/sq", 2)
+      assert(Similarity.currentIndexVersion(spark, s"$root/sq") == 2)
+    } finally {
+      val _ = new scala.reflect.io.Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("a two-writer version race refuses by name and leaves the loser's staging intact") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-annrace")
