@@ -119,12 +119,34 @@ object Bench {
     // multi-second host-drift band on single passes; min-of-N
     // interleaved is what rejects it)
     val protocol = s"min-of-$passes-interleaved"
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","protocol":"$protocol","queries":$qs,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","protocol":"$protocol","queries":$qs,"sf":"$sfDir"}"""
+    println(fullLine)
     results.toSeq.sortBy(_._1).foreach { case (n, t) =>
       println(s"BENCH $n ${fmt(t)}")
     }
-    println(compactLine(results, total, sfDir, protocol))
+    // layer 0, a FILE: the complete full-name JSON, independent of any
+    // stdout capture window — the evidence survives even if a future
+    // harness change reshapes the tail again
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+    }
+    // the compact line must be the LAST bytes this process emits — the
+    // round-15 artifact defect: it was printed BEFORE spark.stop(), and
+    // a state-store maintenance daemon thread that outlives stop()
+    // logged a ~1.2 KB "SparkEnv not active" stack trace AFTER it,
+    // pushing the line's head out of the driver's 2000-char tail
+    // window (BENCH_r15 parsed:null). So: silence ALL logging first
+    // (daemon threads log through the same root logger), stop the
+    // session, THEN print — nothing Spark-born can follow the line;
+    // the only legitimate trailing bytes are sbt's "[success] …" line,
+    // which the TailBudget already models.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(compactLine(results, total, sfDir, protocol))
+    System.out.flush()
   }
 
   /** The layer-3 compact summary line (see ordering comment above).
@@ -154,12 +176,18 @@ object Bench {
     // the ONE total field never saturates (it is the headline number
     // the driver records); a single unbounded value costs ≤ 9 chars
     val tot = "%.1f".formatLocal(java.util.Locale.ROOT, total)
+    // sf as the directory's BASENAME (sf0.1): the full path lives in
+    // the layer-1 JSON; here every char spent on a constant prefix is
+    // a per-query entry the budget may have to drop as the registry
+    // grows (~15 chars ≈ 1.5 entries)
+    val sfShort = sfDir.split('/').filter(_.nonEmpty)
+      .lastOption.getOrElse(sfDir)
     def render(entries: Seq[(String, String)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val proto =
         if (protocol.isEmpty) "" else s""","protocol":"$protocol""""
-      s"""{"metric":"total","value":$tot,"unit":"sec","nq":${results.size}$proto,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$tot,"unit":"sec","nq":${results.size}$proto,"queries":$qs,"sf":"$sfShort"}"""
     }
     val all = results.toSeq.sortBy(_._1)
       .map { case (k, v) => (k.takeWhile(_ != '_'), fmt1(v), v) }

@@ -54,19 +54,41 @@ class BenchContractSpec extends AnyFunSuite {
 
   test("compact line parses as JSON; realistic timings carry every query") {
     // realistic per-query values (sub-second) — the full registry must
-    // fit the budget whole, so the driver's per-query record stays
-    // complete in the steady state; the worst-case width tests above
-    // cover the degraded mode
+    // fit the budget whole WITH the protocol field the real run emits,
+    // so the driver's per-query record stays complete in the steady
+    // state; the worst-case width tests above cover the degraded mode
     val real = Bench.compactLine(
-      SparkEntry.queries.keys.map(_ -> 0.123).toMap, 42.0, sf)
+      SparkEntry.queries.keys.map(_ -> 0.123).toMap, 42.0, sf,
+      protocol = "min-of-3-interleaved")
     assert(real.startsWith("""{"metric":"total""""))
     assert(real.count(_ == '{') == 2 && real.count(_ == '}') == 2)
     assert(real.contains(s""""nq":${SparkEntry.queries.size}"""))
+    assert(real.contains(""""protocol":"min-of-3-interleaved""""))
     SparkEntry.queries.keys.foreach { k =>
       val short = "\"" + k.takeWhile(_ != '_') + "\":"
       assert(real.contains(short), s"missing $k as $short")
     }
     assert(real.length <= 1900)
+  }
+
+  test("the tail window absorbs the line plus a trailing-noise margin") {
+    // the round-15 artifact defect was TRAILING noise, not line width:
+    // the compact line was printed before spark.stop(), and a
+    // state-store maintenance daemon logged a ~1.2 KB stack trace
+    // after it — the 2000-char tail kept the noise and cut the line's
+    // head (BENCH_r15 parsed:null). Bench now prints the line after
+    // setLogLevel(OFF) + stop(), so the only legitimate trailing bytes
+    // are sbt's "[success] Total time: …" line (~80 chars) — but the
+    // budget must also absorb a margin of unexpected junk, or the next
+    // stray WARN line silently returns the evidence to parsed:null.
+    val noiseMargin = 100 // sbt [success] (~80) + newlines + slack
+    val real = Bench.compactLine(
+      SparkEntry.queries.keys.map(_ -> 0.123).toMap, 42.0, sf,
+      protocol = "min-of-3-interleaved")
+    assert(real.length + noiseMargin <= 2000,
+      s"compact line (${real.length} chars) + $noiseMargin noise " +
+        "chars exceeds the 2000-char tail — the full line would be " +
+        "cut at its head by any trailing output")
   }
 
   test("contract holds past 200 queries: slowest entries kept, omission visible in nq") {
