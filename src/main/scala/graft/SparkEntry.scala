@@ -65,6 +65,14 @@ object SparkEntry {
     */
   val GateHorizonMicros: Long = 200L
 
+  /** x165 DEGENERATE TTL-gate horizon: wider than any SF's doc_id
+    * span by orders of magnitude, so nothing ever ages out and the
+    * armed TTL gate's sequential bucket recurrence collapses to the
+    * unbounded armed gate's closed form (x161's oracle). Far below
+    * Long overflow in the expiry math (ord + 1 s lift + horizon).
+    */
+  val GateDegenerateHorizonMicros: Long = 1L << 40
+
   /** x99 recall-curve probe counts — ONE definition for the query
     * body, the oracle call, and the ExtensionsSpec monotonicity pin.
     * The last value exceeds any SF's cell count, so that curve point
@@ -1215,6 +1223,42 @@ object SparkEntry {
       }
       q.stop()
       ss.table("graft_gate_ttl_reasons").orderBy("doc_id")
+    }),
+    // X33i armed-TTL tagged audit under a DEGENERATE horizon: with
+    // the horizon wider than the corpus span nothing ages out, so the
+    // armed TTL gate's sequential bucket membership collapses to the
+    // unbounded armed rule and x161's closed form holds EXACTLY —
+    // putting the armed TTL reason column (both reject reasons fire
+    // at cap=3 on this corpus) under the hash gate too. Real horizons
+    // stay spec-verified: there membership is a recurrence SQL cannot
+    // state (entries age out and capped docs are not appended).
+    "x165_gate_ttl_armed_audit" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Tables.read(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .as[graft.sources.CorpusIO.CuratedDoc].collect().sortBy(_.doc_id)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      Dedup.useRocksDbStateStore(ss)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.sources.CorpusIO.CuratedDoc](ss)
+      val tagged = Dedup.streamingNearDupVerdictsTaggedTtl(
+          ms.toDS(), ClusterJaccard, GateDegenerateHorizonMicros,
+          hotBucketCap = 3)(_.text, _.doc_id)
+        .map(v => (v._1, v._2, v._3))
+      val q = tagged.toDF("doc_id", "reason", "of_ord")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("graft_gate_ttl_armed_reasons")
+        .start()
+      try rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      } catch { case e: Throwable =>
+        try q.stop() catch { case s2: Throwable => e.addSuppressed(s2) }
+        throw e
+      }
+      q.stop()
+      ss.table("graft_gate_ttl_armed_reasons").orderBy("doc_id")
     }),
     // X4f BM25 top-20 retrieval over a fixed query term set (rare +
     // common terms) — linear idf, the x77 exactness convention
@@ -2497,6 +2541,12 @@ object SparkEntry {
     "x162_gate_ttl_audit_reasons" ->
       OracleSqlExt.streamGateTtlAuditReasonsSql(ClusterJaccard,
         GateHorizonMicros),
+    // the armed TTL audit at a degenerate horizon ≡ the unbounded
+    // armed audit — x161's EXACT closed form, deliberately the same
+    // oracle builder and cap: the hash equality across the two state
+    // machines is the deliverable (the drift pin for the armed gates)
+    "x165_gate_ttl_armed_audit" ->
+      OracleSqlExt.streamGateAuditReasonsSql(ClusterJaccard, 3),
     "x129_stream_gate_ttl" ->
       OracleSqlExt.streamNearDupGateTtlSql(ClusterJaccard, GateHorizonMicros),
     // the TTL pipe promises the kept set of the TTL gate over the raw

@@ -1192,6 +1192,15 @@ object Dedup {
     * have closed batch forms (the smaller-id verified pair rule and
     * the row_number-per-band-signature freeze rule), so the whole
     * stream is oracle-checkable at full scale.
+    *
+    * Shingle-less docs (under one k-shingle of words) flow through as
+    * `admitted` with ZERO state rows and ZERO probes: no band rows ⇒
+    * no bucket entry, no shingle-store entry. The audited corpus
+    * pipe leans on exactly this — its quality-door drops ride the
+    * gate as PASSENGERS with their text emptied
+    * ([[graft.sources.CorpusIO]] `qualityAudited`), so a dropped doc
+    * influences no dedup decision and costs one stateless row through
+    * the chain (spec-pinned for both gates).
     */
   def streamingNearDupVerdictsTagged[T](
       ds: org.apache.spark.sql.Dataset[T],
@@ -1662,7 +1671,17 @@ object Dedup {
     * spec-pinned), but bucket membership becomes a sequential
     * recurrence (a capped doc is not appended, and entries age out),
     * which plain SQL does not express — armed TTL runs are therefore
-    * spec-verified rather than oracle-hashed.
+    * spec-verified rather than oracle-hashed, EXCEPT at a degenerate
+    * horizon wider than the corpus span, where nothing ages out and
+    * the armed recurrence collapses to the unbounded armed rule
+    * (the x165 oracle row: hash-equal to x161's closed form).
+    *
+    * Shingle-less docs are stateless `admitted` passengers here too —
+    * no band rows, no shingle-store entry, no TIMER (nothing to
+    * evict): the audited pipe's emptied-text quality drops
+    * ([[graft.sources.CorpusIO]] `qualityAudited`) stay
+    * watermark-compatible on the clean branch at zero state cost
+    * (spec-pinned for both gates).
     */
   def streamingNearDupVerdictsTaggedTtl[T](
       ds: org.apache.spark.sql.Dataset[T],

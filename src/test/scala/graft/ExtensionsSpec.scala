@@ -1794,6 +1794,46 @@ class ExtensionsSpec extends AnyFunSuite {
       ("s2", 1L, 5L, 5L, 5L, 5.0, 0L, 0.0, 1L, 2L, 1.0)))
   }
 
+  test("shingle-less docs are stateless admitted passengers in BOTH tagged gates") {
+    import spark.implicits._
+    // the audited pipe floats a quality-dropped doc through the gate
+    // with its text EMPTIED (CorpusIO.qualityAudited) — the cost
+    // contract the pipe relies on: zero state rows and zero probes,
+    // every passenger admitted. Mixed empty and sub-shingle texts,
+    // with exact repeats that only a SHINGLED path could reject.
+    val rows = (0L until 40L).map(i => (i, if (i % 2 == 0) "" else "two words"))
+    for (ttl <- Seq(false, true)) {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      Dedup.useRocksDbStateStore(ss)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](ss)
+      val tagged =
+        if (ttl) Dedup.streamingNearDupVerdictsTaggedTtl(
+          ms.toDS(), 0.5, 1000000L)(_._2, _._1)
+        else Dedup.streamingNearDupVerdictsTagged(ms.toDS(), 0.5)(_._2, _._1)
+      val q = tagged.map(v => (v._1, v._2)).toDF("doc_id", "reason")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"gate_passengers_$ttl").start()
+      try rows.grouped(20).foreach { c =>
+        ms.addData(c.toSeq); q.processAllAvailable()
+      } catch { case e: Throwable =>
+        try q.stop() catch { case s2: Throwable => e.addSuppressed(s2) }
+        throw e
+      }
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).toSeq
+      q.stop()
+      assert(stateRows.forall(_ == 0L),
+        s"ttl=$ttl: shingle-less docs must create NO state anywhere " +
+          s"in the chain, got per-op rows $stateRows")
+      val got = ss.table(s"gate_passengers_$ttl")
+        .select("doc_id", "reason").as[(Long, String)].collect()
+      assert(got.length == rows.length &&
+        got.forall(_._2 == Dedup.ReasonAdmitted),
+        s"ttl=$ttl: every passenger must flow out admitted")
+    }
+  }
+
   test("streamingNearDupGate: kept set equals the batch smaller-id verified-neighbor filter") {
     import spark.implicits._
     val rows = docs.select("doc_id", "text").as[(Long, String)]
