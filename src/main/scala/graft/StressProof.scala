@@ -58,7 +58,8 @@ object StressProof {
         ("neardupgate", nearDupGate), ("hotbucket", hotBucketGate),
         ("ttlgate", ttlGate),
         ("corpuspipe", corpusPipe), ("ttlpipe", ttlPipe),
-        ("shards", shards), ("absorber", absorber))
+        ("shards", shards), ("absorber", absorber),
+        ("backfillseed", backfillSeed))
       val unknown = args.toSet -- blocks.map(_._1).toSet
       require(unknown.isEmpty, s"unknown stress blocks: $unknown " +
         s"(known: ${blocks.map(_._1).mkString(", ")})")
@@ -987,6 +988,55 @@ object StressProof {
       f"compaction rewrote $amp%.2f× the appended bytes — the " +
         f"geometric trigger's amortization (≤ ratio + 2 = ${ratio + 2}) " +
         "has regressed")
+  }
+
+  /** The distributed backfill seed at 100 k metrics — the
+    * driver-memory bound as a test: chunkedGatedChunks carries the
+    * per-metric gate seed across 4 chunks as a checkpointed
+    * DISTRIBUTED frame (the retired per-chunk collect() was an
+    * O(metrics) driver map), and planted cross-chunk violations prove
+    * the seed is semantically live at this cardinality:
+    *  - every chunk-2 row sits BELOW its metric's chunk-1 max, and is
+    *    its metric's ONLY row in the chunk — the in-chunk window sees
+    *    no predecessor, so only the cross-chunk seed can reject it;
+    *  - a tenth of chunk 3 is NaN (the sanitize filter's share);
+    *  - every chunk after the first must emit exactly one anchor row
+    *    per seeded metric.
+    * Driver-side state across the run: the per-chunk count pairs this
+    * block itself collects — nothing else (the bound the streaming
+    * gate's distributed initial-state seed set, now matched by
+    * backfill).
+    */
+  private def backfillSeed(spark: SparkSession): Unit = {
+    val nMetrics = 100000L
+    val times = Seq(100L, 200L, 150L, 300L) // per-chunk time plan
+    val pts = spark.range(4L * nMetrics).select(
+      concat(lit("m"), pmod(col("id"), lit(nMetrics))).as("metric"),
+      col("id").as("seq"),
+      element_at(array(times.map(lit): _*),
+        (col("id") / nMetrics).cast("int") + 1).as("time"),
+      when((col("id") / nMetrics).cast("int") === 3 &&
+          pmod(col("id"), lit(10L)) === 0L, lit(Double.NaN))
+        .otherwise(lit(1.0)).as("value"))
+    val counts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val (_, dt) = timed(
+      graft.sources.BulkImport.chunkedGatedChunks(spark, pts, 4) {
+        (batch, _) =>
+          // one bounded action per chunk (2 rows): kept vs anchor
+          val byAnchor = batch.groupBy("anchor").count().collect()
+            .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+          counts += ((byAnchor.getOrElse(false, 0L),
+            byAnchor.getOrElse(true, 0L)))
+      })
+    println(f"STRESS backfillseed metrics=$nMetrics chunks=4 " +
+      s"kept=${counts.map(_._1).mkString("/")} " +
+      s"anchors=${counts.map(_._2).mkString("/")} " + f"t=$dt%.1fs")
+    require(counts.map(_._1).toSeq ==
+        Seq(nMetrics, nMetrics, 0L, nMetrics - nMetrics / 10),
+      s"gate kept-counts drifted from the planted closed form: $counts " +
+        "(chunk 2 must be rejected ENTIRELY by the cross-chunk seed)")
+    require(counts.map(_._2).toSeq == Seq(0L, nMetrics, nMetrics, nMetrics),
+      s"anchor counts drifted from one-per-seeded-metric: $counts")
   }
 
   /** Training-shard writer at 1 M docs: the 256-bucket two-phase

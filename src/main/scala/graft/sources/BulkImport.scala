@@ -44,14 +44,48 @@ object BulkImport {
     * FULL history — a single-metric import of billions of rows
     * serializes into one task. Here no operator ever sees more than one
     * chunk: the per-metric running max of all previous chunks seeds each
-    * chunk's gate (one tiny broadcast), and the hold segment bridging a
-    * chunk boundary travels as an anchor row, exactly like the streaming
-    * batch boundary. The driver loop is over chunks (count =
-    * total/10 M at the importer's sizing), each a fully parallel job.
+    * chunk's gate as a DISTRIBUTED checkpointed frame (no O(metrics)
+    * driver structure — see [[chunkedGatedChunks]]), and the hold
+    * segment bridging a chunk boundary travels as an anchor row, exactly
+    * like the streaming batch boundary. The driver loop is over chunks
+    * (count = total/10 M at the importer's sizing), each a fully
+    * parallel job.
     */
   def chunkedBackfill(spark: SparkSession, points: DataFrame,
                       store: graft.streaming.HtaStore, nChunks: Int,
-                      tag: String = "backfill"): Unit = {
+                      tag: String = "backfill"): Unit =
+    chunkedGatedChunks(spark, points, nChunks) { (batch, i) =>
+      store.writeBatch(spark, batch, s"${tag}_$i")
+    }
+
+  /** The seed-carrying chunk loop of [[chunkedBackfill]], factored
+    * from the store sink so the seed machinery is testable at metric
+    * cardinalities the (metric, day)-partitioned store layout cannot
+    * host locally (StressProof drives it at 100 k metrics with a
+    * counting sink). Each chunk's gated rows PLUS the cross-chunk
+    * anchor rows are handed to `sink` exactly as writeBatch expects.
+    *
+    * The gate seed — metric → (max stored time, its value) — is a
+    * DISTRIBUTED frame, never a driver map: the retired per-chunk
+    * `collect()` was a driver-memory funnel at millions of metrics,
+    * the exact shape the streaming gate's distributed initial-state
+    * seed already avoids. Per chunk the seed folds the chunk's
+    * per-metric max in via union + argmax (kept rows all pass the
+    * gate, so a touched metric's new time is strictly above its old
+    * seed and `max_by` picks it; untouched metrics keep their row) and
+    * is eagerly `localCheckpoint`ed: the lineage would otherwise
+    * deepen by one window + join + aggregate per chunk, and an
+    * importer's thousands of chunks would overflow plan compilation
+    * long before data volume mattered. The previous checkpoint's
+    * blocks are released once the next one is materialized, so
+    * executor storage holds exactly one O(metrics) seed at a time.
+    * The seed join is a plain (AQE-planned) left join: small seeds
+    * broadcast themselves, and a multi-million-metric seed stays a
+    * shuffle join instead of an OOM-ing forced broadcast.
+    */
+  private[graft] def chunkedGatedChunks(spark: SparkSession,
+                                        points: DataFrame, nChunks: Int)(
+      sink: (DataFrame, Int) => Unit): Unit = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     require(nChunks > 0)
@@ -62,14 +96,16 @@ object BulkImport {
       case _ => return // empty import
     }
     val step = math.max(1L, (hi - lo) / nChunks + 1)
-    // metric -> (max stored time, its value): the gate seed, carried
-    // across chunks exactly like streaming gate state across batches
-    var seed = Map.empty[String, (Long, Double)]
-    (0 until nChunks).foreach { i =>
+    var seedDf = Seq.empty[(String, Long, Double)]
+      .toDF("metric", "seed_ts", "seed_v")
+    var seedRdds: Set[Int] = Set.empty
+    def release(ids: Set[Int]): Unit = {
+      val now = spark.sparkContext.getPersistentRDDs
+      ids.foreach(id => now.get(id).foreach(_.unpersist(blocking = false)))
+    }
+    try (0 until nChunks).foreach { i =>
       val chunk = points.filter(
         col("seq") >= lo + i * step && col("seq") < lo + (i + 1) * step)
-      val seedDf = seed.toSeq.map { case (m, (t, v)) => (m, t, v) }
-        .toDF("metric", "seed_ts", "seed_v")
       // in-chunk monotonic gate, floored by the cross-chunk seed
       // (greatest() ignores NULLs, so an unseeded metric degrades to the
       // plain running max and a row with no predecessors passes)
@@ -78,25 +114,32 @@ object BulkImport {
       val kept = chunk
         .filter(!isnan(col("value")))
         .filter(abs(col("value")) =!= lit(Double.PositiveInfinity))
-        .join(broadcast(seedDf), Seq("metric"), "left")
+        .join(seedDf, Seq("metric"), "left")
         .withColumn("max_prev", greatest(max(col("time")).over(w), col("seed_ts")))
         .filter(col("max_prev").isNull || col("time") > col("max_prev"))
         .select(col("metric"), col("time"), col("value"), lit(false).as("anchor"))
       val anchors = seedDf.select(col("metric"), col("seed_ts").as("time"),
         col("seed_v").as("value"), lit(true).as("anchor"))
-      // cache across the two actions (writeBatch + seed collect) — the
-      // gate window would otherwise run twice per chunk
+      // cache across the two actions (sink + seed fold) — the gate
+      // window would otherwise run twice per chunk
       val keptC = kept.cache()
       try {
-        store.writeBatch(spark, keptC.unionByName(anchors), s"${tag}_$i")
+        sink(keptC.unionByName(anchors), i)
         val newMax = keptC.groupBy("metric")
-          .agg(max("time").as("t"), max_by(col("value"), col("time")).as("v"))
-          .as[(String, Long, Double)].collect()
-        // kept rows all pass the gate, so a metric's new max is strictly
-        // above its old seed — overwrite unconditionally
-        seed = seed ++ newMax.map { case (m, t, v) => m -> (t, v) }
+          .agg(max("time").as("seed_ts"),
+            max_by(col("value"), col("time")).as("seed_v"))
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        val next = seedDf.unionByName(newMax)
+          .groupBy("metric")
+          .agg(max("seed_ts").as("seed_ts"),
+            max_by(col("seed_v"), col("seed_ts")).as("seed_v"))
+          .localCheckpoint(true)
+        val newIds = (spark.sparkContext.getPersistentRDDs.keySet -- before).toSet
+        release(seedRdds)
+        seedRdds = newIds
+        seedDf = next
       } finally keptC.unpersist()
-    }
+    } finally release(seedRdds)
   }
 
   /** Production wiring: partitioned JDBC scan → backfill. `chunkRows`
