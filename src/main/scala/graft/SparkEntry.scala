@@ -208,6 +208,64 @@ object SparkEntry {
                                   auditRejects: Boolean = false,
                                   minQuality: Option[Double] = None)
     : DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-scorpus")
+    guardingScratch(root.toString) {
+      runCorpusPipe(s, dir, nearDup, nearDupTtl, auditRejects,
+        minQuality, root.toString)
+      if (auditRejects)
+        materializedWithoutScratch(
+          quarantineAuditFrame(s, s"$root/out", minQuality.isDefined),
+          root.toString)
+      else
+        materializedWithoutScratch(
+          curatedKeptFrame(s, s"$root/out"), root.toString)
+    }
+  }
+
+  /** Kept-side read-back of a curated pipe tree — the x103/x110/x153
+    * projection, one spelling for the per-invocation fixtures and the
+    * shared-tree rows.
+    */
+  private def curatedKeptFrame(s: SparkSession, out: String): DataFrame =
+    graft.sources.CorpusIO.readCurated(s, out)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  /** Quarantine-side read-back of an AUDITED pipe tree: every gate
+    * reject with its reason and evidence parsed back out of the
+    * evidence JSON (the bait rows' parse-failure lines stay behind the
+    * reason filter); `withScore` adds the quality door's score column
+    * (the x164 ledger shape).
+    */
+  private def quarantineAuditFrame(s: SparkSession, out: String,
+                                   withScore: Boolean): DataFrame = {
+    val qcols = Seq(col("reason"),
+      get_json_object(col("raw_line"), "$.doc_id")
+        .cast("long").as("doc_id"),
+      get_json_object(col("raw_line"), "$.of_ord")
+        .cast("long").as("of_ord")) ++
+      (if (withScore)
+         Seq(get_json_object(col("raw_line"), "$.quality_score")
+           .cast("double").as("quality_score"))
+       else Seq.empty)
+    s.read.parquet(s"$out/quarantine")
+      .filter(col("reason").isin("near_dup", "hot_bucket", "low_quality"))
+      .select(qcols: _*)
+      .orderBy("doc_id")
+  }
+
+  /** Build a corpus-pipe tree under `root` (three id-range JSONL
+    * deliveries + quarantine bait → streamCurated → compaction) — the
+    * construction half of [[streamCorpusFixture]], factored so the
+    * shared x110/x163 tree ([[gatePipeTree]]) runs it exactly once
+    * per consumption.
+    */
+  private def runCorpusPipe(s: SparkSession, dir: String,
+                            nearDup: Option[Double],
+                            nearDupTtl: Option[Long],
+                            auditRejects: Boolean,
+                            minQuality: Option[Double],
+                            root: String): Unit = {
     val docs = Tables.read(s, dir, "documents")
     val canon = docs.select(col("doc_id").as("c_id"), col("text"))
     // the TTL row (x153) streams the RAW documents: their natural
@@ -237,8 +295,6 @@ object SparkEntry {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .select("doc_id", "text", "lang", "source", "n_chars")
     val maxId = docs.agg(max("doc_id")).head.getLong(0)
-    val root = java.nio.file.Files.createTempDirectory("graft-scorpus")
-    guardingScratch(root.toString) {
     val inDir = s"$root/in"
     new java.io.File(inDir).mkdirs()
     val ss = s.newSession()
@@ -286,35 +342,58 @@ object SparkEntry {
     // reading back (clean stop above ⇒ no uncommitted tail): the
     // oracle hash unchanged proves compaction is content-invisible
     graft.sources.CorpusIO.compactCurated(s, s"$root/out", None)
-    if (auditRejects) {
-      // the audit row's deliverable is the QUARANTINE side: every
-      // gate reject with its reason and evidence, parsed back out of
-      // the evidence JSON (the bait rows' parse-failure lines stay
-      // behind the reason filter); with the quality door armed, its
-      // drops and their scores are part of the ledger too
-      val qcols = Seq(col("reason"),
-        get_json_object(col("raw_line"), "$.doc_id")
-          .cast("long").as("doc_id"),
-        get_json_object(col("raw_line"), "$.of_ord")
-          .cast("long").as("of_ord")) ++
-        (if (minQuality.isDefined)
-           Seq(get_json_object(col("raw_line"), "$.quality_score")
-             .cast("double").as("quality_score"))
-         else Seq.empty)
-      materializedWithoutScratch(
-        s.read.parquet(s"$root/out/quarantine")
-          .filter(col("reason").isin("near_dup", "hot_bucket", "low_quality"))
-          .select(qcols: _*)
-          .orderBy("doc_id"),
-        root.toString)
+  }
+
+  /** The ONE audited gate-pipe run shared by x110 (kept side) and
+    * x163 (quarantine side) — VERDICT r15 #5: x163's deliverable is
+    * literally the reject side of x110's construction, so running the
+    * identical pipe twice per bench pass bought nothing. Sharing
+    * discipline, stated precisely:
+    *  - x110 ALWAYS rebuilds (`rebuild = true`): it stays the
+    *    designated construction-cost carrier in the bench — sharing
+    *    must lower the total by the duplicate run, never hide the
+    *    pipe's cost from every row;
+    *  - x163 consumes the memoized tree, building only when it runs
+    *    first (Verify iterates in hash order);
+    *  - the audit flag changes only WHERE rejects go (the quarantine
+    *    branch of the existing two-sink split, neutral-fielded) — the
+    *    kept side is the same rows either way, and x110's oracle hash
+    *    staying green ON THE AUDITED RUN is the per-round proof;
+    *  - x164 (quality door changes the pipe itself) and x153 (TTL
+    *    gate, raw documents, different state machine) stay
+    *    independent runs on purpose.
+    * Tree lifecycle: retained for the session — deleted when x110
+    * rebuilds and at JVM exit — and both sides' frames read it
+    * lazily, which is safe because every driver (Bench, Verify, the
+    * specs) consumes each query's frame before invoking the next
+    * fixture.
+    */
+  private val gatePipeMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private lazy val gatePipeCleanup: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      gatePipeMemo.values.foreach(r => new scala.reflect.io.Directory(
+        new java.io.File(r)).deleteRecursively())))
+  private def gatePipeTree(s: SparkSession, dir: String,
+                           rebuild: Boolean): String = {
+    gatePipeCleanup
+    val key = (s, dir)
+    if (!rebuild) gatePipeMemo.get(key) match {
+      case Some(r) => return r
+      case None => ()
     }
-    else
-      materializedWithoutScratch(
-        graft.sources.CorpusIO.readCurated(s, s"$root/out")
-          .select("doc_id", "lang", "source", "n_chars")
-          .orderBy("doc_id"),
-        root.toString)
+    gatePipeMemo.remove(key).foreach { old =>
+      val _ = new scala.reflect.io.Directory(
+        new java.io.File(old)).deleteRecursively()
     }
+    val root = java.nio.file.Files.createTempDirectory("graft-scorpus-shr")
+    guardingScratch(root.toString) {
+      runCorpusPipe(s, dir, nearDup = Some(ClusterJaccard),
+        nearDupTtl = None, auditRejects = true, minQuality = None,
+        root = root.toString)
+    }
+    gatePipeMemo.put(key, root.toString)
+    root.toString
   }
 
   private def batchStore(s: SparkSession, dir: String): graft.streaming.HtaStore =
@@ -974,14 +1053,16 @@ object SparkEntry {
     // pair) over the synthesized corpus, so the hash match proves the
     // gate through parse → split → chained keyed state → partitioned
     // sink → compaction, end to end
-    // X26m the audited pipe: same synthesis and gate as x110, but
-    // the DELIVERABLE is the quarantine side — every near-dup reject
-    // with its duplicate-of, proving the pipe drops nothing without
-    // a reasoned record (cap stays ∞ here; hot_bucket rows are the
+    // X26m the audited pipe: same synthesis and gate as x110 — the
+    // SAME RUN as x110 since round 16 (see gatePipeTree) — but the
+    // DELIVERABLE is the quarantine side: every near-dup reject with
+    // its duplicate-of, proving the pipe drops nothing without a
+    // reasoned record (cap stays ∞ here; hot_bucket rows are the
     // x161/x158 territory and the TTL-armed form is spec-verified)
     "x163_pipe_gate_audit" -> ((s, dir) =>
-      streamCorpusFixture(s, dir, nearDup = Some(ClusterJaccard),
-        auditRejects = true)),
+      quarantineAuditFrame(s,
+        s"${gatePipeTree(s, dir, rebuild = false)}/out",
+        withScore = false)),
     // X26n the COMPLETE pipe ledger: quality door + near-dup gate
     // both audited — every drop class the pipe has (parse failures
     // aside, which always ledgered) now leaves a reasoned record;
@@ -991,8 +1072,15 @@ object SparkEntry {
     "x164_pipe_quality_audit" -> ((s, dir) =>
       streamCorpusFixture(s, dir, nearDup = Some(ClusterJaccard),
         auditRejects = true, minQuality = Some(3.0))),
+    // x110 runs the pipe AUDITED and reads the kept side: rejects ride
+    // the existing two-sink split neutral-fielded, so the kept rows
+    // are identical with or without the audit — this row's oracle
+    // hash staying green on the audited run IS that proof, and the
+    // one tree serves x163's quarantine deliverable too (x110 always
+    // rebuilds: it carries the pipe's construction cost in the bench)
     "x110_stream_gate_corpus" -> ((s, dir) =>
-      streamCorpusFixture(s, dir, Some(ClusterJaccard))),
+      curatedKeptFrame(s,
+        s"${gatePipeTree(s, dir, rebuild = true)}/out")),
     // X26e+X33c: the TTL gate inside the FULL file pipe — the
     // horizon-bounded deployment shape, with quarantine bait riding
     // the union AROUND the watermarked gate (single query, one
