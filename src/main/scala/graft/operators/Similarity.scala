@@ -1438,10 +1438,11 @@ object Similarity {
     def lose(why: String): Nothing =
       throw new java.util.ConcurrentModificationException(
         s"index version $version at $path: $why — a concurrent writer " +
-          "holds this version (index writer exclusion is one JVM: " +
-          "SinkLock's documented scope; the mint marker is the " +
-          "cross-JVM guard). This writer's staging is left intact; " +
-          "re-run the operation to re-enter against the new snapshot")
+          "holds this version (the mint marker is the per-version " +
+          "cross-JVM guard; SinkLock's lease covers the sink root, " +
+          "and the marker stays the defense for writers outside it). " +
+          "This writer's staging is left intact; re-run the " +
+          "operation to re-enter against the new snapshot")
     if (tryClaim()) {
       if (hfs.exists(dst)) { // claimed a version that already published
         hfs.delete(mint, false) // (its marker was reclaimed long ago)

@@ -318,7 +318,24 @@ object HtaStore {
     liveRuns.filterInPlace((_, ref) =>
       Option(ref.get).exists(_.isActive))
     liveRuns.put(q.runId.toString, new java.lang.ref.WeakReference(q))
+    noteOwnToken(q.runId.toString)
   }
+
+  /** Every lock token this JVM has ever minted (runIds, start guards,
+    * compact tokens) — what lets the cross-JVM SinkLock distinguish
+    * "our own dead writer" (stale immediately, the pre-round-16
+    * clear-on-next-acquire behavior) from "another JVM's writer"
+    * (judged by the heartbeat lease instead). Strings only, one per
+    * writer this process ever started — bounded by driver lifetime,
+    * never by data.
+    */
+  private val ownTokens =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[streaming] def noteOwnToken(token: String): Unit = {
+    ownTokens.add(token); ()
+  }
+  private[streaming] def ownsToken(token: String): Boolean =
+    ownTokens.contains(token)
 
   private[streaming] def runIsActive(spark: SparkSession,
                                      runId: String): Boolean =
@@ -352,8 +369,10 @@ object HtaStore {
     */
   private val liveCompacts =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private[streaming] def registerCompact(token: String): Unit =
+  private[streaming] def registerCompact(token: String): Unit = {
     liveCompacts.add(token)
+    noteOwnToken(token)
+  }
   private[streaming] def unregisterCompact(token: String): Unit =
     liveCompacts.remove(token)
   private[streaming] def compactIsActive(token: String): Boolean =

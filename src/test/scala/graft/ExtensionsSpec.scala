@@ -2704,8 +2704,9 @@ class ExtensionsSpec extends AnyFunSuite {
       val base = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 4L)
       Similarity.buildIvfSqIndex(base, s"$root/sq")                  // v1
       // a SECOND driver's in-flight staging (version ahead of the
-      // published tip) — SinkLock cannot see across JVMs, so
-      // retirement must not reclaim it
+      // published tip) — a writer outside this driver's SinkLock
+      // lease (or inside its heal residual) may stage concurrently,
+      // so retirement must not reclaim it
       val foreign = new java.io.File(s"$root/sq/gens/gen=a2-foreign/label=0")
       assert(foreign.mkdirs())
       java.nio.file.Files.write(

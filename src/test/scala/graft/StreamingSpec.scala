@@ -638,6 +638,93 @@ class StreamingSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$root/ingest.lock").exists())
   }
 
+  test("cross-JVM exclusion: a second simulated JVM refuses while the first holds, acquires after a clean release") {
+    // two IsolatedJvmScopes = two drivers on one filesystem: neither
+    // sees the other's registries or monitors, so exclusion can only
+    // come from the lock FILE itself (create-exclusive claim + the
+    // heartbeat lease) — the exact gap the one-JVM SinkLock documented
+    val root = mkTmp("xjvm-lock")
+    val lockA = new graft.streaming.SinkLock(root, "store",
+      new graft.streaming.SinkLock.IsolatedJvmScope)
+    val lockB = new graft.streaming.SinkLock(root, "store",
+      new graft.streaming.SinkLock.IsolatedJvmScope)
+    val held = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    @volatile var aErr: Throwable = null
+    val tA = new Thread(() => {
+      try lockA.withCompact(spark) { held.countDown(); release.await() }
+      catch { case t: Throwable => aErr = t; held.countDown() }
+    })
+    tA.start(); held.await()
+    assert(aErr == null, s"the winner must hold cleanly: $aErr")
+    // B's probe: A's token is in none of B's registries (a foreign
+    // JVM's writer) and its heartbeat is fresh — LIVE, refuse
+    val e = intercept[graft.streaming.StoreBusyException](
+      lockB.withCompact(spark) { fail("the loser must never run") })
+    assert(e.getMessage.contains("another JVM"), e.getMessage)
+    release.countDown(); tA.join()
+    if (aErr != null) throw aErr
+    // a cleanly released lock frees the sink for the other JVM
+    lockB.withCompact(spark) { () }
+    assert(!new java.io.File(s"$root/ingest.lock").exists())
+  }
+
+  test("cross-JVM exclusion: a crashed foreign holder heals after the lease, never before") {
+    val root = mkTmp("xjvm-crash")
+    new java.io.File(root).mkdirs()
+    val lockB = new graft.streaming.SinkLock(root, "store",
+      new graft.streaming.SinkLock.IsolatedJvmScope)
+    // a foreign JVM's claim that CRASHED: the token is registered
+    // nowhere and its heartbeat stopped at the crash instant
+    val lockPath = java.nio.file.Paths.get(s"$root/ingest.lock")
+    java.nio.file.Files.write(lockPath,
+      "compact:00000000-0000-0000-0000-00000000dead".getBytes("UTF-8"))
+    // inside the lease the crash is indistinguishable from a live
+    // writer between heartbeats — the probe must refuse
+    val e = intercept[graft.streaming.StoreBusyException](
+      lockB.withCompact(spark) { fail("must not run inside the lease") })
+    assert(e.getMessage.contains("another JVM"), e.getMessage)
+    // past the lease the claim is stale: healed via rename
+    // arbitration, claimed fresh, and the body runs
+    assert(lockPath.toFile.setLastModified(
+      System.currentTimeMillis() - 61000L))
+    var ran = false
+    lockB.withCompact(spark) { ran = true }
+    assert(ran, "the healed sink must admit the new writer")
+    assert(!lockPath.toFile.exists(),
+      "the new writer's clean release must leave no lock behind")
+  }
+
+  test("the lock heartbeat keeps a long-running holder live past the staleness lease") {
+    val root = mkTmp("xjvm-hb")
+    // a 2 s lease with a ~500 ms heartbeat: the holder's claim mtime
+    // alone would go stale mid-hold — only the refresher keeps the
+    // foreign probe judging it live
+    spark.conf.set("spark.graft.sink.lockStaleMs", "2000")
+    try {
+      val lockA = new graft.streaming.SinkLock(root, "store",
+        new graft.streaming.SinkLock.IsolatedJvmScope)
+      val lockB = new graft.streaming.SinkLock(root, "store",
+        new graft.streaming.SinkLock.IsolatedJvmScope)
+      val held = new java.util.concurrent.CountDownLatch(1)
+      val release = new java.util.concurrent.CountDownLatch(1)
+      @volatile var aErr: Throwable = null
+      val tA = new Thread(() => {
+        try lockA.withCompact(spark) { held.countDown(); release.await() }
+        catch { case t: Throwable => aErr = t; held.countDown() }
+      })
+      tA.start(); held.await()
+      Thread.sleep(3000) // well past the 2 s lease
+      val e = intercept[graft.streaming.StoreBusyException](
+        lockB.withCompact(spark) {
+          fail("a heartbeating holder must never be healed away")
+        })
+      assert(e.getMessage.contains("another JVM"), e.getMessage)
+      release.countDown(); tA.join()
+      if (aErr != null) throw aErr
+    } finally spark.conf.unset("spark.graft.sink.lockStaleMs")
+  }
+
   test("a crashed compact's backup dir blocks store use until recovery") {
     val root = mkTmp("hta-bak-guard")
     val store = new HtaStore(root, H)
