@@ -328,8 +328,11 @@ object CorpusIO {
     *
     * `nearDupHotBucketCap = Some(n)` (requires `nearDup`) arms the
     * gates' heavy-hitter circuit breaker: a doc landing in a band
-    * bucket already holding ≥ n entries auto-rejects at O(1) and the
-    * bucket freezes — the boilerplate-storm bound a production crawl
+    * bucket already holding ≥ n (horizon-live, in the TTL layout)
+    * entries auto-rejects without probing the bucket — O(1) on the
+    * unbounded gate, O(log bucket) on the TTL one (the binary-searched
+    * live suffix) — and the bucket freezes — the
+    * boilerplate-storm bound a production crawl
     * wants at the pipe level (semantics and closed form on
     * [[graft.operators.Dedup.streamingNearDupVerdicts]]; the x158 row
     * oracle-pins them). Unset = uncapped, today's behavior.
