@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Intervals
-import graft.operators.{AsOfJoin, Dedup, HtaService, Ingest, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, HtaService, Ingest, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.oracle.{OracleSql, OracleSqlExt}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -701,6 +701,17 @@ object SparkEntry {
     "x88_ann_recall" -> ((s, dir) =>
       Similarity.annRecall(Tables.read(s, dir, "embeddings"), Seq(0L, 1L, 2L), 5)
         .orderBy("q_id")),
+    // X3s sign-LSH bucketed ANN: data-derived difference hyperplanes
+    // (no RNG), exact int64 sign bits, 4 tables × 4 bits, OR-of-tables
+    // candidates, exact-cosine re-rank — the clustering-free scale path
+    "x170_signlsh_topk" -> ((s, dir) =>
+      Similarity.topKSignLsh(Tables.read(s, dir, "embeddings"),
+        Seq(0L, 1L, 2L), 5, tables = 16).orderBy("q_id", "rank")),
+    // X3s recall audit: sign-LSH vs brute force — the number that
+    // justifies (or rejects) the banding parameters on THIS corpus
+    "x171_signlsh_recall" -> ((s, dir) =>
+      Similarity.signLshRecall(Tables.read(s, dir, "embeddings"),
+        Seq(0L, 1L, 2L), 5, tables = 16).orderBy("q_id")),
     // X3b product quantization: per-(vector, subspace) codeword +
     // exact int64 quantization error — 32× index compression
     "x114_pq_codes" -> ((s, dir) =>
@@ -2085,6 +2096,32 @@ object SparkEntry {
     "x136_shard_manifest" -> ((s, dir) =>
       TextAnalysis.shardManifest(Tables.read(s, dir, "documents"), 2048L)
         .orderBy("shard")),
+    // Multi-epoch reshuffle: each epoch is an independent salted-md5
+    // permutation cut into 2048-token shards — re-epoching is pure
+    // metadata (zero document bytes move), one scan feeds all epochs
+    "x166_epoch_shards" -> ((s, dir) =>
+      TextAnalysis.epochShards(Tables.read(s, dir, "documents"), 2048L, 3)
+        .orderBy("epoch", "doc_id")),
+    // Epoch-mixing audit: per epoch-0 shard, the scatter of its docs
+    // across epoch-1 shards — a broken salt shows n_next_shards=1 /
+    // max_overlap=n_docs (cohorts marching together through epochs)
+    "x167_epoch_mixing" -> ((s, dir) =>
+      TextAnalysis.epochMixingAudit(Tables.read(s, dir, "documents"),
+        2048L).orderBy("shard")),
+    // Z-order vs linear layout: per-file parquet-footer-shaped stats
+    // (row count + both dims' min/max boxes) for both layouts from
+    // ONE corpus pass — the lakehouse clustering comparison
+    "x168_zorder_layout" -> ((s, dir) =>
+      Layout.layoutFileStats(Tables.read(s, dir, "documents"), 64)
+        .orderBy("layout", "file")),
+    // Skip audit: every populated single-dim point predicate probes
+    // the per-file min/max ranges (the parquet pruning rule) —
+    // quantifies that Morton files bound BOTH dims (~sqrt(F) reads
+    // each) while linear is ~1 on its sort column and ALL files on
+    // the other
+    "x169_zorder_skip" -> ((s, dir) =>
+      Layout.layoutSkipAudit(Tables.read(s, dir, "documents"), 64)
+        .orderBy("layout", "dim")),
     // Out-of-vocabulary rate vs the corpus's own top-16 unigram
     // vocabulary (the fixture vocabulary is ~31 tokens, so 16 leaves
     // a real OOV tail) — the tokenizer-budget quality signal; exact
@@ -2527,6 +2564,10 @@ object SparkEntry {
     "x128_normalized_dedup" -> OracleSqlExt.normalizedDedupSql,
     "x130_training_shards" -> OracleSqlExt.trainingShardsSql(2048L),
     "x136_shard_manifest" -> OracleSqlExt.shardManifestSql(2048L),
+    "x166_epoch_shards" -> OracleSqlExt.epochShardsSql(2048L, 3),
+    "x167_epoch_mixing" -> OracleSqlExt.epochMixingSql(2048L),
+    "x168_zorder_layout" -> OracleSqlExt.layoutFileStatsSql(64),
+    "x169_zorder_skip" -> OracleSqlExt.layoutSkipAuditSql(64),
     "x131_oov_rate" -> OracleSqlExt.oovRateSql(16),
     "x143_bm25_topk" -> OracleSqlExt.bm25TopKSql(Seq("dup", "spark", "key"), 20),
     "x144_lang_confusion" -> OracleSqlExt.langConfusionSql,
@@ -2535,6 +2576,8 @@ object SparkEntry {
     "x87_stream_dedup" -> OracleSqlExt.streamDedupSql,
     "x103_stream_corpus" -> OracleSqlExt.streamCorpusSql,
     "x88_ann_recall" -> OracleSqlExt.annRecallSql(Seq(0L, 1L, 2L), 5),
+    "x170_signlsh_topk" -> OracleSqlExt.signLshTopKSql(Seq(0L, 1L, 2L), 5, 16, 4),
+    "x171_signlsh_recall" -> OracleSqlExt.signLshRecallSql(Seq(0L, 1L, 2L), 5, 16, 4),
     "x114_pq_codes" -> OracleSqlExt.pqCodesSql(),
     "x115_pq_adc_topk" -> OracleSqlExt.pqAdcTopKSql(Seq(0L, 1L, 2L), 5),
     "x116_l2_topk" -> OracleSqlExt.l2TopKSql(Seq(0L, 1L, 2L), 5),

@@ -59,7 +59,7 @@ object StressProof {
         ("ttlgate", ttlGate),
         ("corpuspipe", corpusPipe), ("ttlpipe", ttlPipe),
         ("shards", shards), ("absorber", absorber),
-        ("backfillseed", backfillSeed))
+        ("backfillseed", backfillSeed), ("layout", layout))
       val unknown = args.toSet -- blocks.map(_._1).toSet
       require(unknown.isEmpty, s"unknown stress blocks: $unknown " +
         s"(known: ${blocks.map(_._1).mkString(", ")})")
@@ -1084,6 +1084,72 @@ object StressProof {
       s"${shardIds.length} shards for $total tokens at $shardTokens each")
     require(worst < maxDoc,
       s"a non-final shard deviates by $worst tokens (max doc $maxDoc)")
+  }
+
+  /** Layout family at 1 M docs — two claims that must survive scale:
+    * (a) `epochShards`' epoch-partitioned two-phase running sum keeps
+    * every epoch an EXACT partition of the corpus (same doc count and
+    * token total in each epoch) at 2 epochs × 1 M docs fed by one
+    * scan; (b) the Z-order skip audit's pruning claim is EXACT when
+    * both dimensions are dense (1 M ids, 100 k hashed n_chars values
+    * populate all 256 bins of both dims): at F = 64 the file id is
+    * the Morton key's top 6 bits — (c7,d7,c6,d6,c5,d5) — so fixing
+    * either dimension leaves exactly 2³ = 8 reachable files, while
+    * the linear layout resolves its sort column to exactly 1 file and
+    * a predicate on the other dimension reads ALL 64. The stress
+    * requires those closed forms to the digit, not "roughly sqrt(F)".
+    */
+  private def layout(spark: SparkSession): Unit = {
+    val n = 1000000L
+    val maxDoc = 50L
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      array_join(
+        transform(
+          sequence(lit(1),
+            (pmod(xxhash64(col("id")), lit(maxDoc - 4)) + lit(5)).cast("int")),
+          j => concat(lit("t"), j.cast("string"))),
+        " ").as("text"),
+      pmod(xxhash64(col("id"), lit(7L)), lit(100000L)).as("n_chars"))
+    val (perEpoch, t1) = timed {
+      graft.operators.TextAnalysis.epochShards(docs, 100000L, 2)
+        .groupBy("epoch")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("toks"),
+          countDistinct("shard").as("n_shards"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1)
+    }
+    println(f"STRESS layout epochs=${perEpoch.length} " +
+      s"docs=${perEpoch.map(_._2).mkString("/")} " +
+      s"toks=${perEpoch.map(_._3).mkString("/")} " +
+      s"shards=${perEpoch.map(_._4).mkString("/")} " + f"t1=$t1%.1fs")
+    require(perEpoch.map(_._1).toSeq == Seq(0L, 1L))
+    require(perEpoch.forall(_._2 == n),
+      s"an epoch lost documents: ${perEpoch.mkString(", ")}")
+    require(perEpoch.map(_._3).distinct.length == 1,
+      s"epoch token totals diverged: ${perEpoch.mkString(", ")}")
+    val (audit, t2) = timed {
+      graft.operators.Layout.layoutSkipAudit(
+        docs.select("doc_id", "n_chars"), 64).collect()
+    }
+    val m = audit.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    println(f"STRESS layout audit rows=${audit.length} " +
+      s"zorder_avg=${m(("zorder", "doc_id")).getDouble(4)}/" +
+      s"${m(("zorder", "n_chars")).getDouble(4)} " +
+      s"linear_avg=${m(("linear", "doc_id")).getDouble(4)}/" +
+      s"${m(("linear", "n_chars")).getDouble(4)} " + f"t2=$t2%.1fs")
+    require(audit.length == 4)
+    audit.foreach { r => require(r.getLong(2) == 64L && r.getLong(3) == 256L,
+      s"expected 64 files / 256 dense probes, got $r") }
+    require(m(("linear", "doc_id")).getDouble(4) == 1.0 &&
+      m(("linear", "doc_id")).getLong(5) == 1L,
+      "linear must resolve its sort column to exactly one file")
+    require(m(("linear", "n_chars")).getDouble(4) == 64.0,
+      "dense corpus: linear must read ALL files on the unsorted dim")
+    Seq("doc_id", "n_chars").foreach { d =>
+      require(m(("zorder", d)).getDouble(4) == 8.0 &&
+        m(("zorder", d)).getLong(5) == 8L,
+        s"zorder must read exactly 2^3 files per $d probe at F=64")
+    }
   }
 
   /** Shared 1 M-line JSONL synthesis of the pipe stress blocks — pure

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout (SURVEY §2.10 X35) — Z-order
+  * (Morton) clustering for the curated corpus store, the layout tool
+  * that makes PARQUET MIN/MAX STATS prune on two dimensions at once.
+  *
+  * A corpus sorted by one column (say `doc_id`) gives file-level
+  * min/max ranges that are tight on that column and span the whole
+  * domain on every other — a reader filtering on `n_chars` (the
+  * training-mix length gate) reads every file. Interleaving the bits
+  * of both dimensions' rank ("Z-order") bounds BOTH per-file ranges:
+  * a file covering 1/F of the key space covers ~1/sqrt(F) of each
+  * dimension, so point/range predicates on either column skip most
+  * files. This is the standard lakehouse clustering trick (Delta/
+  * Iceberg `ZORDER BY`), built here from plain codegen'd bit
+  * arithmetic — no UDF, no new expression class.
+  *
+  * Two deliberately different spellings:
+  *  - [[layoutFileStats]] / [[layoutSkipAudit]] bucket the KEY SPACE
+  *    (`file = zkey·F div 65536`) — deterministic closed form, so the
+  *    DuckDB oracle replays them bit-for-bit (fixtures x168/x169).
+  *  - [[writeZordered]] buckets by RANGE EXCHANGE
+  *    (`repartitionByRange` — Spark's sampling-based range
+  *    partitioner) — equal-sized files even under key skew, which is
+  *    what a real 100 TB writer wants; its per-file stats are
+  *    spec-verified physically (LayoutSpec reads the parquet footers'
+  *    effect back via per-file aggregation), not oracle-hashed,
+  *    because sampled boundaries are legitimately nondeterministic.
+  *
+  * Scale posture: binning needs each dimension's (min, max) — ONE
+  * scalar aggregation broadcast back (the x46/x83 1-row scalar-seed
+  * NLJ pattern, allowed-counted in PlanAuditSpec); in a manifest-kept
+  * store those extremes come from the manifest instead. Everything
+  * downstream of the bin columns is partial-agg groupBys over ≤2F+
+  * cell-count rows. The audit never touches `text`.
+  */
+object Layout {
+
+  /** Bits per dimension: 8 → 256 cells/dim, 65536-point key space. */
+  val Bits = 8
+  val Cells = 256L
+  val KeySpace: Long = Cells * Cells
+
+  /** Spread the low 8 bits of `x` to the even bit positions of a
+    * 16-bit word (0b...b3b2b1b0 → 0b0b3 0b2 0b1 0b0) — the classic
+    * shift-or-mask ladder, expressed in built-in int64 column
+    * arithmetic so it stays inside whole-stage codegen.
+    */
+  private def spread8(x: Column): Column = {
+    val a = x.bitwiseAND(lit(255L))
+    val s4 = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0FL))
+    val s2 = s4.bitwiseOR(shiftleft(s4, 2)).bitwiseAND(lit(0x3333L))
+    s2.bitwiseOR(shiftleft(s2, 1)).bitwiseAND(lit(0x5555L))
+  }
+
+  /** Morton key of two 8-bit cell coordinates: bits of `a` on even
+    * positions, bits of `b` on odd. Monotone locality: keys close in
+    * value are close in BOTH dimensions.
+    */
+  def zorderKey(a: Column, b: Column): Column =
+    spread8(a).bitwiseOR(shiftleft(spread8(b), 1))
+
+  /** `docs` with both layout dimensions binned to [0, 255] by
+    * min/max-normalized fixed-point ranks plus the Morton key —
+    * shared by the audit fixtures and the physical writer. The 1-row
+    * extremes frame rides a broadcast cross join (scalar seed).
+    */
+  private[graft] def binned(docs: DataFrame): DataFrame = {
+    val stats = docs.agg(
+      min("doc_id").as("mnd"), max("doc_id").as("mxd"),
+      min("n_chars").as("mnc"), max("n_chars").as("mxc"))
+    docs.select("doc_id", "n_chars").crossJoin(broadcast(stats))
+      .withColumn("bin_d",
+        expr(s"((doc_id - mnd) * $Cells) div (mxd - mnd + 1)"))
+      .withColumn("bin_c",
+        expr(s"((n_chars - mnc) * $Cells) div (mxc - mnc + 1)"))
+      .withColumn("zkey", zorderKey(col("bin_d"), col("bin_c")))
+      .select("doc_id", "bin_d", "bin_c", "zkey")
+  }
+
+  /** Per-file min/max stats for BOTH layouts in ONE corpus pass —
+    * `zorder` (file = Morton-key-space slice) vs `linear` (file =
+    * doc_id-rank slice, the single-column sort a naive writer
+    * produces). Each row is what a parquet footer would carry for
+    * that file: row count and both dimensions' [min, max].
+    *
+    * One pass: each doc explodes into its two (layout, file)
+    * assignments and a single partial-agg groupBy folds both layouts'
+    * stats — no second scan for the comparison baseline.
+    */
+  def layoutFileStats(docs: DataFrame, files: Int = 64): DataFrame = {
+    require(files > 0 && files <= KeySpace,
+      s"files must be in [1, $KeySpace], got $files")
+    binned(docs)
+      .withColumn("lf", explode(array(
+        struct(lit("zorder").as("layout"),
+          expr(s"(zkey * $files) div $KeySpace").as("file")),
+        struct(lit("linear").as("layout"),
+          expr(s"(bin_d * $files) div $Cells").as("file")))))
+      .select(col("lf.layout").as("layout"), col("lf.file").as("file"),
+        col("bin_d"), col("bin_c"))
+      .groupBy("layout", "file")
+      .agg(count(lit(1)).as("n_docs"),
+        min("bin_d").as("min_d"), max("bin_d").as("max_d"),
+        min("bin_c").as("min_c"), max("bin_c").as("max_c"))
+  }
+
+  /** The skip audit — for every POPULATED value of EACH dimension as
+    * a single-column point predicate (`WHERE doc_id ≈ v` /
+    * `WHERE n_chars ≈ v`, the two real reader patterns: retrieval by
+    * id, training-mix length gating), how many files of each layout
+    * must a reader open? A file must be read iff the probe lands
+    * inside its min/max range on that dimension — exactly the
+    * parquet file/row-group pruning rule. (Both-dimension point
+    * probes are uninteresting: ANY space-partitioning layout resolves
+    * them to ~1 file; the layout decision is about the predicates
+    * that constrain only ONE column.)
+    *
+    * Returns one row per (layout, dim):
+    * `(layout, dim, n_files, n_probes, avg_files_read,
+    * worst_files_read, read_frac)` — the quantified claim: `linear`
+    * is ~1 file on its sort column and ALL files on the other
+    * (read_frac 1.0), `zorder` is ~sqrt(F) on BOTH.
+    *
+    * The probe×stats range join is a broadcast NLJ over ≤2F file-stat
+    * rows against ≤512 probe values — bounded metadata, never the
+    * corpus (the Dedup threshold-sweep crossJoin discipline).
+    */
+  def layoutSkipAudit(docs: DataFrame, files: Int = 64): DataFrame = {
+    val stats = layoutFileStats(docs, files).persist()
+    val nf = stats.groupBy("layout").agg(count(lit(1)).as("n_files"))
+    val probes = binned(docs).select(
+      explode(array(
+        struct(lit("doc_id").as("dim"), col("bin_d").as("v")),
+        struct(lit("n_chars").as("dim"), col("bin_c").as("v")))).as("p"))
+      .select(col("p.dim").as("dim"), col("p.v").as("v")).distinct()
+    val perProbe = probes.join(broadcast(stats),
+      (col("dim") === "doc_id" &&
+        col("v") >= col("min_d") && col("v") <= col("max_d")) ||
+        (col("dim") === "n_chars" &&
+          col("v") >= col("min_c") && col("v") <= col("max_c")))
+      .groupBy("layout", "dim", "v")
+      .agg(count(lit(1)).as("fr"))
+    perProbe.groupBy("layout", "dim")
+      .agg(count(lit(1)).as("n_probes"), sum("fr").as("fr_sum"),
+        max("fr").as("worst_files_read"))
+      .join(broadcast(nf), "layout")
+      .select(col("layout"), col("dim"), col("n_files"), col("n_probes"),
+        (col("fr_sum").cast("double") / col("n_probes").cast("double"))
+          .as("avg_files_read"),
+        col("worst_files_read"),
+        (col("fr_sum").cast("double") /
+          (col("n_probes") * col("n_files")).cast("double"))
+          .as("read_frac"))
+  }
+
+  /** Physically write `docs` Z-order-clustered: range-exchange on the
+    * Morton key into `files` even slices (sampling-based — even file
+    * sizes under key skew), sort within each slice so row groups
+    * inside a file are tight too, drop the layout scaffolding, write
+    * parquet. Returns the per-file stats READ BACK from the files
+    * just written (the writeCurated manifest discipline: describe
+    * what landed on disk, not the lineage).
+    */
+  def writeZordered(docs: DataFrame, path: String,
+                    files: Int = 8): DataFrame = {
+    require(files > 0, s"files must be positive, got $files")
+    val keyed = binned(docs).select("doc_id", "zkey")
+      .join(docs, "doc_id")
+    keyed.repartitionByRange(files, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .drop("zkey")
+      .write.mode("overwrite").parquet(path)
+    docs.sparkSession.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+  }
+}

@@ -1596,6 +1596,78 @@ object TextAnalysis {
         countDistinct("lang").as("n_langs"),
         countDistinct("source").as("n_sources"))
 
+  /** Per-epoch deterministic reshuffle (SURVEY §2.10 X34c) — the
+    * multi-epoch generalization of [[trainingShards]]: epoch `e`
+    * orders the corpus by `md5(doc_id || ':' || e)`, so each epoch is
+    * an INDEPENDENT reproducible permutation (different salt →
+    * different order; same salt → bit-identical across runs and
+    * engines — no RNG state to checkpoint) and shard assignment is
+    * pure METADATA: re-epoching a 100 TB corpus moves zero bytes of
+    * document data, it re-derives (epoch, doc_id → shard) and the
+    * reader fetches docs by the new plan.
+    *
+    * Scale posture: the [[trainingShards]] two-phase running-sum
+    * decomposition with every window additionally partitioned by
+    * epoch — phase 1 is an (epochs × 256)-row bucket table, phase 2
+    * windows over corpus/256 rows per (epoch, bucket) task. The
+    * epoch explode multiplies rows by `epochs` (bounded, caller-
+    * chosen), never the corpus scan count: one scan feeds all epochs.
+    */
+  def epochShards(docs: DataFrame, shardTokens: Long, epochs: Int,
+                  bucketChars: Int = 2): DataFrame = {
+    require(shardTokens > 0,
+      s"shardTokens must be positive, got $shardTokens")
+    require(epochs > 0 && epochs <= 64,
+      s"epochs must be in [1,64], got $epochs")
+    require(bucketChars > 0 && bucketChars <= 8,
+      s"bucketChars must be in [1,8], got $bucketChars")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("epoch",
+        explode(sequence(lit(0L), lit(epochs - 1L))))
+      .withColumn("h", md5(concat(col("doc_id").cast("string"),
+        lit(":"), col("epoch").cast("string"))))
+      .withColumn("bkt", substring(col("h"), 1, bucketChars))
+    val wb = Window.partitionBy("epoch").orderBy("bkt")
+    val priors = toks.groupBy("epoch", "bkt")
+      .agg(sum("n_tokens").as("btoks"))
+      .withColumn("prior", sum("btoks").over(wb) - col("btoks"))
+      .drop("btoks")
+    val wf = Window.partitionBy("epoch", "bkt").orderBy("h")
+    toks.join(priors, Seq("epoch", "bkt"))
+      .withColumn("cum", col("prior") + sum("n_tokens").over(wf))
+      .select(col("epoch"), col("doc_id"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $shardTokens").as("shard"))
+  }
+
+  /** Epoch-mixing audit (SURVEY §2.10 X34d) — the check that the
+    * per-epoch salt actually RE-MIXES the corpus: per epoch-0 shard,
+    * how many distinct epoch-1 shards do its documents scatter to,
+    * and what is the largest clump that stays together? A broken salt
+    * (epoch ignored) shows `n_next_shards = 1` and
+    * `max_overlap = n_docs` — documents marching through every epoch
+    * in the same cohort, the gradient-correlation failure mode epoch
+    * reshuffling exists to prevent. A healthy shuffle scatters each
+    * shard across ~min(n_docs, corpus/shardTokens) successors.
+    *
+    * One corpus scan: both epochs' assignments come from ONE
+    * [[epochShards]] pass, folded to a (shard0, shard1) row per doc
+    * by a conditional groupBy — no self-join of the window plan.
+    */
+  def epochMixingAudit(docs: DataFrame, shardTokens: Long,
+                       bucketChars: Int = 2): DataFrame = {
+    val wide = epochShards(docs, shardTokens, 2, bucketChars)
+      .groupBy("doc_id")
+      .agg(max(when(col("epoch") === 0L, col("shard"))).as("shard0"),
+        max(when(col("epoch") === 1L, col("shard"))).as("shard1"))
+    wide.groupBy("shard0", "shard1").agg(count(lit(1)).as("n"))
+      .groupBy(col("shard0").as("shard"))
+      .agg(sum("n").as("n_docs"),
+        count(lit(1)).as("n_next_shards"),
+        max("n").as("max_overlap"))
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus's own
     * top-`vocabK` unigram vocabulary — the exact-arithmetic sibling of
     * the CCNet perplexity gate ([[corpusFreqScore]] scores by mean

@@ -2620,6 +2620,105 @@ object OracleSqlExt {
     * then recall@k per query as int64 hit counts with one double
     * division.
     */
+  /** The sign-LSH candidate CTEs shared by the x170 top-k and x171
+    * recall mirrors — mirrors `Similarity.topKSignLsh`'s pipeline:
+    * anchor pairing by vec_id rank, difference hyperplanes, exact
+    * int64 sign bits, per-table codes, OR-of-tables candidate join.
+    */
+  private def signLshCandCte(queryIds: Seq[Long], tables: Int,
+                             bitsPerTable: Int): String = {
+    val nBits = tables * bitsPerTable
+    s""", a AS (
+       |  SELECT vec_id, vq FROM n ORDER BY vec_id LIMIT ${2 * nBits}
+       |), ai AS (
+       |  SELECT vec_id, vq,
+       |         row_number() OVER (ORDER BY vec_id) - 1 AS idx
+       |  FROM a
+       |), h AS (
+       |  SELECT e.idx // 2 AS hid,
+       |         list_transform(range(len(e.vq)),
+       |           i -> e.vq[i+1] - o.vq[i+1]) AS hvec
+       |  FROM ai e JOIN ai o ON o.idx = e.idx + 1
+       |  WHERE e.idx % 2 = 0
+       |), bits AS (
+       |  SELECT n.vec_id, h.hid,
+       |         CASE WHEN list_sum(list_transform(range(len(n.vq)),
+       |           i -> n.vq[i+1] * h.hvec[i+1])) >= 0
+       |           THEN 1 ELSE 0 END AS bit
+       |  FROM n CROSS JOIN h
+       |), codes AS (
+       |  SELECT vec_id, hid // $bitsPerTable AS t,
+       |         CAST(sum(bit * (1 << (hid % $bitsPerTable))) AS BIGINT)
+       |           AS code
+       |  FROM bits GROUP BY vec_id, hid // $bitsPerTable
+       |), qc AS (
+       |  SELECT vec_id AS q_id, t, code FROM codes
+       |  WHERE vec_id IN (${queryIds.mkString(",")})
+       |), cid AS (
+       |  SELECT DISTINCT qc.q_id, c.vec_id
+       |  FROM codes c JOIN qc ON c.t = qc.t AND c.code = qc.code
+       |  WHERE c.vec_id <> qc.q_id
+       |)""".stripMargin
+  }
+
+  /** Mirrors `Similarity.topKSignLsh`: the shared candidate CTEs plus
+    * the exact-cosine re-rank tail every embedding oracle uses.
+    */
+  def signLshTopKSql(queryIds: Seq[Long], k: Int, tables: Int,
+                     bitsPerTable: Int): String =
+    cosineCte + signLshCandCte(queryIds, tables, bitsPerTable) +
+      s""", q AS (
+         |  SELECT vec_id AS q_id, vq AS qv, n2 AS qn2
+         |  FROM n WHERE vec_id IN (${queryIds.mkString(",")})
+         |), cand AS (
+         |  SELECT cid.q_id, cid.vec_id, n.vq, q.qv, n.n2, q.qn2
+         |  FROM cid JOIN n ON n.vec_id = cid.vec_id
+         |            JOIN q ON q.q_id = cid.q_id
+         |)""".stripMargin + cosineTail(k)
+
+  /** Mirrors `Similarity.signLshRecall`: brute-force ground truth vs
+    * the sign-LSH top-k, per-query hit counts — the annRecallSql
+    * shape over the LSH candidate set.
+    */
+  def signLshRecallSql(queryIds: Seq[Long], k: Int, tables: Int,
+                       bitsPerTable: Int): String =
+    cosineCte + signLshCandCte(queryIds, tables, bitsPerTable) +
+      s""", q AS (
+         |  SELECT vec_id AS q_id, vq AS qv, n2 AS qn2
+         |  FROM n WHERE vec_id IN (${queryIds.mkString(",")})
+         |), cb AS (
+         |  SELECT q.q_id, vec_id,
+         |         ${cosSql("vq", "n2", "qv", "qn2")} AS cosine
+         |  FROM n CROSS JOIN q WHERE vec_id <> q_id
+         |), tb AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |                              ORDER BY cosine DESC, vec_id) AS rn
+         |    FROM cb) WHERE rn <= $k
+         |), cl AS (
+         |  SELECT cid.q_id, cid.vec_id,
+         |         ${cosSql("n.vq", "n.n2", "q.qv", "q.qn2")} AS cosine
+         |  FROM cid JOIN n ON n.vec_id = cid.vec_id
+         |            JOIN q ON q.q_id = cid.q_id
+         |), tl AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |                              ORDER BY cosine DESC, vec_id) AS rn
+         |    FROM cl) WHERE rn <= $k
+         |), agg AS (
+         |  SELECT tb.q_id, CAST(count(*) AS BIGINT) AS n_brute,
+         |         CAST(sum(CASE WHEN tl.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_hit
+         |  FROM tb LEFT JOIN tl
+         |    ON tb.q_id = tl.q_id AND tb.vec_id = tl.vec_id
+         |  GROUP BY tb.q_id
+         |)
+         |SELECT q_id, n_brute, n_hit,
+         |       CAST(n_hit AS DOUBLE) / CAST(n_brute AS DOUBLE) AS recall
+         |FROM agg ORDER BY q_id""".stripMargin
+
   def annRecallSql(queryIds: Seq[Long], k: Int): String =
     cosineCte +
       s""", q AS (
@@ -3012,4 +3111,166 @@ object OracleSqlExt {
       |SELECT fp.doc_id, fp.canon_fp, g.canonical_id, g.n_copies,
       |       fp.doc_id = g.canonical_id AS is_kept
       |FROM fp JOIN g USING (canon_fp) ORDER BY fp.doc_id""".stripMargin
+
+  /** Mirrors `TextAnalysis.epochShards`: the per-epoch salted-hash
+    * order (`md5(doc_id || ':' || epoch)` — identical text in both
+    * engines) replayed as ONE naive global window per epoch, so the
+    * hash match proves the epoch-partitioned two-phase decomposition
+    * exact for every epoch at once. Window sum CAST back from
+    * DuckDB's HUGEINT widening.
+    */
+  def epochShardsSql(shardTokens: Long, epochs: Int): String =
+    s"""WITH e AS (SELECT unnest(range(0, $epochs)) AS epoch),
+       |t AS (
+       |  SELECT epoch, doc_id,
+       |         md5(CAST(doc_id AS VARCHAR) || ':' ||
+       |             CAST(epoch AS VARCHAR)) AS h,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents CROSS JOIN e
+       |), c AS (
+       |  SELECT epoch, doc_id, n_tokens,
+       |         CAST(sum(n_tokens) OVER (PARTITION BY epoch ORDER BY h)
+       |              AS BIGINT) AS cum
+       |  FROM t
+       |)
+       |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, n_tokens,
+       |       CAST((cum - n_tokens) // $shardTokens AS BIGINT) AS shard
+       |FROM c ORDER BY epoch, doc_id""".stripMargin
+
+  /** Mirrors `TextAnalysis.epochMixingAudit`: epoch-0 and epoch-1
+    * shard assignments folded to one row per doc by conditional max,
+    * the (shard0, shard1) contingency cells, then the per-shard0
+    * scatter summary.
+    */
+  def epochMixingSql(shardTokens: Long): String =
+    s"""WITH e AS (SELECT unnest(range(0, 2)) AS epoch),
+       |t AS (
+       |  SELECT epoch, doc_id,
+       |         md5(CAST(doc_id AS VARCHAR) || ':' ||
+       |             CAST(epoch AS VARCHAR)) AS h,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents CROSS JOIN e
+       |), c AS (
+       |  SELECT epoch, doc_id, n_tokens,
+       |         CAST(sum(n_tokens) OVER (PARTITION BY epoch ORDER BY h)
+       |              AS BIGINT) AS cum
+       |  FROM t
+       |), a AS (
+       |  SELECT epoch, doc_id,
+       |         CAST((cum - n_tokens) // $shardTokens AS BIGINT) AS shard
+       |  FROM c
+       |), w AS (
+       |  SELECT doc_id,
+       |         max(CASE WHEN epoch = 0 THEN shard END) AS shard0,
+       |         max(CASE WHEN epoch = 1 THEN shard END) AS shard1
+       |  FROM a GROUP BY doc_id
+       |), cells AS (
+       |  SELECT shard0, shard1, CAST(count(*) AS BIGINT) AS n
+       |  FROM w GROUP BY shard0, shard1
+       |)
+       |SELECT shard0 AS shard, CAST(sum(n) AS BIGINT) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS n_next_shards,
+       |       CAST(max(n) AS BIGINT) AS max_overlap
+       |FROM cells GROUP BY shard0 ORDER BY shard""".stripMargin
+
+  /** The Morton spread-bits ladder as SQL text — `spread8(c)` places
+    * the low 8 bits of `c` on the even bit positions of a 16-bit
+    * word. Masks 3855/13107/21845 = 0x0F0F/0x3333/0x5555; DuckDB's
+    * `<<`/`&`/`|` on BIGINT match Spark's int64 semantics exactly on
+    * these non-negative bounded values.
+    */
+  private def spreadSql(c: String): String = {
+    val s4 = s"((($c) | (($c) << 4)) & 3855)"
+    val s2 = s"(($s4 | ($s4 << 2)) & 13107)"
+    s"(($s2 | ($s2 << 1)) & 21845)"
+  }
+
+  /** The shared binned-dimensions prefix of the layout mirrors:
+    * min/max-normalized 256-cell ranks of (doc_id, n_chars) plus the
+    * Morton key, mirroring `Layout.binned`.
+    */
+  private def binnedSql: String =
+    s"""WITH st AS (
+       |  SELECT min(doc_id) AS mnd, max(doc_id) AS mxd,
+       |         min(n_chars) AS mnc, max(n_chars) AS mxc
+       |  FROM documents
+       |), b AS (
+       |  SELECT doc_id,
+       |         ((doc_id - mnd) * 256) // (mxd - mnd + 1) AS bin_d,
+       |         ((n_chars - mnc) * 256) // (mxc - mnc + 1) AS bin_c
+       |  FROM documents CROSS JOIN st
+       |), z AS (
+       |  SELECT doc_id, bin_d, bin_c,
+       |         (${spreadSql("bin_d")} |
+       |          (${spreadSql("bin_c")} << 1)) AS zkey
+       |  FROM b
+       |)""".stripMargin
+
+  /** Mirrors `Layout.layoutFileStats`: both layouts' file assignments
+    * (Morton-key-space slice vs doc_id-rank slice) unioned, per-file
+    * row count and both dimensions' extremes.
+    */
+  def layoutFileStatsSql(files: Int): String =
+    s"""$binnedSql, t AS (
+       |  SELECT 'zorder' AS layout, (zkey * $files) // 65536 AS file,
+       |         bin_d, bin_c FROM z
+       |  UNION ALL
+       |  SELECT 'linear' AS layout, (bin_d * $files) // 256 AS file,
+       |         bin_d, bin_c FROM z
+       |)
+       |SELECT layout, CAST(file AS BIGINT) AS file,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(min(bin_d) AS BIGINT) AS min_d,
+       |       CAST(max(bin_d) AS BIGINT) AS max_d,
+       |       CAST(min(bin_c) AS BIGINT) AS min_c,
+       |       CAST(max(bin_c) AS BIGINT) AS max_c
+       |FROM t GROUP BY layout, file ORDER BY layout, file""".stripMargin
+
+  /** Mirrors `Layout.layoutSkipAudit`: every populated value of each
+    * dimension probes both layouts' per-file min/max ranges on that
+    * dimension (the parquet pruning rule for a single-column
+    * predicate), rolled up to one row per (layout, dim). The two
+    * DOUBLE columns are single divisions of exact int64 sums —
+    * IEEE-754 identical in both engines.
+    */
+  def layoutSkipAuditSql(files: Int): String =
+    s"""$binnedSql, t AS (
+       |  SELECT 'zorder' AS layout, (zkey * $files) // 65536 AS file,
+       |         bin_d, bin_c FROM z
+       |  UNION ALL
+       |  SELECT 'linear' AS layout, (bin_d * $files) // 256 AS file,
+       |         bin_d, bin_c FROM z
+       |), s AS (
+       |  SELECT layout, file,
+       |         min(bin_d) AS min_d, max(bin_d) AS max_d,
+       |         min(bin_c) AS min_c, max(bin_c) AS max_c
+       |  FROM t GROUP BY layout, file
+       |), nf AS (
+       |  SELECT layout, CAST(count(*) AS BIGINT) AS n_files
+       |  FROM s GROUP BY layout
+       |), p AS (
+       |  SELECT DISTINCT 'doc_id' AS dim, bin_d AS v FROM z
+       |  UNION
+       |  SELECT DISTINCT 'n_chars' AS dim, bin_c AS v FROM z
+       |), pp AS (
+       |  SELECT s.layout, p.dim, p.v,
+       |         CAST(count(*) AS BIGINT) AS fr
+       |  FROM p JOIN s
+       |    ON (p.dim = 'doc_id' AND p.v BETWEEN s.min_d AND s.max_d)
+       |    OR (p.dim = 'n_chars' AND p.v BETWEEN s.min_c AND s.max_c)
+       |  GROUP BY s.layout, p.dim, p.v
+       |), agg AS (
+       |  SELECT layout, dim, CAST(count(*) AS BIGINT) AS n_probes,
+       |         CAST(sum(fr) AS BIGINT) AS fr_sum,
+       |         CAST(max(fr) AS BIGINT) AS worst_files_read
+       |  FROM pp GROUP BY layout, dim
+       |)
+       |SELECT a.layout, a.dim, n.n_files, a.n_probes,
+       |       CAST(a.fr_sum AS DOUBLE) / CAST(a.n_probes AS DOUBLE)
+       |         AS avg_files_read,
+       |       a.worst_files_read,
+       |       CAST(a.fr_sum AS DOUBLE) /
+       |         CAST(a.n_probes * n.n_files AS DOUBLE) AS read_frac
+       |FROM agg a JOIN nf n USING (layout)
+       |ORDER BY a.layout, a.dim""".stripMargin
 }
