@@ -182,25 +182,34 @@ object Bench {
     // grows (~15 chars ≈ 1.5 entries)
     val sfShort = sfDir.split('/').filter(_.nonEmpty)
       .lastOption.getOrElse(sfDir)
-    def render(entries: Seq[(String, String)]): String = {
+    def render(entries: Seq[(String, String)], drop: String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val proto =
         if (protocol.isEmpty) "" else s""","protocol":"$protocol""""
-      s"""{"metric":"total","value":$tot,"unit":"sec","nq":${results.size}$proto,"queries":$qs,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":$tot,"unit":"sec","nq":${results.size}$proto$drop,"queries":$qs,"sf":"$sfShort"}"""
     }
     val all = results.toSeq.sortBy(_._1)
       .map { case (k, v) => (k.takeWhile(_ != '_'), fmt1(v), v) }
-    val full = render(all.map(e => (e._1, e._2)))
+    val full = render(all.map(e => (e._1, e._2)), "")
     if (full.length <= TailBudget) full
     else {
-      // over budget: greedily keep the slowest entries that fit (the
-      // +4 covers quotes, colon and comma — over-counts the comma by
-      // one across the dict, a safe under-budget bias), then re-sort
-      // the kept set by key so the emitted order stays stable.
+      // over budget (the registry outgrew the window, round 16): keep
+      // the SLOWEST entries individually — the informative tail of a
+      // bench is its slow movers — and fold the dropped fast tier
+      // into explicit drop accounting ("ndrop" entries summing to
+      // "drop_sum" seconds), so the line still accounts for every
+      // query: sum(queries) + drop_sum ≈ value, and nq - ndrop =
+      // |queries|. No silent caps; full per-query precision lives in
+      // the layer-1 JSON, the BENCH lines, and BENCH_FULL.json.
+      // Greedy fit: +4 covers quotes, colon and comma (over-counts
+      // the comma by one across the dict, a safe under-budget bias);
       // sortBy is stable, so equal values keep key order — the drop
-      // set is deterministic
-      val base = render(Nil).length
+      // set is deterministic. The drop fields' width is reserved
+      // up-front at their maximum (ndrop ≤ 4 digits, drop_sum ≤ 7
+      // chars), so the rendered line can only come in UNDER budget.
+      val base = render(Nil, "").length +
+        s""","ndrop":9999,"drop_sum":99999.9""".length
       var used = base
       val kept = scala.collection.mutable.ArrayBuffer
         .empty[(String, String, Double)]
@@ -208,7 +217,12 @@ object Bench {
         val cost = e._1.length + e._2.length + 4
         if (used + cost <= TailBudget) { kept += e; used += cost }
       }
-      render(kept.sortBy(_._1).toSeq.map(e => (e._1, e._2)))
+      val keptKeys = kept.map(_._1).toSet
+      val dropped = all.filterNot(e => keptKeys(e._1))
+      val dropSum = "%.1f".formatLocal(java.util.Locale.ROOT,
+        dropped.map(_._3).sum)
+      render(kept.sortBy(_._1).toSeq.map(e => (e._1, e._2)),
+        s""","ndrop":${dropped.length},"drop_sum":$dropSum""")
     }
   }
 

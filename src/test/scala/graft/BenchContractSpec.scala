@@ -6,9 +6,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * measured 2000-character stdout tail window (BENCH_r05–r07 tail
   * fields). No Spark session needed — the contract is pure string
   * shape. Since round 12 the line keeps itself under budget at ANY
-  * query count by dropping the FASTEST entries when it must (`nq`
-  * reports the true count, so the omission is visible) — the horizon
-  * tests below hold the contract well past the next rounds' growth.
+  * query count by dropping the FASTEST entries when it must; since
+  * round 16 (the registry outgrew the all-entries steady state at
+  * 178 keys) the dropped tier is also ACCOUNTED — `ndrop` entries
+  * summing to `drop_sum` seconds, with `nq` the true count — so a
+  * partial dict can never read as "covered everything" and the
+  * line's numbers still close to the total. The horizon tests below
+  * hold the contract well past the next rounds' growth.
   */
 class BenchContractSpec extends AnyFunSuite {
 
@@ -52,23 +56,65 @@ class BenchContractSpec extends AnyFunSuite {
       s"duplicate query-id prefixes: ${ids.diff(ids.distinct).distinct}")
   }
 
-  test("compact line parses as JSON; realistic timings carry every query") {
-    // realistic per-query values (sub-second) — the full registry must
-    // fit the budget whole WITH the protocol field the real run emits,
-    // so the driver's per-query record stays complete in the steady
-    // state; the worst-case width tests above cover the degraded mode
-    val real = Bench.compactLine(
-      SparkEntry.queries.keys.map(_ -> 0.123).toMap, 42.0, sf,
+  test("compact line parses as JSON; every query is carried or drop-accounted") {
+    // the registry outgrew the all-entries steady state at 178 keys
+    // (round 16): with realistic sub-second values the line now
+    // either carries every query OR carries the slowest individually
+    // plus explicit drop accounting — ndrop entries summing to
+    // drop_sum seconds — so nothing is ever silently absent (nq -
+    // ndrop = |dict|, and full per-query precision lives in
+    // BENCH_FULL.json + the layer-1 JSON + the BENCH lines)
+    val n = SparkEntry.queries.size
+    // distinct realistic values so the kept/dropped boundary is exact
+    val vals = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex
+      .map { case (k, i) => k -> (0.050 + i * 0.005) }.toMap
+    val real = Bench.compactLine(vals, vals.values.sum, sf,
       protocol = "min-of-3-interleaved")
     assert(real.startsWith("""{"metric":"total""""))
     assert(real.count(_ == '{') == 2 && real.count(_ == '}') == 2)
-    assert(real.contains(s""""nq":${SparkEntry.queries.size}"""))
+    assert(real.contains(s""""nq":$n"""))
     assert(real.contains(""""protocol":"min-of-3-interleaved""""))
-    SparkEntry.queries.keys.foreach { k =>
-      val short = "\"" + k.takeWhile(_ != '_') + "\":"
-      assert(real.contains(short), s"missing $k as $short")
-    }
     assert(real.length <= 1900)
+    val carried = "\"([qx][0-9]+)\":".r
+      .findAllMatchIn(real.substring(real.indexOf("\"queries\":")))
+      .map(_.group(1)).toSet
+    if (carried.size < n) {
+      // degraded mode: drop accounting present and consistent, and
+      // the kept set is exactly the slowest entries
+      val ndrop = "\"ndrop\":([0-9]+)".r.findFirstMatchIn(real)
+        .map(_.group(1).toInt)
+      assert(ndrop.contains(n - carried.size),
+        s"ndrop must equal nq - |dict|:\n$real")
+      assert(real.contains("\"drop_sum\":"), s"missing drop_sum:\n$real")
+      val byShort = vals.map { case (k, v) => k.takeWhile(_ != '_') -> v }
+      val keptMin = carried.map(byShort).min
+      val dropMax = byShort.collect {
+        case (k, v) if !carried(k) => v }.max
+      assert(dropMax <= keptMin,
+        "a slower query was dropped while a faster one was kept")
+    }
+    // either way, the slowest query always survives
+    val slowest = vals.maxBy(_._2)._1.takeWhile(_ != '_')
+    assert(carried(slowest), s"slowest query $slowest missing:\n$real")
+  }
+
+  test("drop accounting closes the sum: queries + drop_sum ≈ value") {
+    val n = SparkEntry.queries.size
+    val vals = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex
+      .map { case (k, i) => k -> (0.050 + i * 0.005) }.toMap
+    val real = Bench.compactLine(vals, vals.values.sum, sf,
+      protocol = "min-of-3-interleaved")
+    val dict = real.substring(real.indexOf("\"queries\":"))
+    val carriedSum = "\"[qx][0-9]+\":([0-9.]+)".r
+      .findAllMatchIn(dict).map(_.group(1).toDouble).sum
+    val dropSum = "\"drop_sum\":([0-9.]+)".r.findFirstMatchIn(real)
+      .map(_.group(1).toDouble).getOrElse(0.0)
+    // per-entry decisecond rounding bounds the discrepancy at
+    // 0.05s per carried entry (+0.05 for drop_sum's own rounding)
+    assert(math.abs(carriedSum + dropSum - vals.values.sum) <=
+      0.05 * (n + 1),
+      s"sum mismatch: carried $carriedSum + dropped $dropSum vs " +
+        s"true ${vals.values.sum}:\n$real")
   }
 
   test("the tail window absorbs the line plus a trailing-noise margin") {
@@ -111,5 +157,8 @@ class BenchContractSpec extends AnyFunSuite {
       "the slowest query must survive the cut")
     assert(!synth.contains("\"x001\":"),
       "the fastest query is the one that yields under budget pressure")
+    // the dropped fast tier is accounted, not vanished
+    assert(synth.contains("\"ndrop\":") && synth.contains("\"drop_sum\":"),
+      s"over-budget line must carry drop accounting:\n$synth")
   }
 }
