@@ -63,23 +63,30 @@ object Layout {
   def zorderKey(a: Column, b: Column): Column =
     spread8(a).bitwiseOR(shiftleft(spread8(b), 1))
 
-  /** `docs` with both layout dimensions binned to [0, 255] by
-    * min/max-normalized fixed-point ranks plus the Morton key —
-    * shared by the audit fixtures and the physical writer. The 1-row
-    * extremes frame rides a broadcast cross join (scalar seed).
+  /** `df` with the two bin columns and the Morton key APPENDED (all
+    * other columns preserved) — the building block the audit
+    * fixtures, the physical writer, and the curated sink's
+    * `zorderWithin` option share. The 1-row extremes frame rides a
+    * broadcast cross join (scalar seed); a manifest-kept store feeds
+    * the extremes from its manifest instead of this extra aggregation.
     */
-  private[graft] def binned(docs: DataFrame): DataFrame = {
-    val stats = docs.agg(
+  private[graft] def withZorderKey(df: DataFrame): DataFrame = {
+    val stats = df.agg(
       min("doc_id").as("mnd"), max("doc_id").as("mxd"),
       min("n_chars").as("mnc"), max("n_chars").as("mxc"))
-    docs.select("doc_id", "n_chars").crossJoin(broadcast(stats))
+    df.crossJoin(broadcast(stats))
       .withColumn("bin_d",
         expr(s"((doc_id - mnd) * $Cells) div (mxd - mnd + 1)"))
       .withColumn("bin_c",
         expr(s"((n_chars - mnc) * $Cells) div (mxc - mnc + 1)"))
       .withColumn("zkey", zorderKey(col("bin_d"), col("bin_c")))
-      .select("doc_id", "bin_d", "bin_c", "zkey")
+      .drop("mnd", "mxd", "mnc", "mxc")
   }
+
+  /** The audit fixtures' narrow spelling of [[withZorderKey]]. */
+  private[graft] def binned(docs: DataFrame): DataFrame =
+    withZorderKey(docs.select("doc_id", "n_chars"))
+      .select("doc_id", "bin_d", "bin_c", "zkey")
 
   /** Per-file min/max stats for BOTH layouts in ONE corpus pass —
     * `zorder` (file = Morton-key-space slice) vs `linear` (file =
@@ -168,8 +175,7 @@ object Layout {
   def writeZordered(docs: DataFrame, path: String,
                     files: Int = 8): DataFrame = {
     require(files > 0, s"files must be positive, got $files")
-    val keyed = binned(docs).select("doc_id", "zkey")
-      .join(docs, "doc_id")
+    val keyed = withZorderKey(docs).drop("bin_d", "bin_c")
     keyed.repartitionByRange(files, col("zkey"))
       .sortWithinPartitions("zkey")
       .drop("zkey")

@@ -147,11 +147,37 @@ object CorpusIO {
     *    any I/O (PartitionFilters — pinned in CorpusIOSpec).
     */
   def writeCurated(docs: DataFrame, path: String,
-                   buckets: Int = 256): DataFrame = {
+                   buckets: Int = 256,
+                   zorderWithin: Boolean = false): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val out = docs.withColumn("part", pmod(col("doc_id"), lit(buckets.toLong)))
-    out.repartition(col("lang"), col("part"))
-      .write.partitionBy("lang", "part")
+    // zorderWithin: sort each (lang, part) output partition by the
+    // (doc_id, n_chars) Morton key before writing, so the parquet
+    // row-group/file min/max stats inside a partition bound BOTH
+    // columns (the X35 skip audit quantifies the effect; LayoutSpec
+    // proves it on physical files) — readers filtering on doc_id OR
+    // n_chars then skip row groups after the lang/part directory
+    // prune. Costs one extra 1-row extremes aggregation + an in-task
+    // sort; the manifest and the row CONTENT are unchanged (the
+    // manifest aggregation is order-independent), so flipping the
+    // flag never changes what a reader computes — only what it reads.
+    val shaped = {
+      val parted =
+        if (!zorderWithin) out.repartition(col("lang"), col("part"))
+        // sort by (lang, part, zkey), not zkey alone: the partitioned
+        // writer REQUIRES rows clustered by its partition columns and
+        // would insert its own (lang, part)-only sort — Spark sorts
+        // are not stable, so that writer-inserted sort would scramble
+        // the Morton order inside each partition. With the partition
+        // columns as the sort prefix the writer's requirement is
+        // already satisfied and the zkey order survives to the files.
+        else graft.operators.Layout.withZorderKey(out)
+          .repartition(col("lang"), col("part"))
+          .sortWithinPartitions(col("lang"), col("part"), col("zkey"))
+          .drop("bin_d", "bin_c", "zkey")
+      parted
+    }
+    shaped.write.partitionBy("lang", "part")
       .mode("overwrite").parquet(s"$path/data")
     // the manifest aggregates the FILES JUST WRITTEN, not the source
     // frame: re-aggregating `docs` would re-execute its whole upstream
