@@ -164,26 +164,165 @@ object Layout {
           .as("read_frac"))
   }
 
+  /** Clamped bin of `v` under FROZEN extremes columns `mn`/`mx` —
+    * appended rows may fall outside the base write's value range, so
+    * maintenance binning saturates at the edge cells instead of
+    * escaping [0, 255] (the mapping every file in the tree was laid
+    * out under must stay fixed, or the base's physical order would
+    * retroactively stop matching its own keys).
+    */
+  private def binExpr(v: String, mn: String, mx: String): Column =
+    least(greatest(expr(s"(($v - $mn) * $Cells) div ($mx - $mn + 1)"),
+      lit(0L)), lit(255L))
+
+  /** `docs` with the Morton key appended under a FROZEN 1-row params
+    * frame (`mnd/mxd/mnc/mxc`) — the maintenance-path sibling of
+    * [[withZorderKey]], which derives fresh extremes per call.
+    */
+  private def keyedWith(docs: DataFrame, params: DataFrame): DataFrame =
+    docs.crossJoin(broadcast(params))
+      .withColumn("zkey", zorderKey(binExpr("doc_id", "mnd", "mxd"),
+        binExpr("n_chars", "mnc", "mxc")))
+      .drop("mnd", "mxd", "mnc", "mxc")
+
+  private def readLayoutParams(spark: org.apache.spark.sql.SparkSession,
+                               path: String): DataFrame = {
+    val p = s"$path/_layout"
+    require(new java.io.File(p).exists(),
+      s"no _layout params at $path — not a writeZordered tree")
+    spark.read.parquet(p)
+  }
+
   /** Physically write `docs` Z-order-clustered: range-exchange on the
     * Morton key into `files` even slices (sampling-based — even file
     * sizes under key skew), sort within each slice so row groups
     * inside a file are tight too, drop the layout scaffolding, write
-    * parquet. Returns the per-file stats READ BACK from the files
-    * just written (the writeCurated manifest discipline: describe
-    * what landed on disk, not the lineage).
+    * parquet. The binning extremes are PERSISTED with the tree
+    * (`_layout`, an underscore dir the reader's file listing skips) —
+    * they are the tree's frozen coordinate system, which
+    * [[appendZordered]] and [[compactZordered]] must reuse:
+    * re-derived extremes would silently re-map every existing file's
+    * keys. Returns the per-file stats READ BACK from the files just
+    * written (the writeCurated manifest discipline: describe what
+    * landed on disk, not the lineage).
     */
   def writeZordered(docs: DataFrame, path: String,
                     files: Int = 8): DataFrame = {
     require(files > 0, s"files must be positive, got $files")
-    val keyed = withZorderKey(docs).drop("bin_d", "bin_c")
-    keyed.repartitionByRange(files, col("zkey"))
+    val params = docs.agg(
+      min("doc_id").as("mnd"), max("doc_id").as("mxd"),
+      min("n_chars").as("mnc"), max("n_chars").as("mxc"))
+    keyedWith(docs, params)
+      .repartitionByRange(files, col("zkey"))
       .sortWithinPartitions("zkey")
       .drop("zkey")
       .write.mode("overwrite").parquet(path)
-    docs.sparkSession.read.parquet(path)
+    // params AFTER the data overwrite (which clears the whole dir)
+    params.coalesce(1).write.mode("overwrite").parquet(s"$path/_layout")
+    fileStats(docs.sparkSession, path)
+  }
+
+  private def fileStats(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame =
+    spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_docs"),
         min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
         min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+
+  /** Append a batch to a [[writeZordered]] tree in ARRIVAL order —
+    * the cheap path an ingest takes between maintenance windows. The
+    * batch is sorted within its own new files under the tree's frozen
+    * params (locally tight row groups) but NOT merged into the base's
+    * key ranges, so the tree's skip quality degrades with every
+    * append — measurably, via [[zorderSkipCost]], which is what
+    * [[compactZordered]] triggers on. The X26f lesson applied to
+    * layout: maintenance is deferred and measured, never implicit.
+    */
+  def appendZordered(docs: DataFrame, path: String): Unit = {
+    val frozen = readLayoutParams(docs.sparkSession, path)
+    keyedWith(docs, frozen)
+      .sortWithinPartitions("zkey")
+      .drop("zkey")
+      .write.mode("append").parquet(path)
+  }
+
+  /** The tree's current point-probe cost, from its own files: for
+    * every populated Morton key (under the frozen params), how many
+    * files' [min, max] key intervals contain it — `avg_files_read`
+    * is the number a reader actually pays and the compaction trigger.
+    * One scan of the tree builds both the per-file intervals and the
+    * probe set; the probe×interval range join is bounded metadata
+    * (≤ files rows broadcast against ≤ 65536 keys).
+    */
+  def zorderSkipCost(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame = {
+    val frozen = readLayoutParams(spark, path)
+    val keyed = keyedWith(
+      spark.read.parquet(path)
+        .select(col("doc_id"), col("n_chars"),
+          input_file_name().as("file")),
+      frozen).persist()
+    val stats = keyed.groupBy("file")
+      .agg(min("zkey").as("lo"), max("zkey").as("hi"))
+    val nf = stats.agg(count(lit(1)).as("n_files"))
+    keyed.select("zkey").distinct()
+      .join(broadcast(stats),
+        col("zkey") >= col("lo") && col("zkey") <= col("hi"))
+      .groupBy("zkey").agg(count(lit(1)).as("fr"))
+      .agg(count(lit(1)).as("n_probes"), sum("fr").as("fr_sum"),
+        max("fr").as("worst_files_read"))
+      .crossJoin(broadcast(nf))
+      .select(col("n_files"), col("n_probes"),
+        (col("fr_sum").cast("double") / col("n_probes").cast("double"))
+          .as("avg_files_read"),
+        col("worst_files_read"))
+  }
+
+  /** Measured-overlap-triggered recluster — the generational-
+    * compaction discipline (X26f) transplanted to layout: do nothing
+    * while [[zorderSkipCost]]'s `avg_files_read` stays within
+    * `maxAvgFilesRead`; above it, rewrite the whole tree clustered
+    * under the SAME frozen params. Returns
+    * (compacted?, costBefore, costAfter).
+    *
+    * Single-writer maintenance op (like the corpus sink under its
+    * SinkLock): the rows are materialized via `localCheckpoint`
+    * before the overwrite because the rewrite reads the very files
+    * it replaces — the durable-staging sibling of this spelling is
+    * the sink's generation fold, which stages new generations beside
+    * the old and retires them by manifest pointer swap.
+    */
+  def compactZordered(spark: org.apache.spark.sql.SparkSession,
+                      path: String, files: Int = 8,
+                      maxAvgFilesRead: Double = 2.0):
+      (Boolean, Double, Double) = {
+    require(files > 0 && maxAvgFilesRead >= 1.0,
+      s"need files > 0 and maxAvgFilesRead >= 1, got " +
+        s"$files/$maxAvgFilesRead")
+    val before = zorderSkipCost(spark, path).head()
+      .getAs[Double]("avg_files_read")
+    if (before <= maxAvgFilesRead) (false, before, before)
+    else {
+      // pin the frozen params in memory: the overwrite below deletes
+      // the _layout dir along with the data files
+      val frozenRows = readLayoutParams(spark, path)
+      val frozenDf = {
+        val rows = frozenRows.collect()
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+          frozenRows.schema)
+      }
+      val staged = spark.read.parquet(path).localCheckpoint()
+      keyedWith(staged, frozenDf)
+        .repartitionByRange(files, col("zkey"))
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+        .write.mode("overwrite").parquet(path)
+      frozenDf.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/_layout")
+      val after = zorderSkipCost(spark, path).head()
+        .getAs[Double]("avg_files_read")
+      (true, before, after)
+    }
   }
 }

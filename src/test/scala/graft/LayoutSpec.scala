@@ -134,6 +134,50 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("zorder maintenance: appends degrade the measured cost, compaction restores it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zmaint").toString
+    val tree = s"$dir/t"
+    try {
+      // base = even ids, appends = odd ids: same value ranges (the
+      // frozen params cover the appends), arrival order = id order —
+      // a maximally key-spread append file
+      val base = docs.filter(col("doc_id") % 2 === 0)
+      val extra = docs.filter(col("doc_id") % 2 === 1)
+      Layout.writeZordered(base, tree, 8)
+      val avg0 = Layout.zorderSkipCost(spark, tree)
+        .head().getAs[Double]("avg_files_read")
+      Layout.appendZordered(extra, tree)
+      val avg1 = Layout.zorderSkipCost(spark, tree)
+        .head().getAs[Double]("avg_files_read")
+      assert(avg1 > avg0,
+        s"an arrival-order append must raise the measured cost: $avg0 -> $avg1")
+      // below the bound: a no-op that still reports the measurement
+      val (did0, b0, a0) =
+        Layout.compactZordered(spark, tree, 8, maxAvgFilesRead = avg1 + 1)
+      assert(!did0 && b0 == avg1 && a0 == avg1)
+      val idsBefore = spark.read.parquet(tree)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      // above the bound: recluster under the SAME frozen params
+      val (did, before, after) =
+        Layout.compactZordered(spark, tree, 8, maxAvgFilesRead = 1.2)
+      assert(did && before == avg1 && after < before,
+        s"compaction must lower the measured cost: $before -> $after")
+      val idsAfter = spark.read.parquet(tree)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(idsAfter == idsBefore, "compaction changed the content")
+      // params survived the rewrite: appends still work afterwards
+      Layout.appendZordered(extra.limit(1), tree)
+      assert(spark.read.parquet(tree).count() == idsBefore.length + 1)
+      // a non-tree path fails loudly, not by silent re-derivation
+      val e = intercept[IllegalArgumentException] {
+        Layout.appendZordered(extra, s"$dir/not_a_tree")
+      }
+      assert(e.getMessage.contains("_layout"))
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("x168/x169 plans: only the allowed scalar-seed / metadata NLJs") {
     def nlj(q: String): Int = {
       val p = SparkEntry.queries(q)(spark, sf)
