@@ -118,6 +118,34 @@ object SparkEntry {
         Dedup.jaccardPairs(Tables.read(s, dir, "documents"),
           ClusterJaccard, ClusterBand).select("doc_a", "doc_b")))
 
+  /** Session for the MemoryStream gate fixtures: few-partition state
+    * (the fixtures stream thousands of docs, not the deployment's
+    * default width), the RocksDB provider transformWithState
+    * requires, and no watermark-service micro-batches — every gate
+    * emits its verdict in the batch the doc arrives in and the expiry
+    * timers only prune state (`Iterator.empty`), so a no-data batch
+    * does nothing result-visible but pays a full store-commit round
+    * across 3 stateful ops × 4 partitions (measured ~1-3 s per drain
+    * on the x129 fixture — the q56/q58 reasoning applied to the
+    * gates; q31/q49/q50 keep no-data batches, their append-mode
+    * windows flush on watermark passage).
+    */
+  private def gateFixtureSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // exact state-row accounting costs a native RocksDB get per
+    // ListState append/put (RocksDB.merge → handleMetricsUpdate —
+    // verified in a thread dump of the drain's hot loop); nothing in
+    // these fixtures reads numRowsTotal, so skip it here. StressProof
+    // and the specs DO assert on numRowsTotal and keep the default.
+    ss.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+      "false")
+    Dedup.useRocksDbStateStore(ss)
+    ss
+  }
+
   /** A batch-written HtaStore over the sanitized fixture — the durable
     * day-partitioned raw layout q63 range-reads. Written once per
     * (session, dir) as three batch directories (multi-batch, multi-day
@@ -299,6 +327,16 @@ object SparkEntry {
     new java.io.File(inDir).mkdirs()
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
+    // no watermark-service micro-batches: the pipe's gates emit in
+    // the arrival batch and their timers only prune (the
+    // gateFixtureSession reasoning; the pipe has no append-mode
+    // window aggregation anywhere)
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // no exact state-row accounting either (the gateFixtureSession
+    // note: a native get per state append, read by nothing here)
+    ss.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+      "false")
     // the near-dup gate's band op is transformWithState (ListState) —
     // RocksDB is its required provider (and the 100 TB one regardless)
     Dedup.useRocksDbStateStore(ss)
@@ -394,6 +432,83 @@ object SparkEntry {
     }
     gatePipeMemo.put(key, root.toString)
     root.toString
+  }
+
+  /** The ONE built+appended IVF index tree per kind (sq | pq) shared
+    * by the append fixture and its compaction sibling — the
+    * [[gatePipeTree]] sharing discipline (VERDICT r15 #5) applied to
+    * the index lifecycle: x156/x157 re-ran x154/x155's build+append
+    * only to then compact the result, and the compact rows'
+    * deliverable is the COMPACTION (plus that it is content-invisible
+    * — their oracle is the append rows'). Discipline, stated
+    * precisely:
+    *  - x154/x155 ALWAYS rebuild (`rebuild = true`): they stay the
+    *    designated build+append construction-cost carriers in the
+    *    bench;
+    *  - x156/x157 [[copyTree]] the memoized tree into their own
+    *    scratch and compact the COPY, so compaction always runs on a
+    *    fully fragmented tree (never on an already-compacted one,
+    *    which would erase the measured maintenance work) and the
+    *    shared tree stays valid for the next consumer;
+    *  - x151/x152 (full-corpus builds), x159 (base build + STREAMED
+    *    absorption — a different delivery machine) stay independent
+    *    runs on purpose.
+    * Tree lifecycle: retained for the session — deleted when the
+    * carrier rebuilds and at JVM exit — and the carrier's search
+    * frame reads it lazily (safe for the same reason as
+    * [[gatePipeTree]]'s frames: every driver consumes each query's
+    * result before invoking the next fixture).
+    */
+  private val ivfTreeMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), String]
+  private lazy val ivfTreeCleanup: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      ivfTreeMemo.values.foreach(r => new scala.reflect.io.Directory(
+        new java.io.File(r)).deleteRecursively())))
+  private def ivfAppendedTree(s: SparkSession, dir: String, kind: String,
+                              rebuild: Boolean): String = {
+    ivfTreeCleanup
+    val key = (s, dir, kind)
+    if (!rebuild) ivfTreeMemo.get(key) match {
+      case Some(r) => return r
+      case None => ()
+    }
+    ivfTreeMemo.remove(key).foreach { old =>
+      val _ = new scala.reflect.io.Directory(
+        new java.io.File(old)).deleteRecursively()
+    }
+    val root = java.nio.file.Files.createTempDirectory(s"graft-ivf$kind")
+    guardingScratch(root.toString) {
+      val emb = Tables.read(s, dir, "embeddings")
+      val base = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 4L)
+      val rest = emb.filter(pmod(col("vec_id"), lit(5L)) === 4L)
+      if (kind == "sq") {
+        Similarity.buildIvfSqIndex(base, root.toString)
+        Similarity.appendToIvfSqIndex(rest, root.toString, tag = "day2")
+      } else {
+        Similarity.buildIvfPqIndex(base, root.toString)
+        Similarity.appendToIvfPqIndex(rest, root.toString, tag = "day2")
+      }
+    }
+    ivfTreeMemo.put(key, root.toString)
+    root.toString
+  }
+
+  /** Recursive local-FS copy of a fixture tree (small files; the
+    * consumer compacts the copy so the shared original stays
+    * fragmented).
+    */
+  private def copyTree(src: String, dst: String): Unit = {
+    val sp = java.nio.file.Paths.get(src)
+    val dp = java.nio.file.Paths.get(dst)
+    val it = java.nio.file.Files.walk(sp)
+    try it.forEach { p =>
+      val t = dp.resolve(sp.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally it.close()
   }
 
   private def batchStore(s: SparkSession, dir: String): graft.streaming.HtaStore =
@@ -824,23 +939,13 @@ object SparkEntry {
     // index. The oracle restates the whole lifecycle from the raw
     // table: params + centroids from the base subset, codes + search
     // over everything
-    "x154_ivf_sq_append" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-sqapp")
-      guardingScratch(root.toString) {
-        val emb = Tables.read(s, dir, "embeddings")
-        Similarity.buildIvfSqIndex(
-          emb.filter(pmod(col("vec_id"), lit(5L)) =!= 4L), root.toString)
-        Similarity.appendToIvfSqIndex(
-          emb.filter(pmod(col("vec_id"), lit(5L)) === 4L), root.toString,
-          tag = "day2")
-        materializedWithoutScratch(
-          Similarity.searchIvfSq(s, root.toString,
-            emb.filter(col("vec_id").isin(0L, 1L, 2L))
-              .select("vec_id", "embedding"),
-            5, nprobe = 2).orderBy("q_id", "rank"),
-          root.toString)
-      }
-    }),
+    "x154_ivf_sq_append" -> ((s, dir) =>
+      Similarity.searchIvfSq(s, ivfAppendedTree(s, dir, "sq",
+          rebuild = true),
+        Tables.read(s, dir, "embeddings")
+          .filter(col("vec_id").isin(0L, 1L, 2L))
+          .select("vec_id", "embedding"),
+        5, nprobe = 2).orderBy("q_id", "rank")),
     // X3k the serving loop's last edge: the SAME 20 % appended by a
     // STREAMING query (foreachBatch + incarnation-scoped tags → the
     // manifest ledger makes replays no-ops), in two micro-batches —
@@ -883,39 +988,26 @@ object SparkEntry {
     }),
     // X3b the same lifecycle on IVFADC: frozen codebook + centroids,
     // appended code rows, search over the grown index
-    "x155_ivfadc_append" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-pqapp")
-      guardingScratch(root.toString) {
-        val emb = Tables.read(s, dir, "embeddings")
-        Similarity.buildIvfPqIndex(
-          emb.filter(pmod(col("vec_id"), lit(5L)) =!= 4L), root.toString)
-        Similarity.appendToIvfPqIndex(
-          emb.filter(pmod(col("vec_id"), lit(5L)) === 4L), root.toString,
-          tag = "day2")
-        materializedWithoutScratch(
-          Similarity.searchIvfPqAdc(s, root.toString,
-            emb.filter(col("vec_id").isin(0L, 1L, 2L))
-              .select("vec_id", "embedding"),
-            5, nprobe = 2).orderBy("q_id", "rank"),
-          root.toString)
-      }
-    }),
+    "x155_ivfadc_append" -> ((s, dir) =>
+      Similarity.searchIvfPqAdc(s, ivfAppendedTree(s, dir, "pq",
+          rebuild = true),
+        Tables.read(s, dir, "embeddings")
+          .filter(col("vec_id").isin(0L, 1L, 2L))
+          .select("vec_id", "embedding"),
+        5, nprobe = 2).orderBy("q_id", "rank")),
     // X3i index compaction closes the loop appends open: fold the
     // fragmented code tree back to one file per cell, then search —
     // content invariant by the SAME oracle as the uncompacted x154
     "x156_sq_index_compact" -> ((s, dir) => {
       val root = java.nio.file.Files.createTempDirectory("graft-sqcpt")
       guardingScratch(root.toString) {
-        val emb = Tables.read(s, dir, "embeddings")
-        Similarity.buildIvfSqIndex(
-          emb.filter(pmod(col("vec_id"), lit(5L)) =!= 4L), root.toString)
-        Similarity.appendToIvfSqIndex(
-          emb.filter(pmod(col("vec_id"), lit(5L)) === 4L), root.toString,
-          tag = "day2")
+        copyTree(ivfAppendedTree(s, dir, "sq", rebuild = false),
+          root.toString)
         Similarity.compactIvfIndex(s, root.toString)
         materializedWithoutScratch(
           Similarity.searchIvfSq(s, root.toString,
-            emb.filter(col("vec_id").isin(0L, 1L, 2L))
+            Tables.read(s, dir, "embeddings")
+              .filter(col("vec_id").isin(0L, 1L, 2L))
               .select("vec_id", "embedding"),
             5, nprobe = 2).orderBy("q_id", "rank"),
           root.toString)
@@ -925,16 +1017,13 @@ object SparkEntry {
     "x157_pq_index_compact" -> ((s, dir) => {
       val root = java.nio.file.Files.createTempDirectory("graft-pqcpt")
       guardingScratch(root.toString) {
-        val emb = Tables.read(s, dir, "embeddings")
-        Similarity.buildIvfPqIndex(
-          emb.filter(pmod(col("vec_id"), lit(5L)) =!= 4L), root.toString)
-        Similarity.appendToIvfPqIndex(
-          emb.filter(pmod(col("vec_id"), lit(5L)) === 4L), root.toString,
-          tag = "day2")
+        copyTree(ivfAppendedTree(s, dir, "pq", rebuild = false),
+          root.toString)
         Similarity.compactIvfIndex(s, root.toString)
         materializedWithoutScratch(
           Similarity.searchIvfPqAdc(s, root.toString,
-            emb.filter(col("vec_id").isin(0L, 1L, 2L))
+            Tables.read(s, dir, "embeddings")
+              .filter(col("vec_id").isin(0L, 1L, 2L))
               .select("vec_id", "embedding"),
             5, nprobe = 2).orderBy("q_id", "rank"),
           root.toString)
@@ -1116,9 +1205,7 @@ object SparkEntry {
       val rows = Tables.read(s, dir, "documents")
         .select("doc_id", "text", "lang", "source", "n_chars")
         .as[graft.sources.CorpusIO.CuratedDoc].collect().sortBy(_.doc_id)
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "4")
-      Dedup.useRocksDbStateStore(ss)
+      val ss = gateFixtureSession(s)
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[graft.sources.CorpusIO.CuratedDoc](ss)
       val kept = Dedup.streamingNearDupGate(ms.toDS(), ClusterJaccard)(
@@ -1154,9 +1241,7 @@ object SparkEntry {
       val rows = Tables.read(s, dir, "documents")
         .select("doc_id", "text", "lang", "source", "n_chars")
         .as[graft.sources.CorpusIO.CuratedDoc].collect().sortBy(_.doc_id)
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "4")
-      Dedup.useRocksDbStateStore(ss)
+      val ss = gateFixtureSession(s)
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[graft.sources.CorpusIO.CuratedDoc](ss)
       val verdicts = Dedup.streamingNearDupVerdicts(
@@ -1190,9 +1275,7 @@ object SparkEntry {
       val rows = Tables.read(s, dir, "documents")
         .select("doc_id", "text", "lang", "source", "n_chars")
         .as[graft.sources.CorpusIO.CuratedDoc].collect().sortBy(_.doc_id)
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "4")
-      Dedup.useRocksDbStateStore(ss)
+      val ss = gateFixtureSession(s)
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[graft.sources.CorpusIO.CuratedDoc](ss)
       val kept = Dedup.streamingNearDupGateTtl(
@@ -1232,9 +1315,7 @@ object SparkEntry {
       val rows = Tables.read(s, dir, "documents")
         .select("doc_id", "text", "lang", "source", "n_chars")
         .as[graft.sources.CorpusIO.CuratedDoc].collect().sortBy(_.doc_id)
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "4")
-      Dedup.useRocksDbStateStore(ss)
+      val ss = gateFixtureSession(s)
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[graft.sources.CorpusIO.CuratedDoc](ss)
       val kept = Dedup.streamingNearDupGate(ms.toDS(), ClusterJaccard,
@@ -1267,9 +1348,7 @@ object SparkEntry {
       val rows = Tables.read(s, dir, "documents")
         .select("doc_id", "text", "lang", "source", "n_chars")
         .as[graft.sources.CorpusIO.CuratedDoc].collect().sortBy(_.doc_id)
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "4")
-      Dedup.useRocksDbStateStore(ss)
+      val ss = gateFixtureSession(s)
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[graft.sources.CorpusIO.CuratedDoc](ss)
       val tagged = Dedup.streamingNearDupVerdictsTagged(
@@ -1301,9 +1380,7 @@ object SparkEntry {
       val rows = Tables.read(s, dir, "documents")
         .select("doc_id", "text", "lang", "source", "n_chars")
         .as[graft.sources.CorpusIO.CuratedDoc].collect().sortBy(_.doc_id)
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "4")
-      Dedup.useRocksDbStateStore(ss)
+      val ss = gateFixtureSession(s)
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[graft.sources.CorpusIO.CuratedDoc](ss)
       val tagged = Dedup.streamingNearDupVerdictsTaggedTtl(
@@ -1336,9 +1413,7 @@ object SparkEntry {
       val rows = Tables.read(s, dir, "documents")
         .select("doc_id", "text", "lang", "source", "n_chars")
         .as[graft.sources.CorpusIO.CuratedDoc].collect().sortBy(_.doc_id)
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "4")
-      Dedup.useRocksDbStateStore(ss)
+      val ss = gateFixtureSession(s)
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[graft.sources.CorpusIO.CuratedDoc](ss)
       val tagged = Dedup.streamingNearDupVerdictsTaggedTtl(

@@ -1341,6 +1341,18 @@ object Dedup {
     session.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
+    // changelog checkpointing: commit writes the batch's delta to the
+    // checkpoint instead of zipping and uploading a full RocksDB
+    // snapshot per store instance per batch — measured on the x129
+    // fixture (4 partitions × 3 stateful ops), snapshot save + fsync
+    // was ~3.6 s of every batch's commit path; with changelog the
+    // per-batch upload is O(rows updated) and snapshots move to the
+    // background maintenance thread. Recovery replays the changelog
+    // over the last snapshot (same replay contract the specs pin);
+    // this is also the 100 TB posture — full-state upload per batch
+    // cannot scale, changelog size tracks the batch, not the state.
+    session.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled", "true")
     session
   }
 
