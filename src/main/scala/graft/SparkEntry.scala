@@ -1817,23 +1817,26 @@ object SparkEntry {
     // X30 leakage-safe split: each doc inherits the split of its
     // near-dup cluster representative, so near-duplicates never
     // straddle train/valid/test — the oracle recomputes the clusters
-    // via the recursive-CTE closure and applies the same md5 rule
+    // via the recursive-CTE closure and applies the same md5 rule.
+    // Consumes the memoized cluster artifact (the x48/x107 pattern —
+    // VERDICT r15 #5's sharing discipline): x45 stays the designated
+    // construction-cost carrier; this row's deliverable is the SPLIT
+    // rule, and re-running the identical construction here bought the
+    // bench nothing
     "x96_cluster_safe_split" -> ((s, dir) => {
       val docs = Tables.read(s, dir, "documents")
-      val clusters = Dedup.nearDupClusters(
-        Dedup.jaccardPairs(docs, ClusterJaccard, ClusterBand)
-          .select("doc_a", "doc_b"))
-      TextAnalysis.clusterSafeSplit(docs, clusters).orderBy("doc_id")
+      TextAnalysis.clusterSafeSplit(docs, clusters(s, dir))
+        .orderBy("doc_id")
     }),
     // X31 curation drop-reason ledger: one decision per candidate doc
     // with fixed gate precedence (low_quality → duplicate →
     // contaminated → kept) — the audit trail behind x48's kept corpus
+    // Consumes the memoized cluster artifact like x48/x107 (VERDICT
+    // r15 #5 sharing discipline — x45 carries construction; this
+    // row's deliverable is the gate-precedence LEDGER rule)
     "x97_curation_ledger" -> ((s, dir) => {
       val docs = Tables.read(s, dir, "documents")
-      val clusters = Dedup.nearDupClusters(
-        Dedup.jaccardPairs(docs, ClusterJaccard, ClusterBand)
-          .select("doc_a", "doc_b"))
-      TextAnalysis.curationLedger(docs, minScore = 3.0, clusters,
+      TextAnalysis.curationLedger(docs, minScore = 3.0, clusters(s, dir),
         col("doc_id") % 20 === 0).orderBy("doc_id")
     }),
     // X31b ledger drift: the x97 ledger at two quality bars (3.0
@@ -1844,7 +1847,7 @@ object SparkEntry {
     // closing the one hash-checkable gap the drift report had while
     // ExtensionsSpec's shift-not-growth property stays the semantic
     // pin. Both ledgers share the memoized cluster artifact (the x48
-    // consumer pattern — x97 already charges construction)
+    // consumer pattern — x45 carries construction)
     "x107_ledger_drift" -> ((s, dir) => {
       val docs = Tables.read(s, dir, "documents")
       val held = col("doc_id") % 20 === 0

@@ -114,7 +114,20 @@ object Dedup {
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <= prefixLen)
       .select("doc_id", "n_chars", "is_ref", "g")
-    (sh, prefix)
+    // Both outputs are consumed TWICE by every caller (prefix on each
+    // side of the candidate self/bipartite join, sh on each side of
+    // the exact verification), and Spark reuses neither subtree — the
+    // two sides differ in projection, so their exchanges never
+    // canonicalize equal and the whole shingle→explode→freq→window
+    // pipeline runs once PER SIDE. Persist replaces the duplicate
+    // corpus passes with one compute + cached reads; MEMORY_AND_DISK
+    // spills rather than OOMs at corpus scale (the
+    // lshCandidatePairsWithReport band-table discipline — and `sh` /
+    // `prefix` are O(corpus shingles), the same order as the text the
+    // duplicate pass would re-parse). Drivers release per-query
+    // persists after consuming each result (releaseNewlyPersisted).
+    (sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      prefix.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   /** Cross-corpus near-dup pairs — the incremental-ingest dedup stage:
@@ -219,7 +232,13 @@ object Dedup {
       if (bucketCap == Int.MaxValue) bandRowsTable(docs, k, r)
       else sizedBandRows(docs, k, r)
         .filter(col("bucket_size") <= bucketCap).drop("bucket_size")
-    pairsFromBandRows(bounded)
+    // the bucket self-join consumes the band table on BOTH sides, and
+    // the sides' differing projections block exchange reuse — without
+    // this persist the whole shingle→minhash→band pipeline runs twice
+    // (the lshCandidatePairsWithReport band-table discipline, applied
+    // to the plain candidate path; O(docs · k/r) small rows)
+    pairsFromBandRows(bounded.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   /** The bucket self-join of [[lshCandidatePairs]] over an
@@ -324,8 +343,13 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, threshold: Double,
                       k: Int = 12, r: Int = 3,
                       bucketCap: Int = Int.MaxValue): DataFrame =
+    // the verify join reads the shingle table twice (sa / sb side) —
+    // persist it so the corpus text is shingle-parsed once, not twice
+    // (the prefixPostings discipline; drivers release per query)
     verifyJaccard(lshCandidatePairs(docs, k, r, bucketCap),
-      shingled(docs), threshold)
+      shingled(docs).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      threshold)
 
   /** LSH quality audit — precision and recall of the banded-MinHash
     * candidate generator against the EXACT prefix-postings ground
@@ -427,8 +451,16 @@ object Dedup {
     // fault-tolerant storage instead
     def materialize(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
-    var labels = materialize(edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id")))
+    // fused first round: the identity labeling's first propagation
+    // step is a pure function of the edge list — label(v) =
+    // min({v} ∪ Γ(v)) — so fold it into initialization (one groupBy,
+    // the same shuffle the old identity-distinct paid) and start the
+    // loop from the post-round-1 state: one fewer
+    // join+groupBy+checkpoint round per call, identical fixpoint (the
+    // remaining iteration sequence is exactly the old one's tail)
+    var labels = materialize(edges.groupBy("src")
+      .agg(least(min(col("dst")), first(col("src"))).as("cluster"))
+      .withColumnRenamed("src", "doc_id"))
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -765,7 +797,12 @@ object Dedup {
       struct(lit(i).as("blk"),
         shiftright(fp, off).bitwiseAND((1L << w) - 1).as("bv"))
     }: _*)
-    val s = simhash(docs)
+    // the (block, length-bucket) join reads the fingerprint table on
+    // both sides with different explodes — no exchange reuse, so the
+    // whole tokenize→md5→packed-vote aggregation would run twice;
+    // persist computes each doc's fingerprint once (O(docs) rows)
+    val s = simhash(docs).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = s.select(col("doc_id").as("doc_a"), col("n_chars").as("ca"),
       col("simhash").as("fa"))
       .withColumn("__b", (col("ca") / band).cast("long"))
