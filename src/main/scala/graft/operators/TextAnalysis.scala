@@ -417,7 +417,12 @@ object TextAnalysis {
     * quality gate's decision, not the strip's).
     */
   def boilerplateStrip(docs: DataFrame, n: Int = 3, minDf: Long = 5): DataFrame = {
-    val grams = positionalGrams(docs, n)
+    // grams feed both the document-frequency aggregate and the
+    // coverage join — different projections, no exchange reuse, so the
+    // tokenize+lead-window pass would run twice (the Dedup
+    // prefixPostings discipline; drivers release per-query persists)
+    val grams = positionalGrams(docs, n).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val frequent = grams.groupBy("gram")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") >= minDf).select("gram")
@@ -1249,7 +1254,10 @@ object TextAnalysis {
                       minCount: Long = 2L): DataFrame = {
     require(n > 0 && minCount > 1,
       s"need n > 0 and minCount > 1, got n=$n minCount=$minCount")
-    val grams = positionalGrams(docs, n)
+    // persist: grams feed both the count aggregate and the coverage
+    // join (the boilerplateStrip note)
+    val grams = positionalGrams(docs, n).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = grams.groupBy("gram")
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount).select("gram")
@@ -1400,7 +1408,10 @@ object TextAnalysis {
   def dupSpanRemove(docs: DataFrame, n: Int = 5, minCount: Long = 2L): DataFrame = {
     require(n > 0 && minCount > 1,
       s"need n > 0 and minCount > 1, got n=$n minCount=$minCount")
-    val grams = positionalGrams(docs, n)
+    // persist: grams feed both the count+owner aggregate and the
+    // coverage join (the boilerplateStrip note)
+    val grams = positionalGrams(docs, n).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = grams.groupBy("gram")
       .agg(count(lit(1)).as("cnt"), min("doc_id").as("canon_id"))
       .filter(col("cnt") >= minCount)
@@ -1431,8 +1442,12 @@ object TextAnalysis {
     */
   def sourceOverlapMatrix(docs: DataFrame, n: Int = 3): DataFrame = {
     require(n > 0, s"need n > 0, got n=$n")
+    // persist: the distinct gram set feeds the per-source sizes AND
+    // both sides of the intersection self-join — three consumers of
+    // one tokenize+window+distinct pass (the boilerplateStrip note)
     val g = positionalGrams(docs, n, carry = Seq("source"))
-      .select("source", "gram").distinct()
+      .select("source", "gram").distinct().persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
     val inter = g.as("a").join(g.as("b"), "gram")
       .filter(col("a.source") < col("b.source"))

@@ -125,11 +125,18 @@ object BulkImport {
       val keptC = kept.cache()
       try {
         sink(keptC.unionByName(anchors), i)
-        val newMax = keptC.groupBy("metric")
-          .agg(max("time").as("seed_ts"),
-            max_by(col("value"), col("time")).as("seed_v"))
         val before = spark.sparkContext.getPersistentRDDs.keySet
-        val next = seedDf.unionByName(newMax)
+        // one aggregation folds the chunk into the seed: the retired
+        // two-step (per-chunk newMax groupBy, then a second fold
+        // groupBy) shuffled the same rows twice per chunk — the union
+        // feeds kept rows straight into the fold and partial (map-side)
+        // aggregation does what the separate newMax did. Equivalent:
+        // gate-kept times are strictly increasing per metric and above
+        // the old seed_ts, so the (max, argmax) over seed ∪ kept has a
+        // unique maximum either way
+        val next = seedDf.unionByName(
+            keptC.select(col("metric"), col("time").as("seed_ts"),
+              col("value").as("seed_v")))
           .groupBy("metric")
           .agg(max("seed_ts").as("seed_ts"),
             max_by(col("seed_v"), col("seed_ts")).as("seed_v"))
