@@ -1850,7 +1850,14 @@ object Similarity {
       val (n, priorTags) = buildEntry(hfs, path)
       val learned = s"learned_v$n"
       val gen = s"gen=b$n"
-      val q = quantized(emb)
+      // three write actions consume the quantized corpus (centroids,
+      // SQ params, the coded cells) — persist so the scan+quantize
+      // pass runs once per build, not once per artifact (the Dedup
+      // prefixPostings discipline); released before returning, the
+      // build is eager anyway
+      val q = quantized(emb).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       centroids(q).coalesce(1).write.mode("overwrite")
         .parquet(s"$path/$learned/centroids")
       sqParams(q).coalesce(1).write.mode("overwrite")
@@ -1865,6 +1872,7 @@ object Similarity {
       writeManifestFile(hfs, path, IndexManifest(n, "sq", learned,
         priorTags, stagedCells(hfs, path, gen)))
       retireUnreferenced(hfs, path, manifestGraceMs(spark))
+      } finally q.unpersist()
     }
 
   /** Search a persisted IVF-SQ index: `queries` supplies

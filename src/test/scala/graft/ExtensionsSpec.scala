@@ -3502,4 +3502,27 @@ class ExtensionsSpec extends AnyFunSuite {
       val _ = new scala.reflect.io.Directory(root.toFile).deleteRecursively()
     }
   }
+
+  test("taggedGateRun sharing: consumer view is identical before and " +
+    "after its carrier rebuilds the memoized run") {
+    import spark.implicits._
+    def keptTtl() = SparkEntry.queries("x129_stream_gate_ttl")(spark, sf)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    // first access: the consumer builds the memo tree itself
+    val first = keptTtl()
+    // carrier invocation REBUILDS the configuration's run (deletes the
+    // consumer-built tree, drains a fresh one)
+    val tagged = SparkEntry.queries("x162_gate_ttl_audit_reasons")(spark, sf)
+      .select("doc_id", "reason")
+      .as[(Long, String)].collect().toSeq
+    // consumer again: now a view over the CARRIER's tree — must be
+    // byte-identical to its own build (memo keying + rebuild
+    // consistency), and exactly the carrier's admitted set (the view
+    // definition: gate ≡ tagged filtered to admitted)
+    val second = keptTtl()
+    assert(second == first)
+    assert(second.map(_._1).toSet ==
+      tagged.collect { case (id, r)
+        if r == graft.operators.Dedup.ReasonAdmitted => id }.toSet)
+  }
 }
