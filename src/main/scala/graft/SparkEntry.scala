@@ -373,10 +373,18 @@ object SparkEntry {
       .text(s"$root/stage")
     mark("synthesis")
     try (0 until 3).foreach { i =>
-      val part = new java.io.File(s"$root/stage/part=$i").listFiles()
-        .filter(_.getName.startsWith("part-")).head
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(inDir, f"chunk-$i%03d.json"))
+      // partitionBy writes NO directory for an empty partition (the
+      // old per-range coalesce(1) writes always left a part file) —
+      // an empty id-range third must still deliver its (empty) chunk
+      // so the drive keeps its 3-delivery shape instead of NPE-ing
+      val part = Option(new java.io.File(s"$root/stage/part=$i")
+          .listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.startsWith("part-")).headOption
+      val chunk = java.nio.file.Paths.get(inDir, f"chunk-$i%03d.json")
+      part match {
+        case Some(p) => java.nio.file.Files.move(p.toPath, chunk)
+        case None => java.nio.file.Files.createFile(chunk)
+      }
       if (i == 1) // quarantine bait mid-stream: truncated JSON, junk,
         // and a well-formed line missing its key — none may surface
         // in the curated output
@@ -437,17 +445,19 @@ object SparkEntry {
       case Some(r) => return r
       case None => ()
     }
-    gatePipeMemo.remove(key).foreach { old =>
-      val _ = new scala.reflect.io.Directory(
-        new java.io.File(old)).deleteRecursively()
-    }
     val root = java.nio.file.Files.createTempDirectory("graft-scorpus-shr")
     guardingScratch(root.toString) {
       runCorpusPipe(s, dir, nearDup = Some(ClusterJaccard),
         nearDupTtl = None, auditRejects = true, minQuality = None,
         root = root.toString)
     }
-    gatePipeMemo.put(key, root.toString)
+    // swap AFTER the replacement run succeeds: a failed rebuild must
+    // not have deleted the tree consumer fixtures' lazy frames still
+    // reference (the r16 ADVICE ordering)
+    gatePipeMemo.put(key, root.toString).foreach { old =>
+      val _ = new scala.reflect.io.Directory(
+        new java.io.File(old)).deleteRecursively()
+    }
     root.toString
   }
 
@@ -490,10 +500,6 @@ object SparkEntry {
       case Some(r) => return r
       case None => ()
     }
-    ivfTreeMemo.remove(key).foreach { old =>
-      val _ = new scala.reflect.io.Directory(
-        new java.io.File(old)).deleteRecursively()
-    }
     val root = java.nio.file.Files.createTempDirectory(s"graft-ivf$kind")
     guardingScratch(root.toString) {
       val emb = Tables.read(s, dir, "embeddings")
@@ -507,7 +513,11 @@ object SparkEntry {
         Similarity.appendToIvfPqIndex(rest, root.toString, tag = "day2")
       }
     }
-    ivfTreeMemo.put(key, root.toString)
+    // swap AFTER the build succeeds (the gatePipeTree ordering note)
+    ivfTreeMemo.put(key, root.toString).foreach { old =>
+      val _ = new scala.reflect.io.Directory(
+        new java.io.File(old)).deleteRecursively()
+    }
     root.toString
   }
 
@@ -556,10 +566,6 @@ object SparkEntry {
       case Some(r) => return r
       case None => ()
     }
-    gateRunMemo.remove(key).foreach { old =>
-      val _ = new scala.reflect.io.Directory(
-        new java.io.File(old)).deleteRecursively()
-    }
     import s.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-gaterun")
     guardingScratch(root.toString) {
@@ -594,7 +600,11 @@ object SparkEntry {
       q.stop()
       ss.table(qn).write.mode("overwrite").parquet(s"$root/tagged")
     }
-    gateRunMemo.put(key, root.toString)
+    // swap AFTER the drain succeeds (the gatePipeTree ordering note)
+    gateRunMemo.put(key, root.toString).foreach { old =>
+      val _ = new scala.reflect.io.Directory(
+        new java.io.File(old)).deleteRecursively()
+    }
     root.toString
   }
 
@@ -1500,6 +1510,16 @@ object SparkEntry {
       // cutting the per-batch state-store commit cost 8×
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
+      // no watermark-service micro-batches (the gateFixtureSession
+      // audit, completed for the q-fixtures this round): this
+      // pipeline is gate (flatMapGroupsWithState, NoTimeout — no
+      // timers) + foreachBatch, with no watermark anywhere, so a
+      // no-data batch changes nothing result-visible — but it still
+      // ran an EMPTY writeBatch (two parquet write jobs + a commit
+      // marker) plus a state-commit round per delivery. q50 keeps
+      // no-data batches: its append-mode window genuinely flushes on
+      // watermark passage after the sentinel batch.
+      ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[StreamingIngest.Point](ss)
       // mode=RO enforcement runs inside the driver's gate: the catalog
@@ -1591,6 +1611,11 @@ object SparkEntry {
         .as[(Long, Long)].collect()
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
+      // complete mode with no watermark: every DATA batch emits the
+      // full result, so a no-data batch re-commits identical state and
+      // rewrites the identical memory-sink table for nothing (the q31
+      // audit note; q50's append-mode flush is the one that needs them)
+      ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long)](ss)
       val q = ms.toDS().toDF("user_id", "ts_us")

@@ -124,8 +124,10 @@ object Dedup {
     // spills rather than OOMs at corpus scale (the
     // lshCandidatePairsWithReport band-table discipline — and `sh` /
     // `prefix` are O(corpus shingles), the same order as the text the
-    // duplicate pass would re-parse). Drivers release per-query
-    // persists after consuming each result (releaseNewlyPersisted).
+    // duplicate pass would re-parse). Release contract: the CALLER
+    // owns these blocks — the repo's drivers snapshot+release per
+    // query (releaseNewlyPersisted); external callers wrap consumption
+    // in CacheScope.scoped (see that object's doc).
     (sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       prefix.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
@@ -236,7 +238,8 @@ object Dedup {
     // the sides' differing projections block exchange reuse — without
     // this persist the whole shingle→minhash→band pipeline runs twice
     // (the lshCandidatePairsWithReport band-table discipline, applied
-    // to the plain candidate path; O(docs · k/r) small rows)
+    // to the plain candidate path; O(docs · k/r) small rows); released
+    // by the caller — the CacheScope contract
     pairsFromBandRows(bounded.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
@@ -479,10 +482,15 @@ object Dedup {
     edges.unpersist()
     // a silent non-fixpoint would return wrong clusters that downstream
     // dedup acts on — fail loudly instead (pathological chain graphs
-    // need a larger maxIter or the alternating-star variant)
+    // need a larger maxIter or the alternating-star variant). Round
+    // accounting: the fused initialization above IS propagation round
+    // one, so the budget is maxIter LOOP rounds on top of it —
+    // maxIter+1 propagation rounds total before this failure
     if (!converged)
       throw new IllegalStateException(
-        s"nearDupClusters did not converge within $maxIter rounds")
+        s"nearDupClusters did not converge within ${maxIter + 1} " +
+          s"propagation rounds (the fused initialization round plus " +
+          s"maxIter=$maxIter loop rounds)")
     labels.withColumn("cluster_size",
       count(lit(1)).over(Window.partitionBy("cluster")))
   }
@@ -800,7 +808,8 @@ object Dedup {
     // the (block, length-bucket) join reads the fingerprint table on
     // both sides with different explodes — no exchange reuse, so the
     // whole tokenize→md5→packed-vote aggregation would run twice;
-    // persist computes each doc's fingerprint once (O(docs) rows)
+    // persist computes each doc's fingerprint once (O(docs) rows);
+    // released by the caller — the CacheScope contract
     val s = simhash(docs).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = s.select(col("doc_id").as("doc_a"), col("n_chars").as("ca"),

@@ -98,10 +98,19 @@ object Layout {
     * assignments and a single partial-agg groupBy folds both layouts'
     * stats — no second scan for the comparison baseline.
     */
-  def layoutFileStats(docs: DataFrame, files: Int = 64): DataFrame = {
+  def layoutFileStats(docs: DataFrame, files: Int = 64): DataFrame =
+    fileStatsFromBinned(binned(docs), files)
+
+  /** [[layoutFileStats]] over an already-binned frame — lets
+    * [[layoutSkipAudit]] reuse ONE binned corpus pass for both the
+    * file stats and the probe set (the stats path and the probe path
+    * differ in projection, so exchange reuse never fires across them;
+    * without the shared frame the whole scan+bin pipeline ran twice).
+    */
+  private def fileStatsFromBinned(b: DataFrame, files: Int): DataFrame = {
     require(files > 0 && files <= KeySpace,
       s"files must be in [1, $KeySpace], got $files")
-    binned(docs)
+    b
       .withColumn("lf", explode(array(
         struct(lit("zorder").as("layout"),
           expr(s"(zkey * $files) div $KeySpace").as("file")),
@@ -137,9 +146,15 @@ object Layout {
     * corpus (the Dedup threshold-sweep crossJoin discipline).
     */
   def layoutSkipAudit(docs: DataFrame, files: Int = 64): DataFrame = {
-    val stats = layoutFileStats(docs, files).persist()
+    // one binned corpus pass feeds BOTH the file stats and the probe
+    // set (differing projections defeat exchange reuse — persist is
+    // the only way they share the scan); released by the caller like
+    // every operator persist here (see [[graft.operators.CacheScope]])
+    val b = binned(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = fileStatsFromBinned(b, files).persist()
     val nf = stats.groupBy("layout").agg(count(lit(1)).as("n_files"))
-    val probes = binned(docs).select(
+    val probes = b.select(
       explode(array(
         struct(lit("doc_id").as("dim"), col("bin_d").as("v")),
         struct(lit("n_chars").as("dim"), col("bin_c").as("v")))).as("p"))

@@ -877,19 +877,33 @@ object Similarity {
     * cost, no window wider than nothing (there is no window at all).
     */
   private def pqParts(emb: DataFrame, m: Int, dims: Int): (DataFrame, DataFrame) = {
-    val subs = pqSubs(quantized(emb), m, dims)
-    val cb = subs
-      .select(col("label"), col("sub"), posexplode(col("svq")).as(Seq("dim", "v")))
-      .groupBy("label", "sub", "dim")
-      .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
-      .withColumn("c", expr("s div cnt"))
-      .groupBy("label", "sub")
-      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), x -> x.c)")
-        .as("cvec"))
-      .select(col("label").cast("long").as("code"), col("sub"), col("cvec"),
-        VecOps.normSq(col("cvec")).as("cn2"))
+    // subs feeds BOTH the codebook aggregation and the assignment join
+    // — differing projections defeat exchange reuse, so without the
+    // persist the quantize+subspace-explode fan runs once per side
+    // (and once per write action in the index build). Released by the
+    // caller — the CacheScope contract; [[buildIvfPqIndex]] persists
+    // its own copy and releases before returning.
+    val subs = pqSubs(quantized(emb), m, dims).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = pqCodebook(subs)
     (cb, pqAssignWith(subs, cb))
   }
+
+  /** Learn the per-(cell, subspace) codebook from a [[pqSubs]] fan —
+    * factored from [[pqParts]] so the index build can learn, WRITE,
+    * and then assign against the STORED codebook without recomputing
+    * this aggregation in the codes action.
+    */
+  private def pqCodebook(subs: DataFrame): DataFrame = subs
+    .select(col("label"), col("sub"), posexplode(col("svq")).as(Seq("dim", "v")))
+    .groupBy("label", "sub", "dim")
+    .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
+    .withColumn("c", expr("s div cnt"))
+    .groupBy("label", "sub")
+    .agg(expr("transform(sort_array(collect_list(struct(dim, c))), x -> x.c)")
+      .as("cvec"))
+    .select(col("label").cast("long").as("code"), col("sub"), col("cvec"),
+      VecOps.normSq(col("cvec")).as("cn2"))
 
   /** One row per (vector, subspace) of a quantized frame — the fan
     * the codebook learning and the code assignment both consume.
@@ -2270,23 +2284,40 @@ object Similarity {
       val (n, priorTags) = buildEntry(hfs, path)
       val learned = s"learned_v$n"
       val gen = s"gen=b$n"
-      val q = quantized(emb)
-      centroids(q).coalesce(1).write.mode("overwrite")
-        .parquet(s"$path/$learned/centroids")
-      val (cb, codes) = pqParts(emb, m, dims)
-      cb.coalesce(1).write.mode("overwrite")
-        .parquet(s"$path/$learned/codebook")
-      Seq((m, dims)).toDF("m", "dims").coalesce(1).write.mode("overwrite")
-        .parquet(s"$path/$learned/meta")
-      codes.select("vec_id", "sub", "code")
-        .join(emb.select(col("vec_id"),
-          requireCellLabel(col("label"))), Seq("vec_id"))
-        .repartition(col("label"))
-        .write.partitionBy("label").mode("overwrite")
-        .parquet(s"$path/gens/$gen")
-      writeManifestFile(hfs, path, IndexManifest(n, "pq", learned,
-        priorTags, stagedCells(hfs, path, gen)))
-      retireUnreferenced(hfs, path, manifestGraceMs(spark))
+      // three write actions consume the quantized corpus (centroids,
+      // codebook, coded cells) and two of them its subspace fan —
+      // persist both so the scan+quantize(+explode) passes run once
+      // per build, not once per artifact (the buildIvfSqIndex
+      // discipline); released before returning, the build is eager.
+      // The codes action assigns against the codebook READ BACK from
+      // the artifact just written (what appendToIvfPqIndex assigns
+      // against too — one frozen-codebook spelling, and it truncates
+      // the cb aggregation out of the codes action's plan).
+      val q = quantized(emb).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        centroids(q).coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/$learned/centroids")
+        val subs = pqSubs(q, m, dims).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          pqCodebook(subs).coalesce(1).write.mode("overwrite")
+            .parquet(s"$path/$learned/codebook")
+          Seq((m, dims)).toDF("m", "dims").coalesce(1).write.mode("overwrite")
+            .parquet(s"$path/$learned/meta")
+          val cbStored = spark.read.schema(CodebookSchema)
+            .parquet(s"$path/$learned/codebook")
+          pqAssignWith(subs, cbStored).select("vec_id", "sub", "code")
+            .join(q.select(col("vec_id"),
+              requireCellLabel(col("label"))), Seq("vec_id"))
+            .repartition(col("label"))
+            .write.partitionBy("label").mode("overwrite")
+            .parquet(s"$path/gens/$gen")
+        } finally subs.unpersist()
+        writeManifestFile(hfs, path, IndexManifest(n, "pq", learned,
+          priorTags, stagedCells(hfs, path, gen)))
+        retireUnreferenced(hfs, path, manifestGraceMs(spark))
+      } finally q.unpersist()
     }
 
   /** Search a persisted IVFADC index — the composed deployment's

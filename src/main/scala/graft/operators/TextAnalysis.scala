@@ -1444,7 +1444,8 @@ object TextAnalysis {
     require(n > 0, s"need n > 0, got n=$n")
     // persist: the distinct gram set feeds the per-source sizes AND
     // both sides of the intersection self-join — three consumers of
-    // one tokenize+window+distinct pass (the boilerplateStrip note)
+    // one tokenize+window+distinct pass (the boilerplateStrip note;
+    // released by the caller — the CacheScope contract)
     val g = positionalGrams(docs, n, carry = Seq("source"))
       .select("source", "gram").distinct().persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

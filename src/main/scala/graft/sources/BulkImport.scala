@@ -124,27 +124,49 @@ object BulkImport {
       // window would otherwise run twice per chunk
       val keptC = kept.cache()
       try {
-        sink(keptC.unionByName(anchors), i)
-        val before = spark.sparkContext.getPersistentRDDs.keySet
-        // one aggregation folds the chunk into the seed: the retired
-        // two-step (per-chunk newMax groupBy, then a second fold
-        // groupBy) shuffled the same rows twice per chunk — the union
-        // feeds kept rows straight into the fold and partial (map-side)
-        // aggregation does what the separate newMax did. Equivalent:
-        // gate-kept times are strictly increasing per metric and above
-        // the old seed_ts, so the (max, argmax) over seed ∪ kept has a
-        // unique maximum either way
-        val next = seedDf.unionByName(
-            keptC.select(col("metric"), col("time").as("seed_ts"),
-              col("value").as("seed_v")))
-          .groupBy("metric")
-          .agg(max("seed_ts").as("seed_ts"),
-            max_by(col("seed_v"), col("seed_ts")).as("seed_v"))
-          .localCheckpoint(true)
-        val newIds = (spark.sparkContext.getPersistentRDDs.keySet -- before).toSet
-        release(seedRdds)
-        seedRdds = newIds
-        seedDf = next
+        // the sink write and the seed fold are INDEPENDENT actions
+        // over the same cached gated rows (the fold reads kept rows,
+        // never the sink's output; chunk i+1 depends only on the
+        // fold) — overlap them so the chunk's two jobs back-fill each
+        // other's stragglers instead of serializing (guide §2.6).
+        // The await below keeps the loop's observable order: a chunk
+        // is fully delivered before the next chunk starts, and a
+        // failing sink still fails the import on this iteration.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val sinkF = Future(sink(keptC.unionByName(anchors), i))
+        try {
+          val before = spark.sparkContext.getPersistentRDDs.keySet
+          // one aggregation folds the chunk into the seed: the retired
+          // two-step (per-chunk newMax groupBy, then a second fold
+          // groupBy) shuffled the same rows twice per chunk — the union
+          // feeds kept rows straight into the fold and partial (map-side)
+          // aggregation does what the separate newMax did. Equivalent:
+          // gate-kept times are strictly increasing per metric and above
+          // the old seed_ts, so the (max, argmax) over seed ∪ kept has a
+          // unique maximum either way
+          val next = seedDf.unionByName(
+              keptC.select(col("metric"), col("time").as("seed_ts"),
+                col("value").as("seed_v")))
+            .groupBy("metric")
+            .agg(max("seed_ts").as("seed_ts"),
+              max_by(col("seed_v"), col("seed_ts")).as("seed_v"))
+            .localCheckpoint(true)
+          // the snapshot diff may also catch the sink's own transient
+          // cache ids (writeBatch caches and releases its batch) —
+          // harmless, unpersisting an already-released id is a no-op;
+          // the fold's checkpoint blocks are always inside the window
+          val newIds = (spark.sparkContext.getPersistentRDDs.keySet -- before).toSet
+          release(seedRdds)
+          seedRdds = newIds
+          seedDf = next
+        } finally
+          // never leave the sink job racing a caller's failure-path
+          // scratch delete — settle it before propagating anything,
+          // then surface its own failure
+          Await.ready(sinkF, Duration.Inf)
+        Await.result(sinkF, Duration.Inf)
       } finally keptC.unpersist()
     } finally release(seedRdds)
   }

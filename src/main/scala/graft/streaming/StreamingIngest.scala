@@ -689,21 +689,41 @@ class HtaStore(val root: String, val intervalMin: Long) {
     markerDirInit(spark)
     val batch = gated.cache()
     try {
+      // the raw write and the partials write are INDEPENDENT jobs over
+      // the same cached batch (different artifacts, different dirs) —
+      // overlap them so the rollup's aggregation back-fills the raw
+      // write's I/O tail instead of serializing behind it (guide
+      // §2.6). The commit marker still lands only after BOTH writes
+      // return — the idempotent-replay contract is untouched, and a
+      // crash mid-overlap leaves the same invisible half-batch a
+      // crash mid-sequence did.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
       // no repartition: micro-batches are already metric-hashed by the
       // gate's groupByKey shuffle; partitionBy splits directories and the
       // local sort keeps row groups time-ordered for min/max pruning.
       // day is monotone in time, so sorting (metric, day, time) is the
       // same row order as (metric, time) AND satisfies partitionBy's
       // required (metric, day) prefix — no second sort gets inserted
-      batch.filter(!col("anchor"))
-        .select("metric", "time", "value")
-        .withColumn("day", expr(s"time div $DayNs"))
-        .sortWithinPartitions("metric", "day", "time")
-        .write.mode("overwrite").partitionBy("metric", "day")
-        .parquet(s"$rawPath/batch_id=$batchKey")
-      Ingest.rollupWithAnchors(batch, intervalMin)
-        .write.mode("overwrite").partitionBy("interval_ns")
-        .parquet(s"$partialsPath/batch_id=$batchKey")
+      val rawF = Future {
+        batch.filter(!col("anchor"))
+          .select("metric", "time", "value")
+          .withColumn("day", expr(s"time div $DayNs"))
+          .sortWithinPartitions("metric", "day", "time")
+          .write.mode("overwrite").partitionBy("metric", "day")
+          .parquet(s"$rawPath/batch_id=$batchKey")
+      }
+      try {
+        Ingest.rollupWithAnchors(batch, intervalMin)
+          .write.mode("overwrite").partitionBy("interval_ns")
+          .parquet(s"$partialsPath/batch_id=$batchKey")
+      } finally
+        // settle the raw job before propagating anything — a caller's
+        // failure-path scratch delete must never race an in-flight
+        // write (its own failure surfaces on the next line)
+        Await.ready(rawF, Duration.Inf)
+      Await.result(rawF, Duration.Inf)
       markCommitted(spark, batchKey)
     } finally batch.unpersist()
   }

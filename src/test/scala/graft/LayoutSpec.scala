@@ -79,6 +79,34 @@ class LayoutSpec extends AnyFunSuite {
       "no shard scattered — the per-epoch salt is not mixing")
   }
 
+  // FIRST among the executing tests on purpose: plan-shape counts
+  // need a CacheManager that holds no matching subtree yet — the
+  // audit tests below persist the shared binned frame, and a scoped
+  // release frees its STORAGE but the cache-plan registration
+  // remains for the session, so a later plan build would substitute
+  // InMemoryRelation (whose rendered cached plan shifts the textual
+  // NLJ count without changing the physical shape being pinned).
+  test("x168/x169 plans: only the allowed scalar-seed / metadata NLJs") {
+    // scoped: x169's plan construction registers its shared-frame
+    // persists — release the storage like every other caller (the
+    // CacheScope release contract)
+    graft.operators.CacheScope.scoped(spark) {
+      def nlj(q: String): Int = {
+        val p = SparkEntry.queries(q)(spark, sf)
+          .queryExecution.sparkPlan.toString
+        assert(!p.contains("CartesianProduct"))
+        "BroadcastNestedLoopJoin".r.findAllMatchIn(p).length
+      }
+      // x168: exactly the one 1-row extremes broadcast
+      assert(nlj("x168_zorder_layout") == 1)
+      // x169: the shared binned frame's extremes broadcast (inside
+      // its cached subtree, rendered once) + the bounded
+      // probe×file-stats range join + the persisted stats subtree's
+      // rendering — never a corpus-sized NLJ
+      assert(nlj("x169_zorder_skip") == 4)
+    }
+  }
+
   test("layoutFileStats: both layouts partition the corpus into bounded files") {
     val st = Layout.layoutFileStats(docs, 16).collect()
     val n = docs.count()
@@ -92,8 +120,12 @@ class LayoutSpec extends AnyFunSuite {
   }
 
   test("layoutSkipAudit: linear prunes one dim, zorder bounds both") {
-    val a = Layout.layoutSkipAudit(docs, 16).collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // scoped: the audit persists its shared binned frame (the
+    // CacheScope release contract) — leaked blocks would both
+    // accumulate and cache-substitute into later tests' plans
+    val a = graft.operators.CacheScope.scoped(spark) {
+      Layout.layoutSkipAudit(docs, 16).collect()
+    }.map(r => (r.getString(0), r.getString(1)) -> r).toMap
     assert(a.size == 4)
     // linear resolves its own sort column to exactly one file...
     assert(a(("linear", "doc_id")).getDouble(4) == 1.0)
@@ -105,6 +137,22 @@ class LayoutSpec extends AnyFunSuite {
     assert(zC < linC, s"zorder n_chars frac $zC !< linear $linC")
     assert(zD < linC && zC < 0.8 && zD < 0.8,
       s"zorder fracs not sublinear: d=$zD c=$zC vs linear c=$linC")
+  }
+
+  test("CacheScope.scoped frees operator persists (the release contract)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    graft.operators.CacheScope.scoped(spark) {
+      // two persisting operators from different families, consumed
+      // inside the scope (the contract's requirement)
+      Layout.layoutSkipAudit(docs, 16).count()
+      graft.operators.Dedup
+        .lshCandidatePairs(Tables.read(spark, sf, "documents")).count()
+      assert(spark.sparkContext.getPersistentRDDs.keySet
+        .diff(before).nonEmpty, "operators stopped persisting — the " +
+        "scope has nothing to test")
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"scoped persists leaked blocks: $leaked")
   }
 
   test("writeZordered: physical parquet files carry tighter two-dim ranges") {
@@ -178,20 +226,4 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
-  test("x168/x169 plans: only the allowed scalar-seed / metadata NLJs") {
-    def nlj(q: String): Int = {
-      val p = SparkEntry.queries(q)(spark, sf)
-        .queryExecution.sparkPlan.toString
-      assert(!p.contains("CartesianProduct"))
-      "BroadcastNestedLoopJoin".r.findAllMatchIn(p).length
-    }
-    // x168: exactly the one 1-row extremes broadcast
-    assert(nlj("x168_zorder_layout") == 1)
-    // x169: the probes leg's extremes broadcast + the bounded
-    // probe×file-stats range join + the persisted stats subtree's own
-    // extremes broadcast rendered at BOTH its consumers (stats join
-    // and n_files join share one InMemoryRelation; the plan text
-    // repeats it) — never a corpus-sized NLJ
-    assert(nlj("x169_zorder_skip") == 4)
-  }
 }
